@@ -1,38 +1,91 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``via_spark/``; this module only adapts it to
+the driver's (spark, sf_dir) -> DataFrame calling convention.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from via_spark import oracles
+from via_spark.operators import rhythm
+from via_spark.session import configure
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: tier-1 rhythm anomaly detection on sf0.001."""
+    configure(spark)
+    return rhythm.find_rhythm_anomalies(spark, "/root/testdata/sf0.001")
+
+
+def _tier1_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rhythm.tier1_from_events(spark, sf_dir).select(
+        "event_id", "ts", "service", "severity", "body", "template", "rhythm_hash"
+    )
+
+
+def _rhythm_recent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    tier1 = rhythm.tier1_from_events(spark, sf_dir)
+    now = rhythm.current_now(tier1)
+    recent = rhythm.recent_window(tier1, now, rhythm.DEFAULT_WINDOW_SEC)
+    return recent.groupBy("rhythm_hash").agg(F.count(F.lit(1)).alias("r_count"))
+
+
+def _rhythm_baseline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tier1 = rhythm.tier1_from_events(spark, sf_dir)
+    now = rhythm.current_now(tier1)
+    sample = rhythm.baseline_sample(tier1, now, rhythm.DEFAULT_WINDOW_SEC)
+    return rhythm.baseline_stats(sample, rhythm.DEFAULT_WINDOW_SEC)
+
+
+# Sensitivity variants: the fixture stream is anomaly-free by
+# construction, so the reference-tuned flagship correctly returns empty;
+# these parameterizations keep the J1/J2 join logic exercised on
+# non-empty outputs (small baseline sample -> novelty fires; low std
+# factor -> frequency fires).
+_NOVELTY_VARIANT = dict(sample_size=2000, novelty_min_count=1)
+_FREQ_VARIANT = dict(std_dev_factor=0.5, frequency_min_count=2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {
+        "tier1_view": _tier1_view,
+        "rhythm_recent_counts": _rhythm_recent_counts,
+        "rhythm_baseline_stats": _rhythm_baseline_stats,
+        "rhythm_anomalies": lambda spark, sf_dir: rhythm.find_rhythm_anomalies(spark, sf_dir),
+        "rhythm_novelty_small_baseline": lambda spark, sf_dir: rhythm.find_rhythm_anomalies(
+            spark, sf_dir, **_NOVELTY_VARIANT
+        ),
+        "rhythm_frequency_sensitive": lambda spark, sf_dir: rhythm.find_rhythm_anomalies(
+            spark, sf_dir, **_FREQ_VARIANT
+        ),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL per query (tables pre-registered)."""
+    return {
+        "tier1_view": oracles.tier1_view_sql(),
+        "rhythm_recent_counts": oracles.rhythm_recent_counts_sql(),
+        "rhythm_baseline_stats": oracles.rhythm_baseline_stats_sql(),
+        "rhythm_anomalies": oracles.rhythm_anomalies_sql(),
+        "rhythm_novelty_small_baseline": oracles.rhythm_anomalies_sql(**_NOVELTY_VARIANT),
+        "rhythm_frequency_sensitive": oracles.rhythm_anomalies_sql(**_FREQ_VARIANT),
+    }

@@ -1,0 +1,156 @@
+"""DuckDB oracle SQL for every SQL-expressible query in __spark_entry__.
+
+Each string must produce EXACTLY the rows/columns of the matching Spark
+query at the same sf_dir (the driver hash-compares sorted values).
+Shared building blocks live here so Spark code and oracle SQL pin the
+same constants (window sizes, regexes, thresholds).
+
+Portability rules used throughout:
+* epoch seconds = integer division (``epoch_us(ts) // 1000000`` in
+  DuckDB vs ``ts div 1000000000`` on Spark's nanos-as-long) — exact.
+* doubles that reach the output are either products/quotients of
+  identical inputs (IEEE-deterministic in both engines) or rounded
+  half-up via ``floor(x*10+0.5)/10`` before printf-formatting.
+* regexes restricted to the Java∩RE2 common subset.
+"""
+
+from __future__ import annotations
+
+from via_spark.functions.text import INT_RE, IPV4_RE, UUID_RE
+from via_spark.operators.rhythm import (
+    DEFAULT_WINDOW_SEC,
+    FREQUENCY_MIN_COUNT,
+    FREQUENCY_STD_DEV_FACTOR,
+    HISTORICAL_SAMPLE_SIZE,
+    NOVELTY_MIN_COUNT,
+)
+
+# The fixture `events` table viewed as a tier1 log store — mirrors
+# via_spark.operators.rhythm.tier1_from_events exactly.
+TIER1_CTE = f"""
+tier1_raw AS (
+    SELECT
+        event_id,
+        epoch_us(ts) // 1000000 AS ts,
+        'svc_' || CAST(user_id AS VARCHAR) AS service,
+        event_type AS severity,
+        event_type || ' value=' || printf('%.2f', value) || ' ' || props AS body
+    FROM events
+),
+tier1 AS (
+    SELECT
+        *,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(body, '{UUID_RE}', '*', 'g'),
+          '{IPV4_RE}', '*', 'g'),
+        '{INT_RE}', '*', 'g') AS template
+    FROM tier1_raw
+),
+hashed AS (
+    SELECT
+        *,
+        substr(sha256(template), 1, 16) || ':' ||
+        substr(sha256(service || ':' || severity), 1, 16) AS rhythm_hash
+    FROM tier1
+)
+"""
+
+# now/window/baseline CTEs shared by the rhythm queries.
+def _rhythm_prelude(window_sec: int, sample_size: int = HISTORICAL_SAMPLE_SIZE) -> str:
+    return f"""
+WITH {TIER1_CTE},
+params AS (SELECT max(ts) AS now_ts FROM hashed),
+recent AS (
+    SELECT h.* FROM hashed h, params p
+    WHERE h.ts BETWEEN p.now_ts - {window_sec} AND p.now_ts
+),
+baseline AS (
+    SELECT h.* FROM hashed h, params p
+    WHERE h.ts < p.now_ts - {window_sec}
+    ORDER BY h.ts DESC, h.event_id DESC
+    LIMIT {sample_size}
+),
+bounds AS (
+    SELECT max(ts) AS newest_ts, min(ts) AS oldest_ts, count(*) AS n_points
+    FROM baseline
+),
+scale AS (
+    SELECT
+        CAST({window_sec} AS DOUBLE) /
+        greatest(CAST(1 AS BIGINT), newest_ts - oldest_ts) AS scaling_factor,
+        n_points
+    FROM bounds
+),
+stats AS (
+    SELECT
+        b.rhythm_hash,
+        count(*) * s.scaling_factor AS mean,
+        greatest(1.5, sqrt(count(*) * s.scaling_factor)) AS std_dev
+    FROM baseline b, scale s
+    WHERE s.n_points >= 2
+    GROUP BY b.rhythm_hash, s.scaling_factor
+),
+recent_counts AS (
+    SELECT rhythm_hash, count(*) AS r_count FROM recent GROUP BY rhythm_hash
+),
+rep AS (
+    SELECT rhythm_hash, ts, service, severity, body
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY rhythm_hash ORDER BY ts ASC, event_id ASC) AS _rn
+        FROM recent
+    ) WHERE _rn = 1
+)
+"""
+
+
+def tier1_view_sql() -> str:
+    """Oracle for the tier1 projection itself (F1 template + F2 hash)."""
+    return f"WITH {TIER1_CTE} SELECT event_id, ts, service, severity, body, template, rhythm_hash FROM hashed"
+
+
+def rhythm_recent_counts_sql(window_sec: int = DEFAULT_WINDOW_SEC) -> str:
+    return _rhythm_prelude(window_sec) + "SELECT rhythm_hash, r_count FROM recent_counts"
+
+
+def rhythm_baseline_stats_sql(window_sec: int = DEFAULT_WINDOW_SEC) -> str:
+    return _rhythm_prelude(window_sec) + "SELECT rhythm_hash, mean, std_dev FROM stats"
+
+
+def rhythm_anomalies_sql(
+    window_sec: int = DEFAULT_WINDOW_SEC,
+    sample_size: int = HISTORICAL_SAMPLE_SIZE,
+    novelty_min_count: int = NOVELTY_MIN_COUNT,
+    frequency_min_count: int = FREQUENCY_MIN_COUNT,
+    std_dev_factor: float = FREQUENCY_STD_DEV_FACTOR,
+) -> str:
+    """The flagship: novelty (J1) + frequency (J2) detection with the
+    reference's anomaly_context strings."""
+    return (
+        _rhythm_prelude(window_sec, sample_size)
+        + f"""
+, joined AS (
+    SELECT c.rhythm_hash, c.r_count, r.ts, r.service, r.severity, r.body,
+           s.mean, s.std_dev,
+           s.mean + s.std_dev * CAST({std_dev_factor!r} AS DOUBLE) AS threshold
+    FROM recent_counts c
+    JOIN rep r USING (rhythm_hash)
+    LEFT JOIN stats s USING (rhythm_hash)
+)
+SELECT
+    rhythm_hash, service, severity, body, ts,
+    CASE WHEN mean IS NULL THEN 'novelty' ELSE 'frequency' END AS anomaly_type,
+    CASE WHEN mean IS NULL
+         THEN 'New pattern seen ' || CAST(r_count AS VARCHAR) || ' times.'
+         ELSE 'Count ' || CAST(r_count AS VARCHAR) ||
+              ' breached threshold of ' || printf('%.1f', floor(threshold*10 + 0.5)/10) ||
+              ' (normalized μ=' || printf('%.1f', floor(mean*10 + 0.5)/10) ||
+              ', σ=' || printf('%.1f', floor(std_dev*10 + 0.5)/10) || ')'
+    END AS anomaly_context,
+    r_count
+FROM joined
+WHERE (mean IS NULL AND r_count >= {novelty_min_count})
+   OR (mean IS NOT NULL AND r_count > threshold AND r_count >= {frequency_min_count})
+"""
+    )

@@ -1,0 +1,86 @@
+"""SparkSession construction + runtime configuration + table loading.
+
+Scale posture: these configs are what we'd ship to a 1000-executor
+cluster — AQE on (runtime re-plan, skew-join splitting, partition
+coalescing), broadcast threshold sized for dimension tables, shuffle
+partitions tuned per deployment. On local[32] test runs the same code
+path is exercised with smaller numbers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Tables materialized by the test-data generator (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Runtime-settable confs every query needs regardless of who built the
+# session (the verify driver builds its own SparkSession, so these are
+# (re-)applied on each entry point rather than only at build time).
+_RUNTIME_CONFS = {
+    # Deterministic timestamp arithmetic for oracle (DuckDB) parity.
+    "spark.sql.session.timeZone": "UTC",
+    # The fixture parquet files carry TIMESTAMP(NANOS) — Spark only
+    # reads those as raw int64 nanoseconds.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime re-planning: partition coalescing + skew-join handling.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs (idempotent). Call at every entry point."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime-settable in this deployment — builder set it
+    return spark
+
+
+def get_spark(app_name: str = "via_spark", master: str | None = None) -> SparkSession:
+    """Build (or get) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset so the
+    same helper serves tests, bench, and cluster submission (where the
+    master comes from spark-submit and this arg stays None).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    builder = (
+        builder.config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # dimension tables (region/nation/supplier/rules) stay broadcast-able
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table; runtime confs applied first."""
+    configure(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
