@@ -22,7 +22,7 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from via_spark import oracles
-from via_spark.operators import rhythm
+from via_spark.operators import relational, rhythm
 from via_spark.session import configure
 
 
@@ -76,6 +76,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rhythm_frequency_sensitive": lambda spark, sf_dir: rhythm.find_rhythm_anomalies(
             spark, sf_dir, **_FREQ_VARIANT
         ),
+        # relational core (M1)
+        "time_range_orders": relational.time_range_orders,
+        "keyword_filter_customers": relational.keyword_filter_customers,
+        "fulltext_match_documents": relational.fulltext_match_documents,
+        "live_tail_documents": relational.live_tail_documents,
+        "malformed_filter_events": relational.malformed_filter_events,
+        "severity_histogram": relational.severity_histogram,
+        "json_payload_shaping": relational.json_payload_shaping,
+        "newest_events": relational.newest_events,
+        "pricing_summary": relational.pricing_summary,
+        "shipping_priority": relational.shipping_priority,
+        "local_supplier_volume": relational.local_supplier_volume,
     }
 
 
@@ -88,4 +100,15 @@ def oracle_sql() -> dict[str, str]:
         "rhythm_anomalies": oracles.rhythm_anomalies_sql(),
         "rhythm_novelty_small_baseline": oracles.rhythm_anomalies_sql(**_NOVELTY_VARIANT),
         "rhythm_frequency_sensitive": oracles.rhythm_anomalies_sql(**_FREQ_VARIANT),
+        "time_range_orders": oracles.time_range_orders_sql(),
+        "keyword_filter_customers": oracles.keyword_filter_customers_sql(),
+        "fulltext_match_documents": oracles.fulltext_match_documents_sql(),
+        "live_tail_documents": oracles.live_tail_documents_sql(),
+        "malformed_filter_events": oracles.malformed_filter_events_sql(),
+        "severity_histogram": oracles.severity_histogram_sql(),
+        "json_payload_shaping": oracles.json_payload_shaping_sql(),
+        "newest_events": oracles.newest_events_sql(),
+        "pricing_summary": oracles.pricing_summary_sql(),
+        "shipping_priority": oracles.shipping_priority_sql(),
+        "local_supplier_volume": oracles.local_supplier_volume_sql(),
     }

@@ -1,0 +1,241 @@
+"""Relational core operators (SURVEY.md §2.2, §2.6, partial §2.8).
+
+Each public function is a `queries()` entry with a matching DuckDB
+oracle in ``via_spark.oracles``. They re-express the reference's
+filter/projection/top-k surface over the driver fixture tables, plus
+TPC-H-style headline aggregate/join queries that exercise the same
+operator classes at volume (the reference has no SQL benchmark of its
+own — BASELINE.md).
+
+Reference parity notes (capability, not code):
+* P1 time-range predicate    — ``app/services/qdrant_service.py:140``
+* P2 keyword equality        — ``app/services/qdrant_service.py:93-94``
+* P3 full-text MatchText     — ``app/services/forensic_analysis_service.py:28``
+* P4/S3/K4 live-tail filter  — ``app/api/v1/endpoints/stream.py:11-37``
+* P7 malformed-record drop   — ``app/services/ingestion_service.py:69-71``
+* P8 response shaping        — ``app/services/forensic_analysis_service.py:67-74``
+* K3 newest-N sample         — ``app/services/qdrant_service.py:155``
+* F5 severity mapping        — ``generate_logs.py:59``
+* F9 JSON serialization      — ``app/services/ingestion_service.py:66``
+
+Scale posture: every filter here is a native Column predicate that
+Catalyst pushes into the parquet scan (check ``PushedFilters`` in
+``.explain``); every top-k is an ``orderBy().limit()`` that Spark plans
+as TakeOrderedAndProject (partition-local heap + driver merge — no
+global sort); the TPC-H joins broadcast their dimension sides.
+
+Determinism: money aggregates go through ``fixed6`` (floor to 1e-6
+fixed-point, sum as exact BIGINT, divide back) so Spark and DuckDB agree
+bit-for-bit regardless of summation order — double sums are NOT
+reorder-stable, fixed-point sums are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from via_spark.functions.text import severity_number, tokens
+from via_spark.session import load_table
+
+# event_type → OTel-style severity text (pinned engine mapping so the
+# reference's severity-number table F5 applies to the fixture stream).
+EVENT_SEVERITY = {
+    "error": "ERROR",
+    "purchase": "WARN",
+    "signup": "INFO",
+    "click": "DEBUG",
+    "view": "DEBUG",
+}
+
+FIXED_SCALE = 1_000_000  # 1e-6 fixed point for reorder-stable money sums
+
+
+def fixed6(col: Column) -> Column:
+    """double → exact 1e-6 fixed-point BIGINT (floor). Summing these is
+    associative/exact, unlike double sums."""
+    return F.floor(col * FIXED_SCALE).cast("long")
+
+
+# --- P1: time-range predicate + P8 shaping ---------------------------------
+
+def time_range_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders placed in calendar 1996 (P1 range pushdown on a timestamp)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(
+            F.col("o_orderdate").between(
+                F.lit("1996-01-01").cast("timestamp_ntz"),
+                F.lit("1996-12-31 23:59:59").cast("timestamp_ntz"),
+            )
+        )
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+
+
+# --- P2: keyword equality ---------------------------------------------------
+
+def keyword_filter_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILDING-segment customers (P2 keyword predicate, P8 projection)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# --- P3: full-text word match ----------------------------------------------
+
+def fulltext_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents whose token set contains BOTH 'hash' and 'merge'
+    (MatchText word semantics: lowercased word tokenizer, all terms)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return d.where(
+        F.array_contains(toks, "hash") & F.array_contains(toks, "merge")
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+# --- S3/P4/K4: live tail ----------------------------------------------------
+
+def live_tail_documents(spark: SparkSession, sf_dir: str, needle: str = "spark",
+                        limit: int = 50) -> DataFrame:
+    """Last `limit` documents (doc_id desc = file order) containing the
+    needle case-insensitively — the reference's live-tail endpoint."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.where(F.contains(F.lower(F.col("text")), F.lit(needle.lower())))
+        .orderBy(F.col("doc_id").desc())
+        .limit(limit)
+        .select("doc_id", "text")
+    )
+
+
+# --- P7: malformed-record filter -------------------------------------------
+
+def malformed_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe JSON key extraction with dropout of malformed rows
+    (P7), keeping rows with props.k > 80."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .where(F.col("k").isNotNull() & (F.col("k") > 80))
+        .select("event_id", "event_type", "k")
+    )
+
+
+# --- F5 + F9: severity mapping and JSON shaping ----------------------------
+
+def severity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → severity text (pinned EVENT_SEVERITY map) → OTel
+    severity number (F5) → counts."""
+    ev = load_table(spark, sf_dir, "events")
+    mapping = F.create_map(*[F.lit(x) for kv in EVENT_SEVERITY.items() for x in kv])
+    sev = mapping.getItem(F.col("event_type"))
+    return (
+        ev.withColumn("severity", sev)
+        .withColumn("severity_number", severity_number("severity"))
+        .groupBy("severity", "severity_number")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def json_payload_shaping(spark: SparkSession, sf_dir: str, limit: int = 100) -> DataFrame:
+    """F9: serialize a projected payload back to a JSON string
+    (the reference's full_log_json passthrough)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("event_id").asc())
+        .limit(limit)
+        .select(
+            "event_id",
+            F.to_json(
+                F.struct(F.col("event_id"), F.col("event_type"), F.col("user_id"))
+            ).alias("payload_json"),
+        )
+    )
+
+
+# --- K3: newest-N sample ----------------------------------------------------
+
+def newest_events(spark: SparkSession, sf_dir: str, n: int = 1000) -> DataFrame:
+    """Newest `n` events (ts desc, event_id desc tiebreak) — the
+    baseline-sample scan shape, planned as TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", F.expr("ts div 1000000000").alias("ts_sec"))
+        .orderBy(F.col("ts_sec").desc(), F.col("event_id").desc())
+        .limit(n)
+    )
+
+
+# --- TPC-H-style headline queries (joins + aggs at volume) ------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped lineitem aggregates with reorder-stable
+    fixed-point money sums. Map-side partial aggregation + single
+    shuffle on the (tiny) group key — the textbook Spark agg plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(fixed6(F.col("l_quantity"))) / float(FIXED_SCALE)).alias("sum_qty"),
+            (F.sum(fixed6(F.col("l_extendedprice"))) / float(FIXED_SCALE)).alias("sum_base_price"),
+            (F.sum(fixed6(disc_price)) / float(FIXED_SCALE)).alias("sum_disc_price"),
+            (F.sum(fixed6(charge)) / float(FIXED_SCALE)).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, grouped revenue, global top-10.
+    customer is the small side → broadcast; lineitem↔orders shuffle on
+    the join key with AQE sizing."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1996-03-15").cast("timestamp_ntz")
+    rev = fixed6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.where(F.col("l_shipdate") > cutoff)
+        .join(o.where(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev) / float(FIXED_SCALE)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join with two broadcast dimension tables
+    (nation, region) and a co-located customer/supplier nation match."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = fixed6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(
+            F.col("o_orderdate").between(
+                F.lit("1996-01-01").cast("timestamp_ntz"),
+                F.lit("1996-12-31 23:59:59").cast("timestamp_ntz"),
+            )
+        )
+        .groupBy("n_name")
+        .agg((F.sum(rev) / float(FIXED_SCALE)).alias("revenue"))
+    )

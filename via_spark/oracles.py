@@ -154,3 +154,147 @@ WHERE (mean IS NULL AND r_count >= {novelty_min_count})
    OR (mean IS NOT NULL AND r_count > threshold AND r_count >= {frequency_min_count})
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational core oracles (via_spark.operators.relational)
+# ---------------------------------------------------------------------------
+
+# 1e-6 fixed-point helpers for reorder-stable money sums; must mirror
+# via_spark.operators.relational.fixed6 exactly.
+_FIX = "CAST(floor(({expr}) * 1000000) AS BIGINT)"
+
+
+def _fixsum(expr: str, alias: str) -> str:
+    return f"sum({_FIX.format(expr=expr)}) / 1000000.0 AS {alias}"
+
+
+def time_range_orders_sql() -> str:
+    return """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                      AND TIMESTAMP '1996-12-31 23:59:59'
+"""
+
+
+def keyword_filter_customers_sql() -> str:
+    return """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def fulltext_match_documents_sql() -> str:
+    return r"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE list_contains(string_split_regex(lower(text), '\s+'), 'hash')
+  AND list_contains(string_split_regex(lower(text), '\s+'), 'merge')
+"""
+
+
+def live_tail_documents_sql(needle: str = "spark", limit: int = 50) -> str:
+    return f"""
+SELECT doc_id, text FROM documents
+WHERE contains(lower(text), '{needle.lower()}')
+ORDER BY doc_id DESC LIMIT {limit}
+"""
+
+
+def malformed_filter_events_sql() -> str:
+    return """
+SELECT event_id, event_type, k FROM (
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+) WHERE k IS NOT NULL AND k > 80
+"""
+
+
+_SEV_CASE = """
+CASE event_type
+    WHEN 'error' THEN 'ERROR' WHEN 'purchase' THEN 'WARN'
+    WHEN 'signup' THEN 'INFO' WHEN 'click' THEN 'DEBUG'
+    WHEN 'view' THEN 'DEBUG' END
+"""
+
+_SEVNUM_CASE = """
+CASE severity
+    WHEN 'DEBUG' THEN 5 WHEN 'INFO' THEN 9 WHEN 'WARN' THEN 13
+    WHEN 'ERROR' THEN 17 WHEN 'FATAL' THEN 21 END
+"""
+
+
+def severity_histogram_sql() -> str:
+    return f"""
+SELECT severity, CAST({_SEVNUM_CASE} AS INTEGER) AS severity_number, count(*) AS n
+FROM (SELECT {_SEV_CASE} AS severity FROM events)
+GROUP BY 1, 2
+"""
+
+
+def json_payload_shaping_sql(limit: int = 100) -> str:
+    return f"""
+SELECT event_id,
+       to_json(struct_pack(event_id := event_id, event_type := event_type,
+                           user_id := user_id)) AS payload_json
+FROM events ORDER BY event_id ASC LIMIT {limit}
+"""
+
+
+def newest_events_sql(n: int = 1000) -> str:
+    return f"""
+SELECT event_id, epoch_us(ts) // 1000000 AS ts_sec
+FROM events ORDER BY ts_sec DESC, event_id DESC LIMIT {n}
+"""
+
+
+def pricing_summary_sql() -> str:
+    disc = "l_extendedprice * (1 - l_discount)"
+    charge = f"({disc}) * (1 + l_tax)"
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       {_fixsum('l_quantity', 'sum_qty')},
+       {_fixsum('l_extendedprice', 'sum_base_price')},
+       {_fixsum(disc, 'sum_disc_price')},
+       {_fixsum(charge, 'sum_charge')},
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def shipping_priority_sql() -> str:
+    rev = "l_extendedprice * (1 - l_discount)"
+    return f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {_fixsum(rev, 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate  > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def local_supplier_volume_sql() -> str:
+    rev = "l_extendedprice * (1 - l_discount)"
+    return f"""
+SELECT n_name, {_fixsum(rev, 'revenue')}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                      AND TIMESTAMP '1996-12-31 23:59:59'
+GROUP BY n_name
+"""
