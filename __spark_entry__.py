@@ -22,7 +22,7 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from via_spark import oracles
-from via_spark.operators import relational, rhythm
+from via_spark.operators import promote, relational, rhythm
 from via_spark.session import configure
 
 
@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rhythm_frequency_sensitive": lambda spark, sf_dir: rhythm.find_rhythm_anomalies(
             spark, sf_dir, **_FREQ_VARIANT
         ),
+        # promotion / tier2 (M2)
+        "promotion_rollup": promote.promotion_rollup,
         # relational core (M1)
         "time_range_orders": relational.time_range_orders,
         "keyword_filter_customers": relational.keyword_filter_customers,
@@ -100,6 +102,7 @@ def oracle_sql() -> dict[str, str]:
         "rhythm_anomalies": oracles.rhythm_anomalies_sql(),
         "rhythm_novelty_small_baseline": oracles.rhythm_anomalies_sql(**_NOVELTY_VARIANT),
         "rhythm_frequency_sensitive": oracles.rhythm_anomalies_sql(**_FREQ_VARIANT),
+        "promotion_rollup": oracles.promotion_rollup_sql(),
         "time_range_orders": oracles.time_range_orders_sql(),
         "keyword_filter_customers": oracles.keyword_filter_customers_sql(),
         "fulltext_match_documents": oracles.fulltext_match_documents_sql(),

@@ -118,6 +118,40 @@ def rhythm_baseline_stats_sql(window_sec: int = DEFAULT_WINDOW_SEC) -> str:
     return _rhythm_prelude(window_sec) + "SELECT rhythm_hash, mean, std_dev FROM stats"
 
 
+def _anomalies_cte(
+    novelty_min_count: int,
+    frequency_min_count: int,
+    std_dev_factor: float,
+) -> str:
+    """J1+J2 classification as a CTE fragment (appended to _rhythm_prelude)."""
+    return f"""
+, joined AS (
+    SELECT c.rhythm_hash, c.r_count, r.ts, r.service, r.severity, r.body,
+           s.mean, s.std_dev,
+           s.mean + s.std_dev * CAST({std_dev_factor!r} AS DOUBLE) AS threshold
+    FROM recent_counts c
+    JOIN rep r USING (rhythm_hash)
+    LEFT JOIN stats s USING (rhythm_hash)
+),
+anomalies AS (
+    SELECT
+        rhythm_hash, service, severity, body, ts,
+        CASE WHEN mean IS NULL THEN 'novelty' ELSE 'frequency' END AS anomaly_type,
+        CASE WHEN mean IS NULL
+             THEN 'New pattern seen ' || CAST(r_count AS VARCHAR) || ' times.'
+             ELSE 'Count ' || CAST(r_count AS VARCHAR) ||
+                  ' breached threshold of ' || printf('%.1f', floor(threshold*10 + 0.5)/10) ||
+                  ' (normalized μ=' || printf('%.1f', floor(mean*10 + 0.5)/10) ||
+                  ', σ=' || printf('%.1f', floor(std_dev*10 + 0.5)/10) || ')'
+        END AS anomaly_context,
+        r_count
+    FROM joined
+    WHERE (mean IS NULL AND r_count >= {novelty_min_count})
+       OR (mean IS NOT NULL AND r_count > threshold AND r_count >= {frequency_min_count})
+)
+"""
+
+
 def rhythm_anomalies_sql(
     window_sec: int = DEFAULT_WINDOW_SEC,
     sample_size: int = HISTORICAL_SAMPLE_SIZE,
@@ -129,29 +163,49 @@ def rhythm_anomalies_sql(
     reference's anomaly_context strings."""
     return (
         _rhythm_prelude(window_sec, sample_size)
-        + f"""
-, joined AS (
-    SELECT c.rhythm_hash, c.r_count, r.ts, r.service, r.severity, r.body,
-           s.mean, s.std_dev,
-           s.mean + s.std_dev * CAST({std_dev_factor!r} AS DOUBLE) AS threshold
-    FROM recent_counts c
-    JOIN rep r USING (rhythm_hash)
-    LEFT JOIN stats s USING (rhythm_hash)
+        + _anomalies_cte(novelty_min_count, frequency_min_count, std_dev_factor)
+        + """
+SELECT rhythm_hash, service, severity, body, ts, anomaly_type, anomaly_context, r_count
+FROM anomalies
+"""
+    )
+
+
+def promotion_rollup_sql(
+    window_sec: int = DEFAULT_WINDOW_SEC,
+    sample_size: int = 2000,
+    novelty_min_count: int = 1,
+    frequency_min_count: int = FREQUENCY_MIN_COUNT,
+    std_dev_factor: float = FREQUENCY_STD_DEV_FACTOR,
+) -> str:
+    """A3/S5: member logs of each anomalous hash rolled into one tier2
+    cluster row (sample_logs = first 5 serialized logs by ts, event_id)."""
+    return (
+        _rhythm_prelude(window_sec, sample_size)
+        + _anomalies_cte(novelty_min_count, frequency_min_count, std_dev_factor)
+        + """
+, member AS (
+    SELECT r.* FROM recent r
+    JOIN (SELECT DISTINCT rhythm_hash FROM anomalies) a USING (rhythm_hash)
+),
+agg AS (
+    SELECT rhythm_hash,
+           min(ts) AS start_ts,
+           max(ts) AS end_ts,
+           count(*) AS "count",
+           list_slice(
+               list(to_json(struct_pack(
+                        event_id := event_id, ts := ts, service := service,
+                        severity := severity, body := body))
+                    ORDER BY ts, event_id),
+               1, 5) AS sample_logs
+    FROM member GROUP BY rhythm_hash
 )
-SELECT
-    rhythm_hash, service, severity, body, ts,
-    CASE WHEN mean IS NULL THEN 'novelty' ELSE 'frequency' END AS anomaly_type,
-    CASE WHEN mean IS NULL
-         THEN 'New pattern seen ' || CAST(r_count AS VARCHAR) || ' times.'
-         ELSE 'Count ' || CAST(r_count AS VARCHAR) ||
-              ' breached threshold of ' || printf('%.1f', floor(threshold*10 + 0.5)/10) ||
-              ' (normalized μ=' || printf('%.1f', floor(mean*10 + 0.5)/10) ||
-              ', σ=' || printf('%.1f', floor(std_dev*10 + 0.5)/10) || ')'
-    END AS anomaly_context,
-    r_count
-FROM joined
-WHERE (mean IS NULL AND r_count >= {novelty_min_count})
-   OR (mean IS NOT NULL AND r_count > threshold AND r_count >= {frequency_min_count})
+SELECT 'event_cluster' AS entity_type,
+       rhythm_hash, start_ts, end_ts, "count",
+       service, severity, anomaly_type, anomaly_context, body, sample_logs,
+       DATE '1970-01-01' + CAST(start_ts // 86400 AS INTEGER) AS event_date
+FROM anomalies JOIN agg USING (rhythm_hash)
 """
     )
 
