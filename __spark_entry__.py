@@ -22,7 +22,7 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from via_spark import oracles
-from via_spark.operators import promote, relational, rhythm
+from via_spark.operators import promote, relational, rhythm, search, vector
 from via_spark.session import configure
 
 
@@ -78,6 +78,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # promotion / tier2 (M2)
         "promotion_rollup": promote.promotion_rollup,
+        # vector layer (M3)
+        "knn_cosine_topk": vector.knn_cosine_topk,
+        "grouped_knn_top1": vector.grouped_knn_top1,
+        "recommend_average_vector": vector.recommend_average_vector,
+        "simhash_documents": vector.simhash_documents,
+        "bm25_topk": search.bm25_topk,
+        "hybrid_rrf": search.hybrid_rrf,
         # relational core (M1)
         "time_range_orders": relational.time_range_orders,
         "keyword_filter_customers": relational.keyword_filter_customers,
@@ -103,6 +110,12 @@ def oracle_sql() -> dict[str, str]:
         "rhythm_novelty_small_baseline": oracles.rhythm_anomalies_sql(**_NOVELTY_VARIANT),
         "rhythm_frequency_sensitive": oracles.rhythm_anomalies_sql(**_FREQ_VARIANT),
         "promotion_rollup": oracles.promotion_rollup_sql(),
+        "knn_cosine_topk": oracles.knn_cosine_topk_sql(),
+        "grouped_knn_top1": oracles.grouped_knn_top1_sql(),
+        "recommend_average_vector": oracles.recommend_average_vector_sql(),
+        "simhash_documents": oracles.simhash_documents_sql(),
+        "bm25_topk": oracles.bm25_topk_sql(),
+        "hybrid_rrf": oracles.hybrid_rrf_sql(),
         "time_range_orders": oracles.time_range_orders_sql(),
         "keyword_filter_customers": oracles.keyword_filter_customers_sql(),
         "fulltext_match_documents": oracles.fulltext_match_documents_sql(),

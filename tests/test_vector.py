@@ -1,0 +1,42 @@
+"""Vector-layer properties the DuckDB oracle can't express:
+simhash locality sensitivity and hamming distance behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from via_spark.functions.simhash import hamming_hex, simhash_votes, votes_to_hex
+
+
+def _fingerprint(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    out = (
+        df.withColumn("_v", simhash_votes(toks))
+        .select("id", votes_to_hex(F.col("_v")).alias("sh"))
+        .orderBy("id")
+        .collect()
+    )
+    return [r["sh"] for r in out]
+
+
+def test_simhash_locality(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")  # 1-token change
+    far = "completely unrelated text about spark shuffle partitions and parquet files"
+    a, b, c = _fingerprint(spark, [base, near, far])
+    df = spark.createDataFrame([(a, b), (a, c)], "x string, y string")
+    d_near, d_far = [
+        r[0] for r in df.select(hamming_hex(F.col("x"), F.col("y"))).collect()
+    ]
+    assert d_near < d_far, f"near dup {d_near} should beat unrelated {d_far}"
+    assert d_near <= 16
+    assert len(a) == 16
+
+
+def test_simhash_deterministic_and_identical_inputs(spark):
+    t = "alpha beta gamma delta"
+    a, b = _fingerprint(spark, [t, t])
+    assert a == b
+    df = spark.createDataFrame([(a, b)], "x string, y string")
+    assert df.select(hamming_hex(F.col("x"), F.col("y"))).first()[0] == 0

@@ -1,0 +1,89 @@
+"""Simhash (F3): 64-bit locality-sensitive fingerprint as native columns.
+
+Capability parity with the reference's Simhash→binary-vector step
+(``app/services/ingestion_service.py:31-39``): same capability (64-bit
+LSH fingerprint of the token stream), with OUR pinned, deterministic,
+SQL-expressible definition (SURVEY.md §7.4 decision 3):
+
+* tokenizer: lowercased whitespace tokens, empties dropped
+  (``via_spark.functions.text.tokens``)
+* per-token hash: first 16 hex chars of sha256(token) = 64 bits
+* bit b of token hash: nibble ``b // 4`` (hex char, leftmost = nibble
+  0), bit ``b % 4`` within the nibble (LSB-first — mirrors the
+  reference's LSB-first vector layout)
+* vote: +1/-1 per token per bit; simhash bit = 1 iff vote sum >= 0
+  (ties pinned to 1)
+* rendering: 16 lowercase hex chars, nibble 0 first
+
+Everything is JVM-native (sha2 / conv / higher-order functions) — no
+Python in the row path — and exactly reproducible in ANSI SQL for the
+DuckDB oracle. The two-step votes→hex API exists so callers materialize
+the vote array once per row (``withColumn``) instead of duplicating the
+aggregate subtree 64× in one expression.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 64
+_NIBBLES = SIMHASH_BITS // 4
+
+
+def token_hashes(tokens_col: Column) -> Column:
+    """array<string> tokens → array of 16-hex-char (64-bit) token hashes."""
+    return F.transform(tokens_col, lambda t: F.substring(F.sha2(t, 256), 1, 16))
+
+
+def _votes_for_hash(h: Column) -> Column:
+    """±1 vote per bit of one token hash (h = lambda variable, evaluated once)."""
+    nibs = [F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int") for i in range(_NIBBLES)]
+    return F.array(
+        *[
+            F.shiftright(nibs[b // 4], b % 4).bitwiseAND(F.lit(1)) * 2 - 1
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+
+
+def simhash_votes(tokens_col: Column) -> Column:
+    """Bit-vote accumulation: array<int> of 64 signed vote sums."""
+    return F.aggregate(
+        token_hashes(tokens_col),
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(acc, _votes_for_hash(h), lambda a, v: a + v),
+    )
+
+
+def votes_to_hex(votes: Column) -> Column:
+    """Vote array → 16-char lowercase hex fingerprint (nibble 0 first)."""
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_NIBBLES - 1)),
+            lambda i: F.format_string(
+                "%x",
+                F.when(F.element_at(votes, i * 4 + 1) >= 0, 1).otherwise(0)
+                + F.when(F.element_at(votes, i * 4 + 2) >= 0, 2).otherwise(0)
+                + F.when(F.element_at(votes, i * 4 + 3) >= 0, 4).otherwise(0)
+                + F.when(F.element_at(votes, i * 4 + 4) >= 0, 8).otherwise(0),
+            ),
+        ),
+        "",
+    )
+
+
+def hamming_hex(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-hex-char fingerprints (0..64).
+
+    Nibble-wise popcount of XOR — integer-exact in Spark and DuckDB.
+    """
+    def nib(c: Column, i: int) -> Column:
+        return F.conv(F.substring(c, i + 1, 1), 16, 10).cast("int")
+
+    return reduce(
+        lambda x, y: x + y,
+        [F.bit_count(nib(a, i).bitwiseXOR(nib(b, i))) for i in range(_NIBBLES)],
+    ).cast("int")

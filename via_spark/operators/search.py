@@ -1,0 +1,152 @@
+"""Full-text BM25 scoring and hybrid dense+sparse fusion (F7, V6).
+
+Capability parity (semantics, not code) with the reference:
+* F7 sparse BM25 — the reference delegates to the fastembed
+  ``Qdrant/bm25`` encoder with server-side IDF
+  (``app/services/qdrant_service.py:23,80,124``); this engine computes
+  BM25 natively with the public defaults k1=1.2, b=0.75 and the Qdrant
+  IDF form ``ln(1 + (N - df + 0.5)/(df + 0.5))``, entirely as DataFrame
+  expressions (no per-row Python).
+* V6 hybrid search — the reference's collection supports dense + sparse
+  + full-text in one query (``QDRANT-FEATURES.md:17-19,45-47``); this
+  engine fuses the dense-cosine ranking and the BM25 ranking with
+  Reciprocal Rank Fusion (rrf_k=60, the public default) — rank math is
+  pure integers, so fusion is exactly deterministic.
+
+Determinism: tf/df/dl are exact integers; avgdl is a ratio of exact
+integers; the single transcendental (ln in IDF) is floored to a 1e-6
+grid immediately, and each per-term score is floored to 1e-9
+fixed-point BIGINT before summing — Spark and the DuckDB oracle agree
+bit-for-bit.
+
+Scale posture (100 TB): tf is a per-row higher-order function (no
+explode shuffle); the corpus statistics (N, sum dl, per-term df) reduce
+to ONE broadcast row regardless of corpus size; scoring is then an
+embarrassingly-parallel projection + TakeOrderedAndProject top-k. The
+per-term df aggregation is a single pass computing all terms at once.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from via_spark.functions.text import tokens
+from via_spark.operators.vector import cosine_from_fix, dot_fix
+from via_spark.session import load_table
+
+K1 = 1.2
+B = 0.75
+RRF_K = 60
+IDF_GRID = 1_000_000.0     # idf floored to 1e-6 (neutralizes ln ULP skew)
+SCORE_FIX = 1_000_000_000.0  # per-term score fixed-point scale
+
+DEFAULT_TERMS = ("hash", "merge", "spark")
+
+
+def _with_tf(d: DataFrame, terms: Sequence[str]) -> DataFrame:
+    """tokens + doc length + per-term tf, all per-row (no shuffle)."""
+    d = d.withColumn("toks", tokens(F.col("text"))).withColumn("dl", F.size("toks"))
+    for i, t in enumerate(terms):
+        d = d.withColumn(f"tf_{i}", F.size(F.filter(F.col("toks"), lambda x: x == F.lit(t))))
+    return d
+
+
+def _idf(n_docs: Column, df_c: Column) -> Column:
+    raw = F.log(F.lit(1) + (n_docs - df_c + F.lit(0.5)) / (df_c + F.lit(0.5)))
+    return F.floor(raw * F.lit(IDF_GRID)) / F.lit(IDF_GRID)
+
+
+def bm25_scored(d: DataFrame, terms: Sequence[str]) -> DataFrame:
+    """Documents + ``score_fix`` (exact BIGINT BM25, 1e-9 units)."""
+    d = _with_tf(d, terms)
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    d = d.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    term_fix = [
+        F.floor(
+            _idf(F.col("n_docs"), F.col(f"df_{i}"))
+            * (F.col(f"tf_{i}") * F.lit(K1 + 1))
+            / (F.col(f"tf_{i}") + F.lit(K1) * (F.lit(1 - B) + F.lit(B) * F.col("dl") / avgdl))
+            * F.lit(SCORE_FIX)
+        ).cast("long")
+        for i in range(len(terms))
+    ]
+    return d.withColumn("score_fix", reduce(lambda a, b: a + b, term_fix))
+
+
+def bm25_topk(
+    spark: SparkSession, sf_dir: str, terms: Sequence[str] = DEFAULT_TERMS, k: int = 50
+) -> DataFrame:
+    """F7: top-k documents by BM25 over the pinned query terms."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_scored(d, terms)
+        .where(F.col("score_fix") > 0)
+        .orderBy(F.col("score_fix").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select(
+            "doc_id",
+            "score_fix",
+            (F.col("score_fix").cast("double") / F.lit(SCORE_FIX)).alias("score"),
+        )
+    )
+
+
+def hybrid_rrf(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: Sequence[str] = DEFAULT_TERMS,
+    query_id: int = 0,
+    k: int = 50,
+) -> DataFrame:
+    """V6: hybrid dense+sparse search via Reciprocal Rank Fusion.
+
+    Candidate set = documents with a stored embedding (doc_id = vec_id).
+    rank_dense = cosine vs the query embedding; rank_sparse = BM25 over
+    ``terms``; fused = 1/(60+rd) + 1/(60+rs), top-k.
+
+    Note (scale): the global row_number ranking is exact at test scale;
+    at cluster scale each ranking would be cut to its own top-N
+    candidates first (TakeOrderedAndProject) and fused on the union —
+    RRF only needs candidate ranks, which that preserves.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == query_id).select(F.col("embedding").alias("q_emb"))
+
+    joined = (
+        bm25_scored(docs, terms)
+        .join(emb, F.col("doc_id") == F.col("vec_id"))
+        .crossJoin(F.broadcast(q))
+        .withColumn("d_fix", dot_fix(F.col("embedding"), F.col("q_emb")))
+        .withColumn("na_fix", dot_fix(F.col("embedding"), F.col("embedding")))
+        .withColumn("nb_fix", dot_fix(F.col("q_emb"), F.col("q_emb")))
+        .withColumn(
+            "dense_score", cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix"))
+        )
+    )
+    w_dense = Window.orderBy(F.col("dense_score").desc(), F.col("doc_id").asc())
+    w_sparse = Window.orderBy(F.col("score_fix").desc(), F.col("doc_id").asc())
+    return (
+        joined.withColumn("rank_dense", F.row_number().over(w_dense))
+        .withColumn("rank_sparse", F.row_number().over(w_sparse))
+        .withColumn(
+            "rrf",
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_dense"))
+            + F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_sparse")),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "rank_dense", "rank_sparse", "rrf")
+    )

@@ -1,0 +1,191 @@
+"""Vector-search operators (SURVEY.md §2.9) over the embeddings fixture.
+
+Capability parity (semantics, not code) with the reference's Tier-2
+search surface:
+* V1 filtered k-NN      — ``app/services/forensic_analysis_service.py:25-33``
+* V2 grouped top-1      — ``app/services/forensic_analysis_service.py:45-53``
+  (Qdrant ``search_groups(group_by=..., group_size=1)``)
+* V4 recommend          — ``app/services/forensic_analysis_service.py:75-96``
+  (Qdrant 'average_vector' strategy: ``q = 2*avg(pos) - avg(neg)``,
+  examples excluded from results)
+* F3 simhash fingerprint — ``app/services/ingestion_service.py:31-39``
+
+Spark has no ANN index; these are EXACT brute-force scores over the
+filtered set — a correctness superset of Qdrant's approximate HNSW
+(SURVEY.md §2.9 preamble). The LSH-bucketed scale path lives in
+``via_spark.operators.dedup`` / ``ann_lsh`` (M6).
+
+Determinism & oracle parity: every per-element float product is floored
+to fixed-point BIGINT before summation, so the reduction is exact and
+order-independent — Spark and DuckDB produce bit-identical scores no
+matter how partitions reduce. The only double math (sqrt, division) runs
+on identical integer inputs with IEEE-pinned correctly-rounded ops.
+
+Scale posture (100 TB): scoring is a narrow projection over a
+column-pruned scan (embedding + keys only); top-k plans as
+TakeOrderedAndProject (partition-local heap, no global sort); the
+grouped top-1 uses WindowGroupLimit (Spark ≥3.5) so only one row per
+group survives the shuffle; the recommend query vector is a 1-row
+broadcast, never a collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from via_spark.functions.simhash import simhash_votes, votes_to_hex
+from via_spark.functions.text import tokens
+from via_spark.session import load_table
+
+FIX9 = 1_000_000_000.0  # dot/norm fixed-point scale (knn)
+FIX6 = 1_000_000.0      # per-element scale for recommend's rational query vector
+
+
+def dot_fix(a: Column, b: Column, scale: float = FIX9) -> Column:
+    """Order-independent fixed-point dot product: each elementwise
+    product floored to BIGINT at ``scale``, summed exactly."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(scale)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_from_fix(dot: Column, na: Column, nb: Column) -> Column:
+    """Cosine from fixed-point dot + squared norms (scales cancel);
+    0.0 on zero norms (V3's pinned degenerate semantics)."""
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+        dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+    )
+
+
+def _scored(e: DataFrame, query_id: int) -> DataFrame:
+    q = e.where(F.col("vec_id") == query_id).select(F.col("embedding").alias("q_emb"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .withColumn("d_fix", dot_fix(F.col("embedding"), F.col("q_emb")))
+        .withColumn("na_fix", dot_fix(F.col("embedding"), F.col("embedding")))
+        .withColumn("nb_fix", dot_fix(F.col("q_emb"), F.col("q_emb")))
+        .withColumn("score", cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")))
+    )
+
+
+def knn_cosine_topk(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 25
+) -> DataFrame:
+    """V1: exact cosine top-k neighbors of one stored vector (self
+    excluded); deterministic (score desc, vec_id asc) order."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        _scored(e, query_id)
+        .where(F.col("vec_id") != query_id)
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", "label", "score")
+    )
+
+
+def grouped_knn_top1(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, limit: int = 100
+) -> DataFrame:
+    """V2: best-scoring vector per ``label`` group (search_groups with
+    group_size=1), top ``limit`` groups by that best score."""
+    e = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        _scored(e, query_id)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .orderBy(F.col("score").desc(), F.col("label").asc())
+        .limit(limit)
+        .select("label", "vec_id", "score")
+    )
+
+
+def recommend_average_vector(
+    spark: SparkSession,
+    sf_dir: str,
+    positive: Sequence[int] = (0, 1),
+    negative: Sequence[int] = (2,),
+    k: int = 50,
+) -> DataFrame:
+    """V4: Qdrant average_vector recommendation, exactly rational.
+
+    ``q = avg(pos) + (avg(pos) - avg(neg)) = 2*avg(pos) - avg(neg)``.
+    Multiplying through by ``n_pos*n_neg`` keeps the query vector in
+    exact BIGINT space: ``qn_d = 2*n_neg*sum_pos_d - n_pos*sum_neg_d``
+    over per-element FIX6 fixed-point values. Candidates score by
+    cosine(q, x); example ids are excluded; top-k by (score, vec_id).
+    """
+    positive, negative = list(positive), list(negative)
+    n_pos, n_neg = len(positive), len(negative)
+    e = load_table(spark, sf_dir, "embeddings")
+
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("v_fix", F.floor(F.col("val").cast("double") * F.lit(FIX6)).cast("long"))
+    ps = ex.where(F.col("vec_id").isin(positive)).groupBy("dim").agg(F.sum("v_fix").alias("ps"))
+    ns = ex.where(F.col("vec_id").isin(negative)).groupBy("dim").agg(F.sum("v_fix").alias("ns"))
+    qd = (
+        ps.join(ns, "dim", "full")
+        .select(
+            "dim",
+            (
+                F.lit(2 * n_neg) * F.coalesce(F.col("ps"), F.lit(0))
+                - F.lit(n_pos) * F.coalesce(F.col("ns"), F.lit(0))
+            ).alias("qn"),
+        )
+    )
+    qrow = qd.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "qn"))), lambda s: s["qn"]
+        ).alias("qvec")
+    ).select(
+        "qvec",
+        F.aggregate(
+            F.transform(F.col("qvec"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nq_fix"),
+    )
+
+    cand = e.where(~F.col("vec_id").isin(positive + negative)).crossJoin(F.broadcast(qrow))
+    x_fix = lambda x: F.floor(x.cast("double") * F.lit(FIX6)).cast("long")  # noqa: E731
+    return (
+        cand.withColumn(
+            "d_fix",
+            F.aggregate(
+                F.zip_with(F.col("embedding"), F.col("qvec"), lambda x, qn: x_fix(x) * qn),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "nx_fix",
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x: x_fix(x) * x_fix(x)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn("score", cosine_from_fix(F.col("d_fix"), F.col("nq_fix"), F.col("nx_fix")))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", "label", "score")
+    )
+
+
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: 64-bit simhash fingerprint (hex) of every document's token
+    stream. Token-less documents are dropped (pinned edge semantics)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.withColumn("toks", tokens(F.col("text"))).where(F.size("toks") > 0)
+    return (
+        toks.withColumn("_votes", simhash_votes(F.col("toks")))
+        .select("doc_id", votes_to_hex(F.col("_votes")).alias("simhash"))
+    )

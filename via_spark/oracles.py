@@ -352,3 +352,205 @@ WHERE r_name = 'ASIA'
                       AND TIMESTAMP '1996-12-31 23:59:59'
 GROUP BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Vector / simhash / BM25 oracles (via_spark.operators.{vector,search})
+# ---------------------------------------------------------------------------
+
+# documents tokenized with the pinned tokenizer (functions.text.tokens)
+DOC_TOKS_CTE = r"""
+dtok AS (
+    SELECT *, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+    FROM documents
+)
+"""
+
+# fixed-point elementwise products (must mirror operators.vector exactly)
+_DOT9 = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "s -> CAST(floor(CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)*1000000000.0) AS BIGINT)))"
+)
+_COS = (
+    "CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 "
+    "ELSE CAST({d} AS DOUBLE)/(sqrt(CAST({na} AS DOUBLE))*sqrt(CAST({nb} AS DOUBLE))) END"
+)
+
+
+def _knn_scored_cte(query_id: int) -> str:
+    return f"""
+WITH e AS (SELECT * FROM embeddings),
+q AS (SELECT embedding AS qe FROM e WHERE vec_id = {query_id}),
+scored AS (
+    SELECT e.vec_id, e.label,
+           {_DOT9.format(a="e.embedding", b="q.qe")} AS d_fix,
+           {_DOT9.format(a="e.embedding", b="e.embedding")} AS na_fix,
+           {_DOT9.format(a="q.qe", b="q.qe")} AS nb_fix
+    FROM e, q
+),
+cos AS (
+    SELECT vec_id, label,
+           {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} AS score
+    FROM scored
+)
+"""
+
+
+def knn_cosine_topk_sql(query_id: int = 0, k: int = 25) -> str:
+    return (
+        _knn_scored_cte(query_id)
+        + f"""
+SELECT vec_id, label, score FROM cos
+WHERE vec_id <> {query_id}
+ORDER BY score DESC, vec_id ASC LIMIT {k}
+"""
+    )
+
+
+def grouped_knn_top1_sql(query_id: int = 0, limit: int = 100) -> str:
+    return (
+        _knn_scored_cte(query_id)
+        + f"""
+SELECT label, vec_id, score FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY label ORDER BY score DESC, vec_id ASC) AS _rn
+    FROM cos
+) WHERE _rn = 1
+ORDER BY score DESC, label ASC LIMIT {limit}
+"""
+    )
+
+
+def recommend_average_vector_sql(
+    positive=(0, 1), negative=(2,), k: int = 50
+) -> str:
+    pos = ", ".join(str(i) for i in positive)
+    neg = ", ".join(str(i) for i in negative)
+    all_ids = ", ".join(str(i) for i in list(positive) + list(negative))
+    n_pos, n_neg = len(positive), len(negative)
+    return f"""
+WITH e AS (SELECT * FROM embeddings),
+ex AS (
+    SELECT vec_id, r.i,
+           CAST(floor(CAST(embedding[r.i + 1] AS DOUBLE)*1000000.0) AS BIGINT) AS v
+    FROM e, range(64) r(i)
+),
+qd AS (
+    SELECT i,
+           2*{n_neg}*SUM(CASE WHEN vec_id IN ({pos}) THEN v ELSE 0 END)
+           - {n_pos}*SUM(CASE WHEN vec_id IN ({neg}) THEN v ELSE 0 END) AS qn
+    FROM ex WHERE vec_id IN ({all_ids}) GROUP BY i
+),
+q AS (SELECT list(qn ORDER BY i) AS qvec, SUM(qn*qn) AS nq_fix FROM qd),
+scored AS (
+    SELECT e.vec_id, e.label, q.nq_fix,
+           list_sum(list_transform(list_zip(e.embedding, q.qvec),
+               s -> CAST(floor(CAST(s[1] AS DOUBLE)*1000000.0) AS BIGINT) * s[2])) AS d_fix,
+           list_sum(list_transform(e.embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)
+                  * CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT))) AS nx_fix
+    FROM e, q WHERE e.vec_id NOT IN ({all_ids})
+)
+SELECT vec_id, label,
+       {_COS.format(d="d_fix", na="nq_fix", nb="nx_fix")} AS score
+FROM scored
+ORDER BY score DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def simhash_documents_sql() -> str:
+    return f"""
+WITH {DOC_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS t FROM dtok WHERE len(toks) > 0),
+th AS (SELECT doc_id, substr(sha256(t), 1, 16) AS h FROM tok),
+votes AS (
+    SELECT doc_id, r.b,
+           SUM((((strpos('0123456789abcdef', substr(h, (r.b // 4) + 1, 1)) - 1)
+                 >> (r.b % 4)) & 1) * 2 - 1) AS v
+    FROM th, range(64) r(b) GROUP BY doc_id, r.b
+),
+nibs AS (
+    SELECT doc_id, b // 4 AS i,
+           SUM((CASE WHEN v >= 0 THEN 1 ELSE 0 END) * (1 << (b % 4))) AS nib
+    FROM votes GROUP BY doc_id, b // 4
+)
+SELECT doc_id, string_agg(printf('%x', CAST(nib AS INTEGER)), '' ORDER BY i) AS simhash
+FROM nibs GROUP BY doc_id
+"""
+
+
+def _bm25_scored_cte(terms) -> str:
+    tf_cols = ",\n           ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(terms)
+    )
+    df_cols = ",\n           ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in range(len(terms))
+    )
+    k1, k1p1, one_minus_b, b = 1.2, 2.2, 0.25, 0.75
+    terms_fix = "\n         + ".join(
+        f"CAST(floor((floor(ln(1 + (n_docs - df_{i} + 0.5)/(df_{i} + 0.5)) * 1000000.0)/1000000.0)"
+        f" * (tf_{i} * {k1p1!r}) / (tf_{i} + {k1!r} * ({one_minus_b!r} + {b!r} * dl / (CAST(sum_dl AS DOUBLE)/n_docs)))"
+        f" * 1000000000.0) AS BIGINT)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH {DOC_TOKS_CTE},
+dd AS (
+    SELECT doc_id, len(toks) AS dl,
+           {tf_cols}
+    FROM dtok
+),
+stats AS (
+    SELECT count(*) AS n_docs, SUM(dl) AS sum_dl,
+           {df_cols}
+    FROM dd
+),
+scored AS (
+    SELECT doc_id,
+           {terms_fix} AS score_fix
+    FROM dd, stats
+)
+"""
+
+
+def bm25_topk_sql(terms=("hash", "merge", "spark"), k: int = 50) -> str:
+    return (
+        _bm25_scored_cte(terms)
+        + f"""
+SELECT doc_id, score_fix, CAST(score_fix AS DOUBLE)/1000000000.0 AS score
+FROM scored WHERE score_fix > 0
+ORDER BY score_fix DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
+def hybrid_rrf_sql(
+    terms=("hash", "merge", "spark"), query_id: int = 0, k: int = 50
+) -> str:
+    return (
+        _bm25_scored_cte(terms)
+        + f"""
+, e AS (SELECT * FROM embeddings),
+q AS (SELECT embedding AS qe FROM e WHERE vec_id = {query_id}),
+hj AS (
+    SELECT s.doc_id, s.score_fix,
+           {_DOT9.format(a="e.embedding", b="q.qe")} AS d_fix,
+           {_DOT9.format(a="e.embedding", b="e.embedding")} AS na_fix,
+           {_DOT9.format(a="q.qe", b="q.qe")} AS nb_fix
+    FROM scored s JOIN e ON s.doc_id = e.vec_id, q
+),
+ranked AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY dense_score DESC, doc_id ASC) AS rank_dense,
+           row_number() OVER (ORDER BY score_fix DESC, doc_id ASC) AS rank_sparse
+    FROM (
+        SELECT doc_id, score_fix,
+               {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} AS dense_score
+        FROM hj
+    )
+)
+SELECT doc_id, rank_dense, rank_sparse,
+       1.0/(60 + rank_dense) + 1.0/(60 + rank_sparse) AS rrf
+FROM ranked ORDER BY rrf DESC, doc_id ASC LIMIT {k}
+"""
+    )
