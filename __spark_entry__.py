@@ -22,7 +22,15 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from via_spark import oracles
-from via_spark.operators import promote, relational, rhythm, search, vector
+from via_spark.operators import (
+    control,
+    promote,
+    relational,
+    rhythm,
+    schema_infer,
+    search,
+    vector,
+)
 from via_spark.session import configure
 
 
@@ -85,6 +93,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": vector.simhash_documents,
         "bm25_topk": search.bm25_topk,
         "hybrid_rrf": search.hybrid_rrf,
+        # control loop + schema inference (M5)
+        "suppressed_anomalies": control.suppressed_anomalies,
+        "active_rules_projection": control.active_rules_projection,
+        "otel_roundtrip": schema_infer.otel_roundtrip,
+        "bgl_roundtrip": schema_infer.bgl_roundtrip,
         # relational core (M1)
         "time_range_orders": relational.time_range_orders,
         "keyword_filter_customers": relational.keyword_filter_customers,
@@ -116,6 +129,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_documents": oracles.simhash_documents_sql(),
         "bm25_topk": oracles.bm25_topk_sql(),
         "hybrid_rrf": oracles.hybrid_rrf_sql(),
+        "suppressed_anomalies": oracles.suppressed_anomalies_sql(),
+        "active_rules_projection": oracles.active_rules_projection_sql(),
+        "otel_roundtrip": oracles.otel_roundtrip_sql(),
+        "bgl_roundtrip": oracles.bgl_roundtrip_sql(),
         "time_range_orders": oracles.time_range_orders_sql(),
         "keyword_filter_customers": oracles.keyword_filter_customers_sql(),
         "fulltext_match_documents": oracles.fulltext_match_documents_sql(),

@@ -1,0 +1,319 @@
+"""Schema inference + OTel/BGL parsing (S2, S10, F10, F11, P7).
+
+Capability parity (semantics, not code) with the reference:
+* OTel envelope flattening — ``app/services/ingestion_service.py:44-53``:
+  ``resourceLogs[0].resource.attributes[key='service.name']``,
+  ``scopeLogs[0].logRecords[0].{timeUnixNano, severityText,
+  body.stringValue}``; ns→s truncation (F4); malformed dropped (P7).
+* OTel/BGL detection heuristics — ``app/services/schema_service.py:17-67``:
+  try OTel JSON first, then the BGL fixed-position line regex, else
+  fail; canonical output fields ``timestamp/level/service/message``.
+* schema registry CRUD — ``app/services/schema_service.py:69-105``
+  (SQLite upsert-on-source_name → small parquet table, anti-join+union).
+
+Test strategy: the fixtures carry no OTel/BGL files, so the engine
+ROUND-TRIPS — it renders events into the foreign format with column
+expressions, parses them back with the real parser, and the DuckDB
+oracle recomputes the expected output directly from the source columns
+(oracle-by-construction: parse(render(x)) == x).
+
+Scale posture (100 TB): rendering and parsing are pure per-row column
+expressions (from_json / regexp_extract inside whole-stage codegen);
+detection runs driver-side on a bounded sample (the reference samples
+≤100 lines, ``ui.py:197``) — never on the full corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from via_spark.operators.relational import EVENT_SEVERITY
+from via_spark.session import load_table
+
+# --- OTel envelope ----------------------------------------------------------
+
+_ATTR = StructType(
+    [
+        StructField("key", StringType()),
+        StructField(
+            "value",
+            StructType(
+                [
+                    StructField("stringValue", StringType()),
+                    StructField("intValue", LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+OTEL_SCHEMA = StructType(
+    [
+        StructField(
+            "resourceLogs",
+            ArrayType(
+                StructType(
+                    [
+                        StructField(
+                            "resource",
+                            StructType([StructField("attributes", ArrayType(_ATTR))]),
+                        ),
+                        StructField(
+                            "scopeLogs",
+                            ArrayType(
+                                StructType(
+                                    [
+                                        StructField(
+                                            "logRecords",
+                                            ArrayType(
+                                                StructType(
+                                                    [
+                                                        StructField("timeUnixNano", StringType()),
+                                                        StructField("severityText", StringType()),
+                                                        StructField(
+                                                            "body",
+                                                            StructType(
+                                                                [StructField("stringValue", StringType())]
+                                                            ),
+                                                        ),
+                                                    ]
+                                                )
+                                            ),
+                                        )
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def _severity(ev: DataFrame) -> Column:
+    mapping = F.create_map(*[F.lit(x) for kv in EVENT_SEVERITY.items() for x in kv])
+    return mapping[ev["event_type"]]
+
+
+def _body(ev: DataFrame) -> Column:
+    return F.concat_ws(
+        " ",
+        F.concat(ev["event_type"], F.lit(" value="), F.format_string("%.2f", "value")),
+        ev["props"],
+    )
+
+
+def otel_envelope_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render events as OTel-JSON envelopes (service.name deliberately
+    NOT the first attribute, so the parser must search the array)."""
+    ev = load_table(spark, sf_dir, "events")
+    attr = lambda k, v: F.struct(  # noqa: E731
+        F.lit(k).alias("key"),
+        F.struct(v.alias("stringValue"), F.lit(None).cast("long").alias("intValue")).alias("value"),
+    )
+    envelope = F.struct(
+        F.array(
+            F.struct(
+                F.struct(
+                    F.array(
+                        attr("host.name", F.lit("fixture-host")),
+                        attr("service.name", F.concat(F.lit("svc_"), ev["user_id"].cast("string"))),
+                    ).alias("attributes")
+                ).alias("resource"),
+                F.array(
+                    F.struct(
+                        F.array(
+                            F.struct(
+                                ev["ts"].cast("string").alias("timeUnixNano"),
+                                _severity(ev).alias("severityText"),
+                                F.struct(_body(ev).alias("stringValue")).alias("body"),
+                            )
+                        ).alias("logRecords")
+                    )
+                ).alias("scopeLogs"),
+            )
+        ).alias("resourceLogs")
+    )
+    return ev.select("event_id", F.to_json(envelope).alias("raw"))
+
+
+def otel_flatten(df: DataFrame, raw_col: str = "raw") -> DataFrame:
+    """S2/F10/F4/P7: parse + flatten one-record OTel envelopes.
+
+    ns→s uses SQL ``div`` (exact 64-bit integer division) — a double
+    roundtrip would corrupt epoch-nanosecond magnitudes (> 2^53).
+    """
+    parsed = df.withColumn("_p", F.from_json(F.col(raw_col), OTEL_SCHEMA))
+    rl = F.element_at(F.col("_p.resourceLogs"), 1)
+    rec = F.element_at(F.element_at(rl["scopeLogs"], 1)["logRecords"], 1)
+    service = F.element_at(
+        F.filter(rl["resource"]["attributes"], lambda a: a["key"] == "service.name"), 1
+    )["value"]["stringValue"]
+    staged = parsed.select(
+        *[c for c in df.columns if c != raw_col],
+        service.alias("service"),
+        rec["severityText"].alias("severity"),
+        rec["timeUnixNano"].cast("long").alias("_ts_ns"),
+        rec["body"]["stringValue"].alias("body"),
+    )
+    out = staged.select(
+        *[c for c in staged.columns if c != "_ts_ns"],
+        F.expr("_ts_ns div 1000000000").alias("ts"),
+    )
+    # P7: malformed records (failed parse / missing required keys) drop out
+    return out.where(
+        F.col("service").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("body").isNotNull()
+    )
+
+
+def otel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """render → parse → flatten; oracle recomputes from source columns."""
+    return otel_flatten(otel_envelope_from_events(spark, sf_dir))
+
+
+# --- BGL fixed-position lines -----------------------------------------------
+
+# <unix_ts> <date> <node> <time> <device> RAS <sub_component> <level> <message...>
+BGL_RE = r"^(\d+) (\S+) (\S+) (\S+) (\S+) RAS (\S+) (\S+) (.*)$"
+
+
+def bgl_lines_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render events as BGL-style lines (date via pure day arithmetic —
+    no timezone can shift it)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.expr("ts div 1000000000")
+    date_str = F.date_format(
+        F.date_add(F.lit("1970-01-01").cast("date"), (ts / 86400).cast("int")), "yyyy.MM.dd"
+    )
+    node = F.concat(F.lit("svc_"), ev["user_id"].cast("string"))
+    line = F.concat_ws(
+        " ",
+        ts.cast("string"),
+        date_str,
+        node,
+        date_str,
+        node,
+        F.lit("RAS"),
+        F.lit("KERNEL"),
+        _severity(ev),
+        _body(ev),
+    )
+    return ev.select("event_id", line.alias("line"))
+
+
+def bgl_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """F11: positional regexp_extract into the canonical
+    timestamp/level/service/message fields (service ← node, per the
+    reference's inferred mapping)."""
+    c = F.col(line_col)
+    return df.where(c.rlike(BGL_RE)).select(
+        *[x for x in df.columns if x != line_col],
+        F.regexp_extract(c, BGL_RE, 1).cast("long").alias("ts"),
+        F.regexp_extract(c, BGL_RE, 7).alias("level"),
+        F.regexp_extract(c, BGL_RE, 3).alias("service"),
+        F.regexp_extract(c, BGL_RE, 8).alias("message"),
+    )
+
+
+def bgl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bgl_parse(bgl_lines_from_events(spark, sf_dir))
+
+
+# --- detection heuristics + registry ----------------------------------------
+
+def detect_schema(sample_lines: list[str]) -> dict | None:
+    """Heuristic detection on a bounded sample (driver-side, like the
+    reference): OTel JSON first, then BGL, else None. Returns the
+    canonical field-mapping schema."""
+    for line in sample_lines[:100]:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            obj = json.loads(line)
+            rec = obj["resourceLogs"][0]["scopeLogs"][0]["logRecords"][0]
+            if "timeUnixNano" in rec:
+                return {
+                    "source_type": "otel",
+                    "fields": [
+                        {"name": "timestamp", "type": "datetime",
+                         "source_field": "resourceLogs[0].scopeLogs[0].logRecords[0].timeUnixNano"},
+                        {"name": "level", "type": "keyword",
+                         "source_field": "resourceLogs[0].scopeLogs[0].logRecords[0].severityText"},
+                        {"name": "service", "type": "keyword",
+                         "source_field": "resource.attributes[service.name]"},
+                        {"name": "message", "type": "string",
+                         "source_field": "resourceLogs[0].scopeLogs[0].logRecords[0].body.stringValue"},
+                    ],
+                }
+        except (ValueError, KeyError, IndexError, TypeError):
+            pass
+        if re.match(BGL_RE, line):
+            return {
+                "source_type": "bgl",
+                "fields": [
+                    {"name": "timestamp", "type": "datetime", "source_field": "unix_ts"},
+                    {"name": "level", "type": "keyword", "source_field": "level"},
+                    {"name": "service", "type": "keyword", "source_field": "node"},
+                    {"name": "message", "type": "string", "source_field": "message"},
+                ],
+            }
+    return None
+
+
+REGISTRY_SCHEMA = StructType(
+    [
+        StructField("source_name", StringType()),
+        StructField("schema_json", StringType()),
+    ]
+)
+
+
+def save_schema(spark: SparkSession, path: str, source_name: str, schema: dict) -> None:
+    """S10 upsert-on-source_name (anti-join + union, full rewrite of the
+    tiny registry table)."""
+    new = spark.createDataFrame([(source_name, json.dumps(schema, sort_keys=True))], REGISTRY_SCHEMA)
+    try:
+        existing = spark.read.parquet(path)
+        merged = existing.join(new, "source_name", "left_anti").unionByName(new)
+    except Exception:
+        merged = new
+    merged.cache().count()  # materialize before overwriting the source
+    merged.write.mode("overwrite").parquet(path)
+    merged.unpersist()
+
+
+def get_schema(spark: SparkSession, path: str, source_name: str) -> dict | None:
+    try:
+        rows = (
+            spark.read.parquet(path)
+            .where(F.col("source_name") == source_name)
+            .collect()
+        )
+    except Exception:
+        return None
+    return json.loads(rows[0]["schema_json"]) if rows else None
+
+
+def list_schemas(spark: SparkSession, path: str) -> list[str]:
+    try:
+        return sorted(
+            r["source_name"] for r in spark.read.parquet(path).select("source_name").collect()
+        )
+    except Exception:
+        return []

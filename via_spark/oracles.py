@@ -554,3 +554,72 @@ SELECT doc_id, rank_dense, rank_sparse,
 FROM ranked ORDER BY rrf DESC, doc_id ASC LIMIT {k}
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Control-loop + schema-inference oracles (operators.{control,schema_infer})
+# ---------------------------------------------------------------------------
+
+
+def suppressed_anomalies_sql(n_rules: int = 2) -> str:
+    """J3/P5: sensitive novelty detection minus the top-N recent hashes."""
+    return (
+        _rhythm_prelude(DEFAULT_WINDOW_SEC, 2000)
+        + _anomalies_cte(1, FREQUENCY_MIN_COUNT, FREQUENCY_STD_DEV_FACTOR)
+        + f"""
+SELECT rhythm_hash, service, severity, body, ts, anomaly_type, anomaly_context, r_count
+FROM anomalies
+WHERE rhythm_hash NOT IN (
+    SELECT rhythm_hash FROM recent_counts
+    ORDER BY r_count DESC, rhythm_hash ASC LIMIT {n_rules}
+)
+"""
+    )
+
+
+def active_rules_projection_sql(n_rules: int = 12) -> str:
+    """P6: deterministic fixture-derived rules, filtered to active+unexpired."""
+    return (
+        _rhythm_prelude(DEFAULT_WINDOW_SEC)
+        + f"""
+, ranked AS (
+    SELECT rhythm_hash,
+           row_number() OVER (ORDER BY r_count DESC, rhythm_hash ASC) AS rn
+    FROM recent_counts
+    ORDER BY r_count DESC, rhythm_hash ASC LIMIT {n_rules}
+),
+rules AS (
+    SELECT rhythm_hash,
+           CASE WHEN rn % 2 = 0 THEN 'SUPPRESS' ELSE 'ALLOW_LIST' END AS rule,
+           CASE WHEN rn % 3 = 2 THEN NULL
+                ELSE p.now_ts + (rn % 3 * 2 - 1) * 1000 END AS expires_at,
+           (rn % 4 <> 0) AS is_active
+    FROM ranked, params p
+)
+SELECT rhythm_hash, rule, expires_at
+FROM rules, params p
+WHERE is_active AND (expires_at IS NULL OR expires_at > p.now_ts)
+"""
+    )
+
+
+_EVENT_FLAT = f"""
+SELECT event_id,
+       'svc_' || CAST(user_id AS VARCHAR) AS service,
+       {_SEV_CASE} AS severity,
+       epoch_us(ts) // 1000000 AS ts,
+       event_type || ' value=' || printf('%.2f', value) || ' ' || props AS body
+FROM events
+"""
+
+
+def otel_roundtrip_sql() -> str:
+    """Oracle-by-construction: parse(render(x)) must equal x."""
+    return f"SELECT event_id, service, severity, body, ts FROM ({_EVENT_FLAT})"
+
+
+def bgl_roundtrip_sql() -> str:
+    return f"""
+SELECT event_id, ts, severity AS level, service, body AS message
+FROM ({_EVENT_FLAT})
+"""
