@@ -1,0 +1,104 @@
+"""Structured Streaming pipeline tests (availableNow triggers — the
+runtime surface the batch-only driver never exercises).
+
+End-to-end: OTel-JSONL files → streaming ingest → date-partitioned
+tier1 → foreachBatch detection → tier2 clusters; plus the event-time
+windowed aggregation checked against its batch equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from via_spark.operators import promote, rhythm
+from via_spark.streaming import pipeline
+
+DETECT_VARIANT = dict(sample_size=200, novelty_min_count=1)
+
+
+def _ingest(spark, sf_smoke, tmp_path):
+    src = str(tmp_path / "otel_jsonl")
+    tier1 = str(tmp_path / "tier1")
+    pipeline.write_otel_fixture_jsonl(spark, sf_smoke, src, n_files=4)
+    stream = pipeline.read_otel_stream(spark, src)
+    q = pipeline.start_tier1_ingest(
+        stream, tier1, str(tmp_path / "ckpt_ingest"), available_now=True
+    )
+    q.awaitTermination(120)
+    return src, tier1
+
+
+def _batch_equivalent(spark, sf_smoke):
+    """The same render→flatten→hash computation, run as one batch plan."""
+    from via_spark.functions.text import rhythm_hash, template
+    from via_spark.operators.schema_infer import otel_envelope_from_events, otel_flatten
+
+    flat = otel_flatten(otel_envelope_from_events(spark, sf_smoke))
+    return flat.withColumn("template", template(F.col("body"))).withColumn(
+        "rhythm_hash", rhythm_hash("service", "severity", F.col("template"))
+    )
+
+
+def test_streaming_ingest_matches_batch(spark, sf_smoke, tmp_path):
+    _, tier1_path = _ingest(spark, sf_smoke, tmp_path)
+    got = spark.read.parquet(tier1_path)
+    expect = _batch_equivalent(spark, sf_smoke)
+    assert got.count() == expect.count()
+    # same rhythm_hash histogram as the batch path over the same rows
+    g = {(r["rhythm_hash"], r["cnt"]) for r in
+         got.groupBy("rhythm_hash").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    e = {(r["rhythm_hash"], r["cnt"]) for r in
+         expect.groupBy("rhythm_hash").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert len(e) > 1
+    assert g == e
+    # date-partitioned layout
+    import os
+    assert any(d.startswith("event_date=") for d in os.listdir(tier1_path))
+
+
+def test_streaming_detection_promotes_to_tier2(spark, sf_smoke, tmp_path):
+    src, tier1_path = _ingest(spark, sf_smoke, tmp_path)
+    tier2 = str(tmp_path / "tier2")
+    tee = str(tmp_path / "tee")
+    stream = pipeline.read_otel_stream(spark, src)
+    q = pipeline.start_detection(
+        spark, stream, tier1_path, tier2, str(tmp_path / "ckpt_detect"),
+        window_sec=rhythm.DEFAULT_WINDOW_SEC, available_now=True,
+        tee_path=tee, **DETECT_VARIANT,
+    )
+    q.awaitTermination(180)
+
+    clusters = promote.read_tier2(spark, tier2)
+    assert clusters.count() > 0
+    row = clusters.first()
+    assert row["entity_type"] == "event_cluster"
+    assert row["anomaly_type"] in ("novelty", "frequency")
+    # T8 tee sink received the same batch rows
+    assert spark.read.parquet(tee).count() == spark.read.parquet(tier1_path).count()
+
+
+def test_windowed_hash_counts_matches_batch(spark, sf_smoke, tmp_path):
+    src, _ = _ingest(spark, sf_smoke, tmp_path)
+    stream = pipeline.read_otel_stream(spark, src)
+    agg = pipeline.windowed_hash_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["rhythm_hash"], r["n"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = (
+        _batch_equivalent(spark, sf_smoke)
+        .withColumn("event_time", F.timestamp_seconds(F.col("ts")))
+        .groupBy(F.window("event_time", "60 seconds").alias("win"), "rhythm_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("ws"), "rhythm_hash", "n")
+    )
+    expect = {(r["ws"], r["rhythm_hash"], r["n"]) for r in batch.collect()}
+    assert got == expect

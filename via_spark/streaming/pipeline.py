@@ -1,0 +1,160 @@
+"""Structured Streaming pipelines (SURVEY.md §2.10, T1–T8).
+
+Capability parity (semantics, not code) with the reference:
+* T1 micro-batch ingest  — client flushes ≤100 recs / 0.5 s
+  (``otel_mock/main.py:22-24,88-104``) → file-source micro-batches with
+  a 0.5 s processing-time trigger (``INGEST_TRIGGER``).
+* T2 periodic analysis   — 60 s worker loop over the last 60 s
+  (``app/worker.py:13-36``) → 60 s trigger ``foreachBatch`` that runs
+  the SAME batch detection plan (rhythm.find_rhythm_anomalies) against
+  the accumulated tier1 store; plus a genuine event-time tumbling-window
+  aggregation (``windowed_hash_counts``) the reference approximates with
+  wall-clock scans.
+* T4 watermark           — the reference has none (late events silently
+  skew history); we add ``withWatermark(2 minutes)`` as a documented
+  improvement.
+* T7 stream→batch promotion — anomalies detected in a trigger are
+  rolled up (A3) and appended to the date-partitioned tier2 store
+  within the same ``foreachBatch``.
+* T8 dual-sink tee       — one batch written to two sinks inside a
+  single ``foreachBatch`` (the streamer's JSONL + API tee).
+
+Determinism: detection inside a trigger uses ``now = max(ts in store)``
+(never wall-clock), so replaying the same files yields the same tier2
+rows — SURVEY.md §7.4 decision 2 carried into streaming.
+
+Scale posture (100 TB/day): ingest is an append-only partitioned
+parquet sink (no shuffle); the windowed aggregation is the only stateful
+operator and its state is bounded by the watermark horizon × distinct
+hashes; detection cost per trigger is O(window + 10k baseline sample)
+regardless of store size (the reference's O10 posture). Swap the file
+source for Kafka by changing ``read_otel_stream`` only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from via_spark.functions.text import rhythm_hash, template
+from via_spark.operators import promote, rhythm
+from via_spark.operators.schema_infer import otel_flatten
+
+INGEST_TRIGGER = "0.5 seconds"   # T1
+ANALYSIS_TRIGGER = "60 seconds"  # T2
+WATERMARK = "120 seconds"        # T4 (improvement over reference)
+
+
+def read_otel_stream(spark: SparkSession, input_dir: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """S1 streaming flavor: OTel-JSONL files → flattened tier1 columns.
+
+    ``event_id`` is a content-derived surrogate (the OTel envelope has
+    no row id): deterministic across replays, used only as a tiebreak.
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(input_dir)
+    flat = otel_flatten(raw, raw_col="value")
+    return (
+        flat.withColumn("event_id", F.abs(F.xxhash64("service", "severity", "body", "ts")))
+        .withColumn("template", template(F.col("body")))
+        .withColumn("rhythm_hash", rhythm_hash("service", "severity", F.col("template")))
+        .withColumn("event_date", promote.event_date(F.col("ts")))
+    )
+
+
+def start_tier1_ingest(stream: DataFrame, tier1_path: str, checkpoint: str,
+                       available_now: bool = False):
+    """S4 sink: append-only date-partitioned parquet with exactly-once
+    file-sink semantics (an upgrade over the reference's wait=False
+    fire-and-forget upserts)."""
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", tier1_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("event_date")
+        .outputMode("append")
+    )
+    writer = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime=INGEST_TRIGGER)
+    )
+    return writer.start()
+
+
+def windowed_hash_counts(stream: DataFrame) -> DataFrame:
+    """T2/T5 as a true event-time aggregation: per-hash counts in 60 s
+    tumbling windows, late data bounded by the watermark."""
+    return (
+        stream.withColumn("event_time", F.timestamp_seconds(F.col("ts")))
+        .withWatermark("event_time", WATERMARK)
+        .groupBy(F.window("event_time", "60 seconds").alias("win"), F.col("rhythm_hash"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "rhythm_hash",
+            "n",
+        )
+    )
+
+
+def start_detection(
+    spark: SparkSession,
+    stream: DataFrame,
+    tier1_path: str,
+    tier2_path: str,
+    checkpoint: str,
+    window_sec: int = 60,
+    available_now: bool = False,
+    tee_path: str | None = None,
+    **detect_kwargs,
+):
+    """T7: per-trigger detect → rollup (A3) → tier2 append.
+
+    Each trigger re-reads the accumulated tier1 store (stream-static
+    pattern, T3) with ``now`` = newest stored ts — identical semantics
+    to the reference's worker pass, minus the wall clock. ``tee_path``
+    demonstrates T8 (same batch, second sink).
+    """
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if tee_path is not None:  # T8 dual-sink tee
+            batch_df.write.mode("append").parquet(tee_path)
+        try:
+            tier1 = spark.read.parquet(tier1_path)
+        except Exception:
+            return  # ingest has not committed any files yet
+        if not tier1.take(1):
+            return
+        now = tier1.agg(F.max("ts")).collect()[0][0]
+        anomalies = rhythm.find_rhythm_anomalies(
+            spark, sf_dir="", tier1=tier1, now=now, window_sec=window_sec, **detect_kwargs
+        )
+        recent = rhythm.recent_window(tier1, now, window_sec)
+        clusters = promote.rollup_clusters(anomalies, recent)
+        if clusters.take(1):
+            promote.write_tier2(clusters, tier2_path)
+
+    writer = stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    writer = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime=ANALYSIS_TRIGGER)
+    )
+    return writer.start()
+
+
+def write_otel_fixture_jsonl(spark: SparkSession, sf_dir: str, out_dir: str,
+                             n_files: int = 4) -> None:
+    """Test/demo helper: render the events fixture as OTel-JSONL files
+    (the reference streamer's live_stream.jsonl shape, T8 source side)."""
+    from via_spark.operators.schema_infer import otel_envelope_from_events
+
+    env = otel_envelope_from_events(spark, sf_dir).select("raw")
+    env.repartition(n_files).write.mode("overwrite").text(out_dir)
