@@ -24,11 +24,14 @@ if str(_REPO) not in sys.path:
 from via_spark import oracles
 from via_spark.operators import (
     control,
+    dedup,
+    multimodal,
     promote,
     relational,
     rhythm,
     schema_infer,
     search,
+    textstats,
     vector,
 )
 from via_spark.session import configure
@@ -93,6 +96,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": vector.simhash_documents,
         "bm25_topk": search.bm25_topk,
         "hybrid_rrf": search.hybrid_rrf,
+        # dedup / ANN (M6)
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+        "neardup_embedding_pairs": dedup.neardup_embedding_pairs,
+        "ann_lsh_topk": dedup.ann_lsh_topk,
+        # text analysis + multimodal (M6)
+        "token_count_documents": textstats.token_count_documents,
+        "doc_quality_scores": textstats.doc_quality_scores,
+        "lang_id_documents": textstats.lang_id_documents,
+        "doc_fingerprint": textstats.doc_fingerprint,
+        "multimodal_features": multimodal.multimodal_features,
         # control loop + schema inference (M5)
         "suppressed_anomalies": control.suppressed_anomalies,
         "active_rules_projection": control.active_rules_projection,
@@ -129,6 +145,17 @@ def oracle_sql() -> dict[str, str]:
         "simhash_documents": oracles.simhash_documents_sql(),
         "bm25_topk": oracles.bm25_topk_sql(),
         "hybrid_rrf": oracles.hybrid_rrf_sql(),
+        "dedup_exact": oracles.dedup_exact_sql(),
+        "dedup_minhash_pairs": oracles.dedup_minhash_pairs_sql(),
+        "dedup_ngram_jaccard": oracles.dedup_ngram_jaccard_sql(),
+        "dedup_simhash_pairs": oracles.dedup_simhash_pairs_sql(),
+        "neardup_embedding_pairs": oracles.neardup_embedding_pairs_sql(),
+        "ann_lsh_topk": oracles.ann_lsh_topk_sql(),
+        "token_count_documents": oracles.token_count_documents_sql(),
+        "doc_quality_scores": oracles.doc_quality_scores_sql(),
+        "lang_id_documents": oracles.lang_id_documents_sql(),
+        "doc_fingerprint": oracles.doc_fingerprint_sql(),
+        "multimodal_features": oracles.multimodal_features_sql(),
         "suppressed_anomalies": oracles.suppressed_anomalies_sql(),
         "active_rules_projection": oracles.active_rules_projection_sql(),
         "otel_roundtrip": oracles.otel_roundtrip_sql(),

@@ -1,0 +1,62 @@
+"""Correctness of the M6 training-data operators beyond oracle parity:
+language ID on real multilingual text, dedup recall of planted pairs,
+multimodal stub behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from via_spark.functions.text import tokens
+from via_spark.operators import dedup, multimodal, textstats
+
+REAL_SENTENCES = [
+    ("en", "the cat sat on the mat and looked to the door for a while"),
+    ("de", "der hund ist nicht mit der katze und das ist ein problem"),
+    ("es", "el perro está en la casa y los gatos que viven allí"),
+    ("fr", "le chien est pour les enfants et un chat est dans la maison"),
+    ("zh", "这是一个中文句子 用于测试语言识别"),
+]
+
+
+def test_lang_id_on_real_text(spark):
+    df = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in enumerate(REAL_SENTENCES)],
+        "id long, lang string, text string",
+    )
+    out = df.select(
+        "lang",
+        textstats.lang_id_expr(F.col("text"), tokens(F.col("text"))).alias("pred"),
+    ).collect()
+    for r in out:
+        assert r["pred"] == r["lang"], f"expected {r['lang']}, got {r['pred']}"
+
+
+def test_minhash_finds_planted_neardups(spark, sf_oracle):
+    """The sf0.01 documents fixture plants ~25 high-Jaccard pairs; the
+    LSH path must recover the high-similarity ones (banding (8,4) has
+    >99% capture probability at J≥0.9)."""
+    pairs = dedup.dedup_minhash_pairs(spark, sf_oracle, threshold=0.9).collect()
+    assert len(pairs) >= 15
+    for p in pairs:
+        assert p["jaccard"] >= 0.9
+        assert p["doc_a"] < p["doc_b"]
+
+
+def test_simhash_pairs_are_subset_of_low_hamming(spark, sf_oracle):
+    pairs = dedup.dedup_simhash_pairs(spark, sf_oracle).collect()
+    assert len(pairs) > 0
+    assert all(p["hamming"] <= dedup.SIMHASH_MAX_HAMMING for p in pairs)
+
+
+def test_multimodal_stub_and_features(spark, sf_oracle):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG fake")
+    feats = multimodal.multimodal_features(spark, sf_oracle).orderBy("doc_id").first()
+    assert feats["n_bytes"] > 0
+    assert len(feats["content_sha256"]) == 64
+    assert 1 <= feats["fake_width"] <= 640
+    assert 1 <= feats["fake_height"] <= 480
+    idx = multimodal.sample_frame_indices(1000, 4)
+    assert idx == sorted(idx) and len(idx) == 4
+    assert multimodal.sample_frame_indices(0, 4) == [0]

@@ -1,0 +1,264 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §7.2 M6).
+
+Beyond-reference capability (BASELINE.json north star): the dedup
+family a large-scale LLM data pipeline needs, built on the M3
+primitives. Five strategies, cheapest-first:
+
+* exact        — hash-groupBy on normalized text (lower + single-space)
+* MinHash+LSH  — shingle → 8-hash MinHash signature → 4 bands of 2 →
+                 band-bucket join → exact-Jaccard verify
+* SimHash      — 64-bit fingerprint, 4×16-bit block index → block-bucket
+                 join → Hamming ≤ 3 verify (pigeonhole: any pair within
+                 Hamming 3 shares at least one of 4 intact blocks, so
+                 the blocked candidate set is EXACTLY complete)
+* n-gram Jaccard — exact token-trigram Jaccard on LSH candidates
+* embedding cosine — sign-LSH bucket (first 8 dims) → in-bucket exact
+                 cosine ≥ threshold
+
+Determinism: MinHash uses lexicographic-min of per-permutation sha256
+prefixes (numeric min of the 256-bit value) — no platform hash; cosine
+goes through the fixed-point BIGINT path (operators.vector). Every
+query here has a DuckDB oracle.
+
+Scale posture (100 TB): no operator compares all pairs — candidates
+come from equi-join buckets (band key / simhash block / sign bucket),
+i.e. shuffle-on-key joins Catalyst can plan and AQE can skew-split;
+signatures are narrow per-row projections computed in one scan. The
+verify step touches only candidate pairs. At 1000 executors the band
+join IS the algorithm — identical plan, bigger key space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from via_spark.functions.simhash import hamming_hex, simhash_votes, votes_to_hex
+from via_spark.functions.text import tokens
+from via_spark.operators.vector import FIX9, cosine_from_fix, dot_fix
+from via_spark.session import load_table
+
+MINHASH_K = 8          # signature length
+MINHASH_BANDS = 4      # bands of 2 rows each
+SHINGLE_N = 3          # token trigrams
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 3
+EMB_COS_THRESHOLD = 0.4
+
+
+def normalized_text(text: Column) -> Column:
+    """Exact-dedup normalization: lowercase, whitespace collapsed."""
+    return F.array_join(tokens(text), " ")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup projection: content hash, group size, canonical flag
+    (min doc_id per hash). Downstream keeps ``is_canonical``."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", F.sha2(normalized_text(F.col("text")), 256).alias("text_hash")
+    )
+    w = Window.partitionBy("text_hash")
+    return hashed.select(
+        "doc_id",
+        "text_hash",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )
+
+
+def _shingles(toks: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct space-joined token n-grams (empty if < n tokens)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+
+
+def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("toks", tokens(F.col("text")))
+        .where(F.size("toks") >= SHINGLE_N)
+        .select("doc_id", _shingles(F.col("toks")).alias("sh"))
+    )
+
+
+def _minhash_sig(sh: Column, k: int = MINHASH_K) -> list[Column]:
+    """k MinHash components: lexicographic min over shingles of
+    sha256(i ':' shingle)[:16] — a 64-bit permutation per i."""
+    return [
+        F.array_min(
+            F.transform(
+                sh, lambda s: F.substring(F.sha2(F.concat(F.lit(f"{i}:"), s), 256), 1, 16)
+            )
+        ).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+
+
+def minhash_bands(docs_sh: DataFrame) -> DataFrame:
+    """doc → (band index, band key) rows; same key ⇒ candidate pair."""
+    sig = docs_sh.select("doc_id", "sh", *_minhash_sig(F.col("sh")))
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id", "sh", F.posexplode(bands).alias("band", "band_key")
+    )
+
+
+def jaccard(a_sh: Column, b_sh: Column) -> Column:
+    """Exact Jaccard of two DISTINCT shingle arrays:
+    |A∩B| / (|A| + |B| - |A∩B|) — integer counts, one rounded division."""
+    inter = F.size(F.array_intersect(a_sh, b_sh))
+    return inter / (F.size(a_sh) + F.size(b_sh) - inter)
+
+
+def dedup_minhash_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification."""
+    sh = shingled_documents(spark, sf_dir)
+    bands = minhash_bands(sh)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "band_key"
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhashed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.withColumn("toks", tokens(F.col("text"))).where(F.size("toks") > 0)
+    return toks.withColumn("_v", simhash_votes(F.col("toks"))).select(
+        "doc_id", votes_to_hex(F.col("_v")).alias("simhash")
+    )
+
+
+def dedup_simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """SimHash near-dup pairs: 4-block bucket join (complete for
+    Hamming ≤ 3), exact Hamming verify."""
+    sh = simhashed_documents(spark, sf_dir)
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.substring("simhash", 4 * b + 1, 4) for b in range(4)])
+        ).alias("block", "block_key"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "block", "block_key"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "block", "block_key"
+    )
+    cand = (
+        a.join(b, ["block", "block_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming_hex(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.2
+) -> DataFrame:
+    """Exact n-gram Jaccard at a looser threshold over LSH candidates —
+    the 'verify' stage exposed as its own operator."""
+    return dedup_minhash_pairs(spark, sf_dir, threshold=threshold)
+
+
+def _sign_bucket(emb: Column, dims: int = 8) -> Column:
+    """Sign-LSH bucket: concat of sign bits of the first ``dims``
+    elements (deterministic hyperplanes = axis planes)."""
+    return F.concat(
+        *[
+            F.when(F.element_at(emb, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(dims)
+        ]
+    )
+
+
+def neardup_embedding_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = EMB_COS_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within sign-LSH buckets.
+
+    Approximate by construction (cross-bucket pairs are unseen) — the
+    documented recall/cost tradeoff of sign-LSH; parity with the oracle
+    is exact because both implement the same bucketed algorithm.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _sign_bucket(F.col("embedding")).alias("bucket")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    cand = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+    return (
+        cand.withColumn("d_fix", dot_fix(F.col("emb_a"), F.col("emb_b")))
+        .withColumn("na_fix", dot_fix(F.col("emb_a"), F.col("emb_a")))
+        .withColumn("nb_fix", dot_fix(F.col("emb_b"), F.col("emb_b")))
+        .withColumn("score", cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")))
+        .where(F.col("score") >= threshold)
+        .select("vec_a", "vec_b", "score")
+    )
+
+
+def ann_lsh_topk(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10
+) -> DataFrame:
+    """ANN scale path: sign-LSH bucket prefilter, exact cosine re-rank
+    inside the query's bucket (V1's brute-force is the exact baseline;
+    this is the bucketed variant that bounds scoring cost at scale)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _sign_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = e.where(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    cand = e.crossJoin(F.broadcast(q)).where(
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != query_id)
+    )
+    return (
+        cand.withColumn("d_fix", dot_fix(F.col("embedding"), F.col("q_emb")))
+        .withColumn("na_fix", dot_fix(F.col("embedding"), F.col("embedding")))
+        .withColumn("nb_fix", dot_fix(F.col("q_emb"), F.col("q_emb")))
+        .withColumn("score", cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", "label", "score")
+    )

@@ -1,0 +1,105 @@
+"""Multimodal column plumbing for training-data pipelines (M6).
+
+Beyond-reference capability (BASELINE.json north star): image/audio/
+video payloads handled as opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+The container has no image/audio libraries, so the DECODE step is
+stubbed exactly as the task prescribes: ``decode_image`` raises
+``NotImplementedError`` unless a real decoder (PIL) is importable,
+while ``_fake_features`` is the deterministic stand-in the pipeline and
+tests use. Everything AROUND the stub is real and tested: the binary
+schema, the Arrow batch iteration, the output schema contract, and the
+per-batch shape — swapping in a real decoder changes one function.
+
+Scale posture (100 TB): mapInPandas streams Arrow record batches
+through the Python worker — memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``, not partition size;
+the binary column never materializes driver-side; feature extraction
+parallelizes per-partition with zero shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from via_spark.session import load_table
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, content_sha256 string, fake_width long, fake_height long"
+)
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, content binary, media struct) — the opaque
+    payload column + typed metadata shape for multimodal tables."""
+    return docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(F.col("text").cast("binary")).alias("n_bytes"),
+        ).alias("media"),
+    )
+
+
+def decode_image(payload: bytes):
+    """Real decode path — requires an image library the container lacks.
+
+    STUB (clearly marked): raises unless PIL is importable; the
+    deterministic fake below is used by the pipeline instead.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires PIL/pillow, not present in this "
+            "container — pipeline uses deterministic fake features"
+        ) from exc
+
+
+def _fake_features(doc_id: int, payload: bytes) -> tuple:
+    """Deterministic decode stand-in: pure arithmetic on the bytes."""
+    n = len(payload)
+    return (
+        doc_id,
+        n,
+        hashlib.sha256(payload).hexdigest(),
+        n % 640 + 1,
+        (n * 31) % 480 + 1,
+    )
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [_fake_features(int(i), bytes(c)) for i, c in zip(pdf["doc_id"], pdf["content"])]
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_bytes", "content_sha256", "fake_width", "fake_height"]
+        )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → Arrow-batched feature extraction (mapInPandas).
+
+    Oracle-checked: the fake features are pure functions of the bytes,
+    so DuckDB recomputes them from the text directly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(d).select("doc_id", "content")
+    return payloads.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+
+
+def sample_frame_indices(n_bytes: int, n_frames: int = 4) -> list[int]:
+    """Video frame-sampling stub: evenly spaced indices over a fake
+    duration derived from the payload size (deterministic)."""
+    duration = n_bytes % 120 + 1
+    k = min(n_frames, duration)
+    return [i * duration // k for i in range(k)]

@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines (M6).
+
+Beyond-reference capability (BASELINE.json north star): the per-document
+text statistics an LLM data pipeline filters on — token counts, quality
+scores, language ID, content fingerprints. All JVM-native column
+expressions with DuckDB oracles.
+
+Note on the fixture: ``documents.lang`` labels are synthetic (every
+text is the same English-ish word salad), so the language heuristic is
+validated for *correctness* on real multilingual samples in
+``tests/test_textstats.py`` and for *parity* on the fixture.
+
+Scale posture (100 TB): every operator is a stateless per-row
+projection — no shuffle, no UDF, full whole-stage codegen; they compose
+with any scan and keep predicate pushdown intact.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from via_spark.functions.text import tokens
+from via_spark.operators.dedup import _shingles
+from via_spark.session import load_table
+
+# BPE-ish pretokenizer: word runs OR single non-word non-space chars
+BPE_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+QUALITY_FIX = 1_000_000.0
+
+# Pinned stopword profiles (tiny, high-frequency function words).
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es": ("el", "la", "los", "de", "que", "y", "en", "un"),
+    "fr": ("le", "la", "les", "et", "de", "un", "est", "pour"),
+}
+CJK_RE = r"[\x{4e00}-\x{9fff}]"
+
+
+def token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish pretoken count + char count."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def _stop_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals + one pinned composite score (1e-6 fixed-point):
+    0.4·stopword_ratio + 0.3·alpha_ratio + 0.3·min(1, n_tokens/100)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.withColumn("toks", tokens(F.col("text"))).withColumn("dl", F.size("toks"))
+    alpha_chars = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    stop_ratio = _stop_hits(F.col("toks"), STOPWORDS["en"]) / F.col("dl")
+    alpha_ratio = alpha_chars / F.length("text")
+    len_norm = F.least(F.lit(1.0), F.col("dl") / F.lit(100.0))
+    mean_tok_len = F.aggregate(
+        F.transform(F.col("toks"), F.length), F.lit(0), lambda a, x: a + x
+    ) / F.col("dl")
+    quality = F.lit(0.4) * stop_ratio + F.lit(0.3) * alpha_ratio + F.lit(0.3) * len_norm
+    return t.where(F.col("dl") > 0).select(
+        "doc_id",
+        F.col("dl").alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        F.floor(quality * F.lit(QUALITY_FIX)).cast("long").alias("quality_fix"),
+    )
+
+
+def lang_id_expr(text: Column, toks: Column) -> Column:
+    """Heuristic language ID: CJK chars ⇒ zh, else argmax stopword hits
+    with a pinned tie order (en > de > es > fr)."""
+    scores = {lang: _stop_hits(toks, words) for lang, words in STOPWORDS.items()}
+    m = F.greatest(*scores.values())
+    pick = (
+        F.when(scores["en"] == m, F.lit("en"))
+        .when(scores["de"] == m, F.lit("de"))
+        .when(scores["es"] == m, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    has_cjk = F.length(F.regexp_extract(text, CJK_RE, 0)) > 0
+    return F.when(has_cjk, F.lit("zh")).otherwise(pick)
+
+
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.withColumn("toks", tokens(F.col("text"))).where(F.size("toks") > 0)
+    return t.select(
+        "doc_id", "lang", lang_id_expr(F.col("text"), F.col("toks")).alias("predicted_lang")
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str, k: int = 4) -> DataFrame:
+    """Bottom-k sketch fingerprint: the k smallest 64-bit shingle hashes
+    joined with ':' — a compact containment-comparable document id
+    (rolling-hash family; same sketch ⇒ near-identical shingle sets)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.withColumn("toks", tokens(F.col("text"))).where(F.size("toks") >= 3)
+    sh = t.withColumn("sh", _shingles(F.col("toks")))
+    hashes = F.transform(F.col("sh"), lambda s: F.substring(F.sha2(s, 256), 1, 16))
+    return sh.select(
+        "doc_id",
+        F.concat_ws(":", F.slice(F.array_sort(hashes), 1, k)).alias("fingerprint"),
+    )

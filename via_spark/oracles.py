@@ -623,3 +623,278 @@ def bgl_roundtrip_sql() -> str:
 SELECT event_id, ts, severity AS level, service, body AS message
 FROM ({_EVENT_FLAT})
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup / ANN oracles (via_spark.operators.dedup)
+# ---------------------------------------------------------------------------
+
+def dedup_exact_sql() -> str:
+    return r"""
+WITH h AS (
+    SELECT doc_id,
+           sha256(array_to_string(
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+               ' ')) AS text_hash
+    FROM documents
+)
+SELECT doc_id, text_hash,
+       count(*)    OVER (PARTITION BY text_hash) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY text_hash) AS is_canonical
+FROM h
+"""
+
+
+# token-trigram distinct shingles (mirrors dedup._shingles with n=3)
+_SHINGLES_CTE = r"""
+dsh AS (
+    SELECT doc_id,
+           list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          for i in range(1, len(t) - 1)]) AS sh
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        FROM documents
+    ) WHERE len(t) >= 3
+)
+"""
+
+
+def _minhash_bands_cte(k: int = 8, bands: int = 4) -> str:
+    mh = ",\n           ".join(
+        f"list_min(list_transform(sh, x -> substr(sha256('{i}:' || x), 1, 16))) AS mh_{i}"
+        for i in range(k)
+    )
+    rows = k // bands
+    keys = ", ".join(
+        " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows)) for b in range(bands)
+    )
+    return f"""
+sig AS (
+    SELECT doc_id, sh,
+           {mh}
+    FROM dsh
+),
+bands AS (
+    SELECT doc_id, sh, r.band, [{keys}][r.band + 1] AS band_key
+    FROM sig, range({bands}) r(band)
+)
+"""
+
+
+def _pair_jaccard_sql(threshold: float) -> str:
+    return f"""
+, cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+ver AS (
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(sa.sh, sb.sh))
+           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+    FROM cand c
+    JOIN dsh sa ON sa.doc_id = c.doc_a
+    JOIN dsh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= {threshold!r}
+"""
+
+
+def dedup_minhash_pairs_sql(threshold: float = 0.5) -> str:
+    return "WITH " + _SHINGLES_CTE.strip() + "," + _minhash_bands_cte() + _pair_jaccard_sql(threshold)
+
+
+def dedup_ngram_jaccard_sql(threshold: float = 0.2) -> str:
+    return dedup_minhash_pairs_sql(threshold)
+
+
+def _simhash_cte() -> str:
+    """CTE chain ending in sim(doc_id, simhash) — shared by the simhash
+    projection and the simhash-dedup oracle."""
+    return f"""
+{DOC_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS t FROM dtok WHERE len(toks) > 0),
+th AS (SELECT doc_id, substr(sha256(t), 1, 16) AS h FROM tok),
+votes AS (
+    SELECT doc_id, r.b,
+           SUM((((strpos('0123456789abcdef', substr(h, (r.b // 4) + 1, 1)) - 1)
+                 >> (r.b % 4)) & 1) * 2 - 1) AS v
+    FROM th, range(64) r(b) GROUP BY doc_id, r.b
+),
+nibs AS (
+    SELECT doc_id, b // 4 AS i,
+           SUM((CASE WHEN v >= 0 THEN 1 ELSE 0 END) * (1 << (b % 4))) AS nib
+    FROM votes GROUP BY doc_id, b // 4
+),
+sim AS (
+    SELECT doc_id, string_agg(printf('%x', CAST(nib AS INTEGER)), '' ORDER BY i) AS simhash
+    FROM nibs GROUP BY doc_id
+)
+"""
+
+
+def dedup_simhash_pairs_sql(max_hamming: int = 3) -> str:
+    nib = "strpos('0123456789abcdef', substr({c}, {i} + 1, 1)) - 1"
+    hamming = " + ".join(
+        f"bit_count(xor({nib.format(c='c.sh_a', i=i)}, {nib.format(c='c.sh_b', i=i)}))"
+        for i in range(16)
+    )
+    return f"""
+WITH {_simhash_cte().strip()},
+blocks AS (
+    SELECT doc_id, simhash, r.block, substr(simhash, r.block * 4 + 1, 4) AS block_key
+    FROM sim, range(4) r(block)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+                    b.doc_id AS doc_b, b.simhash AS sh_b
+    FROM blocks a JOIN blocks b
+      ON a.block = b.block AND a.block_key = b.block_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ({hamming}) AS hamming
+FROM cand c
+WHERE ({hamming}) <= {max_hamming}
+"""
+
+
+_SIGN_BUCKET = " || ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8)
+)
+
+_DOT9_PAIR = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "s -> CAST(floor(CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)*1000000000.0) AS BIGINT)))"
+)
+
+
+def neardup_embedding_pairs_sql(threshold: float = 0.4) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding, {_SIGN_BUCKET} AS bucket FROM embeddings),
+cand AS (
+    SELECT a.vec_id AS vec_a, a.embedding AS emb_a,
+           b.vec_id AS vec_b, b.embedding AS emb_b
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+    SELECT vec_a, vec_b,
+           {_DOT9_PAIR.format(a="emb_a", b="emb_b")} AS d_fix,
+           {_DOT9_PAIR.format(a="emb_a", b="emb_a")} AS na_fix,
+           {_DOT9_PAIR.format(a="emb_b", b="emb_b")} AS nb_fix
+    FROM cand
+)
+SELECT vec_a, vec_b,
+       {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} AS score
+FROM scored
+WHERE {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} >= {threshold!r}
+"""
+
+
+def ann_lsh_topk_sql(query_id: int = 0, k: int = 10) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding, {_SIGN_BUCKET} AS bucket FROM embeddings),
+q AS (SELECT embedding AS qe, bucket AS qb FROM e WHERE vec_id = {query_id}),
+cand AS (
+    SELECT e.vec_id, e.label, e.embedding, q.qe FROM e, q
+    WHERE e.bucket = q.qb AND e.vec_id <> {query_id}
+),
+scored AS (
+    SELECT vec_id, label,
+           {_DOT9_PAIR.format(a="embedding", b="qe")} AS d_fix,
+           {_DOT9_PAIR.format(a="embedding", b="embedding")} AS na_fix,
+           {_DOT9_PAIR.format(a="qe", b="qe")} AS nb_fix
+    FROM cand
+)
+SELECT vec_id, label,
+       {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} AS score
+FROM scored
+ORDER BY score DESC, vec_id ASC LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis + multimodal oracles (operators.{textstats,multimodal})
+# ---------------------------------------------------------------------------
+
+def token_count_documents_sql() -> str:
+    return r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+_EN_STOPS = "('the','a','and','of','to','in','is','for')"
+
+
+def doc_quality_scores_sql() -> str:
+    return f"""
+WITH {DOC_TOKS_CTE},
+q AS (
+    SELECT doc_id, len(toks) AS dl,
+           len(list_filter(toks, x -> x IN {_EN_STOPS})) AS stops,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+           length(text) AS n_chars,
+           list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+    FROM dtok
+)
+SELECT doc_id, dl AS n_tokens,
+       tok_chars / dl AS mean_token_len,
+       stops / dl AS stopword_ratio,
+       alpha_chars / n_chars AS alpha_ratio,
+       CAST(floor((0.4*(stops / dl) + 0.3*(alpha_chars / n_chars)
+                   + 0.3*least(1.0, dl / 100.0)) * 1000000.0) AS BIGINT) AS quality_fix
+FROM q WHERE dl > 0
+"""
+
+
+def lang_id_documents_sql() -> str:
+    langs = {
+        "en": _EN_STOPS,
+        "de": "('der','die','das','und','ist','nicht','mit','ein')",
+        "es": "('el','la','los','de','que','y','en','un')",
+        "fr": "('le','la','les','et','de','un','est','pour')",
+    }
+    score_cols = ",\n           ".join(
+        f"len(list_filter(toks, x -> x IN {words})) AS s_{lang}"
+        for lang, words in langs.items()
+    )
+    return f"""
+WITH {DOC_TOKS_CTE},
+s AS (
+    SELECT doc_id, lang, text,
+           {score_cols}
+    FROM dtok WHERE len(toks) > 0
+)
+SELECT doc_id, lang,
+       CASE WHEN length(regexp_extract(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh'
+            WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+            WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS predicted_lang
+FROM s
+"""
+
+
+def doc_fingerprint_sql(k: int = 4) -> str:
+    return f"""
+WITH {_SHINGLES_CTE.strip()}
+SELECT doc_id,
+       array_to_string(
+           list_slice(list_sort(list_transform(sh, s -> substr(sha256(s), 1, 16))), 1, {k}),
+           ':') AS fingerprint
+FROM dsh
+"""
+
+
+def multimodal_features_sql() -> str:
+    return """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha256,
+       octet_length(encode(text)) % 640 + 1 AS fake_width,
+       (octet_length(encode(text)) * 31) % 480 + 1 AS fake_height
+FROM documents
+"""
