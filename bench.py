@@ -5,10 +5,12 @@ Prints exactly ONE JSON line:
     {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1}
 
-Timing methodology: each query's plan is forced end-to-end with a
-``count()`` of the result DataFrame (materializes every operator but
-avoids driver-side row transfer skew). A warmup pass on the smallest
-query amortizes JVM/codegen startup out of the numbers.
+Timing methodology: each query is forced end-to-end by hashing EVERY
+output column into one JVM-side xxhash64 reduction — a bare ``count()``
+lets Catalyst column-prune expensive projections (a simhash query would
+"finish" without computing a single fingerprint). The reduction ships
+one row to the driver, so transfer skew stays out of the numbers. A
+warmup pass on the first query amortizes JVM/codegen startup.
 """
 
 from __future__ import annotations
@@ -35,6 +37,15 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+def _force(df) -> None:
+    """Materialize every output column (defeats column pruning)."""
+    from pyspark.sql import functions as F
+
+    df.select(
+        F.xxhash64(F.struct(*[F.col(c) for c in df.columns])).alias("h")
+    ).agg(F.count("h"), F.max("h")).collect()
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from via_spark.session import get_spark
@@ -47,7 +58,7 @@ def main() -> None:
     # Warmup: run the first query once to absorb JVM + codegen startup.
     first = next(iter(qs))
     try:
-        qs[first](spark, SF_DIR).count()
+        _force(qs[first](spark, SF_DIR))
     except Exception:
         pass
 
@@ -56,7 +67,7 @@ def main() -> None:
     for name, fn in qs.items():
         t0 = time.perf_counter()
         try:
-            fn(spark, SF_DIR).count()
+            _force(fn(spark, SF_DIR))
             dt = time.perf_counter() - t0
         except Exception as exc:  # a broken query must not hide the rest
             dt = time.perf_counter() - t0

@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the scale-critical properties
+(pushdown, broadcast, top-k heaps, window group limits) must survive
+refactors — a correct-but-full-scan plan is a failure at 100 TB even
+when the values match."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as em
+
+QS = em.queries()
+
+
+def _plan(spark, sf_oracle, name: str) -> str:
+    return QS[name](spark, sf_oracle)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_time_range_pushdown(spark, sf_oracle):
+    p = _plan(spark, sf_oracle, "time_range_orders")
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", p), (
+        "date range must reach the parquet scan"
+    )
+
+
+def test_rhythm_window_pushes_raw_ts(spark, sf_oracle):
+    """The recent-window predicate must target the RAW int64 ts column
+    (row-group skipping); a filter on the derived seconds column would
+    scan everything."""
+    p = _plan(spark, sf_oracle, "rhythm_recent_counts")
+    assert re.search(r"PushedFilters: \[.*(GreaterThanOrEqual|LessThanOrEqual)\(ts", p), p[:2000]
+
+
+def test_keyword_pushdown(spark, sf_oracle):
+    p = _plan(spark, sf_oracle, "keyword_filter_customers")
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+
+
+def test_topk_plans_as_heap_not_sort(spark, sf_oracle):
+    for name in ("newest_events", "knn_cosine_topk", "shipping_priority"):
+        p = _plan(spark, sf_oracle, name)
+        assert "TakeOrderedAndProject" in p, f"{name}: top-k must not global-sort"
+
+
+def test_grouped_top1_uses_window_group_limit(spark, sf_oracle):
+    assert "WindowGroupLimit" in _plan(spark, sf_oracle, "grouped_knn_top1")
+
+
+def test_dimension_joins_broadcast(spark, sf_oracle):
+    for name in ("shipping_priority", "local_supplier_volume", "suppressed_anomalies"):
+        p = _plan(spark, sf_oracle, name)
+        assert "BroadcastHashJoin" in p, f"{name}: small side must broadcast"
+        assert "SortMergeJoin" not in p or name == "local_supplier_volume", (
+            f"{name}: no unexpected sort-merge join"
+        )
+
+
+def test_tier2_partition_pruning(spark, sf_smoke, tmp_path):
+    from via_spark.operators import promote
+
+    clusters = promote.promotion_rollup(spark, sf_smoke, sample_size=200, novelty_min_count=1)
+    path = str(tmp_path / "t2")
+    promote.write_tier2(clusters, path)
+    lo = clusters.agg({"start_ts": "min"}).collect()[0][0]
+    p = promote.read_tier2(spark, path, lo, lo)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in p and "event_date" in p

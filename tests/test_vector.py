@@ -5,18 +5,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from via_spark.functions.simhash import hamming_hex, simhash_votes, votes_to_hex
+from via_spark.functions.simhash import hamming_hex, simhash_hex
 
 
 def _fingerprint(spark, texts):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
-    out = (
-        df.withColumn("_v", simhash_votes(toks))
-        .select("id", votes_to_hex(F.col("_v")).alias("sh"))
-        .orderBy("id")
-        .collect()
-    )
+    out = df.select("id", simhash_hex(toks).alias("sh")).orderBy("id").collect()
     return [r["sh"] for r in out]
 
 

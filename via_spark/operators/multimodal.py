@@ -92,7 +92,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-checked: the fake features are pure functions of the bytes,
     so DuckDB recomputes them from the text directly.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(32)
     payloads = with_binary_payload(d).select("doc_id", "content")
     return payloads.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
 

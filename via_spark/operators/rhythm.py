@@ -58,8 +58,15 @@ def tier1_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     printf('%.2f', value) || ' ' || props, ts := epoch seconds.
     ``ts`` arrives as int64 *nanoseconds* (parquet TIMESTAMP(NANOS) read
     with nanosAsLong) — integer division keeps the conversion exact.
+
+    The fixture is one small parquet file = one scan split, so the
+    template/sha256 projection is spread across cores with an explicit
+    repartition; Catalyst still pushes the time-range filters through
+    the Repartition node down to the scan (PushPredicateThroughNonJoin),
+    so ts_ns row-group skipping is preserved. Cluster scans of a real
+    tier1 already have many splits and would omit this.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").repartition(32)
     body = F.concat_ws(
         " ",
         F.concat(F.col("event_type"), F.lit(" value="), F.format_string("%.2f", "value")),

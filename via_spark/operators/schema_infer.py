@@ -119,7 +119,7 @@ def _body(ev: DataFrame) -> Column:
 def otel_envelope_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Render events as OTel-JSON envelopes (service.name deliberately
     NOT the first attribute, so the parser must search the array)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").repartition(32)
     attr = lambda k, v: F.struct(  # noqa: E731
         F.lit(k).alias("key"),
         F.struct(v.alias("stringValue"), F.lit(None).cast("long").alias("intValue")).alias("value"),

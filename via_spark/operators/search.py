@@ -48,8 +48,9 @@ DEFAULT_TERMS = ("hash", "merge", "spark")
 
 
 def _with_tf(d: DataFrame, terms: Sequence[str]) -> DataFrame:
-    """tokens + doc length + per-term tf, all per-row (no shuffle)."""
-    d = d.withColumn("toks", tokens(F.col("text"))).withColumn("dl", F.size("toks"))
+    """tokens + doc length + per-term tf, all per-row computation (the
+    repartition spreads the single-file fixture scan across cores)."""
+    d = d.repartition(32).withColumn("toks", tokens(F.col("text"))).withColumn("dl", F.size("toks"))
     for i, t in enumerate(terms):
         d = d.withColumn(f"tf_{i}", F.size(F.filter(F.col("toks"), lambda x: x == F.lit(t))))
     return d

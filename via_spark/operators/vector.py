@@ -36,7 +36,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from via_spark.functions.simhash import simhash_votes, votes_to_hex
+from via_spark.functions.simhash import simhash_hex
 from via_spark.functions.text import tokens
 from via_spark.session import load_table
 
@@ -183,9 +183,9 @@ def recommend_average_vector(
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: 64-bit simhash fingerprint (hex) of every document's token
     stream. Token-less documents are dropped (pinned edge semantics)."""
-    d = load_table(spark, sf_dir, "documents")
+    # repartition: the fixture is one parquet file = one scan task; the
+    # fingerprint aggregate is the expensive projection, so spread it
+    # (cluster scans already have many splits)
+    d = load_table(spark, sf_dir, "documents").repartition(32)
     toks = d.withColumn("toks", tokens(F.col("text"))).where(F.size("toks") > 0)
-    return (
-        toks.withColumn("_votes", simhash_votes(F.col("toks")))
-        .select("doc_id", votes_to_hex(F.col("_votes")).alias("simhash"))
-    )
+    return toks.select("doc_id", simhash_hex(F.col("toks")).alias("simhash"))
