@@ -25,6 +25,7 @@ from via_spark import oracles
 from via_spark.operators import (
     control,
     dedup,
+    forensic,
     multimodal,
     promote,
     relational,
@@ -89,6 +90,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # promotion / tier2 (M2)
         "promotion_rollup": promote.promotion_rollup,
+        # forensic entry point 3 (tier2 clusters / triage)
+        "forensic_clusters_text": forensic.cluster_search,
+        "forensic_clusters_zero_vector": forensic.cluster_search_zero_vector,
+        "forensic_triage": forensic.triage,
         # vector layer (M3)
         "knn_cosine_topk": vector.knn_cosine_topk,
         "grouped_knn_top1": vector.grouped_knn_top1,
@@ -139,6 +144,9 @@ def oracle_sql() -> dict[str, str]:
         "rhythm_novelty_small_baseline": oracles.rhythm_anomalies_sql(**_NOVELTY_VARIANT),
         "rhythm_frequency_sensitive": oracles.rhythm_anomalies_sql(**_FREQ_VARIANT),
         "promotion_rollup": oracles.promotion_rollup_sql(),
+        "forensic_clusters_text": oracles.forensic_clusters_text_sql(),
+        "forensic_clusters_zero_vector": oracles.forensic_clusters_zero_vector_sql(),
+        "forensic_triage": oracles.forensic_triage_sql(),
         "knn_cosine_topk": oracles.knn_cosine_topk_sql(),
         "grouped_knn_top1": oracles.grouped_knn_top1_sql(),
         "recommend_average_vector": oracles.recommend_average_vector_sql(),

@@ -1,0 +1,208 @@
+"""Tier-2 forensic queries — the reference's entry point 3 end-to-end.
+
+Capability parity (semantics, not code) with
+``app/services/forensic_analysis_service.py:17-96``:
+
+* **cluster search** (`POST /analysis/tier2/clusters`, `:17-74`):
+  optional time range (P1) + optional ``text_filter`` that becomes BOTH
+  a full-text all-terms predicate (P3) AND the dense query vector
+  (F6); grouped best-hit-per-rhythm_hash (V2/W1); global re-sort +
+  limit (K1/A5); response shaping (P8).
+* **zero-vector search** (V3, `:25`): with no text filter the
+  reference's query vector is all-zeros and result order is
+  engine-noise; this engine pins the documented deterministic order —
+  ``count`` desc, then ``rhythm_hash`` (SURVEY.md §7.4 decision 4).
+* **triage / recommend** (`POST /analysis/tier2/triage`, `:75-96`, V4):
+  Qdrant average_vector strategy ``q = 2*avg(pos) - avg(neg)`` over the
+  example clusters' embeddings, examples excluded, top-50.
+* **federation** (S8/S9/V5): a time window prunes the date-partitioned
+  tier2; no fan-out code exists because the partitioned table IS the
+  federation.
+
+The tier2 input is built from the fixture by the SAME detection →
+promotion pipeline the driver verifies (promotion_rollup), and cluster
+bodies are embedded with the deterministic hashing-trick embedder
+(functions.embed) — so every query here is value-exact against its
+DuckDB oracle, including the vector scores.
+
+Scale posture (100 TB): embeddings are sparse rows joined on ``dim``
+(cost follows tokens, not dense width); grouping rides WindowGroupLimit;
+the recommend query vector aggregates a handful of example rows into a
+broadcast side. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from via_spark.functions.embed import sparse_embedding_rows, sparse_norms
+from via_spark.functions.text import tokens
+from via_spark.operators import promote
+
+# default tier2-building variant: sensitive novelty detection so the
+# anomaly-free fixture still yields clusters (15 at sf0.01)
+TIER2_VARIANT = dict(sample_size=2000, novelty_min_count=1)
+DEFAULT_TEXT_FILTER = "error"
+
+
+def tier2_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-built tier2 (detection → rollup), one row per cluster."""
+    return promote.promotion_rollup(spark, sf_dir, **TIER2_VARIANT)
+
+
+def _embedded(clusters: DataFrame) -> tuple[DataFrame, DataFrame]:
+    rows = sparse_embedding_rows(clusters, ["rhythm_hash"], "body")
+    return rows, sparse_norms(rows, ["rhythm_hash"])
+
+
+def _query_vector(spark: SparkSession, text: str) -> DataFrame:
+    """(dim, qw) rows + 1-row squared norm for a literal query text."""
+    q = spark.createDataFrame([(text,)], "qtext string")
+    rows = sparse_embedding_rows(q, [], "qtext").select("dim", F.col("w").alias("qw"))
+    return rows
+
+
+def cluster_search(
+    spark: SparkSession,
+    sf_dir: str,
+    text_filter: str | None = DEFAULT_TEXT_FILTER,
+    start_ts: int | None = None,
+    end_ts: int | None = None,
+    limit: int = 100,
+) -> DataFrame:
+    """Entry point 3 'clusters': filter → score → best-per-hash → top-k.
+
+    Output (P8): cluster_id, incident_count, service, severity,
+    anomaly_type, body, score.
+    """
+    c = tier2_clusters(spark, sf_dir)
+    if start_ts is not None and end_ts is not None:
+        c = c.where(F.col("start_ts").between(start_ts, end_ts))
+
+    if text_filter is None:
+        # V3: zero query vector — pinned deterministic order
+        shaped = c.select(
+            F.col("rhythm_hash").alias("cluster_id"),
+            F.col("count").alias("incident_count"),
+            "service", "severity", "anomaly_type", "body",
+            F.lit(0.0).alias("score"),
+        )
+        return shaped.orderBy(
+            F.col("incident_count").desc(), F.col("cluster_id").asc()
+        ).limit(limit)
+
+    # P3: every filter term must appear in the body token stream
+    terms = [t for t in text_filter.lower().split() if t]
+    toks = tokens(F.col("body"))
+    for t in terms:
+        c = c.where(F.array_contains(toks, t))
+
+    rows, norms = _embedded(c)
+    qrows = _query_vector(spark, text_filter)
+    qn2 = qrows.agg(F.sum(F.col("qw") * F.col("qw")).alias("qn2"))
+
+    dots = (
+        rows.join(qrows, "dim")
+        .groupBy("rhythm_hash")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    scored = (
+        c.join(dots, "rhythm_hash", "left")
+        .join(norms, "rhythm_hash")
+        .crossJoin(F.broadcast(qn2))
+        .withColumn(
+            "score",
+            F.when(
+                F.coalesce(F.col("dot"), F.lit(0)) == 0, F.lit(0.0)
+            ).otherwise(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("qn2").cast("double")))
+            ),
+        )
+    )
+    # V2/W1: best hit per rhythm_hash (tier2 may hold one row per hash
+    # per analysis run; grouping keeps the best-scoring run)
+    w = Window.partitionBy("rhythm_hash").orderBy(
+        F.col("score").desc(), F.col("start_ts").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("rhythm_hash").alias("cluster_id"),
+            F.col("count").alias("incident_count"),
+            "service", "severity", "anomaly_type", "body", "score",
+        )
+        .orderBy(F.col("score").desc(), F.col("cluster_id").asc())
+        .limit(limit)
+    )
+
+
+def triage(
+    spark: SparkSession,
+    sf_dir: str,
+    n_pos: int = 2,
+    n_neg: int = 1,
+    limit: int = 50,
+) -> DataFrame:
+    """Entry point 3 'triage' (V4): average_vector recommendation over
+    cluster embeddings.
+
+    Example selection is deterministic from the data: the ``n_pos``
+    lexicographically-smallest rhythm hashes are positive examples, the
+    next ``n_neg`` negative (a UI would pass ids; the driver query
+    needs a pinned choice). ``q = 2*n_neg*sum(pos) - n_pos*sum(neg)``
+    per dimension (the rational form of 2*avg(pos) - avg(neg)).
+    """
+    c = tier2_clusters(spark, sf_dir)
+    ranked = c.select("rhythm_hash").orderBy("rhythm_hash").limit(n_pos + n_neg)
+    w = Window.orderBy("rhythm_hash")
+    marked = ranked.withColumn("_rn", F.row_number().over(w)).select(
+        "rhythm_hash", (F.col("_rn") <= n_pos).alias("is_pos")
+    )
+
+    rows, norms = _embedded(c)
+    ex = rows.join(F.broadcast(marked), "rhythm_hash")
+    qd = ex.groupBy("dim").agg(
+        (
+            F.lit(2 * n_neg) * F.sum(F.when(F.col("is_pos"), F.col("w")).otherwise(0))
+            - F.lit(n_pos) * F.sum(F.when(~F.col("is_pos"), F.col("w")).otherwise(0))
+        ).alias("qw")
+    ).where(F.col("qw") != 0)
+    qn2 = qd.agg(F.sum(F.col("qw") * F.col("qw")).alias("qn2"))
+
+    cand = c.join(F.broadcast(marked.select("rhythm_hash")), "rhythm_hash", "left_anti")
+    dots = (
+        rows.join(qd, "dim")
+        .groupBy("rhythm_hash")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    return (
+        cand.join(dots, "rhythm_hash", "left")
+        .join(norms, "rhythm_hash")
+        .crossJoin(F.broadcast(qn2))
+        .withColumn(
+            "score",
+            F.when(
+                F.coalesce(F.col("dot"), F.lit(0)) == 0, F.lit(0.0)
+            ).otherwise(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("qn2").cast("double")))
+            ),
+        )
+        .select(
+            F.col("rhythm_hash").alias("cluster_id"),
+            F.col("count").alias("incident_count"),
+            "service", "severity", "anomaly_type", "score",
+        )
+        .orderBy(F.col("score").desc(), F.col("cluster_id").asc())
+        .limit(limit)
+    )
+
+
+def cluster_search_zero_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 as its own named query (no text filter → pinned ordering)."""
+    return cluster_search(spark, sf_dir, text_filter=None)

@@ -171,15 +171,15 @@ FROM anomalies
     )
 
 
-def promotion_rollup_sql(
+def _tier2_clusters_chain(
     window_sec: int = DEFAULT_WINDOW_SEC,
     sample_size: int = 2000,
     novelty_min_count: int = 1,
     frequency_min_count: int = FREQUENCY_MIN_COUNT,
     std_dev_factor: float = FREQUENCY_STD_DEV_FACTOR,
 ) -> str:
-    """A3/S5: member logs of each anomalous hash rolled into one tier2
-    cluster row (sample_logs = first 5 serialized logs by ts, event_id)."""
+    """Full WITH chain ending in clusters(…tier2 columns…) — the
+    detection→promotion pipeline as reusable oracle CTEs."""
     return (
         _rhythm_prelude(window_sec, sample_size)
         + _anomalies_cte(novelty_min_count, frequency_min_count, std_dev_factor)
@@ -200,14 +200,22 @@ agg AS (
                     ORDER BY ts, event_id),
                1, 5) AS sample_logs
     FROM member GROUP BY rhythm_hash
+),
+clusters AS (
+    SELECT 'event_cluster' AS entity_type,
+           rhythm_hash, start_ts, end_ts, "count",
+           service, severity, anomaly_type, anomaly_context, body, sample_logs,
+           DATE '1970-01-01' + CAST(start_ts // 86400 AS INTEGER) AS event_date
+    FROM anomalies JOIN agg USING (rhythm_hash)
 )
-SELECT 'event_cluster' AS entity_type,
-       rhythm_hash, start_ts, end_ts, "count",
-       service, severity, anomaly_type, anomaly_context, body, sample_logs,
-       DATE '1970-01-01' + CAST(start_ts // 86400 AS INTEGER) AS event_date
-FROM anomalies JOIN agg USING (rhythm_hash)
 """
     )
+
+
+def promotion_rollup_sql(**kwargs) -> str:
+    """A3/S5: member logs of each anomalous hash rolled into one tier2
+    cluster row (sample_logs = first 5 serialized logs by ts, event_id)."""
+    return _tier2_clusters_chain(**kwargs) + "SELECT * FROM clusters"
 
 
 # ---------------------------------------------------------------------------
@@ -898,3 +906,129 @@ SELECT doc_id,
        (octet_length(encode(text)) * 31) % 480 + 1 AS fake_height
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Forensic entry-point-3 oracles (via_spark.operators.forensic)
+# ---------------------------------------------------------------------------
+
+# hashing-trick embedding dimension of one token column {t}:
+# first 12 bits of sha256 mod 384 (mirrors functions.embed.token_dim)
+_HEXPOS = "strpos('0123456789abcdef', substr(sha256({t}), {i}, 1)) - 1"
+_DIM = (
+    f"((({_HEXPOS.format(t='{t}', i=1)}) * 256"
+    f" + ({_HEXPOS.format(t='{t}', i=2)}) * 16"
+    f" + ({_HEXPOS.format(t='{t}', i=3)})) % 384)"
+)
+
+_QVEC_CTE = r"""
+qtok AS (
+    SELECT unnest(list_filter(string_split_regex(lower('{text}'), '\s+'),
+                              x -> x <> '')) AS t
+),
+qvec AS (SELECT {dim} AS dim, count(*) AS qw FROM qtok GROUP BY 1),
+qn AS (SELECT SUM(qw*qw) AS qn2 FROM qvec)
+"""
+
+
+def _cemb_cte(src: str) -> str:
+    return f"""
+ctok AS (
+    SELECT rhythm_hash,
+           unnest(list_filter(string_split_regex(lower(body), '\\s+'),
+                              x -> x <> '')) AS t
+    FROM {src}
+),
+cemb AS (SELECT rhythm_hash, {_DIM.format(t='t')} AS dim, count(*) AS w
+         FROM ctok GROUP BY rhythm_hash, dim),
+cnorm AS (SELECT rhythm_hash, SUM(w*w) AS n2 FROM cemb GROUP BY rhythm_hash)
+"""
+
+
+_SCORE = (
+    "CASE WHEN COALESCE(dot, 0) = 0 THEN 0.0 "
+    "ELSE CAST(dot AS DOUBLE)/(sqrt(CAST(n2 AS DOUBLE))*sqrt(CAST(qn2 AS DOUBLE))) END"
+)
+
+
+def forensic_clusters_text_sql(text: str = "error", limit: int = 100) -> str:
+    terms = [t for t in text.lower().split() if t]
+    term_preds = " AND ".join(
+        f"list_contains(list_filter(string_split_regex(lower(body), '\\s+'), x -> x <> ''), '{t}')"
+        for t in terms
+    )
+    return (
+        _tier2_clusters_chain()
+        + f""", filtered AS (SELECT * FROM clusters WHERE {term_preds}),
+{_QVEC_CTE.format(text=text, dim=_DIM.format(t='t'))},
+{_cemb_cte('filtered').strip()},
+dots AS (
+    SELECT rhythm_hash, SUM(w*qw) AS dot
+    FROM cemb JOIN qvec USING (dim) GROUP BY rhythm_hash
+),
+scored AS (
+    SELECT f.rhythm_hash, f."count", f.service, f.severity, f.anomaly_type, f.body,
+           d.dot, n.n2, q.qn2
+    FROM filtered f
+    LEFT JOIN dots d USING (rhythm_hash)
+    JOIN cnorm n USING (rhythm_hash), qn q
+)
+SELECT rhythm_hash AS cluster_id, "count" AS incident_count,
+       service, severity, anomaly_type, body,
+       {_SCORE} AS score
+FROM scored
+ORDER BY score DESC, cluster_id ASC LIMIT {limit}
+"""
+    )
+
+
+def forensic_clusters_zero_vector_sql(limit: int = 100) -> str:
+    return (
+        _tier2_clusters_chain()
+        + f"""
+SELECT rhythm_hash AS cluster_id, "count" AS incident_count,
+       service, severity, anomaly_type, body, CAST(0.0 AS DOUBLE) AS score
+FROM clusters
+ORDER BY incident_count DESC, cluster_id ASC LIMIT {limit}
+"""
+    )
+
+
+def forensic_triage_sql(n_pos: int = 2, n_neg: int = 1, limit: int = 50) -> str:
+    return (
+        _tier2_clusters_chain()
+        + f""", marked AS (
+    SELECT rhythm_hash, row_number() OVER (ORDER BY rhythm_hash) AS rn
+    FROM (SELECT rhythm_hash FROM clusters ORDER BY rhythm_hash LIMIT {n_pos + n_neg})
+),
+{_cemb_cte('clusters').strip()},
+qd AS (
+    SELECT dim,
+           2*{n_neg}*SUM(CASE WHEN rn <= {n_pos} THEN w ELSE 0 END)
+           - {n_pos}*SUM(CASE WHEN rn > {n_pos} THEN w ELSE 0 END) AS qw
+    FROM cemb JOIN marked USING (rhythm_hash)
+    GROUP BY dim HAVING qw <> 0
+),
+qn AS (SELECT SUM(qw*qw) AS qn2 FROM qd),
+cand AS (
+    SELECT * FROM clusters
+    WHERE rhythm_hash NOT IN (SELECT rhythm_hash FROM marked)
+),
+dots AS (
+    SELECT rhythm_hash, SUM(w*qw) AS dot
+    FROM cemb JOIN qd USING (dim) GROUP BY rhythm_hash
+),
+scored AS (
+    SELECT c.rhythm_hash, c."count", c.service, c.severity, c.anomaly_type,
+           d.dot, n.n2, q.qn2
+    FROM cand c
+    LEFT JOIN dots d USING (rhythm_hash)
+    JOIN cnorm n USING (rhythm_hash), qn q
+)
+SELECT rhythm_hash AS cluster_id, "count" AS incident_count,
+       service, severity, anomaly_type,
+       {_SCORE} AS score
+FROM scored
+ORDER BY score DESC, cluster_id ASC LIMIT {limit}
+"""
+    )
