@@ -1,0 +1,148 @@
+"""End-to-end facade test with PLANTED anomalies — the reference's
+oracle-by-construction test strategy (SURVEY.md §5.3): generate a log
+stream whose anomalies are known by construction, run the full
+ingest → detect → promote → search → control loop through the
+reference-shaped API, and assert the engine flags exactly the planted
+patterns."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from via_spark.api import VIAEngine
+
+WINDOW = 300
+NOW = 10_000
+
+
+def _envelope(ts: int, service: str, severity: str, body: str) -> dict:
+    return {
+        "resourceLogs": [
+            {
+                "resource": {
+                    "attributes": [
+                        {"key": "host.name", "value": {"stringValue": "test-host"}},
+                        {"key": "service.name", "value": {"stringValue": service}},
+                    ]
+                },
+                "scopeLogs": [
+                    {
+                        "logRecords": [
+                            {
+                                "timeUnixNano": str(ts * 1_000_000_000),
+                                "severityText": severity,
+                                "body": {"stringValue": body},
+                            }
+                        ]
+                    }
+                ],
+            }
+        ]
+    }
+
+
+def _workload() -> list[dict]:
+    """History (ts 0..9699) + recent window (ts 9700..10000) with two
+    planted anomalies:
+
+    * steady login traffic every 10 s — continues at its normal rate in
+      the window (must NOT be flagged)
+    * payment traffic every 100 s in history (mean≈3/window) — spikes to
+      30 occurrences in the window (frequency anomaly by construction)
+    * a FATAL pattern seen 3× in the window and never before
+      (novelty anomaly by construction)
+    """
+    logs = []
+    for ts in range(0, NOW - WINDOW, 10):
+        logs.append(_envelope(ts, "auth-service", "INFO", f"User login succeeded id={ts}"))
+    for ts in range(0, NOW - WINDOW, 100):
+        logs.append(_envelope(ts, "payment-service", "INFO", f"Payment processed id={ts}"))
+    lo = NOW - WINDOW
+    for i in range(30):
+        logs.append(_envelope(lo + i * 10, "auth-service", "INFO", f"User login succeeded id={i}"))
+    for i in range(30):
+        logs.append(_envelope(lo + i * 10 + 1, "payment-service", "INFO", f"Payment processed id={i}"))
+    for i in range(3):
+        logs.append(_envelope(lo + 50 + i, "payment-service", "FATAL",
+                              f"Quantum fluctuation detected in shard {i}"))
+    return logs
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    eng = VIAEngine(spark, str(tmp_path_factory.mktemp("via_store")))
+    res = eng.ingest_stream(_workload())
+    assert res["tier1_ingested"] == len(_workload())
+    return eng
+
+
+def test_planted_anomalies_detected_exactly(engine):
+    out = engine.tier1_rhythm_anomalies(window_sec=WINDOW, now=NOW)
+    novel, freq = out["novel_anomalies"], out["frequency_anomalies"]
+    assert len(novel) == 1 and len(freq) == 1, (novel, freq)
+    assert "Quantum fluctuation" in novel[0]["body"]
+    assert novel[0]["severity"] == "FATAL"
+    assert novel[0]["anomaly_context"] == "New pattern seen 3 times."
+    assert "Payment processed" in freq[0]["body"]
+    assert re.fullmatch(
+        r"Count 30 breached threshold of \d+\.\d \(normalized μ=\d+\.\d, σ=\d+\.\d\)",
+        freq[0]["anomaly_context"],
+    )
+    # steady login traffic must NOT be flagged
+    assert not any("login" in a["body"] for a in novel + freq)
+
+
+def test_suppress_then_reanalyze(engine):
+    out = engine.tier1_rhythm_anomalies(window_sec=WINDOW, now=NOW)
+    target = out["novel_anomalies"][0]["rhythm_hash"]
+    engine.control_suppress(target, ttl_sec=600, now=NOW)
+    again = engine.tier1_rhythm_anomalies(window_sec=WINDOW, now=NOW)
+    hashes = {a["rhythm_hash"] for a in again["novel_anomalies"] + again["frequency_anomalies"]}
+    assert target not in hashes
+    assert len(again["frequency_anomalies"]) == 1
+    # rules listing shows the active suppression
+    rules = engine.control_rules(now=NOW)
+    assert any(r["rhythm_hash"] == target and r["rule"] == "SUPPRESS" for r in rules)
+    # expiry releases it
+    assert engine.control_rules(now=NOW + 601) == []
+
+
+def test_patch_writes_eval_case_and_deactivate(engine, tmp_path):
+    res = engine.control_patch("deadbeef:cafe", now=NOW, context_logs=["ctx log"])
+    assert "eval_case" in res
+    assert any(r["rhythm_hash"] == "deadbeef:cafe" for r in engine.control_rules(NOW))
+    engine.control_delete_patch("deadbeef:cafe")
+    assert not any(r["rhythm_hash"] == "deadbeef:cafe" for r in engine.control_rules(NOW))
+
+
+def test_tier2_clusters_and_triage(engine):
+    engine.tier1_rhythm_anomalies(window_sec=WINDOW, now=NOW)  # ensure promoted
+    clusters = engine.tier2_clusters(text_filter=None).collect()
+    assert len(clusters) >= 2
+    # V3 pinned ordering: count desc, cluster_id asc
+    counts = [c["incident_count"] for c in clusters]
+    assert counts == sorted(counts, reverse=True) or len(set(counts)) < len(counts)
+    # text-filtered search finds the quantum cluster
+    hits = engine.tier2_clusters(text_filter="quantum").collect()
+    assert len(hits) >= 1 and all("Quantum" in h["body"] for h in hits)
+    # S8: a time window outside the data prunes to nothing
+    assert engine.tier2_clusters(start_ts=1, end_ts=2).count() == 0
+    # triage: positive example excluded from results, empty positives → []
+    pos = hits[0]["cluster_id"]
+    rec = engine.tier2_triage([pos]).collect()
+    assert all(r["cluster_id"] != pos for r in rec)
+    assert engine.tier2_triage([]).count() == 0
+
+
+def test_schema_endpoints(engine):
+    import json
+
+    line = json.dumps(_envelope(1, "svc", "INFO", "hello"))
+    det = engine.schemas_detect([line])
+    assert det and det["source_type"] == "otel"
+    engine.schemas_save("otel_src", det)
+    assert engine.schemas_list() == ["otel_src"]
+    assert engine.schemas_get("otel_src")["source_type"] == "otel"
+    assert engine.schemas_get("nope") is None

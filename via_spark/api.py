@@ -1,0 +1,173 @@
+"""Engine facade mirroring the reference's 14 HTTP endpoints.
+
+A user of the reference (``README.md:194-218``: ingest/stream,
+stream/tail, analysis/tier1/rhythm_anomalies, analysis/tier2/clusters,
+analysis/tier2/triage, control suppress/patch/rules + two deletes,
+schemas detect/save/list/get) drives this class instead of HTTP routes
+— same verbs, same semantics, DataFrames/dicts in place of JSON bodies.
+No web framework: the engine is a library; any HTTP layer is a thin
+shim over these methods.
+
+State model: one base directory holds the four stores —
+``tier1/`` and ``tier2/`` (date-partitioned parquet), ``rules/`` and
+``schemas/`` (small parquet tables), ``evals/`` (YAML regression
+cases). ``now`` is an explicit parameter on every time-dependent verb
+(SURVEY.md §7.4 decision 2); omit it and the engine derives it from the
+newest stored event, never the wall clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from via_spark.functions.text import rhythm_hash, template
+from via_spark.operators import control, forensic, promote, rhythm, schema_infer
+from via_spark.session import configure
+
+
+class VIAEngine:
+    """The reference's API surface over Spark-managed stores."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = configure(spark)
+        self.base = base_dir
+        self.tier1_path = os.path.join(base_dir, "tier1")
+        self.tier2_path = os.path.join(base_dir, "tier2")
+        self.rules_path = os.path.join(base_dir, "rules")
+        self.registry_path = os.path.join(base_dir, "schemas")
+        self.evals_dir = os.path.join(base_dir, "evals")
+        os.makedirs(base_dir, exist_ok=True)
+
+    # -- ingestion & streaming ------------------------------------------------
+
+    def ingest_stream(self, logs: list[dict]) -> dict:
+        """POST /ingest/stream — batch of OTel-JSON envelopes → tier1."""
+        if not logs:
+            return {"status": "ok", "tier1_ingested": 0}
+        raw = self.spark.createDataFrame(
+            [(json.dumps(o),) for o in logs], "raw string"
+        )
+        flat = schema_infer.otel_flatten(raw)
+        tier1 = (
+            flat.withColumn(
+                "event_id", F.abs(F.xxhash64("service", "severity", "body", "ts"))
+            )
+            .withColumn("template", template(F.col("body")))
+            .withColumn("rhythm_hash", rhythm_hash("service", "severity", F.col("template")))
+            .withColumn("event_date", promote.event_date(F.col("ts")))
+        )
+        n = tier1.count()
+        (
+            tier1.write.mode("append")
+            .partitionBy("event_date")
+            .parquet(self.tier1_path)
+        )
+        return {"status": "ok", "tier1_ingested": n}
+
+    def stream_tail(self, limit: int = 50, text_filter: str | None = None) -> list[dict]:
+        """GET /stream/tail — newest tier1 rows, optional case-insensitive
+        substring filter (P4/K4)."""
+        t1 = self._tier1()
+        if text_filter:
+            t1 = t1.where(F.contains(F.lower("body"), F.lit(text_filter.lower())))
+        rows = t1.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(limit)
+        return [r.asDict() for r in rows.collect()]
+
+    # -- analysis -------------------------------------------------------------
+
+    def tier1_rhythm_anomalies(self, window_sec: int = 300, now: int | None = None,
+                               **detect_kwargs) -> dict:
+        """POST /analysis/tier1/rhythm_anomalies — detect AND promote
+        (the reference promotes within the same call, T7)."""
+        t1 = self._tier1()
+        if now is None:
+            now = t1.agg(F.max("ts")).collect()[0][0]
+        rules = control.active_rules(self._rules(), now)
+        anomalies = rhythm.find_rhythm_anomalies(
+            self.spark, sf_dir="", tier1=t1, now=now, window_sec=window_sec,
+            rules=rules, **detect_kwargs,
+        )
+        out = [r.asDict() for r in anomalies.collect()]
+        if out:
+            recent = rhythm.recent_window(t1, now, window_sec)
+            clusters = promote.rollup_clusters(anomalies, recent)
+            promote.write_tier2(clusters, self.tier2_path)
+        return {
+            "novel_anomalies": [a for a in out if a["anomaly_type"] == "novelty"],
+            "frequency_anomalies": [a for a in out if a["anomaly_type"] == "frequency"],
+        }
+
+    def tier2_clusters(self, start_ts: int | None = None, end_ts: int | None = None,
+                       text_filter: str | None = None, limit: int = 100) -> DataFrame:
+        """POST /analysis/tier2/clusters — S8 partition pruning + V2/V3."""
+        c = promote.read_tier2(self.spark, self.tier2_path, start_ts, end_ts)
+        return forensic.cluster_search_over(
+            self.spark, c, text_filter=text_filter, limit=limit
+        )
+
+    def tier2_triage(self, positive_ids: list[str], negative_ids: list[str] | None = None,
+                     limit: int = 50) -> DataFrame:
+        """POST /analysis/tier2/triage — V4; empty positives → empty
+        result (reference early-return, `forensic_analysis_service.py:76-77`)."""
+        c = promote.read_tier2(self.spark, self.tier2_path)
+        return forensic.triage_over(self.spark, c, positive_ids, negative_ids, limit)
+
+    # -- adaptive control loop ------------------------------------------------
+
+    def control_suppress(self, rhythm_hash_: str, ttl_sec: int, now: int) -> dict:
+        self._write_rules(control.suppress(self._rules(), rhythm_hash_, ttl_sec, now))
+        return {"status": "ok", "suppressed": rhythm_hash_, "expires_at": now + ttl_sec}
+
+    def control_patch(self, rhythm_hash_: str, now: int, reason: str = "",
+                      context_logs: list[str] | None = None) -> dict:
+        """POST /control/patch — permanent allow-list + eval case (S12)."""
+        self._write_rules(control.patch(self._rules(), rhythm_hash_, now, reason or "patch"))
+        eval_path = control.write_eval_case(
+            self.evals_dir, rhythm_hash_, context_logs or [], now
+        )
+        return {"status": "ok", "patched": rhythm_hash_, "eval_case": eval_path}
+
+    def control_rules(self, now: int) -> list[dict]:
+        """GET /control/rules — active rules only (P6)."""
+        return [r.asDict() for r in control.active_rules(self._rules(), now).collect()]
+
+    def control_delete_patch(self, rhythm_hash_: str) -> dict:
+        self._write_rules(control.deactivate(self._rules(), rhythm_hash_))
+        return {"status": "ok", "deactivated": rhythm_hash_}
+
+    control_delete_suppress = control_delete_patch  # same deactivation semantics
+
+    # -- schema management ----------------------------------------------------
+
+    def schemas_detect(self, sample_logs: list[str]) -> dict | None:
+        return schema_infer.detect_schema(sample_logs)
+
+    def schemas_save(self, source_name: str, schema: dict) -> dict:
+        schema_infer.save_schema(self.spark, self.registry_path, source_name, schema)
+        return {"status": "ok", "source_name": source_name}
+
+    def schemas_list(self) -> list[str]:
+        return schema_infer.list_schemas(self.spark, self.registry_path)
+
+    def schemas_get(self, source_name: str) -> dict | None:
+        return schema_infer.get_schema(self.spark, self.registry_path, source_name)
+
+    # -- internals ------------------------------------------------------------
+
+    def _tier1(self) -> DataFrame:
+        return self.spark.read.parquet(self.tier1_path)
+
+    def _rules(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.rules_path)
+        except Exception:
+            return control.empty_rules(self.spark)
+
+    def _write_rules(self, rules: DataFrame) -> None:
+        rules.cache().count()  # materialize before overwriting the source
+        rules.write.mode("overwrite").parquet(self.rules_path)
+        rules.unpersist()

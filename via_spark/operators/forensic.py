@@ -65,20 +65,21 @@ def _query_vector(spark: SparkSession, text: str) -> DataFrame:
     return rows
 
 
-def cluster_search(
+def cluster_search_over(
     spark: SparkSession,
-    sf_dir: str,
+    c: DataFrame,
     text_filter: str | None = DEFAULT_TEXT_FILTER,
     start_ts: int | None = None,
     end_ts: int | None = None,
     limit: int = 100,
 ) -> DataFrame:
-    """Entry point 3 'clusters': filter → score → best-per-hash → top-k.
+    """Entry point 3 'clusters' over ANY tier2 DataFrame (the stored
+    date-partitioned table via promote.read_tier2, or the inline
+    pipeline): filter → score → best-per-hash → top-k.
 
     Output (P8): cluster_id, incident_count, service, severity,
     anomaly_type, body, score.
     """
-    c = tier2_clusters(spark, sf_dir)
     if start_ts is not None and end_ts is not None:
         c = c.where(F.col("start_ts").between(start_ts, end_ts))
 
@@ -141,6 +142,43 @@ def cluster_search(
     )
 
 
+def cluster_search(
+    spark: SparkSession,
+    sf_dir: str,
+    text_filter: str | None = DEFAULT_TEXT_FILTER,
+    start_ts: int | None = None,
+    end_ts: int | None = None,
+    limit: int = 100,
+) -> DataFrame:
+    """Driver-facing wrapper: entry point 3 over the fixture-built tier2."""
+    return cluster_search_over(
+        spark, tier2_clusters(spark, sf_dir), text_filter, start_ts, end_ts, limit
+    )
+
+
+def triage_over(
+    spark: SparkSession,
+    c: DataFrame,
+    positive: Sequence[str] | None = None,
+    negative: Sequence[str] | None = None,
+    limit: int = 50,
+) -> DataFrame:
+    """V4 recommend over ANY tier2 DataFrame with explicit example
+    cluster ids (rhythm hashes) — the API-facing form."""
+    positive, negative = list(positive or ()), list(negative or ())
+    if not positive:
+        return c.sparkSession.createDataFrame(
+            [],
+            "cluster_id string, incident_count long, service string, "
+            "severity string, anomaly_type string, score double",
+        )
+    marked = c.sparkSession.createDataFrame(
+        [(h, True) for h in positive] + [(h, False) for h in negative],
+        "rhythm_hash string, is_pos boolean",
+    )
+    return _triage_core(c, marked, len(positive), max(len(negative), 1), limit)
+
+
 def triage(
     spark: SparkSession,
     sf_dir: str,
@@ -163,7 +201,12 @@ def triage(
     marked = ranked.withColumn("_rn", F.row_number().over(w)).select(
         "rhythm_hash", (F.col("_rn") <= n_pos).alias("is_pos")
     )
+    return _triage_core(c, marked, n_pos, n_neg, limit)
 
+
+def _triage_core(
+    c: DataFrame, marked: DataFrame, n_pos: int, n_neg: int, limit: int
+) -> DataFrame:
     rows, norms = _embedded(c)
     ex = rows.join(F.broadcast(marked), "rhythm_hash")
     qd = ex.groupBy("dim").agg(
