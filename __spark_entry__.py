@@ -131,6 +131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": relational.pricing_summary,
         "shipping_priority": relational.shipping_priority,
         "local_supplier_volume": relational.local_supplier_volume,
+        "order_priority_counts": relational.order_priority_counts,
+        "promo_revenue": relational.promo_revenue,
+        "salted_event_type_counts": relational.salted_event_type_counts,
     }
 
 
@@ -179,4 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": oracles.pricing_summary_sql(),
         "shipping_priority": oracles.shipping_priority_sql(),
         "local_supplier_volume": oracles.local_supplier_volume_sql(),
+        "order_priority_counts": oracles.order_priority_counts_sql(),
+        "promo_revenue": oracles.promo_revenue_sql(),
+        "salted_event_type_counts": oracles.salted_event_type_counts_sql(),
     }

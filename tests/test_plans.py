@@ -10,12 +10,13 @@ import re
 import pytest
 
 import __spark_entry__ as em
+from via_spark.plans import executed_plan
 
 QS = em.queries()
 
 
 def _plan(spark, sf_oracle, name: str) -> str:
-    return QS[name](spark, sf_oracle)._jdf.queryExecution().executedPlan().toString()
+    return executed_plan(QS[name](spark, sf_oracle))
 
 
 def test_time_range_pushdown(spark, sf_oracle):
@@ -64,5 +65,5 @@ def test_tier2_partition_pruning(spark, sf_smoke, tmp_path):
     path = str(tmp_path / "t2")
     promote.write_tier2(clusters, path)
     lo = clusters.agg({"start_ts": "min"}).collect()[0][0]
-    p = promote.read_tier2(spark, path, lo, lo)._jdf.queryExecution().executedPlan().toString()
+    p = executed_plan(promote.read_tier2(spark, path, lo, lo))
     assert "PartitionFilters: [" in p and "event_date" in p

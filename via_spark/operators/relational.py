@@ -239,3 +239,78 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg((F.sum(rev) / float(FIXED_SCALE)).alias("revenue"))
     )
+
+
+# --- Q4 shape: EXISTS semi-join + grouped counts ----------------------------
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a quarter having at least one lineitem
+    shipped more than 60 days after the order date (EXISTS → left_semi
+    join with a cross-table predicate), counted per priority. Semi join
+    semantics — no row duplication, shuffles once on the order key."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    window = o.where(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp_ntz"),
+            F.lit("1996-03-31 23:59:59").cast("timestamp_ntz"),
+        )
+    )
+    return (
+        window.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --- Q14 shape: conditional aggregate over a part join ----------------------
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share in one month. Conditional
+    fixed-point sums keep the ratio exactly reproducible; the part side
+    joins on its key (broadcast at fixture scale, shuffle at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = fixed6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = li.where(
+        F.col("l_shipdate").between(
+            F.lit("1996-03-01").cast("timestamp_ntz"),
+            F.lit("1996-03-31 23:59:59").cast("timestamp_ntz"),
+        )
+    ).join(p, F.col("l_partkey") == F.col("p_partkey"))
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0)).alias("promo_fix"),
+        F.sum(rev).alias("total_fix"),
+    )
+    return agg.select(
+        (F.col("promo_fix").cast("double") / FIXED_SCALE).alias("promo_revenue"),
+        (F.col("total_fix").cast("double") / FIXED_SCALE).alias("total_revenue"),
+        (
+            F.lit(100.0) * F.col("promo_fix").cast("double") / F.col("total_fix")
+        ).alias("promo_share_pct"),
+    )
+
+
+# --- skew-aware aggregation (salting pattern) -------------------------------
+
+def salted_counts(df: DataFrame, key: str, salt_n: int = 16) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: count per
+    (key, salt) first — spreading one hot key over ``salt_n`` reducers —
+    then sum the partials per key. Results are identical to a plain
+    groupBy; only the shuffle distribution changes. AQE's skew handling
+    covers joins; this is the aggregation-side pattern made explicit."""
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_n).cast("int"))
+    partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_partial"))
+    return partial.groupBy(key).agg(F.sum("_partial").alias("n"))
+
+
+def salted_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.event_type is skewed (view/click dominate) — count via the
+    salting pattern; oracle is the plain GROUP BY (same result)."""
+    ev = load_table(spark, sf_dir, "events")
+    return salted_counts(ev, "event_type")

@@ -1032,3 +1032,48 @@ FROM scored
 ORDER BY score DESC, cluster_id ASC LIMIT {limit}
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Widened relational coverage (Q4/Q14 shapes + salted aggregation)
+# ---------------------------------------------------------------------------
+
+def order_priority_counts_sql() -> str:
+    return """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                      AND TIMESTAMP '1996-03-31 23:59:59'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def promo_revenue_sql() -> str:
+    rev = _FIX.format(expr="l_extendedprice * (1 - l_discount)")
+    return f"""
+WITH j AS (
+    SELECT p_type, {rev} AS rev_fix
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-03-01'
+                         AND TIMESTAMP '1996-03-31 23:59:59'
+),
+agg AS (
+    SELECT SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev_fix ELSE 0 END) AS promo_fix,
+           SUM(rev_fix) AS total_fix
+    FROM j
+)
+SELECT CAST(promo_fix AS DOUBLE) / 1000000 AS promo_revenue,
+       CAST(total_fix AS DOUBLE) / 1000000 AS total_revenue,
+       100.0 * CAST(promo_fix AS DOUBLE) / total_fix AS promo_share_pct
+FROM agg
+"""
+
+
+def salted_event_type_counts_sql() -> str:
+    """The salting is shuffle-layout only — results equal a plain count."""
+    return "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
