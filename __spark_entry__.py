@@ -34,6 +34,7 @@ from via_spark.operators import (
     search,
     textstats,
     vector,
+    windows,
 )
 from via_spark.session import configure
 
@@ -134,6 +135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": relational.order_priority_counts,
         "promo_revenue": relational.promo_revenue,
         "salted_event_type_counts": relational.salted_event_type_counts,
+        # event-time window family (T5 extension)
+        "sliding_hash_counts": windows.sliding_hash_counts,
+        "session_hash_counts": windows.session_hash_counts,
     }
 
 
@@ -185,4 +189,6 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_counts": oracles.order_priority_counts_sql(),
         "promo_revenue": oracles.promo_revenue_sql(),
         "salted_event_type_counts": oracles.salted_event_type_counts_sql(),
+        "sliding_hash_counts": oracles.sliding_hash_counts_sql(),
+        "session_hash_counts": oracles.session_hash_counts_sql(),
     }

@@ -62,7 +62,9 @@ class VIAEngine:
         )
         n = tier1.count()
         (
-            tier1.write.mode("append")
+            tier1.repartition("event_date")
+            .sortWithinPartitions("ts")  # row-group stats sharpen ts skipping (O2)
+            .write.mode("append")
             .partitionBy("event_date")
             .parquet(self.tier1_path)
         )

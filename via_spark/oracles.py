@@ -1077,3 +1077,46 @@ FROM agg
 def salted_event_type_counts_sql() -> str:
     """The salting is shuffle-layout only — results equal a plain count."""
     return "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
+# ---------------------------------------------------------------------------
+# Window-family oracles (via_spark.operators.windows)
+# ---------------------------------------------------------------------------
+
+def sliding_hash_counts_sql() -> str:
+    """120s/60s sliding windows: every event belongs to exactly the two
+    epoch-aligned windows starting at (ts//60 - k)*60 for k in {0,1}."""
+    return f"""
+WITH {TIER1_CTE},
+expanded AS (
+    SELECT (h.ts // 60 - k.i) * 60 AS window_start, h.rhythm_hash
+    FROM hashed h, range(2) k(i)
+)
+SELECT window_start, rhythm_hash, count(*) AS n
+FROM expanded
+GROUP BY window_start, rhythm_hash
+"""
+
+
+def session_hash_counts_sql(gap_sec: int = 86_400) -> str:
+    """Gaps-and-islands: a new session starts when the gap from the
+    previous event of the same hash is >= gap (Spark session_window
+    keeps an event iff event_time < previous_time + gap)."""
+    return f"""
+WITH {TIER1_CTE},
+marked AS (
+    SELECT rhythm_hash, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= {gap_sec} THEN 1 ELSE 0 END AS brk
+    FROM hashed
+    WINDOW w AS (PARTITION BY rhythm_hash ORDER BY ts, event_id)
+),
+grouped AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY rhythm_hash ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT rhythm_hash, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n
+FROM grouped GROUP BY rhythm_hash, sid
+"""
