@@ -40,9 +40,17 @@ from via_spark.session import configure
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: tier-1 rhythm anomaly detection on sf0.001."""
+    """Flagship query: tier-1 rhythm anomaly detection on sf0.001.
+
+    Uses the sensitivity variant (small baseline sample, min-count 1)
+    because the fixture stream is anomaly-free by construction — the
+    reference-tuned thresholds correctly return zero rows there, which
+    would make the smoke check vacuous. Same plan, non-empty output.
+    """
     configure(spark)
-    return rhythm.find_rhythm_anomalies(spark, "/root/testdata/sf0.001")
+    return rhythm.find_rhythm_anomalies(
+        spark, "/root/testdata/sf0.001", sample_size=200, novelty_min_count=1
+    )
 
 
 def _tier1_view(spark: SparkSession, sf_dir: str) -> DataFrame:

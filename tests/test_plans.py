@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import re
 
-import pytest
 
 import __spark_entry__ as em
 from via_spark.plans import executed_plan

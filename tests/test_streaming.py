@@ -102,3 +102,76 @@ def test_windowed_hash_counts_matches_batch(spark, sf_smoke, tmp_path):
     )
     expect = {(r["ws"], r["rhythm_hash"], r["n"]) for r in batch.collect()}
     assert got == expect
+
+
+def test_stateful_running_stats_accumulate(spark, sf_smoke, tmp_path):
+    """applyInPandasWithState: totals accumulate across micro-batches
+    and converge to the batch ground truth."""
+    from via_spark.streaming import stateful
+
+    src = str(tmp_path / "otel_jsonl")
+    pipeline.write_otel_fixture_jsonl(spark, sf_smoke, src, n_files=4)
+    stream = pipeline.read_otel_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        stateful.running_hash_stats(stream)
+        .writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    updates = spark.sql("SELECT * FROM running_stats").collect()
+    assert len(updates) > 0
+    # multiple triggers happened (maxFilesPerTrigger=2 over 4 files)
+    finals = {}
+    for r in updates:
+        cur = finals.get(r["rhythm_hash"])
+        if cur is None or r["total_n"] > cur["total_n"]:
+            finals[r["rhythm_hash"]] = r
+    truth = {
+        r["rhythm_hash"]: r["cnt"]
+        for r in _batch_equivalent(spark, sf_smoke)
+        .groupBy("rhythm_hash")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert {h: r["total_n"] for h, r in finals.items()} == truth
+    for r in finals.values():
+        assert r["ewma"] > 0 and r["last_ts"] > 0
+
+
+def test_checkpoint_recovery_is_exactly_once(spark, sf_smoke, tmp_path):
+    """Restarting an ingest query from its checkpoint with no new input
+    writes nothing; adding one new file processes only that file —
+    the exactly-once file-sink contract the reference's wait=False
+    upserts could not give."""
+    src = str(tmp_path / "otel_jsonl")
+    tier1 = str(tmp_path / "tier1")
+    ckpt = str(tmp_path / "ckpt")
+    pipeline.write_otel_fixture_jsonl(spark, sf_smoke, src, n_files=2)
+
+    q = pipeline.start_tier1_ingest(
+        pipeline.read_otel_stream(spark, src), tier1, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(tier1).count()
+
+    # restart, no new data → no new rows
+    q = pipeline.start_tier1_ingest(
+        pipeline.read_otel_stream(spark, src), tier1, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(tier1).count() == n1
+
+    # one new file → exactly its rows are appended
+    from via_spark.operators.schema_infer import otel_envelope_from_events
+
+    one = otel_envelope_from_events(spark, sf_smoke).select("raw").limit(7)
+    one.coalesce(1).write.mode("append").text(src)
+    q = pipeline.start_tier1_ingest(
+        pipeline.read_otel_stream(spark, src), tier1, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(tier1).count() == n1 + 7

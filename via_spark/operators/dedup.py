@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from via_spark.functions.simhash import simhash_hex
 from via_spark.functions.text import tokens
-from via_spark.operators.vector import FIX9, cosine_from_fix, dot_fix
+from via_spark.operators.vector import cosine_from_fix, dot_fix
 from via_spark.session import load_table
 
 MINHASH_K = 8          # signature length

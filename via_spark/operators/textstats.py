@@ -17,7 +17,6 @@ with any scan and keep predicate pushdown intact.
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
