@@ -32,6 +32,7 @@ from via_spark.operators import (
     rhythm,
     schema_infer,
     search,
+    stats,
     textstats,
     vector,
     windows,
@@ -143,6 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": relational.order_priority_counts,
         "promo_revenue": relational.promo_revenue,
         "salted_event_type_counts": relational.salted_event_type_counts,
+        # distribution statistics
+        "value_percentiles": stats.value_percentiles,
         # event-time window family (T5 extension)
         "sliding_hash_counts": windows.sliding_hash_counts,
         "session_hash_counts": windows.session_hash_counts,
@@ -197,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_counts": oracles.order_priority_counts_sql(),
         "promo_revenue": oracles.promo_revenue_sql(),
         "salted_event_type_counts": oracles.salted_event_type_counts_sql(),
+        "value_percentiles": oracles.value_percentiles_sql(),
         "sliding_hash_counts": oracles.sliding_hash_counts_sql(),
         "session_hash_counts": oracles.session_hash_counts_sql(),
     }

@@ -60,3 +60,36 @@ def test_multimodal_stub_and_features(spark, sf_oracle):
     idx = multimodal.sample_frame_indices(1000, 4)
     assert idx == sorted(idx) and len(idx) == 4
     assert multimodal.sample_frame_indices(0, 4) == [0]
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_oracle):
+    """The sketch-based scale paths stay within their error contracts
+    against the exact computations."""
+    from via_spark.operators import stats, rhythm
+    from pyspark.sql import functions as F
+
+    t1 = rhythm.tier1_from_events(spark, sf_oracle)
+    exact = {
+        r["severity"]: r["n"]
+        for r in t1.groupBy("severity")
+        .agg(F.countDistinct("rhythm_hash").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["severity"]: r["approx_hashes"]
+        for r in stats.approx_distinct_hashes(spark, sf_oracle).collect()
+    }
+    for sev, n in exact.items():
+        assert abs(approx[sev] - n) / n < 0.05, (sev, approx[sev], n)
+
+    exact_p = {
+        r["event_type"]: r["pcts"]
+        for r in stats.value_percentiles(spark, sf_oracle).collect()
+    }
+    approx_p = {
+        r["event_type"]: r["approx_pcts"]
+        for r in stats.approx_value_quantiles(spark, sf_oracle).collect()
+    }
+    for et, ps in exact_p.items():
+        for a, e in zip(approx_p[et], ps):
+            assert abs(a - e) <= max(1.0, 0.05 * abs(e)), (et, a, e)

@@ -1,0 +1,63 @@
+"""Distribution statistics: exact percentiles + the approximate scale
+paths (HLL distinct counts, quantile sketches).
+
+Beyond-reference capability: a training-data pipeline profiles its
+corpus constantly (value distributions, cardinalities). Three tiers:
+
+* ``value_percentiles`` — EXACT linear-interpolated percentiles
+  (``F.percentile``); oracle-checked against DuckDB ``quantile_cont``
+  (both engines implement the same a + (b-a)·frac interpolation and
+  agree bit-for-bit).
+* ``approx_distinct_hashes`` — HyperLogLog++ cardinality
+  (``approx_count_distinct``): O(1) memory per group at any scale; the
+  test bounds its error against the exact count.
+* ``approx_value_quantiles`` — Greenwald-Khanna quantile sketch
+  (``percentile_approx``): mergeable, single-pass; test-bounded against
+  the exact percentiles.
+
+Scale posture (100 TB): the exact percentile needs a per-group sort —
+fine for bounded groups, wrong for billions of rows per group; the
+sketch variants are the 100 TB path (mergeable partial states, fixed
+memory), which is why both live side by side with the error contract
+under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from via_spark.session import load_table
+
+PCTS = [0.25, 0.5, 0.75, 0.95]
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type percentiles of ``value`` (oracle ✔)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", PCTS).alias("pcts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def approx_distinct_hashes(spark: SparkSession, sf_dir: str, rsd: float = 0.02) -> DataFrame:
+    """HLL++ distinct rhythm-hash cardinality per service — the O(1)
+    memory path for cardinality profiling of unbounded streams."""
+    from via_spark.operators import rhythm
+
+    t1 = rhythm.tier1_from_events(spark, sf_dir)
+    return t1.groupBy("severity").agg(
+        F.approx_count_distinct("rhythm_hash", rsd).alias("approx_hashes"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def approx_value_quantiles(spark: SparkSession, sf_dir: str,
+                           accuracy: int = 1000) -> DataFrame:
+    """GK-sketch quantiles — mergeable single-pass alternative to the
+    exact sort-based percentile."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", PCTS, accuracy).alias("approx_pcts")
+    )

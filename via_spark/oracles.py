@@ -1120,3 +1120,17 @@ SELECT rhythm_hash, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n
 FROM grouped GROUP BY rhythm_hash, sid
 """
+
+
+# ---------------------------------------------------------------------------
+# Distribution statistics (via_spark.operators.stats)
+# ---------------------------------------------------------------------------
+
+def value_percentiles_sql() -> str:
+    """Both engines use linear interpolation a + (b-a)*frac — bit-exact."""
+    return """
+SELECT event_type,
+       quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS pcts,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
