@@ -49,7 +49,12 @@ DEFAULT_TEXT_FILTER = "error"
 
 
 def tier2_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine-built tier2 (detection → rollup), one row per cluster."""
+    """The engine-built tier2 (detection → rollup), one row per cluster.
+
+    Deliberately NOT cached: .cache() pins the subplan's shuffle layout
+    and disables AQE partition coalescing inside it, which measured
+    ~5× slower than recomputing the (cheap) pipeline per reference.
+    At cluster scale this frame is the stored tier2 table, read once."""
     return promote.promotion_rollup(spark, sf_dir, **TIER2_VARIANT)
 
 

@@ -92,7 +92,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-checked: the fake features are pure functions of the bytes,
     so DuckDB recomputes them from the text directly.
     """
-    d = load_table(spark, sf_dir, "documents").repartition(32)
+    # 8 partitions: each spawns a Python worker — worker startup
+    # dominates at fixture scale, so fewer/larger Arrow batches win
+    d = load_table(spark, sf_dir, "documents").repartition(8)
     payloads = with_binary_payload(d).select("doc_id", "content")
     return payloads.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
 
