@@ -37,3 +37,10 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert rows is not None and len(rows) >= 0
     assert len(df.columns) > 0
+
+
+def test_every_query_has_an_oracle():
+    """Engine-wide invariant: no rows-only queries — every operator the
+    driver sees is value-checked against DuckDB."""
+    assert set(QUERIES.keys()) == set(ORACLES.keys())
+    assert len(QUERIES) >= 48
