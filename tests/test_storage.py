@@ -32,3 +32,25 @@ def test_bucketed_join_has_no_shuffle(spark, sf_smoke):
     finally:
         storage.drop_table(spark, "b_orders")
         storage.drop_table(spark, "b_lineitem")
+
+
+def test_retention_drops_old_partitions(spark, tmp_path):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from via_spark import storage
+
+    days = ["2026-01-01", "2026-01-02", "2026-01-03"]
+    df = spark.createDataFrame(
+        [(i, datetime.date.fromisoformat(d)) for i, d in enumerate(days) for _ in range(4)],
+        "cluster_id long, event_date date",
+    )
+    path = str(tmp_path / "t2")
+    df.write.partitionBy("event_date").parquet(path)
+
+    dropped = storage.drop_partitions_before(path, "2026-01-03")
+    assert dropped == ["event_date=2026-01-01", "event_date=2026-01-02"]
+    remaining = spark.read.parquet(path)
+    assert remaining.count() == 4
+    assert remaining.where(F.col("event_date") < "2026-01-03").count() == 0

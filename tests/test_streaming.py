@@ -175,3 +175,33 @@ def test_checkpoint_recovery_is_exactly_once(spark, sf_smoke, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(tier1).count() == n1 + 7
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, tmp_path):
+    """Watermarked stream-stream escalation join equals the same join
+    computed as one batch plan over the same input."""
+    src = str(tmp_path / "otel_jsonl")
+    pipeline.write_otel_fixture_jsonl(spark, sf_smoke, src, n_files=4)
+    stream = pipeline.read_otel_stream(spark, src)
+    q = (
+        pipeline.correlated_escalations(stream, within_sec=3600)
+        .writeStream.format("memory")
+        .queryName("escalations")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_join"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT service, cause_ts, effect_ts FROM escalations"
+        ).collect()
+    }
+    batch = pipeline.correlated_escalations(
+        _batch_equivalent(spark, sf_smoke), within_sec=3600
+    )
+    expect = {tuple(r) for r in batch.select("service", "cause_ts", "effect_ts").collect()}
+    assert len(expect) > 0, "fixture must contain ERROR→WARN pairs"
+    assert got == expect

@@ -43,3 +43,29 @@ def bucketed_join(
 
 def drop_table(spark: SparkSession, table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def drop_partitions_before(path: str, cutoff_date: str) -> list[str]:
+    """Retention for date-partitioned stores (O3): delete whole
+    ``event_date=YYYY-MM-DD`` partition directories older than the
+    cutoff — the engine's equivalent of the reference dropping a daily
+    collection. Returns the dropped partition names.
+
+    Deleting directories (not rows) means retention cost is O(days
+    dropped), independent of data volume — the property that makes
+    100 TB retention tractable.
+    """
+    import os
+    import shutil
+
+    dropped = []
+    if not os.path.isdir(path):
+        return dropped
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("event_date="):
+            continue
+        day = entry.split("=", 1)[1]
+        if day < cutoff_date:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(entry)
+    return dropped

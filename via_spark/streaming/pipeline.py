@@ -158,3 +158,57 @@ def write_otel_fixture_jsonl(spark: SparkSession, sf_dir: str, out_dir: str,
 
     env = otel_envelope_from_events(spark, sf_dir).select("raw")
     env.repartition(n_files).write.mode("overwrite").text(out_dir)
+
+
+def correlated_escalations(
+    stream: DataFrame,
+    severity_from: str = "ERROR",
+    severity_to: str = "WARN",
+    within_sec: int = 3600,
+) -> DataFrame:
+    """Stream-stream interval self-join: escalation correlation.
+
+    Pairs each ``severity_from`` event with every ``severity_to`` event
+    of the SAME service that follows within ``within_sec`` — the
+    "did this error precede that degradation" question the reference
+    answers manually via two UI searches. Both sides carry watermarks,
+    so Spark bounds the join state to the interval horizon; this is the
+    canonical watermarked interval-join pattern (state O(rate × horizon)
+    per key, independent of stream length).
+    """
+    base = stream.select(
+        "service",
+        "severity",
+        "body",
+        F.timestamp_seconds(F.col("ts")).alias("event_time"),
+    )
+    a = (
+        base.where(F.col("severity") == severity_from)
+        .withWatermark("event_time", WATERMARK)
+        .select(
+            F.col("service").alias("svc_a"),
+            F.col("body").alias("cause_body"),
+            F.col("event_time").alias("t_a"),
+        )
+    )
+    b = (
+        base.where(F.col("severity") == severity_to)
+        .withWatermark("event_time", WATERMARK)
+        .select(
+            F.col("service").alias("svc_b"),
+            F.col("body").alias("effect_body"),
+            F.col("event_time").alias("t_b"),
+        )
+    )
+    return a.join(
+        b,
+        (F.col("svc_a") == F.col("svc_b"))
+        & (F.col("t_b") > F.col("t_a"))
+        & (F.col("t_b") <= F.col("t_a") + F.expr(f"INTERVAL {within_sec} SECONDS")),
+    ).select(
+        F.col("svc_a").alias("service"),
+        "cause_body",
+        "effect_body",
+        F.col("t_a").cast("long").alias("cause_ts"),
+        F.col("t_b").cast("long").alias("effect_ts"),
+    )
