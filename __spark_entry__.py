@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": relational.order_priority_counts,
         "promo_revenue": relational.promo_revenue,
         "salted_event_type_counts": relational.salted_event_type_counts,
+        "event_type_severity_pivot": relational.event_type_severity_pivot,
+        "lineitem_rollup": relational.lineitem_rollup,
         # distribution statistics
         "value_percentiles": stats.value_percentiles,
         # event-time window family (T5 extension)
@@ -200,6 +202,8 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_counts": oracles.order_priority_counts_sql(),
         "promo_revenue": oracles.promo_revenue_sql(),
         "salted_event_type_counts": oracles.salted_event_type_counts_sql(),
+        "event_type_severity_pivot": oracles.event_type_severity_pivot_sql(),
+        "lineitem_rollup": oracles.lineitem_rollup_sql(),
         "value_percentiles": oracles.value_percentiles_sql(),
         "sliding_hash_counts": oracles.sliding_hash_counts_sql(),
         "session_hash_counts": oracles.session_hash_counts_sql(),

@@ -314,3 +314,35 @@ def salted_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     salting pattern; oracle is the plain GROUP BY (same result)."""
     ev = load_table(spark, sf_dir, "events")
     return salted_counts(ev, "event_type")
+
+
+# --- pivot + grouping sets (breadth beyond the reference) -------------------
+
+def event_type_severity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per user-id bucket, one count column per event
+    type — the wide-table shape dashboards consume. Pinned column set
+    (explicit pivot values) keeps the schema stable at any scale and
+    avoids the extra distinct-values job."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 10).alias("user_bucket")
+    return (
+        ev.groupBy(bucket)
+        .pivot("event_type", ["view", "click", "signup", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): per-group, per-flag and
+    grand-total fixed-point revenue in one pass — Spark plans the
+    grouping sets as a single expand+aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = fixed6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(rev) / float(FIXED_SCALE)).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -1134,3 +1134,25 @@ SELECT event_type,
        count(*) AS n
 FROM events GROUP BY event_type
 """
+
+
+def event_type_severity_pivot_sql() -> str:
+    cols = ", ".join(
+        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        for t in ("view", "click", "signup", "purchase", "error")
+    )
+    return f"""
+SELECT user_id % 10 AS user_bucket, {cols}
+FROM events GROUP BY user_bucket
+"""
+
+
+def lineitem_rollup_sql() -> str:
+    rev = _FIX.format(expr="l_extendedprice * (1 - l_discount)")
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       SUM({rev}) / 1000000.0 AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
