@@ -23,6 +23,7 @@ if str(_REPO) not in sys.path:
 
 from via_spark import oracles
 from via_spark.operators import (
+    asof,
     control,
     dedup,
     forensic,
@@ -144,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": relational.order_priority_counts,
         "promo_revenue": relational.promo_revenue,
         "salted_event_type_counts": relational.salted_event_type_counts,
+        "asof_last_purchase": asof.asof_last_purchase,
         "event_type_severity_pivot": relational.event_type_severity_pivot,
         "lineitem_rollup": relational.lineitem_rollup,
         # distribution statistics
@@ -202,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_counts": oracles.order_priority_counts_sql(),
         "promo_revenue": oracles.promo_revenue_sql(),
         "salted_event_type_counts": oracles.salted_event_type_counts_sql(),
+        "asof_last_purchase": oracles.asof_last_purchase_sql(),
         "event_type_severity_pivot": oracles.event_type_severity_pivot_sql(),
         "lineitem_rollup": oracles.lineitem_rollup_sql(),
         "value_percentiles": oracles.value_percentiles_sql(),

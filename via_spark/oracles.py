@@ -1156,3 +1156,30 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
+
+
+def asof_last_purchase_sql() -> str:
+    """DuckDB's native ASOF LEFT JOIN is the oracle for the engine's
+    union+window as-of composition (inclusive ts match)."""
+    return """
+WITH ev AS (
+    SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec, event_type, value
+    FROM events
+),
+pur AS (
+    SELECT user_id, ts_sec, event_id, value AS purchase_value
+    FROM ev WHERE event_type = 'purchase'
+),
+pd AS (
+    SELECT user_id, ts_sec, event_id, purchase_value FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, ts_sec ORDER BY event_id DESC) AS rn
+        FROM pur
+    ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts_sec, e.event_type,
+       p.event_id AS last_purchase_event,
+       p.purchase_value AS last_purchase_value
+FROM ev e ASOF LEFT JOIN pd p
+  ON e.user_id = p.user_id AND e.ts_sec >= p.ts_sec
+"""
