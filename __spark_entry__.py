@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-time window family (T5 extension)
         "sliding_hash_counts": windows.sliding_hash_counts,
         "session_hash_counts": windows.session_hash_counts,
+        "hypertable_rollup": windows.hypertable_rollup,
+        "range_containment_join": windows.range_containment_join,
     }
 
 
@@ -210,4 +212,6 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": oracles.value_percentiles_sql(),
         "sliding_hash_counts": oracles.sliding_hash_counts_sql(),
         "session_hash_counts": oracles.session_hash_counts_sql(),
+        "hypertable_rollup": oracles.hypertable_rollup_sql(),
+        "range_containment_join": oracles.range_containment_join_sql(),
     }

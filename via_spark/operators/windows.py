@@ -61,3 +61,44 @@ def session_hash_counts(
         )
         .select("rhythm_hash", "session_start", "session_end", "n")
     )
+
+
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: per-hash counts at THREE
+    granularities (minute/hour/day) in one pass — the multi-resolution
+    rollup a time-series store materializes incrementally. One explode
+    over the granularity list, one shuffle on (granularity, bucket,
+    key); at scale each granularity partition is written to its own
+    rollup table and refreshed per trigger."""
+    t1 = rhythm.tier1_from_events(spark, sf_dir)
+    grans = F.array(F.lit(60), F.lit(3600), F.lit(86400))
+    return (
+        t1.select("rhythm_hash", "ts", F.explode(grans).alias("gran_sec"))
+        .withColumn("bucket_start", (F.col("ts") - F.col("ts") % F.col("gran_sec")))
+        .groupBy("gran_sec", "bucket_start", "rhythm_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def range_containment_join(spark: SparkSession, sf_dir: str,
+                           gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
+    """Range join: assign every event to the session interval that
+    contains it (event.ts BETWEEN session.start AND session.end for the
+    same hash). The equi-key (rhythm_hash) carries the join; the range
+    predicate filters within key groups — the plan Spark picks for
+    mixed equi+range conditions (no cross product)."""
+    t1 = rhythm.tier1_from_events(spark, sf_dir)
+    sessions = session_hash_counts(spark, sf_dir, gap_sec).withColumnRenamed(
+        "rhythm_hash", "s_hash"
+    )
+    return (
+        t1.join(
+            sessions,
+            (F.col("rhythm_hash") == F.col("s_hash"))
+            & F.col("ts").between(F.col("session_start"), F.col("session_end")),
+        )
+        .select(
+            "event_id", "rhythm_hash", "ts", "session_start", "session_end",
+            F.col("n").alias("session_size"),
+        )
+    )

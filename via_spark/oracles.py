@@ -1183,3 +1183,44 @@ SELECT e.event_id, e.user_id, e.ts_sec, e.event_type,
 FROM ev e ASOF LEFT JOIN pd p
   ON e.user_id = p.user_id AND e.ts_sec >= p.ts_sec
 """
+
+
+def hypertable_rollup_sql() -> str:
+    return f"""
+WITH {TIER1_CTE},
+g AS (SELECT unnest([60, 3600, 86400]) AS gran_sec)
+SELECT g.gran_sec, h.ts - h.ts % g.gran_sec AS bucket_start,
+       h.rhythm_hash, count(*) AS n
+FROM hashed h, g
+GROUP BY 1, 2, 3
+"""
+
+
+def range_containment_join_sql(gap_sec: int = 86_400) -> str:
+    """Sessions (gaps-and-islands) + containment join on the same hash."""
+    return f"""
+WITH {TIER1_CTE},
+marked AS (
+    SELECT rhythm_hash, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= {gap_sec} THEN 1 ELSE 0 END AS brk
+    FROM hashed
+    WINDOW w AS (PARTITION BY rhythm_hash ORDER BY ts, event_id)
+),
+grouped AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY rhythm_hash ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+),
+sessions AS (
+    SELECT rhythm_hash AS s_hash, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS session_size
+    FROM grouped GROUP BY rhythm_hash, sid
+)
+SELECT h.event_id, h.rhythm_hash, h.ts,
+       s.session_start, s.session_end, s.session_size
+FROM hashed h
+JOIN sessions s
+  ON h.rhythm_hash = s.s_hash
+ AND h.ts BETWEEN s.session_start AND s.session_end
+"""
