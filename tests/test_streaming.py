@@ -205,3 +205,41 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, tmp_path):
     expect = {tuple(r) for r in batch.select("service", "cause_ts", "effect_ts").collect()}
     assert len(expect) > 0, "fixture must contain ERROR→WARN pairs"
     assert got == expect
+
+
+def test_detection_rereads_rules_per_trigger(spark, sf_smoke, tmp_path):
+    """T6 streaming side: a rule written between triggers suppresses the
+    hash in the NEXT batch without restarting the query pipeline."""
+    from via_spark.operators import control
+
+    src, tier1_path = _ingest(spark, sf_smoke, tmp_path)
+    tier2 = str(tmp_path / "tier2")
+    rules_path = str(tmp_path / "rules")
+
+    # first pass: no rules — find the flagged hashes
+    stream = pipeline.read_otel_stream(spark, src)
+    q = pipeline.start_detection(
+        spark, stream, tier1_path, tier2, str(tmp_path / "ck1"),
+        window_sec=rhythm.DEFAULT_WINDOW_SEC, available_now=True,
+        rules_path=rules_path, **DETECT_VARIANT,
+    )
+    q.awaitTermination(180)
+    first = {r["rhythm_hash"] for r in promote.read_tier2(spark, tier2).collect()}
+    assert first
+
+    # operator suppresses one hash; a NEW trigger run must exclude it
+    target = sorted(first)[0]
+    now = spark.read.parquet(tier1_path).agg(F.max("ts")).collect()[0][0]
+    rules = control.suppress(control.empty_rules(spark), target, ttl_sec=10**6, now=now)
+    rules.write.mode("overwrite").parquet(rules_path)
+
+    tier2b = str(tmp_path / "tier2b")
+    q = pipeline.start_detection(
+        spark, pipeline.read_otel_stream(spark, src), tier1_path, tier2b,
+        str(tmp_path / "ck2"), window_sec=rhythm.DEFAULT_WINDOW_SEC,
+        available_now=True, rules_path=rules_path, **DETECT_VARIANT,
+    )
+    q.awaitTermination(180)
+    second = {r["rhythm_hash"] for r in promote.read_tier2(spark, tier2b).collect()}
+    assert target not in second
+    assert second == first - {target}

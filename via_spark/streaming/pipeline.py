@@ -111,6 +111,7 @@ def start_detection(
     window_sec: int = 60,
     available_now: bool = False,
     tee_path: str | None = None,
+    rules_path: str | None = None,
     **detect_kwargs,
 ):
     """T7: per-trigger detect → rollup (A3) → tier2 append.
@@ -118,7 +119,10 @@ def start_detection(
     Each trigger re-reads the accumulated tier1 store (stream-static
     pattern, T3) with ``now`` = newest stored ts — identical semantics
     to the reference's worker pass, minus the wall clock. ``tee_path``
-    demonstrates T8 (same batch, second sink).
+    demonstrates T8 (same batch, second sink). ``rules_path`` is the
+    suppression/patch table, RE-READ every trigger (T6: an operator
+    suppressing a hash mid-stream takes effect at the next batch — the
+    broadcast-refresh pattern for slowly-changing reference data).
     """
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -131,8 +135,17 @@ def start_detection(
         if not tier1.take(1):
             return
         now = tier1.agg(F.max("ts")).collect()[0][0]
+        rules = None
+        if rules_path is not None:
+            from via_spark.operators import control
+
+            try:
+                rules = control.active_rules(spark.read.parquet(rules_path), now)
+            except Exception:
+                rules = None  # no rules written yet
         anomalies = rhythm.find_rhythm_anomalies(
-            spark, sf_dir="", tier1=tier1, now=now, window_sec=window_sec, **detect_kwargs
+            spark, sf_dir="", tier1=tier1, now=now, window_sec=window_sec,
+            rules=rules, **detect_kwargs
         )
         recent = rhythm.recent_window(tier1, now, window_sec)
         clusters = promote.rollup_clusters(anomalies, recent)
