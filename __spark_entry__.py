@@ -100,7 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, **_FREQ_VARIANT
         ),
         # promotion / tier2 (M2)
-        "promotion_rollup": promote.promotion_rollup,
+        "promotion_rollup": promote.promotion_rollup_flat,
         # forensic entry point 3 (tier2 clusters / triage)
         "forensic_clusters_text": forensic.cluster_search,
         "forensic_clusters_zero_vector": forensic.cluster_search_zero_vector,

@@ -83,7 +83,7 @@ def test_approx_aggregates_within_tolerance(spark, sf_oracle):
         assert abs(approx[sev] - n) / n < 0.05, (sev, approx[sev], n)
 
     exact_p = {
-        r["event_type"]: r["pcts"]
+        r["event_type"]: [r["p25"], r["p50"], r["p75"], r["p95"]]
         for r in stats.value_percentiles(spark, sf_oracle).collect()
     }
     approx_p = {

@@ -122,6 +122,16 @@ def promotion_rollup(spark: SparkSession, sf_dir: str, **variant) -> DataFrame:
     return rollup_clusters(anomalies, recent)
 
 
+def promotion_rollup_flat(spark: SparkSession, sf_dir: str, **variant) -> DataFrame:
+    """Driver-facing shape of :func:`promotion_rollup`: identical rows, but
+    ``sample_logs`` serialized to one newline-joined string so harnesses that
+    canonicalize via pandas (which cannot hash list cells) can compare it.
+    Internal writers keep the array form (:func:`write_tier2`)."""
+    return promotion_rollup(spark, sf_dir, **variant).withColumn(
+        "sample_logs", F.array_join("sample_logs", "\n")
+    )
+
+
 def write_tier2(clusters: DataFrame, path: str, mode: str = "append") -> None:
     """S5 sink: dynamic daily partitions; sorted within partitions on
     ``start_ts`` so Parquet row-group min/max stats sharpen time-range

@@ -33,10 +33,17 @@ PCTS = [0.25, 0.5, 0.75, 0.95]
 
 
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-event-type percentiles of ``value`` (oracle ✔)."""
+    """Exact per-event-type percentiles of ``value`` (oracle ✔).
+
+    One scalar column per percentile (p25/p50/p75/p95) rather than one
+    array column: same values, but a flat shape every downstream consumer
+    (including pandas-based canonicalizers) can sort and hash."""
     ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.percentile("value", p).alias(f"p{int(p * 100)}") for p in PCTS
+    ]
     return ev.groupBy("event_type").agg(
-        F.percentile("value", PCTS).alias("pcts"),
+        *aggs,
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -214,8 +214,13 @@ clusters AS (
 
 def promotion_rollup_sql(**kwargs) -> str:
     """A3/S5: member logs of each anomalous hash rolled into one tier2
-    cluster row (sample_logs = first 5 serialized logs by ts, event_id)."""
-    return _tier2_clusters_chain(**kwargs) + "SELECT * FROM clusters"
+    cluster row (sample_logs = first 5 serialized logs by ts, event_id).
+    ``sample_logs`` is newline-joined to a flat string to mirror the
+    driver-facing ``promotion_rollup_flat`` shape."""
+    return _tier2_clusters_chain(**kwargs) + (
+        "SELECT * REPLACE (array_to_string(sample_logs, chr(10)) AS sample_logs) "
+        "FROM clusters"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1130,7 +1135,10 @@ def value_percentiles_sql() -> str:
     """Both engines use linear interpolation a + (b-a)*frac — bit-exact."""
     return """
 SELECT event_type,
-       quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS pcts,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.50) AS p50,
+       quantile_cont(value, 0.75) AS p75,
+       quantile_cont(value, 0.95) AS p95,
        count(*) AS n
 FROM events GROUP BY event_type
 """
@@ -1138,7 +1146,9 @@ FROM events GROUP BY event_type
 
 def event_type_severity_pivot_sql() -> str:
     cols = ", ".join(
-        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        # CAST: DuckDB SUM yields HUGEINT whose repr diverges from Spark's
+        # bigint through pandas canonicalization even when values match.
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
         for t in ("view", "click", "signup", "purchase", "error")
     )
     return f"""
