@@ -29,6 +29,7 @@ from via_spark.operators import (
     forensic,
     multimodal,
     promote,
+    rank,
     relational,
     rhythm,
     schema_infer,
@@ -150,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_rollup": relational.lineitem_rollup,
         # distribution statistics
         "value_percentiles": stats.value_percentiles,
+        "global_value_rank": rank.global_value_rank,
         # event-time window family (T5 extension)
         "sliding_hash_counts": windows.sliding_hash_counts,
         "session_hash_counts": windows.session_hash_counts,
@@ -210,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "event_type_severity_pivot": oracles.event_type_severity_pivot_sql(),
         "lineitem_rollup": oracles.lineitem_rollup_sql(),
         "value_percentiles": oracles.value_percentiles_sql(),
+        "global_value_rank": oracles.global_value_rank_sql(),
         "sliding_hash_counts": oracles.sliding_hash_counts_sql(),
         "session_hash_counts": oracles.session_hash_counts_sql(),
         "hypertable_rollup": oracles.hypertable_rollup_sql(),

@@ -57,6 +57,37 @@ def test_dimension_joins_broadcast(spark, sf_oracle):
         )
 
 
+def test_spread_gate(spark, sf_oracle, tmp_path):
+    """spread() must widen a narrow scan but NEVER coalesce an
+    already-parallel input down to the session parallelism — the
+    unconditional repartition(32) it replaced was a 100×-scale killer."""
+    from via_spark.session import load_table, spread
+
+    par = spark.sparkContext.defaultParallelism
+
+    # narrow fixture scan (single parquet file = 1 split) → widened
+    narrow = load_table(spark, sf_oracle, "documents")
+    assert narrow.rdd.getNumPartitions() < par
+    assert spread(narrow).rdd.getNumPartitions() == par
+
+    # already-parallel input (simulating a multi-split cluster scan)
+    # → passes through with its partitioning intact, no Exchange
+    wide_n = par * 4
+    path = str(tmp_path / "wide")
+    narrow.repartition(wide_n).write.parquet(path)
+    wide = spark.read.parquet(path)
+    got = spread(wide)
+    assert got.rdd.getNumPartitions() == wide.rdd.getNumPartitions()
+    assert got is wide, "no-op path must not insert a Repartition node"
+
+    # filters still push through the widened plan to the scan
+    from via_spark.plans import executed_plan
+    from pyspark.sql import functions as F
+
+    p = executed_plan(spread(narrow).where(F.col("n_chars") > 100))
+    assert "PushedFilters: [" in p and "GreaterThan(n_chars" in p
+
+
 def test_tier2_partition_pruning(spark, sf_smoke, tmp_path):
     from via_spark.operators import promote
 

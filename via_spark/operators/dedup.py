@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from via_spark.functions.simhash import simhash_hex
 from via_spark.functions.text import tokens
 from via_spark.operators.vector import cosine_from_fix, dot_fix
-from via_spark.session import load_table
+from via_spark.session import load_table, spread
 
 MINHASH_K = 8          # signature length
 MINHASH_BANDS = 4      # bands of 2 rows each
@@ -80,7 +80,7 @@ def _shingles(toks: Column, n: int = SHINGLE_N) -> Column:
 
 
 def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").repartition(32)
+    d = spread(load_table(spark, sf_dir, "documents"))
     return (
         d.withColumn("toks", tokens(F.col("text")))
         .where(F.size("toks") >= SHINGLE_N)
@@ -102,8 +102,12 @@ def _minhash_sig(sh: Column, k: int = MINHASH_K) -> list[Column]:
 
 
 def minhash_bands(docs_sh: DataFrame) -> DataFrame:
-    """doc → (band index, band key) rows; same key ⇒ candidate pair."""
-    sig = docs_sh.select("doc_id", "sh", *_minhash_sig(F.col("sh")))
+    """doc → (band index, band key) rows; same key ⇒ candidate pair.
+
+    Output carries ONLY (doc_id, band, band_key): the shingle arrays —
+    i.e. the corpus text, ~8× — stay OUT of the LSH shuffle and are
+    joined back for the verify step on candidate pairs alone."""
+    sig = docs_sh.select("doc_id", *_minhash_sig(F.col("sh")))
     rows_per_band = MINHASH_K // MINHASH_BANDS
     bands = F.array(
         *[
@@ -113,9 +117,7 @@ def minhash_bands(docs_sh: DataFrame) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    return sig.select(
-        "doc_id", "sh", F.posexplode(bands).alias("band", "band_key")
-    )
+    return sig.select("doc_id", F.posexplode(bands).alias("band", "band_key"))
 
 
 def jaccard(a_sh: Column, b_sh: Column) -> Column:
@@ -130,34 +132,37 @@ def dedup_minhash_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
 
-    Bands are cached: the self-join reuses one computed copy of the
-    signatures (at cluster scale: a persisted signatures table)."""
-    sh = shingled_documents(spark, sf_dir)
-    bands = minhash_bands(sh).cache()
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "band_key"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "band_key"
-    )
+    Shape: the band self-join shuffles (doc_id, band, band_key) rows
+    only; the shingle arrays are joined back onto the (deduplicated)
+    candidate PAIRS for the exact-Jaccard verify. The shingled frame is
+    cached — one computed copy serves band derivation and both verify
+    joins (at cluster scale: a persisted signatures/shingles table)."""
+    sh = shingled_documents(spark, sf_dir).cache()
+    bands = minhash_bands(sh)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     cand = (
         a.join(b, ["band", "band_key"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    verify = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b"
+    )
     return (
-        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        verify.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
 
 
 def simhashed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # repartition: the fixture is one parquet file = one task; the
-    # fingerprint is the expensive projection, so spread it across
-    # cores (on a cluster the scan already has many splits)
-    d = load_table(spark, sf_dir, "documents").repartition(32)
+    # gated spread: widen the single-split fixture scan before the
+    # expensive fingerprint projection; no-op on a multi-split scan
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.withColumn("toks", tokens(F.col("text"))).where(F.size("toks") > 0)
     return toks.select("doc_id", simhash_hex(F.col("toks")).alias("simhash"))
 

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from via_spark.session import load_table
+from via_spark.session import load_table, spread
 
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, content_sha256 string, fake_width long, fake_height long"
@@ -94,7 +94,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # 8 partitions: each spawns a Python worker — worker startup
     # dominates at fixture scale, so fewer/larger Arrow batches win
-    d = load_table(spark, sf_dir, "documents").repartition(8)
+    d = spread(load_table(spark, sf_dir, "documents"), 8)
     payloads = with_binary_payload(d).select("doc_id", "content")
     return payloads.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
 

@@ -1,0 +1,86 @@
+"""Exact global ranking without a single-partition funnel.
+
+``Window.orderBy`` with no ``partitionBy`` funnels every row through ONE
+partition (Spark even warns about it) — correct at test scale, a
+bottleneck at 100 TB. This module computes the SAME exact global
+``row_number`` scalably:
+
+1. ``repartitionByRange`` on the total order → partition *i* holds rows
+   that sort strictly before partition *i+1* (the order columns must
+   form a total order — include a unique tiebreak column).
+2. ``sortWithinPartitions`` + ``monotonically_increasing_id`` → each
+   row's (partition id, offset-within-partition) pair, derived from the
+   id's documented layout (pid << 33 | local row offset). The
+   nondeterministic id keeps Catalyst from reordering it across the
+   sort, so the offset follows the sorted order.
+3. Per-partition counts (one row per partition) → cumulative offsets via
+   a window over O(num_partitions) rows — the only "global" step, and
+   it is O(partitions), not O(data).
+4. Broadcast the offsets back; global rank = local offset + partition
+   offset + 1.
+
+Cost model: the counts branch and the main branch each evaluate the
+range-partitioned subplan (Spark reuses identical exchanges where the
+plans canonicalize equal), so worst case is two parallel shuffles of the
+ranked columns — still strictly better at scale than one shuffle that
+funnels everything through a single partition. Rankings that only need
+a bounded prefix should prefer a top-N cut (TakeOrderedAndProject), as
+``search.hybrid_rrf`` does; this operator is for when the FULL exact
+ranking is the product (percentile assignment, corpus-wide ordering).
+
+Oracle-checked through the ``global_value_rank`` driver row against
+DuckDB ``row_number() OVER (ORDER BY ...)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from via_spark.session import load_table
+
+_PID_SHIFT = 33
+_LOCAL_MASK = (1 << _PID_SHIFT) - 1
+
+
+def global_row_number(
+    df: DataFrame,
+    order: list[Column],
+    out: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out`` = exact 1-based global row_number over ``order``.
+
+    ``order`` must be a total order (tie-break on a unique column) so the
+    rank is well-defined independent of partition boundaries.
+    """
+    spark = df.sparkSession
+    npart = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(npart, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mid", _PID_SHIFT))
+        .withColumn("_loc", F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK)))
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_off")
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_loc") + F.col("_off") + 1).cast("int"))
+        .drop("_mid", "_pid", "_loc", "_off")
+    )
+
+
+def global_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: exact global rank of every event by
+    (value desc, event_id asc) — the full-corpus ordering a percentile
+    or curriculum-sampling pipeline needs, computed without any
+    single-partition funnel."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return global_row_number(
+        ev, [F.col("value").desc(), F.col("event_id").asc()], "rank"
+    ).select("event_id", "value", "rank")

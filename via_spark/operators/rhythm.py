@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from via_spark.functions.text import rhythm_hash, template
-from via_spark.session import load_table
+from via_spark.session import load_table, spread
 
 HISTORICAL_SAMPLE_SIZE = 10_000
 NOVELTY_MIN_COUNT = 2
@@ -60,13 +60,14 @@ def tier1_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     with nanosAsLong) — integer division keeps the conversion exact.
 
     The fixture is one small parquet file = one scan split, so the
-    template/sha256 projection is spread across cores with an explicit
-    repartition; Catalyst still pushes the time-range filters through
-    the Repartition node down to the scan (PushPredicateThroughNonJoin),
-    so ts_ns row-group skipping is preserved. Cluster scans of a real
-    tier1 already have many splits and would omit this.
+    template/sha256 projection goes through the gated ``spread`` helper
+    (repartitions only when the scan is narrower than the session
+    parallelism — a multi-split cluster scan passes through untouched);
+    Catalyst still pushes the time-range filters through the Repartition
+    node down to the scan (PushPredicateThroughNonJoin), so ts_ns
+    row-group skipping is preserved.
     """
-    ev = load_table(spark, sf_dir, "events").repartition(32)
+    ev = spread(load_table(spark, sf_dir, "events"))
     body = F.concat_ws(
         " ",
         F.concat(F.col("event_type"), F.lit(" value="), F.format_string("%.2f", "value")),

@@ -39,7 +39,7 @@ from pyspark.sql.types import (
 )
 
 from via_spark.operators.relational import EVENT_SEVERITY
-from via_spark.session import load_table
+from via_spark.session import load_table, spread
 
 # --- OTel envelope ----------------------------------------------------------
 
@@ -119,7 +119,7 @@ def _body(ev: DataFrame) -> Column:
 def otel_envelope_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Render events as OTel-JSON envelopes (service.name deliberately
     NOT the first attribute, so the parser must search the array)."""
-    ev = load_table(spark, sf_dir, "events").repartition(32)
+    ev = spread(load_table(spark, sf_dir, "events"))
     attr = lambda k, v: F.struct(  # noqa: E731
         F.lit(k).alias("key"),
         F.struct(v.alias("stringValue"), F.lit(None).cast("long").alias("intValue")).alias("value"),

