@@ -119,21 +119,45 @@ def test_patch_writes_eval_case_and_deactivate(engine, tmp_path):
 
 def test_tier2_clusters_and_triage(engine):
     engine.tier1_rhythm_anomalies(window_sec=WINDOW, now=NOW)  # ensure promoted
-    clusters = engine.tier2_clusters(text_filter=None).collect()
+    # NOW+601: past the suppression test_suppress_then_reanalyze left
+    # behind (forensic search honors active rules, reference parity)
+    later = NOW + 601
+    clusters = engine.tier2_clusters(text_filter=None, now=later).collect()
     assert len(clusters) >= 2
     # V3 pinned ordering: count desc, cluster_id asc
     counts = [c["incident_count"] for c in clusters]
     assert counts == sorted(counts, reverse=True) or len(set(counts)) < len(counts)
     # text-filtered search finds the quantum cluster
-    hits = engine.tier2_clusters(text_filter="quantum").collect()
+    hits = engine.tier2_clusters(text_filter="quantum", now=later).collect()
     assert len(hits) >= 1 and all("Quantum" in h["body"] for h in hits)
     # S8: a time window outside the data prunes to nothing
-    assert engine.tier2_clusters(start_ts=1, end_ts=2).count() == 0
+    assert engine.tier2_clusters(start_ts=1, end_ts=2, now=later).count() == 0
     # triage: positive example excluded from results, empty positives → []
     pos = hits[0]["cluster_id"]
-    rec = engine.tier2_triage([pos]).collect()
+    rec = engine.tier2_triage([pos], now=later).collect()
     assert all(r["cluster_id"] != pos for r in rec)
-    assert engine.tier2_triage([]).count() == 0
+    assert engine.tier2_triage([], now=later).count() == 0
+
+
+def test_forensic_search_honors_suppression(engine):
+    """Reference parity (forensic_analysis_service.py:63-65): a
+    suppressed/patched hash is filtered out of cluster search AND
+    triage; deactivation restores it."""
+    later = NOW + 601
+    q = engine.tier2_clusters(text_filter="quantum", now=later).collect()[0]["cluster_id"]
+    other = next(
+        c["cluster_id"]
+        for c in engine.tier2_clusters(text_filter=None, now=later).collect()
+        if c["cluster_id"] != q
+    )
+    engine.control_suppress(q, ttl_sec=600, now=later)
+    assert engine.tier2_clusters(text_filter="quantum", now=later + 1).count() == 0
+    assert all(
+        r["cluster_id"] != q
+        for r in engine.tier2_triage([other], now=later + 1).collect()
+    )
+    engine.control_delete_suppress(q)
+    assert engine.tier2_clusters(text_filter="quantum", now=later + 1).count() >= 1
 
 
 def test_schema_endpoints(engine):
@@ -146,3 +170,26 @@ def test_schema_endpoints(engine):
     assert engine.schemas_list() == ["otel_src"]
     assert engine.schemas_get("otel_src")["source_type"] == "otel"
     assert engine.schemas_get("nope") is None
+
+
+def test_run_evals_closes_regression_loop(engine):
+    """Beyond the reference: generated eval cases are REPLAYED — a
+    patched hash must stay non-anomalous; deactivating the patch makes
+    the case fail, proving the runner actually detects regressions."""
+    out = engine.tier1_rhythm_anomalies(window_sec=WINDOW, now=NOW)
+    target = (out["novel_anomalies"] + out["frequency_anomalies"])[0]["rhythm_hash"]
+    engine.control_patch(target, now=NOW, context_logs=["planted context"])
+
+    results = engine.run_evals(window_sec=WINDOW, now=NOW)
+    mine = [r for r in results if r["rhythm_hash"] == target]
+    assert mine and all(r["passed"] for r in mine)
+
+    # regression: un-patch -> the hash is flagged again -> case fails
+    engine.control_delete_patch(target)
+    results = engine.run_evals(window_sec=WINDOW, now=NOW)
+    mine = [r for r in results if r["rhythm_hash"] == target]
+    assert mine and all(
+        r["actual_is_anomaly"] and not r["passed"] for r in mine
+    )
+    # restore the patch so later tests see the original rule state
+    engine.control_patch(target, now=NOW, context_logs=["planted context"])

@@ -35,3 +35,38 @@ def test_simhash_deterministic_and_identical_inputs(spark):
     assert a == b
     df = spark.createDataFrame([(a, b)], "x string, y string")
     assert df.select(hamming_hex(F.col("x"), F.col("y"))).first()[0] == 0
+
+
+def test_dense_embed_shell_with_fake_encoder(spark, sf_oracle):
+    """The production mapInPandas embedding shell, driven by an injected
+    fake model: proves the plumbing (schema, Arrow batch shape, id
+    alignment) so the ONNX swap-in is a one-line encoder change."""
+    import pytest
+
+    from via_spark.functions import embed
+    from via_spark.session import load_table
+
+    d = load_table(spark, sf_oracle, "documents").limit(50)
+
+    def fake_encoder(texts):
+        # deterministic pure function of the text, one vector per input
+        return [[float(len(t) % 7)] * embed.EMBED_DIM for t in texts]
+
+    out = embed.dense_embedded(d, "doc_id", "text", encoder=fake_encoder)
+    assert out.schema["embedding"].dataType.simpleString() == "array<float>"
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(len(r["embedding"]) == embed.EMBED_DIM for r in rows)
+    # id ↔ vector alignment survives the batch boundary
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    for r in rows:
+        assert r["embedding"][0] == float(len(texts[r["id"]]) % 7)
+
+    # wrong-width encoder is rejected by the shell's contract check
+    bad = embed.dense_embedded(d, "doc_id", "text", encoder=lambda ts: [[1.0]] * len(ts))
+    with pytest.raises(Exception, match="non-384-dim"):
+        bad.collect()
+
+    # default path: the model-loader stub raises with a clear message
+    with pytest.raises(Exception, match="model runtime"):
+        embed.dense_embedded(d, "doc_id", "text").collect()

@@ -88,12 +88,7 @@ class VIAEngine:
         t1 = self._tier1()
         if now is None:
             now = t1.agg(F.max("ts")).collect()[0][0]
-        rules = control.active_rules(self._rules(), now)
-        anomalies = rhythm.find_rhythm_anomalies(
-            self.spark, sf_dir="", tier1=t1, now=now, window_sec=window_sec,
-            rules=rules, **detect_kwargs,
-        )
-        out = [r.asDict() for r in anomalies.collect()]
+        out, anomalies = self._detect(t1, window_sec, now, **detect_kwargs)
         if out:
             recent = rhythm.recent_window(t1, now, window_sec)
             clusters = promote.rollup_clusters(anomalies, recent)
@@ -103,20 +98,66 @@ class VIAEngine:
             "frequency_anomalies": [a for a in out if a["anomaly_type"] == "frequency"],
         }
 
+    def _detect(self, t1: DataFrame, window_sec: int, now: int,
+                **detect_kwargs) -> tuple[list[dict], DataFrame]:
+        rules = control.active_rules(self._rules(), now)
+        anomalies = rhythm.find_rhythm_anomalies(
+            self.spark, sf_dir="", tier1=t1, now=now, window_sec=window_sec,
+            rules=rules, **detect_kwargs,
+        )
+        return [r.asDict() for r in anomalies.collect()], anomalies
+
+    def run_evals(self, window_sec: int = 300, now: int | None = None,
+                  **detect_kwargs) -> list[dict]:
+        """Replay every generated eval case against a fresh detection
+        pass (no promotion side effects) and report each case's verdict.
+
+        Beyond the reference: it GENERATES eval YAMLs on every patch
+        (``control_service.py:37-58``) but never executes them; this
+        runner closes the regression loop — a patched hash must stay
+        non-anomalous."""
+        import glob
+
+        t1 = self._tier1()
+        if now is None:
+            now = t1.agg(F.max("ts")).collect()[0][0]
+        out, _ = self._detect(t1, window_sec, now, **detect_kwargs)
+        flagged = {a["rhythm_hash"] for a in out}
+        results = []
+        for path in sorted(glob.glob(os.path.join(self.evals_dir, "*.yml"))):
+            case = control.read_eval_case(path)
+            actual = case["rhythm_hash"] in flagged
+            results.append({
+                "case": os.path.basename(path),
+                "rhythm_hash": case["rhythm_hash"],
+                "expected_is_anomaly": case["expected_is_anomaly"],
+                "actual_is_anomaly": actual,
+                "passed": actual == case["expected_is_anomaly"],
+            })
+        return results
+
     def tier2_clusters(self, start_ts: int | None = None, end_ts: int | None = None,
-                       text_filter: str | None = None, limit: int = 100) -> DataFrame:
-        """POST /analysis/tier2/clusters — S8 partition pruning + V2/V3."""
+                       text_filter: str | None = None, limit: int = 100,
+                       now: int | None = None) -> DataFrame:
+        """POST /analysis/tier2/clusters — S8 partition pruning + V2/V3.
+
+        Suppressed/patched hashes are filtered out, like the reference's
+        forensic search (``forensic_analysis_service.py:63-65``)."""
         c = promote.read_tier2(self.spark, self.tier2_path, start_ts, end_ts)
         return forensic.cluster_search_over(
-            self.spark, c, text_filter=text_filter, limit=limit
+            self.spark, self._without_ruled(c, now), text_filter=text_filter,
+            limit=limit,
         )
 
     def tier2_triage(self, positive_ids: list[str], negative_ids: list[str] | None = None,
-                     limit: int = 50) -> DataFrame:
+                     limit: int = 50, now: int | None = None) -> DataFrame:
         """POST /analysis/tier2/triage — V4; empty positives → empty
-        result (reference early-return, `forensic_analysis_service.py:76-77`)."""
+        result (reference early-return, `forensic_analysis_service.py:76-77`).
+        Suppressed/patched hashes are filtered like tier2_clusters."""
         c = promote.read_tier2(self.spark, self.tier2_path)
-        return forensic.triage_over(self.spark, c, positive_ids, negative_ids, limit)
+        return forensic.triage_over(
+            self.spark, self._without_ruled(c, now), positive_ids, negative_ids, limit
+        )
 
     # -- adaptive control loop ------------------------------------------------
 
@@ -169,7 +210,20 @@ class VIAEngine:
         except Exception:
             return control.empty_rules(self.spark)
 
+    def _without_ruled(self, clusters: DataFrame, now: int | None) -> DataFrame:
+        """Drop clusters whose hash has an active suppress/patch rule.
+        ``now`` defaults to the newest stored cluster end (data-derived,
+        never wall clock — SURVEY.md §7.4 decision 2)."""
+        if now is None:
+            now = clusters.agg(F.max("end_ts")).collect()[0][0] or 0
+        return control.apply_rules(clusters, self._rules(), now)
+
     def _write_rules(self, rules: DataFrame) -> None:
-        rules.cache().count()  # materialize before overwriting the source
-        rules.write.mode("overwrite").parquet(self.rules_path)
-        rules.unpersist()
+        # The rules table is tiny: snapshot it on the driver and write
+        # from the snapshot, so the overwrite can never race the lazy
+        # plan that is reading the same path (a cached-then-evicted
+        # partition would otherwise recompute from a truncated source
+        # and silently drop rules — i.e. re-enable suppressed alerts).
+        rows = rules.collect()
+        snap = self.spark.createDataFrame(rows, control.RULES_SCHEMA)
+        snap.write.mode("overwrite").parquet(self.rules_path)

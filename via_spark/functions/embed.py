@@ -11,10 +11,12 @@ two implementations behind one interface (SURVEY.md §7.4 decision 5):
   to dimension ``conv(sha256(token)[:3], 16, 10) % 384`` with weight =
   term frequency. Exact integer weights ⇒ cosine math is
   oracle-checkable bit-for-bit.
-* ``dense_embed_batches`` — the production path: an Arrow-batched
-  ``mapInPandas`` stage that would host a real ONNX/sentence-transformer
-  model; STUBBED here (the container has no model runtime) with a
-  clearly-marked NotImplementedError and the same batch contract.
+* ``dense_embedded`` / ``dense_embed_batches`` — the production path:
+  an Arrow-batched ``mapInPandas`` stage hosting a pluggable encoder
+  (``Callable[[list[str]], vectors]``). The batching shell is real and
+  tested with an injected fake model; only ``_load_model_encoder`` is
+  STUBBED (the container has no ONNX runtime) with a clearly-marked
+  NotImplementedError, so swapping in the real model is a one-liner.
 
 Scale posture (100 TB): the fallback embedder is explode → groupBy —
 one shuffle keyed by (id, dim); scoring joins on ``dim`` only touch
@@ -57,17 +59,53 @@ def sparse_norms(rows: DataFrame, id_cols: list[str]) -> DataFrame:
     return rows.groupBy(*id_cols).agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
 
 
-def dense_embed_batches(batches: Iterator, model_name: str = "bge-small-en-v1.5"):
-    """Production dense-embedding stage (STUB).
+def _load_model_encoder(model_name: str = "bge-small-en-v1.5"):
+    """Load the production encoder (STUB — swap-in point for ONNX).
 
-    Contract: each incoming pandas DataFrame has columns (id, text);
-    each yielded frame has (id, embedding: list[float] of 384). A real
-    deployment loads the ONNX model once per worker here. This
-    container has no model runtime, so the stage raises — the
-    deterministic ``sparse_embedding_rows`` path is the engine's
-    testable embedder.
+    A real deployment returns ``lambda texts: model.encode(texts)``
+    here, loaded ONCE per Python worker. This container has no model
+    runtime, so loading raises; the deterministic
+    ``sparse_embedding_rows`` path is the engine's testable embedder.
     """
     raise NotImplementedError(
         f"dense embedding ({model_name}) requires an ONNX/model runtime "
-        "not present in this container; use sparse_embedding_rows"
+        "not present in this container; use sparse_embedding_rows or "
+        "inject an encoder into dense_embedded()"
+    )
+
+
+def dense_embed_batches(batches: Iterator, encoder=None, dim: int = EMBED_DIM):
+    """Production dense-embedding stage (Arrow-batched mapInPandas body).
+
+    Contract: each incoming pandas DataFrame has columns (id, text);
+    each yielded frame has (id, embedding: list[float] of ``dim``).
+    ``encoder`` is ``Callable[[list[str]], sequence of dim-length
+    vectors]`` — injected for tests, defaulting to the (stubbed) model
+    loader so the ONNX swap-in is a one-line change in
+    ``_load_model_encoder``. The encoder is resolved once per worker,
+    NOT per batch — the model-load cost amortizes across the stream.
+    """
+    import pandas as pd
+
+    enc = encoder if encoder is not None else _load_model_encoder()
+    for pdf in batches:
+        vecs = enc(pdf["text"].tolist())
+        out = [list(map(float, v)) for v in vecs]
+        if any(len(v) != dim for v in out):
+            raise ValueError(f"encoder returned a non-{dim}-dim vector")
+        yield pd.DataFrame({"id": pdf["id"], "embedding": out})
+
+
+def dense_embedded(df: DataFrame, id_col: str, text_col: str,
+                   encoder=None, dim: int = EMBED_DIM) -> DataFrame:
+    """(id, text) frame → (id, embedding array<float>) via Arrow batches.
+
+    The Spark-side plumbing (schema, batch shape, per-worker encoder
+    resolution) is real and tested with an injected fake encoder; only
+    the model load itself is stubbed (no runtime in this container)."""
+    sel = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    id_type = sel.schema["id"].dataType.simpleString()
+    return sel.mapInPandas(
+        lambda it: dense_embed_batches(it, encoder, dim),
+        schema=f"id {id_type}, embedding array<float>",
     )

@@ -13,6 +13,11 @@ form): each left row gets the right row with the greatest
 timestamp matches; left rows before any right row get NULLs.
 Determinism: right rows are pre-deduplicated to one per (key, ts)
 (greatest tiebreak id wins) and right sorts before left at equal ts.
+The payload travels as ONE struct carried by a single
+``last(ignorenulls)`` — so a legitimately-NULL field inside the matched
+right row stays NULL instead of being back-filled from an older row
+(per-column carries would mix columns of different right rows, which
+would diverge from DuckDB's ASOF row semantics).
 
 Scale posture (100 TB): the union-window form is how production Spark
 does point-in-time joins (feature stores, trade/quote alignment): state
@@ -25,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -49,11 +55,14 @@ def asof_join(
     )
 
     left_cols = [c for c in left.columns]
+    payload_type = StructType(
+        [StructField(c, r.schema[c].dataType, True) for c in payload_cols]
+    )
     r_tagged = r.select(
         F.col(key),
         F.col(ts),
         F.lit(1).alias("_is_right"),
-        *[F.col(c).alias(f"asof_{c}") for c in payload_cols],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_cols if c not in (key, ts)],
     )
@@ -61,27 +70,25 @@ def asof_join(
         F.col(key),
         F.col(ts),
         F.lit(0).alias("_is_right"),
-        *[F.lit(None).cast(r.schema[c].dataType).alias(f"asof_{c}") for c in payload_cols],
+        F.lit(None).cast(payload_type).alias("_payload"),
         *[F.col(c) for c in left_cols if c not in (key, ts)],
     )
     unioned = r_tagged.unionByName(l_tagged)
 
-    # right rows sort before left rows at equal ts → inclusive match
+    # right rows sort before left rows at equal ts → inclusive match;
+    # the whole payload struct is carried by ONE last(ignorenulls), so
+    # all asof_* fields come from the SAME matched right row
     w = (
         Window.partitionBy(key)
         .orderBy(F.col(ts).asc(), F.col("_is_right").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"asof_{c}"), ignorenulls=True).over(w).alias(f"_carr_{c}")
-            for c in payload_cols
-        ],
+        "*", F.last(F.col("_payload"), ignorenulls=True).over(w).alias("_carr")
     )
     return carried.where(F.col("_is_right") == 0).select(
         *[F.col(c) for c in left_cols],
-        *[F.col(f"_carr_{c}").alias(f"asof_{c}") for c in payload_cols],
+        *[F.col("_carr")[c].alias(f"asof_{c}") for c in payload_cols],
     )
 
 

@@ -142,6 +142,25 @@ def write_eval_case(
     return path
 
 
+def read_eval_case(path: str) -> dict:
+    """Parse one eval case file (the exact line-based shape
+    ``write_eval_case`` emits — values are Python reprs, so no YAML
+    runtime is needed in this container)."""
+    import ast
+
+    case: dict = {"context_logs": [], "expected_is_anomaly": False}
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if line.startswith("rhythm_hash: "):
+                case["rhythm_hash"] = ast.literal_eval(line.split(": ", 1)[1])
+            elif line.startswith("  - "):
+                case["context_logs"].append(ast.literal_eval(line[4:]))
+            elif line.startswith("  is_anomaly: "):
+                case["expected_is_anomaly"] = line.split(": ", 1)[1] == "true"
+    return case
+
+
 # --- fixture-derived rule queries (oracle-checkable) ------------------------
 
 def _recent_counts(spark: SparkSession, sf_dir: str):

@@ -58,6 +58,25 @@ def tier2_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promote.promotion_rollup(spark, sf_dir, **TIER2_VARIANT)
 
 
+def _canonical_per_hash(c: DataFrame) -> DataFrame:
+    """One canonical row per rhythm_hash (count desc, start_ts asc).
+
+    A stored tier2 appends one row per hash per analysis run
+    (write_tier2 mode=append); the reference's ``search_groups`` /
+    ``group_by=rhythm_hash`` dedups groups in every forensic path
+    (``forensic_analysis_service.py:63-65``). Deduping BEFORE the
+    embedding step also keeps multi-run bodies from double-counting
+    into one hash's sparse vector."""
+    w = Window.partitionBy("rhythm_hash").orderBy(
+        F.col("count").desc(), F.col("start_ts").asc()
+    )
+    return (
+        c.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def _embedded(clusters: DataFrame) -> tuple[DataFrame, DataFrame]:
     rows = sparse_embedding_rows(clusters, ["rhythm_hash"], "body")
     return rows, sparse_norms(rows, ["rhythm_hash"])
@@ -87,6 +106,7 @@ def cluster_search_over(
     """
     if start_ts is not None and end_ts is not None:
         c = c.where(F.col("start_ts").between(start_ts, end_ts))
+    c = _canonical_per_hash(c)
 
     if text_filter is None:
         # V3: zero query vector — pinned deterministic order
@@ -129,15 +149,10 @@ def cluster_search_over(
             ),
         )
     )
-    # V2/W1: best hit per rhythm_hash (tier2 may hold one row per hash
-    # per analysis run; grouping keeps the best-scoring run)
-    w = Window.partitionBy("rhythm_hash").orderBy(
-        F.col("score").desc(), F.col("start_ts").asc()
-    )
+    # V2/W1: one hit per rhythm_hash — guaranteed by the upfront
+    # _canonical_per_hash dedup, so no second per-group window is needed
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(
+        scored.select(
             F.col("rhythm_hash").alias("cluster_id"),
             F.col("count").alias("incident_count"),
             "service", "severity", "anomaly_type", "body", "score",
@@ -212,6 +227,7 @@ def triage(
 def _triage_core(
     c: DataFrame, marked: DataFrame, n_pos: int, n_neg: int, limit: int
 ) -> DataFrame:
+    c = _canonical_per_hash(c)
     rows, norms = _embedded(c)
     ex = rows.join(F.broadcast(marked), "rhythm_hash")
     qd = ex.groupBy("dim").agg(

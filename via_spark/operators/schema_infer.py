@@ -293,9 +293,12 @@ def save_schema(spark: SparkSession, path: str, source_name: str, schema: dict) 
         merged = existing.join(new, "source_name", "left_anti").unionByName(new)
     except Exception:
         merged = new
-    merged.cache().count()  # materialize before overwriting the source
-    merged.write.mode("overwrite").parquet(path)
-    merged.unpersist()
+    # Tiny registry: snapshot on the driver, write from the snapshot —
+    # the overwrite can then never race the lazy plan reading this path
+    # (cache eviction between count and write would recompute from the
+    # truncated source and lose the registry).
+    snap = spark.createDataFrame(merged.collect(), REGISTRY_SCHEMA)
+    snap.write.mode("overwrite").parquet(path)
 
 
 def get_schema(spark: SparkSession, path: str, source_name: str) -> dict | None:
