@@ -27,6 +27,7 @@ from via_spark.operators import (
     control,
     dedup,
     forensic,
+    graph,
     multimodal,
     promote,
     rank,
@@ -120,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "neardup_embedding_pairs": dedup.neardup_embedding_pairs,
         "ann_lsh_topk": dedup.ann_lsh_topk,
+        "ann_ivf_topk": dedup.ann_ivf_topk,
+        "dedup_clusters": graph.dedup_clusters,
         # text analysis + multimodal (M6)
         "token_count_documents": textstats.token_count_documents,
         "doc_quality_scores": textstats.doc_quality_scores,
@@ -149,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_purchase": asof.asof_last_purchase,
         "event_type_severity_pivot": relational.event_type_severity_pivot,
         "lineitem_rollup": relational.lineitem_rollup,
+        "per_day_topk": relational.per_day_topk,
         # distribution statistics
         "value_percentiles": stats.value_percentiles,
         "global_value_rank": rank.global_value_rank,
@@ -185,6 +189,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": oracles.dedup_simhash_pairs_sql(),
         "neardup_embedding_pairs": oracles.neardup_embedding_pairs_sql(),
         "ann_lsh_topk": oracles.ann_lsh_topk_sql(),
+        "ann_ivf_topk": oracles.ann_ivf_topk_sql(),
+        "dedup_clusters": oracles.dedup_clusters_sql(),
         "token_count_documents": oracles.token_count_documents_sql(),
         "doc_quality_scores": oracles.doc_quality_scores_sql(),
         "lang_id_documents": oracles.lang_id_documents_sql(),
@@ -211,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_purchase": oracles.asof_last_purchase_sql(),
         "event_type_severity_pivot": oracles.event_type_severity_pivot_sql(),
         "lineitem_rollup": oracles.lineitem_rollup_sql(),
+        "per_day_topk": oracles.per_day_topk_sql(),
         "value_percentiles": oracles.value_percentiles_sql(),
         "global_value_rank": oracles.global_value_rank_sql(),
         "sliding_hash_counts": oracles.sliding_hash_counts_sql(),

@@ -54,3 +54,51 @@ def test_retention_drops_old_partitions(spark, tmp_path):
     remaining = spark.read.parquet(path)
     assert remaining.count() == 4
     assert remaining.where(F.col("event_date") < "2026-01-03").count() == 0
+
+
+def test_compaction_reduces_files_preserves_values(spark, sf_smoke, tmp_path):
+    from via_spark.operators import promote
+
+    clusters = promote.promotion_rollup(
+        spark, sf_smoke, sample_size=200, novelty_min_count=1
+    )
+    path = str(tmp_path / "t2")
+    # three appends → ≥3 files per touched partition (micro-batch shape)
+    for _ in range(3):
+        promote.write_tier2(clusters, path)
+    before = promote.read_tier2(spark, path).orderBy(
+        "rhythm_hash", "start_ts"
+    ).collect()
+
+    res = storage.compact_partitions(spark, path, sort_col="start_ts")
+    assert res["files_after"] < res["files_before"]
+    assert res["rows"] == len(before)
+    # one file per partition value
+    import os
+
+    for entry in os.listdir(path):
+        if entry.startswith("event_date="):
+            files = [
+                f for f in os.listdir(os.path.join(path, entry))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (entry, files)
+    after = promote.read_tier2(spark, path).orderBy(
+        "rhythm_hash", "start_ts"
+    ).collect()
+    assert after == before
+
+
+def test_connected_components_basic(spark):
+    from via_spark.operators.graph import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    # chain 0-1-2, pair 4-5, singletons 3 and 6
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (5, 4)], "src long, dst long"
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(verts, edges).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}

@@ -267,6 +267,70 @@ def neardup_embedding_pairs(
     )
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def ivf_assigned(e: DataFrame, n_centroids: int = IVF_CENTROIDS) -> tuple[DataFrame, DataFrame]:
+    """IVF 'train' + 'assign' without a model runtime: the coarse
+    quantizer is a deterministic corpus sample (vec_id < n_centroids);
+    every vector is assigned to its argmax-dot cell. Dots are exact
+    fixed-point BIGINTs, so the assignment is bit-reproducible.
+    Returns (centroids(cid, cemb), cells(vec_id, label, embedding, cid)).
+
+    At cluster scale the assignment is a stored signatures column,
+    computed once per corpus snapshot in a single broadcast pass."""
+    cent = e.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cid").asc())
+    cells = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("cdot", dot_fix(F.col("embedding"), F.col("cemb")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "label", "embedding", "cid")
+    )
+    return cent, cells
+
+
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10,
+    n_centroids: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-style ANN: probe the query's ``nprobe`` best cells, exact
+    cosine re-rank inside them (the inverted-file candidate bound that
+    makes billion-vector search tractable; ann_lsh_topk is the
+    hyperplane-bucket alternative, knn_cosine_topk the exact baseline).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent, cells = ivf_assigned(e, n_centroids)
+    q = e.where(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .withColumn("qdot", dot_fix(F.col("cemb"), F.col("q_emb")))
+        .orderBy(F.col("qdot").desc(), F.col("cid").asc())
+        .limit(nprobe)
+        .select("cid")
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cid")
+        .where(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+    )
+    return (
+        cand.withColumn("d_fix", dot_fix(F.col("embedding"), F.col("q_emb")))
+        .withColumn("na_fix", dot_fix(F.col("embedding"), F.col("embedding")))
+        .withColumn("nb_fix", dot_fix(F.col("q_emb"), F.col("q_emb")))
+        .withColumn("score", cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", "label", "score")
+    )
+
+
 def ann_lsh_topk(
     spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10
 ) -> DataFrame:

@@ -1,0 +1,99 @@
+"""Connected-components clustering of near-duplicate pairs (iterative).
+
+A dedup pipeline needs more than candidate PAIRS — it needs cluster
+ASSIGNMENT (keep one canonical document per component, drop the rest).
+Pairs come from the LSH family (operators.dedup); this module closes
+them into components with the standard scalable label-propagation loop:
+
+* every doc starts labeled with its own id,
+* each round every doc takes the min label among itself and its
+  neighbors (one shuffle-join + one aggregation per round),
+* converged when no label changed.
+
+Rounds needed = component diameter. Near-dup components are shallow by
+construction (near-dups of a doc are usually near-dups of each other),
+so this converges in a handful of rounds; ``max_iter`` bounds the
+pathological chain case.
+
+Determinism: labels are ``min()`` aggregations of ids — no ordering or
+partitioning sensitivity. The per-round convergence check is a scalar
+count (driver CONTROL of an iterative algorithm, not a data collect).
+
+Oracle: DuckDB ``WITH RECURSIVE`` transitive closure (min reachable id
+per doc) computes the same fixpoint — ``dedup_clusters`` is fully
+oracle-checked despite being iterative.
+
+Scale posture (100 TB): each round shuffles (id, label) pairs — two
+narrow columns — plus the edge list; this is the GraphX/GraphFrames CC
+shape expressed in plain DataFrame ops. Labels are cached per round and
+the previous round unpersisted, so lineage stays O(1) deep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from via_spark.operators.dedup import JACCARD_THRESHOLD, dedup_minhash_pairs
+from via_spark.session import load_table
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(id) vertices + (src, dst) undirected edges → (id, component),
+    component = min id reachable from ``id``."""
+    # cache the (narrow) edge list: it is re-joined every round, and its
+    # lineage may include an expensive candidate-generation pipeline
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = vertices.select("id", F.col("id").alias("component")).cache()
+    for _ in range(max_iter):
+        nbr = und.join(labels, und["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "component"
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .cache()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "_old"), "id"
+            )
+            .where(F.col("component") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Cluster assignment over MinHash near-dup pairs: every document →
+    (doc_id, cluster_rep, cluster_size); singletons represent
+    themselves. ``cluster_rep`` (min doc_id of the component) is the
+    canonical survivor a dedup pass would keep."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    pairs = dedup_minhash_pairs(spark, sf_dir, threshold)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(docs, edges)
+    return (
+        comp.select(
+            F.col("id").alias("doc_id"), F.col("component").alias("cluster_rep")
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_rep")),
+        )
+    )

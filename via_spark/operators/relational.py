@@ -346,3 +346,27 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def per_day_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """K5 literal form: per-day top-k — each daily shard ("collection"
+    in the reference's federated layout) contributes its OWN top-k by
+    value, the per-collection page a federated search merges. The
+    engine's documented K5 superset (true global top-k, SCALE.md)
+    coexists; this is the per-shard page shape itself.
+
+    Scale: one shuffle on the day key; row_number-over-limit compiles
+    to WindowGroupLimit, so each partition keeps a k-row heap instead
+    of fully sorting its day."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("ts div 1000000000 div 86400").cast("int")
+    w = Window.partitionBy("day").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select("event_id", day.alias("day"), "value")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )

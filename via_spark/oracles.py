@@ -735,6 +735,31 @@ def dedup_ngram_jaccard_sql(threshold: float = 0.2) -> str:
     return dedup_minhash_pairs_sql(threshold)
 
 
+def dedup_clusters_sql(threshold: float = 0.5) -> str:
+    """Connected components of the MinHash pair graph via recursive
+    transitive closure: component = min reachable doc_id — the same
+    fixpoint the engine's label-propagation loop converges to."""
+    return f"""
+WITH RECURSIVE pairs AS (
+{dedup_minhash_pairs_sql(threshold)}
+),
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION ALL
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s
+),
+rep AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id)
+SELECT id AS doc_id, cluster_rep,
+       count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+FROM rep
+"""
+
+
 def _simhash_cte() -> str:
     """CTE chain ending in sim(doc_id, simhash) — shared by the simhash
     projection and the simhash-dedup oracle."""
@@ -1154,6 +1179,61 @@ SELECT event_type,
        quantile_cont(value, 0.95) AS p95,
        count(*) AS n
 FROM events GROUP BY event_type
+"""
+
+
+def per_day_topk_sql(k: int = 3) -> str:
+    """K5 literal per-shard form: top-k within each daily partition."""
+    return f"""
+WITH d AS (
+    SELECT event_id,
+           CAST(epoch_us(ts) // 1000000 // 86400 AS INTEGER) AS day, value
+    FROM events
+)
+SELECT event_id, day, value, rk FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY day ORDER BY value DESC, event_id ASC) AS INTEGER) AS rk
+    FROM d
+) WHERE rk <= {k}
+"""
+
+
+def ann_ivf_topk_sql(
+    query_id: int = 0, k: int = 10, n_centroids: int = 16, nprobe: int = 4
+) -> str:
+    """IVF probe search: deterministic-sample centroids, exact
+    fixed-point argmax cell assignment, nprobe cells scored."""
+    cdot = _DOT9.format(a="e.embedding", b="c.cemb")
+    qdot = _DOT9.format(a="c.cemb", b="q.qe")
+    d = _DOT9.format(a="e.embedding", b="q.qe")
+    na = _DOT9.format(a="e.embedding", b="e.embedding")
+    nb = _DOT9.format(a="q.qe", b="q.qe")
+    return f"""
+WITH c AS (
+    SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+    WHERE vec_id < {n_centroids}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_id}),
+cells AS (
+    SELECT vec_id, label, embedding, cid FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cdot} DESC, c.cid ASC) AS _rn
+        FROM embeddings e, c
+    ) WHERE _rn = 1
+),
+probes AS (
+    SELECT cid FROM c, q ORDER BY {qdot} DESC, cid ASC LIMIT {nprobe}
+),
+scored AS (
+    SELECT e.vec_id, e.label,
+           {_COS.format(d=d, na=na, nb=nb)} AS score
+    FROM cells e JOIN probes USING (cid), q
+    WHERE e.vec_id <> {query_id}
+)
+SELECT vec_id, label, score FROM scored
+ORDER BY score DESC, vec_id ASC LIMIT {k}
 """
 
 

@@ -45,6 +45,56 @@ def drop_table(spark: SparkSession, table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "event_date",
+    sort_col: str | None = None,
+) -> dict:
+    """Small-file compaction for a date-partitioned store (O-maintenance).
+
+    Micro-batch ingest appends one file per trigger per day; thousands
+    of tiny files destroy scan throughput (per-file open cost, tiny row
+    groups, no effective min/max skipping). This rewrites the store so
+    each partition value lands in one task → one file (optionally
+    re-sorted so row-group stats sharpen range skipping again).
+
+    The rewrite goes to a temp directory, then swaps via rename — the
+    live path is never a partially-written state, and the read plan
+    feeding the rewrite never races its own overwrite. Returns
+    {"files_before": n, "files_after": m, "rows": r}.
+
+    Scale: cost is one shuffle of the compacted days; at 100 TB you'd
+    run this per recent partition (a day just past its append horizon),
+    not over the whole store — the path argument can point at a single
+    ``event_date=...`` directory's parent scope accordingly.
+    """
+    import os
+    import shutil
+
+    def _count_files(p: str) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = _count_files(path)
+    df = spark.read.parquet(path)
+    rows = df.count()
+    tmp = path.rstrip("/") + "._compact_tmp"
+    writer = df.repartition(partition_col)
+    if sort_col:
+        writer = writer.sortWithinPartitions(sort_col)
+    writer.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {"files_before": before, "files_after": _count_files(path), "rows": rows}
+
+
 def drop_partitions_before(path: str, cutoff_date: str) -> list[str]:
     """Retention for date-partitioned stores (O3): delete whole
     ``event_date=YYYY-MM-DD`` partition directories older than the
