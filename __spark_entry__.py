@@ -25,6 +25,7 @@ from via_spark import oracles
 from via_spark.operators import (
     asof,
     control,
+    curation,
     dedup,
     forensic,
     graph,
@@ -122,7 +123,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_embedding_pairs": dedup.neardup_embedding_pairs,
         "ann_lsh_topk": dedup.ann_lsh_topk,
         "ann_ivf_topk": dedup.ann_ivf_topk,
+        "ann_quantized_topk": vector.ann_quantized_topk,
         "dedup_clusters": graph.dedup_clusters,
+        # training-data curation (beyond-reference)
+        "stratified_sample": curation.stratified_sample,
+        "quality_deciles": curation.quality_deciles,
+        "benchmark_contamination": curation.benchmark_contamination,
+        "pii_scrub_documents": curation.pii_scrub_documents,
         # text analysis + multimodal (M6)
         "token_count_documents": textstats.token_count_documents,
         "doc_quality_scores": textstats.doc_quality_scores,
@@ -190,7 +197,12 @@ def oracle_sql() -> dict[str, str]:
         "neardup_embedding_pairs": oracles.neardup_embedding_pairs_sql(),
         "ann_lsh_topk": oracles.ann_lsh_topk_sql(),
         "ann_ivf_topk": oracles.ann_ivf_topk_sql(),
+        "ann_quantized_topk": oracles.ann_quantized_topk_sql(),
         "dedup_clusters": oracles.dedup_clusters_sql(),
+        "stratified_sample": oracles.stratified_sample_sql(),
+        "quality_deciles": oracles.quality_deciles_sql(),
+        "benchmark_contamination": oracles.benchmark_contamination_sql(),
+        "pii_scrub_documents": oracles.pii_scrub_documents_sql(),
         "token_count_documents": oracles.token_count_documents_sql(),
         "doc_quality_scores": oracles.doc_quality_scores_sql(),
         "lang_id_documents": oracles.lang_id_documents_sql(),

@@ -1,0 +1,149 @@
+"""Training-data curation operators (beyond-reference, M6 family).
+
+The four knobs every large-scale LLM data pipeline turns between raw
+corpus and training mix, each as a declarative oracle-checked query:
+
+* ``stratified_sample`` — deterministic per-stratum downsampling
+  (domain mixing): keep a row iff a cross-engine-stable content hash
+  falls under the stratum's rate cutoff. No RNG — the sample is a pure
+  function of the data, so reruns, retries and the DuckDB oracle all
+  agree exactly. Hex-string comparison keeps it engine-portable
+  (both engines emit lowercase-hex sha256).
+* ``quality_deciles`` — corpus-wide quality binning: global rank of the
+  fixed-point quality score (``rank.global_row_number`` — no
+  single-partition funnel) → decile = ((rank-1)·10) div n + 1, exact
+  integer arithmetic.
+* ``benchmark_contamination`` — decontamination: which corpus docs
+  share shingles with a benchmark set (here: the deterministic pseudo
+  benchmark doc_id < 10). The join key is the 64-bit shingle hash, not
+  the shingle text — at 100 TB you join on 8 bytes, not n-grams; hash
+  collisions only over-flag, never under-flag, the right direction for
+  decontamination.
+* ``pii_scrub_documents`` — PII masking (emails, IPv4) with per-doc
+  mask counts. The fixture corpus is PII-free, so the query plants one
+  deterministic email + IP per row first — every row exercises the
+  scrubber, and the oracle plants identically.
+
+Scale posture: sampling and scrubbing are stateless per-row projections
+(whole-stage codegen, no shuffle); deciles shuffle (doc_id, score)
+pairs only; contamination shuffles (hash, id) pairs with the benchmark
+side small enough to broadcast in a real deployment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from via_spark.operators import textstats
+from via_spark.operators.dedup import shingled_documents
+from via_spark.operators.rank import global_row_number
+from via_spark.session import load_table
+
+# domain-mixing rates per event_type stratum (pinned; oracle mirrors)
+SAMPLE_RATES: dict[str, float] = {
+    "view": 0.01,
+    "click": 0.05,
+    "signup": 0.5,
+    "purchase": 0.5,
+    "error": 1.0,
+}
+
+BENCH_MAX_ID = 10
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def hex_cutoff(rate: float) -> str:
+    """Rate → 16-hex cutoff: keep iff sha256-prefix < cutoff. A rate
+    ≥ 1.0 returns 'g', which every hex string sorts below."""
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 16**16), "016x")
+
+
+def stratified_sample(
+    spark: SparkSession, sf_dir: str, rates: dict[str, float] | None = None
+) -> DataFrame:
+    """Deterministic stratified sample of events by event_type."""
+    rates = rates or SAMPLE_RATES
+    ev = load_table(spark, sf_dir, "events")
+    h = F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 16)
+    cutoff = F.lit("0" * 16)  # unknown stratum → rate 0 (pinned)
+    for etype, rate in sorted(rates.items()):
+        cutoff = F.when(F.col("event_type") == etype, F.lit(hex_cutoff(rate))).otherwise(cutoff)
+    return ev.where(h < cutoff).select("event_id", "event_type", "user_id", "value")
+
+
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality_fix, decile): corpus-wide quality bins, decile 1
+    = best. Exact global ranking via range-partitioned row numbers."""
+    q = textstats.doc_quality_scores(spark, sf_dir).select("doc_id", "quality_fix")
+    ranked = global_row_number(
+        q, [F.col("quality_fix").desc(), F.col("doc_id").asc()], "rank"
+    )
+    n = q.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "quality_fix",
+            (F.expr("(CAST(rank - 1 AS BIGINT) * 10) div n").cast("int") + 1).alias("decile"),
+        )
+    )
+
+
+def benchmark_contamination(
+    spark: SparkSession, sf_dir: str, bench_max_id: int = BENCH_MAX_ID
+) -> DataFrame:
+    """For each contaminated corpus doc: its most-overlapping benchmark
+    doc and the shared distinct-shingle count (ties → smallest bench id).
+    """
+    sh = shingled_documents(spark, sf_dir)
+    hashed = sh.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.col("sh"), lambda s: F.substring(F.sha2(s, 256), 1, 16))
+        ).alias("h"),
+    ).distinct()
+    bench = hashed.where(F.col("doc_id") < bench_max_id).select(
+        F.col("doc_id").alias("bench_id"), "h"
+    )
+    corpus = hashed.where(F.col("doc_id") >= bench_max_id)
+    overlap = (
+        corpus.join(bench, "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("shared_shingles").desc(), F.col("bench_id").asc()
+    )
+    return (
+        overlap.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "bench_id", "shared_shingles")
+    )
+
+
+def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant one deterministic email + IPv4 per document, then mask
+    both PII classes and count the masks (emails first, so the planted
+    domain's dots can't be half-eaten by the IP pass)."""
+    d = load_table(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+    )
+    t = d.select("doc_id", salted.alias("salted"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("salted"), EMAIL_RE, "[EMAIL]"), IPV4_RE, "[IP]"
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count(F.col("salted"), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("salted"), F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        scrubbed.alias("scrubbed"),
+    )

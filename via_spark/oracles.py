@@ -1182,6 +1182,114 @@ FROM events GROUP BY event_type
 """
 
 
+def stratified_sample_sql(rates: dict[str, float] | None = None) -> str:
+    """Deterministic per-stratum sampling: keep iff sha256-prefix of the
+    event id falls under the stratum's 16-hex cutoff."""
+    from via_spark.operators.curation import SAMPLE_RATES, hex_cutoff
+
+    rates = rates or SAMPLE_RATES
+    branches = " ".join(
+        f"WHEN '{t}' THEN '{hex_cutoff(r)}'" for t, r in sorted(rates.items())
+    )
+    return f"""
+SELECT event_id, event_type, user_id, value
+FROM events
+WHERE substr(sha256(CAST(event_id AS VARCHAR)), 1, 16)
+      < CASE event_type {branches} ELSE '0000000000000000' END
+"""
+
+
+def quality_deciles_sql() -> str:
+    return f"""
+WITH q2 AS (
+{doc_quality_scores_sql()}
+),
+r AS (
+    SELECT doc_id, quality_fix,
+           row_number() OVER (ORDER BY quality_fix DESC, doc_id ASC) AS rank,
+           count(*) OVER () AS n
+    FROM q2
+)
+SELECT doc_id, quality_fix,
+       CAST(((rank - 1) * 10) // n + 1 AS INTEGER) AS decile
+FROM r
+"""
+
+
+def benchmark_contamination_sql(bench_max_id: int = 10) -> str:
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+hashed AS (
+    SELECT DISTINCT doc_id, substr(sha256(s), 1, 16) AS h
+    FROM (SELECT doc_id, unnest(sh) AS s FROM dsh)
+),
+overlap AS (
+    SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS shared_shingles
+    FROM hashed c JOIN hashed b USING (h)
+    WHERE c.doc_id >= {bench_max_id} AND b.doc_id < {bench_max_id}
+    GROUP BY c.doc_id, b.doc_id
+)
+SELECT doc_id, bench_id, shared_shingles FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY shared_shingles DESC, bench_id ASC) AS _rn
+    FROM overlap
+) WHERE _rn = 1
+"""
+
+
+def pii_scrub_documents_sql() -> str:
+    from via_spark.operators.curation import EMAIL_RE, IPV4_RE
+
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com from 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.7' AS salted
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(salted, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(salted, '{IPV4_RE}')) AS n_ips,
+       regexp_replace(
+           regexp_replace(salted, '{EMAIL_RE}', '[EMAIL]', 'g'),
+           '{IPV4_RE}', '[IP]', 'g') AS scrubbed
+FROM t
+"""
+
+
+def ann_quantized_topk_sql(query_id: int = 0, k: int = 10, oversample: int = 3) -> str:
+    """INT8 quantized candidate ranking + full-precision rescore."""
+    qv = (
+        "list_transform({e}, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        "(CASE WHEN list_max(list_transform({e}, y -> abs(CAST(y AS DOUBLE)))) = 0 "
+        "THEN 0.0 ELSE 127.0 / list_max(list_transform({e}, y -> abs(CAST(y AS DOUBLE)))) END)"
+        ") AS BIGINT))"
+    )
+    qdot = (
+        "list_sum(list_transform(list_zip("
+        + qv.format(e="e.embedding") + ", " + qv.format(e="q.qe")
+        + "), s -> s[1] * s[2]))"
+    )
+    d = _DOT9.format(a="e.embedding", b="q.qe")
+    na = _DOT9.format(a="e.embedding", b="e.embedding")
+    nb = _DOT9.format(a="q.qe", b="q.qe")
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_id}),
+cand AS (
+    SELECT e.vec_id, e.label, e.embedding, q.qe, {qdot} AS qdot
+    FROM embeddings e, q
+    WHERE e.vec_id <> {query_id}
+    ORDER BY qdot DESC, e.vec_id ASC LIMIT {oversample * k}
+)
+SELECT vec_id, label, qdot,
+       {_COS.format(d=d, na=na, nb=nb)} AS score
+FROM cand e, q
+ORDER BY score DESC, vec_id ASC LIMIT {k}
+"""
+
+
 def per_day_topk_sql(k: int = 3) -> str:
     """K5 literal per-shard form: top-k within each daily partition."""
     return f"""
