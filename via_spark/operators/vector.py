@@ -123,12 +123,15 @@ def ann_quantized_topk(
     than the float vectors and is the only thing the first pass reads.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") == query_id).select(F.col("embedding").alias("q_emb"))
+    # the query's quantized form is computed ONCE on the broadcast side
+    q = e.where(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_emb"),
+        quantized_vec(F.col("embedding")).alias("q_qvec"),
+    )
     cand = (
         e.where(F.col("vec_id") != query_id)
         .crossJoin(F.broadcast(q))
-        .withColumn("qdot", int_dot(quantized_vec(F.col("embedding")),
-                                    quantized_vec(F.col("q_emb"))))
+        .withColumn("qdot", int_dot(quantized_vec(F.col("embedding")), F.col("q_qvec")))
         .orderBy(F.col("qdot").desc(), F.col("vec_id").asc())
         .limit(oversample * k)
     )
