@@ -160,6 +160,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_severity_pivot": relational.event_type_severity_pivot,
         "lineitem_rollup": relational.lineitem_rollup,
         "per_day_topk": relational.per_day_topk,
+        "customer_order_distribution": relational.customer_order_distribution,
+        "min_cost_supplier": relational.min_cost_supplier,
+        "large_orders_having": relational.large_orders_having,
+        "brand_supplier_counts": relational.brand_supplier_counts,
         # distribution statistics
         "value_percentiles": stats.value_percentiles,
         "global_value_rank": rank.global_value_rank,
@@ -230,6 +234,10 @@ def oracle_sql() -> dict[str, str]:
         "event_type_severity_pivot": oracles.event_type_severity_pivot_sql(),
         "lineitem_rollup": oracles.lineitem_rollup_sql(),
         "per_day_topk": oracles.per_day_topk_sql(),
+        "customer_order_distribution": oracles.customer_order_distribution_sql(),
+        "min_cost_supplier": oracles.min_cost_supplier_sql(),
+        "large_orders_having": oracles.large_orders_having_sql(),
+        "brand_supplier_counts": oracles.brand_supplier_counts_sql(),
         "value_percentiles": oracles.value_percentiles_sql(),
         "global_value_rank": oracles.global_value_rank_sql(),
         "sliding_hash_counts": oracles.sliding_hash_counts_sql(),

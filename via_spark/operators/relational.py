@@ -32,7 +32,7 @@ reorder-stable, fixed-point sums are.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from via_spark.functions.text import severity_number, tokens
@@ -358,8 +358,6 @@ def per_day_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     Scale: one shuffle on the day key; row_number-over-limit compiles
     to WindowGroupLimit, so each partition keeps a k-row heap instead
     of fully sorting its day."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     day = F.expr("ts div 1000000000 div 86400").cast("int")
     w = Window.partitionBy("day").orderBy(
@@ -369,4 +367,92 @@ def per_day_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         ev.select("event_id", day.alias("day"), "value")
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: left outer join + two-level aggregation — how many
+    customers placed how many orders (order-less customers count at 0).
+    Scale: both aggregations are hash aggs; the join shuffles on
+    custkey with map-side partial counts after AQE."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str, size: int = 15) -> DataFrame:
+    """Q2 shape (adapted to this schema — no partsupp table): for each
+    part of the given size, the supplier with the lowest total billed
+    amount for it (ties → smallest suppkey). The correlated-scalar-min
+    subquery becomes a per-part WindowGroupLimit — one shuffle on
+    partkey, no correlated re-execution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") == size)
+    s = load_table(spark, sf_dir, "supplier")
+    cost = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(F.sum(fixed6(F.col("l_extendedprice"))).alias("cost_fix"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("cost_fix").asc(), F.col("l_suppkey").asc()
+    )
+    best = (
+        cost.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    return (
+        best.join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "p_partkey", "p_brand",
+            F.col("s_suppkey"), "s_name",
+            (F.col("cost_fix") / float(FIXED_SCALE)).alias("cost"),
+        )
+    )
+
+
+def large_orders_having(spark: SparkSession, sf_dir: str, min_qty: int = 300) -> DataFrame:
+    """Q18 shape: HAVING over a grouped sum, then enrich with two joins
+    and take the top-100 heap. Quantities are integral, so the BIGINT
+    sum is exact under any reduction order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > min_qty)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: NOT IN (suppliers in arrears) as a broadcast left_anti
+    join + COUNT DISTINCT per (brand, type). The anti-join runs before
+    the aggregation so excluded suppliers never reach the distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    bad = s.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p.select("p_partkey", "p_brand", "p_type")),
+              li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

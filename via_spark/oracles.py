@@ -1182,6 +1182,65 @@ FROM events GROUP BY event_type
 """
 
 
+def customer_order_distribution_sql() -> str:
+    return """
+SELECT c_count, count(*) AS custdist FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+) GROUP BY c_count
+"""
+
+
+def min_cost_supplier_sql(size: int = 15) -> str:
+    cost = _FIX.format(expr="l_extendedprice")
+    return f"""
+WITH cost AS (
+    SELECT p.p_partkey, p.p_brand, l.l_suppkey,
+           sum({cost}) AS cost_fix
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = {size}
+    GROUP BY p.p_partkey, p.p_brand, l.l_suppkey
+),
+best AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY p_partkey
+            ORDER BY cost_fix ASC, l_suppkey ASC) AS _rn
+        FROM cost
+    ) WHERE _rn = 1
+)
+SELECT p_partkey, p_brand, s.s_suppkey, s.s_name,
+       cost_fix / 1000000.0 AS cost
+FROM best JOIN supplier s ON best.l_suppkey = s.s_suppkey
+"""
+
+
+def large_orders_having_sql(min_qty: int = 300) -> str:
+    return f"""
+WITH big AS (
+    SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey HAVING sum_qty > {min_qty}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, big.sum_qty
+FROM big
+JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 100
+"""
+
+
+def brand_supplier_counts_sql() -> str:
+    return """
+SELECT p.p_brand, p.p_type, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type
+"""
+
+
 def stratified_sample_sql(rates: dict[str, float] | None = None) -> str:
     """Deterministic per-stratum sampling: keep iff sha256-prefix of the
     event id falls under the stratum's 16-hex cutoff."""
