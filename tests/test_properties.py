@@ -92,3 +92,79 @@ def test_detection_matches_python_model(spark, events):
     }
     expect = {hash_of[h]: v for h, v in _model(events, now, WINDOW).items()}
     assert got == expect
+
+
+RANK_ROWS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=10**6)),
+    min_size=0, max_size=40, unique_by=lambda t: t[1],
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(rows=RANK_ROWS)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_global_row_number_matches_sorted_index(spark, rows):
+    """rank.global_row_number (range partition + offsets) must equal the
+    plain sorted index for any input, including empty, ties in the
+    score column, and fewer rows than partitions."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.rank import global_row_number
+
+    df = spark.createDataFrame(rows, "score int, id long") if rows else (
+        spark.createDataFrame([], "score int, id long")
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in global_row_number(
+            df, [F.col("score").desc(), F.col("id").asc()], "rank"
+        ).collect()
+    }
+    expect = {
+        rid: i + 1
+        for i, (_, rid) in enumerate(
+            sorted(rows, key=lambda t: (-t[0], t[1]))
+        )
+    }
+    assert got == expect
+
+
+EDGE_SETS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=12), st.integers(min_value=0, max_value=12)),
+    min_size=0, max_size=15,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(edges=EDGE_SETS)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, edges):
+    """graph.connected_components must agree with a pure-Python
+    union-find on random graphs (self-loops and duplicates included)."""
+    from via_spark.operators.graph import connected_components
+
+    n = 13
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i in range(n)}
+
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long") if edges else (
+        spark.createDataFrame([], "src long, dst long")
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(verts, e).collect()
+    }
+    assert got == expect

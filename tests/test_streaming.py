@@ -243,3 +243,33 @@ def test_detection_rereads_rules_per_trigger(spark, sf_smoke, tmp_path):
     second = {r["rhythm_hash"] for r in promote.read_tier2(spark, tier2b).collect()}
     assert target not in second
     assert second == first - {target}
+
+
+def test_streaming_dedup_collapses_redelivery(spark, sf_smoke, tmp_path):
+    """dropDuplicatesWithinWatermark: writing the SAME fixture twice
+    into the source simulates at-least-once redelivery; the deduped
+    stream must land each event_id exactly once."""
+    src = str(tmp_path / "otel_dup")
+    out = str(tmp_path / "deduped")
+    # two identical file sets = every envelope delivered twice
+    pipeline.write_otel_fixture_jsonl(spark, sf_smoke, src, n_files=2)
+    import os, shutil
+    for f in list(os.listdir(src)):
+        if not f.startswith("_") and not f.startswith("."):
+            shutil.copy(os.path.join(src, f), os.path.join(src, "dup_" + f))
+
+    stream = pipeline.deduped_stream(pipeline.read_otel_stream(spark, src))
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    expect_n = _batch_equivalent(spark, sf_smoke).count()
+    assert got.count() == expect_n, "each redelivered event must land once"
+    assert got.select("event_id").distinct().count() == expect_n
