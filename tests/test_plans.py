@@ -97,3 +97,34 @@ def test_tier2_partition_pruning(spark, sf_smoke, tmp_path):
     lo = clusters.agg({"start_ts": "min"}).collect()[0][0]
     p = executed_plan(promote.read_tier2(spark, path, lo, lo))
     assert "PartitionFilters: [" in p and "event_date" in p
+
+
+def test_per_day_topk_uses_window_group_limit(spark, sf_oracle):
+    p = _plan(spark, sf_oracle, "per_day_topk")
+    assert "WindowGroupLimit" in p, "per-day top-k must keep a k-row heap per day"
+
+
+def test_min_cost_supplier_broadcasts_and_group_limits(spark, sf_oracle):
+    p = _plan(spark, sf_oracle, "min_cost_supplier")
+    assert "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p, "correlated-min shape must plan as a group limit"
+
+
+def test_brand_supplier_counts_anti_join_broadcasts(spark, sf_oracle):
+    p = _plan(spark, sf_oracle, "brand_supplier_counts")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_hybrid_rrf_ranks_via_heaps(spark, sf_oracle):
+    """The RRF rewrite contract: both rankings and the final fuse are
+    TakeOrderedAndProject heaps; any remaining single-partition step
+    operates on cut_n-bounded frames only (asserted indirectly — the
+    plan must contain the three heaps that do the data-sized work)."""
+    p = _plan(spark, sf_oracle, "hybrid_rrf")
+    assert p.count("TakeOrderedAndProject") >= 3, p[:2000]
+
+
+def test_ann_variants_plan_heaps(spark, sf_oracle):
+    for name in ("ann_ivf_topk", "ann_quantized_topk"):
+        p = _plan(spark, sf_oracle, name)
+        assert "TakeOrderedAndProject" in p, f"{name}: candidate cut must heap"
