@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_deciles": curation.quality_deciles,
         "benchmark_contamination": curation.benchmark_contamination,
         "pii_scrub_documents": curation.pii_scrub_documents,
+        "fuzzy_name_pairs": curation.fuzzy_name_pairs,
+        "curation_funnel": curation.curation_funnel,
         # text analysis + multimodal (M6)
         "token_count_documents": textstats.token_count_documents,
         "doc_quality_scores": textstats.doc_quality_scores,
@@ -207,6 +209,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_deciles": oracles.quality_deciles_sql(),
         "benchmark_contamination": oracles.benchmark_contamination_sql(),
         "pii_scrub_documents": oracles.pii_scrub_documents_sql(),
+        "fuzzy_name_pairs": oracles.fuzzy_name_pairs_sql(),
+        "curation_funnel": oracles.curation_funnel_sql(),
         "token_count_documents": oracles.token_count_documents_sql(),
         "doc_quality_scores": oracles.doc_quality_scores_sql(),
         "lang_id_documents": oracles.lang_id_documents_sql(),

@@ -147,3 +147,81 @@ def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("salted"), F.lit(IPV4_RE)).cast("long").alias("n_ips"),
         scrubbed.alias("scrubbed"),
     )
+
+
+def _delete_keys(name):
+    """SymSpell distance-1 key set: the string itself + every
+    single-character deletion. Two strings within edit distance 1 are
+    GUARANTEED to share a key (identity covers insert/delete pairs,
+    same-position deletes cover substitutions); distance-2 collisions
+    (e.g. transpositions) are removed by the exact levenshtein verify."""
+    idx = F.sequence(F.lit(0), F.length(name) - 1)
+    deletes = F.transform(
+        idx,
+        lambda i: F.concat(
+            name.substr(F.lit(1), i), name.substr(i + 2, F.length(name))
+        ),
+    )
+    return F.array_union(F.array(name), deletes)
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: customer-name pairs within edit distance 1,
+    via the SymSpell deletion-key equi-join — never all-pairs. The key
+    join is complete for distance ≤ 1; candidates are verified with the
+    exact levenshtein both engines implement identically.
+
+    Scale: keys per name = O(len); candidates come from an equi-join on
+    the key (AQE-skew-splittable); verify touches candidate pairs only —
+    the same candidates-then-verify shape as the dedup family, applied
+    to entity strings instead of documents."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.lower(F.col("c_name")).alias("name")
+    )
+    keyed = c.select(
+        "c_custkey", "name", F.explode(_delete_keys(F.col("name"))).alias("k")
+    )
+    a = keyed.select(
+        F.col("c_custkey").alias("key_a"), F.col("name").alias("name_a"), "k"
+    )
+    b = keyed.select(
+        F.col("c_custkey").alias("key_b"), F.col("name").alias("name_b"), "k"
+    )
+    cand = (
+        a.join(b, "k")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b")
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 1)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+    )
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data prep funnel as ONE declarative query:
+    documents → keep the canonical doc of each near-dup cluster →
+    keep quality deciles 1-8 → deterministic 50% hash sample →
+    emit (doc_id, lang, decile, n_tokens). Every stage is an
+    already-oracle-checked operator; the funnel proves they compose
+    into the pipeline a real corpus build runs, with Catalyst free to
+    fuse the filters into the shared scans."""
+    from via_spark.operators.graph import dedup_clusters
+
+    clusters = dedup_clusters(spark, sf_dir).where(
+        F.col("doc_id") == F.col("cluster_rep")
+    )
+    deciles = quality_deciles(spark, sf_dir).where(F.col("decile") <= 8)
+    toks = textstats.token_count_documents(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = (
+        d.join(clusters.select("doc_id"), "doc_id")
+        .join(deciles.select("doc_id", "decile"), "doc_id")
+        .join(toks.select("doc_id", "n_ws_tokens"), "doc_id")
+    )
+    h = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 16)
+    return kept.where(h < F.lit(hex_cutoff(0.5))).select(
+        "doc_id", "lang", "decile", F.col("n_ws_tokens").alias("n_tokens")
+    )

@@ -1349,6 +1349,56 @@ ORDER BY score DESC, vec_id ASC LIMIT {k}
 """
 
 
+def fuzzy_name_pairs_sql() -> str:
+    """SymSpell deletion-key join + exact levenshtein verify."""
+    return """
+WITH c AS (SELECT c_custkey, lower(c_name) AS name FROM customer),
+keyed AS (
+    SELECT c_custkey, name,
+           unnest(list_append(
+               list_transform(range(0, length(name)),
+                              i -> substr(name, 1, i) || substr(name, i + 2)),
+               name)) AS k
+    FROM c
+),
+cand AS (
+    SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.name AS name_a, b.name AS name_b
+    FROM keyed a JOIN keyed b USING (k)
+    WHERE a.c_custkey < b.c_custkey
+)
+SELECT key_a, key_b, name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+
+def curation_funnel_sql() -> str:
+    """Composition of the already-checked stages: canonical-of-cluster ∧
+    decile ≤ 8 ∧ 50% hash sample, with lang + token count attached."""
+    from via_spark.operators.curation import hex_cutoff
+
+    half = hex_cutoff(0.5)
+    return f"""
+WITH clusters AS (
+{dedup_clusters_sql()}
+),
+deciles AS (
+{quality_deciles_sql()}
+),
+toks AS (
+{token_count_documents_sql()}
+)
+SELECT d.doc_id, d.lang, deciles.decile, toks.n_ws_tokens AS n_tokens
+FROM documents d
+JOIN clusters ON d.doc_id = clusters.doc_id
+             AND clusters.doc_id = clusters.cluster_rep
+JOIN deciles ON d.doc_id = deciles.doc_id AND deciles.decile <= 8
+JOIN toks ON d.doc_id = toks.doc_id
+WHERE substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 16) < '{half}'
+"""
+
+
 def per_day_topk_sql(k: int = 3) -> str:
     """K5 literal per-shard form: top-k within each daily partition."""
     return f"""
