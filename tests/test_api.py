@@ -10,6 +10,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from via_spark.api import VIAEngine
 
@@ -193,3 +194,44 @@ def test_run_evals_closes_regression_loop(engine):
     )
     # restore the patch so later tests see the original rule state
     engine.control_patch(target, now=NOW, context_logs=["planted context"])
+
+
+def test_ingest_file_via_saved_schema(engine, spark, tmp_path):
+    """detect -> save -> READ: a saved registry schema is executable.
+    OTel JSONL and BGL lines both land in tier1 through the same path."""
+    import json as _json
+
+    before = spark.read.parquet(engine.tier1_path).count()
+
+    # OTel file
+    otel_path = str(tmp_path / "onboard_otel.jsonl")
+    lines = [_json.dumps(_envelope(20_000 + i, "onboard-svc", "INFO", f"file row {i}"))
+             for i in range(5)]
+    with open(otel_path, "w") as fh:
+        fh.write("\n".join(lines))
+    det = engine.schemas_detect(lines)
+    engine.schemas_save("onboard_otel", det)
+    res = engine.ingest_file(otel_path, "onboard_otel")
+    assert res == {"status": "ok", "tier1_ingested": 5}
+
+    # BGL file
+    bgl_path = str(tmp_path / "onboard.bgl")
+    bgl_lines = [
+        f"{30_000 + i} 1970.01.01 node{i} 08.00.00 dev RAS KERNEL INFO file bgl row {i}"
+        for i in range(3)
+    ]
+    with open(bgl_path, "w") as fh:
+        fh.write("\n".join(bgl_lines))
+    det = engine.schemas_detect(bgl_lines)
+    assert det and det["source_type"] == "bgl"
+    engine.schemas_save("onboard_bgl", det)
+    res = engine.ingest_file(bgl_path, "onboard_bgl")
+    assert res == {"status": "ok", "tier1_ingested": 3}
+
+    after = spark.read.parquet(engine.tier1_path)
+    assert after.count() == before + 8
+    assert after.where(F.col("service") == "onboard-svc").count() == 5
+    assert after.where(F.col("body").contains("file bgl row")).count() == 3
+
+    # unknown source errors cleanly
+    assert engine.ingest_file(otel_path, "nope")["status"] == "error"

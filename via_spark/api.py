@@ -51,7 +51,20 @@ class VIAEngine:
         raw = self.spark.createDataFrame(
             [(json.dumps(o),) for o in logs], "raw string"
         )
-        flat = schema_infer.otel_flatten(raw)
+        return self._ingest_flat(schema_infer.otel_flatten(raw))
+
+    def ingest_file(self, path: str, source_name: str) -> dict:
+        """Registry-driven file ingestion: read ``path`` with the SAVED
+        schema for ``source_name`` (detect → save → READ, the full
+        onboarding loop) and append the rows to tier1."""
+        schema = self.schemas_get(source_name)
+        if schema is None:
+            return {"status": "error", "detail": f"unknown source {source_name!r}"}
+        flat = schema_infer.read_with_schema(self.spark, schema, path)
+        return self._ingest_flat(flat)
+
+    def _ingest_flat(self, flat: DataFrame) -> dict:
+        """(service, severity, body, ts) → tier1 append."""
         tier1 = (
             flat.withColumn(
                 "event_id", F.abs(F.xxhash64("service", "severity", "body", "ts"))

@@ -301,6 +301,29 @@ def save_schema(spark: SparkSession, path: str, source_name: str, schema: dict) 
     snap.write.mode("overwrite").parquet(path)
 
 
+def read_with_schema(spark: SparkSession, schema: dict, path: str) -> DataFrame:
+    """Use a detected/saved schema to read a raw log file into the
+    canonical columns — closes the onboarding loop (detect → save →
+    READ): the registry entry is executable, not just stored metadata.
+    Dispatches on ``source_type`` to the matching parser over a plain
+    distributed text scan."""
+    raw = spark.read.text(path)
+    stype = schema.get("source_type")
+    if stype == "otel":
+        return otel_flatten(raw, raw_col="value")
+    if stype == "bgl":
+        parsed = bgl_parse(raw, line_col="value")
+        # align with the otel_flatten output contract (ts/severity/
+        # service/body) so downstream tier1 derivation is source-agnostic
+        return parsed.select(
+            "service",
+            F.col("level").alias("severity"),
+            F.col("message").alias("body"),
+            "ts",
+        )
+    raise ValueError(f"unknown source_type: {stype!r}")
+
+
 def get_schema(spark: SparkSession, path: str, source_name: str) -> dict | None:
     try:
         rows = (
