@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_supplier_counts": relational.brand_supplier_counts,
         # distribution statistics
         "value_percentiles": stats.value_percentiles,
+        "mad_outliers": stats.mad_outliers,
         "global_value_rank": rank.global_value_rank,
         # event-time window family (T5 extension)
         "sliding_hash_counts": windows.sliding_hash_counts,
@@ -243,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "large_orders_having": oracles.large_orders_having_sql(),
         "brand_supplier_counts": oracles.brand_supplier_counts_sql(),
         "value_percentiles": oracles.value_percentiles_sql(),
+        "mad_outliers": oracles.mad_outliers_sql(),
         "global_value_rank": oracles.global_value_rank_sql(),
         "sliding_hash_counts": oracles.sliding_hash_counts_sql(),
         "session_hash_counts": oracles.session_hash_counts_sql(),

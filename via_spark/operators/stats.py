@@ -68,3 +68,51 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str,
     return ev.groupBy("event_type").agg(
         F.percentile_approx("value", PCTS, accuracy).alias("approx_pcts")
     )
+
+
+MAD_K = 3.0
+
+_MAD_SCHEMA = (
+    "event_id long, event_type string, value double, med double, mad double"
+)
+
+
+def _quantile_cont(sorted_vals, q: float) -> float:
+    """DuckDB/Spark's linear interpolation a + (b-a)*frac, reproduced
+    verbatim so the pandas path is bit-identical to the SQL engines."""
+    p = (len(sorted_vals) - 1) * q
+    lo = int(p // 1)
+    frac = p - lo
+    if frac == 0.0:
+        return float(sorted_vals[lo])
+    return float(sorted_vals[lo] + (sorted_vals[lo + 1] - sorted_vals[lo]) * frac)
+
+
+def _mad_outlier_batch(pdf):
+    import numpy as np
+
+    v = pdf["value"].to_numpy(dtype="float64")
+    med = _quantile_cont(np.sort(v), 0.5)
+    dev = np.abs(v - med)
+    mad = _quantile_cont(np.sort(dev), 0.5)
+    out = pdf.loc[dev > MAD_K * mad, ["event_id", "event_type", "value"]].copy()
+    out["med"] = med
+    out["mad"] = mad
+    return out
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outliers: |value − median| > 3·MAD, computed as
+    ONE grouped-map ``applyInPandas`` stage (§2.11's grouped Arrow
+    surface, oracle-checked like everything else).
+
+    Why pandas here and not two percentile aggregations: the built-in
+    form needs groupBy(median) + join + groupBy(MAD) + join — three
+    shuffles of the events. The grouped map does median, MAD and the
+    filter in ONE shuffle, inside Arrow batches, with the interpolation
+    formula reproduced bit-for-bit (``_quantile_cont``). State per
+    group is its row list — bounded groups (event types) by design;
+    billion-row groups would use the sketch path (approx_value_quantiles).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(_mad_outlier_batch, _MAD_SCHEMA)

@@ -1465,6 +1465,26 @@ FROM events
 """
 
 
+def mad_outliers_sql(k: float = 3.0) -> str:
+    """DuckDB median() IS quantile_cont(0.5) — same interpolation the
+    pandas grouped-map reproduces, so med/mad are bit-identical."""
+    return f"""
+WITH m AS (
+    SELECT event_type, median(value) AS med
+    FROM events GROUP BY event_type
+),
+mm AS (
+    SELECT e.event_type, any_value(m.med) AS med,
+           median(abs(e.value - m.med)) AS mad
+    FROM events e JOIN m USING (event_type)
+    GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value, mm.med, mm.mad
+FROM events e JOIN mm USING (event_type)
+WHERE abs(e.value - mm.med) > {k!r} * mm.mad
+"""
+
+
 def event_type_severity_pivot_sql() -> str:
     cols = ", ".join(
         # CAST: DuckDB SUM yields HUGEINT whose repr diverges from Spark's
