@@ -80,17 +80,15 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, quality_fix, decile): corpus-wide quality bins, decile 1
     = best. Exact global ranking via range-partitioned row numbers."""
     q = textstats.doc_quality_scores(spark, sf_dir).select("doc_id", "quality_fix")
+    # total=n rides along from the rank's own per-partition counts, so
+    # the quality-score subplan is evaluated once, not once per branch
     ranked = global_row_number(
-        q, [F.col("quality_fix").desc(), F.col("doc_id").asc()], "rank"
+        q, [F.col("quality_fix").desc(), F.col("doc_id").asc()], "rank", total="n"
     )
-    n = q.agg(F.count(F.lit(1)).alias("n"))
-    return (
-        ranked.crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "quality_fix",
-            (F.expr("(CAST(rank - 1 AS BIGINT) * 10) div n").cast("int") + 1).alias("decile"),
-        )
+    return ranked.select(
+        "doc_id",
+        "quality_fix",
+        (F.expr("((rank - 1) * 10) div n").cast("int") + 1).alias("decile"),
     )
 
 

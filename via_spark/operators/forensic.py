@@ -106,10 +106,10 @@ def cluster_search_over(
     """
     if start_ts is not None and end_ts is not None:
         c = c.where(F.col("start_ts").between(start_ts, end_ts))
-    c = _canonical_per_hash(c)
 
     if text_filter is None:
         # V3: zero query vector — pinned deterministic order
+        c = _canonical_per_hash(c)
         shaped = c.select(
             F.col("rhythm_hash").alias("cluster_id"),
             F.col("count").alias("incident_count"),
@@ -120,11 +120,15 @@ def cluster_search_over(
             F.col("incident_count").desc(), F.col("cluster_id").asc()
         ).limit(limit)
 
-    # P3: every filter term must appear in the body token stream
+    # P3: every filter term must appear in the body token stream.
+    # Filter BEFORE the per-hash dedup: a hash whose only matching body
+    # lives in a non-canonical run must stay searchable — the canonical
+    # row is then chosen among the MATCHING runs.
     terms = [t for t in text_filter.lower().split() if t]
     toks = tokens(F.col("body"))
     for t in terms:
         c = c.where(F.array_contains(toks, t))
+    c = _canonical_per_hash(c)
 
     rows, norms = _embedded(c)
     qrows = _query_vector(spark, text_filter)

@@ -70,6 +70,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # NEVER return silently-split components: a chain longer than
+        # max_iter would leave one real cluster under several labels
+        labels.unpersist()
+        und.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
+    # drop the cached edge copy — the returned labels frame is already
+    # materialized (each round ran a count); its lineage stays valid
+    und.unpersist()
     return labels
 
 

@@ -92,8 +92,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-checked: the fake features are pure functions of the bytes,
     so DuckDB recomputes them from the text directly.
     """
-    # 8 partitions: each spawns a Python worker — worker startup
-    # dominates at fixture scale, so fewer/larger Arrow batches win
+    # gated spread to 8: the single-split fixture scan is widened to 8
+    # (not full parallelism — Python worker startup dominates at fixture
+    # scale, so fewer/larger Arrow batches win); an already-parallel
+    # scan keeps its partitioning, where startup amortizes over volume
     d = spread(load_table(spark, sf_dir, "documents"), 8)
     payloads = with_binary_payload(d).select("doc_id", "content")
     return payloads.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)

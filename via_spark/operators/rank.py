@@ -48,11 +48,19 @@ def global_row_number(
     order: list[Column],
     out: str = "rank",
     num_partitions: int | None = None,
+    total: str | None = None,
 ) -> DataFrame:
     """Append ``out`` = exact 1-based global row_number over ``order``.
 
     ``order`` must be a total order (tie-break on a unique column) so the
-    rank is well-defined independent of partition boundaries.
+    rank is well-defined independent of partition boundaries. The rank is
+    a BIGINT — this operator exists for corpus-wide orderings, where an
+    int would overflow past 2^31 rows.
+
+    ``total``: optionally also attach the total row count under this
+    column name — it falls out of the per-partition counts the offsets
+    already need, so callers (e.g. decile binning) get n without a
+    second pass over the input.
     """
     spark = df.sparkSession
     npart = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -66,13 +74,21 @@ def global_row_number(
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_off")
+        "_pid",
+        F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_off"),
+        F.sum("_n").over(
+            Window.orderBy("_pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_tot"),
     )
-    return (
+    ranked = (
         ranged.join(F.broadcast(offsets), "_pid")
-        .withColumn(out, (F.col("_loc") + F.col("_off") + 1).cast("int"))
-        .drop("_mid", "_pid", "_loc", "_off")
+        .withColumn(out, (F.col("_loc") + F.col("_off") + 1).cast("long"))
     )
+    if total is not None:
+        ranked = ranked.withColumn(total, F.col("_tot"))
+    return ranked.drop("_mid", "_pid", "_loc", "_off", "_tot")
 
 
 def global_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:

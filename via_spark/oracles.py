@@ -1223,7 +1223,7 @@ WITH big AS (
     FROM lineitem GROUP BY l_orderkey HAVING sum_qty > {min_qty}
 )
 SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-       o.o_totalprice, big.sum_qty
+       o.o_totalprice, CAST(big.sum_qty AS BIGINT) AS sum_qty
 FROM big
 JOIN orders o ON big.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1337,7 +1337,8 @@ def ann_quantized_topk_sql(query_id: int = 0, k: int = 10, oversample: int = 3) 
     return f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_id}),
 cand AS (
-    SELECT e.vec_id, e.label, e.embedding, q.qe, {qdot} AS qdot
+    SELECT e.vec_id, e.label, e.embedding, q.qe,
+           CAST({qdot} AS BIGINT) AS qdot
     FROM embeddings e, q
     WHERE e.vec_id <> {query_id}
     ORDER BY qdot DESC, e.vec_id ASC LIMIT {oversample * k}
@@ -1456,11 +1457,11 @@ ORDER BY score DESC, vec_id ASC LIMIT {k}
 
 def global_value_rank_sql() -> str:
     """Exact global ranking — oracle for rank.global_row_number's
-    range-partition + offset composition."""
+    range-partition + offset composition (rank stays BIGINT: the
+    operator targets corpora where an int would overflow)."""
     return """
 SELECT event_id, value,
-       CAST(row_number() OVER (ORDER BY value DESC, event_id ASC) AS INTEGER)
-       AS rank
+       row_number() OVER (ORDER BY value DESC, event_id ASC) AS rank
 FROM events
 """
 

@@ -59,10 +59,15 @@ def compact_partitions(
     each partition value lands in one task → one file (optionally
     re-sorted so row-group stats sharpen range skipping again).
 
-    The rewrite goes to a temp directory, then swaps via rename — the
-    live path is never a partially-written state, and the read plan
-    feeding the rewrite never races its own overwrite. Returns
-    {"files_before": n, "files_after": m, "rows": r}.
+    The rewrite goes to a temp directory first, so the read plan feeding
+    it never races its own overwrite and the live path never holds a
+    partially-written state; the swap itself is two renames, so there IS
+    a brief window with no live directory — run compaction when the
+    store is quiescent (true atomic swap needs a table format /
+    manifest, out of scope here). Stale tmp/old directories from a
+    crashed prior run are cleaned up on entry, and a failed swap is
+    rolled back. Returns {"files_before": n, "files_after": m,
+    "rows": r}.
 
     Scale: cost is one shuffle of the compacted days; at 100 TB you'd
     run this per recent partition (a day just past its append horizon),
@@ -80,17 +85,25 @@ def compact_partitions(
             if f.endswith(".parquet")
         )
 
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    for stale in (tmp, old):  # leftovers from a crashed prior run
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+
     before = _count_files(path)
     df = spark.read.parquet(path)
     rows = df.count()
-    tmp = path.rstrip("/") + "._compact_tmp"
     writer = df.repartition(partition_col)
     if sort_col:
         writer = writer.sortWithinPartitions(sort_col)
     writer.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll the live store back
+        raise
     shutil.rmtree(old)
     return {"files_before": before, "files_after": _count_files(path), "rows": rows}
 
