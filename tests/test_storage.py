@@ -102,3 +102,36 @@ def test_connected_components_basic(spark):
         for r in connected_components(verts, edges).collect()
     }
     assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
+
+
+def test_compaction_cleans_stale_dirs(spark, sf_smoke, tmp_path):
+    import os
+
+    from via_spark.operators import promote
+
+    clusters = promote.promotion_rollup(
+        spark, sf_smoke, sample_size=200, novelty_min_count=1
+    )
+    path = str(tmp_path / "t2")
+    promote.write_tier2(clusters, path)
+    # leftovers from a "crashed" prior run must not break the next one
+    os.makedirs(path + "._compact_tmp/junk")
+    os.makedirs(path + "._compact_old/junk")
+    res = storage.compact_partitions(spark, path)
+    assert res["rows"] == clusters.count()
+    assert not os.path.exists(path + "._compact_tmp")
+    assert not os.path.exists(path + "._compact_old")
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    from via_spark.operators.graph import connected_components
+
+    # a 6-chain needs ~5 rounds; max_iter=2 must raise, not split
+    verts = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, chain, max_iter=2)
