@@ -135,3 +135,60 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(verts, chain, max_iter=2)
+
+
+def test_zorder_skips_more_row_groups_than_single_sort(spark, sf_oracle, tmp_path):
+    """A 2-D box predicate must touch fewer parquet row groups on a
+    Z-ordered layout than on a single-column sort — measured from the
+    actual row-group min/max stats pyarrow sees."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from via_spark.session import load_table
+
+    ev = load_table(spark, sf_oracle, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000000000").alias("ts_sec"), "value"
+    )
+    bounds = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("ts_sec"), F.max("ts_sec")
+    ).collect()[0]
+    u_lo, u_hi, t_lo, t_hi = bounds
+
+    sorted_path = str(tmp_path / "ts_sorted")
+    z_path = str(tmp_path / "zorder")
+    block = 32 * 1024
+    (
+        ev.repartition(1).sortWithinPartitions("ts_sec")
+        .write.mode("overwrite").option("parquet.block.size", str(block))
+        .parquet(sorted_path)
+    )
+    storage.zorder_write(ev, z_path, "user_id", "ts_sec", block_size=block)
+
+    # 10% box in both dimensions
+    u_a, u_b = u_lo, u_lo + (u_hi - u_lo) // 10
+    t_a, t_b = t_lo, t_lo + (t_hi - t_lo) // 10
+
+    def touched(path):
+        import glob, os
+
+        total = hit = 0
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                su = g.column(names["user_id"]).statistics
+                st = g.column(names["ts_sec"]).statistics
+                total += 1
+                if su.min <= u_b and su.max >= u_a and st.min <= t_b and st.max >= t_a:
+                    hit += 1
+        return hit, total
+
+    z_hit, z_total = touched(z_path)
+    s_hit, s_total = touched(sorted_path)
+    assert z_total >= 4, f"need multiple row groups to compare ({z_total})"
+    # same rows, same result — but fewer groups to read under z-order
+    assert z_hit < s_hit, (z_hit, z_total, s_hit, s_total)
+    # and the data itself is intact
+    got = spark.read.parquet(z_path)
+    assert got.count() == ev.count()

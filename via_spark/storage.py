@@ -45,6 +45,76 @@ def drop_table(spark: SparkSession, table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def _spread_bits(c):
+    """Spread a 16-bit value's bits to even positions (Morton helper) —
+    the classic shift-and-mask sequence, all JVM bitwise ops."""
+    from pyspark.sql import functions as F
+
+    c = c.bitwiseOR(F.shiftleft(c, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x5555555555555555))
+    return c
+
+
+def morton2(a, b, a_min, a_max, b_min, b_max, bits: int = 16):
+    """Z-order key of two numeric columns: quantize each to a
+    ``bits``-bit grid over its observed range, interleave the bits.
+    Rows close in BOTH dimensions get close keys, so sorting by the key
+    co-locates 2-D neighborhoods."""
+    from pyspark.sql import functions as F
+
+    grid = (1 << bits) - 1
+
+    def q(c, lo, hi):
+        span = max(float(hi) - float(lo), 1e-12)
+        return F.least(
+            F.lit(grid),
+            ((c.cast("double") - float(lo)) * grid / span).cast("long"),
+        )
+
+    return _spread_bits(q(a, a_min, a_max)).bitwiseOR(
+        F.shiftleft(_spread_bits(q(b, b_min, b_max)), 1)
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int = 1,
+    block_size: int | None = None,
+) -> None:
+    """Write ``df`` Z-order-clustered on (col_a, col_b).
+
+    Sorting by ONE column makes its row-group min/max stats selective
+    and leaves the other column's stats useless; the Morton key makes
+    BOTH selective at once, so a 2-D box predicate (user AND time-range)
+    skips row groups on either dimension — the standard multi-dimension
+    layout for 100 TB scans (Delta/Iceberg OPTIMIZE ZORDER does exactly
+    this). Range-partition + sort by the key = global clustering with
+    one shuffle. Column ranges come from one cheap min/max aggregation.
+    """
+    from pyspark.sql import functions as F
+
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).collect()[0]
+    z = morton2(F.col(col_a), F.col(col_b), lo_a, hi_a, lo_b, hi_b)
+    out = (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    w = out.write.mode("overwrite")
+    if block_size:
+        w = w.option("parquet.block.size", str(block_size))
+    w.parquet(path)
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
