@@ -235,3 +235,19 @@ def test_ingest_file_via_saved_schema(engine, spark, tmp_path):
 
     # unknown source errors cleanly
     assert engine.ingest_file(otel_path, "nope")["status"] == "error"
+
+
+def test_fresh_engine_reads_are_empty_not_errors(spark, tmp_path):
+    """Every read endpoint on a brand-new engine answers with empty
+    results (like the reference's empty collections), not
+    PATH_NOT_FOUND crashes."""
+    eng = VIAEngine(spark, str(tmp_path / "fresh_store"))
+    assert eng.stream_tail() == []
+    out = eng.tier1_rhythm_anomalies(window_sec=300)
+    assert out == {"novel_anomalies": [], "frequency_anomalies": []}
+    assert eng.tier2_clusters(text_filter=None).count() == 0
+    assert eng.tier2_clusters(text_filter="x").count() == 0
+    assert eng.tier2_triage(["h"]).count() == 0
+    assert eng.control_rules(now=0) == []
+    assert eng.run_evals() == []
+    assert eng.schemas_list() == []

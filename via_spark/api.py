@@ -64,7 +64,11 @@ class VIAEngine:
         return self._ingest_flat(flat)
 
     def _ingest_flat(self, flat: DataFrame) -> dict:
-        """(service, severity, body, ts) → tier1 append."""
+        """(service, severity, body, ts) → tier1 append. The ingested
+        count rides the write via an Observation, so the flatten +
+        template + sha256 pipeline executes ONCE, not once per count."""
+        from pyspark.sql import Observation
+
         tier1 = (
             flat.withColumn(
                 "event_id", F.abs(F.xxhash64("service", "severity", "body", "ts"))
@@ -73,15 +77,16 @@ class VIAEngine:
             .withColumn("rhythm_hash", rhythm_hash("service", "severity", F.col("template")))
             .withColumn("event_date", promote.event_date(F.col("ts")))
         )
-        n = tier1.count()
+        obs = Observation()
         (
-            tier1.repartition("event_date")
+            tier1.observe(obs, F.count(F.lit(1)).alias("n"))
+            .repartition("event_date")
             .sortWithinPartitions("ts")  # row-group stats sharpen ts skipping (O2)
             .write.mode("append")
             .partitionBy("event_date")
             .parquet(self.tier1_path)
         )
-        return {"status": "ok", "tier1_ingested": n}
+        return {"status": "ok", "tier1_ingested": obs.get["n"]}
 
     def stream_tail(self, limit: int = 50, text_filter: str | None = None) -> list[dict]:
         """GET /stream/tail — newest tier1 rows, optional case-insensitive
@@ -101,8 +106,14 @@ class VIAEngine:
         t1 = self._tier1()
         if now is None:
             now = t1.agg(F.max("ts")).collect()[0][0]
+        if now is None:  # empty store → nothing to analyze
+            return {"novel_anomalies": [], "frequency_anomalies": []}
         out, anomalies = self._detect(t1, window_sec, now, **detect_kwargs)
         if out:
+            # the anomaly rows are already on the driver — rebuild the
+            # (tiny) frame from them instead of re-running detection
+            # inside the rollup plan
+            anomalies = self.spark.createDataFrame(out, anomalies.schema)
             recent = rhythm.recent_window(t1, now, window_sec)
             clusters = promote.rollup_clusters(anomalies, recent)
             promote.write_tier2(clusters, self.tier2_path)
@@ -134,7 +145,10 @@ class VIAEngine:
         t1 = self._tier1()
         if now is None:
             now = t1.agg(F.max("ts")).collect()[0][0]
-        out, _ = self._detect(t1, window_sec, now, **detect_kwargs)
+        if now is None:  # empty store → no detections, cases still judged
+            out = []
+        else:
+            out, _ = self._detect(t1, window_sec, now, **detect_kwargs)
         flagged = {a["rhythm_hash"] for a in out}
         results = []
         for path in sorted(glob.glob(os.path.join(self.evals_dir, "*.yml"))):
@@ -156,7 +170,7 @@ class VIAEngine:
 
         Suppressed/patched hashes are filtered out, like the reference's
         forensic search (``forensic_analysis_service.py:63-65``)."""
-        c = promote.read_tier2(self.spark, self.tier2_path, start_ts, end_ts)
+        c = self._tier2(start_ts, end_ts)
         return forensic.cluster_search_over(
             self.spark, self._without_ruled(c, now), text_filter=text_filter,
             limit=limit,
@@ -167,7 +181,7 @@ class VIAEngine:
         """POST /analysis/tier2/triage — V4; empty positives → empty
         result (reference early-return, `forensic_analysis_service.py:76-77`).
         Suppressed/patched hashes are filtered like tier2_clusters."""
-        c = promote.read_tier2(self.spark, self.tier2_path)
+        c = self._tier2()
         return forensic.triage_over(
             self.spark, self._without_ruled(c, now), positive_ids, negative_ids, limit
         )
@@ -214,14 +228,42 @@ class VIAEngine:
 
     # -- internals ------------------------------------------------------------
 
+    _TIER1_SCHEMA = (
+        "service string, severity string, body string, ts long, "
+        "event_id long, template string, rhythm_hash string, event_date date"
+    )
+    _TIER2_SCHEMA = (
+        "entity_type string, rhythm_hash string, start_ts long, end_ts long, "
+        "count long, service string, severity string, anomaly_type string, "
+        "anomaly_context string, body string, sample_logs array<string>, "
+        "event_date date"
+    )
+
+    def _read_or_empty(self, path: str, schema: str) -> DataFrame:
+        """Missing store → typed empty frame (a fresh engine answers
+        every read endpoint with empty results, like the reference's
+        empty collections). ONLY the path-missing case is absorbed —
+        any other read failure propagates, so a transient error can
+        never masquerade as an empty table (and, via the next write,
+        silently wipe it)."""
+        import os
+
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
+
     def _tier1(self) -> DataFrame:
-        return self.spark.read.parquet(self.tier1_path)
+        return self._read_or_empty(self.tier1_path, self._TIER1_SCHEMA)
+
+    def _tier2(self, start_ts: int | None = None, end_ts: int | None = None) -> DataFrame:
+        if not os.path.exists(self.tier2_path):
+            return self.spark.createDataFrame([], self._TIER2_SCHEMA)
+        return promote.read_tier2(self.spark, self.tier2_path, start_ts, end_ts)
 
     def _rules(self) -> DataFrame:
-        try:
-            return self.spark.read.parquet(self.rules_path)
-        except Exception:
+        if not os.path.exists(self.rules_path):
             return control.empty_rules(self.spark)
+        return self.spark.read.parquet(self.rules_path)
 
     def _without_ruled(self, clusters: DataFrame, now: int | None) -> DataFrame:
         """Drop clusters whose hash has an active suppress/patch rule.

@@ -47,12 +47,10 @@ def rhythm_hash(service: Column | str, severity: Column | str, tmpl: Column | st
 def severity_number(severity: Column | str) -> Column:
     """OTel severity text → number ({DEBUG:5, INFO:9, WARN:13, ERROR:17, FATAL:21})."""
     col = F.col(severity) if isinstance(severity, str) else severity
-    expr = F.lit(None).cast("int")
     mapping = F.create_map(
         *[F.lit(x) for kv in SEVERITY_NUMBER.items() for x in kv]
     )
-    expr = mapping.getItem(col)
-    return expr.cast("int")
+    return mapping.getItem(col).cast("int")
 
 
 def tokens(text: Column | str) -> Column:

@@ -160,11 +160,12 @@ def dedup_minhash_pairs(
 
 
 def simhashed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # gated spread: widen the single-split fixture scan before the
-    # expensive fingerprint projection; no-op on a multi-split scan
-    d = spread(load_table(spark, sf_dir, "documents"))
-    toks = d.withColumn("toks", tokens(F.col("text"))).where(F.size("toks") > 0)
-    return toks.select("doc_id", simhash_hex(F.col("toks")).alias("simhash"))
+    # single source of truth for the pinned fingerprint pipeline —
+    # vector.simhash_documents (F3); keeping one copy means the pinned
+    # definition cannot silently diverge between the two call paths
+    from via_spark.operators.vector import simhash_documents
+
+    return simhash_documents(spark, sf_dir)
 
 
 def dedup_simhash_pairs(

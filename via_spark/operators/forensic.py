@@ -68,7 +68,11 @@ def _canonical_per_hash(c: DataFrame) -> DataFrame:
     embedding step also keeps multi-run bodies from double-counting
     into one hash's sparse vector."""
     w = Window.partitionBy("rhythm_hash").orderBy(
-        F.col("count").desc(), F.col("start_ts").asc()
+        F.col("count").desc(), F.col("start_ts").asc(),
+        # full tiebreak chain: two runs can tie on (count, start_ts) —
+        # without it the canonical row would be partition-order noise
+        F.col("end_ts").asc(), F.col("anomaly_type").asc(),
+        F.col("anomaly_context").asc(), F.col("body").asc(),
     )
     return (
         c.withColumn("_rn", F.row_number().over(w))

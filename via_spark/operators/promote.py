@@ -153,12 +153,16 @@ def read_tier2(
 ) -> DataFrame:
     """S8/S9: read tier2; a time window prunes to its daily partitions
     (predicate on the partition column → Catalyst skips whole days),
-    then the exact ``start_ts`` range filter applies within them."""
+    then the exact ``start_ts`` range filter applies within them.
+    Either bound may be open (gte-only / lte-only, the reference's P1
+    range semantics)."""
     df = spark.read.parquet(path)
-    if start_ts is not None and end_ts is not None:
-        lo = event_date(F.lit(start_ts).cast("long"))
-        hi = event_date(F.lit(end_ts).cast("long"))
-        df = df.where(F.col("event_date").between(lo, hi)).where(
-            F.col("start_ts").between(start_ts, end_ts)
-        )
+    if start_ts is not None:
+        df = df.where(
+            F.col("event_date") >= event_date(F.lit(start_ts).cast("long"))
+        ).where(F.col("start_ts") >= start_ts)
+    if end_ts is not None:
+        df = df.where(
+            F.col("event_date") <= event_date(F.lit(end_ts).cast("long"))
+        ).where(F.col("start_ts") <= end_ts)
     return df

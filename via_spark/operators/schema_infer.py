@@ -173,9 +173,12 @@ def otel_flatten(df: DataFrame, raw_col: str = "raw") -> DataFrame:
         *[c for c in staged.columns if c != "_ts_ns"],
         F.expr("_ts_ns div 1000000000").alias("ts"),
     )
-    # P7: malformed records (failed parse / missing required keys) drop out
+    # P7: malformed records (failed parse / missing required keys) drop
+    # out — severity included: a NULL severity would silently collapse
+    # rhythm_hash's concat_ws to sha(service) alone, merging buckets
     return out.where(
         F.col("service").isNotNull()
+        & F.col("severity").isNotNull()
         & F.col("ts").isNotNull()
         & F.col("body").isNotNull()
     )
@@ -287,11 +290,16 @@ REGISTRY_SCHEMA = StructType(
 def save_schema(spark: SparkSession, path: str, source_name: str, schema: dict) -> None:
     """S10 upsert-on-source_name (anti-join + union, full rewrite of the
     tiny registry table)."""
+    import os
+
     new = spark.createDataFrame([(source_name, json.dumps(schema, sort_keys=True))], REGISTRY_SCHEMA)
-    try:
+    # ONLY a missing registry means "start fresh"; any other read error
+    # must propagate — absorbing it would overwrite the whole registry
+    # with this single entry
+    if os.path.exists(path):
         existing = spark.read.parquet(path)
         merged = existing.join(new, "source_name", "left_anti").unionByName(new)
-    except Exception:
+    else:
         merged = new
     # Tiny registry: snapshot on the driver, write from the snapshot —
     # the overwrite can then never race the lazy plan reading this path
@@ -325,21 +333,23 @@ def read_with_schema(spark: SparkSession, schema: dict, path: str) -> DataFrame:
 
 
 def get_schema(spark: SparkSession, path: str, source_name: str) -> dict | None:
-    try:
-        rows = (
-            spark.read.parquet(path)
-            .where(F.col("source_name") == source_name)
-            .collect()
-        )
-    except Exception:
+    import os
+
+    if not os.path.exists(path):
         return None
+    rows = (
+        spark.read.parquet(path)
+        .where(F.col("source_name") == source_name)
+        .collect()
+    )
     return json.loads(rows[0]["schema_json"]) if rows else None
 
 
 def list_schemas(spark: SparkSession, path: str) -> list[str]:
-    try:
-        return sorted(
-            r["source_name"] for r in spark.read.parquet(path).select("source_name").collect()
-        )
-    except Exception:
+    import os
+
+    if not os.path.exists(path):
         return []
+    return sorted(
+        r["source_name"] for r in spark.read.parquet(path).select("source_name").collect()
+    )

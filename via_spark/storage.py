@@ -102,6 +102,9 @@ def zorder_write(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).collect()[0]
+    if lo_a is None or lo_b is None:  # empty input → empty output, no key
+        df.write.mode("overwrite").parquet(path)
+        return
     z = morton2(F.col(col_a), F.col(col_b), lo_a, hi_a, lo_b, hi_b)
     out = (
         df.withColumn("_z", z)
