@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": textstats.doc_quality_scores,
         "lang_id_documents": textstats.lang_id_documents,
         "doc_fingerprint": textstats.doc_fingerprint,
+        "normalize_documents": textstats.normalize_documents,
         "multimodal_features": multimodal.multimodal_features,
         # control loop + schema inference (M5)
         "suppressed_anomalies": control.suppressed_anomalies,
@@ -216,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_scores": oracles.doc_quality_scores_sql(),
         "lang_id_documents": oracles.lang_id_documents_sql(),
         "doc_fingerprint": oracles.doc_fingerprint_sql(),
+        "normalize_documents": oracles.normalize_documents_sql(),
         "multimodal_features": oracles.multimodal_features_sql(),
         "suppressed_anomalies": oracles.suppressed_anomalies_sql(),
         "active_rules_projection": oracles.active_rules_projection_sql(),

@@ -113,3 +113,41 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str, k: int = 4) -> DataFrame:
         "doc_id",
         F.concat_ws(":", F.slice(F.array_sort(hashes), 1, k)).alias("fingerprint"),
     )
+
+
+# accent-fold map, built programmatically so src/dst stay aligned;
+# covers the Latin accents DuckDB's ICU strip_accents folds identically
+_ACCENTS = {
+    "A": "ÀÁÂÃÄÅ", "a": "àáâãäå", "E": "ÈÉÊË", "e": "èéêë",
+    "I": "ÌÍÎÏ", "i": "ìíîï", "O": "ÒÓÔÕÖ", "o": "òóôõö",
+    "U": "ÙÚÛÜ", "u": "ùúûü", "C": "Ç", "c": "ç", "N": "Ñ", "n": "ñ",
+    "Y": "Ý", "y": "ýÿ",
+}
+ACCENT_SRC = "".join(chars for chars in _ACCENTS.values())
+ACCENT_DST = "".join(base * len(chars) for base, chars in _ACCENTS.items())
+
+ACCENT_WORDS = (
+    "Zürich", "café", "naïve", "Ångström", "señor", "Crème", "Brûlée", "Tokyö"
+)
+
+
+def accent_fold(c: Column) -> Column:
+    """Fold Latin accents to ASCII (pinned translate map — matches
+    DuckDB ``strip_accents`` on every mapped character)."""
+    return F.translate(c, ACCENT_SRC, ACCENT_DST)
+
+
+def normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-text normalization ahead of exact dedup: accent-fold +
+    casefold + whitespace collapse. The fixture corpus is pure ASCII, so
+    a deterministic accented token (chosen by doc_id) is planted on
+    every row — each row exercises the fold, and the oracle plants
+    identically and folds with ICU ``strip_accents``."""
+    d = load_table(spark, sf_dir, "documents")
+    word = F.element_at(
+        F.array(*[F.lit(w) for w in ACCENT_WORDS]),
+        (F.col("doc_id") % len(ACCENT_WORDS)).cast("int") + 1,
+    )
+    salted = F.concat_ws(" ", F.col("text"), word)
+    norm = F.array_join(tokens(accent_fold(salted)), " ")
+    return d.select("doc_id", norm.alias("norm_text"))

@@ -1466,6 +1466,26 @@ FROM events
 """
 
 
+def normalize_documents_sql() -> str:
+    from via_spark.operators.textstats import ACCENT_WORDS
+
+    words = ", ".join(f"'{w}'" for w in ACCENT_WORDS)
+    n = len(ACCENT_WORDS)
+    return rf"""
+SELECT doc_id,
+       array_to_string(
+           list_filter(
+               string_split_regex(
+                   lower(strip_accents(
+                       text || ' ' ||
+                       [{words}][CAST(doc_id % {n} AS INTEGER) + 1])),
+                   '\s+'),
+               x -> x <> ''),
+           ' ') AS norm_text
+FROM documents
+"""
+
+
 def mad_outliers_sql(k: float = 3.0) -> str:
     """DuckDB median() IS quantile_cont(0.5) — same interpolation the
     pandas grouped-map reproduces, so med/mad are bit-identical."""
