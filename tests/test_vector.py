@@ -70,3 +70,21 @@ def test_dense_embed_shell_with_fake_encoder(spark, sf_oracle):
     # default path: the model-loader stub raises with a clear message
     with pytest.raises(Exception, match="model runtime"):
         embed.dense_embedded(d, "doc_id", "text").collect()
+
+
+def test_ann_variants_recall_vs_exact(spark, sf_oracle):
+    """Measured approximation quality: every ANN variant's top-10 vs the
+    exact brute-force top-10. IVF (4 of 16 cells probed) and INT8
+    quantize+rescore recover the exact set on the fixture; multi-probe
+    sign-LSH (radius 2) trades recall for a bounded candidate set."""
+    from via_spark.operators import dedup, vector
+
+    exact = {r["vec_id"] for r in vector.knn_cosine_topk(spark, sf_oracle, k=10).collect()}
+
+    def recall(df):
+        got = {r["vec_id"] for r in df.collect()}
+        return len(exact & got) / len(exact)
+
+    assert recall(dedup.ann_ivf_topk(spark, sf_oracle, k=10)) >= 0.9
+    assert recall(vector.ann_quantized_topk(spark, sf_oracle, k=10)) >= 0.9
+    assert recall(dedup.ann_lsh_topk(spark, sf_oracle, k=10)) >= 0.4

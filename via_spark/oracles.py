@@ -841,13 +841,36 @@ WHERE {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} >= {threshold!r}
 """
 
 
-def ann_lsh_topk_sql(query_id: int = 0, k: int = 10) -> str:
+def _flip_bit_sql(expr: str, i: int) -> str:
+    return (
+        f"substr({expr}, 1, {i}) || "
+        f"(CASE substr({expr}, {i + 1}, 1) WHEN '0' THEN '1' ELSE '0' END) || "
+        f"substr({expr}, {i + 2})"
+    )
+
+
+def ann_lsh_topk_sql(
+    query_id: int = 0, k: int = 10, bits: int = 8, radius: int = 2
+) -> str:
+    """Multi-probe: the query bucket + all buckets within Hamming
+    ``radius`` — mirrors dedup.probe_buckets exactly."""
+    probes = ["qb"] + [_flip_bit_sql("qb", i) for i in range(bits)]
+    if radius >= 2:
+        probes += [
+            _flip_bit_sql(f"({_flip_bit_sql('qb', i)})", j)
+            for i in range(bits)
+            for j in range(i + 1, bits)
+        ]
+    probe_list = ",\n        ".join(probes)
     return f"""
 WITH e AS (SELECT vec_id, label, embedding, {_SIGN_BUCKET} AS bucket FROM embeddings),
 q AS (SELECT embedding AS qe, bucket AS qb FROM e WHERE vec_id = {query_id}),
+qp AS (
+    SELECT qe, [{probe_list}] AS probes FROM q
+),
 cand AS (
-    SELECT e.vec_id, e.label, e.embedding, q.qe FROM e, q
-    WHERE e.bucket = q.qb AND e.vec_id <> {query_id}
+    SELECT e.vec_id, e.label, e.embedding, qp.qe FROM e, qp
+    WHERE list_contains(qp.probes, e.bucket) AND e.vec_id <> {query_id}
 ),
 scored AS (
     SELECT vec_id, label,
