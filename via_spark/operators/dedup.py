@@ -240,24 +240,33 @@ def _sign_bucket(emb: Column, dims: int = 8) -> Column:
 
 
 def neardup_embedding_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = EMB_COS_THRESHOLD
+    spark: SparkSession, sf_dir: str, threshold: float = EMB_COS_THRESHOLD,
+    probe_radius: int = 1,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs within sign-LSH buckets.
-
-    Approximate by construction (cross-bucket pairs are unseen) — the
-    documented recall/cost tradeoff of sign-LSH; parity with the oracle
-    is exact because both implement the same bucketed algorithm.
+    """Embedding-cosine near-dup pairs via multi-probe sign-LSH: one
+    side explodes to its bucket's Hamming-``probe_radius`` neighborhood
+    (9 keys at radius 1), the other joins on its exact bucket — pairs
+    whose buckets differ by up to ``radius`` sign bits become
+    candidates instead of being silently unseen. Still an equi-join,
+    never all-pairs; candidate volume grows by the probe count, the
+    standard recall/cost dial. Parity with the oracle is exact because
+    both implement the same probed algorithm.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _sign_bucket(F.col("embedding")).alias("bucket")
     )
     a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        F.explode(probe_buckets(F.col("bucket"), radius=probe_radius)).alias("bucket"),
     )
     b = e.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
     )
-    cand = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+    cand = (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
     return (
         cand.withColumn("d_fix", dot_fix(F.col("emb_a"), F.col("emb_b")))
         .withColumn("na_fix", dot_fix(F.col("emb_a"), F.col("emb_a")))

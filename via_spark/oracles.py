@@ -819,13 +819,29 @@ _DOT9_PAIR = (
 )
 
 
-def neardup_embedding_pairs_sql(threshold: float = 0.4) -> str:
+def neardup_embedding_pairs_sql(
+    threshold: float = 0.4, bits: int = 8, radius: int = 1
+) -> str:
+    """Multi-probe pair join — mirrors dedup.neardup_embedding_pairs:
+    side a explodes to its Hamming-radius bucket neighborhood."""
+    probes = ["bucket"] + [_flip_bit_sql("bucket", i) for i in range(bits)]
+    if radius >= 2:
+        probes += [
+            _flip_bit_sql(f"({_flip_bit_sql('bucket', i)})", j)
+            for i in range(bits)
+            for j in range(i + 1, bits)
+        ]
+    probe_list = ", ".join(probes)
     return f"""
 WITH e AS (SELECT vec_id, embedding, {_SIGN_BUCKET} AS bucket FROM embeddings),
+ap AS (
+    SELECT vec_id AS vec_a, embedding AS emb_a,
+           unnest([{probe_list}]) AS bucket
+    FROM e
+),
 cand AS (
-    SELECT a.vec_id AS vec_a, a.embedding AS emb_a,
-           b.vec_id AS vec_b, b.embedding AS emb_b
-    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    SELECT DISTINCT ap.vec_a, ap.emb_a, b.vec_id AS vec_b, b.embedding AS emb_b
+    FROM ap JOIN e b ON ap.bucket = b.bucket AND ap.vec_a < b.vec_id
 ),
 scored AS (
     SELECT vec_a, vec_b,
