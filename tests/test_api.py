@@ -251,3 +251,28 @@ def test_fresh_engine_reads_are_empty_not_errors(spark, tmp_path):
     assert eng.control_rules(now=0) == []
     assert eng.run_evals() == []
     assert eng.schemas_list() == []
+
+
+def test_ingest_csv_via_detected_schema(engine, spark, tmp_path):
+    """Third onboardable format (beyond-reference): header-mapped CSV
+    detected, saved, and executed through the same registry loop."""
+    csv_path = str(tmp_path / "onboard.csv")
+    lines = ["ts,severity,service,message"] + [
+        f"{40_000 + i},WARN,csv-svc,csv row number {i}" for i in range(4)
+    ] + ["not-a-ts,WARN,csv-svc,malformed row"]
+    with open(csv_path, "w") as fh:
+        fh.write("\n".join(lines))
+
+    det = engine.schemas_detect(lines)
+    assert det and det["source_type"] == "csv"
+    engine.schemas_save("onboard_csv", det)
+    res = engine.ingest_file(csv_path, "onboard_csv")
+    assert res == {"status": "ok", "tier1_ingested": 4}  # malformed dropped
+
+    t1 = spark.read.parquet(engine.tier1_path)
+    got = t1.where(F.col("service") == "csv-svc")
+    assert got.count() == 4
+    assert {r["severity"] for r in got.collect()} == {"WARN"}
+
+    # detection priority: OTel stays OTel, BGL stays BGL
+    assert engine.schemas_detect(["garbage , with, bad col names!"]) is None

@@ -239,10 +239,54 @@ def bgl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- detection heuristics + registry ----------------------------------------
 
+# canonical field → recognized CSV header aliases (beyond-reference
+# third source format: header-mapped delimited logs)
+CSV_FIELD_ALIASES = {
+    "timestamp": ("ts", "time", "timestamp", "unix_ts"),
+    "level": ("level", "severity", "loglevel"),
+    "service": ("service", "source", "app", "component"),
+    "message": ("message", "msg", "body", "text"),
+}
+
+_IDENT_RE = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _detect_csv(sample_lines: list[str]) -> dict | None:
+    """Header-mapped CSV: first line is identifier-only column names
+    covering all four canonical fields via aliases; body rows keep the
+    header's arity."""
+    lines = [ln for ln in sample_lines if ln.strip()]
+    if not lines or "," not in lines[0]:
+        return None
+    header = [c.strip() for c in lines[0].strip().split(",")]
+    if len(header) < 3 or not all(re.fullmatch(_IDENT_RE, c) for c in header):
+        return None
+    mapping = {}
+    for canon, aliases in CSV_FIELD_ALIASES.items():
+        for c in header:
+            if c.lower() in aliases:
+                mapping[canon] = c
+                break
+    if set(mapping) != set(CSV_FIELD_ALIASES):
+        return None
+    if any(ln.count(",") != lines[0].count(",") for ln in lines[1:5]):
+        return None
+    types = {"timestamp": "datetime", "level": "keyword",
+             "service": "keyword", "message": "string"}
+    return {
+        "source_type": "csv",
+        "delimiter": ",",
+        "fields": [
+            {"name": n, "type": types[n], "source_field": mapping[n]}
+            for n in ("timestamp", "level", "service", "message")
+        ],
+    }
+
+
 def detect_schema(sample_lines: list[str]) -> dict | None:
     """Heuristic detection on a bounded sample (driver-side, like the
-    reference): OTel JSON first, then BGL, else None. Returns the
-    canonical field-mapping schema."""
+    reference): OTel JSON first, then BGL, then header-mapped CSV,
+    else None. Returns the canonical field-mapping schema."""
     for line in sample_lines[:100]:
         line = line.strip()
         if not line:
@@ -276,7 +320,7 @@ def detect_schema(sample_lines: list[str]) -> dict | None:
                     {"name": "message", "type": "string", "source_field": "message"},
                 ],
             }
-    return None
+    return _detect_csv(sample_lines[:100])
 
 
 REGISTRY_SCHEMA = StructType(
@@ -328,6 +372,28 @@ def read_with_schema(spark: SparkSession, schema: dict, path: str) -> DataFrame:
             F.col("level").alias("severity"),
             F.col("message").alias("body"),
             "ts",
+        )
+    if stype == "csv":
+        fm = {f["name"]: f["source_field"] for f in schema["fields"]}
+        csv = (
+            spark.read.option("header", "true")
+            .option("sep", schema.get("delimiter", ","))
+            .csv(path)
+        )
+        parsed = csv.select(
+            F.col(fm["service"]).alias("service"),
+            F.col(fm["level"]).alias("severity"),
+            F.col(fm["message"]).alias("body"),
+            # try_cast: a malformed timestamp is a malformed ROW (P7
+            # filter below), not a query-killing ANSI cast error
+            F.col(fm["timestamp"]).try_cast("long").alias("ts"),
+        )
+        # P7: rows missing any canonical field (or a non-numeric ts) drop
+        return parsed.where(
+            F.col("service").isNotNull()
+            & F.col("severity").isNotNull()
+            & F.col("body").isNotNull()
+            & F.col("ts").isNotNull()
         )
     raise ValueError(f"unknown source_type: {stype!r}")
 
