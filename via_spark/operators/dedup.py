@@ -353,9 +353,12 @@ def probe_buckets(q_bucket: Column, bits: int = 8, radius: int = 2) -> Column:
     Hamming distance ``radius`` — the standard recall lever (probing
     neighbors costs probe-count joins, not a wider scan). radius=2 over
     8 bits → 37 probes."""
+    if not 0 <= radius <= 2:
+        raise ValueError(f"probe radius {radius} unsupported (0..2)")
     probes = [q_bucket]
-    for i in range(bits):
-        probes.append(_flip_bit(q_bucket, i))
+    if radius >= 1:
+        for i in range(bits):
+            probes.append(_flip_bit(q_bucket, i))
     if radius >= 2:
         for i in range(bits):
             for j in range(i + 1, bits):
