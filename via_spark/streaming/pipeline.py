@@ -142,23 +142,25 @@ def start_detection(
     """
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         if tee_path is not None:  # T8 dual-sink tee
             batch_df.write.mode("append").parquet(tee_path)
-        try:
-            tier1 = spark.read.parquet(tier1_path)
-        except Exception:
+        # ONLY the not-yet-written case is absorbed; a transient read
+        # failure must propagate (fail the batch, retried by the
+        # engine) — absorbing it would silently run detection without
+        # the store, or worse, without the suppression rules
+        if not os.path.isdir(tier1_path):
             return  # ingest has not committed any files yet
+        tier1 = spark.read.parquet(tier1_path)
         if not tier1.take(1):
             return
         now = tier1.agg(F.max("ts")).collect()[0][0]
         rules = None
-        if rules_path is not None:
+        if rules_path is not None and os.path.isdir(rules_path):
             from via_spark.operators import control
 
-            try:
-                rules = control.active_rules(spark.read.parquet(rules_path), now)
-            except Exception:
-                rules = None  # no rules written yet
+            rules = control.active_rules(spark.read.parquet(rules_path), now)
         anomalies = rhythm.find_rhythm_anomalies(
             spark, sf_dir="", tier1=tier1, now=now, window_sec=window_sec,
             rules=rules, **detect_kwargs
