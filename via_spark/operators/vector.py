@@ -97,7 +97,12 @@ def quantized_vec(emb: Column) -> Column:
     multiply + floor on both sides). Zero vectors quantize to zeros."""
     maxabs = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
     s = F.when(maxabs == 0, F.lit(0.0)).otherwise(F.lit(127.0) / maxabs)
-    return F.transform(emb, lambda x: F.floor(x.cast("double") * s).cast("long"))
+    # The scale rides in via array_repeat, which evaluates ``s`` ONCE per
+    # row — putting ``s`` in the lambda body would re-run the O(d)
+    # array_max for EVERY element (O(d²)/row; Spark does no common-
+    # subexpression elimination inside higher-order-function lambdas).
+    scales = F.array_repeat(s, F.size(emb))
+    return F.zip_with(emb, scales, lambda x, sv: F.floor(x.cast("double") * sv).cast("long"))
 
 
 def int_dot(a: Column, b: Column) -> Column:
