@@ -38,6 +38,7 @@ from via_spark.operators import (
     search,
     stats,
     textstats,
+    timeseries,
     vector,
     windows,
 )
@@ -176,6 +177,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_hash_counts": windows.session_hash_counts,
         "hypertable_rollup": windows.hypertable_rollup,
         "range_containment_join": windows.range_containment_join,
+        # time-series toolkit (rate / gap-fill / moving agg / histogram)
+        "hourly_rate_of_change": timeseries.hourly_rate_of_change,
+        "gapfill_locf": timeseries.gapfill_locf,
+        "moving_avg_daily": timeseries.moving_avg_daily,
+        "cube_order_counts": timeseries.cube_order_counts,
+        "value_histogram": timeseries.value_histogram,
+        # TF-IDF ranking + relational set ops
+        "tfidf_top_terms": search.tfidf_top_terms,
+        "repeat_buyers": relational.repeat_buyers,
+        "lapsed_buyers": relational.lapsed_buyers,
     }
 
 
@@ -252,4 +263,12 @@ def oracle_sql() -> dict[str, str]:
         "session_hash_counts": oracles.session_hash_counts_sql(),
         "hypertable_rollup": oracles.hypertable_rollup_sql(),
         "range_containment_join": oracles.range_containment_join_sql(),
+        "hourly_rate_of_change": oracles.hourly_rate_of_change_sql(),
+        "gapfill_locf": oracles.gapfill_locf_sql(),
+        "moving_avg_daily": oracles.moving_avg_daily_sql(),
+        "cube_order_counts": oracles.cube_order_counts_sql(),
+        "value_histogram": oracles.value_histogram_sql(),
+        "tfidf_top_terms": oracles.tfidf_top_terms_sql(),
+        "repeat_buyers": oracles.repeat_buyers_sql(),
+        "lapsed_buyers": oracles.lapsed_buyers_sql(),
     }

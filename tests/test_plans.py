@@ -128,3 +128,33 @@ def test_ann_variants_plan_heaps(spark, sf_oracle):
     for name in ("ann_ivf_topk", "ann_quantized_topk"):
         p = _plan(spark, sf_oracle, name)
         assert "TakeOrderedAndProject" in p, f"{name}: candidate cut must heap"
+
+
+def test_tfidf_topk_uses_window_group_limit(spark, sf_oracle):
+    """Per-doc top-k must keep only k rows per doc through the rank
+    shuffle — a full rank materialization is corpus-sized."""
+    assert "WindowGroupLimit" in _plan(spark, sf_oracle, "tfidf_top_terms")
+
+
+def test_gapfill_grid_sides_broadcast(spark, sf_oracle):
+    """The generated grid (series × hour sequence) must assemble via
+    broadcasts — the grid is metadata-sized, never a shuffled join."""
+    p = _plan(spark, sf_oracle, "gapfill_locf")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_set_ops_push_date_range(spark, sf_oracle):
+    """INTERSECT/EXCEPT cohort scans must push their year range to the
+    parquet scan on both sides."""
+    for name in ("repeat_buyers", "lapsed_buyers"):
+        p = _plan(spark, sf_oracle, name)
+        assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", p), name
+
+
+def test_quantized_ann_no_nested_rescale(spark, sf_oracle):
+    """quantized_vec must evaluate the 127/max|x| scale ONCE per row
+    (array_repeat), not once per element: a nested array_max inside the
+    per-element lambda is O(d²)/row and showed up as a 25× bench
+    regression at sf0.1."""
+    p = _plan(spark, sf_oracle, "ann_quantized_topk")
+    assert p.count("array_max") <= 4, "per-element array_max re-evaluation leaked back in"

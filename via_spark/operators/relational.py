@@ -456,3 +456,39 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+def _buyers_in_year(orders: DataFrame, year: int) -> DataFrame:
+    """Distinct customers with an order in calendar ``year`` — the
+    timestamp-literal predicate pushes down to the parquet scan."""
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp_ntz"))
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+
+
+def repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: customers who ordered in BOTH 1995 and 1996.
+
+    Spark plans INTERSECT as a distinct + hash semi-join on all
+    columns — one shuffle per side on the full row key, AQE-skew-safe.
+    Enriched with the market segment via a broadcast dim join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    both = _buyers_in_year(orders, 1995).intersect(_buyers_in_year(orders, 1996))
+    return both.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")),
+        "o_custkey",
+    )
+
+
+def lapsed_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: customers who ordered in 1995 but NOT in 1996
+    (churn cohort). Spark plans EXCEPT as distinct + left-anti hash
+    join — same scale shape as the rules anti-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    return _buyers_in_year(orders, 1995).subtract(_buyers_in_year(orders, 1996))

@@ -173,3 +173,39 @@ def hybrid_rrf(
         .limit(k)
         .select("doc_id", "rank_dense", "rank_sparse", "rrf")
     )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document over the pinned tokenizer.
+
+    IDF is fixed-point integer — ``idf_fp = (n_docs * 2^20) div df`` —
+    so ``score_fp = tf * idf_fp`` is exact BIGINT in both engines (a
+    float ``ln`` IDF would rank identically but hash differently in the
+    last bit across libms). Monotonicity in (tf, 1/df) is all a ranking
+    needs; the BM25 scorer above keeps the reference's float form.
+
+    Scale posture: tf is one (doc, term) hash agg; df reuses tf's
+    output (one more agg on term); n_docs reduces to a 1-row broadcast.
+    The per-doc top-k rides WindowGroupLimit — only k rows per doc
+    survive the rank shuffle. Nothing is quadratic in corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score_fp", F.col("tf") * F.expr("(n_docs * 1048576) div df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_fp").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "score_fp", "rnk")
+    )

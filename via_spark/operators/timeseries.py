@@ -1,0 +1,181 @@
+"""Time-series operators over the event stream: rate-of-change, gap-fill
+with LOCF, moving aggregates, and histogram binning.
+
+These extend the hypertable family (``operators.windows``) with the
+classic time-series-store toolkit (TimescaleDB / InfluxDB capability
+class; the reference's rhythm cadence — ``rhythm_analysis_service.py``
+— is the 60 s special case of the bucketing used here):
+
+* ``hourly_rate_of_change`` — delta vs previous bucket (LAG window)
+* ``gapfill_locf``          — dense bucket grid + last-observation-
+  carried-forward interpolation
+* ``moving_avg_daily``      — trailing 7-day RANGE-frame moving average
+* ``value_histogram``       — fixed-width value binning per series
+
+Determinism: every aggregate is integer or fixed-point-BIGINT (the
+repo-wide ``floor(x*1e6)`` convention), so distributed reduction order
+can never change a result and each query is hash-exact vs DuckDB.
+
+Scale posture (100 TB):
+* Bucketing is a single hash aggregation on (series, bucket) — map-side
+  partial agg, one shuffle; never a global sort.
+* LAG / moving-average windows partition by series (bounded frames per
+  key) — no data-wide ``Window.orderBy()`` anywhere.
+* The gap-fill grid is generated (series × bucket sequence), not read:
+  grid size = |series| × |buckets|, independent of row count; the
+  series list and bucket bounds reduce to tiny broadcast sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from via_spark.session import load_table
+
+HOUR = 3_600
+DAY = 86_400
+FIX = 1_000_000  # repo-wide fixed-point scale
+
+
+def _events_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with exact epoch-second ts (raw int64-ns div — pushdown-safe)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("ts div 1000000000").alias("sec"),
+    )
+
+
+def hourly_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly event counts with delta vs the previous OBSERVED
+    hour (LAG over the series partition). First bucket of each series
+    has NULL prev/delta — standard rate-of-change semantics."""
+    ev = _events_sec(spark, sf_dir)
+    hourly = (
+        ev.withColumn("hour_start", F.col("sec") - F.col("sec") % HOUR)
+        .groupBy("event_type", "hour_start")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_start")
+    return hourly.select(
+        "event_type",
+        "hour_start",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        (F.col("n") - F.lag("n").over(w)).alias("delta"),
+    )
+
+
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid per event_type over the stream's full span,
+    with per-bucket fixed-point value sums and LOCF interpolation.
+
+    Empty buckets get ``n = 0`` and ``filled_fix`` carried forward from
+    the newest earlier observed bucket (NULL before the first
+    observation). The grid is GENERATED — ``sequence()`` over the
+    global [min, max] hour bounds (one broadcast row) crossed with the
+    distinct series keys — so its size is |series| × |hours| no matter
+    how many raw rows exist.
+    """
+    ev = _events_sec(spark, sf_dir)
+    hourly = (
+        ev.withColumn("hour_start", F.col("sec") - F.col("sec") % HOUR)
+        .groupBy("event_type", "hour_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.floor(F.col("value") * FIX).cast("long")).alias("sum_fix"),
+        )
+    )
+    bounds = ev.agg(
+        (F.min("sec") - F.min("sec") % HOUR).alias("lo"),
+        (F.max("sec") - F.max("sec") % HOUR).alias("hi"),
+    )
+    grid_hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(HOUR))).alias("hour_start")
+    )
+    series = ev.select("event_type").distinct()
+    grid = F.broadcast(series).crossJoin(F.broadcast(grid_hours))
+    joined = grid.join(hourly, ["event_type", "hour_start"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "hour_start",
+        F.coalesce("n_obs", F.lit(0)).alias("n"),
+        F.last("sum_fix", ignorenulls=True).over(w).alias("filled_fix"),
+    )
+
+
+def moving_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order revenue with a trailing 7-day moving average
+    (RANGE frame on the integer day, so calendar gaps are honored —
+    a day window, not a row window). Fixed-point arithmetic end to end:
+    ``mavg_fix`` is the integer-div mean of the in-frame day sums.
+
+    The unpartitioned window here is NOT the data-wide-window
+    anti-pattern: its input is the per-day aggregate, whose cardinality
+    is calendar days (~2.4k for the 7-year fixture; bounded by time,
+    not by data volume), already reduced by a map-side-partial hash
+    agg. At 100 TB the same plan holds — the window sees O(days) rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            # o_orderdate is TIMESTAMP (ms) — integer epoch-day via
+            # unix_date(cast to date); the session is pinned UTC.
+            F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias("day"),
+            F.floor(F.col("o_totalprice") * FIX).cast("long").alias("p_fix"),
+        )
+        .groupBy("day")
+        .agg(F.sum("p_fix").alias("revenue_fix"))
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "revenue_fix",
+        F.sum("revenue_fix").over(w).alias("msum_fix"),
+        F.count(F.lit(1)).over(w).alias("days_in_frame"),
+    ).select(
+        "day",
+        "revenue_fix",
+        F.expr("msum_fix div days_in_frame").alias("mavg_fix"),
+        "days_in_frame",
+    )
+
+
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (status, priority): every combination of
+    subtotal levels in one pass (Spark expands to a single Expand +
+    hash-agg — one shuffle for all 4 grouping sets)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * FIX).cast("long")).alias(
+                "revenue_fix"
+            ),
+        )
+    )
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``value`` per event_type (width 5.0).
+    Bin id is ``floor(value / 5.0)`` — one deterministic IEEE divide,
+    identical in Spark and DuckDB; empty bins are absent (sparse
+    histogram), which keeps output size bounded by data, not domain."""
+    ev = _events_sec(spark, sf_dir)
+    return (
+        ev.withColumn("bin", F.floor(F.col("value") / 5.0).cast("long"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * FIX).cast("long")).alias("sum_fix"),
+        )
+    )

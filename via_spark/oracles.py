@@ -1635,3 +1635,141 @@ JOIN sessions s
   ON h.rhythm_hash = s.s_hash
  AND h.ts BETWEEN s.session_start AND s.session_end
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-series oracles (via_spark.operators.timeseries)
+# ---------------------------------------------------------------------------
+
+_EVENTS_SEC_CTE = """
+esec AS (
+    SELECT event_id, event_type, value,
+           epoch_us(ts) // 1000000 AS sec
+    FROM events
+)
+"""
+
+
+def hourly_rate_of_change_sql() -> str:
+    return f"""
+WITH {_EVENTS_SEC_CTE},
+hourly AS (
+    SELECT event_type, sec - sec % 3600 AS hour_start, count(*) AS n
+    FROM esec GROUP BY 1, 2
+)
+SELECT event_type, hour_start, n,
+       LAG(n) OVER w AS prev_n,
+       n - LAG(n) OVER w AS delta
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour_start)
+"""
+
+
+def gapfill_locf_sql() -> str:
+    return f"""
+WITH {_EVENTS_SEC_CTE},
+hourly AS (
+    SELECT event_type, sec - sec % 3600 AS hour_start,
+           count(*) AS n_obs,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_fix
+    FROM esec GROUP BY 1, 2
+),
+bounds AS (
+    SELECT min(sec) - min(sec) % 3600 AS lo,
+           max(sec) - max(sec) % 3600 AS hi
+    FROM esec
+),
+hours AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_start FROM bounds),
+series AS (SELECT DISTINCT event_type FROM esec),
+grid AS (SELECT event_type, hour_start FROM series, hours)
+SELECT g.event_type, g.hour_start,
+       COALESCE(h.n_obs, 0) AS n,
+       last_value(h.sum_fix IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.hour_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_fix
+FROM grid g
+LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour_start = g.hour_start
+"""
+
+
+def moving_avg_daily_sql() -> str:
+    return """
+WITH daily AS (
+    SELECT epoch_us(o_orderdate) // 1000000 // 86400 AS day,
+           CAST(SUM(CAST(floor(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+               AS revenue_fix
+    FROM orders GROUP BY 1
+)
+SELECT day, revenue_fix,
+       CAST(SUM(revenue_fix) OVER w AS BIGINT) // COUNT(*) OVER w AS mavg_fix,
+       COUNT(*) OVER w AS days_in_frame
+FROM daily
+WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def cube_order_counts_sql() -> str:
+    return """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(SUM(CAST(floor(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+           AS revenue_fix
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def value_histogram_sql() -> str:
+    return """
+SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS n,
+       CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_fix
+FROM events GROUP BY 1, 2
+"""
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    return f"""
+WITH {DOC_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM dtok),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM dtok),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           tf.tf * ((nd.n_docs * 1048576) // dfreq.df) AS score_fp
+    FROM tf JOIN dfreq USING (term), nd
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_fp DESC, term ASC) AS rnk
+    FROM scored
+)
+SELECT doc_id, term, tf, df, score_fp, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+def repeat_buyers_sql() -> str:
+    return """
+SELECT b.o_custkey, c.c_mktsegment
+FROM (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+) b JOIN customer c ON c.c_custkey = b.o_custkey
+"""
+
+
+def lapsed_buyers_sql() -> str:
+    return """
+SELECT DISTINCT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+"""
