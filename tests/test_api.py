@@ -276,3 +276,49 @@ def test_ingest_csv_via_detected_schema(engine, spark, tmp_path):
 
     # detection priority: OTel stays OTel, BGL stays BGL
     assert engine.schemas_detect(["garbage , with, bad col names!"]) is None
+
+
+def test_ingest_orc_via_detected_schema(engine, spark, tmp_path):
+    """Fourth onboardable format: a columnar ORC file is detected from
+    its footer (column-name alias mapping, no data read), saved to the
+    registry, and executed through the same detect -> save -> READ loop
+    — including the malformed-row (P7) drop for a NULL timestamp."""
+    orc_path = str(tmp_path / "onboard_orc")
+    rows = [(50_000 + i, "ERROR", "orc-svc", f"orc row number {i}") for i in range(5)]
+    rows.append((None, "ERROR", "orc-svc", "malformed row"))
+    spark.createDataFrame(
+        rows, "time long, loglevel string, app string, msg string"
+    ).write.mode("overwrite").orc(orc_path)
+
+    det = engine.schemas_detect_file(orc_path + "/")  # dir of .orc parts
+    assert det is None  # no extension on the dir — detection is honest
+    part = [p for p in __import__("os").listdir(orc_path) if p.endswith(".orc")][0]
+    det = engine.schemas_detect_file(f"{orc_path}/{part}")
+    assert det and det["source_type"] == "orc"
+    assert {f["name"] for f in det["fields"]} == {"timestamp", "level", "service", "message"}
+
+    engine.schemas_save("onboard_orc", det)
+    res = engine.ingest_file(orc_path, "onboard_orc")
+    assert res == {"status": "ok", "tier1_ingested": 5}  # NULL-ts row dropped
+
+    t1 = spark.read.parquet(engine.tier1_path)
+    got = t1.where(F.col("service") == "orc-svc")
+    assert got.count() == 5
+    assert {r["severity"] for r in got.collect()} == {"ERROR"}
+
+
+def test_ingest_parquet_with_native_timestamp(engine, spark, tmp_path):
+    """Columnar onboarding converts a native timestamp column to epoch
+    seconds through the UTC-pinned session."""
+    pq_path = str(tmp_path / "onboard_pq")
+    spark.sql(
+        "SELECT timestamp'2024-01-01 00:00:40' AS ts, 'WARN' AS severity, "
+        "'pq-svc' AS source, 'parquet row' AS body"
+    ).write.mode("overwrite").parquet(pq_path)
+    part = [p for p in __import__("os").listdir(pq_path) if p.endswith(".parquet")][0]
+    det = engine.schemas_detect_file(f"{pq_path}/{part}")
+    assert det and det["source_type"] == "parquet"
+    engine.schemas_save("onboard_pq", det)
+    assert engine.ingest_file(pq_path, "onboard_pq") == {"status": "ok", "tier1_ingested": 1}
+    t1 = spark.read.parquet(engine.tier1_path)
+    assert t1.where(F.col("service") == "pq-svc").collect()[0]["ts"] == 1704067240

@@ -216,6 +216,16 @@ class VIAEngine:
     def schemas_detect(self, sample_logs: list[str]) -> dict | None:
         return schema_infer.detect_schema(sample_logs)
 
+    def schemas_detect_file(self, path: str) -> dict | None:
+        """Detect an onboardable schema from a FILE: columnar formats
+        (ORC/Parquet — footer-only column-name mapping) first, else
+        fall back to sampling the first lines as text."""
+        det = schema_infer.detect_columnar_schema(self.spark, path)
+        if det is not None:
+            return det
+        head = self.spark.read.text(path).limit(100).collect()
+        return schema_infer.detect_schema([r["value"] for r in head])
+
     def schemas_save(self, source_name: str, schema: dict) -> dict:
         schema_infer.save_schema(self.spark, self.registry_path, source_name, schema)
         return {"status": "ok", "source_name": source_name}

@@ -323,6 +323,41 @@ def detect_schema(sample_lines: list[str]) -> dict | None:
     return _detect_csv(sample_lines[:100])
 
 
+COLUMNAR_FORMATS = ("orc", "parquet")
+
+
+def detect_columnar_schema(spark: SparkSession, path: str) -> dict | None:
+    """Columnar onboarding (ORC / Parquet): these carry their own typed
+    schema, so detection maps their column NAMES through the same alias
+    table the CSV detector uses — only the file FOOTER is read here
+    (``spark.read...schema``), never the data. Returns the same
+    executable field-mapping dict shape as the line-based detectors."""
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext not in COLUMNAR_FORMATS:
+        return None
+    try:
+        cols = spark.read.format(ext).load(path).schema.names
+    except Exception:
+        return None
+    mapping = {}
+    for canon, aliases in CSV_FIELD_ALIASES.items():
+        for c in cols:
+            if c.lower() in aliases:
+                mapping[canon] = c
+                break
+    if set(mapping) != set(CSV_FIELD_ALIASES):
+        return None
+    types = {"timestamp": "datetime", "level": "keyword",
+             "service": "keyword", "message": "string"}
+    return {
+        "source_type": ext,
+        "fields": [
+            {"name": n, "type": types[n], "source_field": mapping[n]}
+            for n in ("timestamp", "level", "service", "message")
+        ],
+    }
+
+
 REGISTRY_SCHEMA = StructType(
     [
         StructField("source_name", StringType()),
@@ -358,9 +393,35 @@ def read_with_schema(spark: SparkSession, schema: dict, path: str) -> DataFrame:
     canonical columns — closes the onboarding loop (detect → save →
     READ): the registry entry is executable, not just stored metadata.
     Dispatches on ``source_type`` to the matching parser over a plain
-    distributed text scan."""
-    raw = spark.read.text(path)
+    distributed text scan (line formats) or a native columnar scan
+    (ORC / Parquet — column-pruned to the four mapped fields, so the
+    scan reads only what the mapping needs)."""
     stype = schema.get("source_type")
+    if stype in COLUMNAR_FORMATS:
+        fm = {f["name"]: f["source_field"] for f in schema["fields"]}
+        df = spark.read.format(stype).load(path)
+        # a native timestamp column becomes epoch seconds (NTZ first
+        # pinned to the UTC session); string/long go through try_cast
+        # (malformed → NULL → P7 row drop below)
+        if dict(df.dtypes).get(fm["timestamp"], "").startswith("timestamp"):
+            ts_col = (
+                F.col(fm["timestamp"]).cast("timestamp_ltz").cast("long")
+            )
+        else:
+            ts_col = F.col(fm["timestamp"]).try_cast("long")
+        parsed = df.select(
+            F.col(fm["service"]).cast("string").alias("service"),
+            F.col(fm["level"]).cast("string").alias("severity"),
+            F.col(fm["message"]).cast("string").alias("body"),
+            ts_col.alias("ts"),
+        )
+        return parsed.where(
+            F.col("service").isNotNull()
+            & F.col("severity").isNotNull()
+            & F.col("body").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+    raw = spark.read.text(path)
     if stype == "otel":
         return otel_flatten(raw, raw_col="value")
     if stype == "bgl":
