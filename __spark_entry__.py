@@ -42,6 +42,7 @@ from via_spark.operators import (
     vector,
     windows,
 )
+from via_spark import store
 from via_spark.session import configure
 
 
@@ -60,7 +61,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _tier1_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rhythm.tier1_from_events(spark, sf_dir).select(
+    return store.tier1(spark, sf_dir).select(
         "event_id", "ts", "service", "severity", "body", "template", "rhythm_hash"
     )
 
@@ -68,14 +69,14 @@ def _tier1_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _rhythm_recent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    tier1 = rhythm.tier1_from_events(spark, sf_dir)
+    tier1 = store.tier1(spark, sf_dir)
     now = rhythm.current_now(tier1)
     recent = rhythm.recent_window(tier1, now, rhythm.DEFAULT_WINDOW_SEC)
     return recent.groupBy("rhythm_hash").agg(F.count(F.lit(1)).alias("r_count"))
 
 
 def _rhythm_baseline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tier1 = rhythm.tier1_from_events(spark, sf_dir)
+    tier1 = store.tier1(spark, sf_dir)
     now = rhythm.current_now(tier1)
     sample = rhythm.baseline_sample(tier1, now, rhythm.DEFAULT_WINDOW_SEC)
     return rhythm.baseline_stats(sample, rhythm.DEFAULT_WINDOW_SEC)

@@ -164,9 +164,10 @@ def read_eval_case(path: str) -> dict:
 # --- fixture-derived rule queries (oracle-checkable) ------------------------
 
 def _recent_counts(spark: SparkSession, sf_dir: str):
+    from via_spark import store
     from via_spark.operators import rhythm
 
-    tier1 = rhythm.tier1_from_events(spark, sf_dir)
+    tier1 = store.tier1(spark, sf_dir)
     now = rhythm.current_now(tier1)
     recent = rhythm.recent_window(tier1, now, rhythm.DEFAULT_WINDOW_SEC)
     counts = recent.groupBy("rhythm_hash").agg(F.count(F.lit(1)).alias("r_count"))

@@ -51,11 +51,16 @@ DEFAULT_TEXT_FILTER = "error"
 def tier2_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine-built tier2 (detection → rollup), one row per cluster.
 
-    Deliberately NOT cached: .cache() pins the subplan's shuffle layout
-    and disables AQE partition coalescing inside it, which measured
-    ~5× slower than recomputing the (cheap) pipeline per reference.
-    At cluster scale this frame is the stored tier2 table, read once."""
-    return promote.promotion_rollup(spark, sf_dir, **TIER2_VARIANT)
+    Served from the session-scoped parquet store (``store.tier2``) —
+    the reference's tier2 is a stored collection, and the text-search
+    plan references this frame in three branches, so an inline rebuild
+    executes the whole detection pipeline once per branch. NOT
+    ``.cache()``: that pins the subplan's shuffle layout and disables
+    AQE partition coalescing inside it, which measured ~5× slower; the
+    parquet store has neither problem."""
+    from via_spark import store
+
+    return store.tier2(spark, sf_dir, **TIER2_VARIANT)
 
 
 def _canonical_per_hash(c: DataFrame) -> DataFrame:

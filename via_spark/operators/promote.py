@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from via_spark.operators import rhythm
+from via_spark import store
 
 SAMPLE_LOGS_MAX = 5
 ENTITY_TYPE = "event_cluster"
@@ -115,7 +116,7 @@ def promotion_rollup(spark: SparkSession, sf_dir: str, **variant) -> DataFrame:
     """End-to-end: detect anomalies (sensitive variant → non-empty on the
     anomaly-free fixture) and roll their member logs into tier2 clusters."""
     params = variant or dict(sample_size=2000, novelty_min_count=1)
-    tier1 = rhythm.tier1_from_events(spark, sf_dir)
+    tier1 = store.tier1(spark, sf_dir)
     now = rhythm.current_now(tier1)
     anomalies = rhythm.find_rhythm_anomalies(spark, sf_dir, now=now, tier1=tier1, **params)
     recent = rhythm.recent_window(tier1, now, rhythm.DEFAULT_WINDOW_SEC)

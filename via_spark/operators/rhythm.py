@@ -196,7 +196,9 @@ def find_rhythm_anomalies(
     exercised on fixtures without planted anomalies.
     """
     if tier1 is None:
-        tier1 = tier1_from_events(spark, sf_dir)
+        from via_spark import store
+
+        tier1 = store.tier1(spark, sf_dir)
     if now is None:
         now = current_now(tier1)
 

@@ -51,9 +51,10 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct_hashes(spark: SparkSession, sf_dir: str, rsd: float = 0.02) -> DataFrame:
     """HLL++ distinct rhythm-hash cardinality per service — the O(1)
     memory path for cardinality profiling of unbounded streams."""
+    from via_spark import store
     from via_spark.operators import rhythm
 
-    t1 = rhythm.tier1_from_events(spark, sf_dir)
+    t1 = store.tier1(spark, sf_dir)
     return t1.groupBy("severity").agg(
         F.approx_count_distinct("rhythm_hash", rsd).alias("approx_hashes"),
         F.count(F.lit(1)).alias("n_rows"),

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from via_spark.operators import rhythm
+from via_spark import store
 
 SLIDE_WINDOW = "120 seconds"
 SLIDE_STEP = "60 seconds"
@@ -32,7 +33,7 @@ SESSION_GAP_SEC = 86_400  # 1 day — the fixture stream is sparse per hash
 
 def sliding_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-hash counts in sliding event-time windows."""
-    t1 = rhythm.tier1_from_events(spark, sf_dir)
+    t1 = store.tier1(spark, sf_dir)
     win = F.window(F.timestamp_seconds(F.col("ts")), SLIDE_WINDOW, SLIDE_STEP)
     return (
         t1.groupBy(win.alias("win"), F.col("rhythm_hash"))
@@ -50,7 +51,7 @@ def session_hash_counts(
 ) -> DataFrame:
     """Per-hash session windows: events closer than ``gap_sec`` chain
     into one session; output start/end/size per session."""
-    t1 = rhythm.tier1_from_events(spark, sf_dir)
+    t1 = store.tier1(spark, sf_dir)
     sw = F.session_window(F.timestamp_seconds(F.col("ts")), f"{gap_sec} seconds")
     return (
         t1.groupBy(sw.alias("sw"), F.col("rhythm_hash"))
@@ -70,7 +71,7 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the granularity list, one shuffle on (granularity, bucket,
     key); at scale each granularity partition is written to its own
     rollup table and refreshed per trigger."""
-    t1 = rhythm.tier1_from_events(spark, sf_dir)
+    t1 = store.tier1(spark, sf_dir)
     grans = F.array(F.lit(60), F.lit(3600), F.lit(86400))
     return (
         t1.select("rhythm_hash", "ts", F.explode(grans).alias("gran_sec"))
@@ -87,7 +88,7 @@ def range_containment_join(spark: SparkSession, sf_dir: str,
     same hash). The equi-key (rhythm_hash) carries the join; the range
     predicate filters within key groups — the plan Spark picks for
     mixed equi+range conditions (no cross product)."""
-    t1 = rhythm.tier1_from_events(spark, sf_dir)
+    t1 = store.tier1(spark, sf_dir)
     sessions = session_hash_counts(spark, sf_dir, gap_sec).withColumnRenamed(
         "rhythm_hash", "s_hash"
     )

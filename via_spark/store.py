@@ -1,0 +1,111 @@
+"""Session-scoped materialized tier1 store.
+
+In the reference architecture tier1 is a STORED table, maintained by
+ingest and scanned by every query (``app/services/ingestion_service.py``
+writes, every analysis reads). The fixture contract instead hands each
+query the RAW ``events`` table, so a naive implementation re-runs the
+template-masking regexes + sha256 rhythm hashing for every query in a
+session — work the production system does exactly once per row, at
+ingest time.
+
+``tier1(spark, sf_dir)`` restores the production shape: the first call
+materializes the derived tier1 view to a session-scoped parquet
+directory (sorted by the raw nanosecond timestamp so row-group min/max
+stats support time-range skipping, like the ingest path's
+``sortWithinPartitions``), and every later call is a plain parquet scan
+of that store — predicate pushdown and column pruning intact, which a
+``.persist()`` (InMemoryRelation) would NOT preserve.
+
+Invalidation: the store is keyed by (Spark applicationId, absolute
+sf_dir) — a new session or a different dataset re-materializes. The
+fixture tables are immutable inputs, so no staleness path exists within
+a session. Set ``VIA_SPARK_TIER1_CACHE=0`` to bypass (every query then
+derives from raw events, the pre-store behavior).
+
+Scale posture: at 100 TB this module IS the architecture — tier1 is
+written once, date-partitioned and ts-sorted, by the streaming ingest
+(``streaming.pipeline``); queries never re-derive it. Locally the same
+write-once/read-many shape is reproduced per session.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_STORES: dict[tuple, str] = {}
+
+
+def _cleanup() -> None:
+    for path in _STORES.values():
+        shutil.rmtree(path, ignore_errors=True)
+
+
+atexit.register(_cleanup)
+
+
+def tier1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tier1 log store for ``sf_dir`` — materialized on first use."""
+    from via_spark.operators import rhythm  # lazy: rhythm imports nothing back
+
+    if os.environ.get("VIA_SPARK_TIER1_CACHE", "1") == "0":
+        return rhythm.tier1_from_events(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _STORES.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="via_tier1_")
+        try:
+            (
+                rhythm.tier1_from_events(spark, sf_dir)
+                .sortWithinPartitions("ts_ns")
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+        except Exception:
+            shutil.rmtree(path, ignore_errors=True)
+            raise
+        _STORES[key] = path
+    return spark.read.parquet(path)
+
+
+def tier2(spark: SparkSession, sf_dir: str, **variant) -> DataFrame:
+    """The tier2 forensic store for ``sf_dir`` — materialized on first
+    use per detection-variant.
+
+    The reference's tier2 is a STORED collection written by the
+    promotion pipeline and READ by every forensic query
+    (``promotion_service.py`` writes, ``forensic_analysis_service.py``
+    reads). Rebuilding it inline per query is worse than wasteful here:
+    the forensic text path references the tier2 frame in THREE plan
+    branches (canonical rows, sparse embeddings, final score join), so
+    the whole detection→rollup pipeline re-executes once per branch.
+    A parquet store collapses that to one small scan per branch —
+    and unlike ``.cache()``, it pins no shuffle layout and keeps AQE
+    free (the measured 5× cache regression documented in forensic.py).
+    """
+    from via_spark.operators import promote
+
+    if os.environ.get("VIA_SPARK_TIER1_CACHE", "1") == "0":
+        return promote.promotion_rollup(spark, sf_dir, **variant)
+    key = (
+        spark.sparkContext.applicationId,
+        "tier2",
+        os.path.abspath(sf_dir),
+        tuple(sorted(variant.items())),
+    )
+    path = _STORES.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="via_tier2_")
+        try:
+            promote.promotion_rollup(spark, sf_dir, **variant).write.mode(
+                "overwrite"
+            ).parquet(path)
+        except Exception:
+            shutil.rmtree(path, ignore_errors=True)
+            raise
+        _STORES[key] = path
+    return spark.read.parquet(path)
