@@ -273,3 +273,59 @@ def test_streaming_dedup_collapses_redelivery(spark, sf_smoke, tmp_path):
     expect_n = _batch_equivalent(spark, sf_smoke).count()
     assert got.count() == expect_n, "each redelivered event must land once"
     assert got.select("event_id").distinct().count() == expect_n
+
+
+def test_rollup_maintenance_matches_batch_and_refreshes(spark, sf_smoke, tmp_path):
+    """Continuous-aggregate refresh: the incrementally-maintained
+    rollup equals the batch rollup over all of tier1 — after the first
+    ingest AND after more files arrive (invalidated dates recomputed,
+    untouched dates left alone). Recompute-from-source also makes a
+    replay rewrite identical values (idempotence)."""
+    src = str(tmp_path / "otel_jsonl")
+    tier1 = str(tmp_path / "tier1")
+    rollup = str(tmp_path / "rollup")
+    pipeline.write_otel_fixture_jsonl(spark, sf_smoke, src, n_files=2)
+
+    def run_both():
+        q = pipeline.start_tier1_ingest(
+            pipeline.read_otel_stream(spark, src), tier1,
+            str(tmp_path / "ckpt_ingest"), available_now=True
+        )
+        q.awaitTermination(120)
+        q = pipeline.start_rollup_maintenance(
+            spark, pipeline.read_otel_stream(spark, src), tier1, rollup,
+            str(tmp_path / "ckpt_rollup"), gran_sec=60, available_now=True
+        )
+        q.awaitTermination(120)
+
+    def batch_rollup():
+        t1 = spark.read.parquet(tier1)
+        return {
+            (r["bucket_start"], r["rhythm_hash"], r["n"])
+            for r in t1.withColumn(
+                "bucket_start", F.col("ts") - F.col("ts") % 60
+            )
+            .groupBy("bucket_start", "rhythm_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    run_both()
+    got1 = {
+        (r["bucket_start"], r["rhythm_hash"], r["n"])
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert got1 == batch_rollup() and got1
+
+    # more data arrives (the SAME fixture again → every bucket count
+    # doubles, so stale values would be caught), incremental refresh
+    import shutil
+    for f in __import__("os").listdir(src):
+        shutil.copy(f"{src}/{f}", f"{src}/again_{f}")
+    run_both()
+    got2 = {
+        (r["bucket_start"], r["rhythm_hash"], r["n"])
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert got2 == batch_rollup()
+    assert {(b, h, 2 * n) for b, h, n in got1} == got2

@@ -243,3 +243,72 @@ def correlated_escalations(
         F.col("t_a").cast("long").alias("cause_ts"),
         F.col("t_b").cast("long").alias("effect_ts"),
     )
+
+
+def start_rollup_maintenance(
+    spark: SparkSession,
+    stream: DataFrame,
+    tier1_path: str,
+    rollup_path: str,
+    checkpoint: str,
+    gran_sec: int = 60,
+    available_now: bool = False,
+):
+    """Continuous-aggregate maintenance (the streaming form of
+    ``windows.hypertable_rollup``): keep a materialized per-hash
+    bucket-count rollup incrementally refreshed as data streams in —
+    the TimescaleDB continuous-aggregate refresh pattern.
+
+    Per trigger: the batch names the INVALIDATED buckets (distinct
+    (bucket_date) touched by its rows); those dates are recomputed FROM
+    TIER1 (the source of truth) and swapped in via dynamic partition
+    overwrite. Recompute-from-source makes the refresh idempotent —
+    a replayed batch (failure/restart) rewrites the same partitions
+    with the same values, so the sink stays exactly-once without a
+    transactional store; and reading tier1 while writing the rollup
+    path means no plan ever reads the files it is overwriting.
+
+    Scale posture: refresh cost is O(rows in touched dates), not
+    O(history); a trigger touching today rewrites only today's rollup
+    partition. Late data (within the ingest watermark) lands in an
+    older date and simply invalidates that one date.
+    """
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        touched = [
+            r["event_date"]
+            for r in batch_df.select("event_date").distinct().collect()
+        ]
+        if not touched or not os.path.isdir(tier1_path):
+            return
+        tier1 = spark.read.parquet(tier1_path)
+        recomputed = (
+            tier1.where(F.col("event_date").isin(touched))
+            .withColumn(
+                "bucket_start", F.col("ts") - F.col("ts") % F.lit(gran_sec)
+            )
+            .groupBy("event_date", "bucket_start", "rhythm_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                recomputed.write.mode("overwrite")
+                .partitionBy("event_date")
+                .parquet(rollup_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    writer = stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    writer = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime=ANALYSIS_TRIGGER)
+    )
+    return writer.start()
