@@ -188,6 +188,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": search.tfidf_top_terms,
         "repeat_buyers": relational.repeat_buyers,
         "lapsed_buyers": relational.lapsed_buyers,
+        # unpivot / listagg / data-quality audit / inter-event gaps
+        "event_type_unpivot": relational.event_type_unpivot,
+        "severity_set_concat": relational.severity_set_concat,
+        "referential_audit": relational.referential_audit,
+        "purchase_intervals": timeseries.purchase_intervals,
     }
 
 
@@ -272,4 +277,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": oracles.tfidf_top_terms_sql(),
         "repeat_buyers": oracles.repeat_buyers_sql(),
         "lapsed_buyers": oracles.lapsed_buyers_sql(),
+        "event_type_unpivot": oracles.event_type_unpivot_sql(),
+        "severity_set_concat": oracles.severity_set_concat_sql(),
+        "referential_audit": oracles.referential_audit_sql(),
+        "purchase_intervals": oracles.purchase_intervals_sql(),
     }

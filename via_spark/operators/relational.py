@@ -492,3 +492,72 @@ def lapsed_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — same scale shape as the rules anti-join."""
     orders = load_table(spark, sf_dir, "orders")
     return _buyers_in_year(orders, 1995).subtract(_buyers_in_year(orders, 1996))
+
+
+PIVOT_EVENT_TYPES = ("view", "click", "signup", "purchase", "error")
+
+
+def event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide pivot back to long form — one row per
+    (bucket, event_type) INCLUDING explicit zero cells, which a direct
+    long-form groupBy would omit. Spark's ``unpivot`` expands columns
+    to rows with no shuffle (the only shuffle is the pivot's own agg)."""
+    wide = event_type_severity_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ["user_bucket"], list(PIVOT_EVENT_TYPES), "event_type", "n"
+    )
+
+
+def severity_set_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: the sorted distinct event types per
+    user bucket joined into one string. ``collect_set`` order is
+    partition-noise, so ``array_sort`` pins it BEFORE the join —
+    the discipline any listagg needs to be deterministic under
+    distributed aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+                "event_types"
+            ),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: count referential-integrity violations via
+    broadcast anti-joins (orders→customer, lineitem→orders,
+    orders→existing lineitems). Emits one row per check INCLUDING
+    zeros — the audit's contract is 'checked and clean', not silence.
+    Each check is one anti-join + count; nothing is quadratic."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("violation"), F.count(F.lit(1)).alias("n")
+        )
+
+    orphan_orders = orders.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
+        "o_custkey",
+        "left_anti",
+    )
+    orphan_lineitems = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_anti",
+    )
+    childless_orders = orders.join(
+        li.select(F.col("l_orderkey").alias("o_orderkey")).distinct(),
+        "o_orderkey",
+        "left_anti",
+    )
+    return (
+        cnt(orphan_orders, "orders_without_customer")
+        .unionByName(cnt(orphan_lineitems, "lineitems_without_order"))
+        .unionByName(cnt(childless_orders, "orders_without_lineitems"))
+    )

@@ -179,3 +179,22 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * FIX).cast("long")).alias("sum_fix"),
         )
     )
+
+
+def purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gaps: for every purchase, the seconds since
+    that user's PREVIOUS purchase (LAG over the user partition; first
+    purchase has NULL gap). The event-type filter runs before the
+    window, so state per user is one row — the standard
+    'time-since-last-X' telemetry query."""
+    ev = _events_sec(spark, sf_dir)
+    purchases = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", F.expr("ts div 1000000000").alias("sec"))
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    return purchases.select(
+        "user_id",
+        "event_id",
+        "sec",
+        (F.col("sec") - F.lag("sec").over(w)).alias("gap_sec"),
+    )

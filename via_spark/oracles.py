@@ -1773,3 +1773,58 @@ SELECT DISTINCT o_custkey FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate <  TIMESTAMP '1997-01-01'
 """
+
+
+def event_type_unpivot_sql() -> str:
+    cols = ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+        for t in ("view", "click", "signup", "purchase", "error")
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT user_bucket, '{t}' AS event_type, {t} AS n FROM p"
+        for t in ("view", "click", "signup", "purchase", "error")
+    )
+    return f"""
+WITH p AS (
+    SELECT user_id % 10 AS user_bucket, {cols}
+    FROM events GROUP BY user_bucket
+)
+{arms}
+"""
+
+
+def severity_set_concat_sql() -> str:
+    return """
+SELECT user_id % 10 AS user_bucket,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_bucket
+"""
+
+
+def referential_audit_sql() -> str:
+    return """
+SELECT 'orders_without_customer' AS violation, count(*) AS n
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitems_without_order' AS violation, count(*) AS n
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_without_lineitems' AS violation, count(*) AS n
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+def purchase_intervals_sql() -> str:
+    return """
+WITH p AS (
+    SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id, sec,
+       sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap_sec
+FROM p
+"""
