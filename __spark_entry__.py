@@ -61,12 +61,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _tier1_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier1 log store view: events → template-masked body + rhythm hash
+    (F1/F2/F4), served from the session store."""
     return store.tier1(spark, sf_dir).select(
         "event_id", "ts", "service", "severity", "body", "template", "rhythm_hash"
     )
 
 
 def _rhythm_recent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/S6: per-hash counts in the recent detection window (raw-ts
+    pushdown scan + one hash agg)."""
     from pyspark.sql import functions as F
 
     tier1 = store.tier1(spark, sf_dir)
@@ -76,10 +80,30 @@ def _rhythm_recent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rhythm_baseline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/S7/K3: duration-normalized baseline mean/std over the
+    newest-10k historical sample (1.5 σ floor, exact)."""
     tier1 = store.tier1(spark, sf_dir)
     now = rhythm.current_now(tier1)
     sample = rhythm.baseline_sample(tier1, now, rhythm.DEFAULT_WINDOW_SEC)
     return rhythm.baseline_stats(sample, rhythm.DEFAULT_WINDOW_SEC)
+
+
+def _rhythm_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship detection (J1+J2+J4, reference thresholds): novelty and
+    frequency anomalies with representative payloads."""
+    return rhythm.find_rhythm_anomalies(spark, sf_dir)
+
+
+def _rhythm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection variant (small baseline, min-count 1) so the novelty
+    anti-join J1 fires on the anomaly-free fixture."""
+    return rhythm.find_rhythm_anomalies(spark, sf_dir, **_NOVELTY_VARIANT)
+
+
+def _rhythm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection variant (low σ factor) so the frequency join J2 fires
+    on the anomaly-free fixture."""
+    return rhythm.find_rhythm_anomalies(spark, sf_dir, **_FREQ_VARIANT)
 
 
 # Sensitivity variants: the fixture stream is anomaly-free by
@@ -97,13 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier1_view": _tier1_view,
         "rhythm_recent_counts": _rhythm_recent_counts,
         "rhythm_baseline_stats": _rhythm_baseline_stats,
-        "rhythm_anomalies": lambda spark, sf_dir: rhythm.find_rhythm_anomalies(spark, sf_dir),
-        "rhythm_novelty_small_baseline": lambda spark, sf_dir: rhythm.find_rhythm_anomalies(
-            spark, sf_dir, **_NOVELTY_VARIANT
-        ),
-        "rhythm_frequency_sensitive": lambda spark, sf_dir: rhythm.find_rhythm_anomalies(
-            spark, sf_dir, **_FREQ_VARIANT
-        ),
+        "rhythm_anomalies": _rhythm_anomalies,
+        "rhythm_novelty_small_baseline": _rhythm_novelty,
+        "rhythm_frequency_sensitive": _rhythm_frequency,
         # promotion / tier2 (M2)
         "promotion_rollup": promote.promotion_rollup_flat,
         # forensic entry point 3 (tier2 clusters / triage)
@@ -141,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         "normalize_documents": textstats.normalize_documents,
         "multimodal_features": multimodal.multimodal_features,
+        "video_frame_sample": multimodal.video_frame_sample,
         # control loop + schema inference (M5)
         "suppressed_anomalies": control.suppressed_anomalies,
         "active_rules_projection": control.active_rules_projection,
@@ -236,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": oracles.doc_fingerprint_sql(),
         "normalize_documents": oracles.normalize_documents_sql(),
         "multimodal_features": oracles.multimodal_features_sql(),
+        "video_frame_sample": oracles.video_frame_sample_sql(),
         "suppressed_anomalies": oracles.suppressed_anomalies_sql(),
         "active_rules_projection": oracles.active_rules_projection_sql(),
         "otel_roundtrip": oracles.otel_roundtrip_sql(),

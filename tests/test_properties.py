@@ -168,3 +168,47 @@ def test_connected_components_matches_union_find(spark, edges):
         r["id"]: r["component"] for r in connected_components(verts, e).collect()
     }
     assert got == expect
+
+
+@given(
+    bucket=st.integers(min_value=0, max_value=255),
+    radius=st.integers(min_value=0, max_value=2),
+)
+@settings(max_examples=40, deadline=None)
+def test_probe_buckets_cover_exact_hamming_ball(spark, bucket, radius):
+    """Multi-probe LSH probes = EXACTLY the Hamming ball: every bucket
+    within `radius` bit flips, no duplicates, nothing outside."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.dedup import probe_buckets
+
+    bits = 8
+    key = format(bucket, f"0{bits}b")
+    got = (
+        spark.range(1)
+        .select(probe_buckets(F.lit(key), bits=bits, radius=radius).alias("p"))
+        .collect()[0]["p"]
+    )
+    ball = {
+        format(bucket ^ m, f"0{bits}b")
+        for m in range(256)
+        if bin(m).count("1") <= radius
+    }
+    assert len(got) == len(set(got)), "duplicate probes"
+    assert set(got) == ball
+
+
+@given(n_bytes=st.integers(min_value=0, max_value=10_000),
+       n_frames=st.integers(min_value=1, max_value=16))
+@settings(max_examples=60, deadline=None)
+def test_sample_frame_indices_spec(n_bytes, n_frames):
+    """Frame sampling invariants: ≤ n_frames indices, strictly
+    increasing, all within the fake duration, always starts at 0."""
+    from via_spark.operators.multimodal import sample_frame_indices
+
+    duration = n_bytes % 120 + 1
+    idx = sample_frame_indices(n_bytes, n_frames)
+    assert 1 <= len(idx) <= n_frames
+    assert idx[0] == 0
+    assert all(a < b for a, b in zip(idx, idx[1:]))
+    assert all(0 <= i < duration for i in idx)

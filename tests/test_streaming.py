@@ -329,3 +329,41 @@ def test_rollup_maintenance_matches_batch_and_refreshes(spark, sf_smoke, tmp_pat
     }
     assert got2 == batch_rollup()
     assert {(b, h, 2 * n) for b, h, n in got1} == got2
+
+
+def test_streaming_session_windows_match_batch(spark, sf_smoke, tmp_path):
+    """T5 session form as a true streaming agg: session_window merges
+    events separated by < gap into one session per hash; availableNow
+    completes all state, so the result must equal the batch
+    session_window over the same rows."""
+    src, _ = _ingest(spark, sf_smoke, tmp_path)
+    stream = pipeline.read_otel_stream(spark, src)
+    agg = pipeline.session_hash_counts_stream(stream, gap="300 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["session_start"], r["session_end"], r["rhythm_hash"], r["n"])
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+    batch = (
+        _batch_equivalent(spark, sf_smoke)
+        .withColumn("event_time", F.timestamp_seconds(F.col("ts")))
+        .groupBy(
+            F.session_window("event_time", "300 seconds").alias("sw"), "rhythm_hash"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("sw.start").cast("long").alias("ss"),
+            F.col("sw.end").cast("long").alias("se"),
+            "rhythm_hash",
+            "n",
+        )
+    )
+    expect = {(r["ss"], r["se"], r["rhythm_hash"], r["n"]) for r in batch.collect()}
+    assert got == expect and len(got) > 1

@@ -107,3 +107,37 @@ def sample_frame_indices(n_bytes: int, n_frames: int = 4) -> list[int]:
     duration = n_bytes % 120 + 1
     k = min(n_frames, duration)
     return [i * duration // k for i in range(k)]
+
+
+FRAME_SCHEMA = "doc_id long, frame_index long, frame_offset long, n_frames long"
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for i, c in zip(pdf["doc_id"], pdf["content"]):
+            offsets = sample_frame_indices(len(bytes(c)))
+            out.extend(
+                (int(i), j, off, len(offsets)) for j, off in enumerate(offsets)
+            )
+        yield pd.DataFrame(
+            out, columns=["doc_id", "frame_index", "frame_offset", "n_frames"]
+        )
+
+
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling as an N:M Arrow stage: each 'video' payload
+    explodes into one row per sampled frame (evenly spaced offsets over
+    the payload's fake duration) — the mapInPandas shape where output
+    rows ≠ input rows, which ``explode`` alone cannot express when the
+    per-row fan-out needs imperative decode logic.
+
+    The real decoder would read container metadata and emit frame
+    bytes; the stub derives offsets arithmetically from the payload
+    size, so the oracle recomputes the exact rows in SQL. The Spark
+    plumbing (binary column in, Arrow batches through the Python
+    worker, typed multi-row output) is the production path unchanged.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"), 8)
+    payloads = with_binary_payload(d).select("doc_id", "content")
+    return payloads.mapInPandas(_frame_batches, schema=FRAME_SCHEMA)

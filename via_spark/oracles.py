@@ -1828,3 +1828,20 @@ SELECT user_id, event_id, sec,
        sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap_sec
 FROM p
 """
+
+
+def video_frame_sample_sql() -> str:
+    return """
+WITH v AS (
+    SELECT doc_id,
+           octet_length(encode(text)) % 120 + 1 AS duration
+    FROM documents
+),
+k AS (SELECT doc_id, duration, LEAST(4, duration) AS k FROM v)
+SELECT doc_id,
+       i AS frame_index,
+       (i * duration) // k AS frame_offset,
+       k AS n_frames
+FROM k, (SELECT unnest(generate_series(0, 3)) AS i) idx
+WHERE i < k
+"""

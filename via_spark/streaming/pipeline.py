@@ -312,3 +312,26 @@ def start_rollup_maintenance(
         else writer.trigger(processingTime=ANALYSIS_TRIGGER)
     )
     return writer.start()
+
+
+def session_hash_counts_stream(stream: DataFrame, gap: str = "300 seconds") -> DataFrame:
+    """T5's session form as a TRUE streaming aggregation:
+    ``session_window`` merges events separated by < ``gap`` into one
+    growing session per hash; the watermark bounds how long an open
+    session can wait for late events before its state is finalized and
+    evicted — state is O(open sessions), not O(history)."""
+    return (
+        stream.withColumn("event_time", F.timestamp_seconds(F.col("ts")))
+        .withWatermark("event_time", WATERMARK)
+        .groupBy(
+            F.session_window(F.col("event_time"), gap).alias("sw"),
+            F.col("rhythm_hash"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("sw.start").cast("long").alias("session_start"),
+            F.col("sw.end").cast("long").alias("session_end"),
+            "rhythm_hash",
+            "n",
+        )
+    )
