@@ -322,3 +322,29 @@ def test_ingest_parquet_with_native_timestamp(engine, spark, tmp_path):
     assert engine.ingest_file(pq_path, "onboard_pq") == {"status": "ok", "tier1_ingested": 1}
     t1 = spark.read.parquet(engine.tier1_path)
     assert t1.where(F.col("service") == "pq-svc").collect()[0]["ts"] == 1704067240
+
+
+def test_sql_catalog_facade(spark, sf_oracle):
+    """The SQL surface reaches every table AND the derived stores, and
+    a SQL aggregation matches its DataFrame twin exactly."""
+    from via_spark import sqlcat
+
+    names = sqlcat.register_tables(spark, sf_oracle)
+    assert {"orders", "events", "tier1", "tier2"} <= set(names)
+    got = {
+        (r["severity"], r["n"])
+        for r in spark.sql(
+            "SELECT severity, count(*) AS n FROM tier1 GROUP BY severity"
+        ).collect()
+    }
+    from via_spark import store
+
+    expect = {
+        (r["severity"], r["n"])
+        for r in store.tier1(spark, sf_oracle)
+        .groupBy("severity")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect and len(got) >= 4
+    assert spark.sql("SELECT count(*) AS n FROM tier2").collect()[0]["n"] > 0

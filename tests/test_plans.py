@@ -158,3 +158,19 @@ def test_quantized_ann_no_nested_rescale(spark, sf_oracle):
     regression at sf0.1."""
     p = _plan(spark, sf_oracle, "ann_quantized_topk")
     assert p.count("array_max") <= 4, "per-element array_max re-evaluation leaked back in"
+
+
+def test_no_row_python_udf_in_any_query_plan(spark, sf_oracle):
+    """Engine-wide invariant: NO query plans a row-at-a-time Python UDF
+    (BatchEvalPython). Python appears only as Arrow-vectorized stages
+    (mapInPandas/applyInPandas → MapInPandas/FlatMapGroupsInPandas,
+    ArrowEvalPython), whose batch transfer is 10-100× cheaper — the
+    difference between a plan that survives 100 TB and one that
+    doesn't. Covers every driver query, so a future operator slipping
+    a @udf into a hot path fails here."""
+    offenders = []
+    for name, fn in QS.items():
+        plan = executed_plan(fn(spark, sf_oracle))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-Python UDFs found in: {offenders}"

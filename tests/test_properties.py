@@ -212,3 +212,83 @@ def test_sample_frame_indices_spec(n_bytes, n_frames):
     assert idx[0] == 0
     assert all(a < b for a, b in zip(idx, idx[1:]))
     assert all(0 <= i < duration for i in idx)
+
+
+_ts_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                       # series key
+        st.integers(min_value=0, max_value=50),            # sec
+        st.integers(min_value=-100, max_value=100),        # value (int → exact)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_ts_rows)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gapfill_locf_matches_python_model(spark, rows):
+    """gapfill_locf_over vs a pure-Python spec on random tiny series,
+    bucket=10s: dense grid over the GLOBAL bucket span for every
+    series, n=0 for empty buckets, filled_fix carried forward from the
+    newest earlier observed bucket (None before the first)."""
+    from via_spark.operators.timeseries import gapfill_locf_over
+
+    ev = spark.createDataFrame(
+        [(k, s, float(v)) for k, s, v in rows],
+        "event_type string, sec long, value double",
+    )
+    got = {
+        (r["event_type"], r["hour_start"]): (r["n"], r["filled_fix"])
+        for r in gapfill_locf_over(ev, bucket_sec=10).collect()
+    }
+
+    B = 10
+    lo = min(s for _, s, _ in rows) // B * B
+    hi = max(s for _, s, _ in rows) // B * B
+    series = {k for k, _, _ in rows}
+    obs: dict = {}
+    for k, s, v in rows:
+        key = (k, s // B * B)
+        n, t = obs.get(key, (0, 0))
+        obs[key] = (n + 1, t + math.floor(v * 1_000_000))
+    expect = {}
+    for k in series:
+        carried = None
+        for b in range(lo, hi + B, B):
+            if (k, b) in obs:
+                carried = obs[(k, b)][1]
+                expect[(k, b)] = (obs[(k, b)][0], carried)
+            else:
+                expect[(k, b)] = (0, carried)
+    assert got == expect
+
+
+@given(rows=_ts_rows)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rate_of_change_matches_python_model(spark, rows):
+    """rate_of_change_over vs a pure-Python spec: per-series bucket
+    counts with delta against the previous OBSERVED bucket (sparse —
+    missing buckets are skipped, not zero-filled)."""
+    from via_spark.operators.timeseries import rate_of_change_over
+
+    ev = spark.createDataFrame(
+        [(k, s) for k, s, _ in rows], "event_type string, sec long"
+    )
+    got = {
+        (r["event_type"], r["hour_start"]): (r["n"], r["prev_n"], r["delta"])
+        for r in rate_of_change_over(ev, bucket_sec=10).collect()
+    }
+    counts: dict = {}
+    for k, s, _ in rows:
+        counts[(k, s // 10 * 10)] = counts.get((k, s // 10 * 10), 0) + 1
+    expect = {}
+    for k in {k for k, _, _ in rows}:
+        prev = None
+        for b in sorted(b for kk, b in counts if kk == k):
+            n = counts[(k, b)]
+            expect[(k, b)] = (n, prev, None if prev is None else n - prev)
+            prev = n
+    assert got == expect

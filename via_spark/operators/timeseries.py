@@ -49,13 +49,13 @@ def _events_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hourly_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type hourly event counts with delta vs the previous OBSERVED
-    hour (LAG over the series partition). First bucket of each series
-    has NULL prev/delta — standard rate-of-change semantics."""
-    ev = _events_sec(spark, sf_dir)
+def rate_of_change_over(ev: DataFrame, bucket_sec: int = HOUR) -> DataFrame:
+    """Core rate-of-change over ANY (event_type, sec) frame: bucketed
+    counts with delta vs the previous OBSERVED bucket (LAG over the
+    series partition). First bucket of each series has NULL prev/delta
+    — standard rate-of-change semantics."""
     hourly = (
-        ev.withColumn("hour_start", F.col("sec") - F.col("sec") % HOUR)
+        ev.withColumn("hour_start", F.col("sec") - F.col("sec") % bucket_sec)
         .groupBy("event_type", "hour_start")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -69,20 +69,26 @@ def hourly_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense hourly grid per event_type over the stream's full span,
-    with per-bucket fixed-point value sums and LOCF interpolation.
+def hourly_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly event counts with delta vs the previous observed
+    hour — ``rate_of_change_over`` applied to the events stream."""
+    return rate_of_change_over(_events_sec(spark, sf_dir))
+
+
+def gapfill_locf_over(ev: DataFrame, bucket_sec: int = HOUR) -> DataFrame:
+    """Core gap-fill over ANY (event_type, sec, value) frame: dense
+    bucket grid per series over the frame's full span, with per-bucket
+    fixed-point value sums and LOCF interpolation.
 
     Empty buckets get ``n = 0`` and ``filled_fix`` carried forward from
     the newest earlier observed bucket (NULL before the first
     observation). The grid is GENERATED — ``sequence()`` over the
-    global [min, max] hour bounds (one broadcast row) crossed with the
-    distinct series keys — so its size is |series| × |hours| no matter
-    how many raw rows exist.
+    global [min, max] bucket bounds (one broadcast row) crossed with
+    the distinct series keys — so its size is |series| × |buckets| no
+    matter how many raw rows exist.
     """
-    ev = _events_sec(spark, sf_dir)
     hourly = (
-        ev.withColumn("hour_start", F.col("sec") - F.col("sec") % HOUR)
+        ev.withColumn("hour_start", F.col("sec") - F.col("sec") % bucket_sec)
         .groupBy("event_type", "hour_start")
         .agg(
             F.count(F.lit(1)).alias("n_obs"),
@@ -90,11 +96,11 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bounds = ev.agg(
-        (F.min("sec") - F.min("sec") % HOUR).alias("lo"),
-        (F.max("sec") - F.max("sec") % HOUR).alias("hi"),
+        (F.min("sec") - F.min("sec") % bucket_sec).alias("lo"),
+        (F.max("sec") - F.max("sec") % bucket_sec).alias("hi"),
     )
     grid_hours = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.lit(HOUR))).alias("hour_start")
+        F.explode(F.sequence("lo", "hi", F.lit(bucket_sec))).alias("hour_start")
     )
     series = ev.select("event_type").distinct()
     grid = F.broadcast(series).crossJoin(F.broadcast(grid_hours))
@@ -110,6 +116,12 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_obs", F.lit(0)).alias("n"),
         F.last("sum_fix", ignorenulls=True).over(w).alias("filled_fix"),
     )
+
+
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid + LOCF over the events stream —
+    ``gapfill_locf_over`` applied to (event_type, sec, value)."""
+    return gapfill_locf_over(_events_sec(spark, sf_dir))
 
 
 def moving_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
