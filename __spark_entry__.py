@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": textstats.lang_id_documents,
         "doc_fingerprint": textstats.doc_fingerprint,
         "normalize_documents": textstats.normalize_documents,
+        "repetition_scores": textstats.repetition_scores,
         "multimodal_features": multimodal.multimodal_features,
         "video_frame_sample": multimodal.video_frame_sample,
         # control loop + schema inference (M5)
@@ -256,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_documents": oracles.lang_id_documents_sql(),
         "doc_fingerprint": oracles.doc_fingerprint_sql(),
         "normalize_documents": oracles.normalize_documents_sql(),
+        "repetition_scores": oracles.repetition_scores_sql(),
         "multimodal_features": oracles.multimodal_features_sql(),
         "video_frame_sample": oracles.video_frame_sample_sql(),
         "suppressed_anomalies": oracles.suppressed_anomalies_sql(),

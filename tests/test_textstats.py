@@ -93,3 +93,19 @@ def test_approx_aggregates_within_tolerance(spark, sf_oracle):
     for et, ps in exact_p.items():
         for a, e in zip(approx_p[et], ps):
             assert abs(a - e) <= max(1.0, 0.05 * abs(e)), (et, a, e)
+
+
+def test_repetition_scores_fire_on_planted_repeats(spark, sf_oracle):
+    """doc_id % 3 == 0 rows get no planted repeat (dup fractions 0 on
+    the IID fixture); doc_id % 3 > 0 rows have the first 8-token line
+    re-appended and MUST show a nonzero duplicate-line fraction."""
+    rows = textstats.repetition_scores(spark, sf_oracle).collect()
+    assert len(rows) > 100
+    for r in rows:
+        if r["doc_id"] % 3 == 0:
+            assert r["dup_line_frac_fix"] == 0, r
+        else:
+            assert r["dup_line_frac_fix"] > 0, r
+            assert r["dup_5gram_frac_fix"] > 0, r
+        assert 0 < r["top_2gram_char_frac_fix"] <= 1_000_000
+        assert r["top_2gram"]

@@ -115,6 +115,109 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str, k: int = 4) -> DataFrame:
     )
 
 
+# Repetition filters (Gopher/C4-style): lines are 8-token chunks.
+LINE_TOKENS = 8
+REP_FIX = 1_000_000.0
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document:
+    duplicate-line fraction, duplicate-5-gram fraction, and the
+    character fraction covered by the most frequent word 2-gram.
+
+    The fixture corpus is IID word salad with no natural repetition, so
+    every row would score 0 on the dup metrics; like
+    :func:`normalize_documents`, a deterministic repetition is planted
+    (and mirrored in the oracle): the token list is truncated to a
+    multiple of ``LINE_TOKENS`` and its first 8-token "line" is
+    re-appended ``doc_id % 3`` times, so planted duplicates align with
+    chunk boundaries and the metric genuinely fires on 2/3 of rows.
+
+    Scale posture: pure per-row higher-order functions — no shuffle, no
+    UDF; the inner count scan is O(n_grams²) per row, bounded by the
+    document length, and stays inside whole-stage codegen.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    L = LINE_TOKENS
+    t = (
+        d.select("doc_id", tokens(F.col("text")).alias("toks0"))
+        .where(F.size("toks0") >= L)
+        .select(
+            "doc_id",
+            F.concat(
+                F.slice(
+                    "toks0", 1, (F.floor(F.size("toks0") / L) * L).cast("int")
+                ),
+                F.flatten(
+                    F.array_repeat(
+                        F.slice("toks0", 1, L),
+                        (F.col("doc_id") % 3).cast("int"),
+                    )
+                ),
+            ).alias("toks"),
+        )
+    )
+    nl = (F.size("toks") / L).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat_ws(" ", F.slice("toks", i * L + 1, L)),
+    )
+    g2 = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+        ),
+    )
+    g5 = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 4),
+        lambda i: F.concat_ws(" ", F.slice("toks", i, 5)),
+    )
+    b = t.select(
+        "doc_id",
+        nl.alias("n_lines"),
+        F.length(F.concat_ws(" ", F.col("toks"))).alias("total_chars"),
+        lines.alias("lines"),
+        g2.alias("g2"),
+        g5.alias("g5"),
+    )
+    counted = F.transform(
+        F.array_distinct("g2"),
+        lambda g: F.struct(
+            F.size(F.filter("g2", lambda x: x == g)).alias("c"), g.alias("g")
+        ),
+    )
+    b = b.select(
+        "doc_id", "n_lines", "total_chars", "lines", "g5", counted.alias("counted")
+    ).withColumn("mc", F.array_max(F.transform("counted", lambda x: x["c"])))
+    top2 = F.array_min(
+        F.transform(
+            F.filter("counted", lambda x: x["c"] == F.col("mc")), lambda x: x["g"]
+        )
+    )
+    dup_line = F.floor(
+        F.lit(REP_FIX)
+        * (F.col("n_lines") - F.size(F.array_distinct("lines")))
+        / F.col("n_lines")
+    ).cast("long")
+    dup_g5 = F.floor(
+        F.lit(REP_FIX)
+        * (F.size("g5") - F.size(F.array_distinct("g5")))
+        / F.size("g5")
+    ).cast("long")
+    b = b.withColumn("top_2gram", top2)
+    top_chars = F.floor(
+        F.lit(REP_FIX) * F.col("mc") * F.length("top_2gram") / F.col("total_chars")
+    ).cast("long")
+    return b.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        dup_line.alias("dup_line_frac_fix"),
+        dup_g5.alias("dup_5gram_frac_fix"),
+        "top_2gram",
+        top_chars.alias("top_2gram_char_frac_fix"),
+    )
+
+
 # accent-fold map, built programmatically so src/dst stay aligned;
 # covers the Latin accents DuckDB's ICU strip_accents folds identically
 _ACCENTS = {

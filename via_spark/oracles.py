@@ -979,6 +979,54 @@ FROM dsh
 """
 
 
+def repetition_scores_sql() -> str:
+    """Mirrors operators.textstats.repetition_scores: 8-token lines,
+    planted first-line repeat (doc_id % 3 copies), dup fractions and
+    top-2-gram char fraction, all 1e-6 fixed-point."""
+    return f"""
+WITH {DOC_TOKS_CTE.strip()},
+planted AS (
+    SELECT doc_id,
+           list_concat(
+               list_slice(toks, 1, CAST(floor(len(toks) / 8) * 8 AS INT)),
+               flatten(list_transform(range(0, CAST(doc_id % 3 AS INT)),
+                                      i -> list_slice(toks, 1, 8)))
+           ) AS toks
+    FROM dtok WHERE len(toks) >= 8
+),
+built AS (
+    SELECT doc_id,
+           CAST(len(toks) / 8 AS INT) AS nl,
+           length(array_to_string(toks, ' ')) AS total_chars,
+           list_transform(range(0, CAST(len(toks) / 8 AS INT)),
+                          i -> array_to_string(list_slice(toks, i*8+1, i*8+8), ' ')) AS lines,
+           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS g2,
+           list_transform(range(1, len(toks)-3),
+                          i -> array_to_string(list_slice(toks, i, i+4), ' ')) AS g5
+    FROM planted
+),
+counted AS (
+    SELECT *, list_transform(list_distinct(g2),
+                  g -> struct_pack(c := len(list_filter(g2, x -> x = g)), g := g)) AS cnt
+    FROM built
+),
+m AS (
+    SELECT *, list_max(list_transform(cnt, x -> x.c)) AS mc FROM counted
+),
+t AS (
+    SELECT *, list_min(list_transform(list_filter(cnt, x -> x.c = mc), x -> x.g)) AS top_2gram
+    FROM m
+)
+SELECT doc_id,
+       CAST(nl AS BIGINT) AS n_lines,
+       CAST(floor(1000000.0 * (nl - len(list_distinct(lines))) / nl) AS BIGINT) AS dup_line_frac_fix,
+       CAST(floor(1000000.0 * (len(g5) - len(list_distinct(g5))) / len(g5)) AS BIGINT) AS dup_5gram_frac_fix,
+       top_2gram,
+       CAST(floor(1000000.0 * mc * length(top_2gram) / total_chars) AS BIGINT) AS top_2gram_char_frac_fix
+FROM t
+"""
+
+
 def multimodal_features_sql() -> str:
     return """
 SELECT doc_id,
