@@ -215,6 +215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "severity_set_concat": relational.severity_set_concat,
         "referential_audit": relational.referential_audit,
         "purchase_intervals": timeseries.purchase_intervals,
+        # behavioral analytics: funnel + cohort retention
+        "conversion_funnel": timeseries.conversion_funnel,
+        "cohort_retention": timeseries.cohort_retention,
     }
 
 
@@ -305,4 +308,6 @@ def oracle_sql() -> dict[str, str]:
         "severity_set_concat": oracles.severity_set_concat_sql(),
         "referential_audit": oracles.referential_audit_sql(),
         "purchase_intervals": oracles.purchase_intervals_sql(),
+        "conversion_funnel": oracles.conversion_funnel_sql(),
+        "cohort_retention": oracles.cohort_retention_sql(),
     }

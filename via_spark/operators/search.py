@@ -135,7 +135,12 @@ def hybrid_rrf(
     """
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") == query_id).select(F.col("embedding").alias("q_emb"))
+    # the query vector's self-norm is constant per query — fold it into
+    # the 1-row broadcast side instead of re-deriving it per corpus row
+    q = emb.where(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_emb"),
+        dot_fix(F.col("embedding"), F.col("embedding")).alias("nb_fix"),
+    )
 
     joined = (
         bm25_scored(docs, terms)
@@ -143,12 +148,15 @@ def hybrid_rrf(
         .crossJoin(F.broadcast(q))
         .withColumn("d_fix", dot_fix(F.col("embedding"), F.col("q_emb")))
         .withColumn("na_fix", dot_fix(F.col("embedding"), F.col("embedding")))
-        .withColumn("nb_fix", dot_fix(F.col("q_emb"), F.col("q_emb")))
         .withColumn(
             "dense_score", cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix"))
         )
     )
-    cand = joined.select("doc_id", "score_fix", "dense_score")
+    # both ranking cuts read this 3-narrow-column projection; persist it
+    # so the expensive part (BM25 + 384-dim dot per row) runs ONCE, not
+    # once per ranking. At cluster scale this caches ~24 bytes/row — far
+    # cheaper than recomputing the scoring pass twice.
+    cand = joined.select("doc_id", "score_fix", "dense_score").persist()
 
     def cut(order: list, out: str) -> DataFrame:
         # exact global top-N heap, then ranks over the single ≤N-row

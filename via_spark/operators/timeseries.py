@@ -210,3 +210,79 @@ def purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sec",
         (F.col("sec") - F.lag("sec").over(w)).alias("gap_sec"),
     )
+
+
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users who did view → click → purchase
+    IN THAT ORDER (each later stage strictly after the user's earliest
+    qualifying prior stage — the standard product-analytics funnel with
+    first-touch semantics). Output is one row per stage with the count
+    of users who reached it; counts are non-increasing by construction.
+
+    Scale posture: each stage is filter → hash agg on user_id → equi
+    shuffle join on user_id; state per user is one timestamp per stage.
+    No windows, no collect_list of event histories — the funnel depth
+    bounds the number of joins, not the event volume.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").alias("ns")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ns").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ns") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ns").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ns") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ns").alias("t3"))
+    )
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "users"
+        )
+
+    return (
+        stage(v, 1, "view")
+        .unionByName(stage(c, 2, "view>click"))
+        .unionByName(stage(p, 3, "view>click>purchase"))
+    )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (long form): customers grouped by the
+    month of their FIRST order; for every later month in which a cohort
+    member ordered again, the count of distinct active customers at
+    that month offset. Offset 0 row = cohort size.
+
+    Scale posture: distinct (customer, month) pairs first — one hash
+    agg that collapses order volume to at most |customers| × |months|
+    rows — then a min-agg and one equi-join on customer, then the final
+    (cohort, offset) hash agg. Never a window over raw orders.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("m"),
+    ).distinct()
+    coh = om.groupBy("o_custkey").agg(F.min("m").alias("cohort_month"))
+    return (
+        om.join(coh, "o_custkey")
+        .select(
+            "cohort_month",
+            F.months_between("m", "cohort_month").cast("int").alias("month_offset"),
+            "o_custkey",
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.count(F.lit(1)).alias("active_customers"))
+    )

@@ -1866,6 +1866,51 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
 """
 
 
+def conversion_funnel_sql() -> str:
+    """Mirrors operators.timeseries.conversion_funnel (first-touch
+    ordered funnel; strict > between stages)."""
+    return """
+WITH v AS (
+    SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t1
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    GROUP BY e.user_id
+)
+SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS users FROM v
+UNION ALL
+SELECT 2, 'view>click', count(*) FROM c
+UNION ALL
+SELECT 3, 'view>click>purchase', count(*) FROM p
+"""
+
+
+def cohort_retention_sql() -> str:
+    """Mirrors operators.timeseries.cohort_retention."""
+    return """
+WITH om AS (
+    SELECT DISTINCT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+    FROM orders
+),
+coh AS (
+    SELECT o_custkey, min(m) AS cohort_month FROM om GROUP BY o_custkey
+)
+SELECT coh.cohort_month,
+       CAST(datediff('month', coh.cohort_month, om.m) AS INT) AS month_offset,
+       count(*) AS active_customers
+FROM om JOIN coh ON om.o_custkey = coh.o_custkey
+GROUP BY 1, 2
+"""
+
+
 def purchase_intervals_sql() -> str:
     return """
 WITH p AS (
