@@ -75,17 +75,56 @@ def main() -> None:
         timings[name] = round(dt, 4)
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
+    sf = _sf_from_dir(SF_DIR)
+
+    # Full per-query detail goes to a sidecar file; the stdout JSON line is
+    # kept under ~1800 chars because the driver that records BENCH_r{N}.json
+    # retains only the last 2000 chars of stdout (BENCH_r03 lost the line
+    # start and recorded parsed:null when the dict outgrew the buffer).
+    full = {
+        "metric": "total_query_wall_sec",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    try:
+        (_REPO / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
+    except OSError:
+        pass
+
+    # Per-query entries in the stdout line: flagships first, then the
+    # slowest of the rest — deterministic and informative under the cap.
+    flagship = [
+        "rhythm_anomalies", "promotion_rollup", "forensic_clusters_text",
+        "forensic_triage", "hybrid_rrf", "dedup_minhash_pairs",
+        "dedup_clusters", "neardup_embedding_pairs", "knn_cosine_topk",
+        "bm25_topk", "otel_roundtrip", "tier1_view", "multimodal_features",
+        "stratified_sample", "curation_funnel",
+    ]
+    ordered = [n for n in flagship if n in timings]
+    ordered += sorted(
+        (n for n in timings if n not in ordered),
+        key=lambda n: -timings[n],
     )
+    line_queries: dict[str, float] = {}
+    base = {
+        "metric": "total_query_wall_sec",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": line_queries,
+        "sf": sf,
+        "n_queries": len(timings),
+        "full": "BENCH_FULL.json",
+    }
+    budget = 1800
+    for name in ordered:
+        line_queries[name] = round(timings[name], 2)
+        if len(json.dumps(base, separators=(",", ":"))) > budget:
+            del line_queries[name]
+            break
+    print(json.dumps(base, separators=(",", ":")))
     spark.stop()
 
 

@@ -71,6 +71,9 @@ def get_spark(app_name: str = "via_spark", master: str | None = None) -> SparkSe
     builder = (
         builder.config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.ui.enabled", "false")
+        # progress bars write \r[Stage ...] to stdout, which pollutes the
+        # tail-of-stdout the bench driver parses its JSON line from
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         # dimension tables (region/nation/supplier/rules) stay broadcast-able
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -81,9 +84,66 @@ def get_spark(app_name: str = "via_spark", master: str | None = None) -> SparkSe
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table; runtime confs applied first."""
+    """Read one fixture table; runtime confs applied first.
+
+    The engine's canonical event-time representation is int64 epoch
+    NANOSECONDS (the reference ingests OTel ``timeUnixNano``,
+    app/services/ingestion_service.py:52). Fixture generations have
+    shipped ``events.ts`` both as TIMESTAMP(NANOS) (read as long via
+    ``nanosAsLong``) and as TIMESTAMP(MICROS) (read as timestamp_ntz);
+    normalize here so every consumer sees the same long-ns column.
+    Operators that range-filter on ``ts`` should prefer
+    :func:`events_in_window`, which pushes the predicate to the parquet
+    scan BEFORE this conversion.
+    """
     configure(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _events_ts_to_ns(df)
+    return df
+
+
+def _events_ts_to_ns(df: DataFrame) -> DataFrame:
+    """Replace a timestamp-typed ``ts`` with canonical int64 epoch-ns."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    t = df.schema["ts"].dataType
+    if isinstance(t, (TimestampType, TimestampNTZType)):
+        # session tz is UTC, so NTZ -> TS is value-preserving
+        ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        df = df.withColumn("ts", ns.cast("long"))
+    return df
+
+
+def events_in_window(
+    spark: SparkSession,
+    sf_dir: str,
+    lo_ns: int | None = None,
+    hi_ns: int | None = None,
+) -> DataFrame:
+    """events table filtered to ``ts ∈ [lo_ns, hi_ns]`` with the range
+    predicate applied on the RAW parquet column (so it reaches the scan
+    as PushedFilters / row-group skipping) and ``ts`` then normalized to
+    long ns. A filter placed after the ns conversion would wrap ``ts``
+    in an expression Catalyst cannot push into the source."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = df.schema["ts"].dataType
+    if isinstance(t, (TimestampType, TimestampNTZType)):
+        if lo_ns is not None:
+            df = df.where(F.col("ts") >= F.timestamp_micros(F.lit(lo_ns // 1000)))
+        if hi_ns is not None:
+            df = df.where(F.col("ts") <= F.timestamp_micros(F.lit(hi_ns // 1000)))
+        return _events_ts_to_ns(df)
+    if lo_ns is not None:
+        df = df.where(F.col("ts") >= F.lit(lo_ns))
+    if hi_ns is not None:
+        df = df.where(F.col("ts") <= F.lit(hi_ns))
+    return df
 
 
 def spread(df: DataFrame, target: int | None = None) -> DataFrame:
