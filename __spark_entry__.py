@@ -116,8 +116,61 @@ _FREQ_VARIANT = dict(std_dev_factor=0.5, frequency_min_count=2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    ORDERING CONTRACT: the driver records CORRECTNESS rows for only the
+    FIRST 50 entries each round.  The head therefore holds (a) queries
+    never yet driver-verified and (b) queries new this round; entries
+    with green CORRECTNESS rows from earlier rounds rotate to the tail
+    (they stay covered by tests/test_oracle_parity.py every round).
+    Round 5 head = the 36 queries absent from CORRECTNESS_r04.
+    """
     return {
+        # --- rotation head: never driver-verified before round 5 ---
+        "newest_events": relational.newest_events,
+        "pricing_summary": relational.pricing_summary,
+        "shipping_priority": relational.shipping_priority,
+        "local_supplier_volume": relational.local_supplier_volume,
+        "order_priority_counts": relational.order_priority_counts,
+        "promo_revenue": relational.promo_revenue,
+        "salted_event_type_counts": relational.salted_event_type_counts,
+        "asof_last_purchase": asof.asof_last_purchase,
+        "event_type_severity_pivot": relational.event_type_severity_pivot,
+        "lineitem_rollup": relational.lineitem_rollup,
+        "per_day_topk": relational.per_day_topk,
+        "customer_order_distribution": relational.customer_order_distribution,
+        "min_cost_supplier": relational.min_cost_supplier,
+        "large_orders_having": relational.large_orders_having,
+        "brand_supplier_counts": relational.brand_supplier_counts,
+        # distribution statistics
+        "value_percentiles": stats.value_percentiles,
+        "mad_outliers": stats.mad_outliers,
+        "global_value_rank": rank.global_value_rank,
+        # event-time window family (T5 extension)
+        "sliding_hash_counts": windows.sliding_hash_counts,
+        "session_hash_counts": windows.session_hash_counts,
+        "hypertable_rollup": windows.hypertable_rollup,
+        "range_containment_join": windows.range_containment_join,
+        # time-series toolkit (rate / gap-fill / moving agg / histogram)
+        "hourly_rate_of_change": timeseries.hourly_rate_of_change,
+        "gapfill_locf": timeseries.gapfill_locf,
+        "moving_avg_daily": timeseries.moving_avg_daily,
+        "cube_order_counts": timeseries.cube_order_counts,
+        "value_histogram": timeseries.value_histogram,
+        # TF-IDF ranking + relational set ops
+        "tfidf_top_terms": search.tfidf_top_terms,
+        "repeat_buyers": relational.repeat_buyers,
+        "lapsed_buyers": relational.lapsed_buyers,
+        # unpivot / listagg / data-quality audit / inter-event gaps
+        "event_type_unpivot": relational.event_type_unpivot,
+        "severity_set_concat": relational.severity_set_concat,
+        "referential_audit": relational.referential_audit,
+        "purchase_intervals": timeseries.purchase_intervals,
+        # behavioral analytics: funnel + cohort retention
+        "conversion_funnel": timeseries.conversion_funnel,
+        "cohort_retention": timeseries.cohort_retention,
+        # --- end rotation head (36); new round-5 queries go HERE ---
+        # --- tail: green CORRECTNESS_r04 rows (driver-verified) ---
         "tier1_view": _tier1_view,
         "rhythm_recent_counts": _rhythm_recent_counts,
         "rhythm_baseline_stats": _rhythm_baseline_stats,
@@ -176,48 +229,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "malformed_filter_events": relational.malformed_filter_events,
         "severity_histogram": relational.severity_histogram,
         "json_payload_shaping": relational.json_payload_shaping,
-        "newest_events": relational.newest_events,
-        "pricing_summary": relational.pricing_summary,
-        "shipping_priority": relational.shipping_priority,
-        "local_supplier_volume": relational.local_supplier_volume,
-        "order_priority_counts": relational.order_priority_counts,
-        "promo_revenue": relational.promo_revenue,
-        "salted_event_type_counts": relational.salted_event_type_counts,
-        "asof_last_purchase": asof.asof_last_purchase,
-        "event_type_severity_pivot": relational.event_type_severity_pivot,
-        "lineitem_rollup": relational.lineitem_rollup,
-        "per_day_topk": relational.per_day_topk,
-        "customer_order_distribution": relational.customer_order_distribution,
-        "min_cost_supplier": relational.min_cost_supplier,
-        "large_orders_having": relational.large_orders_having,
-        "brand_supplier_counts": relational.brand_supplier_counts,
-        # distribution statistics
-        "value_percentiles": stats.value_percentiles,
-        "mad_outliers": stats.mad_outliers,
-        "global_value_rank": rank.global_value_rank,
-        # event-time window family (T5 extension)
-        "sliding_hash_counts": windows.sliding_hash_counts,
-        "session_hash_counts": windows.session_hash_counts,
-        "hypertable_rollup": windows.hypertable_rollup,
-        "range_containment_join": windows.range_containment_join,
-        # time-series toolkit (rate / gap-fill / moving agg / histogram)
-        "hourly_rate_of_change": timeseries.hourly_rate_of_change,
-        "gapfill_locf": timeseries.gapfill_locf,
-        "moving_avg_daily": timeseries.moving_avg_daily,
-        "cube_order_counts": timeseries.cube_order_counts,
-        "value_histogram": timeseries.value_histogram,
-        # TF-IDF ranking + relational set ops
-        "tfidf_top_terms": search.tfidf_top_terms,
-        "repeat_buyers": relational.repeat_buyers,
-        "lapsed_buyers": relational.lapsed_buyers,
-        # unpivot / listagg / data-quality audit / inter-event gaps
-        "event_type_unpivot": relational.event_type_unpivot,
-        "severity_set_concat": relational.severity_set_concat,
-        "referential_audit": relational.referential_audit,
-        "purchase_intervals": timeseries.purchase_intervals,
-        # behavioral analytics: funnel + cohort retention
-        "conversion_funnel": timeseries.conversion_funnel,
-        "cohort_retention": timeseries.cohort_retention,
     }
 
 

@@ -11,6 +11,12 @@ lets Catalyst column-prune expensive projections (a simhash query would
 "finish" without computing a single fingerprint). The reduction ships
 one row to the driver, so transfer skew stays out of the numbers. A
 warmup pass on the first query amortizes JVM/codegen startup.
+
+Set ``SPARK_GRAFT_BENCH_REPS=N`` (default 1) to time each query N times
+and report the per-query MEDIAN — single runs at fixture scale are
+noisy at the multi-second level (Python-worker startup for mapInPandas
+stages, box load); round-4's "regressions" moved 3× with zero code
+change. BENCH_FULL.json then also carries the raw samples per query.
 """
 
 from __future__ import annotations
@@ -18,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -62,17 +69,24 @@ def main() -> None:
     except Exception:
         pass
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     total = 0.0
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        try:
-            _force(fn(spark, SF_DIR))
-            dt = time.perf_counter() - t0
-        except Exception as exc:  # a broken query must not hide the rest
-            dt = time.perf_counter() - t0
-            print(f"# bench error in {name}: {exc}", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                _force(fn(spark, SF_DIR))
+                runs.append(time.perf_counter() - t0)
+            except Exception as exc:  # a broken query must not hide the rest
+                runs.append(time.perf_counter() - t0)
+                print(f"# bench error in {name}: {exc}", file=sys.stderr)
+                break
+        dt = statistics.median(runs)
         timings[name] = round(dt, 4)
+        samples[name] = [round(r, 4) for r in runs]
         total += dt
 
     sf = _sf_from_dir(SF_DIR)
@@ -88,7 +102,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "reps": reps,
     }
+    if reps > 1:
+        full["samples"] = samples
     try:
         (_REPO / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
     except OSError:
@@ -116,6 +133,7 @@ def main() -> None:
         "queries": line_queries,
         "sf": sf,
         "n_queries": len(timings),
+        "reps": reps,
         "full": "BENCH_FULL.json",
     }
     budget = 1800

@@ -43,4 +43,5 @@ def test_every_query_has_an_oracle():
     """Engine-wide invariant: no rows-only queries — every operator the
     driver sees is value-checked against DuckDB."""
     assert set(QUERIES.keys()) == set(ORACLES.keys())
-    assert len(QUERIES) >= 48
+    # exact, not a floor: a dropped query or oracle must fail loudly
+    assert len(QUERIES) == len(ORACLES) == 86

@@ -160,6 +160,81 @@ def test_quantized_ann_no_nested_rescale(spark, sf_oracle):
     assert p.count("array_max") <= 4, "per-element array_max re-evaluation leaked back in"
 
 
+def test_events_in_window_pushdown_both_encodings(spark, tmp_path):
+    """events_in_window must (a) push the ts range predicate to the
+    parquet scan on BOTH fixture encodings of events.ts — int64
+    nanoseconds and TIMESTAMP(MICROS) — and (b) honor the documented
+    inclusive ts ∈ [lo_ns, hi_ns] contract exactly, including bounds
+    that are not multiples of 1000 ns (the micros path must round the
+    lower bound UP to the next whole microsecond; floor division here
+    leaked rows up to 999 ns early)."""
+    from pyspark.sql import functions as F
+
+    from via_spark.session import events_in_window
+
+    rows = [(1, 10_000_000_000), (2, 10_000_001_000), (3, 10_000_002_000)]
+    lo_ns, hi_ns = 10_000_000_001, 10_000_002_000  # excludes row 1 exactly
+
+    # --- encoding 1: raw int64 nanoseconds ---
+    long_dir = tmp_path / "long_enc"
+    df = spark.createDataFrame(rows, "event_id long, ts long")
+    df.write.parquet(str(long_dir / "events.parquet"))
+    got = events_in_window(spark, str(long_dir), lo_ns, hi_ns)
+    assert sorted(r["event_id"] for r in got.collect()) == [2, 3]
+    p = executed_plan(got)
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(ts", p), p[:2000]
+
+    # --- encoding 2: TIMESTAMP(MICROS) ---
+    ts_dir = tmp_path / "ts_enc"
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).write.parquet(
+            str(ts_dir / "events.parquet")
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    got = events_in_window(spark, str(ts_dir), lo_ns, hi_ns)
+    out = {r["event_id"]: r["ts"] for r in got.collect()}
+    # floor(lo_ns/1000) would re-admit event 1 at 999 ns below the bound
+    assert sorted(out) == [2, 3], out
+    assert out[2] == 10_000_001_000 and out[3] == 10_000_002_000  # normalized ns
+    p = executed_plan(got)
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(ts", p), p[:2000]
+
+
+def test_tier1_from_events_bounded_read_pushes_ts(spark, sf_smoke):
+    """The wired raw-events path: a bounded tier1 build must reach the
+    scan with the ts range predicate (row-group skipping on the one
+    full-scan-shaped read in the engine)."""
+    from via_spark.operators import rhythm
+    from via_spark.session import load_table
+
+    hi = load_table(spark, sf_smoke, "events").agg({"ts": "max"}).collect()[0][0]
+    df = rhythm.tier1_from_events(spark, sf_smoke, lo_ns=hi - 86_400 * 10**9, hi_ns=hi)
+    p = executed_plan(df)
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(ts", p), p[:2000]
+
+
+def test_events_ts_normalization_requires_utc(spark):
+    """_events_ts_to_ns must refuse to cast NTZ→TS under a non-UTC
+    session tz instead of silently shifting every timestamp (configure()
+    swallows conf.set failures, so the conf is verified at use time)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from via_spark.session import _events_ts_to_ns
+
+    df = spark.range(1).select(F.timestamp_micros(F.lit(10_000_000)).alias("ts"))
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(RuntimeError, match="UTC"):
+            _events_ts_to_ns(df)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert _events_ts_to_ns(df).collect()[0]["ts"] == 10_000_000_000
+
+
 def test_no_row_python_udf_in_any_query_plan(spark, sf_oracle):
     """Engine-wide invariant: NO query plans a row-at-a-time Python UDF
     (BatchEvalPython). Python appears only as Arrow-vectorized stages

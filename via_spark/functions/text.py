@@ -50,7 +50,9 @@ def severity_number(severity: Column | str) -> Column:
     mapping = F.create_map(
         *[F.lit(x) for kv in SEVERITY_NUMBER.items() for x in kv]
     )
-    return mapping.getItem(col).cast("int")
+    # element_at, not getItem: getItem with a Column key is deprecated
+    # (warned on every bench run) and both are null-safe on a miss
+    return F.element_at(mapping, col).cast("int")
 
 
 def tokens(text: Column | str) -> Column:

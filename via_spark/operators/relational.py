@@ -131,7 +131,7 @@ def severity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     severity number (F5) → counts."""
     ev = load_table(spark, sf_dir, "events")
     mapping = F.create_map(*[F.lit(x) for kv in EVENT_SEVERITY.items() for x in kv])
-    sev = mapping.getItem(F.col("event_type"))
+    sev = F.element_at(mapping, F.col("event_type"))
     return (
         ev.withColumn("severity", sev)
         .withColumn("severity_number", severity_number("severity"))

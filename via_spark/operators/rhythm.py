@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from via_spark.functions.text import rhythm_hash, template
-from via_spark.session import load_table, spread
+from via_spark.session import events_in_window, spread
 
 HISTORICAL_SAMPLE_SIZE = 10_000
 NOVELTY_MIN_COUNT = 2
@@ -50,7 +50,12 @@ def _round1(col: Column) -> Column:
     return F.floor(col * 10 + F.lit(0.5)) / 10
 
 
-def tier1_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tier1_from_events(
+    spark: SparkSession,
+    sf_dir: str,
+    lo_ns: int | None = None,
+    hi_ns: int | None = None,
+) -> DataFrame:
     """The fixture `events` table viewed as a tier1 log store.
 
     Mapping (FIXTURES.md §B): service := 'svc_' || user_id,
@@ -58,6 +63,14 @@ def tier1_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     printf('%.2f', value) || ' ' || props, ts := epoch seconds.
     ``ts`` arrives as int64 *nanoseconds* (parquet TIMESTAMP(NANOS) read
     with nanosAsLong) — integer division keeps the conversion exact.
+
+    The read goes through :func:`via_spark.session.events_in_window`,
+    the canonical raw-events reader: when ``lo_ns``/``hi_ns`` bounds are
+    given they are applied on the RAW parquet column BEFORE the ns
+    normalization, so the range predicate reaches the scan as
+    PushedFilters on either fixture ``ts`` encoding (int64 NANOS *or*
+    TIMESTAMP(MICROS)) — asserted by
+    tests/test_plans.py::test_events_in_window_pushdown_both_encodings.
 
     The fixture is one small parquet file = one scan split, so the
     template/sha256 projection goes through the gated ``spread`` helper
@@ -67,7 +80,7 @@ def tier1_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     node down to the scan (PushPredicateThroughNonJoin), so ts_ns
     row-group skipping is preserved.
     """
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = spread(events_in_window(spark, sf_dir, lo_ns, hi_ns))
     body = F.concat_ws(
         " ",
         F.concat(F.col("event_type"), F.lit(" value="), F.format_string("%.2f", "value")),

@@ -110,7 +110,16 @@ def _events_ts_to_ns(df: DataFrame) -> DataFrame:
 
     t = df.schema["ts"].dataType
     if isinstance(t, (TimestampType, TimestampNTZType)):
-        # session tz is UTC, so NTZ -> TS is value-preserving
+        # The NTZ -> TS cast is value-preserving ONLY under a UTC session
+        # tz. configure() swallows conf.set failures, so verify the conf
+        # actually took rather than silently shifting every timestamp by
+        # the local offset.
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise RuntimeError(
+                f"events ts normalization requires spark.sql.session.timeZone"
+                f"=UTC (got {tz!r}); set it at session build time"
+            )
         ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
         df = df.withColumn("ts", ns.cast("long"))
     return df
@@ -134,8 +143,12 @@ def events_in_window(
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     t = df.schema["ts"].dataType
     if isinstance(t, (TimestampType, TimestampNTZType)):
+        # Micros-typed column: values are whole microseconds, so the ns
+        # bounds round INWARD — ceil for the lower bound (floor would
+        # admit rows up to 999 ns below lo_ns), floor for the upper.
         if lo_ns is not None:
-            df = df.where(F.col("ts") >= F.timestamp_micros(F.lit(lo_ns // 1000)))
+            lo_us = -(-lo_ns // 1000)
+            df = df.where(F.col("ts") >= F.timestamp_micros(F.lit(lo_us)))
         if hi_ns is not None:
             df = df.where(F.col("ts") <= F.timestamp_micros(F.lit(hi_ns // 1000)))
         return _events_ts_to_ns(df)
