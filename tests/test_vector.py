@@ -67,16 +67,40 @@ def test_dense_embed_shell_with_fake_encoder(spark, sf_oracle):
     with pytest.raises(Exception, match="non-384-dim"):
         bad.collect()
 
-    # default path: the model-loader stub raises with a clear message
-    with pytest.raises(Exception, match="model runtime"):
-        embed.dense_embedded(d, "doc_id", "text").collect()
+    # default path without the optional runtime: clear actionable error
+    try:
+        import fastembed  # noqa: F401
+    except ImportError:
+        with pytest.raises(Exception, match="runtime"):
+            embed.dense_embedded(d, "doc_id", "text").collect()
+
+
+def test_dense_embedded_production_model(spark, sf_oracle):
+    """End-to-end production embedding path — runs only in containers
+    that ship the optional fastembed/ONNX runtime (skipped otherwise);
+    proves _load_model_encoder + the Arrow shell against the real
+    bge-small-en-v1.5 model."""
+    import pytest
+
+    pytest.importorskip("fastembed")
+    from via_spark.functions import embed
+    from via_spark.session import load_table
+
+    d = load_table(spark, sf_oracle, "documents").limit(8)
+    rows = embed.dense_embedded(d, "doc_id", "text").collect()
+    assert len(rows) == 8
+    assert all(len(r["embedding"]) == embed.EMBED_DIM for r in rows)
+    # embeddings are unit-ish and text-dependent, not constant
+    assert len({tuple(r["embedding"][:4]) for r in rows}) > 1
 
 
 def test_ann_variants_recall_vs_exact(spark, sf_oracle):
     """Measured approximation quality: every ANN variant's top-10 vs the
     exact brute-force top-10. IVF (4 of 16 cells probed) and INT8
     quantize+rescore recover the exact set on the fixture; multi-probe
-    sign-LSH (radius 2) trades recall for a bounded candidate set."""
+    sign-LSH with a 5-table OR-construction holds recall ≥0.8 even on
+    the fixture's near-random embeddings (the adversarial case — sign
+    bits carry little cosine signal there)."""
     from via_spark.operators import dedup, vector
 
     exact = {r["vec_id"] for r in vector.knn_cosine_topk(spark, sf_oracle, k=10).collect()}
@@ -87,4 +111,4 @@ def test_ann_variants_recall_vs_exact(spark, sf_oracle):
 
     assert recall(dedup.ann_ivf_topk(spark, sf_oracle, k=10)) >= 0.9
     assert recall(vector.ann_quantized_topk(spark, sf_oracle, k=10)) >= 0.9
-    assert recall(dedup.ann_lsh_topk(spark, sf_oracle, k=10)) >= 0.4
+    assert recall(dedup.ann_lsh_topk(spark, sf_oracle, k=10)) >= 0.8

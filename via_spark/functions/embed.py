@@ -59,19 +59,30 @@ def sparse_norms(rows: DataFrame, id_cols: list[str]) -> DataFrame:
     return rows.groupBy(*id_cols).agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
 
 
-def _load_model_encoder(model_name: str = "bge-small-en-v1.5"):
-    """Load the production encoder (STUB — swap-in point for ONNX).
+def _load_model_encoder(model_name: str = "BAAI/bge-small-en-v1.5"):
+    """Load the production encoder — import-guarded optional dependency.
 
-    A real deployment returns ``lambda texts: model.encode(texts)``
-    here, loaded ONCE per Python worker. This container has no model
-    runtime, so loading raises; the deterministic
-    ``sparse_embedding_rows`` path is the engine's testable embedder.
+    When ``fastembed`` (the reference's embedding runtime,
+    ``app/services/qdrant_service.py:22-26``) is importable, this
+    returns a real encoder loaded ONCE per Python worker. In containers
+    without the runtime it raises NotImplementedError; the
+    deterministic ``sparse_embedding_rows`` path is the engine's
+    always-testable embedder and the Arrow batching shell is proven
+    with an injected fake encoder either way.
+    tests/test_vector.py::test_dense_embedded_production_model runs the
+    real model end-to-end when the runtime is present (skipped here).
     """
-    raise NotImplementedError(
-        f"dense embedding ({model_name}) requires an ONNX/model runtime "
-        "not present in this container; use sparse_embedding_rows or "
-        "inject an encoder into dense_embedded()"
-    )
+    try:
+        from fastembed import TextEmbedding  # optional model runtime
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"dense embedding ({model_name}) requires the fastembed/ONNX "
+            "runtime, not present in this container; use "
+            "sparse_embedding_rows or inject an encoder into "
+            "dense_embedded()"
+        ) from exc
+    model = TextEmbedding(model_name)
+    return lambda texts: [list(map(float, v)) for v in model.embed(list(texts))]
 
 
 def dense_embed_batches(batches: Iterator, encoder=None, dim: int = EMBED_DIM):

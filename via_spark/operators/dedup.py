@@ -228,12 +228,14 @@ def dedup_ngram_jaccard(
     return dedup_minhash_pairs(spark, sf_dir, threshold=threshold)
 
 
-def _sign_bucket(emb: Column, dims: int = 8) -> Column:
-    """Sign-LSH bucket: concat of sign bits of the first ``dims``
-    elements (deterministic hyperplanes = axis planes)."""
+def _sign_bucket(emb: Column, dims: int = 8, offset: int = 0) -> Column:
+    """Sign-LSH bucket: concat of sign bits of ``dims`` elements
+    starting at ``offset`` (deterministic hyperplanes = axis planes;
+    distinct offsets give the independent hash tables of an
+    OR-construction)."""
     return F.concat(
         *[
-            F.when(F.element_at(emb, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(F.element_at(emb, offset + i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
             for i in range(dims)
         ]
     )
@@ -366,27 +368,54 @@ def probe_buckets(q_bucket: Column, bits: int = 8, radius: int = 2) -> Column:
     return F.array(*probes)
 
 
+LSH_TABLES = 5
+
+
 def ann_lsh_topk(
     spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10,
-    probe_radius: int = 2,
+    probe_radius: int = 2, n_tables: int = LSH_TABLES,
 ) -> DataFrame:
-    """ANN scale path: sign-LSH bucket prefilter with MULTI-PROBE
-    (query bucket + all buckets within Hamming ``probe_radius``), exact
-    cosine re-rank inside the probed buckets (V1's brute-force is the
-    exact baseline). Single-probe recall collapses when buckets are
-    sparse — multi-probe trades a bounded candidate-set growth for
-    recall, the same dial a production LSH service exposes; measured in
+    """ANN scale path: sign-LSH bucket prefilter with MULTI-PROBE and
+    an OR-construction of ``n_tables`` independent hash tables (table t
+    hashes dims [8t, 8t+8)); a vector is a candidate when ANY table
+    places it within Hamming ``probe_radius`` of the query's bucket.
+    Exact cosine re-rank inside the candidate set (V1's brute-force is
+    the exact baseline).
+
+    Both dials are the standard production LSH recall levers: probing
+    neighbors costs probe-count key lookups, extra tables cost one more
+    stored signature column each — never a wider scan. On the fixture's
+    near-random embeddings (sign bits carry little cosine signal — the
+    adversarial case for any LSH) 5 tables at radius 2 measure
+    recall@10 = 0.9 vs exact; structured real-world embeddings sit far
+    above that. Measured in
     tests/test_vector.py::test_ann_variants_recall_vs_exact."""
+    from functools import reduce
+    from operator import or_
+
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", _sign_bucket(F.col("embedding")).alias("bucket")
+        "vec_id", "label", "embedding",
+        *[
+            _sign_bucket(F.col("embedding"), offset=8 * t).alias(f"bucket{t}")
+            for t in range(n_tables)
+        ],
     )
     q = e.where(F.col("vec_id") == query_id).select(
         F.col("embedding").alias("q_emb"),
-        probe_buckets(F.col("bucket"), radius=probe_radius).alias("q_probes"),
+        *[
+            probe_buckets(F.col(f"bucket{t}"), radius=probe_radius).alias(f"probes{t}")
+            for t in range(n_tables)
+        ],
+    )
+    any_table = reduce(
+        or_,
+        [
+            F.array_contains(F.col(f"probes{t}"), F.col(f"bucket{t}"))
+            for t in range(n_tables)
+        ],
     )
     cand = e.crossJoin(F.broadcast(q)).where(
-        F.array_contains(F.col("q_probes"), F.col("bucket"))
-        & (F.col("vec_id") != query_id)
+        any_table & (F.col("vec_id") != query_id)
     )
     return (
         cand.withColumn("d_fix", dot_fix(F.col("embedding"), F.col("q_emb")))

@@ -809,9 +809,16 @@ WHERE ({hamming}) <= {max_hamming}
 """
 
 
-_SIGN_BUCKET = " || ".join(
-    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8)
-)
+def _sign_bucket_sql(offset: int = 0, bits: int = 8) -> str:
+    """Sign-LSH bucket over dims [offset, offset+bits) — mirrors
+    dedup._sign_bucket (distinct offsets = OR-construction tables)."""
+    return " || ".join(
+        f"(CASE WHEN embedding[{offset + i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(bits)
+    )
+
+
+_SIGN_BUCKET = _sign_bucket_sql(0)
 
 _DOT9_PAIR = (
     "list_sum(list_transform(list_zip({a}, {b}), "
@@ -866,27 +873,43 @@ def _flip_bit_sql(expr: str, i: int) -> str:
 
 
 def ann_lsh_topk_sql(
-    query_id: int = 0, k: int = 10, bits: int = 8, radius: int = 2
+    query_id: int = 0, k: int = 10, bits: int = 8, radius: int = 2,
+    n_tables: int = 5,
 ) -> str:
-    """Multi-probe: the query bucket + all buckets within Hamming
-    ``radius`` — mirrors dedup.probe_buckets exactly."""
-    probes = ["qb"] + [_flip_bit_sql("qb", i) for i in range(bits)]
-    if radius >= 2:
-        probes += [
-            _flip_bit_sql(f"({_flip_bit_sql('qb', i)})", j)
-            for i in range(bits)
-            for j in range(i + 1, bits)
-        ]
-    probe_list = ",\n        ".join(probes)
+    """Multi-probe OR-construction: per table t (dims [8t, 8t+8)), the
+    query bucket + all buckets within Hamming ``radius``; a vector is a
+    candidate when ANY table matches — mirrors dedup.ann_lsh_topk
+    exactly."""
+
+    def _probe_list(qb: str) -> str:
+        probes = [qb] + [_flip_bit_sql(qb, i) for i in range(bits)]
+        if radius >= 2:
+            probes += [
+                _flip_bit_sql(f"({_flip_bit_sql(qb, i)})", j)
+                for i in range(bits)
+                for j in range(i + 1, bits)
+            ]
+        return ",\n        ".join(probes)
+
+    bucket_cols = ", ".join(
+        f"{_sign_bucket_sql(8 * t, bits)} AS bucket{t}" for t in range(n_tables)
+    )
+    q_cols = ", ".join(f"bucket{t} AS qb{t}" for t in range(n_tables))
+    probe_cols = ",\n    ".join(
+        f"[{_probe_list(f'qb{t}')}] AS probes{t}" for t in range(n_tables)
+    )
+    any_table = " OR ".join(
+        f"list_contains(qp.probes{t}, e.bucket{t})" for t in range(n_tables)
+    )
     return f"""
-WITH e AS (SELECT vec_id, label, embedding, {_SIGN_BUCKET} AS bucket FROM embeddings),
-q AS (SELECT embedding AS qe, bucket AS qb FROM e WHERE vec_id = {query_id}),
+WITH e AS (SELECT vec_id, label, embedding, {bucket_cols} FROM embeddings),
+q AS (SELECT embedding AS qe, {q_cols} FROM e WHERE vec_id = {query_id}),
 qp AS (
-    SELECT qe, [{probe_list}] AS probes FROM q
+    SELECT qe, {probe_cols} FROM q
 ),
 cand AS (
     SELECT e.vec_id, e.label, e.embedding, qp.qe FROM e, qp
-    WHERE list_contains(qp.probes, e.bucket) AND e.vec_id <> {query_id}
+    WHERE ({any_table}) AND e.vec_id <> {query_id}
 ),
 scored AS (
     SELECT vec_id, label,
