@@ -169,7 +169,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # behavioral analytics: funnel + cohort retention
         "conversion_funnel": timeseries.conversion_funnel,
         "cohort_retention": timeseries.cohort_retention,
-        # --- end rotation head (36); new round-5 queries go HERE ---
+        # --- end rotation head (36); new round-5 queries (42 ≤ 50 ok) ---
+        "weekly_active_users": timeseries.weekly_active_users,
+        "bigram_top_terms": textstats.bigram_top_terms,
+        "char_trigram_profile": textstats.char_trigram_profile,
+        "embedding_centroids_by_label": vector.embedding_centroids_by_label,
+        "knn_batch_topk": vector.knn_batch_topk,
+        "props_json_stats": relational.props_json_stats,
         # --- tail: green CORRECTNESS_r04 rows (driver-verified) ---
         "tier1_view": _tier1_view,
         "rhythm_recent_counts": _rhythm_recent_counts,
@@ -321,4 +327,10 @@ def oracle_sql() -> dict[str, str]:
         "purchase_intervals": oracles.purchase_intervals_sql(),
         "conversion_funnel": oracles.conversion_funnel_sql(),
         "cohort_retention": oracles.cohort_retention_sql(),
+        "weekly_active_users": oracles.weekly_active_users_sql(),
+        "bigram_top_terms": oracles.bigram_top_terms_sql(),
+        "char_trigram_profile": oracles.char_trigram_profile_sql(),
+        "embedding_centroids_by_label": oracles.embedding_centroids_by_label_sql(),
+        "knn_batch_topk": oracles.knn_batch_topk_sql(),
+        "props_json_stats": oracles.props_json_stats_sql(),
     }

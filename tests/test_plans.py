@@ -160,6 +160,18 @@ def test_quantized_ann_no_nested_rescale(spark, sf_oracle):
     assert p.count("array_max") <= 4, "per-element array_max re-evaluation leaked back in"
 
 
+def test_round5_ops_plan_shapes(spark, sf_oracle):
+    """New-operator scale contracts: global top-k bigrams heap instead
+    of sorting the n-gram vocabulary; per-group cuts (per-lang trigrams,
+    per-query batched kNN) keep k rows per group through the rank
+    shuffle; the batched-kNN query block broadcasts."""
+    p = _plan(spark, sf_oracle, "bigram_top_terms")
+    assert "TakeOrderedAndProject" in p
+    assert "WindowGroupLimit" in _plan(spark, sf_oracle, "char_trigram_profile")
+    p = _plan(spark, sf_oracle, "knn_batch_topk")
+    assert "WindowGroupLimit" in p and "Broadcast" in p
+
+
 def test_events_in_window_pushdown_both_encodings(spark, tmp_path):
     """events_in_window must (a) push the ts range predicate to the
     parquet scan on BOTH fixture encodings of events.ts — int64

@@ -561,3 +561,33 @@ def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cnt(orphan_lineitems, "lineitems_without_order"))
         .unionByName(cnt(childless_orders, "orders_without_lineitems"))
     )
+
+
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON attribute extraction over the events ``props`` column (the
+    F10 attribute-lookup capability applied to a raw JSON string
+    column): per event_type, coverage and stats of the integer ``k``
+    attribute.
+
+    Scale posture: get_json_object is a JVM-native codegen expression
+    (no Python), evaluated once per row pre-aggregation; the agg is one
+    hash shuffle keyed by event_type. Sums are exact BIGINTs; the mean
+    is derived from them, so parity is bit-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .withColumn(
+            "avg_k",
+            F.col("sum_k").cast("double") / F.col("n_with_k").cast("double"),
+        )
+    )

@@ -254,3 +254,60 @@ def normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = F.concat_ws(" ", F.col("text"), word)
     norm = F.array_join(tokens(accent_fold(salted)), " ")
     return d.select("doc_id", norm.alias("norm_text"))
+
+
+def bigram_top_terms(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Corpus-wide top-k word bigrams (pinned tokenizer) — the n-gram
+    frequency table a data pipeline builds for contamination checks,
+    boilerplate detection and LM-ish corpus statistics.
+
+    Scale posture: bigram generation is a per-row zip of two array
+    slices (no shuffle), then ONE hash aggregation keyed by bigram with
+    map-side partial counts, and the global top-k is a
+    TakeOrderedAndProject heap — never a full sort of the n-gram
+    vocabulary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1), F.slice(toks, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(k)
+    )
+
+
+def char_trigram_profile(spark: SparkSession, sf_dir: str, per_lang: int = 10) -> DataFrame:
+    """Top character trigrams per language label — the profile table
+    behind n-gram language identification (lang_id_documents consumes a
+    pinned version of exactly this kind of table).
+
+    Scale posture: trigram expansion is per-row (sequence + substring,
+    no shuffle), counts are one hash agg keyed (lang, gram), and the
+    per-language cut is a WindowGroupLimit — only ``per_lang`` rows per
+    language survive the rank shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.when(
+        F.length("text") >= 3,
+        F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        d.select("lang", F.explode(grams).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= per_lang)
+        .select("lang", "gram", "n", "rank")
+    )

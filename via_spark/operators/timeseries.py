@@ -286,3 +286,32 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_month", "month_offset")
         .agg(F.count(F.lit(1)).alias("active_customers"))
     )
+
+
+def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users + event volume per 7-day epoch-aligned
+    window — the standard activity rollup of a training-data /
+    analytics pipeline (WAU).
+
+    Buckets are epoch-aligned (``day div 7``), not ISO weeks: the
+    bucket function is a pure integer expression, identical in every
+    engine and free of calendar/locale semantics — week boundaries land
+    on the same instant on Spark, DuckDB and a 1000-executor cluster.
+
+    Scale posture: one hash aggregation keyed (week, user) collapses
+    raw volume map-side before the distinct count — Spark plans
+    count(DISTINCT) as a two-phase partial/final agg, so the shuffle
+    carries at most |weeks| x |users| rows, never raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    week_start = F.date_from_unix_date(
+        (F.expr("ts div 1000000000 div 604800") * 7).cast("int")
+    )
+    return (
+        ev.select(week_start.alias("week_start"), "user_id")
+        .groupBy("week_start")
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

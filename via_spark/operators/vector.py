@@ -249,3 +249,63 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.withColumn("toks", tokens(F.col("text"))).where(F.size("toks") > 0)
     return toks.select("doc_id", simhash_hex(F.col("toks")).alias("simhash"))
+
+
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label elementwise centroid of the embedding column, flat
+    (label, dim, n, sum_fix, centroid) — the 'train' half of an IVF
+    coarse quantizer (ivf_assigned's sampled quantizer is the
+    no-training alternative), and the class-prototype table of a
+    curation pipeline.
+
+    Scale posture: posexplode → ONE hash agg keyed (label, dim) with
+    map-side partial sums; the shuffle carries |labels| x dim rows, not
+    vectors. Sums are exact fixed-point BIGINTs (dot_fix's scale), so
+    the centroid is bit-reproducible across engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("x").cast("double") * F.lit(FIX9)).cast("long")
+            ).alias("sum_fix"),
+        )
+        .withColumn(
+            "centroid",
+            F.col("sum_fix").cast("double") / (F.col("n").cast("double") * F.lit(FIX9)),
+        )
+    )
+
+
+def knn_batch_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 8, k: int = 3
+) -> DataFrame:
+    """Batched exact k-NN: the top-k cosine neighbors for EACH of the
+    first ``n_queries`` stored vectors in ONE plan — the bulk-serving
+    shape (offline recommendation backfill, eval-set retrieval) where
+    launching one job per query would be n scans instead of one.
+
+    Scale posture: the query block broadcasts (n_queries rows), the
+    corpus streams through once, and the per-query cut is a
+    WindowGroupLimit — k rows per query survive the rank shuffle, so
+    output is n_queries x k regardless of corpus size.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("d_fix", dot_fix(F.col("embedding"), F.col("q_emb")))
+        .withColumn("na_fix", dot_fix(F.col("embedding"), F.col("embedding")))
+        .withColumn("nb_fix", dot_fix(F.col("q_emb"), F.col("q_emb")))
+        .withColumn("score", cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "label", "rank", "score")
+    )

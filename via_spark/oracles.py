@@ -1961,3 +1961,126 @@ SELECT doc_id,
 FROM k, (SELECT unnest(generate_series(0, 3)) AS i) idx
 WHERE i < k
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: activity rollup, n-gram tables, batched kNN,
+# label centroids, JSON attribute stats
+# ---------------------------------------------------------------------------
+
+def weekly_active_users_sql() -> str:
+    """Epoch-aligned 7-day buckets — mirrors timeseries.weekly_active_users
+    (pure integer bucket function, no calendar semantics)."""
+    return """
+SELECT DATE '1970-01-01' + CAST((epoch_us(ts) // 1000000 // 604800) * 7 AS INTEGER)
+           AS week_start,
+       count(DISTINCT user_id) AS active_users,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+def bigram_top_terms_sql(k: int = 50) -> str:
+    return f"""
+WITH {DOC_TOKS_CTE},
+bg AS (
+    SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM dtok
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM bg
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT {k}
+"""
+
+
+def char_trigram_profile_sql(per_lang: int = 10) -> str:
+    return f"""
+WITH g AS (
+    SELECT lang,
+           unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
+                                 i -> substr(text, i, 3))) AS gram
+    FROM documents
+),
+counted AS (
+    SELECT lang, gram, CAST(count(*) AS BIGINT) AS n
+    FROM g GROUP BY lang, gram
+),
+ranked AS (
+    SELECT lang, gram, n,
+           CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram ASC) AS INT)
+               AS rank
+    FROM counted
+)
+SELECT lang, gram, n, rank FROM ranked WHERE rank <= {per_lang}
+"""
+
+
+def embedding_centroids_by_label_sql() -> str:
+    """Flat per-(label, dim) fixed-point centroid — mirrors
+    vector.embedding_centroids_by_label bit-for-bit."""
+    return """
+WITH ex AS (
+    SELECT label, i - 1 AS dim,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000.0) AS BIGINT) AS x_fix
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x_fix) AS BIGINT) AS sum_fix,
+       CAST(sum(x_fix) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0)
+           AS centroid
+FROM ex
+GROUP BY label, dim
+"""
+
+
+def knn_batch_topk_sql(n_queries: int = 8, k: int = 3) -> str:
+    """Batched exact kNN — per-query top-k, mirrors vector.knn_batch_topk."""
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe
+    FROM embeddings WHERE vec_id < {n_queries}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id, e.label,
+           {_DOT9_PAIR.format(a="e.embedding", b="q.qe")} AS d_fix,
+           {_DOT9_PAIR.format(a="e.embedding", b="e.embedding")} AS na_fix,
+           {_DOT9_PAIR.format(a="q.qe", b="q.qe")} AS nb_fix
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, label,
+           {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} AS score,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} DESC,
+                        vec_id ASC
+           ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, label, rank, score FROM ranked WHERE rank <= {k}
+"""
+
+
+def props_json_stats_sql() -> str:
+    return """
+WITH k AS (
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE) AS avg_k
+FROM k
+GROUP BY event_type
+"""
