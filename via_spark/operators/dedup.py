@@ -371,6 +371,23 @@ def probe_buckets(q_bucket: Column, bits: int = 8, radius: int = 2) -> Column:
 LSH_TABLES = 5
 
 
+def _probe_strings(bucket: str, radius: int) -> list[str]:
+    """All '0'/'1' bucket keys within Hamming ``radius`` of ``bucket``
+    (driver-side mirror of probe_buckets, for literal probe sets)."""
+    from itertools import combinations
+
+    if not 0 <= radius <= 2:
+        raise ValueError(f"probe radius {radius} unsupported (0..2)")
+    out = [bucket]
+    for r in range(1, radius + 1):
+        for idxs in combinations(range(len(bucket)), r):
+            b = list(bucket)
+            for i in idxs:
+                b[i] = "1" if b[i] == "0" else "0"
+            out.append("".join(b))
+    return out
+
+
 def ann_lsh_topk(
     spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10,
     probe_radius: int = 2, n_tables: int = LSH_TABLES,
@@ -389,7 +406,15 @@ def ann_lsh_topk(
     adversarial case for any LSH) 5 tables at radius 2 measure
     recall@10 = 0.9 vs exact; structured real-world embeddings sit far
     above that. Measured in
-    tests/test_vector.py::test_ann_variants_recall_vs_exact."""
+    tests/test_vector.py::test_ann_variants_recall_vs_exact.
+
+    Execution shape: the query's probe keys are computed DRIVER-SIDE
+    from a single point lookup (exactly how an LSH serving layer probes
+    client-side), so the corpus-side filter is ``bucket ∈ literal set``
+    — Catalyst plans it as an O(1)-per-row InSet over the stored
+    signature columns. The previous form shipped the probe GENERATOR as
+    ~200 nested string expressions into the plan, which cost multiple
+    seconds of per-query optimizer time at any data scale."""
     from functools import reduce
     from operator import or_
 
@@ -400,22 +425,23 @@ def ann_lsh_topk(
             for t in range(n_tables)
         ],
     )
-    q = e.where(F.col("vec_id") == query_id).select(
-        F.col("embedding").alias("q_emb"),
-        *[
-            probe_buckets(F.col(f"bucket{t}"), radius=probe_radius).alias(f"probes{t}")
-            for t in range(n_tables)
-        ],
-    )
+    qrow = e.where(F.col("vec_id") == query_id).select(
+        "embedding", *[f"bucket{t}" for t in range(n_tables)]
+    ).first()
+    if qrow is None:
+        return spark.createDataFrame([], "vec_id long, label int, score double")
+    probe_sets = [
+        _probe_strings(qrow[f"bucket{t}"], probe_radius) for t in range(n_tables)
+    ]
     any_table = reduce(
         or_,
-        [
-            F.array_contains(F.col(f"probes{t}"), F.col(f"bucket{t}"))
-            for t in range(n_tables)
-        ],
+        [F.col(f"bucket{t}").isin(probe_sets[t]) for t in range(n_tables)],
     )
-    cand = e.crossJoin(F.broadcast(q)).where(
-        any_table & (F.col("vec_id") != query_id)
+    # float32 -> double widening is exact, so these literals equal the
+    # cast the scoring expressions would have applied to the column
+    q_emb = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
+    cand = e.where(any_table & (F.col("vec_id") != query_id)).withColumn(
+        "q_emb", q_emb
     )
     return (
         cand.withColumn("d_fix", dot_fix(F.col("embedding"), F.col("q_emb")))
