@@ -176,6 +176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids_by_label": vector.embedding_centroids_by_label,
         "knn_batch_topk": vector.knn_batch_topk,
         "props_json_stats": relational.props_json_stats,
+        "dedup_keep_best": graph.dedup_keep_best,
+        "source_mix_allocation": curation.source_mix_allocation,
+        "embedding_norm_stats": vector.embedding_norm_stats,
+        "user_sessions": windows.user_sessions,
         # --- tail: green CORRECTNESS_r04 rows (driver-verified) ---
         "tier1_view": _tier1_view,
         "rhythm_recent_counts": _rhythm_recent_counts,
@@ -333,4 +337,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids_by_label": oracles.embedding_centroids_by_label_sql(),
         "knn_batch_topk": oracles.knn_batch_topk_sql(),
         "props_json_stats": oracles.props_json_stats_sql(),
+        "dedup_keep_best": oracles.dedup_keep_best_sql(),
+        "source_mix_allocation": oracles.source_mix_allocation_sql(),
+        "embedding_norm_stats": oracles.embedding_norm_stats_sql(),
+        "user_sessions": oracles.user_sessions_sql(),
     }

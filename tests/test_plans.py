@@ -170,6 +170,11 @@ def test_round5_ops_plan_shapes(spark, sf_oracle):
     assert "WindowGroupLimit" in _plan(spark, sf_oracle, "char_trigram_profile")
     p = _plan(spark, sf_oracle, "knn_batch_topk")
     assert "WindowGroupLimit" in p and "Broadcast" in p
+    # cluster argmax keeps one row per cluster through the rank shuffle
+    assert "WindowGroupLimit" in _plan(spark, sf_oracle, "dedup_keep_best")
+    # mix allocation joins the 1-row totals via broadcast, no shuffle join
+    p = _plan(spark, sf_oracle, "source_mix_allocation")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
 def test_events_in_window_pushdown_both_encodings(spark, tmp_path):

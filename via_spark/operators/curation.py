@@ -223,3 +223,38 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.where(h < F.lit(hex_cutoff(0.5))).select(
         "doc_id", "lang", "decile", F.col("n_ws_tokens").alias("n_tokens")
     )
+
+
+def source_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation planning: per-source corpus share and the deterministic
+    downsampling rate that rebalances the mix toward uniform — the
+    'how much of each source do we keep' table computed before a
+    stratified_sample pass executes it.
+
+    rate = min(1, target_share / share) with target_share = 1/n_sources;
+    planned_docs = floor(n_docs · rate). All ratios derive from exact
+    BIGINT counts with an identical operation order in Spark and the
+    oracle, so the doubles are bit-equal.
+
+    Scale posture: one hash agg keyed by source, then a 1-row broadcast
+    of (total, n_sources) — no second pass over the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    share = F.col("n_docs").cast("double") / F.col("total").cast("double")
+    rate = F.least(
+        F.lit(1.0), (F.lit(1.0) / F.col("n_sources").cast("double")) / F.col("share")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("share", share)
+        .withColumn("sampling_rate", rate)
+        .withColumn(
+            "planned_docs",
+            F.floor(F.col("n_docs").cast("double") * F.col("sampling_rate")).cast("long"),
+        )
+        .select("source", "n_docs", "share", "sampling_rate", "planned_docs")
+    )

@@ -109,3 +109,41 @@ def dedup_clusters(
             F.count(F.lit(1)).over(Window.partitionBy("cluster_rep")),
         )
     )
+
+
+def dedup_keep_best(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Dedup RESOLUTION: for every near-dup cluster keep the
+    highest-quality member (quality_fix desc, doc_id asc tiebreak) —
+    the step after cluster assignment where a training-data pipeline
+    actually drops duplicates, keeping the best exemplar rather than an
+    arbitrary one.
+
+    Output: one row per cluster — the surviving doc, its quality, the
+    cluster size and how many members were dropped.
+
+    Scale posture: composes dedup_clusters (id-only shuffles) with the
+    per-doc quality projection via ONE equi-join on doc_id, and the
+    per-cluster argmax is a WindowGroupLimit — only the winner survives
+    the rank shuffle.
+    """
+    from via_spark.operators.textstats import doc_quality_scores
+
+    clusters = dedup_clusters(spark, sf_dir, threshold)
+    quality = doc_quality_scores(spark, sf_dir).select("doc_id", "quality_fix")
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("quality_fix").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster_rep",
+            F.col("doc_id").alias("keep_doc_id"),
+            "quality_fix",
+            "cluster_size",
+            (F.col("cluster_size") - 1).alias("n_dropped"),
+        )
+    )

@@ -309,3 +309,31 @@ def knn_batch_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "label", "rank", "score")
     )
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA rollup: exact fixed-point squared-norm stats per
+    label — the check that a corpus (or one shard of it) is actually
+    unit-normalized before cosine machinery assumes it.
+
+    Scale posture: the squared norm is a per-row expression; the rollup
+    is one hash agg keyed by label carrying BIGINTs. The mean derives
+    from the exact sum, so parity is bit-for-bit.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    n2 = dot_fix(F.col("embedding"), F.col("embedding"))
+    return (
+        e.select("label", n2.alias("n2_fix"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n2_fix").alias("min_n2_fix"),
+            F.max("n2_fix").alias("max_n2_fix"),
+            F.sum("n2_fix").alias("sum_n2_fix"),
+        )
+        .withColumn(
+            "mean_norm2",
+            F.col("sum_n2_fix").cast("double")
+            / (F.col("n").cast("double") * F.lit(FIX9)),
+        )
+    )

@@ -103,3 +103,44 @@ def range_containment_join(spark: SparkSession, sf_dir: str,
             F.col("n").alias("session_size"),
         )
     )
+
+
+def user_sessions(
+    spark: SparkSession, sf_dir: str, gap_sec: int = 21_600
+) -> DataFrame:
+    """Per-user gap sessionization with EXPLICIT session ids
+    (gaps-and-islands): a new session starts when the gap from the
+    user's previous event exceeds ``gap_sec``. Complements
+    ``session_hash_counts`` — session_window only yields aggregates,
+    while this form assigns a stable (user_id, session_id) key that
+    joins back to rows (funnels, per-session features).
+
+    Scale posture: both windows partition by user_id (bounded frames
+    per key, never data-wide); the rollup is one hash agg on
+    (user_id, session_id). Skewed power users are the known hazard —
+    AQE skew handling splits them at the shuffle.
+    """
+    from via_spark.session import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000000000").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    prev = F.lag("sec").over(w)
+    is_new = (prev.isNull() | ((F.col("sec") - prev) > gap_sec)).cast("int")
+    sid = F.sum(is_new).over(
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("session_id", sid)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("sec").alias("session_start"),
+            F.max("sec").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("sec") - F.min("sec")).alias("duration_sec"),
+        )
+    )

@@ -2084,3 +2084,94 @@ SELECT event_type,
 FROM k
 GROUP BY event_type
 """
+
+
+def dedup_keep_best_sql(threshold: float = 0.5) -> str:
+    """Cluster argmax by quality — composes the clusters and quality
+    oracles; mirrors graph.dedup_keep_best."""
+    return f"""
+SELECT c.cluster_rep,
+       c.doc_id AS keep_doc_id,
+       q.quality_fix,
+       c.cluster_size,
+       c.cluster_size - 1 AS n_dropped
+FROM ({dedup_clusters_sql(threshold)}) c
+JOIN ({doc_quality_scores_sql()}) q ON c.doc_id = q.doc_id
+QUALIFY row_number() OVER (
+    PARTITION BY c.cluster_rep ORDER BY q.quality_fix DESC, c.doc_id ASC
+) = 1
+"""
+
+
+def source_mix_allocation_sql() -> str:
+    return """
+WITH per AS (
+    SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n_sources
+    FROM per
+)
+SELECT source, n_docs,
+       CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       least(1.0, (1.0 / CAST(n_sources AS DOUBLE))
+                  / (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)))
+           AS sampling_rate,
+       CAST(floor(CAST(n_docs AS DOUBLE)
+                  * least(1.0, (1.0 / CAST(n_sources AS DOUBLE))
+                          / (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))))
+            AS BIGINT) AS planned_docs
+FROM per, tot
+"""
+
+
+def embedding_norm_stats_sql() -> str:
+    return f"""
+WITH n AS (
+    SELECT label, {_DOT9_PAIR.format(a="embedding", b="embedding")} AS n2_fix
+    FROM embeddings
+)
+SELECT label,
+       count(*) AS n,
+       CAST(min(n2_fix) AS BIGINT) AS min_n2_fix,
+       CAST(max(n2_fix) AS BIGINT) AS max_n2_fix,
+       CAST(sum(n2_fix) AS BIGINT) AS sum_n2_fix,
+       CAST(sum(n2_fix) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0)
+           AS mean_norm2
+FROM n
+GROUP BY label
+"""
+
+
+def user_sessions_sql(gap_sec: int = 21_600) -> str:
+    """Gaps-and-islands sessionization — mirrors windows.user_sessions."""
+    return f"""
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec FROM events
+),
+m AS (
+    SELECT user_id, event_id, sec,
+           CASE WHEN lag(sec) OVER w IS NULL
+                     OR sec - lag(sec) OVER w > {gap_sec}
+                THEN 1 ELSE 0 END AS is_new
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+s AS (
+    SELECT user_id, sec,
+           SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS session_id
+    FROM m
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       min(sec) AS session_start,
+       max(sec) AS session_end,
+       count(*) AS n_events,
+       max(sec) - min(sec) AS duration_sec
+FROM s
+GROUP BY user_id, session_id
+"""
