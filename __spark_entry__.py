@@ -180,6 +180,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix_allocation": curation.source_mix_allocation,
         "embedding_norm_stats": vector.embedding_norm_stats,
         "user_sessions": windows.user_sessions,
+        "rolling_7d_active_users": timeseries.rolling_7d_active_users,
+        "event_type_transition_matrix": timeseries.event_type_transition_matrix,
+        "events_profile": relational.events_profile,
+        "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
         # --- tail: green CORRECTNESS_r04 rows (driver-verified) ---
         "tier1_view": _tier1_view,
         "rhythm_recent_counts": _rhythm_recent_counts,
@@ -341,4 +345,8 @@ def oracle_sql() -> dict[str, str]:
         "source_mix_allocation": oracles.source_mix_allocation_sql(),
         "embedding_norm_stats": oracles.embedding_norm_stats_sql(),
         "user_sessions": oracles.user_sessions_sql(),
+        "rolling_7d_active_users": oracles.rolling_7d_active_users_sql(),
+        "event_type_transition_matrix": oracles.event_type_transition_matrix_sql(),
+        "events_profile": oracles.events_profile_sql(),
+        "distinctive_terms_by_source": oracles.distinctive_terms_by_source_sql(),
     }

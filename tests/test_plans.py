@@ -175,6 +175,12 @@ def test_round5_ops_plan_shapes(spark, sf_oracle):
     # mix allocation joins the 1-row totals via broadcast, no shuffle join
     p = _plan(spark, sf_oracle, "source_mix_allocation")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    # per-source signature terms keep top_k rows per source
+    assert "WindowGroupLimit" in _plan(spark, sf_oracle, "distinctive_terms_by_source")
+    # the rolling distinct-count fans via a generated offset list plus a
+    # broadcast bound — never a shuffled join of the pair frame
+    p = _plan(spark, sf_oracle, "rolling_7d_active_users")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
 def test_events_in_window_pushdown_both_encodings(spark, tmp_path):

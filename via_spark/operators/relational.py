@@ -591,3 +591,29 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_k").cast("double") / F.col("n_with_k").cast("double"),
         )
     )
+
+
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling audit of the events table: per column, null count
+    and exact distinct cardinality — the table-health report a pipeline
+    runs before trusting a new data drop.
+
+    Scale posture: one pass computes all null counts (conditional sums)
+    plus one count_distinct per column in a single aggregation (Spark
+    plans multi-distinct via expand — cost scales with column count,
+    bounded here); the unpivot to rows is driver-side on a 1-row frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_type", "user_id", "value", "props"]
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+    one = ev.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack = ", ".join(f"'{c}', {c}__nulls, {c}__distinct" for c in cols)
+    return one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (column_name, n_nulls, n_distinct)"
+        ),
+    ).select("column_name", "n_nulls", "n_distinct", "n_rows")

@@ -311,3 +311,46 @@ def char_trigram_profile(spark: SparkSession, sf_dir: str, per_lang: int = 10) -
         .where(F.col("rank") <= per_lang)
         .select("lang", "gram", "n", "rank")
     )
+
+
+def distinctive_terms_by_source(
+    spark: SparkSession, sf_dir: str, top_k: int = 5, min_count: int = 10
+) -> DataFrame:
+    """Signature terms per source: the ``top_k`` terms whose in-source
+    frequency most exceeds their corpus frequency (lift =
+    in-source share / global share, min support ``min_count``) — the
+    domain-signature table a curation pass uses to understand what each
+    source actually contains.
+
+    Scale posture: one (source, term) hash agg over exploded tokens,
+    then joins against the per-source and global totals (source totals
+    broadcast — sources are few; term totals join on the term key);
+    the per-source cut is a WindowGroupLimit. All counts are exact
+    BIGINTs; the lift derives from them with one pinned operation
+    order.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+    )
+    s_tot = st.groupBy("source").agg(F.sum("n_st").alias("tot_s"))
+    g = st.groupBy("term").agg(F.sum("n_st").alias("n_g"))
+    g_tot = st.agg(F.sum("n_st").alias("tot_g"))
+    lift = (
+        F.col("n_st").cast("double") / F.col("tot_s").cast("double")
+    ) / (F.col("n_g").cast("double") / F.col("tot_g").cast("double"))
+    w = Window.partitionBy("source").orderBy(F.col("lift").desc(), F.col("term").asc())
+    return (
+        st.join(F.broadcast(s_tot), "source")
+        .join(g, "term")
+        .crossJoin(F.broadcast(g_tot))
+        .where(F.col("n_st") >= min_count)
+        .withColumn("lift", lift)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("source", "term", "n_st", "lift", "rank")
+    )

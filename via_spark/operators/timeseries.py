@@ -315,3 +315,55 @@ def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the windowed
+    distinct-count every growth/activity dashboard needs. Exact,
+    without a distinct-over-window (which Spark cannot express and
+    which would hold per-row state anyway):
+
+    1. collapse events to distinct (day, user) pairs — one hash agg
+       that bounds everything downstream by |days| x |users|;
+    2. join each pair to the days it contributes to (a 7-row generated
+       offset list, broadcast — never a shuffle);
+    3. count distinct users per target day.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(F.expr("ts div 1000000000 div 86400").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select(F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("as_of_day"), "user_id")
+    bounds = du.agg(F.max("day").alias("max_day"))
+    return (
+        days.crossJoin(F.broadcast(bounds))
+        .where(F.col("as_of_day") <= F.col("max_day"))
+        .groupBy("as_of_day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .select(
+            F.date_from_unix_date(F.col("as_of_day").cast("int")).alias("as_of_date"),
+            "active_users_7d",
+        )
+    )
+
+
+def event_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral transition counts: for each consecutive pair
+    of events of one user (ordered by time), count (prev_type → type)
+    — the Markov-chain table behind next-action analysis.
+
+    Scale posture: the LAG window partitions by user (bounded frames
+    per key); the rollup is one hash agg on the 5x5 type pair space.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000000000").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    prev = F.lag("event_type").over(w)
+    return (
+        ev.withColumn("prev_type", prev)
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

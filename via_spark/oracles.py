@@ -2175,3 +2175,89 @@ SELECT user_id,
 FROM s
 GROUP BY user_id, session_id
 """
+
+
+def rolling_7d_active_users_sql() -> str:
+    """Distinct (day,user) pairs fanned to a 7-day offset list —
+    mirrors timeseries.rolling_7d_active_users."""
+    return """
+WITH du AS (
+    SELECT DISTINCT epoch_us(ts) // 1000000 // 86400 AS day, user_id FROM events
+),
+fan AS (
+    SELECT day + o AS as_of_day, user_id
+    FROM du, unnest(range(0, 7)) AS t(o)
+),
+b AS (SELECT max(day) AS max_day FROM du)
+SELECT DATE '1970-01-01' + CAST(as_of_day AS INTEGER) AS as_of_date,
+       count(DISTINCT user_id) AS active_users_7d
+FROM fan, b
+WHERE as_of_day <= max_day
+GROUP BY as_of_day
+"""
+
+
+def event_type_transition_matrix_sql() -> str:
+    return """
+WITH e AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) // 1000000 AS sec
+    FROM events
+),
+m AS (
+    SELECT event_type AS next_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id
+           ) AS prev_type
+    FROM e
+)
+SELECT prev_type, next_type, count(*) AS n
+FROM m WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+def events_profile_sql() -> str:
+    """Per-column null/distinct audit — mirrors relational.events_profile
+    (one aggregation pass, unpivoted to one row per column)."""
+    cols = ["event_type", "user_id", "value", "props"]
+    selects = []
+    for c in cols:
+        selects.append(f"""
+SELECT '{c}' AS column_name,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       count(*) AS n_rows
+FROM events""")
+    return "\nUNION ALL\n".join(selects)
+
+
+def distinctive_terms_by_source_sql(top_k: int = 5, min_count: int = 10) -> str:
+    return f"""
+WITH {DOC_TOKS_CTE},
+st AS (
+    SELECT source, unnest(toks) AS term FROM dtok
+),
+stc AS (
+    SELECT source, term, CAST(count(*) AS BIGINT) AS n_st
+    FROM st GROUP BY source, term
+),
+s_tot AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS tot_s FROM stc GROUP BY source),
+g AS (SELECT term, CAST(sum(n_st) AS BIGINT) AS n_g FROM stc GROUP BY term),
+g_tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS tot_g FROM stc),
+lifted AS (
+    SELECT stc.source, stc.term, stc.n_st,
+           (CAST(stc.n_st AS DOUBLE) / CAST(s_tot.tot_s AS DOUBLE))
+           / (CAST(g.n_g AS DOUBLE) / CAST(g_tot.tot_g AS DOUBLE)) AS lift
+    FROM stc
+    JOIN s_tot ON stc.source = s_tot.source
+    JOIN g ON stc.term = g.term
+    CROSS JOIN g_tot
+    WHERE stc.n_st >= {min_count}
+)
+SELECT source, term, n_st, lift,
+       CAST(row_number() OVER (
+           PARTITION BY source ORDER BY lift DESC, term ASC
+       ) AS INT) AS rank
+FROM lifted
+QUALIFY rank <= {top_k}
+"""
