@@ -123,7 +123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never yet driver-verified and (b) queries new this round; entries
     with green CORRECTNESS rows from earlier rounds rotate to the tail
     (they stay covered by tests/test_oracle_parity.py every round).
-    Round 5 head = the 36 queries absent from CORRECTNESS_r04.
+    Round 5 head = exactly 50: the 36 queries absent from
+    CORRECTNESS_r04 followed by the 14 operators new in round 5.
     """
     return {
         # --- rotation head: never driver-verified before round 5 ---
