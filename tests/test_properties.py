@@ -292,3 +292,96 @@ def test_rate_of_change_matches_python_model(spark, rows):
             expect[(k, b)] = (n, prev, None if prev is None else n - prev)
             prev = n
     assert got == expect
+
+
+SESSION_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user_id
+        st.integers(min_value=0, max_value=500),    # sec
+    ),
+    min_size=0, max_size=40,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(rows=SESSION_EVENTS, gap=st.integers(min_value=1, max_value=120))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_user_sessions_match_python_model(spark, rows, gap):
+    """windows.sessionize_over must agree with a pure-Python
+    gaps-and-islands model on random event streams: same session
+    boundaries, counts and durations, for any gap threshold, duplicate
+    timestamps included (event_id breaks ties)."""
+    from via_spark.operators.windows import sessionize_over
+
+    events = [(u, i, s) for i, (u, s) in enumerate(rows)]
+    df = (
+        spark.createDataFrame(events, "user_id long, event_id long, sec long")
+        if events else spark.createDataFrame([], "user_id long, event_id long, sec long")
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["session_start"], r["session_end"], r["n_events"], r["duration_sec"]
+        )
+        for r in sessionize_over(df, gap).collect()
+    }
+
+    expect = {}
+    by_user = {}
+    for u, i, s in events:
+        by_user.setdefault(u, []).append((s, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, prev, cur = 0, None, []
+        for s, _ in evs:
+            if prev is None or s - prev > gap:
+                if cur:
+                    expect[(u, sid)] = (min(cur), max(cur), len(cur), max(cur) - min(cur))
+                sid += 1
+                cur = []
+            cur.append(s)
+            prev = s
+        if cur:
+            expect[(u, sid)] = (min(cur), max(cur), len(cur), max(cur) - min(cur))
+    assert got == expect
+
+
+ACTIVITY = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),   # day
+        st.integers(min_value=0, max_value=5),    # user_id
+    ),
+    min_size=0, max_size=40,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(rows=ACTIVITY)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rolling_distinct_matches_python_model(spark, rows):
+    """timeseries.rolling_distinct_over must equal the brute-force
+    trailing-7-day distinct count for every emitted as-of day, emit
+    exactly the days with activity in their trailing window, and trim
+    days past the newest activity day."""
+    import datetime
+
+    from via_spark.operators.timeseries import rolling_distinct_over
+
+    df = (
+        spark.createDataFrame(rows, "day long, user_id long")
+        if rows else spark.createDataFrame([], "day long, user_id long")
+    )
+    got = {
+        (r["as_of_date"] - datetime.date(1970, 1, 1)).days: r["active_users_7d"]
+        for r in rolling_distinct_over(df).collect()
+    }
+
+    expect = {}
+    if rows:
+        max_day = max(d for d, _ in rows)
+        for d in range(0, max_day + 1):
+            users = {u for a, u in rows if d - 6 <= a <= d}
+            if users:
+                expect[d] = len(users)
+    assert got == expect

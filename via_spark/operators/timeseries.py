@@ -330,11 +330,22 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. count distinct users per target day.
     """
     ev = load_table(spark, sf_dir, "events")
-    du = (
-        ev.select(F.expr("ts div 1000000000 div 86400").alias("day"), "user_id")
-        .distinct()
+    du = ev.select(F.expr("ts div 1000000000 div 86400").alias("day"), "user_id")
+    return rolling_distinct_over(du)
+
+
+def rolling_distinct_over(du: DataFrame, window_days: int = 7) -> DataFrame:
+    """Core trailing-window distinct count over any (day, user_id)
+    frame (as-of days with no activity in the trailing window are
+    absent, and days beyond the newest activity day are trimmed) —
+    property-tested against a pure Python model."""
+    du = du.distinct()
+    days = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (window_days - 1))
+        ).alias("as_of_day"),
+        "user_id",
     )
-    days = du.select(F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("as_of_day"), "user_id")
     bounds = du.agg(F.max("day").alias("max_day"))
     return (
         days.crossJoin(F.broadcast(bounds))

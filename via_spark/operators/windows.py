@@ -121,11 +121,19 @@ def user_sessions(
     AQE skew handling splits them at the shuffle.
     """
     from via_spark.session import load_table
-    from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.expr("ts div 1000000000").alias("sec")
     )
+    return sessionize_over(ev, gap_sec)
+
+
+def sessionize_over(ev: DataFrame, gap_sec: int) -> DataFrame:
+    """Core gaps-and-islands sessionization over any
+    (user_id, event_id, sec) frame — property-tested against a pure
+    Python model in tests/test_properties.py."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("user_id").orderBy("sec", "event_id")
     prev = F.lag("sec").over(w)
     is_new = (prev.isNull() | ((F.col("sec") - prev) > gap_sec)).cast("int")
