@@ -91,7 +91,24 @@ def dedup_clusters(
     """Cluster assignment over MinHash near-dup pairs: every document →
     (doc_id, cluster_rep, cluster_size); singletons represent
     themselves. ``cluster_rep`` (min doc_id of the component) is the
-    canonical survivor a dedup pass would keep."""
+    canonical survivor a dedup pass would keep.
+
+    Served from the session store (``store.cluster_labels``): the
+    label-propagation loop runs ONCE per (dataset, threshold) and every
+    consumer — this query, ``dedup_keep_best``, ``curation_funnel`` —
+    scans a flat parquet of labels instead of re-walking the iterative
+    loop's accumulated lineage. At 100 TB the label table is exactly
+    what a production dedup pass persists.
+    """
+    from via_spark import store
+
+    return store.cluster_labels(spark, sf_dir, threshold)
+
+
+def dedup_clusters_compute(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """The raw cluster-assignment computation (store builder)."""
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id")
     )

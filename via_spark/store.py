@@ -72,6 +72,42 @@ def tier1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def cluster_labels(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """Dedup cluster labels for ``sf_dir`` — materialized on first use
+    per threshold.
+
+    The label-propagation loop (graph.connected_components) is
+    iterative: each round's cache keeps EXECUTION cheap, but the
+    returned frame's logical plan still carries every round's joins, so
+    each consumer (dedup_clusters / dedup_keep_best / curation_funnel)
+    pays the optimizer walk again and re-drives the loop's per-round
+    actions. Writing the converged labels once gives every consumer a
+    three-column parquet scan — the same write-once shape as tier1/2.
+    """
+    from via_spark.operators import graph
+
+    if os.environ.get("VIA_SPARK_TIER1_CACHE", "1") == "0":
+        return graph.dedup_clusters_compute(spark, sf_dir, threshold)
+    key = (
+        spark.sparkContext.applicationId,
+        "clusters",
+        os.path.abspath(sf_dir),
+        threshold,
+    )
+    path = _STORES.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="via_clusters_")
+        try:
+            graph.dedup_clusters_compute(spark, sf_dir, threshold).write.mode(
+                "overwrite"
+            ).parquet(path)
+        except Exception:
+            shutil.rmtree(path, ignore_errors=True)
+            raise
+        _STORES[key] = path
+    return spark.read.parquet(path)
+
+
 def tier2(spark: SparkSession, sf_dir: str, **variant) -> DataFrame:
     """The tier2 forensic store for ``sf_dir`` — materialized on first
     use per detection-variant.
