@@ -192,3 +192,22 @@ def test_zorder_skips_more_row_groups_than_single_sort(spark, sf_oracle, tmp_pat
     # and the data itself is intact
     got = spark.read.parquet(z_path)
     assert got.count() == ev.count()
+
+
+def test_store_bypass_env_matches_store_results(spark, sf_smoke, monkeypatch):
+    """VIA_SPARK_TIER1_CACHE=0 routes every store accessor through the
+    raw computation; rows must match the store-backed path exactly
+    (guards the bypass branches of store.tier1 / store.cluster_labels,
+    which no driver query exercises)."""
+    from via_spark import store
+    from via_spark.operators import graph
+
+    t1_store = {tuple(r) for r in store.tier1(spark, sf_smoke).collect()}
+    cl_store = {tuple(r) for r in graph.dedup_clusters(spark, sf_smoke).collect()}
+
+    monkeypatch.setenv("VIA_SPARK_TIER1_CACHE", "0")
+    t1_raw = {tuple(r) for r in store.tier1(spark, sf_smoke).collect()}
+    cl_raw = {tuple(r) for r in graph.dedup_clusters(spark, sf_smoke).collect()}
+
+    assert t1_raw == t1_store
+    assert cl_raw == cl_store
