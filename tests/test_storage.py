@@ -211,3 +211,34 @@ def test_store_bypass_env_matches_store_results(spark, sf_smoke, monkeypatch):
 
     assert t1_raw == t1_store
     assert cl_raw == cl_store
+
+
+def test_all_queries_survive_empty_tables(spark, tmp_path):
+    """Robustness invariant: every driver query must run (and typically
+    return zero rows) over schema-only tables — a new deployment, a
+    fresh partition, or a filtered-to-nothing day must not TypeError.
+    Caught 11 queries crashing on current_now() = None before the
+    empty-store pin (rhythm.py)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as em
+    from tests.conftest import SF_SMOKE
+
+    empty = tmp_path / "sf_empty"
+    empty.mkdir()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        schema = pq.ParquetFile(f"{SF_SMOKE}/{t}.parquet").schema_arrow
+        pq.write_table(
+            pa.table({f.name: pa.array([], type=f.type) for f in schema}),
+            str(empty / f"{t}.parquet"),
+        )
+
+    failures = []
+    for name, fn in em.queries().items():
+        try:
+            fn(spark, str(empty)).collect()
+        except Exception as exc:  # noqa: BLE001 — report all offenders at once
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc).splitlines()[0][:90]}")
+    assert not failures, failures

@@ -101,8 +101,16 @@ def tier1_from_events(
 
 
 def current_now(tier1: DataFrame) -> int:
-    """Deterministic 'now': the newest ts in the store."""
-    return tier1.agg(F.max("ts")).collect()[0][0]
+    """Deterministic 'now': the newest ts in the store.
+
+    An EMPTY store pins now=0 so every downstream window/baseline
+    expression stays well-typed and evaluates to an empty result — a
+    detector over no data finds nothing, rather than TypeError-ing on
+    a None timestamp (tested over schema-only fixtures in
+    tests/test_storage.py::test_all_queries_survive_empty_tables).
+    """
+    newest = tier1.agg(F.max("ts")).collect()[0][0]
+    return 0 if newest is None else newest
 
 
 def recent_window(tier1: DataFrame, now: int, window_sec: int) -> DataFrame:
