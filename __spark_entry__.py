@@ -244,6 +244,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "malformed_filter_events": relational.malformed_filter_events,
         "severity_histogram": relational.severity_histogram,
         "json_payload_shaping": relational.json_payload_shaping,
+        # round-5 tail additions (beyond the 50-row driver window;
+        # verified every round by tests/test_oracle_parity.py)
+        "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
+        "retrieval_label_precision": vector.retrieval_label_precision,
+        "revenue_concentration": relational.revenue_concentration,
     }
 
 
@@ -350,4 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "event_type_transition_matrix": oracles.event_type_transition_matrix_sql(),
         "events_profile": oracles.events_profile_sql(),
         "distinctive_terms_by_source": oracles.distinctive_terms_by_source_sql(),
+        "near_duplicate_rate_by_source": oracles.near_duplicate_rate_by_source_sql(),
+        "retrieval_label_precision": oracles.retrieval_label_precision_sql(),
+        "revenue_concentration": oracles.revenue_concentration_sql(),
     }

@@ -164,3 +164,31 @@ def dedup_keep_best(
             (F.col("cluster_size") - 1).alias("n_dropped"),
         )
     )
+
+
+def near_duplicate_rate_by_source(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Dedup QA rollup: per source, how much of the corpus sits in
+    multi-member near-dup clusters — the report a pipeline owner reads
+    to decide which feed needs upstream fixing.
+
+    Scale posture: one equi-join of the (store-served, three-column)
+    cluster labels against the documents' source column, one hash agg
+    keyed by source. Rates derive from exact BIGINT counts with a
+    pinned operation order.
+    """
+    clusters = dedup_clusters(spark, sf_dir, threshold)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        src.join(clusters, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("cluster_size") > 1).cast("long")).alias("n_in_dup_clusters"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.col("n_in_dup_clusters").cast("double") / F.col("n_docs").cast("double"),
+        )
+    )

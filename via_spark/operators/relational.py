@@ -617,3 +617,45 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(cols)}, {stack}) AS (column_name, n_nulls, n_distinct)"
         ),
     ).select("column_name", "n_nulls", "n_distinct", "n_rows")
+
+
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto report: customers ranked by lifetime order revenue,
+    bucketed into deciles (decile 1 = top spenders), with each decile's
+    exact revenue share — the concentration curve behind "which 10% of
+    accounts carry the business" (and, for a data pipeline, "which 10%
+    of feeds carry the tokens").
+
+    Scale posture: per-customer revenue is one hash agg with exact
+    fixed-point money sums; the global decile rank goes through
+    rank.global_row_number (range partition + broadcast offsets — no
+    single-partition window); shares derive from BIGINT sums. The
+    decile formula ((rank-1)*10 div n) + 1 is pure integer arithmetic,
+    identical in both engines (ntile's remainder distribution is NOT).
+    """
+    from via_spark.operators.rank import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(fixed6(F.col("o_totalprice"))).alias("revenue_fix")
+    )
+    ranked = global_row_number(
+        per, [F.col("revenue_fix").desc(), F.col("o_custkey").asc()], "rank"
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("revenue_fix").alias("total_fix"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("decile", F.expr("((rank - 1) * 10) div n_customers + 1"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("revenue_fix").alias("decile_revenue_fix"),
+            (
+                F.sum("revenue_fix").cast("double")
+                / F.first("total_fix").cast("double")
+            ).alias("revenue_share"),
+        )
+    )

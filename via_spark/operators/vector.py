@@ -337,3 +337,35 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") * F.lit(FIX9)),
         )
     )
+
+
+def retrieval_label_precision(
+    spark: SparkSession, sf_dir: str, n_queries: int = 8, k: int = 3
+) -> DataFrame:
+    """Retrieval EVAL as a query: for each of the batched kNN queries,
+    the fraction of its top-k neighbors sharing the query's label
+    (label-precision@k) — quality measurement runs inside the engine,
+    on the same plan machinery it evaluates, instead of in a driver
+    script.
+
+    Scale posture: composes knn_batch_topk (broadcast query block +
+    per-query WindowGroupLimit) with one broadcast join against the
+    query labels and one k-bounded agg per query.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    topk = knn_batch_topk(spark, sf_dir, n_queries, k)
+    q_labels = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("query_label")
+    )
+    return (
+        topk.join(F.broadcast(q_labels), "query_id")
+        .groupBy("query_id", "query_label")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum((F.col("label") == F.col("query_label")).cast("long")).alias("n_match"),
+        )
+        .withColumn(
+            "precision",
+            F.col("n_match").cast("double") / F.col("k").cast("double"),
+        )
+    )

@@ -2261,3 +2261,62 @@ SELECT source, term, n_st, lift,
 FROM lifted
 QUALIFY rank <= {top_k}
 """
+
+
+def near_duplicate_rate_by_source_sql(threshold: float = 0.5) -> str:
+    return f"""
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN c.cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_in_dup_clusters,
+       CAST(sum(CASE WHEN c.cluster_size > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS dup_rate
+FROM documents d
+JOIN ({dedup_clusters_sql(threshold)}) c ON d.doc_id = c.doc_id
+GROUP BY d.source
+"""
+
+
+def retrieval_label_precision_sql(n_queries: int = 8, k: int = 3) -> str:
+    return f"""
+WITH topk AS ({knn_batch_topk_sql(n_queries, k)}),
+ql AS (
+    SELECT vec_id AS query_id, label AS query_label
+    FROM embeddings WHERE vec_id < {n_queries}
+)
+SELECT t.query_id, ql.query_label,
+       count(*) AS k,
+       CAST(sum(CASE WHEN t.label = ql.query_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match,
+       CAST(sum(CASE WHEN t.label = ql.query_label THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS precision
+FROM topk t JOIN ql ON t.query_id = ql.query_id
+GROUP BY t.query_id, ql.query_label
+"""
+
+
+def revenue_concentration_sql() -> str:
+    """Customer revenue deciles with exact integer decile formula —
+    mirrors relational.revenue_concentration (NOT ntile)."""
+    return """
+WITH per AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+               AS revenue_fix
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT o_custkey, revenue_fix,
+           row_number() OVER (ORDER BY revenue_fix DESC, o_custkey ASC) AS rank,
+           count(*) OVER () AS n_customers,
+           CAST(sum(revenue_fix) OVER () AS BIGINT) AS total_fix
+    FROM per
+)
+SELECT ((rank - 1) * 10) // n_customers + 1 AS decile,
+       count(*) AS n_customers,
+       CAST(sum(revenue_fix) AS BIGINT) AS decile_revenue_fix,
+       CAST(sum(revenue_fix) AS DOUBLE) / CAST(any_value(total_fix) AS DOUBLE)
+           AS revenue_share
+FROM ranked
+GROUP BY ((rank - 1) * 10) // n_customers + 1
+"""
