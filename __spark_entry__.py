@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
         "retrieval_label_precision": vector.retrieval_label_precision,
         "revenue_concentration": relational.revenue_concentration,
+        "token_budget_shards": rank.token_budget_shards,
     }
 
 
@@ -358,4 +359,5 @@ def oracle_sql() -> dict[str, str]:
         "near_duplicate_rate_by_source": oracles.near_duplicate_rate_by_source_sql(),
         "retrieval_label_precision": oracles.retrieval_label_precision_sql(),
         "revenue_concentration": oracles.revenue_concentration_sql(),
+        "token_budget_shards": oracles.token_budget_shards_sql(),
     }

@@ -385,3 +385,44 @@ def test_rolling_distinct_matches_python_model(spark, rows):
             if users:
                 expect[d] = len(users)
     assert got == expect
+
+
+PREFIX_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=100),  # id (may repeat → tiebreak)
+        st.integers(min_value=-50, max_value=50), # value
+    ),
+    min_size=0, max_size=40,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(rows=PREFIX_ROWS)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_global_prefix_sum_matches_cumsum(spark, rows):
+    """rank.global_prefix_sum (range partition + broadcast offsets) must
+    equal the plain exclusive cumulative sum for any input — empty,
+    negative values, duplicate sort keys (uid tiebreak), fewer rows
+    than partitions."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.rank import global_prefix_sum
+
+    data = [(i, rid, v) for i, (rid, v) in enumerate(rows)]
+    df = (
+        spark.createDataFrame(data, "uid long, rid long, v long")
+        if data else spark.createDataFrame([], "uid long, rid long, v long")
+    )
+    got = {
+        r["uid"]: r["pfx"]
+        for r in global_prefix_sum(
+            df, [F.col("rid").asc(), F.col("uid").asc()], "v", "pfx"
+        ).collect()
+    }
+    expect = {}
+    acc = 0
+    for uid, rid, v in sorted(data, key=lambda t: (t[1], t[0])):
+        expect[uid] = acc
+        acc += v
+    assert got == expect

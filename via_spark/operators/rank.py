@@ -100,3 +100,74 @@ def global_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_number(
         ev, [F.col("value").desc(), F.col("event_id").asc()], "rank"
     ).select("event_id", "value", "rank")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order: list[Column],
+    value: Column | str,
+    out: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out`` = exact EXCLUSIVE global prefix sum of ``value``
+    over the total order ``order`` (the sum of all strictly-earlier
+    rows; first row gets 0) — same range-partition + broadcast-offsets
+    machinery as :func:`global_row_number`, generalized from counts to
+    sums. ``value`` must be integer-typed for exactness.
+
+    The only cross-partition step is a cumulative sum over
+    O(num_partitions) per-partition totals; within partitions the
+    running sum is a bounded window keyed by the partition id.
+    """
+    val = F.col(value) if isinstance(value, str) else value
+    spark = df.sparkSession
+    npart = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.withColumn("_v", val.cast("long"))
+        .repartitionByRange(npart, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mid", _PID_SHIFT))
+        .withColumn("_loc", F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK)))
+    )
+    local = Window.partitionBy("_pid").orderBy("_loc").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum("_v").alias("_pt"))
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_pt").over(w), F.lit(0)).alias("_off")
+    )
+    return (
+        ranged.withColumn("_run", F.coalesce(F.sum("_v").over(local), F.lit(0)))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_run") + F.col("_off")).cast("long"))
+        .drop("_v", "_mid", "_pid", "_loc", "_run", "_off")
+    )
+
+
+def token_budget_shards(
+    spark: SparkSession, sf_dir: str, budget_tokens: int = 8192
+) -> DataFrame:
+    """Pre-training shard packing: lay the corpus out as one contiguous
+    token stream (doc_id order) and assign each document to the shard
+    its START offset falls in (``start div budget``) — how a training
+    pipeline materializes fixed-token-budget shards/sequences from a
+    document table.
+
+    Scale posture: the start offsets come from
+    :func:`global_prefix_sum` — exact, with no single-partition window
+    over the corpus; everything else is per-row arithmetic.
+    """
+    from via_spark.operators.textstats import token_count_documents
+
+    toks = token_count_documents(spark, sf_dir).select("doc_id", "n_ws_tokens")
+    with_start = global_prefix_sum(
+        toks, [F.col("doc_id").asc()], "n_ws_tokens", "start_offset"
+    )
+    return with_start.select(
+        "doc_id",
+        F.col("n_ws_tokens").alias("n_tokens"),
+        "start_offset",
+        F.expr(f"start_offset div {budget_tokens}").alias("shard_id"),
+    )

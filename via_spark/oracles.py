@@ -2320,3 +2320,27 @@ SELECT ((rank - 1) * 10) // n_customers + 1 AS decile,
 FROM ranked
 GROUP BY ((rank - 1) * 10) // n_customers + 1
 """
+
+
+def token_budget_shards_sql(budget_tokens: int = 8192) -> str:
+    """Exclusive prefix sum over doc order — mirrors
+    rank.token_budget_shards."""
+    return f"""
+WITH {DOC_TOKS_CTE},
+t AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM dtok
+),
+p AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+    FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // {budget_tokens} AS shard_id
+FROM p
+"""
