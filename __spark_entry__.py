@@ -250,6 +250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_label_precision": vector.retrieval_label_precision,
         "revenue_concentration": relational.revenue_concentration,
         "token_budget_shards": rank.token_budget_shards,
+        "chunk_documents": textstats.chunk_documents,
+        "value_quantile_normalized": rank.value_quantile_normalized,
     }
 
 
@@ -360,4 +362,6 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_label_precision": oracles.retrieval_label_precision_sql(),
         "revenue_concentration": oracles.revenue_concentration_sql(),
         "token_budget_shards": oracles.token_budget_shards_sql(),
+        "chunk_documents": oracles.chunk_documents_sql(),
+        "value_quantile_normalized": oracles.value_quantile_normalized_sql(),
     }

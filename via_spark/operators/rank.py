@@ -171,3 +171,23 @@ def token_budget_shards(
         "start_offset",
         F.expr(f"start_offset div {budget_tokens}").alias("shard_id"),
     )
+
+
+def value_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of the events ``value`` column: each row
+    mapped to its exact corpus quantile q = (rank-1)/(n-1) ∈ [0,1] —
+    the rank-based feature transform (uniformization) a curation
+    pipeline applies before mixing heterogeneous score columns.
+
+    Scale posture: the rank and the total both come from ONE
+    global_row_number pass (range partition + broadcast offsets); the
+    quantile is per-row arithmetic on exact BIGINTs.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ranked = global_row_number(
+        ev, [F.col("value").asc(), F.col("event_id").asc()], "rank", total="n"
+    )
+    q = F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+        (F.col("rank") - 1).cast("double") / (F.col("n") - 1).cast("double")
+    )
+    return ranked.select("event_id", "value", q.alias("q"))

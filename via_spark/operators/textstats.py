@@ -354,3 +354,32 @@ def distinctive_terms_by_source(
         .where(F.col("rank") <= top_k)
         .select("source", "term", "n_st", "lift", "rank")
     )
+
+
+def chunk_documents(
+    spark: SparkSession, sf_dir: str, chunk_tokens: int = 64, stride: int = 48
+) -> DataFrame:
+    """Document chunking for RAG / pre-training: split each document
+    into ``chunk_tokens``-token windows every ``stride`` tokens
+    (overlap = chunk_tokens - stride), emitting one row per chunk with
+    its token span and re-joined text.
+
+    Scale posture: chunk boundaries are a per-row generated sequence
+    (no shuffle, no UDF); the explode multiplies rows by ~dl/stride —
+    the same fan-out the downstream embedding stage has to pay anyway.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    t = t.withColumn("dl", F.size("toks")).where(F.col("dl") > 0)
+    starts = F.expr(f"sequence(0, dl - 1, {stride})")
+    return (
+        t.select("doc_id", "dl", "toks", F.posexplode(starts).alias("chunk_id", "start_tok"))
+        .withColumn("chunk_toks", F.expr(f"slice(toks, start_tok + 1, {chunk_tokens})"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_tok",
+            F.size("chunk_toks").alias("n_chunk_tokens"),
+            F.array_join("chunk_toks", " ").alias("chunk_text"),
+        )
+    )

@@ -2344,3 +2344,44 @@ SELECT doc_id, n_tokens, start_offset,
        start_offset // {budget_tokens} AS shard_id
 FROM p
 """
+
+
+def chunk_documents_sql(chunk_tokens: int = 64, stride: int = 48) -> str:
+    """Per-doc chunk windows over the pinned tokenizer — mirrors
+    textstats.chunk_documents (DuckDB list slicing is 1-based inclusive,
+    clamped to the list end like Spark's slice)."""
+    return f"""
+WITH {DOC_TOKS_CTE},
+t AS (
+    SELECT doc_id, toks, len(toks) AS dl FROM dtok WHERE len(toks) > 0
+),
+c AS (
+    SELECT doc_id, dl, toks,
+           unnest(range(0, dl, {stride})) AS start_tok,
+           generate_subscripts(range(0, dl, {stride}), 1) - 1 AS chunk_id
+    FROM t
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(len(toks[start_tok + 1 : least(start_tok + {chunk_tokens}, dl)]) AS INT)
+           AS n_chunk_tokens,
+       array_to_string(toks[start_tok + 1 : least(start_tok + {chunk_tokens}, dl)], ' ')
+           AS chunk_text
+FROM c
+"""
+
+
+def value_quantile_normalized_sql() -> str:
+    return """
+WITH r AS (
+    SELECT event_id, value,
+           row_number() OVER (ORDER BY value ASC, event_id ASC) AS rank,
+           count(*) OVER () AS n
+    FROM events
+)
+SELECT event_id, value,
+       CASE WHEN n = 1 THEN 0.0
+            ELSE CAST(rank - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS q
+FROM r
+"""
