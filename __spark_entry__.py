@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_shards": rank.token_budget_shards,
         "chunk_documents": textstats.chunk_documents,
         "value_quantile_normalized": rank.value_quantile_normalized,
+        "label_drift_report": timeseries.label_drift_report,
     }
 
 
@@ -364,4 +365,5 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_shards": oracles.token_budget_shards_sql(),
         "chunk_documents": oracles.chunk_documents_sql(),
         "value_quantile_normalized": oracles.value_quantile_normalized_sql(),
+        "label_drift_report": oracles.label_drift_report_sql(),
     }

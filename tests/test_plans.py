@@ -181,6 +181,10 @@ def test_round5_ops_plan_shapes(spark, sf_oracle):
     # broadcast bound — never a shuffled join of the pair frame
     p = _plan(spark, sf_oracle, "rolling_7d_active_users")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    # chunking is scan -> project -> generate: a shuffle here would make
+    # the RAG fan-out pay a pointless exchange before embedding
+    p = _plan(spark, sf_oracle, "chunk_documents")
+    assert "Exchange" not in p, "chunk_documents must be shuffle-free"
 
 
 def test_events_in_window_pushdown_both_encodings(spark, tmp_path):

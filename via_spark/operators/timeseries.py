@@ -378,3 +378,47 @@ def event_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def label_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the older and newer half of the event
+    stream (split at the median-ish midpoint ts): per event_type, the
+    share of traffic in each half and their ratio — the monitoring
+    table that catches a feed whose label mix silently shifts.
+
+    Ratios are pure divisions of exact BIGINT counts (no logarithms —
+    engines' libm implementations differ in final ulps; a PSI consumer
+    can apply ln to the shipped shares), so parity is bit-exact.
+
+    Scale posture: one pushdown-friendly scan per half is avoided — a
+    single scan with a conditional aggregation (sum of CASE) keyed by
+    event_type; the midpoint is a 1-row min/max reduction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.expr("ts div 1000000000")).alias("lo"),
+        F.max(F.expr("ts div 1000000000")).alias("hi"),
+    )
+    ev = ev.select("event_type", F.expr("ts div 1000000000").alias("sec")).crossJoin(
+        F.broadcast(bounds)
+    )
+    in_b = (F.col("sec") * 2 > F.col("lo") + F.col("hi")).cast("long")
+    per = ev.groupBy("event_type").agg(
+        F.sum(1 - in_b).alias("n_a"),
+        F.sum(in_b).alias("n_b"),
+    )
+    tot = per.agg(F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b"))
+    share_a = F.col("n_a").cast("double") / F.col("tot_a").cast("double")
+    share_b = F.col("n_b").cast("double") / F.col("tot_b").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("share_a", share_a)
+        .withColumn("share_b", share_b)
+        .withColumn(
+            "share_ratio",
+            F.when(F.col("share_a") == 0.0, F.lit(None).cast("double")).otherwise(
+                F.col("share_b") / F.col("share_a")
+            ),
+        )
+        .select("event_type", "n_a", "n_b", "share_a", "share_b", "share_ratio")
+    )

@@ -2385,3 +2385,29 @@ SELECT event_id, value,
             ELSE CAST(rank - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS q
 FROM r
 """
+
+
+def label_drift_report_sql() -> str:
+    return """
+WITH e AS (
+    SELECT event_type, epoch_us(ts) // 1000000 AS sec FROM events
+),
+b AS (SELECT min(sec) AS lo, max(sec) AS hi FROM e),
+per AS (
+    SELECT event_type,
+           CAST(sum(CASE WHEN sec * 2 > lo + hi THEN 0 ELSE 1 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN sec * 2 > lo + hi THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+    FROM e, b GROUP BY event_type
+),
+tot AS (
+    SELECT CAST(sum(n_a) AS BIGINT) AS tot_a, CAST(sum(n_b) AS BIGINT) AS tot_b
+    FROM per
+)
+SELECT event_type, n_a, n_b,
+       CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS share_a,
+       CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS share_b,
+       CASE WHEN CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) = 0.0 THEN NULL
+            ELSE (CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)) END AS share_ratio
+FROM per, tot
+"""
