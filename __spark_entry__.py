@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": textstats.chunk_documents,
         "value_quantile_normalized": rank.value_quantile_normalized,
         "label_drift_report": timeseries.label_drift_report,
+        "chunk_bm25_topk": search.chunk_bm25_topk,
     }
 
 
@@ -366,4 +367,5 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": oracles.chunk_documents_sql(),
         "value_quantile_normalized": oracles.value_quantile_normalized_sql(),
         "label_drift_report": oracles.label_drift_report_sql(),
+        "chunk_bm25_topk": oracles.chunk_bm25_topk_sql(),
     }

@@ -217,3 +217,36 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         .where(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "df", "score_fp", "rnk")
     )
+
+
+def chunk_bm25_topk(
+    spark: SparkSession, sf_dir: str, terms: Sequence[str] = DEFAULT_TERMS,
+    k: int = 25,
+) -> DataFrame:
+    """RAG retrieval at CHUNK granularity: BM25 over the chunked corpus
+    (textstats.chunk_documents), returning the top-k chunks — what a
+    retrieval pipeline actually serves, since whole documents overflow
+    a context window. Corpus statistics (N, avgdl, df) are computed at
+    chunk level, which is the correct IDF base for chunk retrieval.
+
+    Scale posture: inherits bm25_scored's shape — chunk fan-out is a
+    per-row generate, stats reduce to ONE broadcast row, scoring is a
+    projection, and the cut is a TakeOrderedAndProject heap.
+    """
+    from via_spark.operators.textstats import chunk_documents
+
+    chunks = chunk_documents(spark, sf_dir).select(
+        "doc_id", "chunk_id", F.col("chunk_text").alias("text")
+    )
+    return (
+        bm25_scored(chunks, terms)
+        .where(F.col("score_fix") > 0)
+        .orderBy(F.col("score_fix").desc(), F.col("doc_id").asc(), F.col("chunk_id").asc())
+        .limit(k)
+        .select(
+            "doc_id",
+            "chunk_id",
+            "score_fix",
+            (F.col("score_fix").cast("double") / F.lit(SCORE_FIX)).alias("score"),
+        )
+    )

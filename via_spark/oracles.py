@@ -2411,3 +2411,54 @@ SELECT event_type, n_a, n_b,
                  / (CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)) END AS share_ratio
 FROM per, tot
 """
+
+
+def chunk_bm25_topk_sql(
+    terms=("hash", "merge", "spark"), k: int = 25,
+    chunk_tokens: int = 64, stride: int = 48,
+) -> str:
+    """BM25 over the chunked corpus — chunk-level tf/df/avgdl, mirrors
+    search.chunk_bm25_topk."""
+    tf_cols = ",\n           ".join(
+        f"len(list_filter(ctoks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n           ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    k1, k1p1, one_minus_b, b = 1.2, 2.2, 0.25, 0.75
+    terms_fix = "\n         + ".join(
+        f"CAST(floor((floor(ln(1 + (n_docs - df_{i} + 0.5)/(df_{i} + 0.5)) * 1000000.0)/1000000.0)"
+        f" * (tf_{i} * {k1p1!r}) / (tf_{i} + {k1!r} * ({one_minus_b!r} + {b!r} * dl / (CAST(sum_dl AS DOUBLE)/n_docs)))"
+        f" * 1000000000.0) AS BIGINT)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH chunks AS ({chunk_documents_sql(chunk_tokens, stride)}),
+cd AS (
+    SELECT doc_id, chunk_id,
+           list_filter(string_split_regex(lower(chunk_text), '\\s+'), x -> x <> '')
+               AS ctoks
+    FROM chunks
+),
+dd AS (
+    SELECT doc_id, chunk_id, len(ctoks) AS dl,
+           {tf_cols}
+    FROM cd
+),
+stats AS (
+    SELECT count(*) AS n_docs, SUM(dl) AS sum_dl,
+           {df_cols}
+    FROM dd
+),
+scored AS (
+    SELECT doc_id, chunk_id,
+           {terms_fix} AS score_fix
+    FROM dd, stats
+)
+SELECT doc_id, chunk_id, score_fix,
+       CAST(score_fix AS DOUBLE)/1000000000.0 AS score
+FROM scored WHERE score_fix > 0
+ORDER BY score_fix DESC, doc_id ASC, chunk_id ASC LIMIT {k}
+"""
