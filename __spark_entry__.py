@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantile_normalized": rank.value_quantile_normalized,
         "label_drift_report": timeseries.label_drift_report,
         "chunk_bm25_topk": search.chunk_bm25_topk,
+        "source_rebalanced_sample": curation.source_rebalanced_sample,
     }
 
 
@@ -368,4 +369,5 @@ def oracle_sql() -> dict[str, str]:
         "value_quantile_normalized": oracles.value_quantile_normalized_sql(),
         "label_drift_report": oracles.label_drift_report_sql(),
         "chunk_bm25_topk": oracles.chunk_bm25_topk_sql(),
+        "source_rebalanced_sample": oracles.source_rebalanced_sample_sql(),
     }

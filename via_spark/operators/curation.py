@@ -225,7 +225,9 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def source_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def source_mix_allocation(
+    spark: SparkSession, sf_dir: str, budget_fraction: float = 1.0
+) -> DataFrame:
     """Curation planning: per-source corpus share and the deterministic
     downsampling rate that rebalances the mix toward uniform — the
     'how much of each source do we keep' table computed before a
@@ -246,7 +248,10 @@ def source_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     share = F.col("n_docs").cast("double") / F.col("total").cast("double")
     rate = F.least(
-        F.lit(1.0), (F.lit(1.0) / F.col("n_sources").cast("double")) / F.col("share")
+        F.lit(1.0),
+        F.lit(budget_fraction)
+        * (F.lit(1.0) / F.col("n_sources").cast("double"))
+        / F.col("share"),
     )
     return (
         per.crossJoin(F.broadcast(tot))
@@ -257,4 +262,40 @@ def source_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n_docs").cast("double") * F.col("sampling_rate")).cast("long"),
         )
         .select("source", "n_docs", "share", "sampling_rate", "planned_docs")
+    )
+
+
+def source_rebalanced_sample(
+    spark: SparkSession, sf_dir: str, budget_fraction: float = 0.5
+) -> DataFrame:
+    """EXECUTE the source-mix plan: deterministically downsample each
+    source at the rate ``source_mix_allocation`` computed, by keeping a
+    document iff its sha256 fraction falls under the rate — the
+    planning table and the sampling pass as one composed, reproducible
+    query (re-running it on the same corpus keeps the same documents).
+
+    The cutoff is derived IN-QUERY from the data-dependent rate:
+    ``lpad(hex(floor(rate·16^12)))`` compared against the id hash's
+    12-hex prefix — integer/string ops with identical semantics in both
+    engines (a rate ≥ 1 keeps everything explicitly: its cutoff would
+    need 13 hex digits and lpad would truncate it).
+
+    Scale posture: the rates table is sources-sized and broadcast; the
+    keep predicate is per-row hashing — one scan, no second pass.
+    """
+    rates = source_mix_allocation(spark, sf_dir, budget_fraction).select(
+        "source", "sampling_rate"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    h12 = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 12)
+    cutoff = F.lpad(
+        F.lower(F.hex(F.floor(F.col("sampling_rate") * F.lit(float(16**12))).cast("long"))),
+        12,
+        "0",
+    )
+    keep = (F.col("sampling_rate") >= 1.0) | (h12 < cutoff)
+    return (
+        d.join(F.broadcast(rates), "source")
+        .where(keep)
+        .select("doc_id", "source", "sampling_rate")
     )

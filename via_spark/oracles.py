@@ -2103,7 +2103,7 @@ QUALIFY row_number() OVER (
 """
 
 
-def source_mix_allocation_sql() -> str:
+def source_mix_allocation_sql(budget_fraction: float = 1.0) -> str:
     return """
 WITH per AS (
     SELECT source, count(*) AS n_docs FROM documents GROUP BY source
@@ -2115,15 +2115,15 @@ tot AS (
 )
 SELECT source, n_docs,
        CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
-       least(1.0, (1.0 / CAST(n_sources AS DOUBLE))
+       least(1.0, {bf!r} * (1.0 / CAST(n_sources AS DOUBLE))
                   / (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)))
            AS sampling_rate,
        CAST(floor(CAST(n_docs AS DOUBLE)
-                  * least(1.0, (1.0 / CAST(n_sources AS DOUBLE))
+                  * least(1.0, {bf!r} * (1.0 / CAST(n_sources AS DOUBLE))
                           / (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))))
             AS BIGINT) AS planned_docs
 FROM per, tot
-"""
+""".format(bf=budget_fraction)
 
 
 def embedding_norm_stats_sql() -> str:
@@ -2461,4 +2461,18 @@ SELECT doc_id, chunk_id, score_fix,
        CAST(score_fix AS DOUBLE)/1000000000.0 AS score
 FROM scored WHERE score_fix > 0
 ORDER BY score_fix DESC, doc_id ASC, chunk_id ASC LIMIT {k}
+"""
+
+
+def source_rebalanced_sample_sql(budget_fraction: float = 0.5) -> str:
+    """Deterministic per-source downsampling at the mix-allocation
+    rates — mirrors curation.source_rebalanced_sample."""
+    return f"""
+WITH alloc AS ({source_mix_allocation_sql(budget_fraction)})
+SELECT d.doc_id, d.source, a.sampling_rate
+FROM documents d
+JOIN alloc a ON d.source = a.source
+WHERE a.sampling_rate >= 1.0
+   OR substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 12)
+      < lpad(lower(hex(CAST(floor(a.sampling_rate * 281474976710656.0) AS BIGINT))), 12, '0')
 """
