@@ -109,3 +109,53 @@ def test_repetition_scores_fire_on_planted_repeats(spark, sf_oracle):
             assert r["dup_5gram_frac_fix"] > 0, r
         assert 0 < r["top_2gram_char_frac_fix"] <= 1_000_000
         assert r["top_2gram"]
+
+
+def test_chunk_documents_tiles_the_token_stream(spark, sf_smoke):
+    """Chunk semantics: starts advance by exactly the stride, each chunk
+    holds min(chunk_tokens, dl - start) tokens, and the stride-prefixes
+    of consecutive chunks reconstruct the document's token stream."""
+    from pyspark.sql import functions as F
+
+    from via_spark.functions.text import tokens
+    from via_spark.operators.textstats import chunk_documents
+    from via_spark.session import load_table
+
+    chunks = chunk_documents(spark, sf_smoke).orderBy("doc_id", "chunk_id").collect()
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in load_table(spark, sf_smoke, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .collect()
+    }
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, t in toks.items() if t}
+    for doc_id, rows in by_doc.items():
+        dl = len(toks[doc_id])
+        rebuilt = []
+        for i, r in enumerate(rows):
+            assert r["chunk_id"] == i and r["start_tok"] == i * 48
+            assert r["n_chunk_tokens"] == min(64, dl - r["start_tok"])
+            words = r["chunk_text"].split(" ")
+            assert words == toks[doc_id][r["start_tok"]: r["start_tok"] + 64]
+            rebuilt.extend(words[:48])
+        # stride-prefixes tile the stream (last chunk contributes its tail)
+        assert rebuilt[:dl] == toks[doc_id][: len(rebuilt)]
+
+
+def test_token_budget_shards_are_contiguous_and_exact(spark, sf_smoke):
+    """Shard semantics: start offsets are the exact running token sum in
+    doc_id order and shard ids are nondecreasing with bounded jumps."""
+    from via_spark.operators.rank import token_budget_shards
+
+    rows = token_budget_shards(spark, sf_smoke).orderBy("doc_id").collect()
+    acc = 0
+    prev_shard = 0
+    for r in rows:
+        assert r["start_offset"] == acc
+        assert r["shard_id"] == acc // 8192
+        assert r["shard_id"] >= prev_shard
+        prev_shard = r["shard_id"]
+        acc += r["n_tokens"]
