@@ -276,3 +276,26 @@ def test_no_row_python_udf_in_any_query_plan(spark, sf_oracle):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-Python UDFs found in: {offenders}"
+
+
+def test_tier1_identical_on_both_ts_encodings(spark, sf_smoke, tmp_path):
+    """End-to-end encoding robustness: the fixture generation ships
+    events.ts as TIMESTAMP(MICROS); earlier generations shipped int64
+    nanoseconds (read long via nanosAsLong). Building tier1 from a
+    long-ns copy must yield exactly the rows the native micros fixture
+    yields (the reader test covers pushdown; this covers the full
+    derive — templates, hashes, second/ns columns)."""
+    from via_spark.operators import rhythm
+    from via_spark.session import load_table
+
+    long_dir = tmp_path / "long_ns"
+    long_dir.mkdir()
+    # load_table normalizes ts to long ns; writing that frame produces
+    # exactly the shape a nanosAsLong read of a NANOS fixture yields
+    load_table(spark, sf_smoke, "events").write.parquet(
+        str(long_dir / "events.parquet")
+    )
+
+    a = {tuple(r) for r in rhythm.tier1_from_events(spark, sf_smoke).collect()}
+    b = {tuple(r) for r in rhythm.tier1_from_events(spark, str(long_dir)).collect()}
+    assert a == b
