@@ -61,8 +61,12 @@ def tier1_from_events(
     Mapping (FIXTURES.md §B): service := 'svc_' || user_id,
     severity := event_type, body := event_type || ' value=' ||
     printf('%.2f', value) || ' ' || props, ts := epoch seconds.
-    ``ts`` arrives as int64 *nanoseconds* (parquet TIMESTAMP(NANOS) read
-    with nanosAsLong) — integer division keeps the conversion exact.
+    ``ts`` reaches this function as canonical int64 nanoseconds
+    whichever way the fixture generation encoded it — current
+    generations ship TIMESTAMP(MICROS) (normalized by the reader),
+    earlier ones shipped TIMESTAMP(NANOS) read as long via nanosAsLong;
+    tests/test_plans.py::test_tier1_identical_on_both_ts_encodings pins
+    the equivalence. Integer division keeps the sec conversion exact.
 
     The read goes through :func:`via_spark.session.events_in_window`,
     the canonical raw-events reader: when ``lo_ns``/``hi_ns`` bounds are
