@@ -255,6 +255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_drift_report": timeseries.label_drift_report,
         "chunk_bm25_topk": search.chunk_bm25_topk,
         "source_rebalanced_sample": curation.source_rebalanced_sample,
+        "volume_shipping": relational.volume_shipping,
+        "returned_item_report": relational.returned_item_report,
+        "nation_market_share": relational.nation_market_share,
     }
 
 
@@ -370,4 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "label_drift_report": oracles.label_drift_report_sql(),
         "chunk_bm25_topk": oracles.chunk_bm25_topk_sql(),
         "source_rebalanced_sample": oracles.source_rebalanced_sample_sql(),
+        "volume_shipping": oracles.volume_shipping_sql(),
+        "returned_item_report": oracles.returned_item_report_sql(),
+        "nation_market_share": oracles.nation_market_share_sql(),
     }

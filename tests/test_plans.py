@@ -299,3 +299,18 @@ def test_tier1_identical_on_both_ts_encodings(spark, sf_smoke, tmp_path):
     a = {tuple(r) for r in rhythm.tier1_from_events(spark, sf_smoke).collect()}
     b = {tuple(r) for r in rhythm.tier1_from_events(spark, str(long_dir)).collect()}
     assert a == b
+
+
+def test_tpch_q7_q8_q10_shapes(spark, sf_oracle):
+    """The multi-way TPC-H shapes must broadcast every dimension side
+    (zero sort-merge joins — the fact-fact orderkey join hashes) and
+    Q10's top-k must heap."""
+    for name, heap in (
+        ("volume_shipping", False),
+        ("returned_item_report", True),
+        ("nation_market_share", False),
+    ):
+        p = _plan(spark, sf_oracle, name)
+        assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, name
+        if heap:
+            assert "TakeOrderedAndProject" in p, name

@@ -659,3 +659,124 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+# --- TPC-H Q7/Q8/Q10 shapes over the fixture's column subset ---------------
+
+def volume_shipping(spark: SparkSession, sf_dir: str,
+                    nation_a: str = "NATION_1", nation_b: str = "NATION_2") -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year —
+    supplier nation × customer nation revenue for the (A,B)/(B,A) pairs
+    over a two-year ship window. Exercises a four-way join where BOTH
+    endpoints need a nation dimension (aliased broadcast joins) plus a
+    disjunctive cross-nation predicate.
+
+    Scale posture: lineitem joins orders on the fact key (shuffle);
+    supplier/customer/nation sides broadcast; the year extraction is a
+    post-join projection so the date filter still pushes to the scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp_ntz"),
+            F.lit("1997-12-31 23:59:59").cast("timestamp_ntz"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
+    ) | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), "s_nationkey")
+        .join(F.broadcast(n2), "c_nationkey")
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(fixed6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_fix"))
+    )
+
+
+def returned_item_report(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returned
+    items (l_returnflag = 'R') for orders placed in 1996-Q1, with the
+    customer's nation — the churn-triage report.
+
+    Scale posture: order-date range pushes to the orders scan; the
+    fact-fact join shuffles on the order key; customer + nation sides
+    broadcast; the final cut is a TakeOrderedAndProject heap.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp_ntz"),
+            F.lit("1996-03-31 23:59:59").cast("timestamp_ntz"),
+        )
+    ).select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), "c_nationkey")
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(fixed6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_fix"))
+        .orderBy(F.col("revenue_fix").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str,
+                        target_nation: str = "NATION_3",
+                        region: str = "EUROPE",
+                        p_type: str = "PROMO") -> DataFrame:
+    """TPC-H Q8 shape: the target nation's share of PROMO-part revenue
+    sold to customers of one region, per order year — a conditional
+    share over a five-way join (part, supplier+nation, orders,
+    customer+nation+region).
+
+    Scale posture: part/supplier/customer/nation/region sides all
+    broadcast; lineitem↔orders is the one fact shuffle; the share is a
+    division of exact fixed-point sums.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == p_type).select("p_partkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nc = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_regionkey")
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == region).select(
+        F.col("r_regionkey").alias("n_regionkey")
+    )
+    rev = fixed6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    tgt = F.when(F.col("supp_nation") == target_nation, rev).otherwise(F.lit(0).cast("long"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), "s_nationkey")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), "c_nationkey")
+        .join(F.broadcast(r), "n_regionkey")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(tgt).alias("target_rev_fix"),
+            F.sum(rev).alias("total_rev_fix"),
+        )
+        .withColumn(
+            "mkt_share",
+            F.col("target_rev_fix").cast("double") / F.col("total_rev_fix").cast("double"),
+        )
+    )

@@ -2476,3 +2476,67 @@ WHERE a.sampling_rate >= 1.0
    OR substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 12)
       < lpad(lower(hex(CAST(floor(a.sampling_rate * 281474976710656.0) AS BIGINT))), 12, '0')
 """
+
+
+_REV6 = "CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)"
+
+
+def volume_shipping_sql(nation_a: str = "NATION_1", nation_b: str = "NATION_2") -> str:
+    return f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+       CAST(sum({_REV6}) AS BIGINT) AS revenue_fix
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 23:59:59'
+  AND ((n1.n_name = '{nation_a}' AND n2.n_name = '{nation_b}')
+       OR (n1.n_name = '{nation_b}' AND n2.n_name = '{nation_a}'))
+GROUP BY 1, 2, 3
+"""
+
+
+def returned_item_report_sql(k: int = 20) -> str:
+    return f"""
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       CAST(sum({_REV6}) AS BIGINT) AS revenue_fix
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1996-03-31 23:59:59'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_fix DESC, c_custkey ASC
+LIMIT {k}
+"""
+
+
+def nation_market_share_sql(target_nation: str = "NATION_3",
+                            region: str = "EUROPE",
+                            p_type: str = "PROMO") -> str:
+    return f"""
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+       CAST(sum(CASE WHEN ns.n_name = '{target_nation}' THEN {_REV6}
+                     ELSE 0 END) AS BIGINT) AS target_rev_fix,
+       CAST(sum({_REV6}) AS BIGINT) AS total_rev_fix,
+       CAST(sum(CASE WHEN ns.n_name = '{target_nation}' THEN {_REV6}
+                     ELSE 0 END) AS DOUBLE)
+       / CAST(sum({_REV6}) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+JOIN region r ON nc.n_regionkey = r.r_regionkey
+WHERE p.p_type = '{p_type}' AND r.r_name = '{region}'
+GROUP BY 1
+"""
