@@ -118,16 +118,80 @@ _FREQ_VARIANT = dict(std_dev_factor=0.5, frequency_min_count=2)
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    ORDERING CONTRACT: the driver records CORRECTNESS rows for only the
-    FIRST 50 entries each round.  The head therefore holds (a) queries
-    never yet driver-verified and (b) queries new this round; entries
-    with green CORRECTNESS rows from earlier rounds rotate to the tail
-    (they stay covered by tests/test_oracle_parity.py every round).
-    Round 5 head = exactly 50: the 36 queries absent from
-    CORRECTNESS_r04 followed by the 14 operators new in round 5.
+    ORDERING POLICY (stable, one line): head = queries never yet
+    driver-verified (oldest first) + queries new this round; remaining
+    head slots = re-checks of the queries with the most intricate
+    oracles (vector / dedup / forensic family); everything else rotates
+    to the tail, re-proven every round by tests/test_oracle_parity.py.
+    The driver records CORRECTNESS rows for only the FIRST 50 entries;
+    tests/test_properties.py::test_rotation_head_policy enforces this
+    policy against the committed CORRECTNESS_r*.json files.
+
+    Contract note: entries are lazy plan builders, with one documented
+    exception — ``ann_lsh_topk`` runs a memoized point-lookup job at
+    build time to turn the query's LSH probe keys into plan literals
+    (see its docstring).
     """
     return {
-        # --- rotation head: never driver-verified before round 5 ---
+        # --- head: never driver-verified (landed after the r5 head froze) ---
+        "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
+        "retrieval_label_precision": vector.retrieval_label_precision,
+        "revenue_concentration": relational.revenue_concentration,
+        "token_budget_shards": rank.token_budget_shards,
+        "chunk_documents": textstats.chunk_documents,
+        "value_quantile_normalized": rank.value_quantile_normalized,
+        "label_drift_report": timeseries.label_drift_report,
+        "chunk_bm25_topk": search.chunk_bm25_topk,
+        "source_rebalanced_sample": curation.source_rebalanced_sample,
+        "volume_shipping": relational.volume_shipping,
+        "returned_item_report": relational.returned_item_report,
+        "nation_market_share": relational.nation_market_share,
+        # --- head: new in round 6 ---
+        "forensic_clusters_windowed": forensic.clusters_windowed,
+        "dup_ngram_stats": textstats.dup_ngram_stats,
+        # --- head fill: highest-risk re-checks (most intricate oracles) ---
+        "recommend_average_vector": vector.recommend_average_vector,
+        "hybrid_rrf": search.hybrid_rrf,
+        "ann_lsh_topk": dedup.ann_lsh_topk,
+        "ann_ivf_topk": dedup.ann_ivf_topk,
+        "ann_quantized_topk": vector.ann_quantized_topk,
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+        "neardup_embedding_pairs": dedup.neardup_embedding_pairs,
+        "dedup_clusters": graph.dedup_clusters,
+        "dedup_keep_best": graph.dedup_keep_best,
+        "promotion_rollup": promote.promotion_rollup_flat,
+        "knn_cosine_topk": vector.knn_cosine_topk,
+        "grouped_knn_top1": vector.grouped_knn_top1,
+        "knn_batch_topk": vector.knn_batch_topk,
+        "simhash_documents": vector.simhash_documents,
+        "bm25_topk": search.bm25_topk,
+        "forensic_clusters_text": forensic.cluster_search,
+        "forensic_clusters_zero_vector": forensic.cluster_search_zero_vector,
+        "forensic_triage": forensic.triage,
+        "embedding_norm_stats": vector.embedding_norm_stats,
+        "embedding_centroids_by_label": vector.embedding_centroids_by_label,
+        "fuzzy_name_pairs": curation.fuzzy_name_pairs,
+        "benchmark_contamination": curation.benchmark_contamination,
+        "stratified_sample": curation.stratified_sample,
+        "quality_deciles": curation.quality_deciles,
+        "pii_scrub_documents": curation.pii_scrub_documents,
+        "curation_funnel": curation.curation_funnel,
+        "source_mix_allocation": curation.source_mix_allocation,
+        "otel_roundtrip": schema_infer.otel_roundtrip,
+        "bgl_roundtrip": schema_infer.bgl_roundtrip,
+        "tier1_view": _tier1_view,
+        "rhythm_anomalies": _rhythm_anomalies,
+        "doc_fingerprint": textstats.doc_fingerprint,
+        "repetition_scores": textstats.repetition_scores,
+        # --- end head (50) --- tail: driver-green in earlier rounds,
+        # re-proven every round by tests/test_oracle_parity.py ---
+        "rhythm_recent_counts": _rhythm_recent_counts,
+        "rhythm_baseline_stats": _rhythm_baseline_stats,
+        "rhythm_novelty_small_baseline": _rhythm_novelty,
+        "rhythm_frequency_sensitive": _rhythm_frequency,
         "newest_events": relational.newest_events,
         "pricing_summary": relational.pricing_summary,
         "shipping_priority": relational.shipping_priority,
@@ -143,100 +207,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": relational.min_cost_supplier,
         "large_orders_having": relational.large_orders_having,
         "brand_supplier_counts": relational.brand_supplier_counts,
-        # distribution statistics
         "value_percentiles": stats.value_percentiles,
         "mad_outliers": stats.mad_outliers,
         "global_value_rank": rank.global_value_rank,
-        # event-time window family (T5 extension)
         "sliding_hash_counts": windows.sliding_hash_counts,
         "session_hash_counts": windows.session_hash_counts,
         "hypertable_rollup": windows.hypertable_rollup,
         "range_containment_join": windows.range_containment_join,
-        # time-series toolkit (rate / gap-fill / moving agg / histogram)
         "hourly_rate_of_change": timeseries.hourly_rate_of_change,
         "gapfill_locf": timeseries.gapfill_locf,
         "moving_avg_daily": timeseries.moving_avg_daily,
         "cube_order_counts": timeseries.cube_order_counts,
         "value_histogram": timeseries.value_histogram,
-        # TF-IDF ranking + relational set ops
         "tfidf_top_terms": search.tfidf_top_terms,
         "repeat_buyers": relational.repeat_buyers,
         "lapsed_buyers": relational.lapsed_buyers,
-        # unpivot / listagg / data-quality audit / inter-event gaps
         "event_type_unpivot": relational.event_type_unpivot,
         "severity_set_concat": relational.severity_set_concat,
         "referential_audit": relational.referential_audit,
         "purchase_intervals": timeseries.purchase_intervals,
-        # behavioral analytics: funnel + cohort retention
         "conversion_funnel": timeseries.conversion_funnel,
         "cohort_retention": timeseries.cohort_retention,
-        # --- end rotation head (36); new round-5 queries (42 ≤ 50 ok) ---
         "weekly_active_users": timeseries.weekly_active_users,
         "bigram_top_terms": textstats.bigram_top_terms,
         "char_trigram_profile": textstats.char_trigram_profile,
-        "embedding_centroids_by_label": vector.embedding_centroids_by_label,
-        "knn_batch_topk": vector.knn_batch_topk,
         "props_json_stats": relational.props_json_stats,
-        "dedup_keep_best": graph.dedup_keep_best,
-        "source_mix_allocation": curation.source_mix_allocation,
-        "embedding_norm_stats": vector.embedding_norm_stats,
         "user_sessions": windows.user_sessions,
         "rolling_7d_active_users": timeseries.rolling_7d_active_users,
         "event_type_transition_matrix": timeseries.event_type_transition_matrix,
         "events_profile": relational.events_profile,
         "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
-        # --- tail: green CORRECTNESS_r04 rows (driver-verified) ---
-        "tier1_view": _tier1_view,
-        "rhythm_recent_counts": _rhythm_recent_counts,
-        "rhythm_baseline_stats": _rhythm_baseline_stats,
-        "rhythm_anomalies": _rhythm_anomalies,
-        "rhythm_novelty_small_baseline": _rhythm_novelty,
-        "rhythm_frequency_sensitive": _rhythm_frequency,
-        # promotion / tier2 (M2)
-        "promotion_rollup": promote.promotion_rollup_flat,
-        # forensic entry point 3 (tier2 clusters / triage)
-        "forensic_clusters_text": forensic.cluster_search,
-        "forensic_clusters_zero_vector": forensic.cluster_search_zero_vector,
-        "forensic_triage": forensic.triage,
-        # vector layer (M3)
-        "knn_cosine_topk": vector.knn_cosine_topk,
-        "grouped_knn_top1": vector.grouped_knn_top1,
-        "recommend_average_vector": vector.recommend_average_vector,
-        "simhash_documents": vector.simhash_documents,
-        "bm25_topk": search.bm25_topk,
-        "hybrid_rrf": search.hybrid_rrf,
-        # dedup / ANN (M6)
-        "dedup_exact": dedup.dedup_exact,
-        "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
-        "neardup_embedding_pairs": dedup.neardup_embedding_pairs,
-        "ann_lsh_topk": dedup.ann_lsh_topk,
-        "ann_ivf_topk": dedup.ann_ivf_topk,
-        "ann_quantized_topk": vector.ann_quantized_topk,
-        "dedup_clusters": graph.dedup_clusters,
-        # training-data curation (beyond-reference)
-        "stratified_sample": curation.stratified_sample,
-        "quality_deciles": curation.quality_deciles,
-        "benchmark_contamination": curation.benchmark_contamination,
-        "pii_scrub_documents": curation.pii_scrub_documents,
-        "fuzzy_name_pairs": curation.fuzzy_name_pairs,
-        "curation_funnel": curation.curation_funnel,
-        # text analysis + multimodal (M6)
         "token_count_documents": textstats.token_count_documents,
         "doc_quality_scores": textstats.doc_quality_scores,
         "lang_id_documents": textstats.lang_id_documents,
-        "doc_fingerprint": textstats.doc_fingerprint,
         "normalize_documents": textstats.normalize_documents,
-        "repetition_scores": textstats.repetition_scores,
         "multimodal_features": multimodal.multimodal_features,
         "video_frame_sample": multimodal.video_frame_sample,
-        # control loop + schema inference (M5)
         "suppressed_anomalies": control.suppressed_anomalies,
         "active_rules_projection": control.active_rules_projection,
-        "otel_roundtrip": schema_infer.otel_roundtrip,
-        "bgl_roundtrip": schema_infer.bgl_roundtrip,
-        # relational core (M1)
         "time_range_orders": relational.time_range_orders,
         "keyword_filter_customers": relational.keyword_filter_customers,
         "fulltext_match_documents": relational.fulltext_match_documents,
@@ -244,20 +252,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "malformed_filter_events": relational.malformed_filter_events,
         "severity_histogram": relational.severity_histogram,
         "json_payload_shaping": relational.json_payload_shaping,
-        # round-5 tail additions (beyond the 50-row driver window;
-        # verified every round by tests/test_oracle_parity.py)
-        "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
-        "retrieval_label_precision": vector.retrieval_label_precision,
-        "revenue_concentration": relational.revenue_concentration,
-        "token_budget_shards": rank.token_budget_shards,
-        "chunk_documents": textstats.chunk_documents,
-        "value_quantile_normalized": rank.value_quantile_normalized,
-        "label_drift_report": timeseries.label_drift_report,
-        "chunk_bm25_topk": search.chunk_bm25_topk,
-        "source_rebalanced_sample": curation.source_rebalanced_sample,
-        "volume_shipping": relational.volume_shipping,
-        "returned_item_report": relational.returned_item_report,
-        "nation_market_share": relational.nation_market_share,
     }
 
 
@@ -376,4 +370,6 @@ def oracle_sql() -> dict[str, str]:
         "volume_shipping": oracles.volume_shipping_sql(),
         "returned_item_report": oracles.returned_item_report_sql(),
         "nation_market_share": oracles.nation_market_share_sql(),
+        "forensic_clusters_windowed": oracles.forensic_clusters_windowed_sql(),
+        "dup_ngram_stats": oracles.dup_ngram_stats_sql(),
     }

@@ -99,6 +99,18 @@ def test_tier2_partition_pruning(spark, sf_smoke, tmp_path):
     assert "PartitionFilters: [" in p and "event_date" in p
 
 
+def test_clusters_windowed_partition_pruning(spark, sf_oracle):
+    """S8 as the driver sees it: the windowed forensic query's scan of
+    the date-partitioned tier2 daily store must carry PartitionFilters
+    on event_date (whole pruned days are never opened) AND a pushed
+    start_ts range inside the surviving partitions."""
+    from via_spark.operators import forensic
+
+    p = executed_plan(forensic.clusters_windowed(spark, sf_oracle))
+    assert "PartitionFilters: [" in p and "event_date" in p
+    assert "PushedFilters: [" in p and "start_ts" in p
+
+
 def test_per_day_topk_uses_window_group_limit(spark, sf_oracle):
     p = _plan(spark, sf_oracle, "per_day_topk")
     assert "WindowGroupLimit" in p, "per-day top-k must keep a k-row heap per day"

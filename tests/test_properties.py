@@ -426,3 +426,37 @@ def test_global_prefix_sum_matches_cumsum(spark, rows):
         expect[uid] = acc
         acc += v
     assert got == expect
+
+
+def test_rotation_head_policy():
+    """The driver records CORRECTNESS rows for only the first 50
+    queries() entries.  Policy (see queries() docstring): no query may
+    sit below position 50 unless some committed CORRECTNESS_r*.json
+    already shows it fully green (rows+schema+hash, no error).  This
+    makes the per-round head rotation self-enforcing — a new or
+    never-verified query buried in the tail fails here before the
+    round's signal is silently lost."""
+    import json
+    from pathlib import Path
+
+    import __spark_entry__ as entrymod
+
+    repo = Path(entrymod.__file__).resolve().parent
+    verified: set[str] = set()
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(f.read_text()).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                verified.add(name)
+    names = list(entrymod.queries())
+    head, tail = names[:50], names[50:]
+    buried = [q for q in tail if q not in verified]
+    assert not buried, (
+        f"never-driver-verified queries below position 50: {buried}"
+    )
+    # and the head must actually be full while a tail exists
+    assert len(head) == 50 or not tail

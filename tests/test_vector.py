@@ -95,20 +95,43 @@ def test_dense_embedded_production_model(spark, sf_oracle):
 
 
 def test_ann_variants_recall_vs_exact(spark, sf_oracle):
-    """Measured approximation quality: every ANN variant's top-10 vs the
-    exact brute-force top-10. IVF (4 of 16 cells probed) and INT8
-    quantize+rescore recover the exact set on the fixture; multi-probe
-    sign-LSH with a 5-table OR-construction holds recall ≥0.8 even on
-    the fixture's near-random embeddings (the adversarial case — sign
-    bits carry little cosine signal there)."""
+    """Measured approximation quality: every ANN variant's top-10 vs
+    the exact brute-force top-10, over 5 query vectors (a single-query
+    recall number is one Bernoulli draw — multi-query floors are the
+    statistic that matters; the old single-query form masked IVF
+    sitting at 0.68 mean recall with nprobe=4). Measured at the pinned
+    defaults on the fixture's near-random embeddings — the adversarial
+    case for both partition- and sign-based candidate generation:
+    INT8 quantize+rescore is exact-recovering (1.0 per query); IVF at
+    nprobe=8/16 measures mean 0.90, min 0.7; 5-table multi-probe
+    sign-LSH measures mean 0.88, min 0.8. A parameter change that guts
+    any variant's candidate generation (fewer probes/tables/cells,
+    tighter quantization) fails here."""
     from via_spark.operators import dedup, vector
 
-    exact = {r["vec_id"] for r in vector.knn_cosine_topk(spark, sf_oracle, k=10).collect()}
+    query_ids = [0, 7, 23, 41, 58]
 
-    def recall(df):
+    def recall(df, exact):
         got = {r["vec_id"] for r in df.collect()}
         return len(exact & got) / len(exact)
 
-    assert recall(dedup.ann_ivf_topk(spark, sf_oracle, k=10)) >= 0.9
-    assert recall(vector.ann_quantized_topk(spark, sf_oracle, k=10)) >= 0.9
-    assert recall(dedup.ann_lsh_topk(spark, sf_oracle, k=10)) >= 0.8
+    per_query = {"ivf": [], "quant": [], "lsh": []}
+    for qid in query_ids:
+        exact = {
+            r["vec_id"]
+            for r in vector.knn_cosine_topk(spark, sf_oracle, query_id=qid, k=10).collect()
+        }
+        per_query["ivf"].append(
+            recall(dedup.ann_ivf_topk(spark, sf_oracle, query_id=qid, k=10), exact)
+        )
+        per_query["quant"].append(
+            recall(vector.ann_quantized_topk(spark, sf_oracle, query_id=qid, k=10), exact)
+        )
+        per_query["lsh"].append(
+            recall(dedup.ann_lsh_topk(spark, sf_oracle, query_id=qid, k=10), exact)
+        )
+
+    mean = {k: sum(v) / len(v) for k, v in per_query.items()}
+    assert min(per_query["quant"]) >= 0.9, per_query
+    assert mean["ivf"] >= 0.85 and min(per_query["ivf"]) >= 0.6, per_query
+    assert mean["lsh"] >= 0.8 and min(per_query["lsh"]) >= 0.5, per_query

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from via_spark.functions.embed import sparse_embedding_rows, sparse_norms
 from via_spark.functions.text import tokens
-from via_spark.operators import promote
+from via_spark.operators import promote, rhythm
 
 # default tier2-building variant: sensitive novelty detection so the
 # anomaly-free fixture still yields clusters (15 at sf0.01)
@@ -283,3 +283,51 @@ def _triage_core(
 def cluster_search_zero_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 as its own named query (no text filter → pinned ordering)."""
     return cluster_search(spark, sf_dir, text_filter=None)
+
+
+# the driver query's pinned window: [now - 14 d, now - 7 d] — wide enough
+# to span several daily partitions of the 30-day fixture, narrow enough
+# that most partitions are pruned away
+WINDOWED_LO_DAYS = 14
+WINDOWED_HI_DAYS = 7
+
+
+def clusters_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/V5 driver-facing proof: a time-windowed scan of the
+    DATE-PARTITIONED tier2 daily store through ``promote.read_tier2``.
+
+    The reference federates a windowed cluster search across its daily
+    collections by enumerating partition names
+    (``app/services/qdrant_service.py:38-42``); here the window's
+    ``event_date`` bounds become Catalyst PartitionFilters on the
+    partitioned parquet table (asserted by
+    tests/test_plans.py::test_clusters_windowed_partition_pruning), and
+    the exact ``start_ts`` range applies inside the surviving days.
+    ``sample_logs`` is newline-flattened for the pandas-canonicalizing
+    driver compare, as in ``promotion_rollup_flat``.
+    """
+    from via_spark import store
+
+    t1 = store.tier1(spark, sf_dir)
+    now = rhythm.current_now(t1)
+    path = store.tier2_daily_path(spark, sf_dir, **TIER2_VARIANT)
+    df = promote.read_tier2(
+        spark,
+        path,
+        start_ts=now - WINDOWED_LO_DAYS * 86400,
+        end_ts=now - WINDOWED_HI_DAYS * 86400,
+    )
+    return df.select(
+        "entity_type",
+        "rhythm_hash",
+        "start_ts",
+        "end_ts",
+        "count",
+        "service",
+        "severity",
+        "anomaly_type",
+        "anomaly_context",
+        "body",
+        F.array_join("sample_logs", "\n").alias("sample_logs"),
+        F.col("event_date").cast("date").alias("event_date"),
+    )

@@ -34,7 +34,7 @@ query prunes to the queried days; ``sample_logs`` caps payload width at
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from via_spark.operators import rhythm
@@ -130,6 +130,81 @@ def promotion_rollup_flat(spark: SparkSession, sf_dir: str, **variant) -> DataFr
     Internal writers keep the array form (:func:`write_tier2`)."""
     return promotion_rollup(spark, sf_dir, **variant).withColumn(
         "sample_logs", F.array_join("sample_logs", "\n")
+    )
+
+
+def daily_rollup(anomalies: DataFrame, logs: DataFrame) -> DataFrame:
+    """S5 stored layout: one cluster row per (rhythm_hash, day) over the
+    full history of each anomalous hash.
+
+    The reference keeps one tier2 collection PER DAY and each daily
+    analysis run writes that day's clusters into it
+    (``app/services/qdrant_service.py:112-135``); this produces the same
+    multi-day store in a single pass — group member logs by
+    (rhythm_hash, event_date) instead of re-running the rollup once per
+    day. Representative fields come from the earliest (ts, event_id) row
+    of the hash WITHIN each day; anomaly_type/context are per-hash
+    detection metadata carried onto every day-row.
+
+    Scale posture: one hash-partitioned aggregation + one
+    WindowGroupLimit, both keyed on (rhythm_hash, event_date); written
+    through :func:`write_tier2` the result is the date-partitioned table
+    every windowed forensic query prunes (S8).
+    """
+    member = logs.join(
+        anomalies.select("rhythm_hash").distinct(), "rhythm_hash", "left_semi"
+    ).withColumn("event_date", event_date(F.col("ts")))
+    w = Window.partitionBy("rhythm_hash", "event_date").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    rep = (
+        member.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("rhythm_hash", "event_date", "service", "severity", "body")
+    )
+    agg = member.groupBy("rhythm_hash", "event_date").agg(
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.count(F.lit(1)).alias("n_logs"),
+        F.transform(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            _serialize_log(member).alias("log_json"),
+                        )
+                    )
+                ),
+                1,
+                SAMPLE_LOGS_MAX,
+            ),
+            lambda s: s["log_json"],
+        ).alias("sample_logs"),
+    )
+    return (
+        rep.join(agg, ["rhythm_hash", "event_date"])
+        .join(
+            anomalies.select(
+                "rhythm_hash", "anomaly_type", "anomaly_context"
+            ).distinct(),
+            "rhythm_hash",
+        )
+        .select(
+            F.lit(ENTITY_TYPE).alias("entity_type"),
+            "rhythm_hash",
+            "start_ts",
+            "end_ts",
+            F.col("n_logs").alias("count"),
+            "service",
+            "severity",
+            "anomaly_type",
+            "anomaly_context",
+            "body",
+            "sample_logs",
+            "event_date",
+        )
     )
 
 

@@ -383,3 +383,62 @@ def chunk_documents(
             F.array_join("chunk_toks", " ").alias("chunk_text"),
         )
     )
+
+
+# dup-ngram span statistics: n=3 so the IID word-salad fixture (≈40-word
+# vocabulary) actually shares grams; production corpora use n≈8-13
+DUP_NGRAM_N = 3
+
+
+def dup_ngram_stats(
+    spark: SparkSession, sf_dir: str, n: int = DUP_NGRAM_N
+) -> DataFrame:
+    """Exact-substring duplication signal (the public "Deduplicating
+    Training Data Makes Language Models Better" metric family): per
+    document, how many of its DISTINCT word n-grams also occur in at
+    least one other document, and the duplicated fraction.
+
+    Scale posture: grams are hashed to 64 bits (xxhash64) before any
+    shuffle so the text payload never moves; the cross-document
+    visibility question is one hash agg keyed on the gram hash plus one
+    equi-join back — never a self-join of documents. Collision risk at
+    64 bits is ~(#grams)²/2⁶⁵ (negligible below ~10¹² distinct grams;
+    beyond that, widen to a 128-bit hash). The output carries only
+    counts, so the oracle can group on raw gram strings and still
+    value-match.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        d.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= n)
+    )
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(toks, i, {n})))"
+            )
+        ).alias("gram"),
+    )
+    dg = grams.select("doc_id", F.xxhash64("gram").alias("gh")).distinct()
+    shared = (
+        dg.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("gh", F.lit(1).alias("is_shared"))
+    )
+    return (
+        dg.join(shared, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("is_shared", F.lit(0))).cast("bigint").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            (F.col("n_shared") / F.col("n_grams")).alias("dup_ngram_ratio"),
+        )
+    )

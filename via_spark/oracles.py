@@ -223,6 +223,80 @@ def promotion_rollup_sql(**kwargs) -> str:
     )
 
 
+def _tier2_daily_chain(
+    window_sec: int = DEFAULT_WINDOW_SEC,
+    sample_size: int = 2000,
+    novelty_min_count: int = 1,
+    frequency_min_count: int = FREQUENCY_MIN_COUNT,
+    std_dev_factor: float = FREQUENCY_STD_DEV_FACTOR,
+) -> str:
+    """Detection → per-day rollup (promote.daily_rollup): one cluster
+    row per (rhythm_hash, event_date) over each anomalous hash's full
+    history — ends in ``daily(…tier2 columns…)``."""
+    return (
+        _rhythm_prelude(window_sec, sample_size)
+        + _anomalies_cte(novelty_min_count, frequency_min_count, std_dev_factor)
+        + """
+, dmember AS (
+    SELECT h.*, DATE '1970-01-01' + CAST(ts // 86400 AS INTEGER) AS event_date
+    FROM hashed h
+    JOIN (SELECT DISTINCT rhythm_hash FROM anomalies) a USING (rhythm_hash)
+),
+dreps AS (
+    SELECT rhythm_hash, event_date, service, severity, body
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY rhythm_hash, event_date ORDER BY ts, event_id) AS _rn
+        FROM dmember
+    ) WHERE _rn = 1
+),
+dagg AS (
+    SELECT rhythm_hash, event_date,
+           min(ts) AS start_ts,
+           max(ts) AS end_ts,
+           count(*) AS "count",
+           list_slice(
+               list(to_json(struct_pack(
+                        event_id := event_id, ts := ts, service := service,
+                        severity := severity, body := body))
+                    ORDER BY ts, event_id),
+               1, 5) AS sample_logs
+    FROM dmember GROUP BY rhythm_hash, event_date
+),
+daily AS (
+    SELECT 'event_cluster' AS entity_type,
+           rhythm_hash, start_ts, end_ts, "count",
+           r.service, r.severity, an.anomaly_type, an.anomaly_context, r.body,
+           sample_logs, event_date
+    FROM dagg
+    JOIN dreps r USING (rhythm_hash, event_date)
+    JOIN (SELECT DISTINCT rhythm_hash, anomaly_type, anomaly_context
+          FROM anomalies) an USING (rhythm_hash)
+)
+"""
+    )
+
+
+def forensic_clusters_windowed_sql(
+    lo_days: int | None = None, hi_days: int | None = None, **kwargs
+) -> str:
+    """S8: time-windowed scan of the daily tier2 store — window bounds
+    derived from the same max-ts 'now' the Spark side collects; must
+    mirror forensic.clusters_windowed / promote.read_tier2 exactly."""
+    from via_spark.operators.forensic import WINDOWED_HI_DAYS, WINDOWED_LO_DAYS
+
+    lo_days = WINDOWED_LO_DAYS if lo_days is None else lo_days
+    hi_days = WINDOWED_HI_DAYS if hi_days is None else hi_days
+    return _tier2_daily_chain(**kwargs) + f"""
+SELECT entity_type, rhythm_hash, start_ts, end_ts, "count",
+       service, severity, anomaly_type, anomaly_context, body,
+       array_to_string(sample_logs, chr(10)) AS sample_logs, event_date
+FROM daily, params p
+WHERE start_ts BETWEEN p.now_ts - {lo_days * 86400}
+                   AND p.now_ts - {hi_days * 86400}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational core oracles (via_spark.operators.relational)
 # ---------------------------------------------------------------------------
@@ -1527,10 +1601,18 @@ SELECT event_id, day, value, rk FROM (
 
 
 def ann_ivf_topk_sql(
-    query_id: int = 0, k: int = 10, n_centroids: int = 16, nprobe: int = 4
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
 ) -> str:
     """IVF probe search: deterministic-sample centroids, exact
-    fixed-point argmax cell assignment, nprobe cells scored."""
+    fixed-point argmax cell assignment, nprobe cells scored.
+    Defaults pinned to the Spark-side constants."""
+    from via_spark.operators.dedup import IVF_CENTROIDS, IVF_NPROBE
+
+    n_centroids = IVF_CENTROIDS if n_centroids is None else n_centroids
+    nprobe = IVF_NPROBE if nprobe is None else nprobe
     cdot = _DOT9.format(a="e.embedding", b="c.cemb")
     qdot = _DOT9.format(a="c.cemb", b="q.qe")
     d = _DOT9.format(a="e.embedding", b="q.qe")
@@ -2539,4 +2621,30 @@ JOIN nation nc ON c.c_nationkey = nc.n_nationkey
 JOIN region r ON nc.n_regionkey = r.r_regionkey
 WHERE p.p_type = '{p_type}' AND r.r_name = '{region}'
 GROUP BY 1
+"""
+
+
+def dup_ngram_stats_sql(n: int | None = None) -> str:
+    """Per-doc distinct n-gram duplication counts — groups on the raw
+    gram strings (the Spark side's 64-bit hash is internal only)."""
+    from via_spark.operators.textstats import DUP_NGRAM_N
+
+    n = DUP_NGRAM_N if n is None else n
+    return f"""
+WITH {DOC_TOKS_CTE},
+g0 AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - {n - 2}),
+                                 i -> concat_ws(' ', list_slice(toks, i, i + {n - 1})))) AS gram
+    FROM dtok
+    WHERE len(toks) >= {n}
+),
+g AS (SELECT DISTINCT doc_id, gram FROM g0),
+sh AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(sh.gram) AS BIGINT) AS n_shared,
+       count(sh.gram) / count(*) AS dup_ngram_ratio
+FROM g LEFT JOIN sh USING (gram)
+GROUP BY g.doc_id
 """

@@ -108,6 +108,51 @@ def cluster_labels(spark: SparkSession, sf_dir: str, threshold: float) -> DataFr
     return spark.read.parquet(path)
 
 
+def tier2_daily_path(spark: SparkSession, sf_dir: str, **variant) -> str:
+    """Path of the DATE-PARTITIONED tier2 daily store (S5 layout) —
+    materialized on first use per detection-variant.
+
+    Unlike :func:`tier2` (a flat per-analysis snapshot), this store is
+    written through ``promote.write_tier2`` with ``partitionBy
+    ("event_date")`` — the production layout whose daily partitions
+    windowed forensic queries prune (S8). Returns the PATH rather than
+    a DataFrame because consumers go through ``promote.read_tier2``,
+    which applies the partition-pruning window predicates on the read.
+
+    An empty rollup (schema-only fixtures) is written unpartitioned so
+    the path stays readable — Spark records the schema in an empty
+    part-file, whereas a partitioned write of zero rows writes no files
+    at all and the read-back would fail schema inference.
+    """
+    from via_spark.operators import promote, rhythm
+
+    key = (
+        spark.sparkContext.applicationId,
+        "tier2daily",
+        os.path.abspath(sf_dir),
+        tuple(sorted(variant.items())),
+    )
+    path = _STORES.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="via_tier2daily_")
+        try:
+            t1 = tier1(spark, sf_dir)
+            now = rhythm.current_now(t1)
+            anomalies = rhythm.find_rhythm_anomalies(
+                spark, sf_dir, now=now, tier1=t1, **variant
+            )
+            daily = promote.daily_rollup(anomalies, t1)
+            if daily.isEmpty():
+                daily.write.mode("overwrite").parquet(path)
+            else:
+                promote.write_tier2(daily, path, mode="overwrite")
+        except Exception:
+            shutil.rmtree(path, ignore_errors=True)
+            raise
+        _STORES[key] = path
+    return path
+
+
 def tier2(spark: SparkSession, sf_dir: str, **variant) -> DataFrame:
     """The tier2 forensic store for ``sf_dir`` — materialized on first
     use per detection-variant.
