@@ -460,3 +460,21 @@ def test_rotation_head_policy():
     )
     # and the head must actually be full while a tail exists
     assert len(head) == 50 or not tail
+
+
+def test_fixture_ranked_columns_non_null(spark, sf_oracle):
+    """Parity invariant behind the rank-ordered oracles: Spark ASC puts
+    NULLs first while DuckDB ASC puts them last, so rank-over-value
+    queries only agree while ranked columns are NULL-free. The oracles
+    now pin Spark's NULL placement explicitly (NULLS FIRST/LAST), and
+    this test documents + checks the fixture-side assumption so a
+    future fixture regeneration with NULLs is noticed, not silently
+    hashed into a mismatch."""
+    from via_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_oracle, "events")
+    nulls = ev.where(
+        F.col("value").isNull() | F.col("ts").isNull() | F.col("event_id").isNull()
+    ).count()
+    assert nulls == 0

@@ -120,6 +120,51 @@ def minhash_bands(docs_sh: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.posexplode(bands).alias("band", "band_key"))
 
 
+# Hot-bucket cap (the public CCNet / BigQuery-dedup trick): a
+# (band, band_key) bucket shared by m docs yields m(m-1)/2 candidate
+# pairs — one boilerplate template on 1% of a 10B-doc corpus would put
+# ~5·10¹⁵ pairs in a single bucket and sink the stage no matter how AQE
+# splits it, because the blow-up is in the JOIN OUTPUT, not the input
+# skew. Band keys over the cap are dropped from candidate generation
+# (docs agreeing on a band shared by thousands are near-certain
+# boilerplate; identical text is already handled by dedup_exact
+# upstream) and surfaced by :func:`hot_band_keys` for audit. The
+# default is far above any fixture bucket (max ≈ dup-cluster size ≈ 5),
+# so it is semantically inert at test scale — and the oracle mirrors
+# it, so if it ever fires the driver compare still matches.
+BAND_KEY_CAP = 5000
+
+
+def capped_bands(bands: DataFrame, band_cap: int | None = BAND_KEY_CAP) -> DataFrame:
+    """Drop (band, band_key) buckets larger than ``band_cap``.
+
+    The frequency count is a window over the same (band, band_key)
+    hash partitioning the candidate self-join shuffles on, so the cap
+    costs one count pass over already-co-located rows."""
+    if band_cap is None:
+        return bands
+    w = Window.partitionBy("band", "band_key")
+    return (
+        bands.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .where(F.col("_bn") <= band_cap)
+        .drop("_bn")
+    )
+
+
+def hot_band_keys(
+    spark: SparkSession, sf_dir: str, band_cap: int = BAND_KEY_CAP
+) -> DataFrame:
+    """Audit view of the buckets :func:`capped_bands` drops: every
+    (band, band_key) with more than ``band_cap`` member docs and its
+    size — the 'logged count' side of the cap."""
+    bands = minhash_bands(shingled_documents(spark, sf_dir))
+    return (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > band_cap)
+    )
+
+
 def jaccard(a_sh: Column, b_sh: Column) -> Column:
     """Exact Jaccard of two DISTINCT shingle arrays:
     |A∩B| / (|A| + |B| - |A∩B|) — integer counts, one rounded division."""
@@ -128,17 +173,20 @@ def jaccard(a_sh: Column, b_sh: Column) -> Column:
 
 
 def dedup_minhash_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD,
+    band_cap: int | None = BAND_KEY_CAP,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
 
     Shape: the band self-join shuffles (doc_id, band, band_key) rows
-    only; the shingle arrays are joined back onto the (deduplicated)
-    candidate PAIRS for the exact-Jaccard verify. The shingled frame is
-    cached — one computed copy serves band derivation and both verify
-    joins (at cluster scale: a persisted signatures/shingles table)."""
+    only — with hot buckets dropped by :func:`capped_bands` so one
+    boilerplate template can't make the join output quadratic; the
+    shingle arrays are joined back onto the (deduplicated) candidate
+    PAIRS for the exact-Jaccard verify. The shingled frame is cached —
+    one computed copy serves band derivation and both verify joins (at
+    cluster scale: a persisted signatures/shingles table)."""
     sh = shingled_documents(spark, sf_dir).cache()
-    bands = minhash_bands(sh)
+    bands = capped_bands(minhash_bands(sh), band_cap)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     cand = (

@@ -769,15 +769,24 @@ def _minhash_bands_cte(k: int = 8, bands: int = 4) -> str:
     keys = ", ".join(
         " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows)) for b in range(bands)
     )
+    from via_spark.operators.dedup import BAND_KEY_CAP
+
     return f"""
 sig AS (
     SELECT doc_id, sh,
            {mh}
     FROM dsh
 ),
-bands AS (
+bands_all AS (
     SELECT doc_id, sh, r.band, [{keys}][r.band + 1] AS band_key
     FROM sig, range({bands}) r(band)
+),
+bands AS (
+    -- hot-bucket cap, mirroring operators.dedup.capped_bands
+    SELECT doc_id, sh, band, band_key FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, band_key) AS _bn
+        FROM bands_all
+    ) WHERE _bn <= {BAND_KEY_CAP}
 )
 """
 
@@ -1594,7 +1603,7 @@ WITH d AS (
 )
 SELECT event_id, day, value, rk FROM (
     SELECT *, CAST(row_number() OVER (
-        PARTITION BY day ORDER BY value DESC, event_id ASC) AS INTEGER) AS rk
+        PARTITION BY day ORDER BY value DESC NULLS LAST, event_id ASC) AS INTEGER) AS rk
     FROM d
 ) WHERE rk <= {k}
 """
@@ -1653,7 +1662,7 @@ def global_value_rank_sql() -> str:
     operator targets corpora where an int would overflow)."""
     return """
 SELECT event_id, value,
-       row_number() OVER (ORDER BY value DESC, event_id ASC) AS rank
+       row_number() OVER (ORDER BY value DESC NULLS LAST, event_id ASC) AS rank
 FROM events
 """
 
@@ -2458,7 +2467,8 @@ def value_quantile_normalized_sql() -> str:
     return """
 WITH r AS (
     SELECT event_id, value,
-           row_number() OVER (ORDER BY value ASC, event_id ASC) AS rank,
+           -- NULLS FIRST = Spark's ASC default (DuckDB defaults NULLS LAST)
+           row_number() OVER (ORDER BY value ASC NULLS FIRST, event_id ASC) AS rank,
            count(*) OVER () AS n
     FROM events
 )

@@ -83,6 +83,15 @@ def cluster_labels(spark: SparkSession, sf_dir: str, threshold: float) -> DataFr
     pays the optimizer walk again and re-drives the loop's per-round
     actions. Writing the converged labels once gives every consumer a
     three-column parquet scan — the same write-once shape as tier1/2.
+
+    Staleness contract (applies to every store in this module): the
+    cache key is (applicationId, path, params) with NO file fingerprint
+    — the fixture tables are immutable inputs, and at cluster scale the
+    stores are written by the ingest/promotion pipelines, not derived
+    ad hoc. If the underlying parquet were rewritten mid-application,
+    consumers would keep reading the materialized labels; set
+    VIA_SPARK_TIER1_CACHE=0 (or restart the session) to force
+    re-derivation in that scenario.
     """
     from via_spark.operators import graph
 
