@@ -89,8 +89,21 @@ def main() -> None:
 
     qs = entrymod.queries()
 
-    # JVM/codegen warmup, then timed one-time store builds.
+    # JVM/codegen warmup + Python/Arrow worker-pool warmup (the first
+    # pandas-UDF stage otherwise absorbs multi-second worker spin-up),
+    # then timed one-time store builds.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    try:
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        @F.pandas_udf("long")
+        def _noop(s: pd.Series) -> pd.Series:
+            return s
+
+        spark.range(10_000).repartition(32).select(_noop("id")).count()
+    except Exception:
+        pass
     store_build = _build_stores(spark)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))

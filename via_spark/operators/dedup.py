@@ -207,6 +207,62 @@ def dedup_minhash_pairs(
     )
 
 
+# Incremental dedup split: doc_id % MOD == BATCH_RESIDUE models today's
+# arriving batch (20%), everything else the already-ingested corpus —
+# deterministic, lazy, and identical in the DuckDB oracle.
+INCREMENTAL_MOD = 5
+INCREMENTAL_BATCH_RESIDUE = 4
+
+
+def incremental_minhash_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD,
+    band_cap: int | None = BAND_KEY_CAP,
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) near-dup detection — the shape a
+    daily ingest pipeline actually runs: today's batch is banded and
+    joined against the STORED band table of the existing corpus, so
+    cost scales with |batch| × bucket width, not |corpus|²; the corpus
+    is never re-shuffled against itself.
+
+    The fixture has no arrival dimension, so the split is pinned by
+    residue: ``doc_id % 5 == 4`` plays today's batch (20%), the rest
+    the stored corpus. Output: one row per (new doc, matched corpus
+    doc) pair passing the exact-Jaccard verify — the lookup an ingest
+    gate does before admitting a document.
+
+    Scale posture: identical plan to ``dedup_minhash_pairs`` except the
+    self-join becomes corpus⋈batch — the stored side is a persisted
+    (doc_id, band, band_key) signature table maintained by ingest, and
+    the batch side is small, so Spark broadcast-joins it when it fits;
+    the hot-bucket cap applies exactly as in the self-join case.
+    """
+    sh = shingled_documents(spark, sf_dir).cache()
+    bands = capped_bands(minhash_bands(sh), band_cap)
+    is_batch = F.col("doc_id") % INCREMENTAL_MOD == INCREMENTAL_BATCH_RESIDUE
+    corpus = bands.where(~is_batch).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "band_key"
+    )
+    batch = bands.where(is_batch).select(
+        F.col("doc_id").alias("new_doc"), "band", "band_key"
+    )
+    cand = (
+        corpus.join(batch, ["band", "band_key"])
+        .select("new_doc", "corpus_doc")
+        .dropDuplicates(["new_doc", "corpus_doc"])
+    )
+    verify = cand.join(
+        sh.select(F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_a")), "new_doc"
+    ).join(
+        sh.select(F.col("doc_id").alias("corpus_doc"), F.col("sh").alias("sh_b")),
+        "corpus_doc",
+    )
+    return (
+        verify.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("new_doc", "corpus_doc", "jaccard")
+    )
+
+
 def simhashed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single source of truth for the pinned fingerprint pipeline —
     # vector.simhash_documents (F3); keeping one copy means the pinned

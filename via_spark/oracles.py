@@ -818,6 +818,37 @@ def dedup_ngram_jaccard_sql(threshold: float = 0.2) -> str:
     return dedup_minhash_pairs_sql(threshold)
 
 
+def incremental_minhash_pairs_sql(threshold: float = 0.5) -> str:
+    """Batch-vs-corpus near-dup lookup, mirroring
+    dedup.incremental_minhash_pairs (doc_id % 5 == 4 is the batch)."""
+    from via_spark.operators.dedup import (
+        INCREMENTAL_BATCH_RESIDUE,
+        INCREMENTAL_MOD,
+    )
+
+    batch_pred = f"doc_id % {INCREMENTAL_MOD} = {INCREMENTAL_BATCH_RESIDUE}"
+    return (
+        "WITH " + _SHINGLES_CTE.strip() + "," + _minhash_bands_cte()
+        + f"""
+, cand AS (
+    SELECT DISTINCT b.doc_id AS new_doc, c.doc_id AS corpus_doc
+    FROM bands b JOIN bands c
+      ON b.band = c.band AND b.band_key = c.band_key
+    WHERE b.{batch_pred} AND NOT (c.{batch_pred})
+),
+ver AS (
+    SELECT cand.new_doc, cand.corpus_doc,
+           len(list_intersect(sa.sh, sb.sh))
+           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+    FROM cand
+    JOIN dsh sa ON sa.doc_id = cand.new_doc
+    JOIN dsh sb ON sb.doc_id = cand.corpus_doc
+)
+SELECT new_doc, corpus_doc, jaccard FROM ver WHERE jaccard >= {threshold!r}
+"""
+    )
+
+
 def dedup_clusters_sql(threshold: float = 0.5) -> str:
     """Connected components of the MinHash pair graph via recursive
     transitive closure: component = min reachable doc_id — the same
