@@ -81,3 +81,29 @@ def test_capped_bands_is_bucket_precise(spark, planted_dir):
     )
     assert kept == total - (hot_members or 0)
     assert hot_members == 30 * 4  # 30 docs hot in all 4 bands
+
+
+def test_incremental_pairs_consistent_with_self_join(spark, sf_oracle):
+    """Batch-vs-corpus lookup must agree with the full self-join: a
+    (new, corpus) pair is found incrementally IFF the self-join finds
+    the same unordered pair — i.e. incremental dedup misses nothing
+    about the arriving batch and invents nothing."""
+    from via_spark.operators import dedup
+
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash_pairs(spark, sf_oracle).collect()
+    }
+    m, res = dedup.INCREMENTAL_MOD, dedup.INCREMENTAL_BATCH_RESIDUE
+
+    def is_batch(d):
+        return d % m == res
+
+    expect = {
+        (a, b) for a, b in full if is_batch(a) != is_batch(b)
+    }
+    got = {
+        tuple(sorted((r["new_doc"], r["corpus_doc"])))
+        for r in dedup.incremental_minhash_pairs(spark, sf_oracle).collect()
+    }
+    assert got == expect
