@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forensic_clusters_windowed": forensic.clusters_windowed,
         "dup_ngram_stats": textstats.dup_ngram_stats,
         "incremental_minhash_pairs": dedup.incremental_minhash_pairs,
+        "unigram_surprisal_scores": textstats.unigram_surprisal_scores,
         # --- head fill: highest-risk re-checks (most intricate oracles) ---
         "recommend_average_vector": vector.recommend_average_vector,
         "hybrid_rrf": search.hybrid_rrf,
@@ -185,8 +186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgl_roundtrip": schema_infer.bgl_roundtrip,
         "tier1_view": _tier1_view,
         "rhythm_anomalies": _rhythm_anomalies,
-        "doc_fingerprint": textstats.doc_fingerprint,
         # --- end head (50) --- tail: driver-green in earlier rounds,
+        "doc_fingerprint": textstats.doc_fingerprint,
         "repetition_scores": textstats.repetition_scores,
         # re-proven every round by tests/test_oracle_parity.py ---
         "rhythm_recent_counts": _rhythm_recent_counts,
@@ -374,4 +375,5 @@ def oracle_sql() -> dict[str, str]:
         "forensic_clusters_windowed": oracles.forensic_clusters_windowed_sql(),
         "dup_ngram_stats": oracles.dup_ngram_stats_sql(),
         "incremental_minhash_pairs": oracles.incremental_minhash_pairs_sql(),
+        "unigram_surprisal_scores": oracles.unigram_surprisal_scores_sql(),
     }

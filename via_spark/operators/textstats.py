@@ -442,3 +442,48 @@ def dup_ngram_stats(
             (F.col("n_shared") / F.col("n_grams")).alias("dup_ngram_ratio"),
         )
     )
+
+
+def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-quality filtering signal (the public CCNet recipe family):
+    per-document mean unigram surprisal against the corpus's own
+    unigram model — wordy/typical documents score low, gibberish and
+    rare-token soup score high.
+
+    Surprisal is quantized to WHOLE BITS via exact integer arithmetic:
+    ``s(t) = floor(log2(total_tokens / count(t)))`` computed as the bit
+    length of the integer quotient (``length(bin(q)) - 1``), because
+    neither engine guarantees correctly-rounded transcendental log —
+    a float log could differ in the last ulp between JVM and libm and
+    break value-exact parity. The quantized score preserves the
+    filter's ordering power (CCNet buckets perplexity into 3 coarse
+    bins anyway).
+
+    Scale posture: the unigram table is vocabulary-sized (fits in a
+    broadcast at any corpus scale); the per-token join is a broadcast
+    hash join; everything else is one per-doc hash agg. The 1-row
+    totals frame rides a broadcast crossJoin like the baseline stats.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = tok.agg(F.count(F.lit(1)).alias("total_toks"))
+    scored = (
+        tok.join(counts, "t")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                F.length(F.expr("bin(total_toks div cnt)")) - F.lit(1)
+            ).cast("long").alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("bits").alias("surprisal_bits"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "surprisal_bits",
+        (F.col("surprisal_bits") / F.col("n_tokens")).alias("mean_bits"),
+    )

@@ -2689,3 +2689,24 @@ SELECT g.doc_id,
 FROM g LEFT JOIN sh USING (gram)
 GROUP BY g.doc_id
 """
+
+
+def unigram_surprisal_scores_sql() -> str:
+    """Per-doc mean unigram surprisal in whole bits — exact integer
+    quotient bit-length, no float log (mirrors textstats)."""
+    return f"""
+WITH {DOC_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS t FROM dtok WHERE len(toks) > 0),
+counts AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+totals AS (SELECT count(*) AS total_toks FROM tok),
+scored AS (
+    SELECT doc_id,
+           CAST(length(printf('%b', total_toks // cnt)) - 1 AS BIGINT) AS bits
+    FROM tok JOIN counts USING (t), totals
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+       sum(bits) / count(*) AS mean_bits
+FROM scored GROUP BY doc_id
+"""
