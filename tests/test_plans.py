@@ -326,3 +326,21 @@ def test_tpch_q7_q8_q10_shapes(spark, sf_oracle):
         assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, name
         if heap:
             assert "TakeOrderedAndProject" in p, name
+
+
+def test_round6_operators_plan_shapes(spark, sf_oracle):
+    """New-in-round-6 operators keep the bucketed/broadcast shapes:
+    no cartesian products anywhere; the gram/band candidate joins are
+    hash equi-joins; unigram surprisal's only nested-loop join is the
+    broadcast 1-row totals frame (the pinned scalar-broadcast pattern)."""
+    from via_spark.operators import dedup, textstats
+
+    p = executed_plan(textstats.dup_ngram_stats(spark, sf_oracle))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    p = executed_plan(dedup.incremental_minhash_pairs(spark, sf_oracle))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    p = executed_plan(textstats.unigram_surprisal_scores(spark, sf_oracle))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 1  # 1-row totals only
