@@ -151,6 +151,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_stats": textstats.dup_ngram_stats,
         "incremental_minhash_pairs": dedup.incremental_minhash_pairs,
         "unigram_surprisal_scores": textstats.unigram_surprisal_scores,
+        "large_volume_customers": relational.large_volume_customers,
+        "small_quantity_revenue": relational.small_quantity_revenue,
+        "top_supplier_revenue": relational.top_supplier_revenue,
+        "dormant_high_balance_customers": relational.dormant_high_balance_customers,
+        "profit_by_nation_year": relational.profit_by_nation_year,
+        "readability_scores": textstats.readability_scores,
+        "length_filtered_documents": textstats.length_filtered_documents,
+        "centroid_similarity_matrix": vector.centroid_similarity_matrix,
         # --- head fill: highest-risk re-checks (most intricate oracles) ---
         "recommend_average_vector": vector.recommend_average_vector,
         "hybrid_rrf": search.hybrid_rrf,
@@ -179,6 +187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": curation.benchmark_contamination,
         "stratified_sample": curation.stratified_sample,
         "quality_deciles": curation.quality_deciles,
+        # --- end head (50) --- tail: driver-green in earlier rounds,
+        # re-proven every round by tests/test_oracle_parity.py ---
         "pii_scrub_documents": curation.pii_scrub_documents,
         "curation_funnel": curation.curation_funnel,
         "source_mix_allocation": curation.source_mix_allocation,
@@ -186,10 +196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgl_roundtrip": schema_infer.bgl_roundtrip,
         "tier1_view": _tier1_view,
         "rhythm_anomalies": _rhythm_anomalies,
-        # --- end head (50) --- tail: driver-green in earlier rounds,
         "doc_fingerprint": textstats.doc_fingerprint,
         "repetition_scores": textstats.repetition_scores,
-        # re-proven every round by tests/test_oracle_parity.py ---
         "rhythm_recent_counts": _rhythm_recent_counts,
         "rhythm_baseline_stats": _rhythm_baseline_stats,
         "rhythm_novelty_small_baseline": _rhythm_novelty,
@@ -376,4 +384,12 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_stats": oracles.dup_ngram_stats_sql(),
         "incremental_minhash_pairs": oracles.incremental_minhash_pairs_sql(),
         "unigram_surprisal_scores": oracles.unigram_surprisal_scores_sql(),
+        "large_volume_customers": oracles.large_volume_customers_sql(),
+        "small_quantity_revenue": oracles.small_quantity_revenue_sql(),
+        "top_supplier_revenue": oracles.top_supplier_revenue_sql(),
+        "dormant_high_balance_customers": oracles.dormant_high_balance_customers_sql(),
+        "profit_by_nation_year": oracles.profit_by_nation_year_sql(),
+        "readability_scores": oracles.readability_scores_sql(),
+        "length_filtered_documents": oracles.length_filtered_documents_sql(),
+        "centroid_similarity_matrix": oracles.centroid_similarity_matrix_sql(),
     }

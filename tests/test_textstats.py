@@ -159,3 +159,50 @@ def test_token_budget_shards_are_contiguous_and_exact(spark, sf_smoke):
         assert r["shard_id"] >= prev_shard
         prev_shard = r["shard_id"]
         acc += r["n_tokens"]
+
+
+def test_readability_known_values(spark):
+    """Flesch formula on a hand-computed sentence."""
+    from via_spark.operators import textstats as ts
+    import via_spark.session as sess
+
+    # "the cat sat." → 3 words, 1 sentence, 3 vowel groups (e, a, a)
+    df = spark.createDataFrame([(1, "the cat sat.")], "doc_id long, text string")
+    out = (
+        df.select(
+            "doc_id",
+            F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).alias("w"),
+            F.regexp_count(F.col("text"), F.lit(ts.SENTENCE_RE)).alias("s"),
+            F.regexp_count(F.lower("text"), F.lit(ts.SYLLABLE_RE)).alias("sy"),
+        ).first()
+    )
+    assert (out["w"], out["s"], out["sy"]) == (3, 1, 3)
+    # full operator over the fixture: flesch present and finite
+    rows = ts.readability_scores(spark, "/root/testdata/sf0.001").limit(5).collect()
+    assert all(r["flesch"] is not None for r in rows)
+    assert all(r["n_words"] > 0 for r in rows)
+
+
+def test_length_filter_trims_at_most_5pct_each_side(spark, sf_oracle):
+    """The central-90% cut: per language, ≥90% of docs survive and the
+    dropped low/high halves are each ≤5% of the language's docs (ties
+    kept together can only DECREASE what is dropped)."""
+    from via_spark.operators.textstats import length_filtered_documents
+    from via_spark.session import load_table
+
+    d = load_table(spark, sf_oracle, "documents")
+    totals = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = length_filtered_documents(spark, sf_oracle)
+    kept_counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    bounds = {
+        r["lang"]: (r["lo"], r["hi"])
+        for r in kept.groupBy("lang").agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")).collect()
+    }
+    for lang, n in totals.items():
+        k = kept_counts.get(lang, 0)
+        assert k * 10 >= n * 9, f"{lang}: kept {k}/{n} < 90%"
+        lo, hi = bounds[lang]
+        below = d.where((F.col("lang") == lang) & (F.col("n_chars") < lo)).count()
+        above = d.where((F.col("lang") == lang) & (F.col("n_chars") > hi)).count()
+        assert below * 20 <= n, f"{lang}: dropped {below}/{n} below"
+        assert above * 20 <= n, f"{lang}: dropped {above}/{n} above"

@@ -135,3 +135,33 @@ def test_ann_variants_recall_vs_exact(spark, sf_oracle):
     assert min(per_query["quant"]) >= 0.9, per_query
     assert mean["ivf"] >= 0.85 and min(per_query["ivf"]) >= 0.6, per_query
     assert mean["lsh"] >= 0.8 and min(per_query["lsh"]) >= 0.5, per_query
+
+
+def test_centroid_similarity_matrix_shape_and_range(spark, sf_oracle):
+    """|labels| choose 2 pairs, each cosine in [-1, 1], and the pair
+    (a, b) agrees with a brute-force numpy recompute within fixed-point
+    tolerance."""
+    import numpy as np
+
+    from via_spark.operators.vector import centroid_similarity_matrix
+    from via_spark.session import load_table
+
+    out = centroid_similarity_matrix(spark, sf_oracle).collect()
+    labels = [
+        r["label"]
+        for r in load_table(spark, sf_oracle, "embeddings").select("label").distinct().collect()
+    ]
+    n = len(labels)
+    assert len(out) == n * (n - 1) // 2
+    assert all(-1.0 - 1e-9 <= r["cos_sim"] <= 1.0 + 1e-9 for r in out)
+    assert all(r["label_a"] < r["label_b"] for r in out)
+
+    emb = load_table(spark, sf_oracle, "embeddings").select("label", "embedding").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(np.array(r["embedding"], dtype=np.float64))
+    cen = {k: np.mean(np.stack(v), axis=0) for k, v in by_label.items()}
+    for r in out[:10]:
+        a, b = cen[r["label_a"]], cen[r["label_b"]]
+        ref = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(ref - r["cos_sim"]) < 1e-5, (r["label_a"], r["label_b"], ref, r["cos_sim"])

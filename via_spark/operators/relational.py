@@ -780,3 +780,189 @@ def nation_market_share(spark: SparkSession, sf_dir: str,
             F.col("target_rev_fix").cast("double") / F.col("total_rev_fix").cast("double"),
         )
     )
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str,
+                           min_qty: float = 250.0, k: int = 100) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds
+    ``min_qty``, with the owning customer — the "whale orders" report.
+    Exercises agg→HAVING→join-back-to-facts, the shape behind any
+    "find the heavy keys, then hydrate them" pipeline step.
+
+    Scale posture: the per-order quantity agg is one hash agg on the
+    fact's natural key (map-side partial combine, no pre-shuffle); the
+    HAVING filter shrinks the agg output to the whale subset BEFORE the
+    join back, so the orders join sees only qualifying keys; customer
+    is a broadcast dim; the final cut is a TakeOrderedAndProject heap.
+    Quantity sums use exact 1e-6 fixed point so the threshold compare
+    is reorder-stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(fixed6(F.col("l_quantity"))).alias("total_qty_fix"))
+        .where(F.col("total_qty_fix") > int(min_qty * FIXED_SCALE))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty_fix")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str,
+                           brand: str = "Brand#4") -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders for one brand's parts moved to bulk — lineitems whose
+    quantity is below 20% of their part's average quantity.
+
+    The correlated AVG subquery is decorrelated into a per-part agg
+    joined back on the part key; the 20%-of-average compare is exact
+    integer arithmetic (qty < 0.2·avg ⟺ 5·qty_fix·n < sum_fix, n > 0),
+    so no float threshold wobble.
+
+    Scale posture: the brand filter pushes to the part scan and, via
+    the broadcast part join, prunes lineitem BEFORE the per-part stats
+    agg, so both the agg and the stats join run on the brand's slice
+    only (per TPC-H spec the AVG is over the part's full lineitem
+    history — which the brand slice IS, since the filter is on the
+    part key side). One fact shuffle on l_partkey; everything else
+    broadcasts.
+    """
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == brand
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
+        F.count(F.lit(1)).alias("n_li"),
+        F.sum(fixed6(F.col("l_quantity"))).alias("sum_qty_fix"),
+    )
+    return (
+        li.join(stats, F.col("l_partkey") == F.col("sp_partkey"))
+        .where(
+            F.lit(5) * fixed6(F.col("l_quantity")) * F.col("n_li")
+            < F.col("sum_qty_fix")
+        )
+        .agg(
+            F.sum(fixed6(F.col("l_extendedprice"))).alias("revenue_fix"),
+            (
+                F.sum(fixed6(F.col("l_extendedprice"))).cast("double")
+                / F.lit(7.0) / F.lit(float(FIXED_SCALE))
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum shipped
+    revenue over 1996-Q1 — a scalar-MAX subquery over a derived
+    revenue view (ties all returned, per spec).
+
+    Scale posture: the ship-date range pushes to the lineitem scan;
+    per-supplier revenue is one hash agg; the scalar max is a 1-row
+    broadcast crossJoin (no second shuffle); supplier is a broadcast
+    dim for the name hydration.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp_ntz"),
+            F.lit("1996-03-31 23:59:59").cast("timestamp_ntz"),
+        )
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(fixed6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_rev_fix"
+        )
+    )
+    mx = rev.agg(F.max("total_rev_fix").alias("max_rev_fix"))
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev_fix") == F.col("max_rev_fix"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_fix")
+    )
+
+
+def dormant_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average account balance
+    (average over positive balances only) who have NEVER placed an
+    order, rolled up per nation — the "dormant capital" report. The
+    fixture has no ``c_phone``, so the country-code substring of the
+    spec (TPC-H 2.18.4, public) becomes the nation dim it stands for.
+
+    The scalar AVG compare is exact: bal > sum/n ⟺ bal_fix > sum_fix
+    div n for positive sums (integer floor both engines), so no float
+    average and no BIGINT overflow at any scale (no bal_fix·n product).
+
+    Scale posture: the positive-balance AVG is one 1-row agg broadcast
+    via crossJoin; the "never ordered" test is a left_anti join against
+    the orders key projection (shuffle on c_custkey only for the
+    above-average slice); nation broadcasts.
+    """
+    cu = load_table(spark, sf_dir, "customer")
+    pos = cu.where(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(fixed6(F.col("c_acctbal"))).alias("sum_bal_fix"),
+    )
+    rich = (
+        cu.crossJoin(F.broadcast(pos))
+        .where(
+            fixed6(F.col("c_acctbal"))
+            > F.expr("sum_bal_fix div n_pos")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name")
+    )
+    return (
+        rich.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), "c_nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(fixed6(F.col("c_acctbal"))).alias("totacctbal_fix"),
+        )
+    )
+
+
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year. The
+    fixture ships no ``partsupp`` (no ps_supplycost), so cost is the
+    documented proxy 10% of part retail price per unit — the join
+    topology (part ⋈ lineitem ⋈ supplier ⋈ nation + year rollup) is
+    the point, not the cost model.
+
+    Scale posture: part and supplier/nation broadcast; the only
+    shuffle is the final (nation, year) hash agg with map-side
+    partials; profit is computed per-row in one codegen expression and
+    fixed-pointed BEFORE the sum, so the rollup is reorder-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name")
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), "s_nationkey")
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("l_shipdate").alias("o_year"))
+        .agg(F.sum(fixed6(amount)).alias("profit_fix"))
+    )

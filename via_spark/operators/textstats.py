@@ -487,3 +487,91 @@ def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "surprisal_bits",
         (F.col("surprisal_bits") / F.col("n_tokens")).alias("mean_bits"),
     )
+
+
+# Sentence-break and syllable-proxy regexes for readability_scores —
+# restricted to the Java∩RE2 common subset so the DuckDB oracle matches.
+SENTENCE_RE = r"[.!?]+"
+SYLLABLE_RE = r"[aeiouy]+"
+
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability report: word / sentence / syllable-proxy
+    counts and a Flesch-reading-ease-style score (Flesch 1948, public
+    formula: 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word)).
+    Syllables are the standard vowel-group proxy; counts use the pinned
+    whitespace tokenizer. A classic LLM-corpus quality signal alongside
+    doc_quality_scores.
+
+    Determinism: all three counts are exact integers; the score is a
+    fixed left-assoc chain of IEEE double ops on those integers
+    (identical in DuckDB), rounded half-up to 1e-4 before output per
+    the repo's float-output convention.
+
+    Scale posture: stateless per-row projection — no shuffle, no UDF,
+    whole-stage codegen end to end.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit(SENTENCE_RE)).cast("long").alias(
+            "n_sentences"
+        ),
+        F.regexp_count(F.lower(F.col("text")), F.lit(SYLLABLE_RE)).cast("long").alias(
+            "n_syllables"
+        ),
+    )
+    w = F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+    s = F.greatest(F.col("n_sentences"), F.lit(1)).cast("double")
+    raw = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / s)
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / w)
+    )
+    return counted.withColumn(
+        "flesch",
+        F.floor(raw * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0),
+    )
+
+
+def length_filtered_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language length trim: keep documents whose
+    ``n_chars`` falls inside the central 90% of their language's length
+    distribution (drop the bottom and top 5% by count, ties kept
+    together so the cut is value-deterministic).
+
+    The cut is pure integer arithmetic on a per-(lang, n_chars)
+    histogram: with per-lang total n and cumulative count cum(v), value
+    v survives iff 20·cum(v) > n (not in the bottom 5%) and
+    20·(n − cum(v) + cnt(v)) > n (not in the top 5%).
+
+    Scale posture (the reason for the histogram): the full corpus does
+    ONE hash agg on (lang, n_chars); the cumulative window runs on the
+    tiny histogram (|langs| × |distinct lengths| rows), never on
+    documents — so there is no per-language sort of the corpus, no skew
+    from low-cardinality lang partitions. The surviving [lo, hi] bounds
+    broadcast back as a dim join.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    hist = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    wlang = Window.partitionBy("lang")
+    wcum = wlang.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    kept_vals = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n", F.sum("cnt").over(wlang))
+        .where(
+            (F.lit(20) * F.col("cum") > F.col("n"))
+            & (F.lit(20) * (F.col("n") - F.col("cum") + F.col("cnt")) > F.col("n"))
+        )
+    )
+    bounds = kept_vals.groupBy("lang").agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    )
+    return (
+        d.join(F.broadcast(bounds), "lang")
+        .where(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .select("doc_id", "lang", "n_chars")
+    )

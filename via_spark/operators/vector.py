@@ -369,3 +369,59 @@ def retrieval_label_precision(
             F.col("n_match").cast("double") / F.col("k").cast("double"),
         )
     )
+
+
+def centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids
+    (label_a < label_b) — the class-confusability matrix a curation
+    pipeline reads to find label pairs worth merging or re-annotating.
+
+    Determinism: centroid components are single exact double divisions
+    of fixed-point BIGINT sums (embedding_centroids_by_label's pinned
+    expression), so they are bit-identical across engines; the pair dot
+    and norms then go back through the fixed-point floor-sum trick
+    (order-independent BIGINT sums), and the final cosine is one
+    deterministic double expression.
+
+    Scale posture: the corpus is touched once by the centroid agg
+    (shuffle carries |labels|·dim rows); the pair join and norms run on
+    that tiny flat table (broadcast self-join on dim), so cost is
+    |labels|²·dim regardless of corpus size.
+    """
+    cen = embedding_centroids_by_label(spark, sf_dir).select(
+        "label", "dim", "centroid"
+    )
+    p9 = lambda x, y: F.floor(x * y * F.lit(FIX9)).cast("long")  # noqa: E731
+    norms = cen.groupBy("label").agg(
+        F.sum(p9(F.col("centroid"), F.col("centroid"))).alias("norm_fix")
+    )
+    a = cen.select(
+        F.col("label").alias("label_a"), "dim", F.col("centroid").alias("ca")
+    )
+    b = cen.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("centroid").alias("cb"),
+    )
+    dots = (
+        a.join(
+            F.broadcast(b),
+            (F.col("dim") == F.col("dim_b")) & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(p9(F.col("ca"), F.col("cb"))).alias("dot_fix"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("norm_fix").alias("na_fix"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("norm_fix").alias("nb_fix"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "dot_fix",
+            cosine_from_fix(
+                F.col("dot_fix"), F.col("na_fix"), F.col("nb_fix")
+            ).alias("cos_sim"),
+        )
+    )

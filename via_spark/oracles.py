@@ -2665,6 +2665,107 @@ GROUP BY 1
 """
 
 
+def large_volume_customers_sql(min_qty: float = 250.0, k: int = 100) -> str:
+    return f"""
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(floor(l_quantity * 1000000) AS BIGINT)) AS BIGINT)
+             AS total_qty_fix
+    FROM lineitem
+    GROUP BY 1
+    HAVING total_qty_fix > {int(min_qty * 1_000_000)}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, b.total_qty_fix
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT {k}
+"""
+
+
+def small_quantity_revenue_sql(brand: str = "Brand#4") -> str:
+    # qty < 0.2 * avg(qty) over the part  ⟺  5·qty_fix·n < sum_fix (exact)
+    return f"""
+WITH li AS (
+    SELECT l.*
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = '{brand}'
+),
+stats AS (
+    SELECT l_partkey AS sp_partkey,
+           CAST(count(*) AS BIGINT) AS n_li,
+           CAST(sum(CAST(floor(l_quantity * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_qty_fix
+    FROM li
+    GROUP BY 1
+)
+SELECT CAST(sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT)
+         AS revenue_fix,
+       CAST(sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT)) AS DOUBLE)
+         / 7.0 / 1000000.0 AS avg_yearly
+FROM li
+JOIN stats ON li.l_partkey = stats.sp_partkey
+WHERE 5 * CAST(floor(l_quantity * 1000000) AS BIGINT) * n_li < sum_qty_fix
+"""
+
+
+def top_supplier_revenue_sql() -> str:
+    return f"""
+WITH rev AS (
+    SELECT l_suppkey, CAST(sum({_REV6}) AS BIGINT) AS total_rev_fix
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1996-03-31 23:59:59'
+    GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev_fix
+FROM rev r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_rev_fix = (SELECT max(total_rev_fix) FROM rev)
+"""
+
+
+def dormant_high_balance_customers_sql() -> str:
+    # bal > avg(positive bal)  ⟺  bal_fix > sum_fix // n_pos (exact floor)
+    return """
+WITH pos AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_pos,
+           CAST(sum(CAST(floor(c_acctbal * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_bal_fix
+    FROM customer
+    WHERE c_acctbal > 0
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(floor(c.c_acctbal * 1000000) AS BIGINT)) AS BIGINT)
+         AS totacctbal_fix
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+CROSS JOIN pos
+WHERE CAST(floor(c.c_acctbal * 1000000) AS BIGINT) > sum_bal_fix // n_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+"""
+
+
+def profit_by_nation_year_sql() -> str:
+    return """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS o_year,
+       CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                            - p_retailprice * l_quantity * 0.1)
+                           * 1000000) AS BIGINT)) AS BIGINT) AS profit_fix
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
 def dup_ngram_stats_sql(n: int | None = None) -> str:
     """Per-doc distinct n-gram duplication counts — groups on the raw
     gram strings (the Spark side's 64-bit hash is internal only)."""
@@ -2709,4 +2810,103 @@ SELECT doc_id,
        CAST(sum(bits) AS BIGINT) AS surprisal_bits,
        sum(bits) / count(*) AS mean_bits
 FROM scored GROUP BY doc_id
+"""
+
+
+def readability_scores_sql() -> str:
+    """Flesch-style readability — mirrors textstats.readability_scores
+    (same regexes, same left-assoc double chain, same 1e-4 rounding)."""
+    from via_spark.operators.textstats import SENTENCE_RE, SYLLABLE_RE
+
+    return rf"""
+WITH counted AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '{SENTENCE_RE}')) AS BIGINT)
+             AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '{SYLLABLE_RE}')) AS BIGINT)
+             AS n_syllables
+    FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       floor((206.835
+              - 1.015 * (CAST(greatest(n_words, 1) AS DOUBLE)
+                         / CAST(greatest(n_sentences, 1) AS DOUBLE))
+              - 84.6 * (CAST(n_syllables AS DOUBLE)
+                        / CAST(greatest(n_words, 1) AS DOUBLE)))
+             * 10000.0 + 0.5) / 10000.0 AS flesch
+FROM counted
+"""
+
+
+def length_filtered_documents_sql() -> str:
+    """Per-language central-90% length trim — mirrors
+    textstats.length_filtered_documents' integer histogram cut."""
+    return """
+WITH hist AS (
+    SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS cnt
+    FROM documents
+    GROUP BY 1, 2
+),
+c AS (
+    SELECT lang, n_chars, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+    FROM hist
+),
+bounds AS (
+    SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi
+    FROM c
+    WHERE 20 * cum > n AND 20 * (n - cum + cnt) > n
+    GROUP BY 1
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+JOIN bounds b ON d.lang = b.lang
+WHERE d.n_chars BETWEEN b.lo AND b.hi
+"""
+
+
+def centroid_similarity_matrix_sql() -> str:
+    """Pairwise centroid cosine — mirrors
+    vector.centroid_similarity_matrix (same pinned centroid expression,
+    same fixed-point pair dot/norms)."""
+    return """
+WITH ex AS (
+    SELECT label, i - 1 AS dim,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000.0) AS BIGINT) AS x_fix
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+cen AS (
+    SELECT label, dim,
+           CAST(sum(x_fix) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0)
+             AS c
+    FROM ex
+    GROUP BY 1, 2
+),
+norms AS (
+    SELECT label,
+           CAST(sum(CAST(floor(c * c * 1000000000.0) AS BIGINT)) AS BIGINT)
+             AS norm_fix
+    FROM cen
+    GROUP BY 1
+),
+dots AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(sum(CAST(floor(a.c * b.c * 1000000000.0) AS BIGINT)) AS BIGINT)
+             AS dot_fix
+    FROM cen a
+    JOIN cen b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY 1, 2
+)
+SELECT d.label_a, d.label_b, d.dot_fix,
+       CASE WHEN na.norm_fix = 0 OR nb.norm_fix = 0 THEN 0.0
+            ELSE CAST(d.dot_fix AS DOUBLE)
+                 / (sqrt(CAST(na.norm_fix AS DOUBLE))
+                    * sqrt(CAST(nb.norm_fix AS DOUBLE)))
+       END AS cos_sim
+FROM dots d
+JOIN norms na ON d.label_a = na.label
+JOIN norms nb ON d.label_b = nb.label
 """
