@@ -159,6 +159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_scores": textstats.readability_scores,
         "length_filtered_documents": textstats.length_filtered_documents,
         "centroid_similarity_matrix": vector.centroid_similarity_matrix,
+        "corpus_shuffle_positions": rank.corpus_shuffle_positions,
+        "mixture_interleave_positions": rank.mixture_interleave_positions,
+        "column_correlation_matrix": stats.column_correlation_matrix,
+        "per_source_cap_sample": curation.per_source_cap_sample,
         # --- head fill: highest-risk re-checks (most intricate oracles) ---
         "recommend_average_vector": vector.recommend_average_vector,
         "hybrid_rrf": search.hybrid_rrf,
@@ -183,12 +187,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forensic_triage": forensic.triage,
         "embedding_norm_stats": vector.embedding_norm_stats,
         "embedding_centroids_by_label": vector.embedding_centroids_by_label,
+        # --- end head (50) --- tail: driver-green in earlier rounds,
+        # re-proven every round by tests/test_oracle_parity.py ---
         "fuzzy_name_pairs": curation.fuzzy_name_pairs,
         "benchmark_contamination": curation.benchmark_contamination,
         "stratified_sample": curation.stratified_sample,
         "quality_deciles": curation.quality_deciles,
-        # --- end head (50) --- tail: driver-green in earlier rounds,
-        # re-proven every round by tests/test_oracle_parity.py ---
         "pii_scrub_documents": curation.pii_scrub_documents,
         "curation_funnel": curation.curation_funnel,
         "source_mix_allocation": curation.source_mix_allocation,
@@ -392,4 +396,8 @@ def oracle_sql() -> dict[str, str]:
         "readability_scores": oracles.readability_scores_sql(),
         "length_filtered_documents": oracles.length_filtered_documents_sql(),
         "centroid_similarity_matrix": oracles.centroid_similarity_matrix_sql(),
+        "corpus_shuffle_positions": oracles.corpus_shuffle_positions_sql(),
+        "mixture_interleave_positions": oracles.mixture_interleave_positions_sql(),
+        "column_correlation_matrix": oracles.column_correlation_matrix_sql(),
+        "per_source_cap_sample": oracles.per_source_cap_sample_sql(),
     }

@@ -344,3 +344,52 @@ def test_round6_operators_plan_shapes(spark, sf_oracle):
     p = executed_plan(textstats.unigram_surprisal_scores(spark, sf_oracle))
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") == 1  # 1-row totals only
+
+
+def test_tpch_q9_q15_q17_q18_q22_shapes(spark, sf_oracle):
+    """Round-6 TPC-H shapes: every dimension side broadcasts (the only
+    sort-merge joins allowed are fact-fact orderkey joins — none of
+    these plans should need one), Q18's final cut heaps, and Q22's
+    never-ordered test is a broadcast anti-join (the above-average
+    slice is small)."""
+    for name, heap in (
+        ("large_volume_customers", True),
+        ("small_quantity_revenue", False),
+        ("top_supplier_revenue", False),
+        ("profit_by_nation_year", False),
+    ):
+        p = _plan(spark, sf_oracle, name)
+        assert "BroadcastHashJoin" in p and "CartesianProduct" not in p, name
+        if heap:
+            assert "TakeOrderedAndProject" in p, name
+    p = _plan(spark, sf_oracle, "dormant_high_balance_customers")
+    assert "LeftAnti" in p and "CartesianProduct" not in p
+
+
+def test_curation_round6_plan_shapes(spark, sf_oracle):
+    """New curation/ordering operators keep their scale-critical
+    shapes: the length trim's bounds join broadcasts (never a shuffle
+    of documents against the histogram); the per-source cap executes as
+    WindowGroupLimit (only `cap` rows per source survive); readability
+    is a pure projection (zero exchanges); the correlation matrix is
+    one global agg (no join at all)."""
+    from via_spark.operators import curation, stats, textstats
+
+    p = executed_plan(textstats.length_filtered_documents(spark, sf_oracle))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    p = executed_plan(curation.per_source_cap_sample(spark, sf_oracle))
+    assert "WindowGroupLimit" in p
+
+    p = executed_plan(textstats.readability_scores(spark, sf_oracle))
+    assert "Exchange" not in p
+
+    p = executed_plan(stats.column_correlation_matrix(spark, sf_oracle))
+    assert "Join" not in p and p.count("Exchange") <= 1
+
+    p = executed_plan(
+        __import__("via_spark.operators.vector", fromlist=["vector"]).centroid_similarity_matrix(
+            spark, sf_oracle
+        )
+    )
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p

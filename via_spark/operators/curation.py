@@ -299,3 +299,26 @@ def source_rebalanced_sample(
         .where(keep)
         .select("doc_id", "source", "sampling_rate")
     )
+
+
+def per_source_cap_sample(
+    spark: SparkSession, sf_dir: str, cap: int = 50
+) -> DataFrame:
+    """Domain cap: keep at most ``cap`` documents per source, chosen by
+    the deterministic sha256 shuffle order (so the survivors are a
+    reproducible pseudorandom sample, not a length- or id-biased one) —
+    the standard guard against one domain dominating a crawl mix.
+
+    Scale posture: one window partitioned by source with a rank
+    predicate Spark executes as WindowGroupLimit — only ``cap`` rows
+    per source survive the shuffle, so output (and downstream cost) is
+    bounded by |sources|·cap regardless of corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    key = F.sha2(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")), 256)
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= cap)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("sample_rank"))
+    )

@@ -191,3 +191,69 @@ def value_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rank") - 1).cast("double") / (F.col("n") - 1).cast("double")
     )
     return ranked.select("event_id", "value", q.alias("q"))
+
+
+def corpus_shuffle_positions(
+    spark: SparkSession, sf_dir: str, epoch: int = 0
+) -> DataFrame:
+    """Reproducible global corpus shuffle: every document gets an exact
+    1-based position in a pseudorandom order keyed by
+    sha256("epoch-{epoch}:" + doc_id) — the deterministic permutation a
+    training pipeline needs so every re-run (and every epoch, via the
+    salt) reads the corpus in the same "random" order with no RNG state
+    to checkpoint.
+
+    Scale posture: the order key is a per-row projection and the exact
+    position comes from global_row_number (range partition + broadcast
+    offsets) — no single-partition window, no driver collect. A
+    downstream writer can range-write by ``pos`` to materialize the
+    shuffled corpus.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = d.withColumn(
+        "shuffle_key",
+        F.sha2(
+            F.concat(F.lit(f"epoch-{epoch}:"), F.col("doc_id").cast("string")), 256
+        ),
+    )
+    return global_row_number(
+        keyed, [F.col("shuffle_key").asc(), F.col("doc_id").asc()], "pos"
+    ).select("doc_id", "shuffle_key", "pos")
+
+
+def mixture_interleave_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional source interleave: a global reading order in which
+    each source's documents appear evenly spread according to the
+    source's share of the corpus — the deterministic "mixture schedule"
+    behind multi-source training (each source s with n_s docs places its
+    r-th doc at fractional position (2r−1)/(2n_s), and the global order
+    sorts those fractions; ties break by source, doc_id).
+
+    Determinism: the fraction is one double division of exact integers
+    (identical in DuckDB); within a source the order is the sha256
+    shuffle key, so the interleave is also reproducibly "random" within
+    each source.
+
+    Scale posture: per-source ranks come from one window partitioned by
+    source (sources are the parallel unit; a pathological single-source
+    corpus should use global_row_number filtered per source instead);
+    the global position again goes through global_row_number — no
+    single-partition funnel.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    key = F.sha2(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")), 256)
+    wsrc = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(wsrc).cast("long").alias("src_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_src"),
+    )
+    frac = (F.lit(2) * F.col("src_rank") - F.lit(1)).cast("double") / (
+        F.lit(2) * F.col("n_src")
+    ).cast("double")
+    return global_row_number(
+        ranked.withColumn("frac", frac),
+        [F.col("frac").asc(), F.col("source").asc(), F.col("doc_id").asc()],
+        "pos",
+    ).select("doc_id", "source", "src_rank", "pos")

@@ -117,3 +117,65 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return ev.groupBy("event_type").applyInPandas(_mad_outlier_batch, _MAD_SCHEMA)
+
+
+# correlation matrix fixed-point input scale (1e-3 quantization: the
+# correlation computed is EXACT for the quantized values, identical in
+# any engine — no float accumulation anywhere)
+CORR_SCALE = 1_000
+CORR_COLUMNS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def column_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of lineitem's numeric measures in
+    ONE aggregation pass — the profiling matrix a pipeline reads before
+    feature selection or anomaly baselining.
+
+    Exactness: each value is quantized to 1e-3 fixed-point BIGINT; all
+    sums and cross-products accumulate as DECIMAL(38,0) (exact, no
+    overflow until 1e38), so both engines hold identical integers and
+    the final correlation is one pinned double expression over them.
+
+    Scale posture: a single global agg with map-side partials (no
+    shuffle beyond the 1-row combine); the 6-row unpivot happens on the
+    1-row result. Column count bounds cost, not row count.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    fix = {
+        c: F.floor(F.col(c) * CORR_SCALE).cast("decimal(19,0)") for c in CORR_COLUMNS
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in CORR_COLUMNS:
+        aggs.append(F.sum(fix[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(fix[c] * fix[c]).alias(f"ss_{c}"))
+    pairs = []
+    for i, a in enumerate(CORR_COLUMNS):
+        for b in CORR_COLUMNS[i + 1:]:
+            aggs.append(F.sum(fix[a] * fix[b]).alias(f"sp_{a}__{b}"))
+            pairs.append((a, b))
+    one = li.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        num = (
+            F.col("n").cast("double") * F.col(f"sp_{a}__{b}").cast("double")
+            - F.col(f"s_{a}").cast("double") * F.col(f"s_{b}").cast("double")
+        )
+        var_a = (
+            F.col("n").cast("double") * F.col(f"ss_{a}").cast("double")
+            - F.col(f"s_{a}").cast("double") * F.col(f"s_{a}").cast("double")
+        )
+        var_b = (
+            F.col("n").cast("double") * F.col(f"ss_{b}").cast("double")
+            - F.col(f"s_{b}").cast("double") * F.col(f"s_{b}").cast("double")
+        )
+        corr = F.when(
+            (var_a <= 0) | (var_b <= 0), F.lit(0.0)
+        ).otherwise(num / (F.sqrt(var_a) * F.sqrt(var_b)))
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), corr.alias("corr")
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.col_a", "r.col_b", "r.corr"
+    )

@@ -2910,3 +2910,91 @@ FROM dots d
 JOIN norms na ON d.label_a = na.label
 JOIN norms nb ON d.label_b = nb.label
 """
+
+
+def corpus_shuffle_positions_sql(epoch: int = 0) -> str:
+    """Deterministic epoch shuffle order — mirrors
+    rank.corpus_shuffle_positions (same sha256 key, same tiebreak)."""
+    return f"""
+SELECT doc_id,
+       sha256('epoch-{epoch}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(row_number() OVER (
+           ORDER BY sha256('epoch-{epoch}:' || CAST(doc_id AS VARCHAR)) ASC,
+                    doc_id ASC) AS BIGINT) AS pos
+FROM documents
+"""
+
+
+def mixture_interleave_positions_sql() -> str:
+    """Proportional source interleave — mirrors
+    rank.mixture_interleave_positions ((2r−1)/(2n_s) fractions)."""
+    return """
+WITH ranked AS (
+    SELECT doc_id, source,
+           CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY sha256('mix:' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) AS BIGINT) AS src_rank,
+           CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+    FROM documents
+)
+SELECT doc_id, source, src_rank,
+       CAST(row_number() OVER (
+           ORDER BY CAST(2 * src_rank - 1 AS DOUBLE) / CAST(2 * n_src AS DOUBLE) ASC,
+                    source ASC, doc_id ASC) AS BIGINT) AS pos
+FROM ranked
+"""
+
+
+def column_correlation_matrix_sql() -> str:
+    """Exact quantized Pearson matrix — mirrors
+    stats.column_correlation_matrix (1e-3 fixed point, HUGEINT sums,
+    pinned double formula)."""
+    from via_spark.operators.stats import CORR_COLUMNS, CORR_SCALE
+
+    f = {
+        c: f"CAST(floor({c} * {CORR_SCALE}) AS HUGEINT)" for c in CORR_COLUMNS
+    }
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in CORR_COLUMNS:
+        sums.append(f"sum({f[c]}) AS s_{c}")
+        sums.append(f"sum({f[c]} * {f[c]}) AS ss_{c}")
+    selects = []
+    for i, a in enumerate(CORR_COLUMNS):
+        for b in CORR_COLUMNS[i + 1:]:
+            sums.append(f"sum({f[a]} * {f[b]}) AS sp_{a}__{b}")
+            num = (f"CAST(n AS DOUBLE) * CAST(sp_{a}__{b} AS DOUBLE)"
+                   f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE)")
+            va = (f"CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+                  f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE)")
+            vb = (f"CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+                  f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)")
+            selects.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                f" CASE WHEN ({va}) <= 0 OR ({vb}) <= 0"
+                f" THEN CAST(0.0 AS DOUBLE)"
+                f" ELSE ({num}) / (sqrt({va}) * sqrt({vb})) END AS corr"
+                f" FROM one"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH one AS (SELECT {", ".join(sums)} FROM lineitem)
+{union}
+"""
+
+
+def per_source_cap_sample_sql(cap: int = 50) -> str:
+    """Deterministic per-source cap — mirrors
+    curation.per_source_cap_sample."""
+    return f"""
+SELECT doc_id, source, CAST(rk AS BIGINT) AS sample_rank
+FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY sha256('cap:' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) AS rk
+    FROM documents
+)
+WHERE rk <= {cap}
+"""
