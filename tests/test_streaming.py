@@ -367,3 +367,57 @@ def test_streaming_session_windows_match_batch(spark, sf_smoke, tmp_path):
     )
     expect = {(r["ss"], r["se"], r["rhythm_hash"], r["n"]) for r in batch.collect()}
     assert got == expect and len(got) > 1
+
+
+def test_neardup_gate_flags_stream_duplicates(spark, tmp_path):
+    """The streaming near-dup ingest gate: batch 1 seeds the signature
+    store; batch 2 contains a near-copy of an admitted doc (one token
+    changed) plus a fresh doc plus an intra-batch near-pair — the
+    near-copy and the higher intra-batch id get flagged, everything
+    else is admitted and its signatures land in the store."""
+    import json
+    import os
+
+    src = str(tmp_path / "docs_src")
+    store = str(tmp_path / "neardup_store")
+    os.makedirs(src)
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    neardup = base.replace("today", "tomorrow")
+    twin_a = "streaming gates keep corpora clean by banding minhash signatures nightly"
+    twin_b = twin_a.replace("nightly", "daily")
+    fresh = "completely unrelated text about parquet row groups and predicate pushdown"
+
+    def run_batch(rows, tag):
+        with open(os.path.join(src, f"{tag}.jsonl"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        q = pipeline.start_neardup_gate(
+            spark, stream, store, str(tmp_path / "ckpt_gate"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run_batch([{"doc_id": 1, "text": base},
+               {"doc_id": 2, "text": twin_a}], "b1")
+    adm1 = {r["doc_id"] for r in spark.read.parquet(f"{store}/admitted").collect()}
+    assert adm1 == {1, 2}
+    assert spark.read.parquet(f"{store}/flagged").count() == 0
+
+    run_batch([{"doc_id": 10, "text": neardup},       # near-dup of corpus doc 1
+               {"doc_id": 11, "text": fresh},          # genuinely new
+               {"doc_id": 12, "text": twin_b},         # near-dup of corpus doc 2
+               {"doc_id": 13, "text": "intra batch twins share almost every trigram of this sentence body"},
+               {"doc_id": 14, "text": "intra batch twins share almost every trigram of this sentence core"}], "b2")
+    flagged = {
+        (r["doc_id"], r["matched_doc"])
+        for r in spark.read.parquet(f"{store}/flagged").collect()
+    }
+    assert (10, 1) in flagged and (12, 2) in flagged
+    assert (14, 13) in flagged, "intra-batch pair resolves to the lower id"
+    adm = {r["doc_id"] for r in spark.read.parquet(f"{store}/admitted").collect()}
+    assert adm == {1, 2, 11, 13}
+    # store only carries admitted signatures
+    sig_ids = {r["doc_id"] for r in spark.read.parquet(f"{store}/bands").collect()}
+    assert sig_ids == {1, 2, 11, 13}

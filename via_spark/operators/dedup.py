@@ -585,3 +585,16 @@ def ann_lsh_topk(
         .limit(k)
         .select("vec_id", "label", "score")
     )
+
+
+def shingle_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, sh) with the pinned trigram shingles —
+    the frame-level form of :func:`shingled_documents` for callers that
+    bring their own documents (streaming micro-batches, ad-hoc
+    frames). Docs shorter than SHINGLE_N tokens drop out (they carry no
+    signature; exact dedup upstream owns them)."""
+    return (
+        docs.withColumn("toks", tokens(F.col("text")))
+        .where(F.size("toks") >= SHINGLE_N)
+        .select("doc_id", _shingles(F.col("toks")).alias("sh"))
+    )

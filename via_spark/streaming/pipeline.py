@@ -335,3 +335,130 @@ def session_hash_counts_stream(stream: DataFrame, gap: str = "300 seconds") -> D
             "n",
         )
     )
+
+
+def start_neardup_gate(
+    spark: SparkSession,
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    threshold: float | None = None,
+    band_cap: int | None = None,
+    available_now: bool = False,
+):
+    """Streaming near-dup ingest gate (beyond-reference,
+    training-pipeline shape): every micro-batch of documents
+    (doc_id, text) is MinHash-banded and joined against the persisted
+    signature store of everything admitted so far; near-dups of the
+    corpus (or of an earlier doc in the same batch) are flagged, the
+    rest are admitted and their signatures appended — so the store is
+    self-maintaining and per-batch cost is |batch| × bucket width,
+    never |corpus|².
+
+    Layout under ``store_dir`` (all parquet, batch_id-partitioned):
+      bands/     (doc_id, band, band_key)  — the LSH join side
+      shingles/  (doc_id, sh)              — the verify side
+      admitted/  (doc_id, text)
+      flagged/   (doc_id, matched_doc, jaccard)
+
+    Exactly-once: each batch writes ``batch_id=<n>`` partition dirs
+    with overwrite, so a replayed batch (restart between sink write and
+    checkpoint commit) rewrites the same partitions with the same
+    deterministic content instead of appending duplicates.
+
+    Intra-batch pairs resolve to the LOWER doc_id (the batch's arrival
+    order surrogate): the higher id is flagged against the lower, and
+    only survivors enter the store.
+
+    Scale posture: identical join shape to
+    ``dedup.incremental_minhash_pairs`` — the batch side is small so
+    Spark broadcast-joins it against the stored band table; the
+    hot-bucket cap applies on both sides; shingle arrays stay out of
+    the LSH shuffle (joined back on candidates only).
+    """
+    import os
+
+    from via_spark.operators.dedup import (
+        BAND_KEY_CAP,
+        JACCARD_THRESHOLD,
+        capped_bands,
+        jaccard,
+        minhash_bands,
+        shingle_frame,
+    )
+
+    thr = JACCARD_THRESHOLD if threshold is None else threshold
+    cap = BAND_KEY_CAP if band_cap is None else band_cap
+
+    def _write(df: DataFrame, sub: str, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            f"{store_dir}/{sub}/batch_id={batch_id}"
+        )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        sh = shingle_frame(batch_df).cache()
+        bands = capped_bands(minhash_bands(sh), cap).cache()
+
+        # 1) batch vs stored corpus
+        cands = []
+        if os.path.isdir(f"{store_dir}/bands"):
+            corpus_bands = spark.read.parquet(f"{store_dir}/bands").select(
+                F.col("doc_id").alias("matched_doc"), "band", "band_key"
+            )
+            corpus_sh = spark.read.parquet(f"{store_dir}/shingles").select(
+                F.col("doc_id").alias("matched_doc"), F.col("sh").alias("sh_b")
+            )
+            c = (
+                corpus_bands.join(bands, ["band", "band_key"])
+                .select("doc_id", "matched_doc")
+                .dropDuplicates(["doc_id", "matched_doc"])
+                .join(sh.select("doc_id", F.col("sh").alias("sh_a")), "doc_id")
+                .join(corpus_sh, "matched_doc")
+            )
+            cands.append(c)
+        # 2) intra-batch (lower id wins)
+        a = bands.select(F.col("doc_id").alias("matched_doc"), "band", "band_key")
+        intra = (
+            a.join(bands, ["band", "band_key"])
+            .where(F.col("matched_doc") < F.col("doc_id"))
+            .select("doc_id", "matched_doc")
+            .dropDuplicates(["doc_id", "matched_doc"])
+            .join(sh.select("doc_id", F.col("sh").alias("sh_a")), "doc_id")
+            .join(
+                sh.select(
+                    F.col("doc_id").alias("matched_doc"), F.col("sh").alias("sh_b")
+                ),
+                "matched_doc",
+            )
+        )
+        cands.append(intra)
+        flagged = None
+        for c in cands:
+            f_ = (
+                c.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+                .where(F.col("jaccard") >= thr)
+                .select("doc_id", "matched_doc", "jaccard")
+            )
+            flagged = f_ if flagged is None else flagged.unionByName(f_)
+        flagged = flagged.cache()
+        dup_ids = flagged.select("doc_id").distinct()
+        admitted = batch_df.join(dup_ids, "doc_id", "left_anti").cache()
+
+        _write(flagged, "flagged", batch_id)
+        _write(admitted.select("doc_id", "text"), "admitted", batch_id)
+        adm_ids = admitted.select("doc_id")
+        _write(bands.join(adm_ids, "doc_id"), "bands", batch_id)
+        _write(sh.join(adm_ids, "doc_id"), "shingles", batch_id)
+        for df in (admitted, flagged, bands, sh, batch_df):
+            df.unpersist()
+
+    writer = stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    writer = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime=ANALYSIS_TRIGGER)
+    )
+    return writer.start()
