@@ -163,6 +163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_interleave_positions": rank.mixture_interleave_positions,
         "column_correlation_matrix": stats.column_correlation_matrix,
         "per_source_cap_sample": curation.per_source_cap_sample,
+        "value_zscore_by_type": stats.value_zscore_by_type,
+        "join_key_skew_report": stats.join_key_skew_report,
+        "daily_revenue_share": relational.daily_revenue_share,
         # --- head fill: highest-risk re-checks (most intricate oracles) ---
         "recommend_average_vector": vector.recommend_average_vector,
         "hybrid_rrf": search.hybrid_rrf,
@@ -184,11 +187,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": search.bm25_topk,
         "forensic_clusters_text": forensic.cluster_search,
         "forensic_clusters_zero_vector": forensic.cluster_search_zero_vector,
+        # --- end head (50) --- tail: driver-green in earlier rounds,
+        # re-proven every round by tests/test_oracle_parity.py ---
         "forensic_triage": forensic.triage,
         "embedding_norm_stats": vector.embedding_norm_stats,
         "embedding_centroids_by_label": vector.embedding_centroids_by_label,
-        # --- end head (50) --- tail: driver-green in earlier rounds,
-        # re-proven every round by tests/test_oracle_parity.py ---
         "fuzzy_name_pairs": curation.fuzzy_name_pairs,
         "benchmark_contamination": curation.benchmark_contamination,
         "stratified_sample": curation.stratified_sample,
@@ -400,4 +403,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_interleave_positions": oracles.mixture_interleave_positions_sql(),
         "column_correlation_matrix": oracles.column_correlation_matrix_sql(),
         "per_source_cap_sample": oracles.per_source_cap_sample_sql(),
+        "value_zscore_by_type": oracles.value_zscore_by_type_sql(),
+        "join_key_skew_report": oracles.join_key_skew_report_sql(),
+        "daily_revenue_share": oracles.daily_revenue_share_sql(),
     }

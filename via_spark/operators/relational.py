@@ -966,3 +966,35 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.year("l_shipdate").alias("o_year"))
         .agg(F.sum(fixed6(amount)).alias("profit_fix"))
     )
+
+
+def daily_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each order priority's share of its day's total
+    order revenue — the classic OLAP percent-of-total, with the share
+    computed on the AGGREGATED frame (one window over |days|×|priorities|
+    rows), never over the fact table.
+
+    Scale posture: one hash agg on (day, priority) with exact
+    fixed-point money sums; the day-total window runs on the tiny agg
+    output; shares are division-only doubles.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.sum(fixed6(F.col("o_totalprice"))).alias("rev_fix"))
+    from pyspark.sql import Window
+
+    day_total = F.sum("rev_fix").over(
+        Window.partitionBy("day").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return agg.select(
+        "day",
+        "priority",
+        "rev_fix",
+        (F.col("rev_fix").cast("double") / day_total.cast("double")).alias(
+            "rev_share"
+        ),
+    )

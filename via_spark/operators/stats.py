@@ -179,3 +179,110 @@ def column_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.col_a", "r.col_b", "r.corr"
     )
+
+
+def value_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization: each event's value as a
+    z-score against its event_type's mean/std — the normalization step
+    before thresholding or model features. Mean and variance derive
+    from exact fixed-point sums (1e-6 values, DECIMAL(38) squares), so
+    the group moments are identical integers in any engine; the z is
+    one pinned double chain, rounded half-up to 1e-6.
+
+    Scale posture: one hash agg per event_type for the moments, then a
+    broadcast join back — no window over the fact table, no second
+    shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vfix = F.floor(F.col("value") * F.lit(1_000_000)).cast("long")
+    mom = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vfix).alias("s_fix"),
+        F.sum(vfix.cast("decimal(19,0)") * vfix.cast("decimal(19,0)")).alias("ss_fix"),
+    )
+    joined = ev.select("event_id", "event_type", "value").join(
+        F.broadcast(mom), "event_type"
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s_fix").cast("double") / nd
+    var = F.col("ss_fix").cast("double") / nd - mean * mean
+    z = (vfix.cast("double") - mean) / F.sqrt(var)
+    return joined.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(var <= 0, F.lit(0.0))
+        .otherwise(F.floor(z * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0))
+        .alias("zscore"),
+    )
+
+
+SKEW_KEYS = (
+    ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+)
+
+
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-health diagnostics: for each candidate join/agg key, the
+    exact distribution of per-key row counts — key cardinality, max and
+    exact p50/p99 bucket sizes, and the max/mean skew ratio. The report
+    a pipeline reads BEFORE picking salting or AQE-skew settings; a
+    p99≪max row screams "one hot key", the case every 100 TB join plan
+    has to survive.
+
+    Exactness at scale: per-key counts are one hash agg; the percentile
+    math runs on the COUNT-OF-COUNTS histogram (one row per distinct
+    bucket size — tiny), cumulated with a window over that histogram,
+    never over keys; p50/p99 are integer-threshold picks (smallest
+    count with 2·cum ≥ n_keys / 100·cum ≥ 99·n_keys).
+    """
+    from pyspark.sql import Window
+
+    outs = []
+    for table, key in SKEW_KEYS:
+        t = load_table(spark, sf_dir, table)
+        per_key = t.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        hist = per_key.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_keys_at"))
+        wcum = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+        wall = Window.orderBy("cnt").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        c = (
+            hist.withColumn("cum", F.sum("n_keys_at").over(wcum))
+            .withColumn("n_keys", F.sum("n_keys_at").over(wall))
+            .withColumn("n_rows", F.sum(F.col("cnt") * F.col("n_keys_at")).over(wall))
+            .withColumn("max_cnt", F.max("cnt").over(wall))
+        )
+        stats = c.agg(
+            F.first("n_keys").alias("n_keys"),
+            F.first("n_rows").alias("n_rows"),
+            F.first("max_cnt").alias("max_cnt"),
+            F.min(
+                F.when(F.lit(2) * F.col("cum") >= F.col("n_keys"), F.col("cnt"))
+            ).alias("p50_cnt"),
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("cum") >= F.lit(99) * F.col("n_keys"),
+                    F.col("cnt"),
+                )
+            ).alias("p99_cnt"),
+        ).select(
+            F.lit(f"{table}.{key}").alias("join_key"),
+            "n_keys",
+            "n_rows",
+            "max_cnt",
+            "p50_cnt",
+            "p99_cnt",
+            (
+                F.col("max_cnt").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("skew_ratio"),
+        )
+        outs.append(stats)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

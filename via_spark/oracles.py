@@ -2998,3 +2998,88 @@ FROM (
 )
 WHERE rk <= {cap}
 """
+
+
+def value_zscore_by_type_sql() -> str:
+    """Per-type z-scores — mirrors stats.value_zscore_by_type (exact
+    fixed-point moments, pinned double chain, 1e-6 rounding)."""
+    return """
+WITH mom AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS s_fix,
+           sum(CAST(floor(value * 1000000) AS HUGEINT)
+               * CAST(floor(value * 1000000) AS HUGEINT)) AS ss_fix
+    FROM events
+    GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN (CAST(ss_fix AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s_fix AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s_fix AS DOUBLE) / CAST(n AS DOUBLE))) <= 0
+            THEN CAST(0.0 AS DOUBLE)
+            ELSE floor(((CAST(CAST(floor(e.value * 1000000) AS BIGINT) AS DOUBLE)
+                         - CAST(s_fix AS DOUBLE) / CAST(n AS DOUBLE))
+                        / sqrt(CAST(ss_fix AS DOUBLE) / CAST(n AS DOUBLE)
+                               - (CAST(s_fix AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * (CAST(s_fix AS DOUBLE) / CAST(n AS DOUBLE))))
+                       * 1000000.0 + 0.5) / 1000000.0
+       END AS zscore
+FROM events e
+JOIN mom ON e.event_type = mom.event_type
+"""
+
+
+def join_key_skew_report_sql() -> str:
+    """Exact per-key-count distribution stats — mirrors
+    stats.join_key_skew_report's count-of-counts histogram math."""
+    from via_spark.operators.stats import SKEW_KEYS
+
+    blocks = []
+    for table, key in SKEW_KEYS:
+        blocks.append(f"""
+SELECT '{table}.{key}' AS join_key, n_keys, n_rows, max_cnt, p50_cnt, p99_cnt,
+       CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+         AS skew_ratio
+FROM (
+    SELECT CAST(max(n_keys) AS BIGINT) AS n_keys,
+           CAST(max(n_rows) AS BIGINT) AS n_rows,
+           CAST(max(max_cnt) AS BIGINT) AS max_cnt,
+           CAST(min(CASE WHEN 2 * cum >= n_keys THEN cnt END) AS BIGINT) AS p50_cnt,
+           CAST(min(CASE WHEN 100 * cum >= 99 * n_keys THEN cnt END) AS BIGINT) AS p99_cnt
+    FROM (
+        SELECT cnt, n_keys_at,
+               sum(n_keys_at) OVER (ORDER BY cnt) AS cum,
+               sum(n_keys_at) OVER () AS n_keys,
+               sum(cnt * n_keys_at) OVER () AS n_rows,
+               max(cnt) OVER () AS max_cnt
+        FROM (
+            SELECT cnt, CAST(count(*) AS BIGINT) AS n_keys_at
+            FROM (
+                SELECT {key}, CAST(count(*) AS BIGINT) AS cnt
+                FROM {table}
+                GROUP BY 1
+            )
+            GROUP BY 1
+        )
+    )
+)""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+def daily_revenue_share_sql() -> str:
+    """Percent-of-total per day — mirrors relational.daily_revenue_share."""
+    return """
+WITH agg AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           o_orderpriority AS priority,
+           CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+             AS rev_fix
+    FROM orders
+    GROUP BY 1, 2
+)
+SELECT day, priority, rev_fix,
+       CAST(rev_fix AS DOUBLE)
+       / CAST(sum(rev_fix) OVER (PARTITION BY day) AS DOUBLE) AS rev_share
+FROM agg
+"""
