@@ -166,6 +166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_zscore_by_type": stats.value_zscore_by_type,
         "join_key_skew_report": stats.join_key_skew_report,
         "daily_revenue_share": relational.daily_revenue_share,
+        "rollup_region_nation_revenue": relational.rollup_region_nation_revenue,
+        "orders_grouping_sets": relational.orders_grouping_sets,
+        "behavior_trigrams": timeseries.behavior_trigrams,
         # --- head fill: highest-risk re-checks (most intricate oracles) ---
         "recommend_average_vector": vector.recommend_average_vector,
         "hybrid_rrf": search.hybrid_rrf,
@@ -184,11 +187,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_knn_top1": vector.grouped_knn_top1,
         "knn_batch_topk": vector.knn_batch_topk,
         "simhash_documents": vector.simhash_documents,
+        # --- end head (50) --- tail: driver-green in earlier rounds,
+        # re-proven every round by tests/test_oracle_parity.py ---
         "bm25_topk": search.bm25_topk,
         "forensic_clusters_text": forensic.cluster_search,
         "forensic_clusters_zero_vector": forensic.cluster_search_zero_vector,
-        # --- end head (50) --- tail: driver-green in earlier rounds,
-        # re-proven every round by tests/test_oracle_parity.py ---
         "forensic_triage": forensic.triage,
         "embedding_norm_stats": vector.embedding_norm_stats,
         "embedding_centroids_by_label": vector.embedding_centroids_by_label,
@@ -406,4 +409,7 @@ def oracle_sql() -> dict[str, str]:
         "value_zscore_by_type": oracles.value_zscore_by_type_sql(),
         "join_key_skew_report": oracles.join_key_skew_report_sql(),
         "daily_revenue_share": oracles.daily_revenue_share_sql(),
+        "rollup_region_nation_revenue": oracles.rollup_region_nation_revenue_sql(),
+        "orders_grouping_sets": oracles.orders_grouping_sets_sql(),
+        "behavior_trigrams": oracles.behavior_trigrams_sql(),
     }

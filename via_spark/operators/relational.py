@@ -998,3 +998,54 @@ def daily_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_share"
         ),
     )
+
+
+def rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP: customer order revenue totaled at the
+    (region, nation) level, the nation subtotal's parent region level,
+    and the grand total — one pass producing every level of the
+    geography hierarchy (NULL marks the rolled-up level, as in
+    standard SQL ROLLUP).
+
+    Scale posture: nation/region broadcast onto the orders⋈customer
+    fact join; ROLLUP is a single hash agg with grouping-set expansion
+    (rows × 3 levels), exact fixed-point sums.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    return (
+        o.join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), "c_nationkey")
+        .join(F.broadcast(r), "n_regionkey")
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(fixed6(F.col("o_totalprice"))).alias("rev_fix"),
+        )
+    )
+
+
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: order counts and revenue by priority AND by
+    status as two independent groupings in ONE scan/agg pass — the
+    dashboard query that would otherwise be two queries (cube would
+    also pay for the unwanted cross combinations).
+
+    Scale posture: one scan, one grouping-set-expanded hash agg; the
+    output is |priorities| + |statuses| rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"]],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(fixed6(F.col("o_totalprice"))).alias("rev_fix"),
+    )

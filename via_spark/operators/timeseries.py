@@ -422,3 +422,41 @@ def label_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_a", "n_b", "share_a", "share_b", "share_ratio")
     )
+
+
+def behavior_trigrams(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Sequential pattern mining (order-3): the corpus-wide top-k
+    event-type trigrams over each user's time-ordered event stream —
+    the "what do users do in threes" table behind funnel design and
+    next-action models.
+
+    Ordering is pinned (ts, then event_id) so consecutive-event
+    semantics are deterministic; sequences do NOT cross user
+    boundaries.
+
+    Scale posture: one window partitioned by user (users are the
+    parallel unit) producing two LAGs, one hash agg on the trigram
+    string, and a TakeOrderedAndProject heap for the top-k.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tri = (
+        ev.select(
+            "user_id",
+            F.lag("event_type", 2).over(w).alias("e1"),
+            F.lag("event_type", 1).over(w).alias("e2"),
+            F.col("event_type").alias("e3"),
+        )
+        .where(F.col("e1").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("trigram"))
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("trigram").asc())
+        .limit(k)
+    )

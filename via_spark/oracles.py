@@ -3083,3 +3083,47 @@ SELECT day, priority, rev_fix,
        / CAST(sum(rev_fix) OVER (PARTITION BY day) AS DOUBLE) AS rev_share
 FROM agg
 """
+
+
+_OT6 = "CAST(floor(o_totalprice * 1000000) AS BIGINT)"
+
+
+def rollup_region_nation_revenue_sql() -> str:
+    return f"""
+SELECT r.r_name, n.n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum({_OT6}) AS BIGINT) AS rev_fix
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+def orders_grouping_sets_sql() -> str:
+    return f"""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum({_OT6}) AS BIGINT) AS rev_fix
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+"""
+
+
+def behavior_trigrams_sql(k: int = 50) -> str:
+    return f"""
+WITH seq AS (
+    SELECT
+        lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+        lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        event_type AS e3
+    FROM events
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS trigram, CAST(count(*) AS BIGINT) AS n
+FROM seq
+WHERE e1 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, trigram ASC
+LIMIT {k}
+"""
