@@ -393,3 +393,28 @@ def test_curation_round6_plan_shapes(spark, sf_oracle):
         )
     )
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+
+def test_round6_batch45_plan_shapes(spark, sf_oracle):
+    """Z-score joins moments back via broadcast (no fact-table window);
+    the skew report never windows over keys (windows only over the
+    count-of-counts histogram); rollup/grouping-sets are single
+    grouping-set aggs with no sort-merge join; trigram mining heaps its
+    top-k."""
+    from via_spark.operators import relational, stats, timeseries
+
+    p = executed_plan(stats.value_zscore_by_type(spark, sf_oracle))
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p, "moments must come from an agg, not a window"
+
+    p = executed_plan(stats.join_key_skew_report(spark, sf_oracle))
+    assert "Join" not in p
+
+    p = executed_plan(relational.rollup_region_nation_revenue(spark, sf_oracle))
+    assert "Expand" in p and "SortMergeJoin" not in p
+
+    p = executed_plan(relational.orders_grouping_sets(spark, sf_oracle))
+    assert "Expand" in p and "Join" not in p
+
+    p = executed_plan(timeseries.behavior_trigrams(spark, sf_oracle))
+    assert "TakeOrderedAndProject" in p

@@ -478,3 +478,95 @@ def test_fixture_ranked_columns_non_null(spark, sf_oracle):
         F.col("value").isNull() | F.col("ts").isNull() | F.col("event_id").isNull()
     ).count()
     assert nulls == 0
+
+
+def test_correlation_matrix_matches_numpy(spark, sf_oracle):
+    """The one-pass fixed-point Pearson matrix agrees with numpy's
+    corrcoef on the same 1e-3-quantized values (the quantization is the
+    pinned semantic, so quantize the model too)."""
+    import math
+
+    import numpy as np
+
+    from via_spark.operators.stats import CORR_COLUMNS, CORR_SCALE, column_correlation_matrix
+    from via_spark.session import load_table
+
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in column_correlation_matrix(spark, sf_oracle).collect()
+    }
+    pdf = (
+        load_table(spark, sf_oracle, "lineitem")
+        .select(*CORR_COLUMNS)
+        .toPandas()
+    )
+    q = np.floor(pdf.to_numpy(dtype=np.float64) * CORR_SCALE)
+    ref = np.corrcoef(q, rowvar=False)
+    for i, a in enumerate(CORR_COLUMNS):
+        for j, b in enumerate(CORR_COLUMNS):
+            if i < j:
+                assert math.isclose(got[(a, b)], ref[i, j], abs_tol=1e-9), (a, b)
+
+
+def test_zscore_moments_match_model(spark, sf_oracle):
+    """Group z-scores: mean of z ≈ 0 and var of z ≈ 1 per event_type
+    (sanity on the moment math), and a spot value matches the direct
+    formula on quantized values."""
+    import numpy as np
+
+    from via_spark.operators.stats import value_zscore_by_type
+    from via_spark.session import load_table
+
+    z = value_zscore_by_type(spark, sf_oracle).toPandas()
+    for et, grp in z.groupby("event_type"):
+        assert abs(grp["zscore"].mean()) < 1e-3, et
+        assert abs(grp["zscore"].var(ddof=0) - 1.0) < 1e-3, et
+    ev = load_table(spark, sf_oracle, "events").select("event_id", "event_type", "value").toPandas()
+    et0 = ev["event_type"].iloc[0]
+    vals = np.floor(ev.loc[ev.event_type == et0, "value"].to_numpy() * 1e6)
+    mu, sd = vals.mean(), vals.std(ddof=0)
+    eid = ev.loc[ev.event_type == et0, "event_id"].iloc[0]
+    v = vals[0]
+    expect = (v - mu) / sd
+    got = float(z.loc[z.event_id == eid, "zscore"].iloc[0])
+    assert abs(got - expect) < 1e-4
+
+
+def test_mixture_interleave_is_proportional(spark, sf_oracle):
+    """In the interleave order, every prefix of the corpus contains
+    each source roughly in proportion to its share (within one doc per
+    source per prefix — the defining property of the (2r−1)/(2n)
+    schedule)."""
+    from via_spark.operators.rank import mixture_interleave_positions
+    from pyspark.sql import functions as F
+
+    rows = (
+        mixture_interleave_positions(spark, sf_oracle)
+        .orderBy("pos")
+        .select("source", "pos")
+        .collect()
+    )
+    total = len(rows)
+    n_src = {}
+    for r in rows:
+        n_src[r["source"]] = n_src.get(r["source"], 0) + 1
+    seen = {s: 0 for s in n_src}
+    for i, r in enumerate(rows, start=1):
+        seen[r["source"]] += 1
+        if i % 97 == 0:  # sample prefixes
+            for s, n in n_src.items():
+                expect = i * n / total
+                assert abs(seen[s] - expect) <= 1.0 + n / total, (i, s)
+
+
+def test_corpus_shuffle_changes_with_epoch(spark, sf_oracle):
+    """Different epochs give different permutations; the same epoch is
+    stable across invocations (reproducibility contract)."""
+    from via_spark.operators.rank import corpus_shuffle_positions
+
+    e0 = {r["doc_id"]: r["pos"] for r in corpus_shuffle_positions(spark, sf_oracle, epoch=0).collect()}
+    e0b = {r["doc_id"]: r["pos"] for r in corpus_shuffle_positions(spark, sf_oracle, epoch=0).collect()}
+    e1 = {r["doc_id"]: r["pos"] for r in corpus_shuffle_positions(spark, sf_oracle, epoch=1).collect()}
+    assert e0 == e0b
+    assert e0 != e1
+    assert sorted(e0.values()) == list(range(1, len(e0) + 1))
