@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_region_nation_revenue": relational.rollup_region_nation_revenue,
         "orders_grouping_sets": relational.orders_grouping_sets,
         "behavior_trigrams": timeseries.behavior_trigrams,
+        "timed_conversion_funnel": timeseries.timed_conversion_funnel,
         # --- head fill: highest-risk re-checks (most intricate oracles) ---
         "recommend_average_vector": vector.recommend_average_vector,
         "hybrid_rrf": search.hybrid_rrf,
@@ -185,10 +186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promotion_rollup": promote.promotion_rollup_flat,
         "knn_cosine_topk": vector.knn_cosine_topk,
         "grouped_knn_top1": vector.grouped_knn_top1,
-        "knn_batch_topk": vector.knn_batch_topk,
-        "simhash_documents": vector.simhash_documents,
         # --- end head (50) --- tail: driver-green in earlier rounds,
         # re-proven every round by tests/test_oracle_parity.py ---
+        "knn_batch_topk": vector.knn_batch_topk,
+        "simhash_documents": vector.simhash_documents,
         "bm25_topk": search.bm25_topk,
         "forensic_clusters_text": forensic.cluster_search,
         "forensic_clusters_zero_vector": forensic.cluster_search_zero_vector,
@@ -412,4 +413,5 @@ def oracle_sql() -> dict[str, str]:
         "rollup_region_nation_revenue": oracles.rollup_region_nation_revenue_sql(),
         "orders_grouping_sets": oracles.orders_grouping_sets_sql(),
         "behavior_trigrams": oracles.behavior_trigrams_sql(),
+        "timed_conversion_funnel": oracles.timed_conversion_funnel_sql(),
     }

@@ -460,3 +460,52 @@ def behavior_trigrams(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFram
         .orderBy(F.col("n").desc(), F.col("trigram").asc())
         .limit(k)
     )
+
+
+def timed_conversion_funnel(
+    spark: SparkSession, sf_dir: str, max_gap_sec: int = 3600
+) -> DataFrame:
+    """Time-bounded funnel: view → click → purchase where each later
+    stage must land within ``max_gap_sec`` of the user's prior stage
+    time (first-touch semantics, strict > then ≤ gap) — the attribution
+    window every product funnel actually uses; the unbounded variant is
+    :func:`conversion_funnel`.
+
+    Scale posture: identical to conversion_funnel — per-stage filter →
+    min-agg → equi-join on user_id; the gap test is one range predicate
+    on the joined pair, and funnel depth bounds the join count.
+    """
+    gap_ns = int(max_gap_sec) * 1_000_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").alias("ns")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ns").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ns") > F.col("t1")) & (F.col("ns") <= F.col("t1") + gap_ns))
+        .groupBy("user_id")
+        .agg(F.min("ns").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("ns") > F.col("t2")) & (F.col("ns") <= F.col("t2") + gap_ns))
+        .groupBy("user_id")
+        .agg(F.min("ns").alias("t3"))
+    )
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "users"
+        )
+
+    return (
+        stage(v, 1, "view")
+        .unionByName(stage(c, 2, "view>click"))
+        .unionByName(stage(p, 3, "view>click>purchase"))
+    )

@@ -3127,3 +3127,32 @@ GROUP BY 1
 ORDER BY n DESC, trigram ASC
 LIMIT {k}
 """
+
+
+def timed_conversion_funnel_sql(max_gap_sec: int = 3600) -> str:
+    """Mirrors operators.timeseries.timed_conversion_funnel (first
+    touch + attribution window)."""
+    return f"""
+WITH v AS (
+    SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t1
+      AND e.ts <= v.t1 + INTERVAL {max_gap_sec} SECOND
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      AND e.ts <= c.t2 + INTERVAL {max_gap_sec} SECOND
+    GROUP BY e.user_id
+)
+SELECT CAST(1 AS INT) AS stage_idx, 'view' AS stage, CAST(count(*) AS BIGINT) AS users FROM v
+UNION ALL
+SELECT 2, 'view>click', count(*) FROM c
+UNION ALL
+SELECT 3, 'view>click>purchase', count(*) FROM p
+"""
