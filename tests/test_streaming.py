@@ -421,3 +421,40 @@ def test_neardup_gate_flags_stream_duplicates(spark, tmp_path):
     # store only carries admitted signatures
     sig_ids = {r["doc_id"] for r in spark.read.parquet(f"{store}/bands").collect()}
     assert sig_ids == {1, 2, 11, 13}
+
+
+def test_neardup_gate_replay_is_idempotent(spark, tmp_path):
+    """Replaying a batch (same batch_id, same rows — the restart between
+    sink write and checkpoint commit) must leave the store EXACTLY as
+    the first run did: the batch's own signatures must not act as
+    corpus on the replay (the self-match bug), and partition overwrite
+    must not duplicate rows."""
+    store = str(tmp_path / "gate_replay_store")
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    b0 = spark.createDataFrame(
+        [(1, base), (2, "unrelated words about columnar storage and shuffles")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(10, base.replace("today", "tomorrow")),
+         (11, "another genuinely novel document mentioning watermarks and state")],
+        "doc_id long, text string",
+    )
+
+    def snapshot():
+        out = {}
+        for sub in ("admitted", "flagged", "bands", "shingles"):
+            rows = spark.read.parquet(f"{store}/{sub}").collect()
+            out[sub] = sorted(tuple(str(v) for v in r) for r in rows)
+        return out
+
+    pipeline.neardup_gate_process_batch(spark, b0, 0, store)
+    pipeline.neardup_gate_process_batch(spark, b1, 1, store)
+    first = snapshot()
+    flagged = {r["doc_id"] for r in spark.read.parquet(f"{store}/flagged").collect()}
+    assert flagged == {10}
+
+    # replay batch 1 (crash-after-write, retry): store must be unchanged
+    pipeline.neardup_gate_process_batch(spark, b1, 1, store)
+    assert snapshot() == first

@@ -362,9 +362,11 @@ def start_neardup_gate(
       flagged/   (doc_id, matched_doc, jaccard)
 
     Exactly-once: each batch writes ``batch_id=<n>`` partition dirs
-    with overwrite, so a replayed batch (restart between sink write and
-    checkpoint commit) rewrites the same partitions with the same
-    deterministic content instead of appending duplicates.
+    with overwrite, and the corpus read EXCLUDES the current batch_id's
+    own partition — so a replayed batch (restart between sink write and
+    checkpoint commit) sees exactly the pre-batch corpus again and
+    rewrites the same partitions with the same deterministic content
+    (tested: tests/test_streaming.py replay-idempotency).
 
     Intra-batch pairs resolve to the LOWER doc_id (the batch's arrival
     order surrogate): the higher id is flagged against the lower, and
@@ -375,6 +377,42 @@ def start_neardup_gate(
     Spark broadcast-joins it against the stored band table; the
     hot-bucket cap applies on both sides; shingle arrays stay out of
     the LSH shuffle (joined back on candidates only).
+    """
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        neardup_gate_process_batch(
+            spark, batch_df, batch_id, store_dir, threshold, band_cap
+        )
+
+    writer = stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    writer = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime=ANALYSIS_TRIGGER)
+    )
+    return writer.start()
+
+
+def neardup_gate_process_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    threshold: float | None = None,
+    band_cap: int | None = None,
+) -> None:
+    """One deterministic gate step (the foreachBatch body of
+    :func:`start_neardup_gate`, module-level so replay idempotency is
+    directly testable): flag near-dups of the pre-batch corpus and of
+    lower-id batch peers, admit the rest, append admitted signatures
+    under ``batch_id=<n>`` partitions with overwrite.
+
+    The corpus read filters out the CURRENT batch_id partition: on a
+    replay, the batch's own previously-written signatures must not act
+    as corpus (every admitted doc would match itself and flip to
+    flagged — the classic replay self-match bug).
     """
     import os
 
@@ -390,75 +428,65 @@ def start_neardup_gate(
     thr = JACCARD_THRESHOLD if threshold is None else threshold
     cap = BAND_KEY_CAP if band_cap is None else band_cap
 
-    def _write(df: DataFrame, sub: str, batch_id: int) -> None:
-        df.write.mode("overwrite").parquet(
-            f"{store_dir}/{sub}/batch_id={batch_id}"
+    def _write(df: DataFrame, sub: str) -> None:
+        df.write.mode("overwrite").parquet(f"{store_dir}/{sub}/batch_id={batch_id}")
+
+    batch_df = batch_df.cache()
+    sh = shingle_frame(batch_df).cache()
+    bands = capped_bands(minhash_bands(sh), cap).cache()
+
+    # 1) batch vs stored corpus (excluding this batch's own partition)
+    cands = []
+    if os.path.isdir(f"{store_dir}/bands"):
+        not_self = F.col("batch_id") != batch_id
+        corpus_bands = (
+            spark.read.parquet(f"{store_dir}/bands")
+            .where(not_self)
+            .select(F.col("doc_id").alias("matched_doc"), "band", "band_key")
         )
-
-    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.cache()
-        sh = shingle_frame(batch_df).cache()
-        bands = capped_bands(minhash_bands(sh), cap).cache()
-
-        # 1) batch vs stored corpus
-        cands = []
-        if os.path.isdir(f"{store_dir}/bands"):
-            corpus_bands = spark.read.parquet(f"{store_dir}/bands").select(
-                F.col("doc_id").alias("matched_doc"), "band", "band_key"
-            )
-            corpus_sh = spark.read.parquet(f"{store_dir}/shingles").select(
-                F.col("doc_id").alias("matched_doc"), F.col("sh").alias("sh_b")
-            )
-            c = (
-                corpus_bands.join(bands, ["band", "band_key"])
-                .select("doc_id", "matched_doc")
-                .dropDuplicates(["doc_id", "matched_doc"])
-                .join(sh.select("doc_id", F.col("sh").alias("sh_a")), "doc_id")
-                .join(corpus_sh, "matched_doc")
-            )
-            cands.append(c)
-        # 2) intra-batch (lower id wins)
-        a = bands.select(F.col("doc_id").alias("matched_doc"), "band", "band_key")
-        intra = (
-            a.join(bands, ["band", "band_key"])
-            .where(F.col("matched_doc") < F.col("doc_id"))
+        corpus_sh = (
+            spark.read.parquet(f"{store_dir}/shingles")
+            .where(not_self)
+            .select(F.col("doc_id").alias("matched_doc"), F.col("sh").alias("sh_b"))
+        )
+        c = (
+            corpus_bands.join(bands, ["band", "band_key"])
             .select("doc_id", "matched_doc")
             .dropDuplicates(["doc_id", "matched_doc"])
             .join(sh.select("doc_id", F.col("sh").alias("sh_a")), "doc_id")
-            .join(
-                sh.select(
-                    F.col("doc_id").alias("matched_doc"), F.col("sh").alias("sh_b")
-                ),
-                "matched_doc",
-            )
+            .join(corpus_sh, "matched_doc")
         )
-        cands.append(intra)
-        flagged = None
-        for c in cands:
-            f_ = (
-                c.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-                .where(F.col("jaccard") >= thr)
-                .select("doc_id", "matched_doc", "jaccard")
-            )
-            flagged = f_ if flagged is None else flagged.unionByName(f_)
-        flagged = flagged.cache()
-        dup_ids = flagged.select("doc_id").distinct()
-        admitted = batch_df.join(dup_ids, "doc_id", "left_anti").cache()
-
-        _write(flagged, "flagged", batch_id)
-        _write(admitted.select("doc_id", "text"), "admitted", batch_id)
-        adm_ids = admitted.select("doc_id")
-        _write(bands.join(adm_ids, "doc_id"), "bands", batch_id)
-        _write(sh.join(adm_ids, "doc_id"), "shingles", batch_id)
-        for df in (admitted, flagged, bands, sh, batch_df):
-            df.unpersist()
-
-    writer = stream.writeStream.foreachBatch(on_batch).option(
-        "checkpointLocation", checkpoint
+        cands.append(c)
+    # 2) intra-batch (lower id wins)
+    a = bands.select(F.col("doc_id").alias("matched_doc"), "band", "band_key")
+    intra = (
+        a.join(bands, ["band", "band_key"])
+        .where(F.col("matched_doc") < F.col("doc_id"))
+        .select("doc_id", "matched_doc")
+        .dropDuplicates(["doc_id", "matched_doc"])
+        .join(sh.select("doc_id", F.col("sh").alias("sh_a")), "doc_id")
+        .join(
+            sh.select(F.col("doc_id").alias("matched_doc"), F.col("sh").alias("sh_b")),
+            "matched_doc",
+        )
     )
-    writer = (
-        writer.trigger(availableNow=True)
-        if available_now
-        else writer.trigger(processingTime=ANALYSIS_TRIGGER)
-    )
-    return writer.start()
+    cands.append(intra)
+    flagged = None
+    for c in cands:
+        f_ = (
+            c.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+            .where(F.col("jaccard") >= thr)
+            .select("doc_id", "matched_doc", "jaccard")
+        )
+        flagged = f_ if flagged is None else flagged.unionByName(f_)
+    flagged = flagged.cache()
+    dup_ids = flagged.select("doc_id").distinct()
+    admitted = batch_df.join(dup_ids, "doc_id", "left_anti").cache()
+
+    _write(flagged, "flagged")
+    _write(admitted.select("doc_id", "text"), "admitted")
+    adm_ids = admitted.select("doc_id")
+    _write(bands.join(adm_ids, "doc_id"), "bands")
+    _write(sh.join(adm_ids, "doc_id"), "shingles")
+    for df in (admitted, flagged, bands, sh, batch_df):
+        df.unpersist()
