@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_grouping_sets": relational.orders_grouping_sets,
         "behavior_trigrams": timeseries.behavior_trigrams,
         "timed_conversion_funnel": timeseries.timed_conversion_funnel,
+        "above_p95_events": stats.above_p95_events,
+        "daily_priority_percent_rank": stats.daily_priority_percent_rank,
         # --- head fill: highest-risk re-checks (most intricate oracles) ---
         "recommend_average_vector": vector.recommend_average_vector,
         "hybrid_rrf": search.hybrid_rrf,
@@ -184,10 +186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": graph.dedup_clusters,
         "dedup_keep_best": graph.dedup_keep_best,
         "promotion_rollup": promote.promotion_rollup_flat,
-        "knn_cosine_topk": vector.knn_cosine_topk,
-        "grouped_knn_top1": vector.grouped_knn_top1,
         # --- end head (50) --- tail: driver-green in earlier rounds,
         # re-proven every round by tests/test_oracle_parity.py ---
+        "knn_cosine_topk": vector.knn_cosine_topk,
+        "grouped_knn_top1": vector.grouped_knn_top1,
         "knn_batch_topk": vector.knn_batch_topk,
         "simhash_documents": vector.simhash_documents,
         "bm25_topk": search.bm25_topk,
@@ -414,4 +416,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_grouping_sets": oracles.orders_grouping_sets_sql(),
         "behavior_trigrams": oracles.behavior_trigrams_sql(),
         "timed_conversion_funnel": oracles.timed_conversion_funnel_sql(),
+        "above_p95_events": oracles.above_p95_events_sql(),
+        "daily_priority_percent_rank": oracles.daily_priority_percent_rank_sql(),
     }

@@ -286,3 +286,53 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def above_p95_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier mining: events whose value exceeds their event_type's
+    exact p95 — the per-group heavy-tail filter (exact, interpolated
+    percentile; both engines implement the same continuous-quantile
+    definition, proven by the value_percentiles parity row).
+
+    Scale posture: one percentile agg per type (Spark's sort-based
+    exact percentile within the agg), broadcast threshold join back,
+    filter in codegen — no window over the fact table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    thr = ev.groupBy("event_type").agg(F.percentile("value", 0.95).alias("p95"))
+    return (
+        ev.join(F.broadcast(thr), "event_type")
+        .where(F.col("value") > F.col("p95"))
+        .select("event_id", "event_type", "value", "p95")
+    )
+
+
+def daily_priority_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL window-function breadth: each priority's percent_rank and
+    cume_dist of revenue WITHIN its order day — both functions have
+    identical textbook definitions in Spark and DuckDB (unlike ntile's
+    remainder rule, which is why quality_deciles pins its own formula).
+
+    Scale posture: the windows run over the (day, priority) AGGREGATE
+    (≤ |days|·|priorities| rows), never the fact table; partitioning by
+    day keeps every partition tiny.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 1_000_000).cast("long")).alias(
+            "rev_fix"
+        )
+    )
+    w = Window.partitionBy("day").orderBy(F.col("rev_fix").asc())
+    return agg.select(
+        "day",
+        "priority",
+        "rev_fix",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

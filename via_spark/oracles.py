@@ -3156,3 +3156,36 @@ SELECT 2, 'view>click', count(*) FROM c
 UNION ALL
 SELECT 3, 'view>click>purchase', count(*) FROM p
 """
+
+
+def above_p95_events_sql() -> str:
+    """Per-type p95 outliers — mirrors stats.above_p95_events
+    (quantile_cont = Spark's exact interpolated percentile)."""
+    return """
+WITH thr AS (
+    SELECT event_type, quantile_cont(value, 0.95) AS p95
+    FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value, thr.p95
+FROM events e JOIN thr ON e.event_type = thr.event_type
+WHERE e.value > thr.p95
+"""
+
+
+def daily_priority_percent_rank_sql() -> str:
+    """percent_rank/cume_dist over the daily aggregate — mirrors
+    stats.daily_priority_percent_rank."""
+    return """
+WITH agg AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           o_orderpriority AS priority,
+           CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+             AS rev_fix
+    FROM orders
+    GROUP BY 1, 2
+)
+SELECT day, priority, rev_fix,
+       percent_rank() OVER (PARTITION BY day ORDER BY rev_fix ASC) AS pct_rank,
+       cume_dist() OVER (PARTITION BY day ORDER BY rev_fix ASC) AS cume
+FROM agg
+"""
