@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timed_conversion_funnel": timeseries.timed_conversion_funnel,
         "above_p95_events": stats.above_p95_events,
         "daily_priority_percent_rank": stats.daily_priority_percent_rank,
+        "event_type_share_drift_daily": timeseries.event_type_share_drift_daily,
+        "hourly_value_p95": timeseries.hourly_value_p95,
         # --- head fill: highest-risk re-checks (most intricate oracles) ---
         "recommend_average_vector": vector.recommend_average_vector,
         "hybrid_rrf": search.hybrid_rrf,
@@ -184,10 +186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "neardup_embedding_pairs": dedup.neardup_embedding_pairs,
         "dedup_clusters": graph.dedup_clusters,
-        "dedup_keep_best": graph.dedup_keep_best,
-        "promotion_rollup": promote.promotion_rollup_flat,
         # --- end head (50) --- tail: driver-green in earlier rounds,
         # re-proven every round by tests/test_oracle_parity.py ---
+        "dedup_keep_best": graph.dedup_keep_best,
+        "promotion_rollup": promote.promotion_rollup_flat,
         "knn_cosine_topk": vector.knn_cosine_topk,
         "grouped_knn_top1": vector.grouped_knn_top1,
         "knn_batch_topk": vector.knn_batch_topk,
@@ -418,4 +420,6 @@ def oracle_sql() -> dict[str, str]:
         "timed_conversion_funnel": oracles.timed_conversion_funnel_sql(),
         "above_p95_events": oracles.above_p95_events_sql(),
         "daily_priority_percent_rank": oracles.daily_priority_percent_rank_sql(),
+        "event_type_share_drift_daily": oracles.event_type_share_drift_daily_sql(),
+        "hourly_value_p95": oracles.hourly_value_p95_sql(),
     }

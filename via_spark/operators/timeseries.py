@@ -509,3 +509,56 @@ def timed_conversion_funnel(
         .unionByName(stage(c, 2, "view>click"))
         .unionByName(stage(p, 3, "view>click>purchase"))
     )
+
+
+def event_type_share_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day mix drift: each event type's share of daily volume
+    and its delta vs the previous day — the derivative the label_drift
+    report takes between two static snapshots, here as a continuous
+    daily series (the monitoring curve a pipeline alerts on).
+
+    Scale posture: one hash agg on (day, type); shares and LAG deltas
+    window over the tiny aggregate only. Shares are division-only
+    doubles; the delta is one subtraction of two such doubles.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.expr("ts div 1000000000 div 86400").cast("long").alias("day_num"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    day_tot = F.sum("n").over(
+        Window.partitionBy("day_num").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    shared = agg.withColumn(
+        "share", F.col("n").cast("double") / day_tot.cast("double")
+    )
+    wlag = Window.partitionBy("event_type").orderBy("day_num")
+    return shared.select(
+        "day_num",
+        "event_type",
+        "n",
+        "share",
+        (F.col("share") - F.lag("share", 1).over(wlag)).alias("share_delta"),
+    )
+
+
+def hourly_value_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed tail percentile: the exact interpolated p95 of
+    ``value`` per hour — the SLO-style latency band chart. Hours are
+    epoch-integer buckets (no timezone semantics to diverge on).
+
+    Scale posture: percentile is computed inside the per-hour agg
+    (sort within each group's partial state), so parallelism follows
+    the bucket count and no global sort exists.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.expr("ts div 1000000000 div 3600").cast("long").alias("hour_num")
+    ).agg(
+        F.percentile("value", 0.95).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )

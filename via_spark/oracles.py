@@ -3189,3 +3189,37 @@ SELECT day, priority, rev_fix,
        cume_dist() OVER (PARTITION BY day ORDER BY rev_fix ASC) AS cume
 FROM agg
 """
+
+
+def event_type_share_drift_daily_sql() -> str:
+    """Daily mix shares + day-over-day delta — mirrors
+    timeseries.event_type_share_drift_daily (epoch-day buckets)."""
+    return """
+WITH agg AS (
+    SELECT CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day_num,
+           event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+),
+shared AS (
+    SELECT day_num, event_type, n,
+           CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY day_num) AS DOUBLE)
+             AS share
+    FROM agg
+)
+SELECT day_num, event_type, n, share,
+       share - lag(share, 1) OVER (PARTITION BY event_type ORDER BY day_num)
+         AS share_delta
+FROM shared
+"""
+
+
+def hourly_value_p95_sql() -> str:
+    """Hourly exact p95 — mirrors timeseries.hourly_value_p95."""
+    return """
+SELECT CAST(epoch_us(ts) // 1000000 // 3600 AS BIGINT) AS hour_num,
+       quantile_cont(value, 0.95) AS p95,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1
+"""
