@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_priority_percent_rank": stats.daily_priority_percent_rank,
         "event_type_share_drift_daily": timeseries.event_type_share_drift_daily,
         "hourly_value_p95": timeseries.hourly_value_p95,
+        "embedding_drift_by_label": vector.embedding_drift_by_label,
+        "hard_negatives": vector.hard_negatives,
         # --- head fill: highest-risk re-checks (most intricate oracles) ---
         "recommend_average_vector": vector.recommend_average_vector,
         "hybrid_rrf": search.hybrid_rrf,
@@ -184,10 +186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
-        "neardup_embedding_pairs": dedup.neardup_embedding_pairs,
-        "dedup_clusters": graph.dedup_clusters,
         # --- end head (50) --- tail: driver-green in earlier rounds,
         # re-proven every round by tests/test_oracle_parity.py ---
+        "neardup_embedding_pairs": dedup.neardup_embedding_pairs,
+        "dedup_clusters": graph.dedup_clusters,
         "dedup_keep_best": graph.dedup_keep_best,
         "promotion_rollup": promote.promotion_rollup_flat,
         "knn_cosine_topk": vector.knn_cosine_topk,
@@ -422,4 +424,6 @@ def oracle_sql() -> dict[str, str]:
         "daily_priority_percent_rank": oracles.daily_priority_percent_rank_sql(),
         "event_type_share_drift_daily": oracles.event_type_share_drift_daily_sql(),
         "hourly_value_p95": oracles.hourly_value_p95_sql(),
+        "embedding_drift_by_label": oracles.embedding_drift_by_label_sql(),
+        "hard_negatives": oracles.hard_negatives_sql(),
     }

@@ -425,3 +425,102 @@ def centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+
+
+DRIFT_SPLIT_MOD = 2  # vec_id parity plays old/new corpus halves
+
+
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift report: per label, the cosine between the
+    label's centroid over the OLD corpus half and over the NEW half —
+    the check a pipeline runs after re-embedding or after a new ingest
+    wave ("did this label's representation move?"). The fixture has no
+    arrival dimension, so the halves are pinned by vec_id parity
+    (production splits by ingest date/model version).
+
+    Determinism: same machinery as centroid_similarity_matrix — exact
+    fixed-point per-half centroid sums, one pinned double division per
+    component, fixed-point pair dot/norms, deterministic cosine.
+
+    Scale posture: one posexplode agg per half keyed (label, dim); the
+    drift join runs on the tiny flat centroids.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def half_centroids(residue: int, tag: str):
+        ex = e.where(F.col("vec_id") % DRIFT_SPLIT_MOD == residue).select(
+            "label", F.posexplode("embedding").alias("dim", "x")
+        )
+        return (
+            ex.groupBy("label", "dim")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.floor(F.col("x").cast("double") * F.lit(FIX9)).cast("long")
+                ).alias("s_fix"),
+            )
+            .select(
+                "label",
+                "dim",
+                (
+                    F.col("s_fix").cast("double")
+                    / (F.col("n").cast("double") * F.lit(FIX9))
+                ).alias(f"c_{tag}"),
+            )
+        )
+
+    old = half_centroids(0, "old")
+    new = half_centroids(1, "new")
+    p9 = lambda x, y: F.floor(x * y * F.lit(FIX9)).cast("long")  # noqa: E731
+    j = old.join(new, ["label", "dim"])
+    return (
+        j.groupBy("label")
+        .agg(
+            F.sum(p9(F.col("c_old"), F.col("c_new"))).alias("dot_fix"),
+            F.sum(p9(F.col("c_old"), F.col("c_old"))).alias("na_fix"),
+            F.sum(p9(F.col("c_new"), F.col("c_new"))).alias("nb_fix"),
+        )
+        .select(
+            "label",
+            cosine_from_fix(
+                F.col("dot_fix"), F.col("na_fix"), F.col("nb_fix")
+            ).alias("drift_cos"),
+        )
+    )
+
+
+def hard_negatives(
+    spark: SparkSession, sf_dir: str, n_queries: int = 8, k: int = 3
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each of the
+    first ``n_queries`` vectors, the top-k most-similar vectors with a
+    DIFFERENT label — the highest-value negatives for a triplet/InfoNCE
+    batch (public standard practice in dense-retrieval training).
+
+    Scale posture: identical plan to knn_batch_topk (broadcast query
+    block, one corpus pass, per-query WindowGroupLimit) plus one
+    label-inequality predicate evaluated before the rank shuffle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("label") != F.col("query_label"))
+        .withColumn("d_fix", dot_fix(F.col("embedding"), F.col("q_emb")))
+        .withColumn("na_fix", dot_fix(F.col("embedding"), F.col("embedding")))
+        .withColumn("nb_fix", dot_fix(F.col("q_emb"), F.col("q_emb")))
+        .withColumn(
+            "score",
+            cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "query_label", "vec_id", "label", "rank", "score")
+    )

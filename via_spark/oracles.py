@@ -3223,3 +3223,71 @@ SELECT CAST(epoch_us(ts) // 1000000 // 3600 AS BIGINT) AS hour_num,
 FROM events
 GROUP BY 1
 """
+
+
+def embedding_drift_by_label_sql() -> str:
+    """Old-vs-new per-label centroid cosine — mirrors
+    vector.embedding_drift_by_label (vec_id-parity halves)."""
+    return """
+WITH ex AS (
+    SELECT vec_id, label, i - 1 AS dim,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000.0) AS BIGINT) AS x_fix
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+old AS (
+    SELECT label, dim,
+           CAST(sum(x_fix) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS c_old
+    FROM ex WHERE vec_id % 2 = 0 GROUP BY 1, 2
+),
+new AS (
+    SELECT label, dim,
+           CAST(sum(x_fix) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS c_new
+    FROM ex WHERE vec_id % 2 = 1 GROUP BY 1, 2
+),
+fix AS (
+    SELECT o.label,
+           CAST(sum(CAST(floor(o.c_old * n.c_new * 1000000000.0) AS BIGINT)) AS BIGINT) AS dot_fix,
+           CAST(sum(CAST(floor(o.c_old * o.c_old * 1000000000.0) AS BIGINT)) AS BIGINT) AS na_fix,
+           CAST(sum(CAST(floor(n.c_new * n.c_new * 1000000000.0) AS BIGINT)) AS BIGINT) AS nb_fix
+    FROM old o JOIN new n ON o.label = n.label AND o.dim = n.dim
+    GROUP BY 1
+)
+SELECT label,
+       CASE WHEN na_fix = 0 OR nb_fix = 0 THEN 0.0
+            ELSE CAST(dot_fix AS DOUBLE)
+                 / (sqrt(CAST(na_fix AS DOUBLE)) * sqrt(CAST(nb_fix AS DOUBLE)))
+       END AS drift_cos
+FROM fix
+"""
+
+
+def hard_negatives_sql(n_queries: int = 8, k: int = 3) -> str:
+    """Different-label top-k — mirrors vector.hard_negatives."""
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, label AS query_label, embedding AS qe
+    FROM embeddings WHERE vec_id < {n_queries}
+),
+scored AS (
+    SELECT q.query_id, q.query_label, e.vec_id, e.label,
+           {_DOT9_PAIR.format(a="e.embedding", b="q.qe")} AS d_fix,
+           {_DOT9_PAIR.format(a="e.embedding", b="e.embedding")} AS na_fix,
+           {_DOT9_PAIR.format(a="q.qe", b="q.qe")} AS nb_fix
+    FROM embeddings e CROSS JOIN q
+    WHERE e.label <> q.query_label
+),
+ranked AS (
+    SELECT query_id, query_label, vec_id, label,
+           CASE WHEN na_fix = 0 OR nb_fix = 0 THEN 0.0
+                ELSE CAST(d_fix AS DOUBLE)
+                     / (sqrt(CAST(na_fix AS DOUBLE)) * sqrt(CAST(nb_fix AS DOUBLE)))
+           END AS score
+    FROM scored
+)
+SELECT query_id, query_label, vec_id, label,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank,
+       score
+FROM ranked
+QUALIFY rank <= {k}
+"""
