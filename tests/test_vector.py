@@ -165,3 +165,60 @@ def test_centroid_similarity_matrix_shape_and_range(spark, sf_oracle):
         a, b = cen[r["label_a"]], cen[r["label_b"]]
         ref = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(ref - r["cos_sim"]) < 1e-5, (r["label_a"], r["label_b"], ref, r["cos_sim"])
+
+
+def test_hard_negatives_and_drift_semantics(spark, sf_oracle):
+    """Hard negatives never share the query's label and are the
+    genuinely most-similar cross-label vectors (each score upper-bounds
+    the next rank); drift cosines are near 1 on the fixture (random
+    halves of the same distribution barely move a centroid)."""
+    from via_spark.operators.vector import embedding_drift_by_label, hard_negatives
+
+    hn = hard_negatives(spark, sf_oracle).collect()
+    assert len(hn) > 0
+    by_q = {}
+    for r in hn:
+        assert r["label"] != r["query_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+    # Fixture embeddings carry no label structure (random vectors), so
+    # half-centroids are small noise residuals: only the range is
+    # meaningful here. Discrimination is proven on planted structure
+    # below.
+    drift = embedding_drift_by_label(spark, sf_oracle).collect()
+    assert len(drift) == 10
+    assert all(-1.0 - 1e-9 <= r["drift_cos"] <= 1.0 + 1e-9 for r in drift)
+
+
+def test_embedding_drift_detects_planted_shift(spark, tmp_path):
+    """Planted structure: label 0's two halves share one direction
+    (drift ≈ 1); label 1's halves point opposite ways (drift ≈ −1)."""
+    from via_spark.operators.vector import embedding_drift_by_label
+
+    def vec(direction, eps, i):
+        base = [0.0] * 8
+        base[direction] = 1.0
+        base[(direction + 1) % 8] = eps * ((i % 3) - 1)
+        return base
+
+    rows = []
+    for i in range(40):
+        rows.append((i * 2, vec(0, 0.05, i), 0))        # label 0, even half
+        rows.append((i * 2 + 1, vec(0, 0.05, i + 1), 0))  # label 0, odd half
+        rows.append((1000 + i * 2, vec(2, 0.05, i), 1))   # label 1, even: +e2
+        neg = [-x for x in vec(2, 0.05, i + 1)]
+        rows.append((1001 + i * 2, neg, 1))               # label 1, odd: −e2
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r["label"]: r["drift_cos"]
+        for r in embedding_drift_by_label(spark, str(tmp_path)).collect()
+    }
+    assert out[0] > 0.95
+    assert out[1] < -0.95
