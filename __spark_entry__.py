@@ -176,6 +176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_value_p95": timeseries.hourly_value_p95,
         "embedding_drift_by_label": vector.embedding_drift_by_label,
         "hard_negatives": vector.hard_negatives,
+        "leakage_safe_split": curation.leakage_safe_split,
+        "length_bucketed_batches": rank.length_bucketed_batches,
+        "curriculum_positions": rank.curriculum_positions,
         # --- head fill: highest-risk re-checks (most intricate oracles) ---
         "recommend_average_vector": vector.recommend_average_vector,
         "hybrid_rrf": search.hybrid_rrf,
@@ -183,11 +186,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": dedup.ann_ivf_topk,
         "ann_quantized_topk": vector.ann_quantized_topk,
         "dedup_exact": dedup.dedup_exact,
+        # --- end head (50) --- tail: driver-green in earlier rounds,
+        # re-proven every round by tests/test_oracle_parity.py ---
         "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
-        # --- end head (50) --- tail: driver-green in earlier rounds,
-        # re-proven every round by tests/test_oracle_parity.py ---
         "neardup_embedding_pairs": dedup.neardup_embedding_pairs,
         "dedup_clusters": graph.dedup_clusters,
         "dedup_keep_best": graph.dedup_keep_best,
@@ -426,4 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_value_p95": oracles.hourly_value_p95_sql(),
         "embedding_drift_by_label": oracles.embedding_drift_by_label_sql(),
         "hard_negatives": oracles.hard_negatives_sql(),
+        "leakage_safe_split": oracles.leakage_safe_split_sql(),
+        "length_bucketed_batches": oracles.length_bucketed_batches_sql(),
+        "curriculum_positions": oracles.curriculum_positions_sql(),
     }

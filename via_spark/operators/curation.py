@@ -322,3 +322,30 @@ def per_source_cap_sample(
         .where(F.col("rk") <= cap)
         .select("doc_id", "source", F.col("rk").cast("long").alias("sample_rank"))
     )
+
+
+def leakage_safe_split(
+    spark: SparkSession, sf_dir: str, test_rate: float = 0.2
+) -> DataFrame:
+    """Near-dup-aware train/test split: the split decision hashes the
+    doc's dedup CLUSTER representative, so every member of a near-dup
+    cluster lands on the SAME side — the guard against test-set
+    leakage through near-duplicates that a plain per-doc hash split
+    cannot give (the public Lee et al. "Deduplicating Training Data"
+    motivation).
+
+    Scale posture: one equi-join of docs against the persisted cluster
+    label table (store.cluster_labels in production); the split is the
+    usual deterministic sha256 cutoff on the representative id.
+    """
+    from via_spark.operators.graph import dedup_clusters
+
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_rep")
+    h = F.substring(F.sha2(F.col("cluster_rep").cast("string"), 256), 1, 16)
+    return clusters.select(
+        "doc_id",
+        "cluster_rep",
+        F.when(h < F.lit(hex_cutoff(test_rate)), F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -257,3 +257,63 @@ def mixture_interleave_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("frac").asc(), F.col("source").asc(), F.col("doc_id").asc()],
         "pos",
     ).select("doc_id", "source", "src_rank", "pos")
+
+
+def length_bucketed_batches(
+    spark: SparkSession, sf_dir: str, bucket_tokens: int = 16, batch_size: int = 8
+) -> DataFrame:
+    """Length-bucketed batching: docs grouped into token-length buckets
+    (floor(n_tokens / bucket_tokens)), then deterministically batched
+    within each bucket — the standard padding-efficiency trick for
+    sequence-model training (similar lengths share a batch, so pad
+    waste is bounded by the bucket width).
+
+    Order within a bucket is the sha256 shuffle key (reproducibly
+    random), so batches are i.i.d. within their length class.
+
+    Scale posture: one projection for the bucket id, one window
+    partitioned by bucket (buckets are the parallel unit; a
+    pathological single-bucket corpus should route through
+    global_row_number instead), pure integer batch arithmetic.
+    """
+    from via_spark.operators.textstats import token_count_documents
+
+    toks = token_count_documents(spark, sf_dir).select("doc_id", "n_ws_tokens")
+    key = F.sha2(F.concat(F.lit("lb:"), F.col("doc_id").cast("string")), 256)
+    b = toks.withColumn(
+        "bucket", F.expr(f"n_ws_tokens div {int(bucket_tokens)}").cast("long")
+    )
+    w = Window.partitionBy("bucket").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        b.withColumn("rn", F.row_number().over(w).cast("long"))
+        .select(
+            "doc_id",
+            "n_ws_tokens",
+            "bucket",
+            F.expr(f"(rn - 1) div {int(batch_size)}").alias("batch_in_bucket"),
+        )
+    )
+
+
+def curriculum_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: a global reading order that presents
+    higher-quality documents first (decile 1 → 10) while shuffling
+    reproducibly WITHIN each decile — quality-first curriculum with no
+    ordering bias inside a quality class.
+
+    Scale posture: composes two already-scale-safe pieces — the exact
+    decile assignment (range-partitioned global rank) and a second
+    global_row_number over (decile, sha256 key); no new shuffle shapes.
+    """
+    from via_spark.operators.curation import quality_deciles
+
+    d = quality_deciles(spark, sf_dir).select("doc_id", "decile")
+    keyed = d.withColumn(
+        "cur_key",
+        F.sha2(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")), 256),
+    )
+    return global_row_number(
+        keyed,
+        [F.col("decile").asc(), F.col("cur_key").asc(), F.col("doc_id").asc()],
+        "pos",
+    ).select("doc_id", "decile", "pos")

@@ -3291,3 +3291,61 @@ SELECT query_id, query_label, vec_id, label,
 FROM ranked
 QUALIFY rank <= {k}
 """
+
+
+def leakage_safe_split_sql(test_rate: float = 0.2) -> str:
+    """Cluster-representative hash split — mirrors
+    curation.leakage_safe_split over the dedup_clusters closure."""
+    from via_spark.operators.curation import hex_cutoff
+
+    return f"""
+WITH clu AS (
+{dedup_clusters_sql()}
+)
+SELECT doc_id, cluster_rep,
+       CASE WHEN substr(sha256(CAST(cluster_rep AS VARCHAR)), 1, 16)
+                 < '{hex_cutoff(test_rate)}'
+            THEN 'test' ELSE 'train' END AS split
+FROM clu
+"""
+
+
+def length_bucketed_batches_sql(bucket_tokens: int = 16, batch_size: int = 8) -> str:
+    """Length buckets + deterministic intra-bucket batches — mirrors
+    rank.length_bucketed_batches (same tokenizer, same sha256 order)."""
+    return rf"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+),
+b AS (
+    SELECT doc_id, n_ws_tokens,
+           CAST(n_ws_tokens // {int(bucket_tokens)} AS BIGINT) AS bucket
+    FROM toks
+)
+SELECT doc_id, n_ws_tokens, bucket,
+       CAST((row_number() OVER (
+                 PARTITION BY bucket
+                 ORDER BY sha256('lb:' || CAST(doc_id AS VARCHAR)) ASC,
+                          doc_id ASC) - 1) // {int(batch_size)} AS BIGINT)
+         AS batch_in_bucket
+FROM b
+"""
+
+
+def curriculum_positions_sql() -> str:
+    """Quality-first curriculum order — mirrors
+    rank.curriculum_positions over the decile assignment."""
+    return f"""
+WITH dec AS (
+{quality_deciles_sql()}
+)
+SELECT doc_id, decile,
+       CAST(row_number() OVER (
+           ORDER BY decile ASC,
+                    sha256('cur:' || CAST(doc_id AS VARCHAR)) ASC,
+                    doc_id ASC) AS BIGINT) AS pos
+FROM dec
+"""
