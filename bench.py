@@ -153,8 +153,12 @@ def main() -> None:
         full["errors"] = errors
     if reps > 1:
         full["samples"] = samples
+    # reps>1 runs get their own artifact so a later reps=1 run (the
+    # driver's default) cannot clobber the median-of-N per-query detail
+    # (round 6 lost the full median-of-3 breakdown exactly this way).
+    full_name = "BENCH_FULL.json" if reps == 1 else f"BENCH_FULL_MEDIAN{reps}.json"
     try:
-        (_REPO / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
+        (_REPO / full_name).write_text(json.dumps(full, indent=1))
     except OSError:
         pass
 
@@ -184,7 +188,7 @@ def main() -> None:
         "n_errors": len(errors),
         "reps": reps,
         "store_build_sec": store_build,
-        "full": "BENCH_FULL.json",
+        "full": full_name,
     }
     budget = 1800
     for name in ordered:

@@ -290,20 +290,28 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def above_p95_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier mining: events whose value exceeds their event_type's
-    exact p95 — the per-group heavy-tail filter (exact, interpolated
-    percentile; both engines implement the same continuous-quantile
-    definition, proven by the value_percentiles parity row).
+    exact p95 — the per-group heavy-tail filter.
+
+    The percentile runs over FIXED-POINT values (floor(value·1e6) as
+    bigint, the repo's pinned convention) and the threshold is floored
+    back to a bigint before the comparison — row membership must not
+    hinge on Spark and the oracle producing bit-identical interpolated
+    doubles.  Flooring is semantics-preserving for the filter: for an
+    integer v and real x, v > x ⟺ v > floor(x).
 
     Scale posture: one percentile agg per type (Spark's sort-based
     exact percentile within the agg), broadcast threshold join back,
     filter in codegen — no window over the fact table.
     """
     ev = load_table(spark, sf_dir, "events")
-    thr = ev.groupBy("event_type").agg(F.percentile("value", 0.95).alias("p95"))
+    vfix = F.floor(F.col("value") * 1_000_000).cast("long")
+    thr = ev.groupBy("event_type").agg(
+        F.floor(F.percentile(vfix, 0.95)).cast("long").alias("p95_fix")
+    )
     return (
         ev.join(F.broadcast(thr), "event_type")
-        .where(F.col("value") > F.col("p95"))
-        .select("event_id", "event_type", "value", "p95")
+        .where(vfix > F.col("p95_fix"))
+        .select("event_id", "event_type", "value", "p95_fix")
     )
 
 

@@ -440,7 +440,12 @@ def behavior_trigrams(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFram
     """
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL event_type is excluded BEFORE the window on both engines:
+    # concat_ws skips NULLs while the oracle's || propagates them, so
+    # parity must not depend on the fixture never containing one.
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
@@ -556,9 +561,12 @@ def hourly_value_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket count and no global sort exists.
     """
     ev = load_table(spark, sf_dir, "events")
+    vfix = F.floor(F.col("value") * 1_000_000).cast("long")
     return ev.groupBy(
         F.expr("ts div 1000000000 div 3600").cast("long").alias("hour_num")
     ).agg(
-        F.percentile("value", 0.95).alias("p95"),
+        # fixed-point in, floored fixed-point out — the emitted band is
+        # engine-stable (no raw interpolated double in the contract)
+        F.floor(F.percentile(vfix, 0.95)).cast("long").alias("p95_fix"),
         F.count(F.lit(1)).alias("n"),
     )

@@ -3112,6 +3112,8 @@ GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
 
 
 def behavior_trigrams_sql(k: int = 50) -> str:
+    """NULL event_type rows are excluded before the lags (matches the
+    Spark side — concat_ws vs || NULL semantics otherwise diverge)."""
     return f"""
 WITH seq AS (
     SELECT
@@ -3119,6 +3121,7 @@ WITH seq AS (
         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
         event_type AS e3
     FROM events
+    WHERE event_type IS NOT NULL
 )
 SELECT e1 || '>' || e2 || '>' || e3 AS trigram, CAST(count(*) AS BIGINT) AS n
 FROM seq
@@ -3160,15 +3163,22 @@ SELECT 3, 'view>click>purchase', count(*) FROM p
 
 def above_p95_events_sql() -> str:
     """Per-type p95 outliers — mirrors stats.above_p95_events
-    (quantile_cont = Spark's exact interpolated percentile)."""
+    (fixed-point values in, floored fixed-point threshold; the filter
+    compares bigints so membership never rides on a double ulp)."""
     return """
-WITH thr AS (
-    SELECT event_type, quantile_cont(value, 0.95) AS p95
-    FROM events GROUP BY 1
+WITH q AS (
+    SELECT event_id, event_type, value,
+           CAST(floor(value * 1000000) AS BIGINT) AS vfix
+    FROM events
+),
+thr AS (
+    SELECT event_type,
+           CAST(floor(quantile_cont(vfix, 0.95)) AS BIGINT) AS p95_fix
+    FROM q GROUP BY 1
 )
-SELECT e.event_id, e.event_type, e.value, thr.p95
-FROM events e JOIN thr ON e.event_type = thr.event_type
-WHERE e.value > thr.p95
+SELECT q.event_id, q.event_type, q.value, thr.p95_fix
+FROM q JOIN thr ON q.event_type = thr.event_type
+WHERE q.vfix > thr.p95_fix
 """
 
 
@@ -3215,10 +3225,12 @@ FROM shared
 
 
 def hourly_value_p95_sql() -> str:
-    """Hourly exact p95 — mirrors timeseries.hourly_value_p95."""
+    """Hourly exact p95 — mirrors timeseries.hourly_value_p95
+    (fixed-point in, floored fixed-point band out)."""
     return """
 SELECT CAST(epoch_us(ts) // 1000000 // 3600 AS BIGINT) AS hour_num,
-       quantile_cont(value, 0.95) AS p95,
+       CAST(floor(quantile_cont(CAST(floor(value * 1000000) AS BIGINT), 0.95))
+            AS BIGINT) AS p95_fix,
        CAST(count(*) AS BIGINT) AS n
 FROM events
 GROUP BY 1

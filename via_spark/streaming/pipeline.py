@@ -45,6 +45,28 @@ ANALYSIS_TRIGGER = "60 seconds"  # T2
 WATERMARK = "120 seconds"        # T4 (improvement over reference)
 
 
+def _store_exists(spark: SparkSession, path: str) -> bool:
+    """Does a parquet store exist yet at ``path`` — on ANY Hadoop
+    filesystem (local, HDFS, S3A), not just the local one?
+
+    foreachBatch bodies use this to absorb exactly the
+    store-not-yet-written case; ``os.path`` would answer false forever
+    on a remote ``store_dir`` and silently skip corpus joins. Resolves
+    through the Hadoop FileSystem of the path's own scheme, so
+    ``file:``, ``hdfs:``, and ``s3a:`` stores all answer correctly.
+    """
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+    except Exception:
+        # No JVM gateway (mocked session) — fall back to local check.
+        import os
+
+        return os.path.isdir(path)
+
+
 def read_otel_stream(spark: SparkSession, input_dir: str,
                      max_files_per_trigger: int | None = None) -> DataFrame:
     """S1 streaming flavor: OTel-JSONL files → flattened tier1 columns.
@@ -142,22 +164,20 @@ def start_detection(
     """
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         if tee_path is not None:  # T8 dual-sink tee
             batch_df.write.mode("append").parquet(tee_path)
         # ONLY the not-yet-written case is absorbed; a transient read
         # failure must propagate (fail the batch, retried by the
         # engine) — absorbing it would silently run detection without
         # the store, or worse, without the suppression rules
-        if not os.path.isdir(tier1_path):
+        if not _store_exists(spark, tier1_path):
             return  # ingest has not committed any files yet
         tier1 = spark.read.parquet(tier1_path)
         if not tier1.take(1):
             return
         now = tier1.agg(F.max("ts")).collect()[0][0]
         rules = None
-        if rules_path is not None and os.path.isdir(rules_path):
+        if rules_path is not None and _store_exists(spark, rules_path):
             from via_spark.operators import control
 
             rules = control.active_rules(spark.read.parquet(rules_path), now)
@@ -275,13 +295,11 @@ def start_rollup_maintenance(
     """
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         touched = [
             r["event_date"]
             for r in batch_df.select("event_date").distinct().collect()
         ]
-        if not touched or not os.path.isdir(tier1_path):
+        if not touched or not _store_exists(spark, tier1_path):
             return
         tier1 = spark.read.parquet(tier1_path)
         recomputed = (
@@ -414,8 +432,6 @@ def neardup_gate_process_batch(
     as corpus (every admitted doc would match itself and flip to
     flagged — the classic replay self-match bug).
     """
-    import os
-
     from via_spark.operators.dedup import (
         BAND_KEY_CAP,
         JACCARD_THRESHOLD,
@@ -437,7 +453,7 @@ def neardup_gate_process_batch(
 
     # 1) batch vs stored corpus (excluding this batch's own partition)
     cands = []
-    if os.path.isdir(f"{store_dir}/bands"):
+    if _store_exists(spark, f"{store_dir}/bands"):
         not_self = F.col("batch_id") != batch_id
         corpus_bands = (
             spark.read.parquet(f"{store_dir}/bands")
