@@ -118,14 +118,19 @@ _FREQ_VARIANT = dict(std_dev_factor=0.5, frequency_min_count=2)
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    ORDERING POLICY (stable, one line): head = queries never yet
-    driver-verified (oldest first) + queries new this round; remaining
-    head slots = re-checks of the queries with the most intricate
-    oracles (vector / dedup / forensic family); everything else rotates
-    to the tail, re-proven every round by tests/test_oracle_parity.py.
-    The driver records CORRECTNESS rows for only the FIRST 50 entries;
-    tests/test_properties.py::test_rotation_head_policy enforces this
-    policy against the committed CORRECTNESS_r*.json files.
+    ORDERING POLICY (change-aware since r7): head = the queries that
+    need a driver row, stalest first — never driver-verified, then any
+    query whose implementing modules (callable's module + its static
+    via_spark import closure) changed since the commit that recorded
+    its newest green CORRECTNESS row. Computed by
+    ``via_spark.rotation.recommended_head`` (git-derived, uncommitted
+    edits count); when more than 50 qualify, the overflow keeps its
+    staleness priority for the next round, so the backlog drains and a
+    changed query can never keep stale green credit indefinitely. The
+    driver records CORRECTNESS rows for only the FIRST 50 entries;
+    tests/test_properties.py::test_rotation_head_policy enforces the
+    ordering against the committed CORRECTNESS_r*.json files + git.
+    The tail is re-proven every round by tests/test_oracle_parity.py.
 
     Contract note: entries are lazy plan builders, with one documented
     exception — ``ann_lsh_topk`` runs a memoized point-lookup job at
@@ -133,7 +138,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (see its docstring).
     """
     return {
-        # --- head: never driver-verified (landed after the r5 head froze) ---
+        # --- head (first 50): change-aware rotation — stalest
+        # never-verified/changed-since-green queries first, as
+        # computed by via_spark.rotation.recommended_head and
+        # enforced by tests/test_properties.py ---
+        "active_rules_projection": control.active_rules_projection,
+        "benchmark_contamination": curation.benchmark_contamination,
+        "bgl_roundtrip": schema_infer.bgl_roundtrip,
+        "bm25_topk": search.bm25_topk,
+        "curation_funnel": curation.curation_funnel,
+        "dedup_clusters": graph.dedup_clusters,
+        "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+        "doc_fingerprint": textstats.doc_fingerprint,
+        "doc_quality_scores": textstats.doc_quality_scores,
+        "forensic_clusters_text": forensic.cluster_search,
+        "forensic_clusters_zero_vector": forensic.cluster_search_zero_vector,
+        "forensic_triage": forensic.triage,
+        "fulltext_match_documents": relational.fulltext_match_documents,
+        "fuzzy_name_pairs": curation.fuzzy_name_pairs,
+        "grouped_knn_top1": vector.grouped_knn_top1,
+        "json_payload_shaping": relational.json_payload_shaping,
+        "keyword_filter_customers": relational.keyword_filter_customers,
+        "knn_cosine_topk": vector.knn_cosine_topk,
+        "lang_id_documents": textstats.lang_id_documents,
+        "live_tail_documents": relational.live_tail_documents,
+        "malformed_filter_events": relational.malformed_filter_events,
+        "multimodal_features": multimodal.multimodal_features,
+        "neardup_embedding_pairs": dedup.neardup_embedding_pairs,
+        "normalize_documents": textstats.normalize_documents,
+        "otel_roundtrip": schema_infer.otel_roundtrip,
+        "pii_scrub_documents": curation.pii_scrub_documents,
+        "promotion_rollup": promote.promotion_rollup_flat,
+        "quality_deciles": curation.quality_deciles,
+        "repetition_scores": textstats.repetition_scores,
+        "rhythm_anomalies": _rhythm_anomalies,
+        "rhythm_baseline_stats": _rhythm_baseline_stats,
+        "rhythm_frequency_sensitive": _rhythm_frequency,
+        "rhythm_novelty_small_baseline": _rhythm_novelty,
+        "rhythm_recent_counts": _rhythm_recent_counts,
+        "severity_histogram": relational.severity_histogram,
+        "simhash_documents": vector.simhash_documents,
+        "stratified_sample": curation.stratified_sample,
+        "suppressed_anomalies": control.suppressed_anomalies,
+        "tier1_view": _tier1_view,
+        "time_range_orders": relational.time_range_orders,
+        "token_count_documents": textstats.token_count_documents,
+        "video_frame_sample": multimodal.video_frame_sample,
+        "bigram_top_terms": textstats.bigram_top_terms,
+        "brand_supplier_counts": relational.brand_supplier_counts,
+        "char_trigram_profile": textstats.char_trigram_profile,
+        "cohort_retention": timeseries.cohort_retention,
+        "conversion_funnel": timeseries.conversion_funnel,
+        "cube_order_counts": timeseries.cube_order_counts,
+        # --- end head (position 50 boundary) --- tail: driver-green
+        # with implementing modules unchanged since, or queued for a
+        # later rotation window; all re-proven every round by
+        # tests/test_oracle_parity.py ---
         "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
         "retrieval_label_precision": vector.retrieval_label_precision,
         "revenue_concentration": relational.revenue_concentration,
@@ -146,7 +208,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": relational.volume_shipping,
         "returned_item_report": relational.returned_item_report,
         "nation_market_share": relational.nation_market_share,
-        # --- head: new in round 6 ---
         "forensic_clusters_windowed": forensic.clusters_windowed,
         "dup_ngram_stats": textstats.dup_ngram_stats,
         "incremental_minhash_pairs": dedup.incremental_minhash_pairs,
@@ -179,49 +240,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": curation.leakage_safe_split,
         "length_bucketed_batches": rank.length_bucketed_batches,
         "curriculum_positions": rank.curriculum_positions,
-        # --- head fill: highest-risk re-checks (most intricate oracles) ---
         "recommend_average_vector": vector.recommend_average_vector,
         "hybrid_rrf": search.hybrid_rrf,
         "ann_lsh_topk": dedup.ann_lsh_topk,
         "ann_ivf_topk": dedup.ann_ivf_topk,
         "ann_quantized_topk": vector.ann_quantized_topk,
         "dedup_exact": dedup.dedup_exact,
-        # --- end head (50) --- tail: driver-green in earlier rounds,
-        # re-proven every round by tests/test_oracle_parity.py ---
-        "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
-        "neardup_embedding_pairs": dedup.neardup_embedding_pairs,
-        "dedup_clusters": graph.dedup_clusters,
         "dedup_keep_best": graph.dedup_keep_best,
-        "promotion_rollup": promote.promotion_rollup_flat,
-        "knn_cosine_topk": vector.knn_cosine_topk,
-        "grouped_knn_top1": vector.grouped_knn_top1,
         "knn_batch_topk": vector.knn_batch_topk,
-        "simhash_documents": vector.simhash_documents,
-        "bm25_topk": search.bm25_topk,
-        "forensic_clusters_text": forensic.cluster_search,
-        "forensic_clusters_zero_vector": forensic.cluster_search_zero_vector,
-        "forensic_triage": forensic.triage,
         "embedding_norm_stats": vector.embedding_norm_stats,
         "embedding_centroids_by_label": vector.embedding_centroids_by_label,
-        "fuzzy_name_pairs": curation.fuzzy_name_pairs,
-        "benchmark_contamination": curation.benchmark_contamination,
-        "stratified_sample": curation.stratified_sample,
-        "quality_deciles": curation.quality_deciles,
-        "pii_scrub_documents": curation.pii_scrub_documents,
-        "curation_funnel": curation.curation_funnel,
         "source_mix_allocation": curation.source_mix_allocation,
-        "otel_roundtrip": schema_infer.otel_roundtrip,
-        "bgl_roundtrip": schema_infer.bgl_roundtrip,
-        "tier1_view": _tier1_view,
-        "rhythm_anomalies": _rhythm_anomalies,
-        "doc_fingerprint": textstats.doc_fingerprint,
-        "repetition_scores": textstats.repetition_scores,
-        "rhythm_recent_counts": _rhythm_recent_counts,
-        "rhythm_baseline_stats": _rhythm_baseline_stats,
-        "rhythm_novelty_small_baseline": _rhythm_novelty,
-        "rhythm_frequency_sensitive": _rhythm_frequency,
         "newest_events": relational.newest_events,
         "pricing_summary": relational.pricing_summary,
         "shipping_priority": relational.shipping_priority,
@@ -236,7 +265,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": relational.customer_order_distribution,
         "min_cost_supplier": relational.min_cost_supplier,
         "large_orders_having": relational.large_orders_having,
-        "brand_supplier_counts": relational.brand_supplier_counts,
         "value_percentiles": stats.value_percentiles,
         "mad_outliers": stats.mad_outliers,
         "global_value_rank": rank.global_value_rank,
@@ -247,7 +275,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_rate_of_change": timeseries.hourly_rate_of_change,
         "gapfill_locf": timeseries.gapfill_locf,
         "moving_avg_daily": timeseries.moving_avg_daily,
-        "cube_order_counts": timeseries.cube_order_counts,
         "value_histogram": timeseries.value_histogram,
         "tfidf_top_terms": search.tfidf_top_terms,
         "repeat_buyers": relational.repeat_buyers,
@@ -256,32 +283,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "severity_set_concat": relational.severity_set_concat,
         "referential_audit": relational.referential_audit,
         "purchase_intervals": timeseries.purchase_intervals,
-        "conversion_funnel": timeseries.conversion_funnel,
-        "cohort_retention": timeseries.cohort_retention,
         "weekly_active_users": timeseries.weekly_active_users,
-        "bigram_top_terms": textstats.bigram_top_terms,
-        "char_trigram_profile": textstats.char_trigram_profile,
         "props_json_stats": relational.props_json_stats,
         "user_sessions": windows.user_sessions,
         "rolling_7d_active_users": timeseries.rolling_7d_active_users,
         "event_type_transition_matrix": timeseries.event_type_transition_matrix,
         "events_profile": relational.events_profile,
         "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
-        "token_count_documents": textstats.token_count_documents,
-        "doc_quality_scores": textstats.doc_quality_scores,
-        "lang_id_documents": textstats.lang_id_documents,
-        "normalize_documents": textstats.normalize_documents,
-        "multimodal_features": multimodal.multimodal_features,
-        "video_frame_sample": multimodal.video_frame_sample,
-        "suppressed_anomalies": control.suppressed_anomalies,
-        "active_rules_projection": control.active_rules_projection,
-        "time_range_orders": relational.time_range_orders,
-        "keyword_filter_customers": relational.keyword_filter_customers,
-        "fulltext_match_documents": relational.fulltext_match_documents,
-        "live_tail_documents": relational.live_tail_documents,
-        "malformed_filter_events": relational.malformed_filter_events,
-        "severity_histogram": relational.severity_histogram,
-        "json_payload_shaping": relational.json_payload_shaping,
     }
 
 

@@ -430,36 +430,52 @@ def test_global_prefix_sum_matches_cumsum(spark, rows):
 
 def test_rotation_head_policy():
     """The driver records CORRECTNESS rows for only the first 50
-    queries() entries.  Policy (see queries() docstring): no query may
-    sit below position 50 unless some committed CORRECTNESS_r*.json
-    already shows it fully green (rows+schema+hash, no error).  This
-    makes the per-round head rotation self-enforcing — a new or
-    never-verified query buried in the tail fails here before the
-    round's signal is silently lost."""
-    import json
+    queries() entries.  Change-aware policy (see queries() docstring):
+    the head must lead with every query that NEEDS a driver row — never
+    verified, or implementing modules changed since its newest green
+    CORRECTNESS row (git-derived, via_spark.rotation) — stalest first.
+    A new query buried in the tail, or a changed query coasting on a
+    stale green row while head slots go to unchanged queries, fails
+    here before the round's signal is silently lost."""
     from pathlib import Path
 
+    import pytest
+
     import __spark_entry__ as entrymod
+    from via_spark import rotation
 
     repo = Path(entrymod.__file__).resolve().parent
-    verified: set[str] = set()
-    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
-        for name, row in json.loads(f.read_text()).items():
-            if (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-                and not row.get("err")
-            ):
-                verified.add(name)
     names = list(entrymod.queries())
     head, tail = names[:50], names[50:]
-    buried = [q for q in tail if q not in verified]
-    assert not buried, (
-        f"never-driver-verified queries below position 50: {buried}"
-    )
-    # and the head must actually be full while a tail exists
+    # the head must actually be full while a tail exists
     assert len(head) == 50 or not tail
+
+    try:
+        required = rotation.recommended_head(repo, entrymod.queries())
+    except Exception as exc:  # no git history (exported tree) — fall
+        # back to the weaker never-verified-only invariant
+        verified = set(rotation.newest_green_rounds(repo))
+        buried = [q for q in tail if q not in verified]
+        assert not buried, (
+            f"never-driver-verified queries below position 50: {buried}"
+        )
+        pytest.skip(f"git-derived change tracking unavailable: {exc}")
+
+    if len(required) >= len(head):
+        # more re-checks pending than slots: every slot must go to the
+        # stalest required queries — none may be wasted on a query whose
+        # green row is still current
+        expected = set(required[: len(head)])
+        assert set(head) == expected, (
+            f"head is not the stalest required set; "
+            f"missing={sorted(expected - set(head))}, "
+            f"extra={sorted(set(head) - expected)}"
+        )
+    else:
+        buried = [q for q in required if q in set(tail)]
+        assert not buried, (
+            f"queries needing a driver row sit below position 50: {buried}"
+        )
 
 
 def test_fixture_ranked_columns_non_null(spark, sf_oracle):
