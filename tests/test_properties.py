@@ -586,3 +586,82 @@ def test_corpus_shuffle_changes_with_epoch(spark, sf_oracle):
     assert e0 == e0b
     assert e0 != e1
     assert sorted(e0.values()) == list(range(1, len(e0) + 1))
+
+
+def test_global_row_number_multi_partition_offsets(spark):
+    """VERDICT r6 #5: the correctness argument of rank.global_row_number
+    rests on the (partition id, local offset) layout of
+    monotonically_increasing_id under repartitionByRange — but sf0.01
+    parity can collapse into one partition, leaving the cross-partition
+    offset path unproven.  Force 8 range partitions on a frame that
+    provably SPANS several of them and assert the rank still equals the
+    driver-computed sorted index (and likewise for global_prefix_sum)."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.rank import global_prefix_sum, global_row_number
+
+    rows = [((i * 37) % 500, i) for i in range(500)]  # scattered scores
+    df = spark.createDataFrame(rows, "score int, id long")
+    order = [F.col("score").desc(), F.col("id").asc()]
+
+    # precondition: with 8 range partitions this data genuinely spreads
+    # (otherwise the test silently degrades to the single-partition case)
+    n_parts = (
+        df.repartitionByRange(8, *order)
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert n_parts >= 4, f"fixture collapsed into {n_parts} partitions"
+
+    got = {
+        r["id"]: r["rank"]
+        for r in global_row_number(df, order, "rank", num_partitions=8).collect()
+    }
+    expect = {
+        rid: i + 1
+        for i, (_, rid) in enumerate(sorted(rows, key=lambda t: (-t[0], t[1])))
+    }
+    assert got == expect
+
+    got_ps = {
+        r["id"]: r["ps"]
+        for r in global_prefix_sum(
+            df, order, F.col("score"), "ps", num_partitions=8
+        ).collect()
+    }
+    acc, expect_ps = 0, {}
+    for score, rid in sorted(rows, key=lambda t: (-t[0], t[1])):
+        expect_ps[rid] = acc
+        acc += score
+    assert got_ps == expect_ps
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark, sf_oracle):
+    """VERDICT r6 #4: the guarantee of curation.leakage_safe_split — no
+    two members of one near-dup cluster on opposite sides of the
+    train/test split — asserted directly against the independent cluster
+    labels, so a future 'optimization' to a per-doc hash fails here."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.curation import leakage_safe_split
+    from via_spark.operators.graph import dedup_clusters
+
+    split = leakage_safe_split(spark, sf_oracle).select("doc_id", "split")
+    clusters = dedup_clusters(spark, sf_oracle).select(
+        "doc_id", F.col("cluster_rep").alias("rep")
+    )
+    per_cluster = (
+        clusters.join(split, "doc_id")
+        .groupBy("rep")
+        .agg(
+            F.countDistinct("split").alias("n_sides"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+    # non-vacuous: the fixture must contain at least one multi-member
+    # near-dup cluster, and both split sides must be populated
+    assert per_cluster.where(F.col("n_members") >= 2).count() > 0
+    assert split.select("split").distinct().count() == 2
+    torn = per_cluster.where(F.col("n_sides") > 1).count()
+    assert torn == 0, f"{torn} clusters have members on both split sides"
