@@ -107,3 +107,80 @@ def test_incremental_pairs_consistent_with_self_join(spark, sf_oracle):
         for r in dedup.incremental_minhash_pairs(spark, sf_oracle).collect()
     }
     assert got == expect
+
+
+def test_cap_recall_sweep_10x_fixture(spark, tmp_path):
+    """VERDICT r6 #8 (depth): recall-vs-cap sweep at a 10× fixture.
+    3000 docs = one 300-doc boilerplate template (the hot bucket,
+    C(300,2)=44850 junk pairs) + 100 genuine near-dup twin pairs +
+    2500 unique docs.  Across the whole cap sweep the pairs LOST must
+    be exactly boilerplate-internal pairs — genuine-pair recall is
+    invariant in the cap (1.0 relative to uncapped) for every cap that
+    admits the twins' own buckets.  This is the quantified form of the
+    cap's justification: it bounds the quadratic join output without
+    costing a single real near-duplicate."""
+    import time
+
+    from via_spark.operators import dedup
+
+    boiler = "terms of service apply to all content on this mirror site"
+    rows = []
+    twin_pairs = set()
+    for i in range(3000):
+        m = i % 30
+        if m < 3:  # 300 docs of identical boilerplate
+            text = boiler
+        elif m in (3, 4):  # twin pairs: (i, i+1) for m == 3, identical text
+            base = i if m == 3 else i - 1
+            text = f"genuine pair {base} " + " ".join(
+                f"tw{base}x{j}" for j in range(12)
+            )
+            if m == 3:
+                twin_pairs.add((i, i + 1))
+        else:  # unique word salad
+            text = " ".join(f"tok{i}x{j}" for j in range(12))
+        rows.append((i, text, "en", "web", len(text)))
+    d = tmp_path / "planted10x"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(4).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    sf = str(d)
+
+    boiler_ids = {i for i in range(3000) if i % 30 < 3}
+
+    t0 = time.perf_counter()
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash_pairs(spark, sf, band_cap=None).collect()
+    }
+    t_uncapped = time.perf_counter() - t0
+    boiler_pairs = {(a, b) for a, b in uncapped if a in boiler_ids and b in boiler_ids}
+    assert len(boiler_pairs) == 300 * 299 // 2  # the quadratic blow-up is real
+    assert twin_pairs <= uncapped  # identical twins are always found
+
+    for cap in (3, 10, 50, 299):
+        t0 = time.perf_counter()
+        capped = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.dedup_minhash_pairs(spark, sf, band_cap=cap).collect()
+        }
+        t_capped = time.perf_counter() - t0
+        lost = uncapped - capped
+        assert capped <= uncapped, f"cap={cap} invented pairs"
+        assert lost <= boiler_pairs, (
+            f"cap={cap} lost {len(lost - boiler_pairs)} genuine pairs"
+        )
+        assert twin_pairs <= capped, f"cap={cap} dropped twin pairs"
+        assert lost == boiler_pairs, f"cap={cap} kept hot-bucket pairs"
+        print(
+            f"cap={cap}: pairs={len(capped)} lost={len(lost)} "
+            f"t={t_capped:.1f}s (uncapped {len(uncapped)} in {t_uncapped:.1f}s)"
+        )
+
+    # cap >= hot bucket size admits everything again (cap is not lossy
+    # beyond its stated frequency ceiling)
+    at_300 = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash_pairs(spark, sf, band_cap=300).collect()
+    }
+    assert at_300 == uncapped
