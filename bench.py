@@ -156,7 +156,13 @@ def main() -> None:
     # reps>1 runs get their own artifact so a later reps=1 run (the
     # driver's default) cannot clobber the median-of-N per-query detail
     # (round 6 lost the full median-of-3 breakdown exactly this way).
-    full_name = "BENCH_FULL.json" if reps == 1 else f"BENCH_FULL_MEDIAN{reps}.json"
+    # SPARK_GRAFT_BENCH_TAG (e.g. "_r7") additionally pins a run's full
+    # detail to a per-round filename.
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "")
+    full_name = (
+        f"BENCH_FULL{tag}.json" if reps == 1
+        else f"BENCH_FULL_MEDIAN{reps}{tag}.json"
+    )
     try:
         (_REPO / full_name).write_text(json.dumps(full, indent=1))
     except OSError:

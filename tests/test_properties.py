@@ -665,3 +665,57 @@ def test_leakage_safe_split_never_splits_a_cluster(spark, sf_oracle):
     assert split.select("split").distinct().count() == 2
     torn = per_cluster.where(F.col("n_sides") > 1).count()
     assert torn == 0, f"{torn} clusters have members on both split sides"
+
+
+def test_rotation_import_closure_is_transitive_and_sees_local_imports():
+    """The rotation machinery is load-bearing for the driver signal: an
+    import form it fails to resolve silently shrinks a query's tracked
+    closure and lets a changed dependency keep stale green credit.  Pin
+    the load-bearing properties: transitivity (graph → dedup → vector/
+    text/session), function-LOCAL imports (curation.leakage_safe_split
+    imports graph inside the function body), and wrapper mapping."""
+    from pathlib import Path
+
+    import __spark_entry__ as entrymod
+    from via_spark import rotation
+
+    repo = Path(entrymod.__file__).resolve().parent
+    closure = rotation.module_import_closure(repo)
+
+    g = closure["via_spark/operators/graph.py"]
+    assert "via_spark/operators/dedup.py" in g            # direct
+    assert "via_spark/operators/vector.py" in g           # via dedup
+    assert "via_spark/functions/text.py" in g             # via dedup
+    assert "via_spark/session.py" in g                    # ubiquitous
+
+    c = closure["via_spark/operators/curation.py"]
+    assert "via_spark/operators/graph.py" in c            # function-local import
+    assert "via_spark/operators/rank.py" in c
+
+    impl = rotation.query_impl_paths(repo, entrymod.queries())
+    assert "via_spark/store.py" in impl["tier1_view"]     # WRAPPER_DEPS
+    assert "via_spark/operators/rhythm.py" in impl["rhythm_anomalies"]
+    assert "via_spark/operators/dedup.py" in impl["dedup_clusters"]
+    # every query resolves to at least one tracked module file
+    assert all(paths for paths in impl.values())
+
+
+def test_rotation_green_rounds_match_committed_artifacts():
+    """newest_green_rounds must read the committed CORRECTNESS history
+    correctly — r6's head queries are green at >=6, r4-era tail queries
+    at >=4, and nothing is green that never had a row."""
+    from pathlib import Path
+
+    import __spark_entry__ as entrymod
+    from via_spark import rotation
+
+    repo = Path(entrymod.__file__).resolve().parent
+    greens = rotation.newest_green_rounds(repo)
+    assert greens.get("above_p95_events", 0) >= 6
+    assert greens.get("forensic_clusters_windowed", 0) >= 6
+    assert greens.get("tier1_view", 0) >= 4
+    assert "no_such_query" not in greens
+    # the recommendation is sorted stalest-first
+    head = rotation.recommended_head(repo, entrymod.queries())
+    rounds = [greens.get(q, -1) for q in head]
+    assert rounds == sorted(rounds)
