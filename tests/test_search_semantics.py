@@ -1,0 +1,87 @@
+"""Planted-relevance semantics for BM25 (beyond oracle parity).
+
+Oracle parity proves Spark and DuckDB compute the SAME number; it
+cannot catch a spec error written identically on both sides (wrong IDF
+sign, inverted length normalization).  These tests plant corpora where
+classic BM25 axioms (Robertson/Spärck Jones — public) dictate the
+ranking and assert the implementation honors each axiom independently:
+term-frequency monotonicity, IDF dominance of rare terms, document-
+length normalization, and zero-score exclusion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _score(spark, rows, terms):
+    from via_spark.operators.search import bm25_scored
+
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: r["score_fix"]
+        for r in bm25_scored(d, terms).select("doc_id", "score_fix").collect()
+    }
+
+
+FILLER = "alpha beta gamma delta epsilon eta theta iota kappa"  # 9 tokens
+
+
+def test_bm25_tf_monotonic_at_equal_length(spark):
+    """More occurrences of a query term (same doc length) → higher
+    score; absent term → zero."""
+    rows = [
+        (0, f"zebra zebra zebra {FILLER}"),
+        (1, f"zebra zebra quux {FILLER}"),
+        (2, f"zebra quux quux {FILLER}"),
+        (3, f"quux quux quux {FILLER}"),
+    ]
+    s = _score(spark, rows, ("zebra",))
+    assert s[0] > s[1] > s[2] > 0
+    assert s[3] == 0
+
+
+def test_bm25_rare_term_dominates_common(spark):
+    """One hit on a rare term outranks one hit on a corpus-wide common
+    term (IDF): 'zebra' appears in 2 docs, 'common' in 52."""
+    rows = [(0, f"zebra quux {FILLER}"), (1, f"zebra common {FILLER}")]
+    rows += [(i, f"common quux {FILLER}") for i in range(2, 52)]
+    rows += [(i, f"quux quux {FILLER}") for i in range(52, 100)]
+    s = _score(spark, rows, ("zebra", "common"))
+    only_rare = s[0]
+    only_common = s[2]
+    assert only_rare > only_common > 0
+    assert s[1] > s[0]  # both terms beats either alone
+    assert s[52] == 0
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, longer document → lower score (b=0.75 penalizes
+    length above the corpus average)."""
+    long_filler = " ".join(f"pad{j}" for j in range(40))
+    rows = [
+        (0, f"zebra {FILLER}"),
+        (1, f"zebra {long_filler}"),
+        (2, FILLER),
+        (3, long_filler),
+    ]
+    s = _score(spark, rows, ("zebra",))
+    assert s[0] > s[1] > 0
+
+
+def test_bm25_topk_order_and_cut(spark, sf_oracle, tmp_path):
+    """bm25_topk on a planted documents table: the heap cut returns
+    exactly the positive-score docs in (score desc, doc_id asc) order."""
+    from via_spark.operators.search import bm25_topk
+
+    rows = [(i, f"zebra zebra {FILLER}" if i < 3 else f"quux {FILLER}")
+            for i in range(20)]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(str(d / "documents.parquet"))
+    out = bm25_topk(spark, str(d), terms=("zebra",), k=10).collect()
+    assert [r["doc_id"] for r in out] == [0, 1, 2]  # ties → doc_id asc
+    assert all(r["score_fix"] > 0 for r in out)

@@ -458,3 +458,17 @@ def test_neardup_gate_replay_is_idempotent(spark, tmp_path):
     # replay batch 1 (crash-after-write, retry): store must be unchanged
     pipeline.neardup_gate_process_batch(spark, b1, 1, store)
     assert snapshot() == first
+
+
+def test_store_exists_resolves_uri_schemes(spark, tmp_path):
+    """_store_exists must answer through the Hadoop FileSystem of the
+    path's own scheme (ADVICE r6: an os.path check is forever-false on
+    remote stores and silently disables the gate's corpus join) — pin
+    plain paths, explicit file: URIs, and the missing-path case."""
+    p = tmp_path / "some_store"
+    assert not pipeline._store_exists(spark, str(p))
+    assert not pipeline._store_exists(spark, f"file://{p}")
+    spark.range(3).write.parquet(str(p))
+    assert pipeline._store_exists(spark, str(p))
+    assert pipeline._store_exists(spark, f"file://{p}")
+    assert not pipeline._store_exists(spark, f"file://{p}_nope")
