@@ -719,3 +719,72 @@ def test_rotation_green_rounds_match_committed_artifacts():
     head = rotation.recommended_head(repo, entrymod.queries())
     rounds = [greens.get(q, -1) for q in head]
     assert rounds == sorted(rounds)
+
+
+def test_funnels_boundary_semantics(spark, tmp_path):
+    """Planted journeys pin the funnel contracts oracle parity alone
+    cannot distinguish from a spec error written twice: first-touch
+    anchoring (earliest view), STRICT > ordering at each stage, the
+    INCLUSIVE <= gap bound of the attribution window, and that the
+    unbounded funnel admits exactly the conversions the window drops."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.timeseries import (
+        conversion_funnel,
+        timed_conversion_funnel,
+    )
+
+    S = 1_000_000_000  # 1 s in ns
+    GAP = 3600  # max_gap_sec used for the timed variant
+    rows = []  # (event_id, ts, user_id, event_type, value, props)
+    eid = 0
+
+    def ev(user, typ, t_sec):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, t_sec * S, user, typ, 1.0, "{}"))
+
+    # u1: clean conversion inside the window at every stage
+    ev(1, "view", 100); ev(1, "click", 200); ev(1, "purchase", 300)
+    # u2: click BEFORE the first view — never reaches stage 2
+    ev(2, "click", 50); ev(2, "view", 100)
+    # u3: click exactly AT t1 — strict > excludes it; a later click counts
+    ev(3, "view", 100); ev(3, "click", 100); ev(3, "click", 150)
+    # u4: click exactly at t1+GAP — inclusive <= admits it (timed too)
+    ev(4, "view", 100); ev(4, "click", 100 + GAP)
+    # u5: click at t1+GAP+1 — unbounded funnel admits, window drops
+    ev(5, "view", 100); ev(5, "click", 101 + GAP)
+    # u6: purchase before its click — reaches click, not purchase
+    ev(6, "view", 100); ev(6, "purchase", 150); ev(6, "click", 200)
+    # u7: first-touch anchor — SECOND view is closer to the click, but
+    # the gap is measured from the FIRST view, pushing it outside
+    ev(7, "view", 100); ev(7, "view", 5000); ev(7, "click", 100 + GAP + 10)
+    # u8: purchase inside the unbounded order but outside t2's window
+    ev(8, "view", 100); ev(8, "click", 200); ev(8, "purchase", 201 + GAP)
+    # u9: no view at all — contributes to no stage
+    ev(9, "click", 100); ev(9, "purchase", 200)
+
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+    sf = str(d)
+
+    unb = {r["stage"]: r["users"] for r in conversion_funnel(spark, sf).collect()}
+    tim = {
+        r["stage"]: r["users"]
+        for r in timed_conversion_funnel(spark, sf, max_gap_sec=GAP).collect()
+    }
+
+    # stage 1: everyone with a view (u1..u8 — u2's late view counts too)
+    assert unb["view"] == 8 and tim["view"] == 8
+    # stage 2 unbounded: strict > only (u1,u3,u4,u5,u6,u7,u8) — not u2/u9
+    assert unb["view>click"] == 7
+    # stage 2 timed: u5 (gap+1) and u7 (first-touch anchor) drop out;
+    # u4 at exactly t1+GAP stays (inclusive bound)
+    assert tim["view>click"] == 5
+    # stage 3: u1 only — u6 ordered wrong, u8 outside the window
+    assert unb["view>click>purchase"] == 2  # u1 and u8 (unbounded keeps u8)
+    assert tim["view>click>purchase"] == 1
