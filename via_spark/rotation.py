@@ -67,12 +67,25 @@ def _git(repo: Path, *args: str) -> str:
     ).stdout
 
 
-def newest_green_rounds(repo: Path) -> dict[str, int]:
+def latest_round(repo: Path) -> int | None:
+    """Highest N among the committed CORRECTNESS_r{N}.json files."""
+    ns = [
+        int(re.search(r"r(\d+)", f.name).group(1))
+        for f in repo.glob("CORRECTNESS_r*.json")
+    ]
+    return max(ns) if ns else None
+
+
+def newest_green_rounds(repo: Path, max_round: int | None = None) -> dict[str, int]:
     """query name → newest round whose committed CORRECTNESS row is
-    fully green (rows + schema + hash, no error)."""
+    fully green (rows + schema + hash, no error). ``max_round`` caps
+    which round files are considered (used to reconstruct the state
+    before the newest artifact landed)."""
     rounds: dict[str, int] = {}
     for f in sorted(repo.glob("CORRECTNESS_r*.json")):
         n = int(re.search(r"r(\d+)", f.name).group(1))
+        if max_round is not None and n > max_round:
+            continue
         for name, row in json.loads(f.read_text()).items():
             if (
                 row.get("rows_match")
@@ -178,11 +191,15 @@ def changed_paths_since(repo: Path, commit: str) -> set[str]:
     return {line.strip() for line in out.splitlines() if line.strip()}
 
 
-def recommended_head(repo: Path, queries: dict) -> list[str]:
+def recommended_head(
+    repo: Path, queries: dict, max_round: int | None = None
+) -> list[str]:
     """All queries needing a driver row this round, stalest first:
     never-verified (green_round −1), then changed-since-green, sorted by
-    (green round, name)."""
-    greens = newest_green_rounds(repo)
+    (green round, name). ``max_round`` reconstructs the recommendation
+    as of an earlier round's artifact state (see the policy test's
+    boundary handling)."""
+    greens = newest_green_rounds(repo, max_round)
     impl = query_impl_paths(repo, queries)
     diffs: dict[int, set[str]] = {}
     required: list[tuple[int, str]] = []
