@@ -805,3 +805,51 @@ def test_funnels_boundary_semantics(spark, tmp_path):
     # stage 3: u1 only — u6 ordered wrong, u8 outside the window
     assert unb["view>click>purchase"] == 2  # u1 and u8 (unbounded keeps u8)
     assert tim["view>click>purchase"] == 1
+
+
+def test_session_window_gap_boundary(spark):
+    """Boundary semantics of Spark session_window, proven on planted
+    data because the fixture need not contain an exactly-at-gap pair:
+    Spark merges TOUCHING intervals, so an event at exactly prev + gap
+    JOINS the session and the oracle's break predicate must be strict >
+    (writing it as >= diverged here — the latent parity bug this test
+    caught; think daily logs landing at the same time-of-day under the
+    86 400 s default gap)."""
+    from pyspark.sql import functions as F
+
+    G = 100
+    rows = [
+        ("h", 1000), ("h", 1000 + G - 1),   # gap G-1 → same session
+        ("h", 5000), ("h", 5000 + G),       # gap exactly G → MERGES
+        ("h", 9000),                        # singleton
+        ("g", 1000), ("g", 1000 + G + 1),   # gap G+1 → splits
+        ("g", 1000 + 2 * G + 1),            # chains (gap exactly G)
+    ]
+    df = spark.createDataFrame(rows, "h string, ts long")
+    got = {
+        (r["h"], r["s"], r["e"], r["n"])
+        for r in df.groupBy(
+            F.session_window(F.timestamp_seconds("ts"), f"{G} seconds").alias("sw"),
+            "h",
+        )
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"),
+             F.count(F.lit(1)).alias("n"))
+        .select("h", "s", "e", "n")
+        .collect()
+    }
+
+    # the corrected oracle rule, computed independently: break only
+    # when the gap strictly exceeds G
+    expect = set()
+    for h in {r[0] for r in rows}:
+        ts = sorted(t for x, t in rows if x == h)
+        sess = [[ts[0]]]
+        for prev, cur in zip(ts, ts[1:]):
+            if cur - prev > G:
+                sess.append([cur])
+            else:
+                sess[-1].append(cur)
+        for s in sess:
+            expect.add((h, s[0], s[-1], len(s)))
+
+    assert got == expect

@@ -49,8 +49,9 @@ def sliding_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_hash_counts(
     spark: SparkSession, sf_dir: str, gap_sec: int = SESSION_GAP_SEC
 ) -> DataFrame:
-    """Per-hash session windows: events closer than ``gap_sec`` chain
-    into one session; output start/end/size per session."""
+    """Per-hash session windows: events within ``gap_sec`` (INCLUSIVE —
+    Spark merges touching intervals, an event at exactly prev + gap
+    joins the session) chain into one session; start/end/size each."""
     t1 = store.tier1(spark, sf_dir)
     sw = F.session_window(F.timestamp_seconds(F.col("ts")), f"{gap_sec} seconds")
     return (

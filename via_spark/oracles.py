@@ -1367,14 +1367,17 @@ GROUP BY window_start, rhythm_hash
 
 def session_hash_counts_sql(gap_sec: int = 86_400) -> str:
     """Gaps-and-islands: a new session starts when the gap from the
-    previous event of the same hash is >= gap (Spark session_window
-    keeps an event iff event_time < previous_time + gap)."""
+    previous event of the same hash EXCEEDS gap. Spark session_window
+    merges TOUCHING intervals — an event at exactly prev + gap joins
+    the session (proven on planted boundary data,
+    tests/test_properties.py::test_session_window_gap_boundary), so the
+    break predicate is strict >."""
     return f"""
 WITH {TIER1_CTE},
 marked AS (
     SELECT rhythm_hash, ts, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w >= {gap_sec} THEN 1 ELSE 0 END AS brk
+                  OR ts - lag(ts) OVER w > {gap_sec} THEN 1 ELSE 0 END AS brk
     FROM hashed
     WINDOW w AS (PARTITION BY rhythm_hash ORDER BY ts, event_id)
 ),
@@ -1801,13 +1804,14 @@ GROUP BY 1, 2, 3
 
 
 def range_containment_join_sql(gap_sec: int = 86_400) -> str:
-    """Sessions (gaps-and-islands) + containment join on the same hash."""
+    """Sessions (gaps-and-islands, strict-> break matching Spark
+    session_window's touching-merge) + containment join on the hash."""
     return f"""
 WITH {TIER1_CTE},
 marked AS (
     SELECT rhythm_hash, ts, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w >= {gap_sec} THEN 1 ELSE 0 END AS brk
+                  OR ts - lag(ts) OVER w > {gap_sec} THEN 1 ELSE 0 END AS brk
     FROM hashed
     WINDOW w AS (PARTITION BY rhythm_hash ORDER BY ts, event_id)
 ),

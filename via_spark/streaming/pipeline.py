@@ -334,7 +334,7 @@ def start_rollup_maintenance(
 
 def session_hash_counts_stream(stream: DataFrame, gap: str = "300 seconds") -> DataFrame:
     """T5's session form as a TRUE streaming aggregation:
-    ``session_window`` merges events separated by < ``gap`` into one
+    ``session_window`` merges events separated by <= ``gap`` into one
     growing session per hash; the watermark bounds how long an open
     session can wait for late events before its state is finalized and
     evicted — state is O(open sessions), not O(history)."""
