@@ -139,9 +139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- head (first 50): change-aware rotation — stalest
-        # never-verified/changed-since-green queries first, as
-        # computed by via_spark.rotation.recommended_head and
-        # enforced by tests/test_properties.py ---
+        # never-verified/changed-since-green (impl OR oracle) queries
+        # first, per via_spark.rotation.recommended_head; enforced by
+        # tests/test_properties.py ---
         "active_rules_projection": control.active_rules_projection,
         "benchmark_contamination": curation.benchmark_contamination,
         "bgl_roundtrip": schema_infer.bgl_roundtrip,
@@ -186,16 +186,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_range_orders": relational.time_range_orders,
         "token_count_documents": textstats.token_count_documents,
         "video_frame_sample": multimodal.video_frame_sample,
+        "asof_last_purchase": asof.asof_last_purchase,
         "bigram_top_terms": textstats.bigram_top_terms,
         "brand_supplier_counts": relational.brand_supplier_counts,
         "char_trigram_profile": textstats.char_trigram_profile,
         "cohort_retention": timeseries.cohort_retention,
         "conversion_funnel": timeseries.conversion_funnel,
-        "cube_order_counts": timeseries.cube_order_counts,
         # --- end head (position 50 boundary) --- tail: driver-green
-        # with implementing modules unchanged since, or queued for a
-        # later rotation window; all re-proven every round by
-        # tests/test_oracle_parity.py ---
+        # with implementing modules and oracles unchanged since, or
+        # queued for a later rotation window; all re-proven every
+        # round by tests/test_oracle_parity.py ---
+        "cube_order_counts": timeseries.cube_order_counts,
         "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
         "retrieval_label_precision": vector.retrieval_label_precision,
         "revenue_concentration": relational.revenue_concentration,
@@ -258,7 +259,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": relational.order_priority_counts,
         "promo_revenue": relational.promo_revenue,
         "salted_event_type_counts": relational.salted_event_type_counts,
-        "asof_last_purchase": asof.asof_last_purchase,
         "event_type_severity_pivot": relational.event_type_severity_pivot,
         "lineitem_rollup": relational.lineitem_rollup,
         "per_day_topk": relational.per_day_topk,

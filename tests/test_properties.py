@@ -853,3 +853,35 @@ def test_session_window_gap_boundary(spark):
             expect.add((h, s[0], s[-1], len(s)))
 
     assert got == expect
+
+
+def test_rotation_tracks_oracle_changes():
+    """The driver verifies query AND oracle together, so an edited
+    oracle must invalidate a green row exactly like edited operator
+    code. Against the real r6 artifact commit: the round-7 oracle edits
+    (session-window gap predicate, fixed-point p95) must be flagged,
+    per-function granularity must leave untouched oracles unflagged,
+    and every flagged query must sit in the recommended head list."""
+    from pathlib import Path
+
+    import __spark_entry__ as entrymod
+    from via_spark import rotation
+
+    repo = Path(entrymod.__file__).resolve().parent
+    c6 = rotation.round_commit(repo, 6)
+    if c6 is None:
+        import pytest
+
+        pytest.skip("no r6 artifact commit in history")
+    names = list(entrymod.queries())
+    changed = rotation.oracle_changed_queries(repo, c6, names)
+    assert {"session_hash_counts", "range_containment_join",
+            "above_p95_events", "hourly_value_p95"} <= changed
+    # per-function granularity: an oracle edit must not flood the
+    # whole surface (only if shared helpers/constants change)
+    assert len(changed) < len(names) / 2
+    required = rotation.recommended_head(repo, entrymod.queries())
+    assert set(changed) <= set(required) | {
+        q for q in changed
+        if rotation.newest_green_rounds(repo).get(q, 0) >= 7
+    }

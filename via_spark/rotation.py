@@ -191,6 +191,71 @@ def changed_paths_since(repo: Path, commit: str) -> set[str]:
     return {line.strip() for line in out.splitlines() if line.strip()}
 
 
+#: Queries whose oracle builder does not follow the ``<query>_sql``
+#: naming convention (parameterized variants sharing one builder).
+ORACLE_FN_EXCEPTIONS: dict[str, str] = {
+    "rhythm_novelty_small_baseline": "rhythm_anomalies_sql",
+    "rhythm_frequency_sensitive": "rhythm_anomalies_sql",
+}
+
+_ORACLES_REL = "via_spark/oracles.py"
+
+
+def _oracle_fn_sources(text: str) -> tuple[dict[str, str], str]:
+    """oracles.py source → ({function name: its source segment},
+    concatenated source of everything top-level that is NOT a function —
+    shared CTE constants etc.)."""
+    tree = ast.parse(text)
+    fns: dict[str, str] = {}
+    shared: list[str] = []
+    for node in tree.body:
+        seg = ast.get_source_segment(text, node) or ""
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            fns[node.name] = seg
+        else:
+            shared.append(seg)
+    return fns, "\n".join(shared)
+
+
+def oracle_changed_queries(
+    repo: Path, commit: str, query_names: list[str]
+) -> set[str]:
+    """Queries whose ORACLE contract changed since ``commit`` — the
+    driver verifies query AND oracle together, so an edited oracle
+    invalidates a green row exactly like edited operator code (the r7
+    session-window gap fix changed only oracles.py). Compared at
+    per-function granularity from source TEXT (``git show`` + AST — no
+    historical import needed); a change to shared top-level material
+    (CTE constants) or to a helper function that is no query's builder
+    conservatively flags every query."""
+    cur = (repo / _ORACLES_REL).read_text()
+    try:
+        old = _git(repo, "show", f"{commit}:{_ORACLES_REL}")
+    except subprocess.CalledProcessError:
+        return set(query_names)  # file absent at that commit
+    if cur == old:
+        return set()
+    cur_fns, cur_shared = _oracle_fn_sources(cur)
+    old_fns, old_shared = _oracle_fn_sources(old)
+    builder_of = {
+        q: ORACLE_FN_EXCEPTIONS.get(q, f"{q}_sql") for q in query_names
+    }
+    builders = set(builder_of.values())
+    if cur_shared != old_shared:
+        return set(query_names)
+    helper_changed = any(
+        cur_fns.get(name) != old_fns.get(name)
+        for name in set(cur_fns) | set(old_fns)
+        if name not in builders
+    )
+    if helper_changed:
+        return set(query_names)
+    return {
+        q for q, fn in builder_of.items()
+        if cur_fns.get(fn) != old_fns.get(fn)
+    }
+
+
 def recommended_head(
     repo: Path, queries: dict, max_round: int | None = None
 ) -> list[str]:
@@ -201,9 +266,11 @@ def recommended_head(
     boundary handling)."""
     greens = newest_green_rounds(repo, max_round)
     impl = query_impl_paths(repo, queries)
+    names = list(queries)
     diffs: dict[int, set[str]] = {}
+    oracle_changed: dict[int, set[str]] = {}
     required: list[tuple[int, str]] = []
-    for name in queries:
+    for name in names:
         g = greens.get(name)
         if g is None:
             required.append((-1, name))
@@ -211,7 +278,10 @@ def recommended_head(
         if g not in diffs:
             c = round_commit(repo, g)
             diffs[g] = changed_paths_since(repo, c) if c else set()
-        if impl[name] & diffs[g]:
+            oracle_changed[g] = (
+                oracle_changed_queries(repo, c, names) if c else set()
+            )
+        if impl[name] & diffs[g] or name in oracle_changed[g]:
             required.append((g, name))
     return [name for _, name in sorted(required)]
 
