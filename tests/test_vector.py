@@ -222,3 +222,48 @@ def test_embedding_drift_detects_planted_shift(spark, tmp_path):
     }
     assert out[0] > 0.95
     assert out[1] < -0.95
+
+
+def test_ann_recall_monotone_in_quality_dials(spark, sf_oracle):
+    """The ANN quality dials must actually be dials: probing more IVF
+    cells / a wider LSH Hamming radius yields a candidate SUPERSET, and
+    exact re-ranking of a superset can only keep or improve recall of
+    the true top-k — so per-query recall is provably non-decreasing in
+    each dial, and probing EVERY IVF cell must recover the exact result
+    (recall 1.0). A refactor that breaks candidate nesting (re-sampled
+    centroids per call, table hashing drift) fails here even if the
+    absolute recall floors still pass."""
+    from via_spark.operators import dedup, vector
+
+    query_ids = [0, 23, 58]
+    exact = {
+        qid: {
+            r["vec_id"]
+            for r in vector.knn_cosine_topk(
+                spark, sf_oracle, query_id=qid, k=10
+            ).collect()
+        }
+        for qid in query_ids
+    }
+
+    def recall(df, qid):
+        got = {r["vec_id"] for r in df.collect()}
+        return len(exact[qid] & got) / len(exact[qid])
+
+    for qid in query_ids:
+        ivf = [
+            recall(dedup.ann_ivf_topk(spark, sf_oracle, query_id=qid, k=10,
+                                      nprobe=p), qid)
+            for p in (2, 8, dedup.IVF_CENTROIDS)
+        ]
+        assert ivf == sorted(ivf), f"IVF recall not monotone for q{qid}: {ivf}"
+        assert ivf[-1] == 1.0, (
+            f"probing all {dedup.IVF_CENTROIDS} cells must be exact, "
+            f"got {ivf[-1]} for q{qid}"
+        )
+        lsh = [
+            recall(dedup.ann_lsh_topk(spark, sf_oracle, query_id=qid, k=10,
+                                      probe_radius=r), qid)
+            for r in (0, 1, 2)
+        ]
+        assert lsh == sorted(lsh), f"LSH recall not monotone for q{qid}: {lsh}"
