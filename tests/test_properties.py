@@ -885,3 +885,30 @@ def test_rotation_tracks_oracle_changes():
         q for q in changed
         if rotation.newest_green_rounds(repo).get(q, 0) >= 7
     }
+
+
+def test_connected_components_long_chain_guard(spark):
+    """Min-label propagation moves one hop per round, so a path graph's
+    convergence takes diameter rounds — the random-graph property test
+    (≤15 tiny edges) never stresses this. Pin both sides of the guard:
+    a long chain with enough rounds is correct, and a chain longer than
+    max_iter RAISES instead of silently returning a split component
+    (the failure mode that would quietly corrupt dedup clusters, the
+    leakage-safe split, and keep-best resolution downstream)."""
+    import pytest
+
+    from via_spark.operators.graph import connected_components
+
+    n = 30
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(verts, chain, max_iter=n + 2).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, chain, max_iter=5)
