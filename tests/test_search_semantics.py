@@ -85,3 +85,66 @@ def test_bm25_topk_order_and_cut(spark, sf_oracle, tmp_path):
     out = bm25_topk(spark, str(d), terms=("zebra",), k=10).collect()
     assert [r["doc_id"] for r in out] == [0, 1, 2]  # ties → doc_id asc
     assert all(r["score_fix"] > 0 for r in out)
+
+
+def test_hybrid_rrf_fusion_on_planted_modalities(spark, tmp_path):
+    """End-to-end RRF wiring on a corpus where both modality rankings
+    are known by construction: doc 5 is near-top dense (behind the
+    query's self-match doc 0) and top sparse, so fusion must put it
+    first — ahead of the dense-only self-match; a doc absent from a cut
+    contributes 0 from that side. The full fused ordering is checked
+    against an independent python computation of the RRF formula over
+    the planted ranks (cosine gaps are orders of magnitude above the
+    1e-9 fixed-point grid, so rankings — not floats — are compared)."""
+    import math
+
+    from via_spark.operators.search import hybrid_rrf
+
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],    # the query itself: cosine 1.0
+        1: [1.0, 1.0, 0.0, 0.0],    # 0.7071
+        2: [0.5, 1.0, 0.0, 0.0],    # 0.4472
+        3: [0.0, 1.0, 0.0, 0.0],    # 0.0
+        4: [0.0, 0.0, 1.0, 0.0],    # 0.0
+        5: [10.0, 0.1, 0.0, 0.0],   # 0.99995 — planted hybrid winner
+        6: [0.3, 1.0, 0.0, 0.0],    # 0.2873
+        7: [0.2, 1.0, 0.0, 0.0],    # 0.1961
+        8: [0.9, 1.0, 0.0, 0.0],    # 0.6690
+        9: [0.0, 1.0, 2.0, 0.0],    # 0.0
+    }
+    texts = {
+        i: ("zebra zebra zebra " + FILLER) if i == 5
+        else (("zebra " + FILLER) if i == 1 else FILLER)
+        for i in range(10)
+    }
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        [(i, texts[i], "en", "t", len(texts[i])) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    spark.createDataFrame(
+        [(i, vecs[i], 0) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    out = hybrid_rrf(spark, str(d), terms=("zebra",), query_id=0, k=10).collect()
+
+    # independent model: rank each modality, fuse, order
+    def cos(v):
+        dot = sum(a * b for a, b in zip(v, vecs[0]))
+        return dot / (math.sqrt(sum(a * a for a in v)) or 1.0)
+
+    dense_order = sorted(range(10), key=lambda i: (-cos(vecs[i]), i))
+    sparse_score = {i: (2 if i == 5 else (1 if i == 1 else 0)) for i in range(10)}
+    sparse_order = sorted(range(10), key=lambda i: (-sparse_score[i], i))
+    rd = {doc: r + 1 for r, doc in enumerate(dense_order)}
+    rs = {doc: r + 1 for r, doc in enumerate(sparse_order)}
+    rrf = {i: 1.0 / (60 + rd[i]) + 1.0 / (60 + rs[i]) for i in range(10)}
+    expect = sorted(range(10), key=lambda i: (-rrf[i], i))
+
+    assert [r["doc_id"] for r in out] == expect
+    assert out[0]["doc_id"] == 5  # hybrid winner beats the dense self-match
+    got5 = next(r for r in out if r["doc_id"] == 5)
+    assert (got5["rank_dense"], got5["rank_sparse"]) == (rd[5], rs[5]) == (2, 1)
+    for r in out:
+        assert math.isclose(r["rrf"], rrf[r["doc_id"]], rel_tol=1e-12)
