@@ -418,3 +418,15 @@ def test_round6_batch45_plan_shapes(spark, sf_oracle):
 
     p = executed_plan(timeseries.behavior_trigrams(spark, sf_oracle))
     assert "TakeOrderedAndProject" in p
+
+
+def test_round7_p95_plan_shapes(spark, sf_oracle):
+    """The fixed-point p95 rework must keep the intended plan: the
+    per-type threshold broadcasts back onto the fact scan (never a
+    window over the fact table), and the hourly band is one hash agg
+    with no exchange beyond the groupBy shuffle."""
+    p = _plan(spark, sf_oracle, "above_p95_events")
+    assert "BroadcastHashJoin" in p, "threshold join must broadcast"
+    assert "Window" not in p, "no window over the fact table"
+    p2 = _plan(spark, sf_oracle, "hourly_value_p95")
+    assert "Window" not in p2 and "percentile" in p2
