@@ -912,3 +912,124 @@ def test_connected_components_long_chain_guard(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(verts, chain, max_iter=5)
+
+
+def test_rotation_closure_equals_bruteforce_reachability():
+    """ADVICE-r7 (medium): the old DFS memoized closures computed under
+    a path-dependent ``seen`` set, so inside import cycles 13 modules'
+    closures missed reachable deps (store.py's omitted embed.py) and 65
+    queries could keep stale green credit after an edit. The fixpoint
+    closure must equal brute-force BFS reachability for EVERY module."""
+    from pathlib import Path
+
+    import __spark_entry__ as entrymod
+    from via_spark import rotation
+
+    repo = Path(entrymod.__file__).resolve().parent
+    edges = rotation.module_import_edges(repo)
+    closure = rotation.module_import_closure(repo)
+    assert set(edges) == set(closure)
+    for start in edges:
+        seen = {start}
+        frontier = [start]
+        while frontier:
+            m = frontier.pop()
+            for d in edges.get(m, ()):
+                if d not in seen:
+                    seen.add(d)
+                    frontier.append(d)
+        assert closure[start] == seen, (
+            f"closure({start}) != BFS reachability: "
+            f"missing={sorted(seen - closure[start])}, "
+            f"extra={sorted(closure[start] - seen)}"
+        )
+    # the concrete r7 counterexample: store.py participates in the
+    # package's import cycle and must see embed.py through it
+    assert "via_spark/functions/embed.py" in closure["via_spark/store.py"]
+
+
+def test_rotation_unit_sources_granularity():
+    """The per-unit fingerprint splitter is what keeps the backlog
+    convergent: docstrings are invisible, an added constant or an
+    extended import list only changes its own binding, a touched
+    function only changes itself, and an unattributable statement falls
+    into the ``<module>`` residue."""
+    from via_spark import rotation
+
+    base = (
+        '"""module doc."""\n'
+        "import os\n"
+        "from pyspark.sql import functions as F, DataFrame\n"
+        "A = 1\n"
+        "def f(x):\n    return A + x\n"
+        "def g(x):\n    return f(x)\n"
+    )
+
+    def delta(new: str) -> set[str]:
+        old_u = rotation._unit_sources(base)
+        new_u = rotation._unit_sources(new)
+        return {
+            n
+            for n in set(old_u) | set(new_u)
+            if old_u.get(n) != new_u.get(n)
+        }
+
+    assert delta(base.replace("module doc", "edited doc")) == set()
+    assert delta(base + "B = 2\n") == {"B"}
+    assert delta(
+        base.replace("functions as F, DataFrame", "functions as F, DataFrame, Window")
+    ) == {"Window"}
+    assert delta(base.replace("return A + x", "return A - x")) == {"f"}
+    assert delta(base.replace("A = 1", "A = 2")) == {"A"}
+    assert delta(base + "print('side effect')\n") == {rotation._SHARED_UNIT}
+
+
+def test_rotation_reference_graph_reachability():
+    """The unit-level reach that gates change-flagging must see real
+    dependency shapes: a helper called by two operators in different
+    modules (p95_rank_threshold via a function-local import), constants
+    referenced through ``from`` imports, and — the precision claim — a
+    sibling function in the same module staying OUT of an unrelated
+    query's reach."""
+    from pathlib import Path
+
+    import __spark_entry__ as entrymod
+    from via_spark import rotation
+
+    repo = Path(entrymod.__file__).resolve().parent
+    reach = rotation.query_reach(repo, entrymod.queries())
+
+    stats_p = "via_spark/operators/stats.py"
+    assert (stats_p, "p95_rank_threshold") in reach["above_p95_events"]
+    # cross-module, function-local import
+    assert (stats_p, "p95_rank_threshold") in reach["hourly_value_p95"]
+    # constant through the dedup band-cap chain
+    dedup_p = "via_spark/operators/dedup.py"
+    assert (dedup_p, "BAND_KEY_CAP") in reach["dedup_minhash_pairs"]
+    # precision: an unrelated sibling in the same module is NOT reached
+    rel_p = "via_spark/operators/relational.py"
+    assert (rel_p, "newest_events") in reach["newest_events"]
+    assert (rel_p, "daily_revenue_share") not in reach["newest_events"]
+    # every query reaches at least its own unit
+    assert all(r for r in reach.values())
+
+
+def test_rotation_fails_closed_without_round_commit():
+    """ADVICE-r7 (low): a green round whose CORRECTNESS artifact was
+    never committed has no 'verified as of' baseline — the old code
+    treated it as an empty diff (fail-open green credit). Now every
+    query green only in such a round must be flagged for re-check."""
+    from pathlib import Path
+    from unittest import mock
+
+    import __spark_entry__ as entrymod
+    from via_spark import rotation
+
+    repo = Path(entrymod.__file__).resolve().parent
+    qs = entrymod.queries()
+    greens = rotation.newest_green_rounds(repo)
+    with mock.patch.object(rotation, "round_commit", lambda repo, n: None):
+        required = set(rotation.recommended_head(repo, qs))
+    assert set(greens) & set(qs) <= required, (
+        "unanchored green rows must fail closed"
+    )
