@@ -472,3 +472,32 @@ def test_store_exists_resolves_uri_schemes(spark, tmp_path):
     assert pipeline._store_exists(spark, str(p))
     assert pipeline._store_exists(spark, f"file://{p}")
     assert not pipeline._store_exists(spark, f"file://{p}_nope")
+
+
+def test_store_exists_fs_errors_propagate(tmp_path):
+    """ADVICE-r7 (medium): a transient remote-FS error (S3 auth lapse,
+    network) must PROPAGATE and fail the batch — swallowing it into
+    False would silently skip the corpus join and the suppression
+    rules and emit a wrong batch. Only the no-JVM-gateway case may
+    fall back to the local check."""
+    import pytest
+
+    class _Boom:
+        def __getattr__(self, name):
+            raise RuntimeError("transient FS failure")
+
+    class _BrokenFs:
+        _jvm = _Boom()
+        _jsc = _Boom()
+
+    with pytest.raises(RuntimeError, match="transient FS failure"):
+        pipeline._store_exists(_BrokenFs(), "s3a://bucket/store")
+
+    class _NoGateway:
+        _jvm = None
+        _jsc = None
+
+    p = tmp_path / "local_store"
+    assert not pipeline._store_exists(_NoGateway(), str(p))
+    p.mkdir()
+    assert pipeline._store_exists(_NoGateway(), str(p))

@@ -54,17 +54,23 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
     on a remote ``store_dir`` and silently skip corpus joins. Resolves
     through the Hadoop FileSystem of the path's own scheme, so
     ``file:``, ``hdfs:``, and ``s3a:`` stores all answer correctly.
+
+    The local-path fallback covers ONLY the no-JVM-gateway case (a
+    mocked/stopped session, detected before any FS call). A transient
+    remote-FS failure (S3 auth lapse, network) must PROPAGATE and fail
+    the batch: swallowing it would return False, silently skip the
+    corpus join and the suppression rules, and emit a wrong batch —
+    the exactly-once replay contract turns that into a retry instead.
     """
-    try:
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(jpath))
-    except Exception:
-        # No JVM gateway (mocked session) — fall back to local check.
+    if getattr(spark, "_jvm", None) is None or getattr(spark, "_jsc", None) is None:
+        # No JVM gateway (mocked session) — local check is all there is.
         import os
 
         return os.path.isdir(path)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def read_otel_stream(spark: SparkSession, input_dir: str,
