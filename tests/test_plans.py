@@ -420,13 +420,27 @@ def test_round6_batch45_plan_shapes(spark, sf_oracle):
     assert "TakeOrderedAndProject" in p
 
 
-def test_round7_p95_plan_shapes(spark, sf_oracle):
-    """The fixed-point p95 rework must keep the intended plan: the
-    per-type threshold broadcasts back onto the fact scan (never a
-    window over the fact table), and the hourly band is one hash agg
-    with no exchange beyond the groupBy shuffle."""
+def test_round8_p95_plan_shapes(spark, sf_oracle):
+    """The rank-based discrete p95 (r8 rework, ADVICE-r7: no
+    interpolated double anywhere) must keep the intended plan: the
+    cumulative windows run over the per-group value HISTOGRAM (map-side
+    combined hash agg, window partitioned by the group key — never an
+    unpartitioned window, never a window over the raw fact scan), and
+    the per-type threshold broadcasts back onto a pruned fact scan."""
     p = _plan(spark, sf_oracle, "above_p95_events")
     assert "BroadcastHashJoin" in p, "threshold join must broadcast"
-    assert "Window" not in p, "no window over the fact table"
+    # every window partitions by the group key (no global sort)
+    assert "windowspecdefinition(event_type" in p
+    assert "windowspecdefinition()" not in p
+    # windows consume the histogram agg, not the fact table: the agg
+    # below them is keyed on (event_type, value-bucket) with a partial
+    # (map-side) phase
+    assert "partial_count" in p
+    # the fact branch feeding the join is a pruned scan incl. event_id
+    assert "ReadSchema: struct<event_id:bigint,event_type:string,value:double>" in p
+
     p2 = _plan(spark, sf_oracle, "hourly_value_p95")
-    assert "Window" not in p2 and "percentile" in p2
+    assert "windowspecdefinition(hour_num" in p2
+    assert "windowspecdefinition()" not in p2
+    assert "partial_count" in p2
+    assert "percentile" not in p2, "no interpolated percentile remains"

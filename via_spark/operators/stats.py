@@ -24,7 +24,7 @@ under test.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from via_spark.session import load_table
@@ -288,25 +288,60 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def p95_rank_threshold(
+    df: DataFrame, group_cols: list[str], vfix: Column
+) -> DataFrame:
+    """Rank-based discrete p95 per group: the smallest fixed-point
+    value whose cumulative count reaches 95 % of the group (min v with
+    100·|{x ≤ v}| ≥ 95·n) — pure INTEGER arithmetic end to end.
+
+    Why not ``percentile(v, 0.95)`` + floor: the interpolated double
+    can land on either side of an integer when 0.95·(n−1) is near one
+    (Spark and DuckDB round the position differently by an ulp), so a
+    floored threshold could differ by 1 between engines and flip
+    membership of rows sitting exactly at the boundary. The discrete
+    rank definition never produces a double at all.
+
+    Scale posture: one hash agg builds the per-(group, distinct value)
+    HISTOGRAM; the cumulative window runs over that histogram (same
+    shape join_key_skew_report pins), never over the fact table; the
+    per-group sort underneath is inherent to any exact percentile.
+    """
+    from pyspark.sql import Window
+
+    hist = df.groupBy(*group_cols, vfix.alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*group_cols)
+    c = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    return (
+        c.where(F.lit(100) * F.col("cum") >= F.lit(95) * F.col("n"))
+        .groupBy(*group_cols)
+        .agg(F.min("v").alias("p95_fix"), F.max("n").alias("n"))
+    )
+
+
 def above_p95_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier mining: events whose value exceeds their event_type's
     exact p95 — the per-group heavy-tail filter.
 
-    The percentile runs over FIXED-POINT values (floor(value·1e6) as
-    bigint, the repo's pinned convention) and the threshold is floored
-    back to a bigint before the comparison — row membership must not
-    hinge on Spark and the oracle producing bit-identical interpolated
-    doubles.  Flooring is semantics-preserving for the filter: for an
-    integer v and real x, v > x ⟺ v > floor(x).
-
-    Scale posture: one percentile agg per type (Spark's sort-based
-    exact percentile within the agg), broadcast threshold join back,
-    filter in codegen — no window over the fact table.
+    The threshold is the rank-based discrete p95 over FIXED-POINT
+    values (see p95_rank_threshold — all-integer, so membership can
+    never ride on a cross-engine double ulp), broadcast back onto the
+    fact scan; the filter compares bigints in codegen. No window ever
+    touches the fact table.
     """
     ev = load_table(spark, sf_dir, "events")
     vfix = F.floor(F.col("value") * 1_000_000).cast("long")
-    thr = ev.groupBy("event_type").agg(
-        F.floor(F.percentile(vfix, 0.95)).cast("long").alias("p95_fix")
+    thr = p95_rank_threshold(ev, ["event_type"], vfix).select(
+        "event_type", "p95_fix"
     )
     return (
         ev.join(F.broadcast(thr), "event_type")

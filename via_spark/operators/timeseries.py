@@ -552,21 +552,27 @@ def event_type_share_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hourly_value_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-bucketed tail percentile: the exact interpolated p95 of
+    """Time-bucketed tail percentile: the exact discrete p95 of
     ``value`` per hour — the SLO-style latency band chart. Hours are
     epoch-integer buckets (no timezone semantics to diverge on).
 
-    Scale posture: percentile is computed inside the per-hour agg
-    (sort within each group's partial state), so parallelism follows
-    the bucket count and no global sort exists.
+    The band is the rank-based discrete p95 over fixed-point values
+    (stats.p95_rank_threshold: smallest v with 100·cum ≥ 95·n, pure
+    integer arithmetic — no interpolated double anywhere in the
+    contract, so the emitted band is engine-exact by construction).
+
+    Scale posture: one hash agg builds the per-hour value histogram;
+    the cumulative window runs over the histogram partitioned by hour,
+    so parallelism follows the bucket count and no global sort exists.
     """
+    from via_spark.operators.stats import p95_rank_threshold
+
     ev = load_table(spark, sf_dir, "events")
     vfix = F.floor(F.col("value") * 1_000_000).cast("long")
-    return ev.groupBy(
-        F.expr("ts div 1000000000 div 3600").cast("long").alias("hour_num")
-    ).agg(
-        # fixed-point in, floored fixed-point out — the emitted band is
-        # engine-stable (no raw interpolated double in the contract)
-        F.floor(F.percentile(vfix, 0.95)).cast("long").alias("p95_fix"),
-        F.count(F.lit(1)).alias("n"),
+    buck = ev.select(
+        F.expr("ts div 1000000000 div 3600").cast("long").alias("hour_num"),
+        F.col("value"),
+    )
+    return p95_rank_threshold(buck, ["hour_num"], vfix).select(
+        "hour_num", "p95_fix", "n"
     )

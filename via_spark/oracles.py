@@ -3167,18 +3167,29 @@ SELECT 3, 'view>click>purchase', count(*) FROM p
 
 def above_p95_events_sql() -> str:
     """Per-type p95 outliers — mirrors stats.above_p95_events
-    (fixed-point values in, floored fixed-point threshold; the filter
-    compares bigints so membership never rides on a double ulp)."""
+    (rank-based DISCRETE p95: smallest fixed-point value with
+    100·cum ≥ 95·n, all-integer — interpolated quantile_cont could
+    land an ulp on the other side of an integer vs Spark and shift the
+    floored threshold by 1)."""
     return """
 WITH q AS (
     SELECT event_id, event_type, value,
            CAST(floor(value * 1000000) AS BIGINT) AS vfix
     FROM events
 ),
+hist AS (
+    SELECT event_type, vfix AS v, count(*) AS c
+    FROM q GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, v,
+           sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+    FROM hist
+),
 thr AS (
-    SELECT event_type,
-           CAST(floor(quantile_cont(vfix, 0.95)) AS BIGINT) AS p95_fix
-    FROM q GROUP BY 1
+    SELECT event_type, CAST(min(v) AS BIGINT) AS p95_fix
+    FROM cum WHERE 100 * cum >= 95 * n GROUP BY 1
 )
 SELECT q.event_id, q.event_type, q.value, thr.p95_fix
 FROM q JOIN thr ON q.event_type = thr.event_type
@@ -3230,13 +3241,27 @@ FROM shared
 
 def hourly_value_p95_sql() -> str:
     """Hourly exact p95 — mirrors timeseries.hourly_value_p95
-    (fixed-point in, floored fixed-point band out)."""
+    (rank-based discrete p95 over fixed-point values, all-integer)."""
     return """
-SELECT CAST(epoch_us(ts) // 1000000 // 3600 AS BIGINT) AS hour_num,
-       CAST(floor(quantile_cont(CAST(floor(value * 1000000) AS BIGINT), 0.95))
-            AS BIGINT) AS p95_fix,
-       CAST(count(*) AS BIGINT) AS n
-FROM events
+WITH q AS (
+    SELECT CAST(epoch_us(ts) // 1000000 // 3600 AS BIGINT) AS hour_num,
+           CAST(floor(value * 1000000) AS BIGINT) AS vfix
+    FROM events
+),
+hist AS (
+    SELECT hour_num, vfix AS v, count(*) AS c
+    FROM q GROUP BY 1, 2
+),
+cum AS (
+    SELECT hour_num, v,
+           sum(c) OVER (PARTITION BY hour_num ORDER BY v) AS cum,
+           sum(c) OVER (PARTITION BY hour_num) AS n
+    FROM hist
+)
+SELECT hour_num,
+       CAST(min(v) AS BIGINT) AS p95_fix,
+       CAST(max(n) AS BIGINT) AS n
+FROM cum WHERE 100 * cum >= 95 * n
 GROUP BY 1
 """
 
