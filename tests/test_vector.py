@@ -267,3 +267,31 @@ def test_ann_recall_monotone_in_quality_dials(spark, sf_oracle):
             for r in (0, 1, 2)
         ]
         assert lsh == sorted(lsh), f"LSH recall not monotone for q{qid}: {lsh}"
+
+
+def test_ann_lsh_point_lookup_memoized_single_job(spark, sf_oracle):
+    """ann_lsh_topk is the one queries() entry allowed to run an eager
+    job at plan-build time (the LSH probe keys must be literals to plan
+    as InSet — see its docstring). Pin the exception's bound: the point
+    lookup fires AT MOST ONE job per (session, sf_dir, query_id,
+    n_tables) — after the first build, rebuilding the query must not
+    touch the cluster at all (DataFrame.first is the only action the
+    builder may run; forbid it outright on the second build)."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from via_spark.operators import dedup
+
+    # first build warms the memo (any prior test may already have)
+    dedup.ann_lsh_topk(spark, sf_oracle, query_id=3, k=10)
+
+    def _no_jobs(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError(
+            "ann_lsh_topk ran a second point-lookup job for a memoized key"
+        )
+
+    with mock.patch.object(DataFrame, "first", _no_jobs):
+        df = dedup.ann_lsh_topk(spark, sf_oracle, query_id=3, k=10)
+    # the rebuilt plan is intact and still answers
+    assert df.limit(1).count() >= 0
