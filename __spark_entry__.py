@@ -138,10 +138,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (see its docstring).
     """
     return {
-        # --- head (first 50): change-aware rotation — stalest
-        # never-verified/changed-since-green (impl OR oracle) queries
-        # first, per via_spark.rotation.recommended_head; enforced by
-        # tests/test_properties.py ---
+        # --- head (first 50): change-aware rotation (r8) — the 10
+        # required queries (never-verified/changed-since-green, impl OR
+        # oracle, stalest first) per via_spark.rotation.recommended_head,
+        # then stalest-green fill (re-verifying an unchanged old green
+        # re-anchors its baseline commit; rotation.suggested_full_head);
+        # enforced by tests/test_properties.py ---
+        "dedup_keep_best": graph.dedup_keep_best,
+        "global_value_rank": rank.global_value_rank,
+        "per_day_topk": relational.per_day_topk,
+        "range_containment_join": windows.range_containment_join,
+        "session_hash_counts": windows.session_hash_counts,
+        "above_p95_events": stats.above_p95_events,
+        "behavior_trigrams": timeseries.behavior_trigrams,
+        "hourly_value_p95": timeseries.hourly_value_p95,
+        "leakage_safe_split": curation.leakage_safe_split,
+        "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
+        "cube_order_counts": timeseries.cube_order_counts,
+        "customer_order_distribution": relational.customer_order_distribution,
+        "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
+        "embedding_centroids_by_label": vector.embedding_centroids_by_label,
+        "embedding_norm_stats": vector.embedding_norm_stats,
+        "event_type_severity_pivot": relational.event_type_severity_pivot,
+        "event_type_transition_matrix": timeseries.event_type_transition_matrix,
+        "event_type_unpivot": relational.event_type_unpivot,
+        "events_profile": relational.events_profile,
+        "gapfill_locf": timeseries.gapfill_locf,
+        "hourly_rate_of_change": timeseries.hourly_rate_of_change,
+        "hypertable_rollup": windows.hypertable_rollup,
+        "knn_batch_topk": vector.knn_batch_topk,
+        "lapsed_buyers": relational.lapsed_buyers,
+        "large_orders_having": relational.large_orders_having,
+        "lineitem_rollup": relational.lineitem_rollup,
+        "local_supplier_volume": relational.local_supplier_volume,
+        "mad_outliers": stats.mad_outliers,
+        "min_cost_supplier": relational.min_cost_supplier,
+        "moving_avg_daily": timeseries.moving_avg_daily,
+        "newest_events": relational.newest_events,
+        "order_priority_counts": relational.order_priority_counts,
+        "pricing_summary": relational.pricing_summary,
+        "promo_revenue": relational.promo_revenue,
+        "props_json_stats": relational.props_json_stats,
+        "purchase_intervals": timeseries.purchase_intervals,
+        "referential_audit": relational.referential_audit,
+        "repeat_buyers": relational.repeat_buyers,
+        "rolling_7d_active_users": timeseries.rolling_7d_active_users,
+        "salted_event_type_counts": relational.salted_event_type_counts,
+        "severity_set_concat": relational.severity_set_concat,
+        "shipping_priority": relational.shipping_priority,
+        "sliding_hash_counts": windows.sliding_hash_counts,
+        "source_mix_allocation": curation.source_mix_allocation,
+        "tfidf_top_terms": search.tfidf_top_terms,
+        "user_sessions": windows.user_sessions,
+        "value_histogram": timeseries.value_histogram,
+        "value_percentiles": stats.value_percentiles,
+        "weekly_active_users": timeseries.weekly_active_users,
+        "ann_ivf_topk": dedup.ann_ivf_topk,
+        # --- end head (position 50 boundary) --- tail: driver-green
+        # with implementing units and oracles unchanged since their
+        # newest green row (unit-granular, git-derived); all re-proven
+        # every round by tests/test_oracle_parity.py ---
         "active_rules_projection": control.active_rules_projection,
         "benchmark_contamination": curation.benchmark_contamination,
         "bgl_roundtrip": schema_infer.bgl_roundtrip,
@@ -192,12 +248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_trigram_profile": textstats.char_trigram_profile,
         "cohort_retention": timeseries.cohort_retention,
         "conversion_funnel": timeseries.conversion_funnel,
-        # --- end head (position 50 boundary) --- tail: driver-green
-        # with implementing modules and oracles unchanged since, or
-        # queued for a later rotation window; all re-proven every
-        # round by tests/test_oracle_parity.py ---
-        "cube_order_counts": timeseries.cube_order_counts,
-        "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
         "retrieval_label_precision": vector.retrieval_label_precision,
         "revenue_concentration": relational.revenue_concentration,
         "token_budget_shards": rank.token_budget_shards,
@@ -230,66 +280,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_share": relational.daily_revenue_share,
         "rollup_region_nation_revenue": relational.rollup_region_nation_revenue,
         "orders_grouping_sets": relational.orders_grouping_sets,
-        "behavior_trigrams": timeseries.behavior_trigrams,
         "timed_conversion_funnel": timeseries.timed_conversion_funnel,
-        "above_p95_events": stats.above_p95_events,
         "daily_priority_percent_rank": stats.daily_priority_percent_rank,
         "event_type_share_drift_daily": timeseries.event_type_share_drift_daily,
-        "hourly_value_p95": timeseries.hourly_value_p95,
         "embedding_drift_by_label": vector.embedding_drift_by_label,
         "hard_negatives": vector.hard_negatives,
-        "leakage_safe_split": curation.leakage_safe_split,
         "length_bucketed_batches": rank.length_bucketed_batches,
         "curriculum_positions": rank.curriculum_positions,
         "recommend_average_vector": vector.recommend_average_vector,
         "hybrid_rrf": search.hybrid_rrf,
         "ann_lsh_topk": dedup.ann_lsh_topk,
-        "ann_ivf_topk": dedup.ann_ivf_topk,
         "ann_quantized_topk": vector.ann_quantized_topk,
         "dedup_exact": dedup.dedup_exact,
-        "dedup_keep_best": graph.dedup_keep_best,
-        "knn_batch_topk": vector.knn_batch_topk,
-        "embedding_norm_stats": vector.embedding_norm_stats,
-        "embedding_centroids_by_label": vector.embedding_centroids_by_label,
-        "source_mix_allocation": curation.source_mix_allocation,
-        "newest_events": relational.newest_events,
-        "pricing_summary": relational.pricing_summary,
-        "shipping_priority": relational.shipping_priority,
-        "local_supplier_volume": relational.local_supplier_volume,
-        "order_priority_counts": relational.order_priority_counts,
-        "promo_revenue": relational.promo_revenue,
-        "salted_event_type_counts": relational.salted_event_type_counts,
-        "event_type_severity_pivot": relational.event_type_severity_pivot,
-        "lineitem_rollup": relational.lineitem_rollup,
-        "per_day_topk": relational.per_day_topk,
-        "customer_order_distribution": relational.customer_order_distribution,
-        "min_cost_supplier": relational.min_cost_supplier,
-        "large_orders_having": relational.large_orders_having,
-        "value_percentiles": stats.value_percentiles,
-        "mad_outliers": stats.mad_outliers,
-        "global_value_rank": rank.global_value_rank,
-        "sliding_hash_counts": windows.sliding_hash_counts,
-        "session_hash_counts": windows.session_hash_counts,
-        "hypertable_rollup": windows.hypertable_rollup,
-        "range_containment_join": windows.range_containment_join,
-        "hourly_rate_of_change": timeseries.hourly_rate_of_change,
-        "gapfill_locf": timeseries.gapfill_locf,
-        "moving_avg_daily": timeseries.moving_avg_daily,
-        "value_histogram": timeseries.value_histogram,
-        "tfidf_top_terms": search.tfidf_top_terms,
-        "repeat_buyers": relational.repeat_buyers,
-        "lapsed_buyers": relational.lapsed_buyers,
-        "event_type_unpivot": relational.event_type_unpivot,
-        "severity_set_concat": relational.severity_set_concat,
-        "referential_audit": relational.referential_audit,
-        "purchase_intervals": timeseries.purchase_intervals,
-        "weekly_active_users": timeseries.weekly_active_users,
-        "props_json_stats": relational.props_json_stats,
-        "user_sessions": windows.user_sessions,
-        "rolling_7d_active_users": timeseries.rolling_7d_active_users,
-        "event_type_transition_matrix": timeseries.event_type_transition_matrix,
-        "events_profile": relational.events_profile,
-        "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
     }
 
 
