@@ -975,6 +975,13 @@ def test_rotation_unit_sources_granularity():
         }
 
     assert delta(base.replace("module doc", "edited doc")) == set()
+    # function docstrings and formatting are stripped from fingerprints
+    doc_fn = base.replace(
+        "def f(x):\n    return A + x",
+        'def f(x):\n    """docs."""\n    return A + x',
+    )
+    assert delta(doc_fn) == set()
+    assert delta(base.replace("return A + x", "return (A +  x)")) == set()
     assert delta(base + "B = 2\n") == {"B"}
     assert delta(
         base.replace("functions as F, DataFrame", "functions as F, DataFrame, Window")

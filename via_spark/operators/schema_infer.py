@@ -234,6 +234,10 @@ def bgl_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
 
 
 def bgl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 roundtrip proof: render events as BGL fixed-position lines,
+    then re-parse them with the named-group regex — the parsed columns
+    must reproduce the source fields exactly (reference:
+    app/services/schema_service.py:51-64)."""
     return bgl_parse(bgl_lines_from_events(spark, sf_dir))
 
 

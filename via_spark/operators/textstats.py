@@ -94,6 +94,10 @@ def lang_id_expr(text: Column, toks: Column) -> Column:
 
 
 def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID per document: CJK-character detection plus
+    argmax stopword votes over the tokenized text (lang_id_expr),
+    emitted next to the fixture's true label — all native column
+    expressions, one scan."""
     d = load_table(spark, sf_dir, "documents")
     t = d.withColumn("toks", tokens(F.col("text"))).where(F.size("toks") > 0)
     return t.select(

@@ -264,16 +264,42 @@ def _assign_target_names(node: ast.stmt) -> list[str] | None:
     return names
 
 
+def _semantic_dump(node: ast.AST) -> str:
+    """Formatting-insensitive fingerprint of an AST node: ``ast.dump``
+    with every docstring stripped (recursively), so docstring-only,
+    comment-only, and whitespace-only edits never invalidate a green
+    row — they cannot change behavior."""
+    import copy
+
+    node = copy.deepcopy(node)
+    for n in ast.walk(node):
+        body = getattr(n, "body", None)
+        if (
+            isinstance(
+                n,
+                (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef, ast.Module),
+            )
+            and body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            del body[0]
+            if not body:
+                body.append(ast.Pass())
+    return ast.dump(node)
+
+
 def _unit_sources(text: str) -> dict[str, str]:
     """Module source → {unit name: change fingerprint}.
 
-    def/class → its source segment; each name bound by a top-level
-    assignment → the assignment's source; each import alias → a
-    normalized ``from X import Y`` descriptor (so extending an import
-    list does not change the fingerprint of the aliases already in
-    it); docstrings/bare string constants → ignored; everything else →
-    concatenated under ``<module>``. A name bound twice concatenates
-    fingerprints."""
+    def/class → its docstring-stripped AST dump; each name bound by a
+    top-level assignment → the assignment's AST dump; each import
+    alias → a normalized ``from X import Y`` descriptor (so extending
+    an import list does not change the fingerprint of the aliases
+    already in it); docstrings/bare string constants → ignored;
+    everything else → concatenated under ``<module>``. A name bound
+    twice concatenates fingerprints."""
     tree = ast.parse(text)
     units: dict[str, str] = {}
 
@@ -283,7 +309,7 @@ def _unit_sources(text: str) -> dict[str, str]:
     residue: list[str] = []
     for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
-            bind(node.name, ast.get_source_segment(text, node) or "")
+            bind(node.name, _semantic_dump(node))
         elif isinstance(node, ast.Import):
             for alias in node.names:
                 bind(
@@ -300,13 +326,13 @@ def _unit_sources(text: str) -> dict[str, str]:
         elif isinstance(node, _ASSIGNS) and (
             names := _assign_target_names(node)
         ) is not None:
-            seg = ast.get_source_segment(text, node) or ""
+            fp = _semantic_dump(node)
             for name in names:
-                bind(name, seg)
+                bind(name, fp)
         elif isinstance(node, ast.Expr) and isinstance(node.value, ast.Constant):
             continue  # docstring / bare literal — no runtime effect
         else:
-            residue.append(ast.get_source_segment(text, node) or "")
+            residue.append(_semantic_dump(node))
     if residue:
         bind(_SHARED_UNIT, "\n".join(residue))
     return units
