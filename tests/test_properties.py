@@ -1040,3 +1040,42 @@ def test_rotation_fails_closed_without_round_commit():
     assert set(greens) & set(qs) <= required, (
         "unanchored green rows must fail closed"
     )
+
+
+P95_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),                  # group
+        st.integers(min_value=-1000, max_value=1000),      # fixed-point value
+    ),
+    min_size=1, max_size=60,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(rows=P95_ROWS)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_p95_rank_threshold_matches_reference(spark, rows):
+    """The histogram/cum-window discrete p95 must equal the definition
+    it pins — smallest v with 100·|{x ≤ v}| ≥ 95·n per group — for any
+    input: singleton groups, all-equal values, duplicates, negatives.
+    (Oracle parity checks one fixture; this checks the formula.)"""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.stats import p95_rank_threshold
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r["g"], r["p95_fix"], r["n"])
+        for r in p95_rank_threshold(df, ["g"], F.col("v")).collect()
+    }
+    expect = set()
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    for g, vs in groups.items():
+        vs.sort()
+        n = len(vs)
+        thr = next(v for i, v in enumerate(vs) if 100 * (i + 1) >= 95 * n)
+        expect.add((g, thr, n))
+    assert got == expect
