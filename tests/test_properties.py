@@ -1079,3 +1079,26 @@ def test_p95_rank_threshold_matches_reference(spark, rows):
         thr = next(v for i, v in enumerate(vs) if 100 * (i + 1) >= 95 * n)
         expect.add((g, thr, n))
     assert got == expect
+
+
+def test_rotation_every_oracle_builder_resolves():
+    """oracle_changed_queries maps query → builder by the `<query>_sql`
+    convention (plus ORACLE_FN_EXCEPTIONS). A builder that never
+    matches a unit in oracles.py would be invisible to change tracking
+    from day one — its query could coast on stale oracle credit
+    forever. Pin that every oracled query resolves to a real unit."""
+    from pathlib import Path
+
+    import __spark_entry__ as entrymod
+    from via_spark import rotation
+
+    repo = Path(entrymod.__file__).resolve().parent
+    units = rotation._unit_sources(
+        (repo / "via_spark" / "oracles.py").read_text()
+    )
+    missing = [
+        q
+        for q in entrymod.oracle_sql()
+        if rotation.ORACLE_FN_EXCEPTIONS.get(q, f"{q}_sql") not in units
+    ]
+    assert not missing, f"builders unresolvable to oracles.py units: {missing}"
