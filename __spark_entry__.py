@@ -138,12 +138,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (see its docstring).
     """
     return {
-        # --- head (first 50): change-aware rotation (r8) — the 10
-        # required queries (never-verified/changed-since-green, impl OR
-        # oracle, stalest first) per via_spark.rotation.recommended_head,
-        # then stalest-green fill (re-verifying an unchanged old green
-        # re-anchors its baseline commit; rotation.suggested_full_head);
-        # enforced by tests/test_properties.py ---
+        # --- head (first 50): change-aware rotation (r8) — the
+        # never-verified query first, then the 10 required
+        # (changed-since-green, impl OR oracle, stalest first) per
+        # via_spark.rotation.recommended_head, then stalest-green fill
+        # (re-verifying an unchanged old green re-anchors its baseline
+        # commit; rotation.suggested_full_head); enforced by
+        # tests/test_properties.py ---
+        "repeated_span_scrub": curation.repeated_span_scrub,
         "dedup_keep_best": graph.dedup_keep_best,
         "global_value_rank": rank.global_value_rank,
         "per_day_topk": relational.per_day_topk,
@@ -193,11 +195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": timeseries.value_histogram,
         "value_percentiles": stats.value_percentiles,
         "weekly_active_users": timeseries.weekly_active_users,
-        "ann_ivf_topk": dedup.ann_ivf_topk,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "ann_ivf_topk": dedup.ann_ivf_topk,
         "active_rules_projection": control.active_rules_projection,
         "benchmark_contamination": curation.benchmark_contamination,
         "bgl_roundtrip": schema_infer.bgl_roundtrip,
@@ -442,4 +444,5 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split": oracles.leakage_safe_split_sql(),
         "length_bucketed_batches": oracles.length_bucketed_batches_sql(),
         "curriculum_positions": oracles.curriculum_positions_sql(),
+        "repeated_span_scrub": oracles.repeated_span_scrub_sql(),
     }

@@ -444,3 +444,16 @@ def test_round8_p95_plan_shapes(spark, sf_oracle):
     assert "windowspecdefinition()" not in p2
     assert "partial_count" in p2
     assert "percentile" not in p2, "no interpolated percentile remains"
+
+
+def test_repeated_span_scrub_plan_shape(spark, sf_oracle):
+    """The span scrub must stay an equi-key pipeline: gram visibility
+    is a hash agg on the 64-bit gram hash, the hot set joins back by
+    equi-join, coverage union and reassembly shuffle per-document —
+    never a cartesian product, never a window, never a global sort."""
+    p = _plan(spark, sf_oracle, "repeated_span_scrub")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
+    assert "partial_count" in p  # map-side combine on the gram hashes
+    # reassembly aggregates per document
+    assert "collect_list" in p

@@ -206,3 +206,64 @@ def test_length_filter_trims_at_most_5pct_each_side(spark, sf_oracle):
         above = d.where((F.col("lang") == lang) & (F.col("n_chars") > hi)).count()
         assert below * 20 <= n, f"{lang}: dropped {below}/{n} below"
         assert above * 20 <= n, f"{lang}: dropped {above}/{n} above"
+
+
+def test_repeated_span_scrub_planted_boilerplate(spark, tmp_path):
+    """Pin the span-scrub CONTRACT on planted structure (oracle parity
+    alone cannot distinguish a spec error written twice): an 8-gram
+    shared by >= 3 docs is removed wherever it appears; a 9-token
+    shared run removes 9 tokens (overlapping hot grams union, not
+    double-count); a 2-doc gram survives; docs shorter than the gram
+    are untouched; a pure-boilerplate doc scrubs to ''; filler tokens
+    derive from the doc id so nothing aliases by accident."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.curation import repeated_span_scrub
+
+    run9 = " ".join(f"b{j}" for j in range(9))  # 9-token shared run
+    pair = " ".join(f"p{j}" for j in range(8))  # 8-gram in only 2 docs
+
+    def filler(i, n):
+        return " ".join(f"tok{i}x{j}" for j in range(n))
+
+    rows = [
+        # docs 0-2: filler + the 9-token run + filler (run at
+        # different offsets)
+        (0, f"{filler(0, 4)} {run9} {filler(0, 5)}"),
+        (1, f"{filler(1, 7)} {run9}"),
+        (2, f"{run9} {filler(2, 6)}"),
+        # docs 3-4: the 2-doc 8-gram — must survive
+        (3, f"{filler(3, 5)} {pair}"),
+        (4, f"{pair} {filler(4, 5)}"),
+        # doc 5: pure boilerplate (the 9-run and nothing else) → ''
+        (5, run9),
+        # doc 6: shorter than the gram width
+        (6, "tiny doc here"),
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r
+        for r in repeated_span_scrub(spark, str(d)).collect()
+    }
+    assert len(got) == 7
+    # the 9-run (union of two overlapping hot 8-grams) vanishes wherever
+    # it sits; everything else survives verbatim
+    assert got[0]["n_removed"] == 9
+    assert got[0]["scrubbed_text"] == f"{filler(0, 4)} {filler(0, 5)}"
+    assert got[1]["n_removed"] == 9
+    assert got[1]["scrubbed_text"] == filler(1, 7)
+    assert got[2]["n_removed"] == 9
+    assert got[2]["scrubbed_text"] == filler(2, 6)
+    # 2-doc gram survives untouched
+    assert got[3]["n_removed"] == 0 and got[4]["n_removed"] == 0
+    assert got[3]["scrubbed_text"] == f"{filler(3, 5)} {pair}"
+    # pure boilerplate → empty string, full count removed
+    assert got[5]["n_removed"] == 9 and got[5]["scrubbed_text"] == ""
+    # short doc untouched
+    assert got[6]["n_removed"] == 0 and got[6]["scrubbed_text"] == "tiny doc here"

@@ -349,3 +349,97 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+SPAN_N = 8
+SPAN_MIN_DOCS = 3
+
+
+def repeated_span_scrub(
+    spark: SparkSession, sf_dir: str, n: int = SPAN_N,
+    min_docs: int = SPAN_MIN_DOCS,
+) -> DataFrame:
+    """Boilerplate SPAN removal (the RefinedWeb/Gopher line-dedup step
+    adapted to token streams): delete every token covered by some
+    n-gram that occurs in >= ``min_docs`` DISTINCT documents, then
+    reassemble each document from its surviving tokens in order.
+    Headers, footers, license blurbs, and navigation chrome repeat
+    verbatim across pages; span-level removal scrubs them from
+    otherwise-unique documents that whole-document dedup keeps.
+
+    Output per document (ALL documents, scrubbed or not): token count,
+    tokens removed, and the scrubbed text ('' when everything was
+    boilerplate).
+
+    Scale posture: grams are xxhash64'd before any shuffle (the text
+    payload never moves; same collision posture as dup_ngram_stats —
+    negligible below ~10^12 distinct grams, and the oracle groups raw
+    gram strings so a collision would surface as a value mismatch).
+    Cross-document visibility is one hash agg on the gram hash; the
+    hot-gram set joins back by equi-join on that hash (AQE-splittable,
+    never a document self-join); coverage union and reassembly are
+    per-document local, bounded by document length.
+    """
+    from via_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens(F.col("text")).alias("toks")).withColumn(
+        "n_tokens", F.size("toks")
+    )
+    # 1-based positions to mirror SQL list indexing exactly
+    tok = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks)),"
+                " i -> struct(i AS pos, element_at(toks, i) AS tk))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.tk")
+    grams = (
+        base.where(F.col("n_tokens") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n - 1}),"
+                    f" i -> struct(i AS pos,"
+                    f" xxhash64(concat_ws(' ', slice(toks, i, {n}))) AS gh))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.gh")
+    )
+    hot = (
+        grams.select("doc_id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    covered = (
+        grams.join(hot, "gh")
+        .select("doc_id", F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("pos"))
+        .distinct()
+    )
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(pos, tk))), s -> s.tk)"),
+        ).alias("scrubbed_text"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+        )
+    )

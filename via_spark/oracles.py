@@ -3390,3 +3390,52 @@ SELECT doc_id, decile,
                     doc_id ASC) AS BIGINT) AS pos
 FROM dec
 """
+
+
+def repeated_span_scrub_sql(n: int | None = None, min_docs: int | None = None) -> str:
+    """Boilerplate span removal — mirrors curation.repeated_span_scrub
+    (1-based token positions; grams grouped on RAW strings, so a
+    Spark-side 64-bit gram-hash collision would surface here as a value
+    mismatch)."""
+    from via_spark.operators.curation import SPAN_MIN_DOCS, SPAN_N
+
+    n = SPAN_N if n is None else n
+    min_docs = SPAN_MIN_DOCS if min_docs is None else min_docs
+    return f"""
+WITH {DOC_TOKS_CTE},
+base AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM dtok),
+tok AS (
+    SELECT doc_id, i AS pos, toks[i] AS tk
+    FROM base, unnest(range(1, n_tokens + 1)) AS r(i)
+),
+grams AS (
+    SELECT doc_id, i AS pos,
+           concat_ws(' ', list_slice(toks, i, i + {n - 1})) AS gram
+    FROM base, unnest(range(1, n_tokens - {n - 2})) AS r(i)
+    WHERE n_tokens >= {n}
+),
+hot AS (
+    SELECT gram
+    FROM (SELECT DISTINCT doc_id, gram FROM grams)
+    GROUP BY gram HAVING count(*) >= {min_docs}
+),
+cov AS (
+    SELECT DISTINCT g.doc_id, c.p AS pos
+    FROM grams g JOIN hot USING (gram), unnest(range(g.pos, g.pos + {n})) AS c(p)
+),
+kept AS (
+    SELECT t.doc_id, t.pos, t.tk
+    FROM tok t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+    WHERE cov.pos IS NULL
+),
+agg AS (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(tk, ' ' ORDER BY pos) AS scrubbed_text
+    FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(b.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(a.scrubbed_text, '') AS scrubbed_text
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
