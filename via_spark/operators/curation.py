@@ -381,8 +381,12 @@ def repeated_span_scrub(
     per-document local, bounded by document length.
     """
     from via_spark.functions.text import tokens
+    from via_spark.session import spread
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread() widens the narrow single-split fixture scan before the
+    # explode-heavy branches (gated: an already-parallel cluster scan
+    # passes through with no Exchange)
+    d = spread(load_table(spark, sf_dir, "documents"))
     base = d.select("doc_id", tokens(F.col("text")).alias("toks")).withColumn(
         "n_tokens", F.size("toks")
     )
