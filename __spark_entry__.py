@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # commit; rotation.suggested_full_head); enforced by
         # tests/test_properties.py ---
         "repeated_span_scrub": curation.repeated_span_scrub,
+        "temperature_mixture_weights": curation.temperature_mixture_weights,
         "dedup_keep_best": graph.dedup_keep_best,
         "global_value_rank": rank.global_value_rank,
         "per_day_topk": relational.per_day_topk,
@@ -194,11 +195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": windows.user_sessions,
         "value_histogram": timeseries.value_histogram,
         "value_percentiles": stats.value_percentiles,
-        "weekly_active_users": timeseries.weekly_active_users,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "weekly_active_users": timeseries.weekly_active_users,
         "ann_ivf_topk": dedup.ann_ivf_topk,
         "active_rules_projection": control.active_rules_projection,
         "benchmark_contamination": curation.benchmark_contamination,
@@ -445,4 +446,5 @@ def oracle_sql() -> dict[str, str]:
         "length_bucketed_batches": oracles.length_bucketed_batches_sql(),
         "curriculum_positions": oracles.curriculum_positions_sql(),
         "repeated_span_scrub": oracles.repeated_span_scrub_sql(),
+        "temperature_mixture_weights": oracles.temperature_mixture_weights_sql(),
     }

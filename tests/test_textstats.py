@@ -267,3 +267,49 @@ def test_repeated_span_scrub_planted_boilerplate(spark, tmp_path):
     assert got[5]["n_removed"] == 9 and got[5]["scrubbed_text"] == ""
     # short doc untouched
     assert got[6]["n_removed"] == 0 and got[6]["scrubbed_text"] == "tiny doc here"
+
+
+def test_temperature_mixture_weights_planted_skew(spark, tmp_path):
+    """Pin the tau=0.5 mixture arithmetic on a skewed corpus with exact
+    square counts: n = {100, 25, 4, 1} → sqrt-weights 10:5:2:1, so
+    every expected value is an exact integer — weights, shares, and the
+    planned allocation of an 1800-doc budget (1000/500/200/100). Also
+    the direction property that makes temperature sampling worth
+    running: between proportional and uniform for every source."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.curation import temperature_mixture_weights
+
+    sizes = {"big": 100, "mid": 25, "small": 4, "tiny": 1}
+    rows = [
+        (i, f"tok{i}", src)
+        for i, src in enumerate(
+            s for src, n in sizes.items() for s in [src] * n
+        )
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    got = {
+        r["source"]: r
+        for r in temperature_mixture_weights(spark, str(d), budget_docs=1800).collect()
+    }
+    assert {s: got[s]["n_docs"] for s in sizes} == sizes
+    assert got["big"]["w_fix"] == 10_000_000_000
+    assert got["tiny"]["w_fix"] == 1_000_000_000
+    expect_planned = {"big": 1000, "mid": 500, "small": 200, "tiny": 100}
+    assert {s: got[s]["planned_docs"] for s in sizes} == expect_planned
+    total = sum(sizes.values())
+    for s, n in sizes.items():
+        share = n / total
+        w = got[s]["temp_weight"]
+        if n > total / len(sizes):  # over-represented source: damped
+            assert w < share
+        else:  # under-represented source: boosted, but below uniform+
+            assert w > share
+    # weights sum to 1 within one ulp-sum and order between extremes
+    assert abs(sum(got[s]["temp_weight"] for s in sizes) - 1.0) < 1e-12

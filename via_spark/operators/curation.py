@@ -447,3 +447,56 @@ def repeated_span_scrub(
             F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
         )
     )
+
+
+MIXTURE_BUDGET_DOCS = 100_000
+
+
+def temperature_mixture_weights(
+    spark: SparkSession, sf_dir: str, budget_docs: int = MIXTURE_BUDGET_DOCS
+) -> DataFrame:
+    """Temperature-scaled source sampling weights (the multilingual
+    standard, XLM-R/mT5 family, at tau = 0.5): w_i ∝ n_i^0.5 — between
+    proportional sampling (tau = 1, big sources dominate) and uniform
+    (tau = 0, small sources oversampled into repetition). Emits each
+    source's corpus share, its temperature weight, and its planned doc
+    count under ``budget_docs``.
+
+    Exactness: tau is pinned to 0.5 BECAUSE sqrt is correctly rounded
+    under IEEE 754 while pow is not — sqrt(n) is the identical double
+    in any engine. Each weight becomes fixed-point
+    floor(1e9·sqrt(n_docs)) so the normalizing denominator is an exact
+    BIGINT sum (order-independent); the emitted weight is one pinned
+    double division and planned_docs is pure integer arithmetic
+    (budget·w_fix div denom).
+
+    Scale posture: one hash agg keyed by source, then a 1-row broadcast
+    of the denominator — no second pass over the corpus (same shape as
+    source_mix_allocation).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_fix = F.floor(
+        F.sqrt(F.col("n_docs").cast("double")) * F.lit(1_000_000_000.0)
+    ).cast("long")
+    wtab = per.withColumn("w_fix", w_fix)
+    tot = wtab.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum("w_fix").alias("denom")
+    )
+    return (
+        wtab.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("total_docs").cast("double"))
+            .alias("share"),
+            "w_fix",
+            (F.col("w_fix").cast("double") / F.col("denom").cast("double"))
+            .alias("temp_weight"),
+            # 64-bit integer div end to end: budget·w_fix ≈ 1e5·2e12 ≈
+            # 2e17 < 2^63, but far beyond double's 2^53 exact range —
+            # float division here would corrupt the last digits
+            F.expr(f"CAST(({int(budget_docs)}L * w_fix) div denom AS BIGINT)")
+            .alias("planned_docs"),
+        )
+    )

@@ -3439,3 +3439,36 @@ SELECT b.doc_id,
        coalesce(a.scrubbed_text, '') AS scrubbed_text
 FROM base b LEFT JOIN agg a USING (doc_id)
 """
+
+
+def temperature_mixture_weights_sql(budget_docs: int | None = None) -> str:
+    """Temperature-scaled (tau=0.5) source sampling weights — mirrors
+    curation.temperature_mixture_weights: sqrt is correctly rounded in
+    both engines, the normalizing denominator is an exact BIGINT sum of
+    fixed-point weights, and planned_docs is 64-bit integer arithmetic."""
+    from via_spark.operators.curation import MIXTURE_BUDGET_DOCS
+
+    budget_docs = MIXTURE_BUDGET_DOCS if budget_docs is None else budget_docs
+    return f"""
+WITH per AS (
+    SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+),
+w AS (
+    SELECT source, n_docs,
+           CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000000.0) AS BIGINT)
+             AS w_fix
+    FROM per
+),
+tot AS (
+    SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+           CAST(sum(w_fix) AS BIGINT) AS denom
+    FROM w
+)
+SELECT w.source,
+       CAST(w.n_docs AS BIGINT) AS n_docs,
+       CAST(w.n_docs AS DOUBLE) / CAST(tot.total_docs AS DOUBLE) AS share,
+       w.w_fix,
+       CAST(w.w_fix AS DOUBLE) / CAST(tot.denom AS DOUBLE) AS temp_weight,
+       CAST(({int(budget_docs)} * w.w_fix) // tot.denom AS BIGINT) AS planned_docs
+FROM w, tot
+"""
