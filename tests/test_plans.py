@@ -449,11 +449,13 @@ def test_round8_p95_plan_shapes(spark, sf_oracle):
 def test_repeated_span_scrub_plan_shape(spark, sf_oracle):
     """The span scrub must stay an equi-key pipeline: gram visibility
     is a hash agg on the 64-bit gram hash, the hot set joins back by
-    equi-join, coverage union and reassembly shuffle per-document —
-    never a cartesian product, never a window, never a global sort."""
+    equi-join, the covered-position SET aggregates per document, and
+    reassembly filters each doc's token array in place — never a
+    cartesian product, never a window, never a global sort, and never
+    a token-level explode (only gram rows shuffle)."""
     p = _plan(spark, sf_oracle, "repeated_span_scrub")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "Window" not in p
     assert "partial_count" in p  # map-side combine on the gram hashes
-    # reassembly aggregates per document
-    assert "collect_list" in p
+    # per-doc covered-position set; reassembly is array-local
+    assert "collect_set" in p and "filter(toks" in p

@@ -390,16 +390,9 @@ def repeated_span_scrub(
     base = d.select("doc_id", tokens(F.col("text")).alias("toks")).withColumn(
         "n_tokens", F.size("toks")
     )
-    # 1-based positions to mirror SQL list indexing exactly
-    tok = base.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks)),"
-                " i -> struct(i AS pos, element_at(toks, i) AS tk))"
-            )
-        ).alias("s"),
-    ).select("doc_id", "s.pos", "s.tk")
+    # 1-based gram positions to mirror SQL list indexing exactly; only
+    # the gram (hash, position) rows ever shuffle — tokens stay inside
+    # their document array end to end
     grams = (
         base.where(F.col("n_tokens") >= n)
         .select(
@@ -422,29 +415,30 @@ def repeated_span_scrub(
         .where(F.col("nd") >= min_docs)
         .select("gh")
     )
-    covered = (
+    # per-doc covered-position SET (span union), one array per doc —
+    # reassembly then filters the token array in place (indexed
+    # lambda), no token explode, no per-position anti-join
+    cov = (
         grams.join(hot, "gh")
-        .select("doc_id", F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("pos"))
-        .distinct()
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("cov"))
     )
-    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
-    agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.expr("transform(array_sort(collect_list(struct(pos, tk))), s -> s.tk)"),
-        ).alias("scrubbed_text"),
+    kept = F.filter(
+        F.col("toks"), lambda x, i: ~F.array_contains(F.col("cov"), i + F.lit(1))
     )
     return (
-        base.select("doc_id", "n_tokens")
-        .join(agg, "doc_id", "left")
+        base.join(cov, "doc_id", "left")
         .select(
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+            F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
+            F.when(F.col("cov").isNull(), F.concat_ws(" ", F.col("toks")))
+            .otherwise(F.concat_ws(" ", kept))
+            .alias("scrubbed_text"),
         )
     )
 
