@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (re-verifying an unchanged old green re-anchors its baseline
         # commit; rotation.suggested_full_head); enforced by
         # tests/test_properties.py ---
+        "multimodal_resize_plan": multimodal.multimodal_resize_plan,
         "repeated_span_scrub": curation.repeated_span_scrub,
         "temperature_mixture_weights": curation.temperature_mixture_weights,
         "dedup_keep_best": graph.dedup_keep_best,
@@ -194,11 +195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": search.tfidf_top_terms,
         "user_sessions": windows.user_sessions,
         "value_histogram": timeseries.value_histogram,
-        "value_percentiles": stats.value_percentiles,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "value_percentiles": stats.value_percentiles,
         "weekly_active_users": timeseries.weekly_active_users,
         "ann_ivf_topk": dedup.ann_ivf_topk,
         "active_rules_projection": control.active_rules_projection,
@@ -447,4 +448,5 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_positions": oracles.curriculum_positions_sql(),
         "repeated_span_scrub": oracles.repeated_span_scrub_sql(),
         "temperature_mixture_weights": oracles.temperature_mixture_weights_sql(),
+        "multimodal_resize_plan": oracles.multimodal_resize_plan_sql(),
     }

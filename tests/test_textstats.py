@@ -313,3 +313,31 @@ def test_temperature_mixture_weights_planted_skew(spark, tmp_path):
             assert w > share
     # weights sum to 1 within one ulp-sum and order between extremes
     assert abs(sum(got[s]["temp_weight"] for s in sizes) - 1.0) < 1e-12
+
+
+def test_multimodal_resize_plan_aspect_fit(spark, tmp_path):
+    """Aspect-fit invariants + one exact planted case: the longest side
+    lands exactly on the box, nothing collapses below 1, and both
+    thumbnail sides stay within the box. Planted: a 63-byte payload
+    fake-decodes to 64x34, so the plan must emit 64x34 (landscape
+    passthrough of the longest side)."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.multimodal import THUMB_BOX, multimodal_resize_plan
+
+    d = tmp_path / "sf"
+    rows = [(0, "x" * 63), (1, "y" * 639), (2, "z" * 100)]
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in multimodal_resize_plan(spark, str(d)).collect()}
+    # planted exact: n=63 -> w = 63%640+1 = 64, h = (63*31)%480+1 = 34
+    assert (got[0]["fake_width"], got[0]["fake_height"]) == (64, 34)
+    assert (got[0]["thumb_width"], got[0]["thumb_height"]) == (64, 34 * 64 // 64)
+    for r in got.values():
+        assert max(r["thumb_width"], r["thumb_height"]) == THUMB_BOX
+        assert 1 <= r["thumb_width"] <= THUMB_BOX
+        assert 1 <= r["thumb_height"] <= THUMB_BOX

@@ -141,3 +141,40 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"), 8)
     payloads = with_binary_payload(d).select("doc_id", "content")
     return payloads.mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
+
+
+THUMB_BOX = 64
+
+
+def multimodal_resize_plan(
+    spark: SparkSession, sf_dir: str, box: int = THUMB_BOX
+) -> DataFrame:
+    """Aspect-fit RESIZE planning over the decoded dimensions — the
+    thumbnail box computation every image pipeline runs before the
+    pixel op. The pixel resample itself sits behind the same decode
+    stub as decode_image (no image library in this container); the
+    Spark-side plumbing is the real contract: payload → Arrow-batched
+    decode (mapInPandas, same stage as multimodal_features) → pure
+    integer aspect-fit arithmetic in native columns.
+
+    new_dim = max(1, (dim · box) div max(width, height)) — the longest
+    side lands exactly on ``box``, aspect ratio preserved, all 64-bit
+    integer division (no float scale factor to diverge on).
+    """
+    feats = multimodal_features(spark, sf_dir).select(
+        "doc_id", "fake_width", "fake_height"
+    )
+    longest = F.greatest("fake_width", "fake_height")
+    return feats.select(
+        "doc_id",
+        "fake_width",
+        "fake_height",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(fake_width * {int(box)}L) div greatest(fake_width, fake_height)"),
+        ).alias("thumb_width"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(fake_height * {int(box)}L) div greatest(fake_width, fake_height)"),
+        ).alias("thumb_height"),
+    )

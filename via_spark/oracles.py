@@ -3472,3 +3472,26 @@ SELECT w.source,
        CAST(({int(budget_docs)} * w.w_fix) // tot.denom AS BIGINT) AS planned_docs
 FROM w, tot
 """
+
+
+def multimodal_resize_plan_sql(box: int | None = None) -> str:
+    """Aspect-fit thumbnail box — mirrors
+    multimodal.multimodal_resize_plan over the deterministic fake dims
+    (integer div end to end)."""
+    from via_spark.operators.multimodal import THUMB_BOX
+
+    box = THUMB_BOX if box is None else box
+    return f"""
+WITH dims AS (
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width,
+           CAST((octet_length(encode(text)) * 31) % 480 + 1 AS BIGINT) AS fake_height
+    FROM documents
+)
+SELECT doc_id, fake_width, fake_height,
+       greatest(1, (fake_width * {int(box)}) // greatest(fake_width, fake_height))
+         AS thumb_width,
+       greatest(1, (fake_height * {int(box)}) // greatest(fake_width, fake_height))
+         AS thumb_height
+FROM dims
+"""
