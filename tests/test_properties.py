@@ -1102,3 +1102,61 @@ def test_rotation_every_oracle_builder_resolves():
         if rotation.ORACLE_FN_EXCEPTIONS.get(q, f"{q}_sql") not in units
     ]
     assert not missing, f"builders unresolvable to oracles.py units: {missing}"
+
+
+SCRUB_DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        min_size=0, max_size=14,
+    ),
+    min_size=1, max_size=8,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(docs=SCRUB_DOCS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_repeated_span_scrub_matches_reference(spark, docs, tmp_path_factory):
+    """The span scrub must equal the definition it pins — remove every
+    token position covered by some n-gram occurring in >= min_docs
+    DISTINCT documents — for arbitrary corpora over a tiny alphabet
+    (dense overlaps, self-repeats within one doc, empty docs). Uses
+    n=3/min_docs=2 to make collisions likely at this size."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.curation import repeated_span_scrub
+
+    N, MIN_DOCS = 3, 2
+    d = tmp_path_factory.mktemp("scrub") / uuid.uuid4().hex
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["scrubbed_text"])
+        for r in repeated_span_scrub(spark, str(d), n=N, min_docs=MIN_DOCS).collect()
+    }
+
+    # pure-Python reference
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - N + 1):
+            gram_docs[tuple(toks[p:p + N])].add(i)
+    hot = {g for g, ds in gram_docs.items() if len(ds) >= MIN_DOCS}
+    expect = {}
+    for i, toks in enumerate(docs):
+        covered = set()
+        for p in range(len(toks) - N + 1):
+            if tuple(toks[p:p + N]) in hot:
+                covered.update(range(p, p + N))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        expect[i] = (len(toks), len(covered), " ".join(kept))
+    assert got == expect
