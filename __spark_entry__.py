@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_value_p95": timeseries.hourly_value_p95,
         "leakage_safe_split": curation.leakage_safe_split,
         "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
+        "fuzzy_name_pairs": curation.fuzzy_name_pairs,
         "cube_order_counts": timeseries.cube_order_counts,
         "customer_order_distribution": relational.customer_order_distribution,
         "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
@@ -194,11 +195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix_allocation": curation.source_mix_allocation,
         "tfidf_top_terms": search.tfidf_top_terms,
         "user_sessions": windows.user_sessions,
-        "value_histogram": timeseries.value_histogram,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "value_histogram": timeseries.value_histogram,
         "value_percentiles": stats.value_percentiles,
         "weekly_active_users": timeseries.weekly_active_users,
         "ann_ivf_topk": dedup.ann_ivf_topk,
@@ -217,7 +218,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forensic_clusters_zero_vector": forensic.cluster_search_zero_vector,
         "forensic_triage": forensic.triage,
         "fulltext_match_documents": relational.fulltext_match_documents,
-        "fuzzy_name_pairs": curation.fuzzy_name_pairs,
         "grouped_knn_top1": vector.grouped_knn_top1,
         "json_payload_shaping": relational.json_payload_shaping,
         "keyword_filter_customers": relational.keyword_filter_customers,

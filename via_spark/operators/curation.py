@@ -176,23 +176,36 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.lower(F.col("c_name")).alias("name")
     )
+    # candidate generation shuffles (id, 8-byte key hash) ONLY — the
+    # name payload attaches AFTER pair-dedup, so the widest shuffle
+    # carries 16 bytes/row instead of strings. A hash collision can
+    # only ADD a candidate, which the exact levenshtein verify kills.
     keyed = c.select(
-        "c_custkey", "name", F.explode(_delete_keys(F.col("name"))).alias("k")
+        "c_custkey",
+        F.explode(
+            F.transform(_delete_keys(F.col("name")), lambda k: F.xxhash64(k))
+        ).alias("kh"),
     )
-    a = keyed.select(
-        F.col("c_custkey").alias("key_a"), F.col("name").alias("name_a"), "k"
-    )
-    b = keyed.select(
-        F.col("c_custkey").alias("key_b"), F.col("name").alias("name_b"), "k"
-    )
+    a = keyed.select(F.col("c_custkey").alias("key_a"), "kh")
+    b = keyed.select(F.col("c_custkey").alias("key_b"), "kh")
     cand = (
-        a.join(b, "k")
+        a.join(b, "kh")
         .where(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b", "name_a", "name_b")
+        .select("key_a", "key_b")
         .dropDuplicates(["key_a", "key_b"])
     )
+    named = (
+        cand.join(
+            c.select(F.col("c_custkey").alias("key_a"), F.col("name").alias("name_a")),
+            "key_a",
+        )
+        .join(
+            c.select(F.col("c_custkey").alias("key_b"), F.col("name").alias("name_b")),
+            "key_b",
+        )
+    )
     return (
-        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        named.withColumn("dist", F.levenshtein("name_a", "name_b"))
         .where(F.col("dist") <= 1)
         .select("key_a", "key_b", "name_a", "name_b", "dist")
     )
