@@ -145,9 +145,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (re-verifying an unchanged old green re-anchors its baseline
         # commit; rotation.suggested_full_head); enforced by
         # tests/test_properties.py ---
+        "half_life_decay_counts": timeseries.half_life_decay_counts,
         "multimodal_resize_plan": multimodal.multimodal_resize_plan,
         "repeated_span_scrub": curation.repeated_span_scrub,
         "temperature_mixture_weights": curation.temperature_mixture_weights,
+        "weighted_doc_sample": curation.weighted_doc_sample,
         "dedup_keep_best": graph.dedup_keep_best,
         "global_value_rank": rank.global_value_rank,
         "per_day_topk": relational.per_day_topk,
@@ -193,12 +195,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": relational.shipping_priority,
         "sliding_hash_counts": windows.sliding_hash_counts,
         "source_mix_allocation": curation.source_mix_allocation,
-        "tfidf_top_terms": search.tfidf_top_terms,
-        "user_sessions": windows.user_sessions,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "tfidf_top_terms": search.tfidf_top_terms,
+        "user_sessions": windows.user_sessions,
         "value_histogram": timeseries.value_histogram,
         "value_percentiles": stats.value_percentiles,
         "weekly_active_users": timeseries.weekly_active_users,
@@ -449,4 +451,6 @@ def oracle_sql() -> dict[str, str]:
         "repeated_span_scrub": oracles.repeated_span_scrub_sql(),
         "temperature_mixture_weights": oracles.temperature_mixture_weights_sql(),
         "multimodal_resize_plan": oracles.multimodal_resize_plan_sql(),
+        "half_life_decay_counts": oracles.half_life_decay_counts_sql(),
+        "weighted_doc_sample": oracles.weighted_doc_sample_sql(),
     }

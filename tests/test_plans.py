@@ -459,3 +459,27 @@ def test_repeated_span_scrub_plan_shape(spark, sf_oracle):
     assert "partial_count" in p  # map-side combine on the gram hashes
     # per-doc covered-position set; reassembly is array-local
     assert "collect_set" in p and "filter(toks" in p
+
+
+def test_weighted_doc_sample_plan_shape(spark, sf_oracle):
+    """The weighted sample is one codegen projection into a top-k heap:
+    no shuffle anywhere, and the scan must NOT read the text column —
+    the weight comes from the n_chars stat column."""
+    p = _plan(spark, sf_oracle, "weighted_doc_sample")
+    assert "TakeOrderedAndProject" in p, "top-k must not global-sort"
+    assert "Exchange" not in p, "a shuffle-free projection acquired a shuffle"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and "text" not in m.group(1), "scan must prune the text column"
+
+
+def test_half_life_decay_plan_shape(spark, sf_oracle):
+    """The decay agg must keep the plain-count shape: ONE hash-key
+    shuffle with map-side partials, the anchor day as a 1-row broadcast
+    (never a shuffled join), and a pruned 3-column scan."""
+    p = _plan(spark, sf_oracle, "half_life_decay_counts")
+    assert p.count("Exchange hashpartitioning") == 1, p[:2000]
+    assert "partial_sum" in p, "map-side partial aggregation lost"
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    m = re.search(r"ReadSchema: struct<ts:[^>]*event_type[^>]*value[^>]*>", p)
+    assert m, "main scan must prune to (ts, event_type, value)"

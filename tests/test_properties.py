@@ -1160,3 +1160,116 @@ def test_repeated_span_scrub_matches_reference(spark, docs, tmp_path_factory):
         kept = [t for j, t in enumerate(toks) if j not in covered]
         expect[i] = (len(toks), len(covered), " ".join(kept))
     assert got == expect
+
+
+DECAY_EVENTS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),        # event_type
+        st.integers(min_value=0, max_value=40),  # epoch day (spans CAP=20)
+        st.floats(min_value=0.0, max_value=1000.0, allow_nan=False),
+    ),
+    min_size=1, max_size=30,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(events=DECAY_EVENTS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_half_life_decay_matches_reference(spark, events, tmp_path_factory):
+    """half_life_decay_counts must equal the definition it pins — each
+    event weighs 2^-age_days vs the newest event's day, zero past
+    DECAY_CAP — for arbitrary tiny corpora, including ages exactly AT
+    the cap boundary and all-stale types whose decayed sums are 0."""
+    import math
+    import uuid
+    from collections import defaultdict
+
+    from via_spark.operators.timeseries import DECAY_CAP, half_life_decay_counts
+
+    DAY_NS = 86_400 * 1_000_000_000
+    rows = [
+        (i, day * DAY_NS + (i % 86_400) * 1_000_000_000, i, typ, val, "{}")
+        for i, (typ, day, val) in enumerate(events)
+    ]
+    d = tmp_path_factory.mktemp("decay") / uuid.uuid4().hex
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["decayed_count_fix"], r["decayed_value_fix"],
+            r["decayed_count"], r["decayed_value"],
+        )
+        for r in half_life_decay_counts(spark, str(d)).collect()
+    }
+
+    anchor = max(day for _, day, _ in events)
+    exp = defaultdict(lambda: [0, 0, 0])
+    for typ, day, val in events:
+        age = anchor - day
+        w = (1 << (DECAY_CAP - age)) if age <= DECAY_CAP else 0
+        exp[typ][0] += 1
+        exp[typ][1] += w
+        exp[typ][2] += math.floor(val * 100) * w
+    expect = {
+        t: (n, cf, vf, cf / float(1 << DECAY_CAP),
+            vf / float(100 * (1 << DECAY_CAP)))
+        for t, (n, cf, vf) in exp.items()
+    }
+    assert got == expect
+
+
+def test_weighted_doc_sample_matches_reference(spark, tmp_path):
+    """weighted_doc_sample must equal its pinned definition — k
+    smallest (h·2^20 div weight, doc_id) — and keep the reservoir
+    stability property the scheme exists for: adding a document never
+    changes the priority of any existing one."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.curation import _WSAMPLE_SCALE, weighted_doc_sample
+
+    def write(docs, sub):
+        d = tmp_path / sub
+        spark.createDataFrame(
+            docs, "doc_id long, text string, source string"
+        ).withColumn("lang", F.lit("en")).withColumn(
+            "n_chars", F.length("text")
+        ).write.parquet(str(d / "documents.parquet"))
+        return str(d)
+
+    def py_priority(doc_id, n_chars):
+        h = int(hashlib.sha256(str(doc_id).encode()).hexdigest()[:10], 16)
+        return (h * _WSAMPLE_SCALE) // max(n_chars, 1)
+
+    # lengths spanning 0 (the greatest() guard) to very long
+    docs = [(i, "x" * ((i * 37) % 200), f"s{i % 3}") for i in range(12)]
+    sf = write(docs, "base")
+    K = 5
+    got = [
+        (r["doc_id"], r["priority"])
+        for r in weighted_doc_sample(spark, sf, k=K).collect()
+    ]
+    expect = sorted(
+        ((py_priority(i, len(t)), i) for i, t, _ in docs)
+    )[:K]
+    assert got == [(i, p) for p, i in expect]
+    # k larger than the corpus returns everything
+    assert weighted_doc_sample(spark, sf, k=100).count() == len(docs)
+
+    # stability: a 13th doc leaves the 12 existing priorities unchanged
+    sf2 = write(docs + [(99, "y" * 50, "s0")], "grown")
+    base = {
+        r["doc_id"]: r["priority"]
+        for r in weighted_doc_sample(spark, sf, k=100).collect()
+    }
+    grown = {
+        r["doc_id"]: r["priority"]
+        for r in weighted_doc_sample(spark, sf2, k=100).collect()
+    }
+    assert {i: grown[i] for i in base} == base

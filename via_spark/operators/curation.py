@@ -507,3 +507,57 @@ def temperature_mixture_weights(
             .alias("planned_docs"),
         )
     )
+
+
+WEIGHTED_SAMPLE_K = 100  # pinned sample size (oracle mirrors)
+# priority scale: h(40-bit) * 2^20 < 2^60 — safe BIGINT headroom
+_WSAMPLE_SCALE = 1 << 20
+
+
+def weighted_doc_sample(
+    spark: SparkSession, sf_dir: str, k: int = WEIGHTED_SAMPLE_K
+) -> DataFrame:
+    """Deterministic weight-proportional document sample: the top-k
+    docs by hash-clock priority, weight = document length — the
+    "sample k docs, long docs proportionally more likely" primitive a
+    curation pipeline uses for eval-set carving and costed human
+    review. This is the integer-rational form of the
+    Efraimidis–Spirakis weighted-reservoir scheme (priority ∝
+    clock/weight, smallest k win); the clock is the 40-bit prefix of
+    ``sha256(doc_id)``, so the sample is a pure function of the data —
+    reruns, retries, and the DuckDB oracle all select the identical
+    set, and adding new docs never reshuffles the priorities of
+    existing ones (the stability property reservoir schemes exist for).
+
+    Exactness: priority = ``(h·2^20) div weight`` — 64-bit integer
+    arithmetic end to end (h < 2^40, scaled < 2^60), ties broken by
+    doc_id; no double ever enters the ordering.
+
+    Scale posture: stateless per-row projection (whole-stage codegen)
+    into a global top-k, which plans as ``TakeOrderedAndProject`` —
+    per-partition heaps of k rows, no global sort, no single-partition
+    funnel. One pass, no shuffle beyond the k-row partial results.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 10), 16, 10
+    ).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            h.alias("h"),
+            F.greatest(F.col("n_chars"), F.lit(1)).cast("long").alias("w"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr(f"CAST((h * {_WSAMPLE_SCALE}L) div w AS BIGINT)").alias(
+                "priority"
+            ),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(int(k))
+    )

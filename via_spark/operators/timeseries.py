@@ -576,3 +576,75 @@ def hourly_value_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p95_rank_threshold(buck, ["hour_num"], vfix).select(
         "hour_num", "p95_fix", "n"
     )
+
+
+# half-life decay: daily granularity, weights below 2^-DECAY_CAP are
+# exactly zero (pinned; oracle mirrors). At a 1-day half-life an event
+# 20 days old carries < 1e-6 of a fresh event's weight.
+DECAY_CAP = 20
+
+
+def half_life_decay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity per event type at a 1-day
+    half-life: the recency-weighted counterpart of a plain count, the
+    score a freshness-sensitive ranker or trending-topics feed keeps
+    per key (reference capability class: the rhythm baseline's "recent
+    window vs history" contrast — rhythm_analysis_service.py — as a
+    smooth decay instead of a hard cutoff).
+
+    Each event contributes ``2^-age_days`` (age in whole epoch days vs
+    the corpus's newest event). Exactness: the half-life is pinned to
+    one DAY and the decay base to 2 BECAUSE that makes every weight a
+    power of two — the per-type sums are computed as BIGINTs of
+    ``2^(CAP-age)`` (zero beyond ``DECAY_CAP`` = 20 days, where the
+    true weight is < 1e-6 of a fresh event's), so distributed
+    reduction order can never change a bit. The human-readable
+    ``decayed_count``/``decayed_value`` are ONE correctly-rounded IEEE
+    division of that exact integer by a pinned constant (``2^CAP``,
+    resp. ``100·2^CAP``), so even the doubles are engine-identical
+    bit for bit.
+
+    Scale posture: one tiny agg derives the anchor day (1-row
+    broadcast), then ONE hash agg keyed by event_type with map-side
+    partials — the same single-shuffle shape as a plain count. BIGINT
+    headroom: each row contributes ≤ 2^20 (count) / ≤ 2^34 (value at
+    fix=100, value < 16k), so overflow needs > 2^28 rows per type even
+    in the value sum's worst case at 100 TB — and the count sum only
+    beyond 2^43 rows per type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("ts div 1000000000 div 86400").cast("long")
+    anchor = ev.agg(F.max(day).alias("anchor_day"))
+    return (
+        ev.select(F.col("event_type"), day.alias("day"), F.col("value"))
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("age", F.col("anchor_day") - F.col("day"))
+        .withColumn(
+            "w_fix",
+            F.expr(
+                f"CASE WHEN age <= {DECAY_CAP}"
+                f" THEN shiftleft(1L, {DECAY_CAP} - age) ELSE 0L END"
+            ),
+        )
+        .withColumn(
+            "vw_fix", F.floor(F.col("value") * 100).cast("long") * F.col("w_fix")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("w_fix").alias("decayed_count_fix"),
+            F.sum("vw_fix").alias("decayed_value_fix"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "decayed_count_fix",
+            "decayed_value_fix",
+            (F.col("decayed_count_fix").cast("double") / F.lit(float(1 << DECAY_CAP)))
+            .alias("decayed_count"),
+            (
+                F.col("decayed_value_fix").cast("double")
+                / F.lit(float(100 * (1 << DECAY_CAP)))
+            ).alias("decayed_value"),
+        )
+    )

@@ -3495,3 +3495,58 @@ SELECT doc_id, fake_width, fake_height,
          AS thumb_height
 FROM dims
 """
+
+
+def half_life_decay_counts_sql() -> str:
+    """1-day-half-life decayed count/value per event type — mirrors
+    timeseries.half_life_decay_counts: every weight is the BIGINT
+    ``2^(CAP-age_days)`` (zero past CAP), so the sums are exact
+    integers and the emitted doubles are one correctly-rounded IEEE
+    division by a pinned constant in both engines."""
+    from via_spark.operators.timeseries import DECAY_CAP
+
+    cap = int(DECAY_CAP)
+    return f"""
+WITH e AS (
+    SELECT event_type, value,
+           CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day
+    FROM events
+),
+a AS (SELECT max(day) AS anchor_day FROM e),
+wtd AS (
+    SELECT event_type,
+           CASE WHEN a.anchor_day - day <= {cap}
+                THEN (CAST(1 AS BIGINT) << ({cap} - (a.anchor_day - day)))
+                ELSE CAST(0 AS BIGINT) END AS w_fix,
+           CAST(floor(value * 100) AS BIGINT) AS vfix
+    FROM e, a
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(w_fix) AS BIGINT) AS decayed_count_fix,
+       CAST(sum(vfix * w_fix) AS BIGINT) AS decayed_value_fix,
+       CAST(CAST(sum(w_fix) AS BIGINT) AS DOUBLE) / {float(1 << cap)}
+         AS decayed_count,
+       CAST(CAST(sum(vfix * w_fix) AS BIGINT) AS DOUBLE) / {float(100 * (1 << cap))}
+         AS decayed_value
+FROM wtd
+GROUP BY event_type
+"""
+
+
+def weighted_doc_sample_sql(k: int | None = None) -> str:
+    """Deterministic weighted top-k document sample — mirrors
+    curation.weighted_doc_sample: priority = (40-bit sha256 prefix of
+    the doc id, scaled by 2^20) div length-weight, all 64-bit integer
+    arithmetic; smallest k priorities win, ties by doc_id."""
+    from via_spark.operators.curation import WEIGHTED_SAMPLE_K, _WSAMPLE_SCALE
+
+    k = WEIGHTED_SAMPLE_K if k is None else int(k)
+    return f"""
+SELECT doc_id, source, n_chars,
+       CAST((CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 10) AS BIGINT)
+             * {int(_WSAMPLE_SCALE)}) // greatest(n_chars, 1) AS BIGINT) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {k}
+"""
