@@ -1273,3 +1273,42 @@ def test_weighted_doc_sample_matches_reference(spark, tmp_path):
         for r in weighted_doc_sample(spark, sf2, k=100).collect()
     }
     assert {i: grown[i] for i in base} == base
+
+
+def test_half_life_decay_cap_boundary(spark, tmp_path):
+    """Deterministic pin of the decay boundary the hypothesis corpus
+    only probabilistically hits: an event aged exactly DECAY_CAP days
+    carries weight exactly 1 (the smallest nonzero), one day older
+    carries exactly 0, and a type whose every event is past the cap
+    reports zero decayed mass alongside its true row count."""
+    from via_spark.operators.timeseries import DECAY_CAP, half_life_decay_counts
+
+    DAY_NS = 86_400 * 1_000_000_000
+    anchor_day = 100
+    rows = [
+        # type "edge": one fresh event + one exactly AT the cap + one just past
+        (1, anchor_day * DAY_NS, 1, "edge", 2.0, "{}"),
+        (2, (anchor_day - DECAY_CAP) * DAY_NS, 1, "edge", 3.0, "{}"),
+        (3, (anchor_day - DECAY_CAP - 1) * DAY_NS, 1, "edge", 5.0, "{}"),
+        # type "stale": every event past the cap → zero decayed mass
+        (4, (anchor_day - DECAY_CAP - 1) * DAY_NS, 2, "stale", 7.0, "{}"),
+        (5, (anchor_day - 40) * DAY_NS, 2, "stale", 9.0, "{}"),
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+
+    got = {r["event_type"]: r for r in half_life_decay_counts(spark, str(d)).collect()}
+    top = 1 << DECAY_CAP
+    e = got["edge"]
+    # fresh event: weight 2^CAP; at-cap event: weight exactly 1; past-cap: 0
+    assert e["n_events"] == 3
+    assert e["decayed_count_fix"] == top + 1
+    assert e["decayed_value_fix"] == 200 * top + 300 * 1 + 500 * 0
+    s = got["stale"]
+    assert s["n_events"] == 2
+    assert s["decayed_count_fix"] == 0 and s["decayed_value_fix"] == 0
+    assert s["decayed_count"] == 0.0 and s["decayed_value"] == 0.0
