@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "half_life_decay_counts": timeseries.half_life_decay_counts,
         "multimodal_resize_plan": multimodal.multimodal_resize_plan,
         "repeated_span_scrub": curation.repeated_span_scrub,
+        "source_repeat_factors": curation.source_repeat_factors,
         "temperature_mixture_weights": curation.temperature_mixture_weights,
         "weighted_doc_sample": curation.weighted_doc_sample,
         "dedup_keep_best": graph.dedup_keep_best,
@@ -194,11 +195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "severity_set_concat": relational.severity_set_concat,
         "shipping_priority": relational.shipping_priority,
         "sliding_hash_counts": windows.sliding_hash_counts,
-        "source_mix_allocation": curation.source_mix_allocation,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "source_mix_allocation": curation.source_mix_allocation,
         "tfidf_top_terms": search.tfidf_top_terms,
         "user_sessions": windows.user_sessions,
         "value_histogram": timeseries.value_histogram,
@@ -453,4 +454,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize_plan": oracles.multimodal_resize_plan_sql(),
         "half_life_decay_counts": oracles.half_life_decay_counts_sql(),
         "weighted_doc_sample": oracles.weighted_doc_sample_sql(),
+        "source_repeat_factors": oracles.source_repeat_factors_sql(),
     }

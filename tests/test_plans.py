@@ -483,3 +483,18 @@ def test_half_life_decay_plan_shape(spark, sf_oracle):
     assert "SortMergeJoin" not in p
     m = re.search(r"ReadSchema: struct<ts:[^>]*event_type[^>]*value[^>]*>", p)
     assert m, "main scan must prune to (ts, event_type, value)"
+
+
+def test_source_repeat_factors_plan_shape(spark, sf_oracle):
+    """Epoch planning must stay the one-corpus-pass shape: the corpus
+    totals branch re-derives from the per-source aggregate, and AQE
+    must resolve that to a ReusedExchange of the per-source shuffle —
+    one corpus scan — with map-side partials and the totals joining
+    back as a broadcast, never a sort-merge."""
+    df = QS["source_repeat_factors"](spark, sf_oracle)
+    df.collect()  # ReusedExchange only materializes in the final AQE plan
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in p
+    assert "ReusedExchange" in p, "totals branch re-scans the corpus"
+    assert "partial_sum" in p, "map-side partial aggregation lost"
+    assert "SortMergeJoin" not in p

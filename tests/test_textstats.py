@@ -341,3 +341,42 @@ def test_multimodal_resize_plan_aspect_fit(spark, tmp_path):
         assert max(r["thumb_width"], r["thumb_height"]) == THUMB_BOX
         assert 1 <= r["thumb_width"] <= THUMB_BOX
         assert 1 <= r["thumb_height"] <= THUMB_BOX
+
+
+def test_source_repeat_factors_planted_squares(spark, tmp_path):
+    """Pin the data-constrained epoch arithmetic on exact-square token
+    counts (sqrt weights 10:5:2:1): milli-shares, targets, the 4-epoch
+    cap binding on the small sources, effective tokens, and that the
+    deficit is exactly the mass the cap refuses — the planted numbers
+    walk every floor point in the pinned evaluation order."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.curation import source_repeat_factors
+
+    sizes = {"big": 100, "mid": 25, "small": 4, "tiny": 1}
+    rows = [
+        (i, " ".join(f"tok{src}x{j}" for j in range(n)), src)
+        for i, (src, n) in enumerate(sizes.items())
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    got = {r["source"]: r for r in source_repeat_factors(spark, str(d)).collect()}
+    # denom = 18e9; budget = 2*130 = 260
+    expect = {
+        #        n_tok share target repeat  effective deficit
+        "big":   (100, 555, 144, 1440, 144, 0),
+        "mid":   (25,  277,  72, 2880,  72, 0),
+        "small": (4,   111,  28, 4000,  16, 12),  # cap binds
+        "tiny":  (1,    55,  14, 4000,   4, 10),  # cap binds
+    }
+    for s_, (nt, sh, tg, rp, ef, df) in expect.items():
+        r = got[s_]
+        assert (
+            r["n_tokens"], r["share_milli"], r["target_tokens"],
+            r["repeat_milli"], r["effective_tokens"], r["deficit_tokens"],
+        ) == (nt, sh, tg, rp, ef, df), (s_, dict(r.asDict()))

@@ -561,3 +561,87 @@ def weighted_doc_sample(
         .orderBy("priority", "doc_id")
         .limit(int(k))
     )
+
+
+DATA_BUDGET_MULT = 2  # token budget = 2x the corpus (the data-constrained case)
+REPEAT_CAP_MILLI = 4_000  # at most 4 epochs per source (milli-epoch fixed point)
+
+
+def source_repeat_factors(
+    spark: SparkSession,
+    sf_dir: str,
+    budget_mult: int = DATA_BUDGET_MULT,
+    repeat_cap_milli: int = REPEAT_CAP_MILLI,
+) -> DataFrame:
+    """Data-constrained epoch planning: when the training budget EXCEEDS
+    the corpus (here: pinned at ``budget_mult`` = 2x total tokens), how
+    many epochs each source repeats for — the published data-constrained
+    scaling recipe (Muennighoff et al. 2023: repeat up to ~4 epochs,
+    beyond which marginal value decays) composed with the tau=0.5
+    temperature mix of :func:`temperature_mixture_weights`. Emits per
+    source: available tokens, its milli-share of the target mix, the
+    target token count, the repeat factor in milli-epochs (capped), the
+    effective tokens actually deliverable, and the deficit the cap
+    leaves unfilled — the number a pipeline operator reads to decide
+    where new data acquisition pays off.
+
+    Exactness: sqrt-damped weights ride the same correctly-rounded-sqrt
+    fixed point as the mixture op; everything after is 64-bit integer
+    arithmetic in a pinned evaluation order — shares at milli precision
+    (``w_fix·1000 div denom``), target = ``budget·share_milli div
+    1000``, repeat = ``target·1000 div n_tokens`` capped. Headroom:
+    ``budget·share_milli`` stays under 2^63 below ~9e15 corpus tokens
+    (petabytes of text), far past the 100 TB design point.
+
+    Scale posture: one hash agg keyed by source over per-row token
+    counts (map-side partials), then a 1-row broadcast of the corpus
+    totals — the token counting is the only corpus-wide pass.
+    """
+    from via_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.select("source", F.size(tokens(F.col("text"))).cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+        .withColumn(
+            "w_fix",
+            F.floor(
+                F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1_000_000_000.0)
+            ).cast("long"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.sum("w_fix").alias("denom")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("share_milli", F.expr("CAST((w_fix * 1000L) div denom AS BIGINT)"))
+        .withColumn("budget", F.expr(f"{int(budget_mult)}L * total_tokens"))
+        .withColumn(
+            "target_tokens", F.expr("CAST((budget * share_milli) div 1000 AS BIGINT)")
+        )
+        .withColumn(
+            "repeat_milli",
+            F.expr(
+                f"least({int(repeat_cap_milli)}L,"
+                " CAST((target_tokens * 1000L) div n_tokens AS BIGINT))"
+            ),
+        )
+        .withColumn(
+            "effective_tokens",
+            F.expr("CAST((n_tokens * repeat_milli) div 1000 AS BIGINT)"),
+        )
+        .withColumn(
+            "deficit_tokens", F.expr("greatest(0L, target_tokens - effective_tokens)")
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "share_milli",
+            "target_tokens",
+            "repeat_milli",
+            "effective_tokens",
+            "deficit_tokens",
+        )
+    )

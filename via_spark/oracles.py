@@ -3550,3 +3550,55 @@ FROM documents
 ORDER BY priority, doc_id
 LIMIT {k}
 """
+
+
+def source_repeat_factors_sql(
+    budget_mult: int | None = None, repeat_cap_milli: int | None = None
+) -> str:
+    """Data-constrained epoch planning — mirrors
+    curation.source_repeat_factors: sqrt-damped milli-shares, then a
+    pinned 64-bit integer evaluation order for target/repeat/effective/
+    deficit (identical floor points in both engines)."""
+    from via_spark.operators.curation import DATA_BUDGET_MULT, REPEAT_CAP_MILLI
+
+    mult = DATA_BUDGET_MULT if budget_mult is None else int(budget_mult)
+    cap = REPEAT_CAP_MILLI if repeat_cap_milli is None else int(repeat_cap_milli)
+    return f"""
+WITH {DOC_TOKS_CTE},
+per AS (
+    SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM dtok GROUP BY 1
+),
+w AS (
+    SELECT source, n_tokens,
+           CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000000.0) AS BIGINT)
+             AS w_fix
+    FROM per
+),
+tot AS (
+    SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(w_fix) AS BIGINT) AS denom
+    FROM w
+),
+x AS (
+    SELECT w.source, w.n_tokens,
+           CAST((w.w_fix * 1000) // tot.denom AS BIGINT) AS share_milli,
+           {mult} * tot.total_tokens AS budget
+    FROM w, tot
+),
+y AS (
+    SELECT source, n_tokens, share_milli,
+           CAST((budget * share_milli) // 1000 AS BIGINT) AS target_tokens
+    FROM x
+),
+z AS (
+    SELECT *, least({cap}, CAST((target_tokens * 1000) // n_tokens AS BIGINT))
+              AS repeat_milli
+    FROM y
+)
+SELECT source, n_tokens, share_milli, target_tokens, repeat_milli,
+       CAST((n_tokens * repeat_milli) // 1000 AS BIGINT) AS effective_tokens,
+       greatest(0, target_tokens
+                   - CAST((n_tokens * repeat_milli) // 1000 AS BIGINT))
+         AS deficit_tokens
+FROM z
+"""
