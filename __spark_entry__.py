@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_span_scrub": curation.repeated_span_scrub,
         "source_repeat_factors": curation.source_repeat_factors,
         "temperature_mixture_weights": curation.temperature_mixture_weights,
+        "token_shard_spans": rank.token_shard_spans,
         "weighted_doc_sample": curation.weighted_doc_sample,
         "dedup_keep_best": graph.dedup_keep_best,
         "global_value_rank": rank.global_value_rank,
@@ -194,11 +195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_type_counts": relational.salted_event_type_counts,
         "severity_set_concat": relational.severity_set_concat,
         "shipping_priority": relational.shipping_priority,
-        "sliding_hash_counts": windows.sliding_hash_counts,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "sliding_hash_counts": windows.sliding_hash_counts,
         "source_mix_allocation": curation.source_mix_allocation,
         "tfidf_top_terms": search.tfidf_top_terms,
         "user_sessions": windows.user_sessions,
@@ -455,4 +456,5 @@ def oracle_sql() -> dict[str, str]:
         "half_life_decay_counts": oracles.half_life_decay_counts_sql(),
         "weighted_doc_sample": oracles.weighted_doc_sample_sql(),
         "source_repeat_factors": oracles.source_repeat_factors_sql(),
+        "token_shard_spans": oracles.token_shard_spans_sql(),
     }

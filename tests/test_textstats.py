@@ -380,3 +380,55 @@ def test_source_repeat_factors_planted_squares(spark, tmp_path):
             r["n_tokens"], r["share_milli"], r["target_tokens"],
             r["repeat_milli"], r["effective_tokens"], r["deficit_tokens"],
         ) == (nt, sh, tg, rp, ef, df), (s_, dict(r.asDict()))
+
+
+def test_token_shard_spans_boundary_splitting(spark, tmp_path):
+    """Planted lengths walk the split semantics token_budget_shards
+    cannot express: a doc filling a shard exactly, one straddling two
+    shards, one spanning three, a zero-token doc (no span), and the
+    global invariants — per-doc spans concatenate to [0, n) and every
+    non-final shard holds exactly B tokens."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.rank import token_shard_spans
+
+    B = 10
+    lens = {0: 4, 1: 6, 2: 13, 3: 0, 4: 8, 5: 21}  # starts 0,4,10,23,23,31
+    rows = [
+        (i, " ".join(f"t{i}x{j}" for j in range(n)), f"s{i}") for i, n in lens.items()
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    got = sorted(
+        (r["doc_id"], r["shard_id"], r["tok_start"], r["tok_end"])
+        for r in token_shard_spans(spark, str(d), budget_tokens=B).collect()
+    )
+    expect = [
+        (0, 0, 0, 4),              # [0,4) inside shard 0
+        (1, 0, 0, 6),              # [4,10) fills shard 0 exactly
+        (2, 1, 0, 10), (2, 2, 10, 13),   # [10,23) straddles 1|2
+        # doc 3: zero tokens -> no span
+        (4, 2, 0, 7), (4, 3, 7, 8),      # [23,31) straddles 2|3
+        (5, 3, 0, 9), (5, 4, 9, 19), (5, 5, 19, 21),  # [31,52) spans 3|4|5
+    ]
+    assert got == expect
+
+    # invariants: per-doc concatenation covers [0, n); non-final shards full
+    per_doc = defaultdict(list)
+    shard_load = defaultdict(int)
+    for doc, shard, a, b in got:
+        per_doc[doc].append((a, b))
+        shard_load[shard] += b - a
+    for doc, spans in per_doc.items():
+        spans.sort()
+        assert spans[0][0] == 0 and spans[-1][1] == lens[doc]
+        assert all(x[1] == y[0] for x, y in zip(spans, spans[1:]))
+    last = max(shard_load)
+    assert all(shard_load[s] == B for s in shard_load if s != last)

@@ -173,6 +173,59 @@ def token_budget_shards(
     )
 
 
+TOKEN_SHARD_BUDGET = 1024  # spans use sequence-length-sized shards
+
+
+def token_shard_spans(
+    spark: SparkSession, sf_dir: str, budget_tokens: int = TOKEN_SHARD_BUDGET
+) -> DataFrame:
+    """Boundary-splitting shard packing: where :func:`token_budget_shards`
+    assigns each document to the shard its START falls in (documents
+    never split), this emits what a sequence-packing loader actually
+    materializes — for every (document, shard) it touches, the
+    doc-local token span [tok_start, tok_end) that lands in that shard,
+    so a document straddling shard boundaries is SPLIT across them and
+    every shard holds exactly ``budget_tokens`` tokens (except the
+    last). Zero-token documents produce no span (pinned).
+
+    Exactness: pure 64-bit integer arithmetic over the exact exclusive
+    prefix sums — first shard = ``start div B``, last = ``(end-1) div
+    B``, span = clamp of [start, end) to the shard's [s·B, (s+1)·B).
+
+    Scale posture: offsets ride :func:`global_prefix_sum` (range
+    partition + broadcast offsets — no corpus-wide window); the span
+    explode generates (spans-per-doc) = O(n_tokens/B + 1) rows per doc
+    with per-row arithmetic only, no join and no extra shuffle.
+    """
+    from via_spark.operators.textstats import token_count_documents
+
+    b = int(budget_tokens)
+    toks = token_count_documents(spark, sf_dir).select("doc_id", "n_ws_tokens")
+    ws = global_prefix_sum(toks, [F.col("doc_id").asc()], "n_ws_tokens", "start_offset")
+    return (
+        ws.where(F.col("n_ws_tokens") > 0)
+        .select(
+            "doc_id",
+            F.col("n_ws_tokens").alias("n"),
+            F.col("start_offset").alias("s"),
+            F.explode(
+                F.sequence(
+                    F.expr(f"start_offset div {b}"),
+                    F.expr(f"(start_offset + n_ws_tokens - 1) div {b}"),
+                )
+            ).alias("shard_id"),
+        )
+        .select(
+            "doc_id",
+            "shard_id",
+            (F.greatest(F.col("s"), F.col("shard_id") * b) - F.col("s"))
+            .alias("tok_start"),
+            (F.least(F.col("s") + F.col("n"), (F.col("shard_id") + 1) * b) - F.col("s"))
+            .alias("tok_end"),
+        )
+    )
+
+
 def value_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile normalization of the events ``value`` column: each row
     mapped to its exact corpus quantile q = (rank-1)/(n-1) ∈ [0,1] —

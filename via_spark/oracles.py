@@ -3602,3 +3602,38 @@ SELECT source, n_tokens, share_milli, target_tokens, repeat_milli,
          AS deficit_tokens
 FROM z
 """
+
+
+def token_shard_spans_sql(budget_tokens: int | None = None) -> str:
+    """Boundary-splitting shard spans — mirrors rank.token_shard_spans:
+    exclusive prefix sums, then each nonempty document unnested over
+    the shard range its [start, end) interval touches, span = integer
+    clamp to the shard window."""
+    from via_spark.operators.rank import TOKEN_SHARD_BUDGET
+
+    b = TOKEN_SHARD_BUDGET if budget_tokens is None else int(budget_tokens)
+    return f"""
+WITH {DOC_TOKS_CTE},
+t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM dtok),
+p AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+    FROM t
+),
+s AS (
+    SELECT doc_id, n_tokens, start_offset,
+           unnest(generate_series(start_offset // {b},
+                                  (start_offset + n_tokens - 1) // {b}))
+             AS shard_id
+    FROM p WHERE n_tokens > 0
+)
+SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(greatest(start_offset, shard_id * {b}) - start_offset AS BIGINT)
+         AS tok_start,
+       CAST(least(start_offset + n_tokens, (shard_id + 1) * {b}) - start_offset
+            AS BIGINT) AS tok_end
+FROM s
+"""
