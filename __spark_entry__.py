@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_properties.py ---
         "half_life_decay_counts": timeseries.half_life_decay_counts,
         "multimodal_resize_plan": multimodal.multimodal_resize_plan,
+        "neardup_quality_confound": curation.neardup_quality_confound,
         "repeated_span_scrub": curation.repeated_span_scrub,
         "source_repeat_factors": curation.source_repeat_factors,
         "temperature_mixture_weights": curation.temperature_mixture_weights,
@@ -194,11 +195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_7d_active_users": timeseries.rolling_7d_active_users,
         "salted_event_type_counts": relational.salted_event_type_counts,
         "severity_set_concat": relational.severity_set_concat,
-        "shipping_priority": relational.shipping_priority,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "shipping_priority": relational.shipping_priority,
         "sliding_hash_counts": windows.sliding_hash_counts,
         "source_mix_allocation": curation.source_mix_allocation,
         "tfidf_top_terms": search.tfidf_top_terms,
@@ -457,4 +458,5 @@ def oracle_sql() -> dict[str, str]:
         "weighted_doc_sample": oracles.weighted_doc_sample_sql(),
         "source_repeat_factors": oracles.source_repeat_factors_sql(),
         "token_shard_spans": oracles.token_shard_spans_sql(),
+        "neardup_quality_confound": oracles.neardup_quality_confound_sql(),
     }

@@ -645,3 +645,49 @@ def source_repeat_factors(
             "deficit_tokens",
         )
     )
+
+
+def neardup_quality_confound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-before-filter diagnostic: per quality decile, how much
+    near-duplicate mass sits there — boilerplate families often score
+    WELL on surface quality signals, so filtering before dedup keeps N
+    copies of the same "good" text while a dedup-first pipeline keeps
+    one. Emits per decile: doc count, near-dup cluster members
+    (cluster_size > 1), the docs a canonical dedup pass would actually
+    drop (non-representatives), and both as shares — the table a
+    pipeline owner reads to decide stage order.
+
+    Exactness: counts are exact integers off the materialized cluster
+    labels and the exact global decile ranking; each share is ONE
+    correctly-rounded division of those integers — engine-identical.
+
+    Scale posture: one doc_id equi-join between two corpus-keyed
+    tables (the flat label parquet and the decile ranking — both
+    already computed once and store-served/rank-partitioned), then a
+    10-key hash agg. No new corpus pass, no window.
+    """
+    from via_spark.operators.graph import dedup_clusters
+
+    dec = quality_deciles(spark, sf_dir).select("doc_id", "decile")
+    cl = dedup_clusters(spark, sf_dir)
+    dup = F.sum(F.when(F.col("cluster_size") > 1, 1).otherwise(0))
+    drop = F.sum(F.when(F.col("doc_id") != F.col("cluster_rep"), 1).otherwise(0))
+    return (
+        dec.join(cl, "doc_id")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dup.alias("n_dup_members"),
+            drop.alias("n_would_drop"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_dup_members",
+            "n_would_drop",
+            (F.col("n_dup_members").cast("double") / F.col("n_docs").cast("double"))
+            .alias("dup_share"),
+            (F.col("n_would_drop").cast("double") / F.col("n_docs").cast("double"))
+            .alias("drop_share"),
+        )
+    )

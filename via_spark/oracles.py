@@ -3637,3 +3637,30 @@ SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id,
             AS BIGINT) AS tok_end
 FROM s
 """
+
+
+def neardup_quality_confound_sql() -> str:
+    """Per-decile near-dup mass — mirrors
+    curation.neardup_quality_confound by composing the decile ranking
+    and the recursive transitive-closure clusters, shares as one
+    division of exact integers."""
+    return f"""
+WITH d AS (
+{quality_deciles_sql()}
+),
+c AS (
+{dedup_clusters_sql()}
+)
+SELECT d.decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c.cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_members,
+       CAST(sum(CASE WHEN c.doc_id <> c.cluster_rep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_would_drop,
+       CAST(CAST(sum(CASE WHEN c.cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_share,
+       CAST(CAST(sum(CASE WHEN c.doc_id <> c.cluster_rep THEN 1 ELSE 0 END)
+            AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS drop_share
+FROM d JOIN c ON d.doc_id = c.doc_id
+GROUP BY d.decile
+"""
