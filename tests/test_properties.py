@@ -1312,3 +1312,107 @@ def test_half_life_decay_cap_boundary(spark, tmp_path):
     assert s["n_events"] == 2
     assert s["decayed_count_fix"] == 0 and s["decayed_value_fix"] == 0
     assert s["decayed_count"] == 0.0 and s["decayed_value"] == 0.0
+
+
+SHARD_LENS = st.lists(st.integers(min_value=0, max_value=37), min_size=1, max_size=12)
+
+
+@pytest.mark.usefixtures("spark")
+@given(lens=SHARD_LENS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_token_shard_spans_matches_reference(spark, lens, tmp_path_factory):
+    """token_shard_spans must equal the pure-Python packing spec —
+    clamp each doc's [start, end) stream interval to every shard it
+    touches — for arbitrary length mixes (zero-length docs, docs larger
+    than several shards, exact-boundary fits)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.rank import token_shard_spans
+
+    B = 10
+    rows = [
+        (i, " ".join(f"t{i}x{j}" for j in range(n)), f"s{i % 2}")
+        for i, n in enumerate(lens)
+    ]
+    d = tmp_path_factory.mktemp("spans") / uuid.uuid4().hex
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    got = sorted(
+        (r["doc_id"], r["shard_id"], r["tok_start"], r["tok_end"])
+        for r in token_shard_spans(spark, str(d), budget_tokens=B).collect()
+    )
+
+    expect, start = [], 0
+    for i, n in enumerate(lens):
+        end = start + n
+        if n > 0:
+            for s in range(start // B, (end - 1) // B + 1):
+                expect.append(
+                    (i, s, max(start, s * B) - start, min(end, (s + 1) * B) - start)
+                )
+        start = end
+    assert got == sorted(expect)
+
+
+REPEAT_SIZES = st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=6)
+
+
+@pytest.mark.usefixtures("spark")
+@given(sizes=REPEAT_SIZES)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_source_repeat_factors_matches_reference(spark, sizes, tmp_path_factory):
+    """source_repeat_factors must equal the pinned integer evaluation
+    order — milli-shares, targets, capped repeats, effective, deficit —
+    computed in pure Python over arbitrary source-size mixes (Python
+    ints floor-divide identically and math.sqrt is the same correctly
+    rounded IEEE double)."""
+    import math
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.curation import (
+        DATA_BUDGET_MULT,
+        REPEAT_CAP_MILLI,
+        source_repeat_factors,
+    )
+
+    rows = [
+        (i, " ".join(f"tok{src}x{j}" for j in range(n)), src)
+        for i, (src, n) in enumerate((f"s{k}", n) for k, n in enumerate(sizes))
+    ]
+    d = tmp_path_factory.mktemp("repeat") / uuid.uuid4().hex
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    got = {
+        r["source"]: (
+            r["n_tokens"], r["share_milli"], r["target_tokens"],
+            r["repeat_milli"], r["effective_tokens"], r["deficit_tokens"],
+        )
+        for r in source_repeat_factors(spark, str(d)).collect()
+    }
+
+    w = {f"s{k}": math.floor(math.sqrt(float(n)) * 1e9) for k, n in enumerate(sizes)}
+    denom, total = sum(w.values()), sum(sizes)
+    budget = DATA_BUDGET_MULT * total
+    expect = {}
+    for k, n in enumerate(sizes):
+        src = f"s{k}"
+        share = (w[src] * 1000) // denom
+        target = (budget * share) // 1000
+        repeat = min(REPEAT_CAP_MILLI, (target * 1000) // n)
+        eff = (n * repeat) // 1000
+        expect[src] = (n, share, target, repeat, eff, max(0, target - eff))
+    assert got == expect
