@@ -501,3 +501,57 @@ def test_store_exists_fs_errors_propagate(tmp_path):
     assert not pipeline._store_exists(_NoGateway(), str(p))
     p.mkdir()
     assert pipeline._store_exists(_NoGateway(), str(p))
+
+
+def test_streaming_decay_partials_match_batch(spark, sf_smoke, tmp_path):
+    """The streaming (day, hash) partials folded through the half-life
+    fixed point must equal the batch computation run directly over the
+    same events — exactly, because the weights are integer powers of
+    two and the fold is an integer sum. This is the 100 TB shape: the
+    stream maintains mergeable per-day counts; decay is applied at read
+    time, never by rewriting state."""
+    from via_spark.operators.timeseries import DECAY_CAP
+
+    src = str(tmp_path / "otel_jsonl")
+    pipeline.write_otel_fixture_jsonl(spark, sf_smoke, src, n_files=4)
+    stream = pipeline.read_otel_stream(spark, src)
+    q = (
+        pipeline.daily_hash_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("daily_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    daily = spark.sql("SELECT * FROM daily_counts")
+    got = {
+        r["rhythm_hash"]: (r["n_events"], r["decayed_count_fix"])
+        for r in pipeline.half_life_decay_from_daily(daily).collect()
+    }
+
+    batch = _batch_equivalent(spark, sf_smoke).select(
+        F.expr("CAST(ts div 86400 AS LONG)").alias("day"), "rhythm_hash"
+    )
+    anchor = batch.agg(F.max("day").alias("anchor_day"))
+    expect = {
+        r["rhythm_hash"]: (r["n_events"], r["decayed_count_fix"])
+        for r in (
+            batch.crossJoin(F.broadcast(anchor))
+            .withColumn("age", F.col("anchor_day") - F.col("day"))
+            .withColumn(
+                "w_fix",
+                F.expr(
+                    f"CASE WHEN age <= {DECAY_CAP}"
+                    f" THEN shiftleft(1L, {DECAY_CAP} - age) ELSE 0L END"
+                ),
+            )
+            .groupBy("rhythm_hash")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("w_fix").alias("decayed_count_fix"),
+            )
+            .collect()
+        )
+    }
+    assert got == expect and len(got) > 0

@@ -512,3 +512,58 @@ def neardup_gate_process_batch(
     _write(sh.join(adm_ids, "doc_id"), "shingles")
     for df in (admitted, flagged, bands, sh, batch_df):
         df.unpersist()
+
+
+def daily_hash_counts_stream(stream: DataFrame) -> DataFrame:
+    """T-family extension backing the half-life decay score on an
+    unbounded ingest: per (epoch-day, rhythm_hash) event counts as a
+    true event-time aggregation (1-day tumbling windows, epoch-aligned;
+    late data bounded by the watermark). State is O(hashes x days in
+    the watermark horizon) — NOT stream history — because the decay
+    weights are applied at READ time by
+    :func:`half_life_decay_from_daily`, never by rewriting state: the
+    per-day partials are the associative, exactly-mergeable form."""
+    return (
+        stream.withColumn("event_time", F.timestamp_seconds(F.col("ts")))
+        .withWatermark("event_time", WATERMARK)
+        .groupBy(
+            F.window("event_time", "86400 seconds").alias("win"),
+            F.col("rhythm_hash"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.unix_timestamp(F.col("win.start")) / 86400)
+            .cast("long")
+            .alias("day"),
+            "rhythm_hash",
+            "n",
+        )
+    )
+
+
+def half_life_decay_from_daily(daily: DataFrame) -> DataFrame:
+    """Fold (day, rhythm_hash, n) partials into the per-hash half-life
+    decay score — the identical power-of-two fixed point as the batch
+    operator (``timeseries.DECAY_CAP``), so the streaming-maintained
+    table reduces to EXACTLY the number the batch pass computes: the
+    weights are integers, the fold is an integer sum, and reduction
+    order cannot change a bit. Anchor = newest day present."""
+    from via_spark.operators.timeseries import DECAY_CAP
+
+    anchor = daily.agg(F.max("day").alias("anchor_day"))
+    return (
+        daily.crossJoin(F.broadcast(anchor))
+        .withColumn("age", F.col("anchor_day") - F.col("day"))
+        .withColumn(
+            "w_fix",
+            F.expr(
+                f"CASE WHEN age <= {DECAY_CAP}"
+                f" THEN shiftleft(1L, {DECAY_CAP} - age) ELSE 0L END"
+            ),
+        )
+        .groupBy("rhythm_hash")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum(F.col("n") * F.col("w_fix")).alias("decayed_count_fix"),
+        )
+    )
