@@ -432,3 +432,39 @@ def test_token_shard_spans_boundary_splitting(spark, tmp_path):
         assert all(x[1] == y[0] for x, y in zip(spans, spans[1:]))
     last = max(shard_load)
     assert all(shard_load[s] == B for s in shard_load if s != last)
+
+
+def test_neardup_quality_confound_planted(spark, tmp_path):
+    """Plant the confound the report exists to expose: one family of 4
+    identical high-quality docs (stopword-rich, alpha, long) in a sea
+    of 8 distinct low-quality docs. The dup mass must land entirely in
+    the TOP deciles, with exactly cluster_size - 1 would-drops, and
+    every bottom decile must report zero dup mass."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.curation import neardup_quality_confound
+
+    good = " ".join(["the a and of to in is for quality text"] * 5)  # 50 toks
+    rows = [(i, good, "boiler") for i in range(4)]
+    rows += [(10 + j, f"zz{j}qq xx{j}ww", f"s{j}") for j in range(8)]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    got = {r["decile"]: r for r in neardup_quality_confound(spark, str(d)).collect()}
+    assert sum(r["n_docs"] for r in got.values()) == 12
+    assert sum(r["n_dup_members"] for r in got.values()) == 4
+    assert sum(r["n_would_drop"] for r in got.values()) == 3  # keep one rep
+    # the 4 identical docs hold the 4 best quality ranks -> deciles 1-3
+    # (rank->decile over n=12: ranks 1,2 -> d1; 3 -> d2; 4 -> d3)
+    assert got[1]["n_dup_members"] == 2 and got[1]["n_docs"] == 2
+    assert got[2]["n_dup_members"] == 1 and got[3]["n_dup_members"] == 1
+    # rep = min doc_id (0): it sits at one of the dup ranks; total drops 3
+    for dec, r in got.items():
+        if dec > 3:
+            assert r["n_dup_members"] == 0 and r["n_would_drop"] == 0
+            assert r["dup_share"] == 0.0 and r["drop_share"] == 0.0
+        assert 0 <= r["n_would_drop"] <= r["n_dup_members"] <= r["n_docs"]
