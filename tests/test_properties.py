@@ -1166,7 +1166,9 @@ DECAY_EVENTS = st.lists(
     st.tuples(
         st.sampled_from(["a", "b", "c"]),        # event_type
         st.integers(min_value=0, max_value=40),  # epoch day (spans CAP=20)
-        st.floats(min_value=0.0, max_value=1000.0, allow_nan=False),
+        # negatives included: floor(v*100) rounds toward -inf in Spark,
+        # DuckDB, and Python alike — the property must hold there too
+        st.floats(min_value=-1000.0, max_value=1000.0, allow_nan=False),
     ),
     min_size=1, max_size=30,
 )
