@@ -468,3 +468,31 @@ def test_neardup_quality_confound_planted(spark, tmp_path):
             assert r["n_dup_members"] == 0 and r["n_would_drop"] == 0
             assert r["dup_share"] == 0.0 and r["drop_share"] == 0.0
         assert 0 <= r["n_would_drop"] <= r["n_dup_members"] <= r["n_docs"]
+
+
+def test_shard_spans_cohere_with_budget_shards(spark, sf_smoke):
+    """Cross-operator coherence at the same budget: a document's FIRST
+    span shard must equal the shard token_budget_shards assigns it
+    (start div B), its span count must be ceil-consistent with its
+    length, and summing spans reproduces each doc's token count."""
+    from collections import defaultdict
+
+    from via_spark.operators.rank import token_budget_shards, token_shard_spans
+
+    B = 256
+    shards = {
+        r["doc_id"]: (r["shard_id"], r["n_tokens"])
+        for r in token_budget_shards(spark, sf_smoke, budget_tokens=B).collect()
+    }
+    spans = defaultdict(list)
+    for r in token_shard_spans(spark, sf_smoke, budget_tokens=B).collect():
+        spans[r["doc_id"]].append((r["shard_id"], r["tok_start"], r["tok_end"]))
+
+    assert set(spans) == {d for d, (_, n) in shards.items() if n > 0}
+    for doc, sp in spans.items():
+        sp.sort()
+        first_shard, n_tokens = shards[doc]
+        assert sp[0][0] == first_shard
+        assert sum(b - a for _, a, b in sp) == n_tokens
+        # spans cover consecutive shards exactly once
+        assert [s for s, _, _ in sp] == list(range(sp[0][0], sp[-1][0] + 1))
