@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (re-verifying an unchanged old green re-anchors its baseline
         # commit; rotation.suggested_full_head); enforced by
         # tests/test_properties.py ---
+        "doc_length_p95_by_source": textstats.doc_length_p95_by_source,
         "half_life_decay_counts": timeseries.half_life_decay_counts,
         "multimodal_resize_plan": multimodal.multimodal_resize_plan,
         "neardup_quality_confound": curation.neardup_quality_confound,
@@ -194,11 +195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_buyers": relational.repeat_buyers,
         "rolling_7d_active_users": timeseries.rolling_7d_active_users,
         "salted_event_type_counts": relational.salted_event_type_counts,
-        "severity_set_concat": relational.severity_set_concat,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "severity_set_concat": relational.severity_set_concat,
         "shipping_priority": relational.shipping_priority,
         "sliding_hash_counts": windows.sliding_hash_counts,
         "source_mix_allocation": curation.source_mix_allocation,
@@ -459,4 +460,5 @@ def oracle_sql() -> dict[str, str]:
         "source_repeat_factors": oracles.source_repeat_factors_sql(),
         "token_shard_spans": oracles.token_shard_spans_sql(),
         "neardup_quality_confound": oracles.neardup_quality_confound_sql(),
+        "doc_length_p95_by_source": oracles.doc_length_p95_by_source_sql(),
     }

@@ -496,3 +496,28 @@ def test_shard_spans_cohere_with_budget_shards(spark, sf_smoke):
         assert sum(b - a for _, a, b in sp) == n_tokens
         # spans cover consecutive shards exactly once
         assert [s for s, _, _ in sp] == list(range(sp[0][0], sp[-1][0] + 1))
+
+
+def test_doc_length_p95_by_source_planted(spark, tmp_path):
+    """Known discrete p95s: lengths 1..20 in one source give exactly 19
+    (min v with 100·cum ≥ 95·20); a singleton source reports its own
+    length; an all-equal source reports that length."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.textstats import doc_length_p95_by_source
+
+    rows = [(i, " ".join(f"a{i}x{j}" for j in range(i + 1)), "ramp") for i in range(20)]
+    rows += [(100, "one two three four five six seven", "solo")]
+    rows += [(200 + k, "x y z", "flat") for k in range(5)]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    got = {
+        r["source"]: (r["p95_tokens"], r["n"])
+        for r in doc_length_p95_by_source(spark, str(d)).collect()
+    }
+    assert got == {"ramp": (19, 20), "solo": (7, 1), "flat": (3, 5)}

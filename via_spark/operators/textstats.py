@@ -579,3 +579,28 @@ def length_filtered_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_chars").between(F.col("lo"), F.col("hi")))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+def doc_length_p95_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p95 document length in tokens — the data-derived
+    cutoff a curation pipeline feeds its length filter instead of one
+    global constant (sources differ: code vs chat vs web have wildly
+    different healthy length bands; ``length_filtered_documents`` is
+    the fixed-threshold form this table parameterizes).
+
+    Exactness: token counts are already integers, so the rank-based
+    discrete p95 (``stats.p95_rank_threshold``) is pure integer
+    arithmetic end to end — no double exists anywhere in the contract.
+
+    Scale posture: inherits the pinned histogram shape — one map-side-
+    combined hash agg to (source, length) counts, cumulative window
+    over the histogram (never the corpus), parallelism follows the
+    source count.
+    """
+    from via_spark.operators.stats import p95_rank_threshold
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", F.size(tokens(F.col("text"))).cast("long").alias("len"))
+    return p95_rank_threshold(t, ["source"], F.col("len")).select(
+        "source", F.col("p95_fix").alias("p95_tokens"), "n"
+    )

@@ -3664,3 +3664,29 @@ SELECT d.decile,
 FROM d JOIN c ON d.doc_id = c.doc_id
 GROUP BY d.decile
 """
+
+
+def doc_length_p95_by_source_sql() -> str:
+    """Per-source discrete p95 token length — mirrors
+    textstats.doc_length_p95_by_source (all-integer rank threshold
+    over the per-source length histogram)."""
+    return f"""
+WITH {DOC_TOKS_CTE},
+q AS (
+    SELECT source, CAST(len(toks) AS BIGINT) AS v FROM dtok
+),
+hist AS (
+    SELECT source, v, count(*) AS c FROM q GROUP BY 1, 2
+),
+cum AS (
+    SELECT source, v,
+           sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+           sum(c) OVER (PARTITION BY source) AS n
+    FROM hist
+)
+SELECT source,
+       CAST(min(v) AS BIGINT) AS p95_tokens,
+       CAST(max(n) AS BIGINT) AS n
+FROM cum WHERE 100 * cum >= 95 * n
+GROUP BY 1
+"""
