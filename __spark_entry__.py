@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_plan": multimodal.multimodal_resize_plan,
         "neardup_quality_confound": curation.neardup_quality_confound,
         "repeated_span_scrub": curation.repeated_span_scrub,
+        "source_overlap_matrix": dedup.source_overlap_matrix,
         "source_repeat_factors": curation.source_repeat_factors,
         "temperature_mixture_weights": curation.temperature_mixture_weights,
         "token_shard_spans": rank.token_shard_spans,
@@ -194,11 +195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_audit": relational.referential_audit,
         "repeat_buyers": relational.repeat_buyers,
         "rolling_7d_active_users": timeseries.rolling_7d_active_users,
-        "salted_event_type_counts": relational.salted_event_type_counts,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "salted_event_type_counts": relational.salted_event_type_counts,
         "severity_set_concat": relational.severity_set_concat,
         "shipping_priority": relational.shipping_priority,
         "sliding_hash_counts": windows.sliding_hash_counts,
@@ -461,4 +462,5 @@ def oracle_sql() -> dict[str, str]:
         "token_shard_spans": oracles.token_shard_spans_sql(),
         "neardup_quality_confound": oracles.neardup_quality_confound_sql(),
         "doc_length_p95_by_source": oracles.doc_length_p95_by_source_sql(),
+        "source_overlap_matrix": oracles.source_overlap_matrix_sql(),
     }

@@ -184,3 +184,39 @@ def test_cap_recall_sweep_10x_fixture(spark, tmp_path):
         for r in dedup.dedup_minhash_pairs(spark, sf, band_cap=300).collect()
     }
     assert at_300 == uncapped
+
+
+def test_source_overlap_matrix_planted_syndication(spark, tmp_path):
+    """Plant a syndicated sentence shared by two of three sources and
+    verify the matrix reports EXACTLY its shingles for that pair, zero
+    for the others, and per-source totals consistent with each side's
+    own distinct shingle count."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.dedup import source_overlap_matrix
+
+    syn = "breaking news syndicated wire copy runs everywhere tonight"
+    # 8 tokens -> 6 distinct trigram shingles
+    rows = [
+        (0, f"{syn} alpha0 beta0 gamma0 delta0", "mirror_a"),
+        (1, f"uniq1a uniq1b uniq1c {syn}", "mirror_b"),
+        (2, "totally unrelated content with its own words here", "clean"),
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_matrix(spark, str(d)).collect()
+    }
+    pair = got[("mirror_a", "mirror_b")]
+    assert pair["shared_shingles"] == 6  # the syndicated trigrams only
+    # doc0: 12 tokens -> 10 shingles; doc1: 11 tokens -> 9 shingles
+    assert (pair["n_a"], pair["n_b"]) == (10, 9)
+    assert pair["jaccard"] == 6 / (10 + 9 - 6)
+    for k in [("clean", "mirror_a"), ("clean", "mirror_b")]:
+        assert k not in got  # zero shared shingles -> no row (inner join)

@@ -498,3 +498,12 @@ def test_source_repeat_factors_plan_shape(spark, sf_oracle):
     assert "ReusedExchange" in p, "totals branch re-scans the corpus"
     assert "partial_sum" in p, "map-side partial aggregation lost"
     assert "SortMergeJoin" not in p
+
+
+def test_source_overlap_matrix_plan_shape(spark, sf_oracle):
+    """The pair join must key on the shingle hash (bounded |sources|
+    rows per group — never cartesian), and the per-source totals must
+    attach as broadcasts."""
+    p = _plan(spark, sf_oracle, "source_overlap_matrix")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p, "sources-sized totals must broadcast"

@@ -598,3 +598,64 @@ def shingle_frame(docs: DataFrame) -> DataFrame:
         .where(F.size("toks") >= SHINGLE_N)
         .select("doc_id", _shingles(F.col("toks")).alias("sh"))
     )
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source contamination matrix: for every source pair, the
+    distinct token-trigram shingles they share and the shingle-set
+    Jaccard — the mirror-site / syndication detector a corpus owner
+    reads before trusting per-source dedup rates (two "different"
+    sources with high overlap are one source twice; reference
+    capability class: the dedup family's cross-doc candidates, lifted
+    to the source level).
+
+    Exactness: shared counts are exact integers over distinct
+    (source, shingle-hash) pairs; Jaccard is one correctly-rounded
+    division of exact integers.
+
+    Scale posture: the shuffle key is the 16-hex shingle hash and each
+    hash group holds at most |sources| rows, so the self-join's output
+    is bounded by |sources|^2 per hash — never quadratic in documents
+    or shingles; hash collisions only over-count overlap (the
+    conservative direction). The per-source totals are a sources-sized
+    broadcast. Output is |sources| choose 2 rows regardless of corpus
+    size.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sh = (
+        d.withColumn("toks", tokens(F.col("text")))
+        .where(F.size("toks") >= SHINGLE_N)
+        .select("source", F.explode(_shingles(F.col("toks"))).alias("s"))
+    )
+    hs = sh.select(
+        "source", F.substring(F.sha2(F.col("s"), 256), 1, 16).alias("h")
+    ).distinct()
+    per = hs.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = hs.alias("a"), hs.alias("b")
+    pair = (
+        a.join(b, "h")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pair.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            "n_a",
+            "n_b",
+            (
+                F.col("shared_shingles").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_shingles")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

@@ -3690,3 +3690,39 @@ SELECT source,
 FROM cum WHERE 100 * cum >= 95 * n
 GROUP BY 1
 """
+
+
+def source_overlap_matrix_sql() -> str:
+    """Inter-source shared-shingle matrix — mirrors
+    dedup.source_overlap_matrix: distinct (source, shingle-hash) pairs,
+    self-joined on the hash with source_a < source_b; Jaccard one
+    division of exact integers."""
+    return r"""
+WITH dsh AS (
+    SELECT doc_id, source,
+           list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          for i in range(1, len(t) - 1)]) AS sh
+    FROM (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        FROM documents
+    ) WHERE len(t) >= 3
+),
+hs AS (
+    SELECT DISTINCT source, substr(sha256(u.s), 1, 16) AS h
+    FROM dsh, unnest(sh) AS u(s)
+),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM hs GROUP BY 1),
+pair AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_shingles
+    FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.shared_shingles,
+       pa.n_sh AS n_a, pb.n_sh AS n_b,
+       CAST(p.shared_shingles AS DOUBLE)
+         / CAST(pa.n_sh + pb.n_sh - p.shared_shingles AS DOUBLE) AS jaccard
+FROM pair p JOIN per pa ON p.source_a = pa.source
+            JOIN per pb ON p.source_b = pb.source
+"""
