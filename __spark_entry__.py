@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture_weights": curation.temperature_mixture_weights,
         "token_shard_spans": rank.token_shard_spans,
         "weighted_doc_sample": curation.weighted_doc_sample,
+        "weighted_sample_per_source": curation.weighted_sample_per_source,
         "dedup_keep_best": graph.dedup_keep_best,
         "global_value_rank": rank.global_value_rank,
         "per_day_topk": relational.per_day_topk,
@@ -194,11 +195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_intervals": timeseries.purchase_intervals,
         "referential_audit": relational.referential_audit,
         "repeat_buyers": relational.repeat_buyers,
-        "rolling_7d_active_users": timeseries.rolling_7d_active_users,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "rolling_7d_active_users": timeseries.rolling_7d_active_users,
         "salted_event_type_counts": relational.salted_event_type_counts,
         "severity_set_concat": relational.severity_set_concat,
         "shipping_priority": relational.shipping_priority,
@@ -463,4 +464,5 @@ def oracle_sql() -> dict[str, str]:
         "neardup_quality_confound": oracles.neardup_quality_confound_sql(),
         "doc_length_p95_by_source": oracles.doc_length_p95_by_source_sql(),
         "source_overlap_matrix": oracles.source_overlap_matrix_sql(),
+        "weighted_sample_per_source": oracles.weighted_sample_per_source_sql(),
     }

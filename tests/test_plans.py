@@ -507,3 +507,13 @@ def test_source_overlap_matrix_plan_shape(spark, sf_oracle):
     p = _plan(spark, sf_oracle, "source_overlap_matrix")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p, "sources-sized totals must broadcast"
+
+
+def test_weighted_sample_per_source_plan_shape(spark, sf_oracle):
+    """Per-source weighted top-k must push a k-row heap per group below
+    the rank shuffle (WindowGroupLimit), never a full per-source sort
+    materialization, and never read the text column."""
+    p = _plan(spark, sf_oracle, "weighted_sample_per_source")
+    assert "WindowGroupLimit" in p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and "text" not in m.group(1), "scan must prune the text column"

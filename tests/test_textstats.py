@@ -521,3 +521,39 @@ def test_doc_length_p95_by_source_planted(spark, tmp_path):
         for r in doc_length_p95_by_source(spark, str(d)).collect()
     }
     assert got == {"ramp": (19, 20), "solo": (7, 1), "flat": (3, 5)}
+
+
+def test_weighted_sample_per_source_matches_reference(spark, tmp_path):
+    """Per-source top-k by the same pure-Python priority as the global
+    sample: each source contributes min(k, its doc count) rows, and the
+    union equals the per-source k-smallest (priority, doc_id) sets."""
+    import hashlib
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.curation import (
+        _WSAMPLE_SCALE,
+        weighted_sample_per_source,
+    )
+
+    docs = [(i, "x" * ((i * 53) % 170), f"s{i % 3}") for i in range(17)]
+    d = tmp_path / "sf"
+    spark.createDataFrame(docs, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    K = 3
+    got = defaultdict(list)
+    for r in weighted_sample_per_source(spark, str(d), k=K).collect():
+        got[r["source"]].append((r["priority"], r["doc_id"]))
+
+    expect = defaultdict(list)
+    for i, t, src in docs:
+        h = int(hashlib.sha256(str(i).encode()).hexdigest()[:10], 16)
+        expect[src].append(((h * _WSAMPLE_SCALE) // max(len(t), 1), i))
+    for src in expect:
+        expect[src] = sorted(expect[src])[:K]
+    assert {s: sorted(v) for s, v in got.items()} == dict(expect)

@@ -691,3 +691,47 @@ def neardup_quality_confound(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("drop_share"),
         )
     )
+
+
+PER_SOURCE_SAMPLE_K = 10  # pinned per-group sample size (oracle mirrors)
+
+
+def weighted_sample_per_source(
+    spark: SparkSession, sf_dir: str, k: int = PER_SOURCE_SAMPLE_K
+) -> DataFrame:
+    """Per-source deterministic weighted sample: within every source,
+    the k docs with smallest hash-clock priority (same integer-rational
+    Efraimidis–Spirakis scheme as :func:`weighted_doc_sample`, weight =
+    length) — the per-domain carve a curation pipeline uses when the
+    review budget is allocated per source rather than globally. Same
+    stability property: priorities never change as the corpus grows.
+
+    Scale posture: per-group top-k rides ``row_number`` over
+    (source, priority) which Spark plans as ``WindowGroupLimit`` — a
+    k-row heap per source pushed below the rank shuffle, never a full
+    per-source sort materialization.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 10), 16, 10
+    ).cast("long")
+    pri = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        h.alias("h"),
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("long").alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(f"CAST((h * {_WSAMPLE_SCALE}L) div w AS BIGINT)").alias("priority"),
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.col("priority").asc(), F.col("doc_id").asc()
+    )
+    return (
+        pri.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= int(k))
+        .select("doc_id", "source", "n_chars", "priority")
+    )

@@ -3726,3 +3726,27 @@ SELECT p.source_a, p.source_b, p.shared_shingles,
 FROM pair p JOIN per pa ON p.source_a = pa.source
             JOIN per pb ON p.source_b = pb.source
 """
+
+
+def weighted_sample_per_source_sql(k: int | None = None) -> str:
+    """Per-source weighted top-k sample — mirrors
+    curation.weighted_sample_per_source: same integer-rational priority
+    as the global sample, ranked within each source."""
+    from via_spark.operators.curation import PER_SOURCE_SAMPLE_K, _WSAMPLE_SCALE
+
+    k = PER_SOURCE_SAMPLE_K if k is None else int(k)
+    return f"""
+WITH pri AS (
+    SELECT doc_id, source, n_chars,
+           CAST((CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 10)
+                      AS BIGINT) * {int(_WSAMPLE_SCALE)})
+                // greatest(n_chars, 1) AS BIGINT) AS priority
+    FROM documents
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS _rn
+    FROM pri
+)
+SELECT doc_id, source, n_chars, priority FROM r WHERE _rn <= {k}
+"""
