@@ -220,3 +220,40 @@ def test_source_overlap_matrix_planted_syndication(spark, tmp_path):
     assert pair["jaccard"] == 6 / (10 + 9 - 6)
     for k in [("clean", "mirror_a"), ("clean", "mirror_b")]:
         assert k not in got  # zero shared shingles -> no row (inner join)
+
+
+def test_minhash_calibration_planted(spark, tmp_path):
+    """Identical docs must calibrate perfectly (8/8 components, exact
+    Jaccard 1.0, zero error); a genuine near-dup pair reports an
+    estimate in [0,1] with error = est - exact, and every candidate
+    row keeps the MinHash identity est_matches == 8 iff the signature
+    (and here the shingle set) is identical."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.dedup import minhash_jaccard_calibration
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base, "s"),
+        (1, base, "s"),                      # identical twin
+        (2, base + " lambda mu nu xi", "s"),  # superset near-dup
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in minhash_jaccard_calibration(spark, str(d)).collect()
+    }
+    twin = got[(0, 1)]
+    assert twin["est_matches"] == 8 and twin["est_jaccard"] == 1.0
+    assert twin["jaccard"] == 1.0 and twin["est_error"] == 0.0
+    for (a, b), r in got.items():
+        assert 0 <= r["est_matches"] <= 8
+        assert abs(r["est_error"] - (r["est_jaccard"] - r["jaccard"])) == 0.0
+        if r["jaccard"] == 1.0:
+            assert r["est_matches"] == 8  # identical sets -> identical sigs

@@ -659,3 +659,70 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the MinHash estimator: for every LSH
+    candidate pair, the estimated Jaccard (matching signature
+    components / k) next to the exact n-gram Jaccard and the signed
+    error — the table that justifies trusting the k=8 estimate as a
+    pre-filter (its bias/variance is MEASURED on the corpus, not
+    assumed from theory). E[est] = true Jaccard per the MinHash
+    property; this query shows the realized spread at this k.
+
+    Exactness: est_matches is an integer; ``est_jaccard`` divides by
+    the constant k=8 (a power of two — exact in binary), the exact
+    Jaccard is one correctly-rounded division of integer counts, and
+    the error is one subtraction of those two doubles — every step
+    engine-identical.
+
+    Scale posture: same candidate generation as the dedup pass (band
+    equi-join, hot-bucket cap); the signature table adds k 16-hex
+    columns per doc and joins on candidate PAIRS only — the shingle
+    arrays still never enter the LSH shuffle.
+    """
+    sh = shingled_documents(spark, sf_dir).cache()
+    bands = capped_bands(minhash_bands(sh), BAND_KEY_CAP)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sig = sh.select("doc_id", *_minhash_sig(F.col("sh")))
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(MINHASH_K)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(MINHASH_K)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    ver = (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", matches.cast("long").alias("est_matches"))
+        .join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+    )
+    est = F.col("est_matches").cast("double") / F.lit(float(MINHASH_K))
+    return ver.select(
+        "doc_a",
+        "doc_b",
+        "est_matches",
+        est.alias("est_jaccard"),
+        jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        (est - jaccard(F.col("sh_a"), F.col("sh_b"))).alias("est_error"),
+    )

@@ -3750,3 +3750,43 @@ r AS (
 )
 SELECT doc_id, source, n_chars, priority FROM r WHERE _rn <= {k}
 """
+
+
+def minhash_jaccard_calibration_sql() -> str:
+    """Estimated-vs-exact Jaccard per LSH candidate pair — mirrors
+    dedup.minhash_jaccard_calibration (matching signature components
+    over k=8; est divides by a power of two, exact is one division of
+    integer counts, error one subtraction)."""
+    from via_spark.operators.dedup import MINHASH_K
+
+    k = int(MINHASH_K)
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return (
+        "WITH " + _SHINGLES_CTE.strip() + "," + _minhash_bands_cte()
+        + f"""
+, cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+m AS (
+    SELECT c.doc_a, c.doc_b, CAST({matches} AS BIGINT) AS est_matches
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT m.doc_a, m.doc_b, m.est_matches,
+       CAST(m.est_matches AS DOUBLE) / {float(k)} AS est_jaccard,
+       len(list_intersect(da.sh, db.sh))
+         / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
+         AS jaccard,
+       CAST(m.est_matches AS DOUBLE) / {float(k)}
+         - len(list_intersect(da.sh, db.sh))
+           / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
+         AS est_error
+FROM m JOIN dsh da ON da.doc_id = m.doc_a
+       JOIN dsh db ON db.doc_id = m.doc_b
+"""
+    )
