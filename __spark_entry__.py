@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_properties.py ---
         "doc_length_p95_by_source": textstats.doc_length_p95_by_source,
         "half_life_decay_counts": timeseries.half_life_decay_counts,
+        "lang_metadata_confusion": textstats.lang_metadata_confusion,
         "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
         "multimodal_resize_plan": multimodal.multimodal_resize_plan,
         "neardup_quality_confound": curation.neardup_quality_confound,
@@ -194,11 +195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": relational.promo_revenue,
         "props_json_stats": relational.props_json_stats,
         "purchase_intervals": timeseries.purchase_intervals,
-        "referential_audit": relational.referential_audit,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "referential_audit": relational.referential_audit,
         "repeat_buyers": relational.repeat_buyers,
         "rolling_7d_active_users": timeseries.rolling_7d_active_users,
         "salted_event_type_counts": relational.salted_event_type_counts,
@@ -467,4 +468,5 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_matrix": oracles.source_overlap_matrix_sql(),
         "weighted_sample_per_source": oracles.weighted_sample_per_source_sql(),
         "minhash_jaccard_calibration": oracles.minhash_jaccard_calibration_sql(),
+        "lang_metadata_confusion": oracles.lang_metadata_confusion_sql(),
     }

@@ -557,3 +557,38 @@ def test_weighted_sample_per_source_matches_reference(spark, tmp_path):
     for src in expect:
         expect[src] = sorted(expect[src])[:K]
     assert {s: sorted(v) for s, v in got.items()} == dict(expect)
+
+
+def test_lang_metadata_confusion_planted(spark, tmp_path):
+    """Plant declared labels that half-agree with the heuristic: 2 'en'
+    docs with English stopwords (diagonal), 1 'en' doc written in
+    German (off-diagonal), 1 'de' doc in German (diagonal) — exact
+    cells, shares, and agree flags."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.textstats import lang_metadata_confusion
+
+    en = "the cat and the dog of a house is for sale in town"
+    de = "der hund und die katze ist nicht mit der maus ein freund"
+    rows = [
+        (0, en, "s"), (1, en, "s"),
+        (2, de, "s"),           # declared en, reads German
+        (3, de, "s"),           # declared de, reads German
+    ]
+    langs = {0: "en", 1: "en", 2: "en", 3: "de"}
+    d = tmp_path / "sf"
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    lang_col = F.when(F.col("doc_id") == 3, "de").otherwise("en")
+    df.withColumn("lang", lang_col).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got = {
+        (r["lang"], r["predicted_lang"]): (r["n"], r["share"], r["agrees"])
+        for r in lang_metadata_confusion(spark, str(d)).collect()
+    }
+    assert got == {
+        ("en", "en"): (2, 2 / 3, True),
+        ("en", "de"): (1, 1 / 3, False),
+        ("de", "de"): (1, 1.0, True),
+    }

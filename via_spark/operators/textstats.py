@@ -604,3 +604,38 @@ def doc_length_p95_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p95_rank_threshold(t, ["source"], F.col("len")).select(
         "source", F.col("p95_fix").alias("p95_tokens"), "n"
     )
+
+
+def lang_metadata_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata QA: the confusion matrix of the corpus's DECLARED
+    language column against the heuristic language-ID prediction —
+    per (lang, predicted_lang): count, the share of that declared
+    language it represents, and whether the cell is the diagonal. The
+    table a pipeline owner reads to decide how far to trust upstream
+    lang tags before routing per-language processing on them.
+
+    Exactness: counts are integers; the share is one correctly-rounded
+    division by the per-lang total (broadcast back from a langs-sized
+    aggregate).
+
+    Scale posture: rides the single-scan lang-ID projection into one
+    (lang, predicted) hash agg — both keys low-cardinality, map-side
+    partials; the per-lang totals re-aggregate the TINY matrix, not
+    the corpus.
+    """
+    ids = lang_id_documents(spark, sf_dir)
+    cell = ids.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cell.groupBy("lang").agg(F.sum("n").alias("lang_total"))
+    return (
+        cell.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            "n",
+            (F.col("n").cast("double") / F.col("lang_total").cast("double"))
+            .alias("share"),
+            (F.col("lang") == F.col("predicted_lang")).alias("agrees"),
+        )
+    )

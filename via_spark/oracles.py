@@ -3790,3 +3790,24 @@ FROM m JOIN dsh da ON da.doc_id = m.doc_a
        JOIN dsh db ON db.doc_id = m.doc_b
 """
     )
+
+
+def lang_metadata_confusion_sql() -> str:
+    """Declared-vs-predicted language confusion matrix — mirrors
+    textstats.lang_metadata_confusion over the lang-ID oracle."""
+    return f"""
+WITH ids AS (
+{lang_id_documents_sql()}
+),
+cell AS (
+    SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+    FROM ids GROUP BY 1, 2
+),
+tot AS (
+    SELECT lang, CAST(sum(n) AS BIGINT) AS lang_total FROM cell GROUP BY 1
+)
+SELECT c.lang, c.predicted_lang, c.n,
+       CAST(c.n AS DOUBLE) / CAST(t.lang_total AS DOUBLE) AS share,
+       c.lang = c.predicted_lang AS agrees
+FROM cell c JOIN tot t ON c.lang = t.lang
+"""
