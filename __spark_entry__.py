@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (re-verifying an unchanged old green re-anchors its baseline
         # commit; rotation.suggested_full_head); enforced by
         # tests/test_properties.py ---
+        "boilerplate_span_audit": curation.boilerplate_span_audit,
         "doc_length_p95_by_source": textstats.doc_length_p95_by_source,
         "half_life_decay_counts": timeseries.half_life_decay_counts,
         "lang_metadata_confusion": textstats.lang_metadata_confusion,
@@ -194,11 +195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": relational.pricing_summary,
         "promo_revenue": relational.promo_revenue,
         "props_json_stats": relational.props_json_stats,
-        "purchase_intervals": timeseries.purchase_intervals,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "purchase_intervals": timeseries.purchase_intervals,
         "referential_audit": relational.referential_audit,
         "repeat_buyers": relational.repeat_buyers,
         "rolling_7d_active_users": timeseries.rolling_7d_active_users,
@@ -469,4 +470,5 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_per_source": oracles.weighted_sample_per_source_sql(),
         "minhash_jaccard_calibration": oracles.minhash_jaccard_calibration_sql(),
         "lang_metadata_confusion": oracles.lang_metadata_confusion_sql(),
+        "boilerplate_span_audit": oracles.boilerplate_span_audit_sql(),
     }

@@ -592,3 +592,47 @@ def test_lang_metadata_confusion_planted(spark, tmp_path):
         ("en", "de"): (1, 1 / 3, False),
         ("de", "de"): (1, 1.0, True),
     }
+
+
+def test_boilerplate_span_audit_coheres_with_scrub(spark, tmp_path):
+    """The audit must list exactly the grams the scrub removes: plant
+    one boilerplate 8-gram in 3 docs (>= SPAN_MIN_DOCS) and a 2-doc
+    gram below the bar; the audit reports the hot gram with exact
+    doc/occurrence counts and omits the sub-threshold one, and the
+    scrub's per-doc removal counts agree."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.curation import (
+        boilerplate_span_audit,
+        repeated_span_scrub,
+    )
+
+    hot = "one two three four five six seven eight"       # 8 tokens
+    cold = "c1 c2 c3 c4 c5 c6 c7 c8"
+    rows = [
+        (0, f"{hot} u0a u0b u0c", "s"),
+        (1, f"u1a {hot} u1b", "s"),
+        (2, f"u2a u2b {hot}", "s"),
+        (3, f"{cold} u3a u3b u3c", "s"),
+        (4, f"u4a {cold} u4b", "s"),
+        (5, "v1 v2 v3 v4 v5 v6 v7 v8 v9", "s"),
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    audit = {
+        r["gram"]: (r["n_docs"], r["n_occurrences"])
+        for r in boilerplate_span_audit(spark, str(d)).collect()
+    }
+    assert audit == {hot: (3, 3)}  # cold gram (2 docs < min_docs=3) omitted
+
+    scrub = {
+        r["doc_id"]: r["n_removed"]
+        for r in repeated_span_scrub(spark, str(d)).collect()
+    }
+    # the 3 hot docs lose exactly the 8 planted tokens; others lose none
+    assert scrub == {0: 8, 1: 8, 2: 8, 3: 0, 4: 0, 5: 0}

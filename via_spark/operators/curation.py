@@ -735,3 +735,61 @@ def weighted_sample_per_source(
         .where(F.col("_rn") <= int(k))
         .select("doc_id", "source", "n_chars", "priority")
     )
+
+
+SPAN_AUDIT_K = 50  # pinned audit size (oracle mirrors)
+
+
+def boilerplate_span_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = SPAN_N,
+    min_docs: int = SPAN_MIN_DOCS,
+    k: int = SPAN_AUDIT_K,
+) -> DataFrame:
+    """What :func:`repeated_span_scrub` would actually remove: the
+    top-k hot n-grams by distinct-document spread, with total
+    occurrence counts — the audit a pipeline owner reads BEFORE
+    enabling span scrubbing (is the 'boilerplate' navigation chrome,
+    or load-bearing common phrases?). Same n/min_docs as the scrub, so
+    the table describes the scrub's exact removal set.
+
+    Scale posture: distinct-doc and occurrence counts shuffle only
+    (16-hex sha key, doc_id) pairs — gram STRINGS join back for
+    display on the hot keys alone (a min_docs-filtered, k-capped set);
+    final cut is a TakeOrderedAndProject heap. Keying by sha256 (not
+    xxhash64) keeps the audit value-exact against the oracle;
+    collisions would only merge two display rows, and the oracle
+    would catch that as a mismatch.
+    """
+    from via_spark.functions.text import tokens as _tokens
+    from via_spark.session import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    grams = (
+        d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(toks, i, {n})))"
+                )
+            ).alias("gram"),
+        )
+        .withColumn("key", F.substring(F.sha2(F.col("gram"), 256), 1, 16))
+    )
+    stats = grams.groupBy("key").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    ).where(F.col("n_docs") >= min_docs)
+    display = grams.select("key", "gram").groupBy("key").agg(
+        F.min("gram").alias("gram")
+    )
+    return (
+        stats.join(display, "key")
+        .select("gram", "n_docs", "n_occurrences")
+        .orderBy(F.col("n_docs").desc(), F.col("gram").asc())
+        .limit(int(k))
+    )

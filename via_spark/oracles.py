@@ -3811,3 +3811,41 @@ SELECT c.lang, c.predicted_lang, c.n,
        c.lang = c.predicted_lang AS agrees
 FROM cell c JOIN tot t ON c.lang = t.lang
 """
+
+
+def boilerplate_span_audit_sql(
+    n: int | None = None, min_docs: int | None = None, k: int | None = None
+) -> str:
+    """Top-k hot n-grams by distinct-doc spread — mirrors
+    curation.boilerplate_span_audit (same n/min_docs as the span
+    scrub; grouped by the 16-hex sha key with min-gram display)."""
+    from via_spark.operators.curation import SPAN_AUDIT_K, SPAN_MIN_DOCS, SPAN_N
+
+    n = SPAN_N if n is None else int(n)
+    min_docs = SPAN_MIN_DOCS if min_docs is None else int(min_docs)
+    k = SPAN_AUDIT_K if k is None else int(k)
+    return rf"""
+WITH dtok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           unnest([array_to_string(toks[i:i+{n - 1}], ' ')
+                   for i in range(1, len(toks) - {n - 2})]) AS gram
+    FROM dtok WHERE len(toks) >= {n}
+),
+gk AS (SELECT doc_id, gram, substr(sha256(gram), 1, 16) AS key FROM g),
+stats AS (
+    SELECT key,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM gk GROUP BY 1 HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+display AS (SELECT key, min(gram) AS gram FROM gk GROUP BY 1)
+SELECT d.gram, s.n_docs, s.n_occurrences
+FROM stats s JOIN display d ON s.key = d.key
+ORDER BY s.n_docs DESC, d.gram ASC
+LIMIT {k}
+"""
