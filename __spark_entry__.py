@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # commit; rotation.suggested_full_head); enforced by
         # tests/test_properties.py ---
         "boilerplate_span_audit": curation.boilerplate_span_audit,
+        "customer_rfm_segments": relational.customer_rfm_segments,
         "doc_length_p95_by_source": textstats.doc_length_p95_by_source,
         "half_life_decay_counts": timeseries.half_life_decay_counts,
         "lang_metadata_confusion": textstats.lang_metadata_confusion,
@@ -194,11 +195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": relational.order_priority_counts,
         "pricing_summary": relational.pricing_summary,
         "promo_revenue": relational.promo_revenue,
-        "props_json_stats": relational.props_json_stats,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "props_json_stats": relational.props_json_stats,
         "purchase_intervals": timeseries.purchase_intervals,
         "referential_audit": relational.referential_audit,
         "repeat_buyers": relational.repeat_buyers,
@@ -471,4 +472,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_jaccard_calibration": oracles.minhash_jaccard_calibration_sql(),
         "lang_metadata_confusion": oracles.lang_metadata_confusion_sql(),
         "boilerplate_span_audit": oracles.boilerplate_span_audit_sql(),
+        "customer_rfm_segments": oracles.customer_rfm_segments_sql(),
     }

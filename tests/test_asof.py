@@ -36,3 +36,53 @@ def test_inclusive_match_and_tiebreak(spark):
         left, right, key="k", ts="ts", payload_cols=["v", "tag"], tiebreak="tag"
     ).collect()
     assert out[0]["asof_tag"] == "z" and out[0]["asof_v"] == 2
+
+
+def test_customer_rfm_segments_planted(spark, tmp_path):
+    """4 customers, n=4 -> quartile == rank in each dimension. Planted
+    so the three rankings DISAGREE: c1 newest but fewest/cheapest
+    orders, c4 oldest but most/priciest — exact quartiles and the
+    composed 3-digit segment code."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.relational import customer_rfm_segments
+
+    def o(oid, cust, day, price):
+        return (oid, cust, "O", float(price),
+                datetime.datetime(2024, 1, day), "1-URGENT", "c", 0, "x")
+
+    rows = [
+        # c1: 1 order, newest (day 20), total 10
+        o(1, 1, 20, 10.0),
+        # c2: 2 orders, day 15, total 200
+        o(2, 2, 15, 100.0), o(3, 2, 10, 100.0),
+        # c3: 3 orders, day 8, total 3000
+        o(4, 3, 8, 1000.0), o(5, 3, 5, 1000.0), o(6, 3, 2, 1000.0),
+        # c4: 4 orders, day 1, total 40000
+        o(7, 4, 1, 10000.0), o(8, 4, 1, 10000.0),
+        o(9, 4, 1, 10000.0), o(10, 4, 1, 10000.0),
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string, "
+        "o_clerk string, o_shippriority int, o_comment string",
+    ).write.parquet(str(d / "orders.parquet"))
+
+    got = {r["c_custkey"]: r for r in customer_rfm_segments(spark, str(d)).collect()}
+    # recency ranks: c1,c2,c3,c4 ; frequency ranks: c4,c3,c2,c1 ; monetary same
+    expect = {
+        1: (1, 4, 4, 144),
+        2: (2, 3, 3, 233),
+        3: (3, 2, 2, 322),
+        4: (4, 1, 1, 411),
+    }
+    for c, (r, f_, m, seg) in expect.items():
+        row = got[c]
+        assert (
+            row["r_quartile"], row["f_quartile"], row["m_quartile"], row["rfm_segment"]
+        ) == (r, f_, m, seg), (c, dict(row.asDict()))
+    assert got[4]["frequency"] == 4 and got[4]["monetary_fix"] == 40000 * 1_000_000

@@ -1049,3 +1049,53 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(fixed6(F.col("o_totalprice"))).alias("rev_fix"),
     )
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM triage grid: per customer,
+    Recency (newest order epoch-day), Frequency (order count), and
+    Monetary (lifetime spend, 1e-6 fixed point), each binned into
+    exact quartiles (1 = best: most recent / most orders / highest
+    spend), composed into the 3-digit segment code (111 = champions,
+    444 = lost). Quartile = ((rank-1)·4) div n + 1 over the exact
+    global ranking — pure integer arithmetic, ties pinned by custkey.
+
+    Scale posture: one orders scan into a customers-keyed hash agg;
+    the three rankings run over that CUSTOMER-sized aggregate (range
+    partition + broadcast offsets each — no single-partition window,
+    no second orders scan).
+    """
+    from via_spark.operators.rank import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(F.unix_date(F.col("o_orderdate").cast("date")))
+        .cast("long")
+        .alias("recency_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 1_000_000).cast("long")).alias(
+            "monetary_fix"
+        ),
+    )
+    dims = [
+        ("r_quartile", [F.col("recency_day").desc(), F.col("c_custkey").asc()]),
+        ("f_quartile", [F.col("frequency").desc(), F.col("c_custkey").asc()]),
+        ("m_quartile", [F.col("monetary_fix").desc(), F.col("c_custkey").asc()]),
+    ]
+    cur = base
+    for out, order in dims:
+        cur = global_row_number(cur, order, "_rk", total="_n").withColumn(
+            out, (F.expr("((_rk - 1) * 4) div _n").cast("int") + 1)
+        ).drop("_rk", "_n")
+    return cur.select(
+        "c_custkey",
+        "recency_day",
+        "frequency",
+        "monetary_fix",
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
+        (
+            F.col("r_quartile") * 100 + F.col("f_quartile") * 10 + F.col("m_quartile")
+        ).alias("rfm_segment"),
+    )

@@ -3849,3 +3849,36 @@ FROM stats s JOIN display d ON s.key = d.key
 ORDER BY s.n_docs DESC, d.gram ASC
 LIMIT {k}
 """
+
+
+def customer_rfm_segments_sql() -> str:
+    """RFM quartile segmentation — mirrors
+    relational.customer_rfm_segments: exact global rankings (ties by
+    custkey), quartile = ((rank-1)*4) // n + 1, all-integer."""
+    return """
+WITH base AS (
+    SELECT o_custkey AS c_custkey,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(max(o_orderdate) AS DATE))
+                AS BIGINT) AS recency_day,
+           CAST(count(*) AS BIGINT) AS frequency,
+           CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+             AS monetary_fix
+    FROM orders GROUP BY 1
+),
+r AS (
+    SELECT *,
+           row_number() OVER (ORDER BY recency_day DESC, c_custkey ASC) AS rk_r,
+           row_number() OVER (ORDER BY frequency DESC, c_custkey ASC) AS rk_f,
+           row_number() OVER (ORDER BY monetary_fix DESC, c_custkey ASC) AS rk_m,
+           count(*) OVER () AS n
+    FROM base
+)
+SELECT c_custkey, recency_day, frequency, monetary_fix,
+       CAST(((rk_r - 1) * 4) // n + 1 AS INTEGER) AS r_quartile,
+       CAST(((rk_f - 1) * 4) // n + 1 AS INTEGER) AS f_quartile,
+       CAST(((rk_m - 1) * 4) // n + 1 AS INTEGER) AS m_quartile,
+       CAST((((rk_r - 1) * 4) // n + 1) * 100
+            + (((rk_f - 1) * 4) // n + 1) * 10
+            + (((rk_m - 1) * 4) // n + 1) AS INTEGER) AS rfm_segment
+FROM r
+"""
