@@ -138,16 +138,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (see its docstring).
     """
     return {
-        # --- head (first 50): change-aware rotation (r8) — the
-        # never-verified query first, then the 10 required
-        # (changed-since-green, impl OR oracle, stalest first) per
-        # via_spark.rotation.recommended_head, then stalest-green fill
-        # (re-verifying an unchanged old green re-anchors its baseline
-        # commit; rotation.suggested_full_head); enforced by
-        # tests/test_properties.py ---
+        # --- head (first 50): change-aware rotation (r8) — never-
+        # verified first, then required (changed-since-green, impl OR
+        # oracle, stalest first) per via_spark.rotation.recommended_head,
+        # then stalest-green fill; enforced by tests/test_properties.py ---
         "boilerplate_span_audit": curation.boilerplate_span_audit,
         "customer_rfm_segments": relational.customer_rfm_segments,
         "doc_length_p95_by_source": textstats.doc_length_p95_by_source,
+        "embedding_neardup_clusters": graph.embedding_neardup_clusters,
         "half_life_decay_counts": timeseries.half_life_decay_counts,
         "lang_metadata_confusion": textstats.lang_metadata_confusion,
         "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
@@ -171,6 +169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": curation.leakage_safe_split,
         "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
         "fuzzy_name_pairs": curation.fuzzy_name_pairs,
+        "rhythm_baseline_stats": _rhythm_baseline_stats,
+        "rhythm_recent_counts": _rhythm_recent_counts,
+        "tier1_view": _tier1_view,
         "cube_order_counts": timeseries.cube_order_counts,
         "customer_order_distribution": relational.customer_order_distribution,
         "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
@@ -191,14 +192,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": stats.mad_outliers,
         "min_cost_supplier": relational.min_cost_supplier,
         "moving_avg_daily": timeseries.moving_avg_daily,
-        "newest_events": relational.newest_events,
-        "order_priority_counts": relational.order_priority_counts,
-        "pricing_summary": relational.pricing_summary,
-        "promo_revenue": relational.promo_revenue,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "newest_events": relational.newest_events,
+        "order_priority_counts": relational.order_priority_counts,
+        "pricing_summary": relational.pricing_summary,
+        "promo_revenue": relational.promo_revenue,
         "props_json_stats": relational.props_json_stats,
         "purchase_intervals": timeseries.purchase_intervals,
         "referential_audit": relational.referential_audit,
@@ -246,15 +247,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_deciles": curation.quality_deciles,
         "repetition_scores": textstats.repetition_scores,
         "rhythm_anomalies": _rhythm_anomalies,
-        "rhythm_baseline_stats": _rhythm_baseline_stats,
         "rhythm_frequency_sensitive": _rhythm_frequency,
         "rhythm_novelty_small_baseline": _rhythm_novelty,
-        "rhythm_recent_counts": _rhythm_recent_counts,
         "severity_histogram": relational.severity_histogram,
         "simhash_documents": vector.simhash_documents,
         "stratified_sample": curation.stratified_sample,
         "suppressed_anomalies": control.suppressed_anomalies,
-        "tier1_view": _tier1_view,
         "time_range_orders": relational.time_range_orders,
         "token_count_documents": textstats.token_count_documents,
         "video_frame_sample": multimodal.video_frame_sample,
@@ -473,4 +471,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_metadata_confusion": oracles.lang_metadata_confusion_sql(),
         "boilerplate_span_audit": oracles.boilerplate_span_audit_sql(),
         "customer_rfm_segments": oracles.customer_rfm_segments_sql(),
+        "embedding_neardup_clusters": oracles.embedding_neardup_clusters_sql(),
     }

@@ -295,3 +295,38 @@ def test_ann_lsh_point_lookup_memoized_single_job(spark, sf_oracle):
         df = dedup.ann_lsh_topk(spark, sf_oracle, query_id=3, k=10)
     # the rebuilt plan is intact and still answers
     assert df.limit(1).count() >= 0
+
+
+def test_embedding_neardup_clusters_planted(spark, tmp_path):
+    """Semantic-dedup clusters: three near-identical vectors (pairwise
+    cosine ~1) must form ONE cluster represented by the min vec_id;
+    orthogonal vectors stay singletons — and transitivity holds even
+    if LSH probing only surfaces a chain of the pairs."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.graph import embedding_neardup_clusters
+
+    dim = 8
+    def vec(i, eps=0.0):
+        v = [0.0] * dim
+        v[0] = 1.0
+        v[1] = eps
+        v[i % dim] += 0.001 * i
+        return v
+
+    rows = [
+        (0, vec(0), 0), (1, vec(1, 0.01), 0), (2, vec(2, -0.01), 0),  # one family
+        (10, [0.0] * 4 + [1.0] + [0.0] * 3, 1),                        # orthogonal
+        (11, [0.0] * 6 + [1.0, 0.0], 1),                               # orthogonal
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    got = {
+        r["vec_id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in embedding_neardup_clusters(spark, str(d)).collect()
+    }
+    assert got[0] == (0, 3) and got[1] == (0, 3) and got[2] == (0, 3)
+    assert got[10] == (10, 1) and got[11] == (11, 1)

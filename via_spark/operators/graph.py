@@ -197,3 +197,47 @@ def near_duplicate_rate_by_source(
             F.col("n_in_dup_clusters").cast("double") / F.col("n_docs").cast("double"),
         )
     )
+
+
+def embedding_clusters_compute(
+    spark: SparkSession, sf_dir: str, threshold: float | None = None
+) -> DataFrame:
+    """Raw embedding-cluster computation (store builder): connected
+    components over the multi-probe sign-LSH cosine pair graph."""
+    from via_spark.operators.dedup import EMB_COS_THRESHOLD, neardup_embedding_pairs
+
+    threshold = EMB_COS_THRESHOLD if threshold is None else threshold
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id")
+    )
+    pairs = neardup_embedding_pairs(spark, sf_dir, threshold)
+    edges = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    comp = connected_components(vecs, edges)
+    return comp.select(
+        F.col("id").alias("vec_id"), F.col("component").alias("cluster_rep")
+    ).withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_rep"))
+    )
+
+
+def embedding_neardup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float | None = None
+) -> DataFrame:
+    """Cluster assignment over embedding-cosine near-dup pairs: every
+    vector → (vec_id, cluster_rep, cluster_size) — semantic dedup's
+    counterpart to the lexical MinHash clusters, catching paraphrases
+    and re-encodings that shingle overlap misses. ``cluster_rep``
+    (min vec_id of the component) is the canonical survivor.
+
+    Served from the session store (``store.embedding_cluster_labels``)
+    exactly like the MinHash labels: the label-propagation fixpoint
+    runs ONCE per (dataset, threshold), consumers scan a flat
+    three-column parquet. Candidates come from the multi-probe LSH
+    equi-join — never all-pairs — so the component edges are the same
+    bounded set the pair query proves green.
+    """
+    from via_spark import store
+    from via_spark.operators.dedup import EMB_COS_THRESHOLD
+
+    threshold = EMB_COS_THRESHOLD if threshold is None else threshold
+    return store.embedding_cluster_labels(spark, sf_dir, threshold)

@@ -3882,3 +3882,29 @@ SELECT c_custkey, recency_day, frequency, monetary_fix,
             + (((rk_m - 1) * 4) // n + 1) AS INTEGER) AS rfm_segment
 FROM r
 """
+
+
+def embedding_neardup_clusters_sql(threshold: float = 0.4) -> str:
+    """Connected components of the embedding near-dup pair graph via
+    recursive transitive closure — mirrors
+    graph.embedding_neardup_clusters (component = min reachable
+    vec_id)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+{neardup_embedding_pairs_sql(threshold)}
+),
+edges AS (
+    SELECT vec_a AS s, vec_b AS d FROM pairs
+    UNION ALL
+    SELECT vec_b AS s, vec_a AS d FROM pairs
+),
+reach(id, r) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s
+),
+rep AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id)
+SELECT id AS vec_id, cluster_rep,
+       count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+FROM rep
+"""

@@ -199,3 +199,33 @@ def tier2(spark: SparkSession, sf_dir: str, **variant) -> DataFrame:
             raise
         _STORES[key] = path
     return spark.read.parquet(path)
+
+
+def embedding_cluster_labels(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """Embedding near-dup cluster labels — materialized on first use
+    per threshold, same write-once shape and staleness contract as
+    :func:`cluster_labels` (the MinHash labels)."""
+    from via_spark.operators import graph
+
+    if os.environ.get("VIA_SPARK_TIER1_CACHE", "1") == "0":
+        return graph.embedding_clusters_compute(spark, sf_dir, threshold)
+    key = (
+        spark.sparkContext.applicationId,
+        "emb_clusters",
+        os.path.abspath(sf_dir),
+        threshold,
+    )
+    path = _STORES.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="via_emb_clusters_")
+        try:
+            graph.embedding_clusters_compute(spark, sf_dir, threshold).write.mode(
+                "overwrite"
+            ).parquet(path)
+        except Exception:
+            shutil.rmtree(path, ignore_errors=True)
+            raise
+        _STORES[key] = path
+    return spark.read.parquet(path)
