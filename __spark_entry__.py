@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_p95_by_source": textstats.doc_length_p95_by_source,
         "embedding_neardup_clusters": graph.embedding_neardup_clusters,
         "half_life_decay_counts": timeseries.half_life_decay_counts,
+        "ingest_reject_reasons": schema_infer.ingest_reject_reasons,
         "lang_metadata_confusion": textstats.lang_metadata_confusion,
         "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
         "multimodal_resize_plan": multimodal.multimodal_resize_plan,
@@ -191,11 +192,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": relational.local_supplier_volume,
         "mad_outliers": stats.mad_outliers,
         "min_cost_supplier": relational.min_cost_supplier,
-        "moving_avg_daily": timeseries.moving_avg_daily,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "moving_avg_daily": timeseries.moving_avg_daily,
         "newest_events": relational.newest_events,
         "order_priority_counts": relational.order_priority_counts,
         "pricing_summary": relational.pricing_summary,
@@ -472,4 +473,5 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_span_audit": oracles.boilerplate_span_audit_sql(),
         "customer_rfm_segments": oracles.customer_rfm_segments_sql(),
         "embedding_neardup_clusters": oracles.embedding_neardup_clusters_sql(),
+        "ingest_reject_reasons": oracles.ingest_reject_reasons_sql(),
     }

@@ -484,3 +484,52 @@ def list_schemas(spark: SparkSession, path: str) -> list[str]:
     return sorted(
         r["source_name"] for r in spark.read.parquet(path).select("source_name").collect()
     )
+
+
+def ingest_reject_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-quality observability for the malformed-record filter
+    (P7, reference: ingestion_service.py's silent drop): plant
+    deterministic corruption into rendered OTel envelopes — every
+    ``event_id % 7 == 0`` loses its severityText key, ``% 7 == 1``
+    gets a non-numeric timeUnixNano — re-parse, and report HOW MANY
+    records each reject reason claims next to the survivors. The
+    reference drops malformed records silently; this is the per-reason
+    breakdown an operator actually pages on.
+
+    The corruption is planted (the fixture renders well-formed, like
+    the PII scrub's planted emails) so every classification branch is
+    exercised and the oracle can mirror the distribution exactly.
+
+    Scale posture: stateless render→corrupt→parse projection (one
+    scan, whole-stage codegen around the JSON kernels) into a
+    3-key hash agg.
+    """
+    raw = otel_envelope_from_events(spark, sf_dir)
+    corrupted = raw.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.regexp_replace(F.col("raw"), r'"severityText":"[^"]*",', ""),
+        )
+        .when(
+            F.col("event_id") % 7 == 1,
+            F.regexp_replace(
+                F.col("raw"), r'"timeUnixNano":"\d+"', '"timeUnixNano":"not_a_ts"'
+            ),
+        )
+        .otherwise(F.col("raw"))
+        .alias("raw"),
+    )
+    parsed = corrupted.withColumn("_p", F.from_json(F.col("raw"), OTEL_SCHEMA))
+    rl = F.element_at(F.col("_p.resourceLogs"), 1)
+    rec = F.element_at(F.element_at(rl["scopeLogs"], 1)["logRecords"], 1)
+    reason = (
+        F.when(rec["severityText"].isNull(), F.lit("missing_severity"))
+        .when(rec["timeUnixNano"].try_cast("long").isNull(), F.lit("bad_ts"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        parsed.select(reason.alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

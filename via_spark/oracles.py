@@ -3908,3 +3908,20 @@ SELECT id AS vec_id, cluster_rep,
        count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
 FROM rep
 """
+
+
+def ingest_reject_reasons_sql() -> str:
+    """Planted-corruption reject breakdown — mirrors
+    schema_infer.ingest_reject_reasons: the classification is a pure
+    function of event_id (% 7 == 0 loses severity, % 7 == 1 gets an
+    unparseable ts), so the oracle derives the exact distribution
+    arithmetically while the engine proves it by actually corrupting
+    and re-parsing."""
+    return """
+SELECT CASE WHEN event_id % 7 = 0 THEN 'missing_severity'
+            WHEN event_id % 7 = 1 THEN 'bad_ts'
+            ELSE 'ok' END AS reason,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1
+"""
