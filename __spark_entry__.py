@@ -143,15 +143,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle, stalest first) per via_spark.rotation.recommended_head,
         # then stalest-green fill; enforced by tests/test_properties.py ---
         "boilerplate_span_audit": curation.boilerplate_span_audit,
+        "char_entropy_bits": textstats.char_entropy_bits,
         "customer_rfm_segments": relational.customer_rfm_segments,
         "doc_length_p95_by_source": textstats.doc_length_p95_by_source,
         "embedding_neardup_clusters": graph.embedding_neardup_clusters,
+        "greedy_pack_stats": rank.greedy_pack_stats,
         "half_life_decay_counts": timeseries.half_life_decay_counts,
         "ingest_reject_reasons": schema_infer.ingest_reject_reasons,
         "lang_metadata_confusion": textstats.lang_metadata_confusion,
         "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
         "multimodal_resize_plan": multimodal.multimodal_resize_plan,
         "neardup_quality_confound": curation.neardup_quality_confound,
+        "oov_rate_documents": textstats.oov_rate_documents,
         "repeated_span_scrub": curation.repeated_span_scrub,
         "source_overlap_matrix": dedup.source_overlap_matrix,
         "source_repeat_factors": curation.source_repeat_factors,
@@ -189,13 +192,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lapsed_buyers": relational.lapsed_buyers,
         "large_orders_having": relational.large_orders_having,
         "lineitem_rollup": relational.lineitem_rollup,
-        "local_supplier_volume": relational.local_supplier_volume,
-        "mad_outliers": stats.mad_outliers,
-        "min_cost_supplier": relational.min_cost_supplier,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "local_supplier_volume": relational.local_supplier_volume,
+        "mad_outliers": stats.mad_outliers,
+        "min_cost_supplier": relational.min_cost_supplier,
         "moving_avg_daily": timeseries.moving_avg_daily,
         "newest_events": relational.newest_events,
         "order_priority_counts": relational.order_priority_counts,
@@ -474,4 +477,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_rfm_segments": oracles.customer_rfm_segments_sql(),
         "embedding_neardup_clusters": oracles.embedding_neardup_clusters_sql(),
         "ingest_reject_reasons": oracles.ingest_reject_reasons_sql(),
+        "oov_rate_documents": oracles.oov_rate_documents_sql(),
+        "char_entropy_bits": oracles.char_entropy_bits_sql(),
+        "greedy_pack_stats": oracles.greedy_pack_stats_sql(),
     }

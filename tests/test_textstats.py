@@ -636,3 +636,117 @@ def test_boilerplate_span_audit_coheres_with_scrub(spark, tmp_path):
     }
     # the 3 hot docs lose exactly the 8 planted tokens; others lose none
     assert scrub == {0: 8, 1: 8, 2: 8, 3: 0, 4: 0, 5: 0}
+
+
+def test_oov_rate_planted_vocab(spark, tmp_path):
+    """Tiny corpus with a pinned frequency table: vocab_size=2 must cut
+    {a, b} — 'a' wins on count, 'b' beats the equal-count 'y' on the
+    lexicographic tie-break — and per-doc OOV counts follow."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.textstats import oov_rate_documents
+
+    rows = [
+        (0, "a a a b b y", "s0"),   # counts: a+3 b+2 y+1
+        (1, "a a y b y", "s0"),     # counts: a+2 b+1 y+2  → a=5 b=3 y=3
+        (2, "", "s0"),              # zero tokens → no row
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in oov_rate_documents(spark, str(d), vocab_size=2).collect()
+    }
+    assert got == {0: (6, 1, 1 / 6), 1: (5, 2, 2 / 5)}
+
+
+def test_char_entropy_known_values(spark, tmp_path):
+    """Whole-bit order-0 code lengths on pinned strings: a uniform
+    one-char doc compresses to 0 bits; 'abab' costs 1 bit per char;
+    'aab' = 2·floor(log2(3÷2)) + floor(log2(3)) = 1 bit total."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.textstats import char_entropy_bits
+
+    rows = [(0, "aaaa", "s"), (1, "abab", "s"), (2, "aab", "s")]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_chars"], r["distinct_chars"], r["entropy_bits"])
+        for r in char_entropy_bits(spark, str(d)).collect()
+    }
+    assert got == {0: (4, 1, 0), 1: (4, 2, 4), 2: (3, 2, 1)}
+
+
+def _greedy_pack_reference(lens, budget, block):
+    """Pure-Python blocked first-fit packing (the pinned recurrence)."""
+    packs = []  # (block_id, pack_id, n_docs, pack_tokens)
+    for b0 in range(0, len(lens), block):
+        fill, pack_id = 0, -1
+        for n in lens[b0 : b0 + block]:
+            if pack_id < 0 or (fill > 0 and fill + n > budget):
+                pack_id += 1
+                fill = 0
+                packs.append([b0 // block, pack_id, 0, 0])
+            packs[-1][2] += 1
+            packs[-1][3] += n
+            fill += n
+    return {
+        (bl, p): (nd, tok, max(budget - tok, 0)) for bl, p, nd, tok in packs
+    }
+
+
+def test_greedy_pack_matches_pure_python_reference(spark, tmp_path):
+    """Blocked greedy packing vs an independent pure-Python replay on
+    adversarial lengths (exact fits, overflows, oversized docs, zero-
+    token docs, a block boundary mid-stream) across two sources."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.rank import greedy_pack_stats
+
+    B, BLK = 10, 4
+    lens = {
+        "s0": [4, 6, 13, 0, 8, 2, 10, 1],   # exact fit, oversize, zero
+        "s1": [9, 9, 9],                     # every doc overflows the last
+    }
+    rows = []
+    i = 0
+    for src, ls in lens.items():
+        for n in ls:
+            rows.append((i, " ".join(f"w{i}x{j}" for j in range(n)), src))
+            i += 1
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    got = {
+        (r["source"], r["block_id"], r["pack_id"]): (
+            r["n_docs"], r["pack_tokens"], r["waste"]
+        )
+        for r in greedy_pack_stats(
+            spark, str(d), budget_tokens=B, block_docs=BLK
+        ).collect()
+    }
+    expect = {}
+    for src, ls in lens.items():
+        for (bl, p), v in _greedy_pack_reference(ls, B, BLK).items():
+            expect[(src, bl, p)] = v
+    assert got == expect
+
+    # invariants: a pack only exceeds the budget when it is a single
+    # oversized doc; doc counts reconcile
+    for (src, bl, p), (nd, tok, waste) in got.items():
+        assert tok <= B or nd == 1
+        assert waste == max(B - tok, 0)
+    assert sum(nd for nd, _, _ in got.values()) == len(rows)

@@ -370,3 +370,89 @@ def curriculum_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("decile").asc(), F.col("cur_key").asc(), F.col("doc_id").asc()],
         "pos",
     ).select("doc_id", "decile", "pos")
+
+
+PACK_BUDGET = 512   # context-window token budget per pack
+PACK_BLOCK = 64     # consecutive docs per parallel packing block
+
+_PACK_SCHEMA = (
+    "source string, block_id long, pack_id long, "
+    "n_docs long, pack_tokens long, waste long"
+)
+
+
+def greedy_pack_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    budget_tokens: int = PACK_BUDGET,
+    block_docs: int = PACK_BLOCK,
+) -> DataFrame:
+    """Whole-document greedy sequence packing (first-fit in doc order):
+    where :func:`token_shard_spans` SPLITS documents at shard
+    boundaries, this packs each document whole into the current
+    ``budget_tokens`` window and opens a new window when it doesn't
+    fit — the no-split packing an instruction-tuning loader uses, where
+    the interesting output is the per-pack WASTE (padding) the loader
+    will burn. Oversized documents (> budget) occupy a pack alone.
+
+    Greedy packing is inherently sequential (each pack boundary depends
+    on every earlier document), so the deterministic parallel unit is
+    pinned into the SEMANTICS: documents are packed within blocks of
+    ``block_docs`` consecutive docs per source (block boundaries force
+    a new pack). That makes the operator embarrassingly parallel at
+    the cost of at most one partially-filled pack per block — the same
+    trade every distributed packing implementation makes.
+
+    Exactness: pure 64-bit integer arithmetic; the recurrence is
+    mirrored row-for-row by a recursive-CTE oracle.
+
+    Scale posture: one partitioned window ranks docs per source, one
+    shuffle groups (source, block) — thousands of independent blocks
+    per source at corpus scale — and the per-block Python is an
+    Arrow-batched ``applyInPandas`` over ≤ ``block_docs`` rows
+    (§2.11's grouped Arrow shape, same as mad_outliers).
+    """
+    import pandas as pd
+
+    from via_spark.operators.textstats import token_count_documents
+
+    b = int(budget_tokens)
+    blk = int(block_docs)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    toks = token_count_documents(spark, sf_dir).select("doc_id", "n_ws_tokens")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    blocked = (
+        docs.join(toks, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("block_id", F.expr(f"(rn - 1) div {blk}").cast("long"))
+    )
+
+    def _pack_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        source = pdf["source"].iloc[0]
+        block_id = int(pdf["block_id"].iloc[0])
+        packs: list[list[int]] = []  # [n_docs, pack_tokens]
+        fill = 0
+        for n in pdf["n_ws_tokens"].tolist():
+            n = int(n)
+            if not packs or (fill > 0 and fill + n > b):
+                packs.append([0, 0])
+                fill = 0
+            packs[-1][0] += 1
+            packs[-1][1] += n
+            fill += n
+        return pd.DataFrame(
+            {
+                "source": source,
+                "block_id": block_id,
+                "pack_id": range(len(packs)),
+                "n_docs": [p[0] for p in packs],
+                "pack_tokens": [p[1] for p in packs],
+                "waste": [max(b - p[1], 0) for p in packs],
+            }
+        )
+
+    return blocked.groupBy("source", "block_id").applyInPandas(
+        _pack_block, _PACK_SCHEMA
+    )

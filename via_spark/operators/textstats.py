@@ -639,3 +639,108 @@ def lang_metadata_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang") == F.col("predicted_lang")).alias("agrees"),
         )
     )
+
+
+OOV_VOCAB_SIZE = 1000  # top-V corpus tokens form the "tokenizer" vocabulary
+
+
+def oov_rate_documents(
+    spark: SparkSession, sf_dir: str, vocab_size: int = OOV_VOCAB_SIZE
+) -> DataFrame:
+    """Out-of-vocabulary-rate filter signal: build the corpus's own
+    top-``vocab_size`` token vocabulary (by frequency, ties broken by
+    token text for a total order) and report, per document, how many of
+    its tokens fall OUTSIDE that vocabulary. Real pipelines compute
+    this against the training tokenizer's vocab to drop documents the
+    tokenizer would shred into bytes (binary junk, wrong-script text);
+    the corpus-derived vocab is the self-contained form of the same
+    gate. Zero-token documents produce no row (pinned, same contract
+    as ``unigram_surprisal_scores``).
+
+    Exactness: counts are integers; the rate is one correctly-rounded
+    IEEE division of two exact integers. The vocabulary cut is
+    deterministic under the (count desc, token asc) total order.
+
+    Scale posture: the candidate table is vocabulary-sized, so the
+    top-V cut plans as ``TakeOrderedAndProject`` (never a global sort)
+    and the membership join broadcasts the V-row vocab against the
+    token stream — one hash agg per doc after that, no further shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("t").asc())
+        .limit(int(vocab_size))
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.lit(1) - F.coalesce("in_vocab", F.lit(0)))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("oov_rate"),
+        )
+    )
+
+
+def char_entropy_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-0 character-model compression size per document — the
+    classic gibberish/boilerplate detector (low bits/char = repetitive
+    filler, high bits/char = encrypted/binary soup; natural prose sits
+    in a narrow band). Each character's code length is quantized to
+    WHOLE BITS via exact integer arithmetic — ``floor(log2(n / cnt))``
+    as the bit length of the integer quotient — because neither engine
+    guarantees correctly-rounded transcendental log (same pinned trick
+    as ``unigram_surprisal_scores``).
+
+    Exactness: chars come from ``regexp_extract_all(text, '[\\s\\S]')``,
+    codepoint-identical between Java regex and RE2 (fixture is ASCII;
+    both engines are codepoint-aware on the class). All counts and bit
+    sums are 64-bit integers; mean_bits is one exact-int division.
+
+    Scale posture: one explode → (doc_id, char) hash agg with map-side
+    partials; the per-doc total rides a partitioned window over the
+    tiny per-doc char histogram (≤ alphabet-size rows per doc), never
+    the corpus. No UDF, no join.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(r"[\s\S]"), 0)).alias("c"),
+    )
+    hist = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    n = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    scored = hist.withColumn("n", n).select(
+        "doc_id",
+        "cnt",
+        "n",
+        (
+            F.col("cnt")
+            * (F.length(F.expr("bin(n div cnt)")) - F.lit(1)).cast("long")
+        ).alias("bits"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.max("n").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+        F.sum("bits").alias("entropy_bits"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "distinct_chars",
+        "entropy_bits",
+        (F.col("entropy_bits").cast("double") / F.col("n_chars").cast("double"))
+        .alias("mean_bits_per_char"),
+    )

@@ -3925,3 +3925,101 @@ SELECT CASE WHEN event_id % 7 = 0 THEN 'missing_severity'
 FROM events
 GROUP BY 1
 """
+
+
+def oov_rate_documents_sql() -> str:
+    """Corpus-derived top-V vocabulary OOV rates — mirrors
+    textstats.oov_rate_documents: (count desc, token asc) vocabulary
+    cut, LEFT-join membership, exact-int division."""
+    return f"""
+WITH {DOC_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS t FROM dtok WHERE len(toks) > 0),
+counts AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+vocab AS (
+    SELECT t, 1 AS in_vocab FROM counts ORDER BY cnt DESC, t ASC LIMIT 1000
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(1 - coalesce(in_vocab, 0)) AS BIGINT) AS n_oov,
+       CAST(sum(1 - coalesce(in_vocab, 0)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS oov_rate
+FROM tok LEFT JOIN vocab USING (t)
+GROUP BY doc_id
+"""
+
+
+def char_entropy_bits_sql() -> str:
+    """Order-0 char-model whole-bit compression size — mirrors
+    textstats.char_entropy_bits: same '[\\s\\S]' char extraction, same
+    integer-quotient bit-length quantization (no float log)."""
+    return r"""
+WITH ch AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+    FROM documents
+),
+hist AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+scored AS (
+    SELECT doc_id, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+    FROM hist
+),
+bits AS (
+    SELECT doc_id, cnt, n,
+           cnt * CAST(length(printf('%b', n // cnt)) - 1 AS BIGINT) AS bits
+    FROM scored
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS distinct_chars,
+       CAST(sum(bits) AS BIGINT) AS entropy_bits,
+       CAST(sum(bits) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+         AS mean_bits_per_char
+FROM bits
+GROUP BY doc_id
+"""
+
+
+def greedy_pack_stats_sql() -> str:
+    """Blocked greedy whole-doc packing — mirrors rank.greedy_pack_stats
+    (budget 512, block 64) with a recursive CTE replaying the exact
+    first-fit recurrence per (source, block)."""
+    return r"""
+WITH RECURSIVE dtok AS (
+    SELECT *, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+    FROM documents
+),
+ordered AS (
+    SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM dtok
+),
+blocked AS (
+    SELECT source, doc_id, n,
+           CAST((rn - 1) // 64 AS BIGINT) AS block_id,
+           row_number() OVER (
+               PARTITION BY source, (rn - 1) // 64 ORDER BY doc_id
+           ) AS brn
+    FROM ordered
+),
+packed AS (
+    SELECT source, block_id, brn, n,
+           CAST(0 AS BIGINT) AS pack_id, n AS fill
+    FROM blocked WHERE brn = 1
+    UNION ALL
+    SELECT b.source, b.block_id, b.brn, b.n,
+           CASE WHEN p.fill > 0 AND p.fill + b.n > 512
+                THEN p.pack_id + 1 ELSE p.pack_id END,
+           CASE WHEN p.fill > 0 AND p.fill + b.n > 512
+                THEN b.n ELSE p.fill + b.n END
+    FROM packed p
+    JOIN blocked b
+      ON b.source = p.source AND b.block_id = p.block_id
+     AND b.brn = p.brn + 1
+)
+SELECT source, block_id, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS pack_tokens,
+       CAST(greatest(512 - sum(n), 0) AS BIGINT) AS waste
+FROM packed
+GROUP BY source, block_id, pack_id
+"""
