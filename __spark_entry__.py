@@ -151,15 +151,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "half_life_decay_counts": timeseries.half_life_decay_counts,
         "ingest_reject_reasons": schema_infer.ingest_reject_reasons,
         "lang_metadata_confusion": textstats.lang_metadata_confusion,
+        "length_quality_heatmap": curation.length_quality_heatmap,
         "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
         "multimodal_resize_plan": multimodal.multimodal_resize_plan,
         "neardup_quality_confound": curation.neardup_quality_confound,
         "oov_rate_documents": textstats.oov_rate_documents,
+        "prefix_dup_groups": dedup.prefix_dup_groups,
         "repeated_span_scrub": curation.repeated_span_scrub,
         "source_overlap_matrix": dedup.source_overlap_matrix,
         "source_repeat_factors": curation.source_repeat_factors,
         "temperature_mixture_weights": curation.temperature_mixture_weights,
         "token_shard_spans": rank.token_shard_spans,
+        "truncation_loss_by_source": rank.truncation_loss_by_source,
         "weighted_doc_sample": curation.weighted_doc_sample,
         "weighted_sample_per_source": curation.weighted_sample_per_source,
         "dedup_keep_best": graph.dedup_keep_best,
@@ -189,13 +192,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_rate_of_change": timeseries.hourly_rate_of_change,
         "hypertable_rollup": windows.hypertable_rollup,
         "knn_batch_topk": vector.knn_batch_topk,
-        "lapsed_buyers": relational.lapsed_buyers,
-        "large_orders_having": relational.large_orders_having,
-        "lineitem_rollup": relational.lineitem_rollup,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "lapsed_buyers": relational.lapsed_buyers,
+        "large_orders_having": relational.large_orders_having,
+        "lineitem_rollup": relational.lineitem_rollup,
         "local_supplier_volume": relational.local_supplier_volume,
         "mad_outliers": stats.mad_outliers,
         "min_cost_supplier": relational.min_cost_supplier,
@@ -480,4 +483,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_documents": oracles.oov_rate_documents_sql(),
         "char_entropy_bits": oracles.char_entropy_bits_sql(),
         "greedy_pack_stats": oracles.greedy_pack_stats_sql(),
+        "truncation_loss_by_source": oracles.truncation_loss_by_source_sql(),
+        "prefix_dup_groups": oracles.prefix_dup_groups_sql(),
+        "length_quality_heatmap": oracles.length_quality_heatmap_sql(),
     }

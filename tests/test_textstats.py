@@ -750,3 +750,69 @@ def test_greedy_pack_matches_pure_python_reference(spark, tmp_path):
         assert tok <= B or nd == 1
         assert waste == max(B - tok, 0)
     assert sum(nd for nd, _, _ in got.values()) == len(rows)
+
+
+def test_truncation_loss_planted(spark, tmp_path):
+    """Pinned lengths: with max_tokens=5, a 3-token doc loses 0, a
+    5-token doc loses 0 (exact fit), an 8-token doc loses 3."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.rank import truncation_loss_by_source
+
+    rows = [
+        (0, "a b c", "s0"),
+        (1, "a b c d e", "s0"),
+        (2, "a b c d e f g h", "s0"),
+        (3, "x " * 10, "s1"),  # 10 tokens, loses 5
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["total_tokens"], r["docs_truncated"],
+                      r["tokens_lost"])
+        for r in truncation_loss_by_source(spark, str(d), max_tokens=5).collect()
+    }
+    assert got == {"s0": (3, 16, 1, 3), "s1": (1, 10, 1, 5)}
+
+
+def test_prefix_dup_groups_planted(spark, tmp_path):
+    """Docs sharing their first k tokens group together regardless of
+    tails; a doc differing inside the prefix does not."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.dedup import prefix_dup_groups
+
+    head = "t0 t1 t2 t3"
+    rows = [
+        (0, head + " tail alpha beta", "s"),
+        (1, head + " completely different continuation here", "s"),
+        (2, "t0 t1 tX t3 tail alpha beta", "s"),
+        (3, "", "s"),  # zero tokens → excluded
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+    groups = prefix_dup_groups(spark, str(d), k=4).collect()
+    assert len(groups) == 2
+    by_size = {r["n_docs"]: r for r in groups}
+    assert by_size[2]["canonical_doc_id"] == 0 and by_size[2]["is_dup_group"]
+    assert by_size[1]["canonical_doc_id"] == 2 and not by_size[1]["is_dup_group"]
+
+
+def test_length_quality_heatmap_reconciles(spark, sf_oracle):
+    """The cross-tab must cover every document exactly once and use
+    decile labels 1..10 on both axes."""
+    from via_spark.operators.curation import length_quality_heatmap
+
+    cells = length_quality_heatmap(spark, sf_oracle).collect()
+    assert sum(r["n_docs"] for r in cells) == 500
+    for r in cells:
+        assert 1 <= r["length_decile"] <= 10
+        assert 1 <= r["quality_decile"] <= 10

@@ -793,3 +793,39 @@ def boilerplate_span_audit(
         .orderBy(F.col("n_docs").desc(), F.col("gram").asc())
         .limit(int(k))
     )
+
+
+def length_quality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diagnostic cross-tab: document count per (length decile ×
+    quality decile) cell — the one-screen answer to "are my long
+    documents the good ones?" that decides whether a length filter
+    silently implements a quality filter (decile 1 = longest / best).
+
+    Exactness: both decile assignments ride the exact range-partitioned
+    global ranker; cell counts are integers.
+
+    Scale posture: two global_row_number passes (range partition +
+    broadcast offsets, no corpus-wide window) joined on doc_id, then
+    one hash agg onto a ≤100-row grid.
+    """
+    q = quality_deciles(spark, sf_dir).select(
+        "doc_id", F.col("decile").alias("quality_decile")
+    )
+    toks = textstats.token_count_documents(spark, sf_dir).select(
+        "doc_id", "n_ws_tokens"
+    )
+    ranked = global_row_number(
+        toks,
+        [F.col("n_ws_tokens").desc(), F.col("doc_id").asc()],
+        "rank",
+        total="n",
+    )
+    lengths = ranked.select(
+        "doc_id",
+        (F.expr("((rank - 1) * 10) div n").cast("int") + 1).alias("length_decile"),
+    )
+    return (
+        lengths.join(q, "doc_id")
+        .groupBy("length_decile", "quality_decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

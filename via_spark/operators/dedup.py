@@ -726,3 +726,48 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
         (est - jaccard(F.col("sh_a"), F.col("sh_b"))).alias("est_error"),
     )
+
+
+PREFIX_DUP_TOKENS = 16  # prefix fingerprint length for containment dups
+
+
+def prefix_dup_groups(
+    spark: SparkSession, sf_dir: str, k: int = PREFIX_DUP_TOKENS
+) -> DataFrame:
+    """Exact PREFIX-duplicate groups: documents sharing their first
+    ``k`` tokens verbatim — the "same article, different tail"
+    containment case (truncated mirrors, pagination variants) that
+    whole-document hashing misses and shingle Jaccard only catches
+    when the shared head dominates the length. One group row per
+    distinct prefix fingerprint: member count, canonical (smallest)
+    doc id, and whether the group is a duplicate cluster. Zero-token
+    documents are excluded (pinned).
+
+    Exactness: the fingerprint is ``sha256`` over the space-joined
+    first-``k`` token slice — byte-identical across engines.
+
+    Scale posture: a stateless projection into one map-side-combined
+    hash agg on the fingerprint; group rows are vocabulary-of-prefixes
+    sized. The downstream join back to members (when resolving) is an
+    equi-join on the fingerprint, never all-pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    keyed = (
+        d.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.sha2(F.concat_ws(" ", F.slice("toks", 1, int(k))), 256).alias(
+                "prefix_key"
+            ),
+        )
+    )
+    return keyed.groupBy("prefix_key").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    ).select(
+        "prefix_key",
+        "n_docs",
+        "canonical_doc_id",
+        (F.col("n_docs") > 1).alias("is_dup_group"),
+    )

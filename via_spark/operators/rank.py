@@ -456,3 +456,47 @@ def greedy_pack_stats(
     return blocked.groupBy("source", "block_id").applyInPandas(
         _pack_block, _PACK_SCHEMA
     )
+
+
+TRUNCATE_AT = 64  # max-sequence-length cut for the truncation loss report
+
+
+def truncation_loss_by_source(
+    spark: SparkSession, sf_dir: str, max_tokens: int = TRUNCATE_AT
+) -> DataFrame:
+    """What a hard ``max_tokens`` sequence cut costs, per source: how
+    many documents get truncated and what fraction of each source's
+    tokens falls past the cut — the table that decides between
+    truncate / split / drop for each source before a training run
+    (the split alternative is :func:`token_shard_spans`).
+
+    Exactness: per-doc loss is ``greatest(n - max_tokens, 0)`` in
+    64-bit integers; the rate is one exact-int IEEE division.
+
+    Scale posture: one stateless projection into one map-side-combined
+    hash agg keyed by source — no join, no window, no UDF.
+    """
+    from via_spark.operators.textstats import token_count_documents
+
+    L = int(max_tokens)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    toks = token_count_documents(spark, sf_dir).select("doc_id", "n_ws_tokens")
+    per_doc = docs.join(toks, "doc_id").select(
+        "source",
+        F.col("n_ws_tokens").alias("n"),
+        F.greatest(F.col("n_ws_tokens") - L, F.lit(0)).cast("long").alias("lost"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.sum((F.col("lost") > 0).cast("long")).alias("docs_truncated"),
+        F.sum("lost").alias("tokens_lost"),
+    ).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "docs_truncated",
+        "tokens_lost",
+        (F.col("tokens_lost").cast("double") / F.col("total_tokens").cast("double"))
+        .alias("loss_rate"),
+    )

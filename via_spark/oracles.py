@@ -4023,3 +4023,80 @@ SELECT source, block_id, pack_id,
 FROM packed
 GROUP BY source, block_id, pack_id
 """
+
+
+def truncation_loss_by_source_sql() -> str:
+    """Hard-sequence-cut loss per source — mirrors
+    rank.truncation_loss_by_source (max_tokens=64, exact ints)."""
+    return f"""
+WITH {DOC_TOKS_CTE},
+per_doc AS (
+    SELECT source,
+           CAST(len(toks) AS BIGINT) AS n,
+           CAST(greatest(len(toks) - 64, 0) AS BIGINT) AS lost
+    FROM dtok
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN lost > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_truncated,
+       CAST(sum(lost) AS BIGINT) AS tokens_lost,
+       CAST(sum(lost) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS loss_rate
+FROM per_doc
+GROUP BY source
+"""
+
+
+def prefix_dup_groups_sql() -> str:
+    """First-16-token prefix fingerprint groups — mirrors
+    dedup.prefix_dup_groups (sha256 over the space-joined slice)."""
+    return f"""
+WITH {DOC_TOKS_CTE},
+keyed AS (
+    SELECT doc_id,
+           sha256(array_to_string(list_slice(toks, 1, 16), ' ')) AS prefix_key
+    FROM dtok WHERE len(toks) > 0
+)
+SELECT prefix_key,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+       count(*) > 1 AS is_dup_group
+FROM keyed
+GROUP BY prefix_key
+"""
+
+
+def length_quality_heatmap_sql() -> str:
+    """Length-decile × quality-decile cross-tab — mirrors
+    curation.length_quality_heatmap (same decile arithmetic as
+    quality_deciles over both orderings)."""
+    return f"""
+WITH {DOC_TOKS_CTE},
+q2 AS (
+{doc_quality_scores_sql()}
+),
+qr AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY quality_fix DESC, doc_id ASC) AS rank,
+           count(*) OVER () AS n
+    FROM q2
+),
+qd AS (
+    SELECT doc_id, CAST(((rank - 1) * 10) // n + 1 AS INTEGER) AS quality_decile
+    FROM qr
+),
+lr AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY len(toks) DESC, doc_id ASC) AS rank,
+           count(*) OVER () AS n
+    FROM dtok
+),
+ld AS (
+    SELECT doc_id, CAST(((rank - 1) * 10) // n + 1 AS INTEGER) AS length_decile
+    FROM lr
+)
+SELECT length_decile, quality_decile, CAST(count(*) AS BIGINT) AS n_docs
+FROM ld JOIN qd USING (doc_id)
+GROUP BY length_decile, quality_decile
+"""
