@@ -517,3 +517,52 @@ def test_weighted_sample_per_source_plan_shape(spark, sf_oracle):
     assert "WindowGroupLimit" in p
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert m and "text" not in m.group(1), "scan must prune the text column"
+
+
+def test_oov_rate_plan_shape(spark, sf_oracle):
+    """The vocabulary cut must plan as a top-k heap (TakeOrderedAndProject,
+    never a global Sort), and the membership join must broadcast the
+    V-row vocab — no shuffle-keyed join on the token stream."""
+    p = _plan(spark, sf_oracle, "oov_rate_documents")
+    assert "TakeOrderedAndProject" in p, "vocab cut must be a top-k heap"
+    assert "BroadcastHashJoin" in p, "vocab membership must broadcast"
+    assert "SortMergeJoin" not in p
+
+
+def test_char_entropy_plan_shape(spark, sf_oracle):
+    """Entropy must stay native (no Python eval anywhere) and its window
+    must run over the per-doc char HISTOGRAM partitioned by doc_id —
+    never an unpartitioned corpus window."""
+    p = _plan(spark, sf_oracle, "char_entropy_bits")
+    assert "EvalPython" not in p, "entropy must be JVM-native"
+    assert re.search(r"Window .*partitionBy=\[doc_id", p) or "doc_id" in p
+    assert "CartesianProduct" not in p
+
+
+def test_greedy_pack_group_shape(spark, sf_oracle):
+    """Packing's Python boundary must be the grouped-Arrow shape
+    (FlatMapGroupsInPandas over (source, block)) — one such stage, no
+    row-at-a-time Python, no cartesian."""
+    p = _plan(spark, sf_oracle, "greedy_pack_stats")
+    assert p.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_truncation_loss_plan_shape(spark, sf_oracle):
+    """The loss rollup is a projection + one source-keyed hash agg with
+    map-side partials — no window, no Python, no extra join beyond the
+    doc_id-keyed token attach."""
+    p = _plan(spark, sf_oracle, "truncation_loss_by_source")
+    assert "EvalPython" not in p and "Window" not in p
+    assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_prefix_dup_plan_shape(spark, sf_oracle):
+    """Prefix grouping must aggregate on the fingerprint — no join at
+    all in the group-level form, no Python, and the scan must prune
+    down to (doc_id, text)."""
+    p = _plan(spark, sf_oracle, "prefix_dup_groups")
+    assert "Join" not in p and "EvalPython" not in p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and "lang" not in m.group(1) and "source" not in m.group(1)
