@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified first, then required (changed-since-green, impl OR
         # oracle, stalest first) per via_spark.rotation.recommended_head,
         # then stalest-green fill; enforced by tests/test_properties.py ---
+        "ann_recall_report": dedup.ann_recall_report,
         "boilerplate_span_audit": curation.boilerplate_span_audit,
         "char_entropy_bits": textstats.char_entropy_bits,
         "customer_rfm_segments": relational.customer_rfm_segments,
@@ -191,11 +192,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": timeseries.gapfill_locf,
         "hourly_rate_of_change": timeseries.hourly_rate_of_change,
         "hypertable_rollup": windows.hypertable_rollup,
-        "knn_batch_topk": vector.knn_batch_topk,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "knn_batch_topk": vector.knn_batch_topk,
         "lapsed_buyers": relational.lapsed_buyers,
         "large_orders_having": relational.large_orders_having,
         "lineitem_rollup": relational.lineitem_rollup,
@@ -486,4 +487,5 @@ def oracle_sql() -> dict[str, str]:
         "truncation_loss_by_source": oracles.truncation_loss_by_source_sql(),
         "prefix_dup_groups": oracles.prefix_dup_groups_sql(),
         "length_quality_heatmap": oracles.length_quality_heatmap_sql(),
+        "ann_recall_report": oracles.ann_recall_report_sql(),
     }

@@ -330,3 +330,24 @@ def test_embedding_neardup_clusters_planted(spark, tmp_path):
     }
     assert got[0] == (0, 3) and got[1] == (0, 3) and got[2] == (0, 3)
     assert got[10] == (10, 1) and got[11] == (11, 1)
+
+
+def test_ann_recall_report_planted_structure(spark, sf_oracle):
+    """The report's recall must equal the directly-computed overlap of
+    the exact and IVF top-k id sets (independent recomputation through
+    the two underlying operators), and sit at/above the measured
+    nprobe=8 floor documented in dedup.py."""
+    from via_spark.operators.dedup import ann_ivf_topk, ann_recall_report
+    from via_spark.operators.vector import knn_cosine_topk
+
+    rep = {
+        r["query_id"]: (r["n_overlap"], r["recall_at_k"])
+        for r in ann_recall_report(spark, sf_oracle, n_queries=3, k=10).collect()
+    }
+    assert set(rep) == {0, 1, 2}
+    for qid in rep:
+        exact = {r["vec_id"] for r in knn_cosine_topk(spark, sf_oracle, query_id=qid, k=10).collect()}
+        ivf = {r["vec_id"] for r in ann_ivf_topk(spark, sf_oracle, query_id=qid, k=10).collect()}
+        n = len(exact & ivf)
+        assert rep[qid] == (n, n / 10.0)
+        assert rep[qid][1] >= 0.8, "recall floor at nprobe=8 (measured 0.9)"

@@ -771,3 +771,82 @@ def prefix_dup_groups(
         "canonical_doc_id",
         (F.col("n_docs") > 1).alias("is_dup_group"),
     )
+
+
+def ann_recall_report(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10,
+    n_centroids: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Recall@k of the IVF probe path MEASURED against the exact
+    baseline, per query, as a first-class driver query — the number a
+    pipeline owner reads before trusting approximate retrieval for
+    dedup or eval-set mining (the repo's standing rule: recall of
+    every approximate path is measured, never assumed — this elevates
+    the measurement from the test suite into the oracle-checked
+    surface).
+
+    For each of the first ``n_queries`` stored vectors: the exact
+    cosine top-``k`` (self excluded), the IVF top-``k`` probing
+    ``nprobe`` of ``n_centroids`` cells, and their overlap.
+    Deterministic end to end: fixed-point BIGINT dots, pinned
+    (score desc, vec_id asc) tie-breaks.
+
+    Scale posture: the batched form of both sides — queries broadcast
+    (Q rows), the corpus streams once through the exact side and once
+    through the cell-pruned candidate side; every per-query cut is a
+    rank-filter under a (query_id)-partitioned window; the recall join
+    touches 2·Q·k id pairs.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent, cells = ivf_assigned(e, n_centroids)
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+
+    def _scored(cand: DataFrame) -> DataFrame:
+        return (
+            cand.where(F.col("vec_id") != F.col("query_id"))
+            .withColumn("d_fix", dot_fix(F.col("embedding"), F.col("q_emb")))
+            .withColumn("na_fix", dot_fix(F.col("embedding"), F.col("embedding")))
+            .withColumn("nb_fix", dot_fix(F.col("q_emb"), F.col("q_emb")))
+            .withColumn(
+                "score",
+                cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select("query_id", "vec_id")
+        )
+
+    exact = _scored(e.crossJoin(F.broadcast(q)))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("cid").asc()
+    )
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .withColumn("qdot", dot_fix(F.col("cemb"), F.col("q_emb")))
+        .withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "cid")
+    )
+    ivf = _scored(
+        cells.join(F.broadcast(probes), "cid").join(F.broadcast(q), "query_id")
+    )
+    overlap = exact.join(ivf, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        q.select("query_id")
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(int(k)).alias("k"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / F.lit(float(k))
+            ).alias("recall_at_k"),
+        )
+    )

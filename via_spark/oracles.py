@@ -4100,3 +4100,86 @@ SELECT length_decile, quality_decile, CAST(count(*) AS BIGINT) AS n_docs
 FROM ld JOIN qd USING (doc_id)
 GROUP BY length_decile, quality_decile
 """
+
+
+def ann_recall_report_sql(
+    n_queries: int = 5, k: int = 10,
+    n_centroids: int | None = None, nprobe: int | None = None,
+) -> str:
+    """Measured IVF recall@k vs the exact baseline — composes the
+    knn_batch and ann_ivf oracle shapes per query; mirrors
+    dedup.ann_recall_report's pinned tie-breaks and fixed-point dots."""
+    from via_spark.operators.dedup import IVF_CENTROIDS, IVF_NPROBE
+
+    n_centroids = IVF_CENTROIDS if n_centroids is None else n_centroids
+    nprobe = IVF_NPROBE if nprobe is None else nprobe
+    cdot = _DOT9.format(a="e.embedding", b="c.cemb")
+    qdot = _DOT9.format(a="c.cemb", b="q.q_emb")
+    d_e = _DOT9.format(a="e.embedding", b="q.q_emb")
+    na_e = _DOT9.format(a="e.embedding", b="e.embedding")
+    nb = _DOT9.format(a="q.q_emb", b="q.q_emb")
+    d_v = _DOT9.format(a="v.embedding", b="q.q_emb")
+    na_v = _DOT9.format(a="v.embedding", b="v.embedding")
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS q_emb
+    FROM embeddings WHERE vec_id < {n_queries}
+),
+c AS (
+    SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+    WHERE vec_id < {n_centroids}
+),
+cells AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cdot} DESC, c.cid ASC) AS _rn
+        FROM embeddings e, c
+    ) WHERE _rn = 1
+),
+exact AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_COS.format(d=d_e, na=na_e, nb=nb)} DESC,
+                            e.vec_id ASC) AS _rn
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    ) WHERE _rn <= {k}
+),
+probes AS (
+    SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {qdot} DESC, c.cid ASC) AS _rn
+        FROM c, q
+    ) WHERE _rn <= {nprobe}
+),
+ivf AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, v.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_COS.format(d=d_v, na=na_v, nb=nb)} DESC,
+                            v.vec_id ASC) AS _rn
+        FROM cells v
+        JOIN probes p ON v.cid = p.cid
+        JOIN q ON q.query_id = p.query_id
+        WHERE v.vec_id <> p.query_id
+    ) WHERE _rn <= {k}
+),
+overlap AS (
+    SELECT e.query_id, count(*) AS n_overlap
+    FROM exact e JOIN ivf i
+      ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+    GROUP BY e.query_id
+)
+SELECT q.query_id,
+       {k} AS k,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / {float(k)} AS recall_at_k
+FROM q LEFT JOIN overlap o USING (query_id)
+"""
