@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_clusters": graph.embedding_neardup_clusters,
         "greedy_pack_stats": rank.greedy_pack_stats,
         "half_life_decay_counts": timeseries.half_life_decay_counts,
+        "hour_of_week_profile": timeseries.hour_of_week_profile,
         "ingest_reject_reasons": schema_infer.ingest_reject_reasons,
         "lang_metadata_confusion": textstats.lang_metadata_confusion,
         "length_quality_heatmap": curation.length_quality_heatmap,
@@ -191,11 +192,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_profile": relational.events_profile,
         "gapfill_locf": timeseries.gapfill_locf,
         "hourly_rate_of_change": timeseries.hourly_rate_of_change,
-        "hypertable_rollup": windows.hypertable_rollup,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "hypertable_rollup": windows.hypertable_rollup,
         "knn_batch_topk": vector.knn_batch_topk,
         "lapsed_buyers": relational.lapsed_buyers,
         "large_orders_having": relational.large_orders_having,
@@ -488,4 +489,5 @@ def oracle_sql() -> dict[str, str]:
         "prefix_dup_groups": oracles.prefix_dup_groups_sql(),
         "length_quality_heatmap": oracles.length_quality_heatmap_sql(),
         "ann_recall_report": oracles.ann_recall_report_sql(),
+        "hour_of_week_profile": oracles.hour_of_week_profile_sql(),
     }

@@ -86,3 +86,31 @@ def test_customer_rfm_segments_planted(spark, tmp_path):
             row["r_quartile"], row["f_quartile"], row["m_quartile"], row["rfm_segment"]
         ) == (r, f_, m, seg), (c, dict(row.asDict()))
     assert got[4]["frequency"] == 4 and got[4]["monetary_fix"] == 40000 * 1_000_000
+
+
+def test_hour_of_week_profile_pinned_calendar(spark, tmp_path):
+    """Epoch day 0 (1970-01-01) was a Thursday: dow must be 4 at ts=0,
+    wrap to 0 (Sunday) three days later, and hour must fold UTC hours;
+    the mean derives from the exact fixed-point sum."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.timeseries import hour_of_week_profile
+
+    ns = 1_000_000_000
+    rows = [
+        (0, 0 * ns, 1, "a", 1.5, "{}"),                     # Thu 00:00 → dow 4
+        (1, (3 * 86400 + 3600) * ns, 1, "a", 2.5, "{}"),    # Sun 01:00 → dow 0
+        (2, (3 * 86400 + 3600) * ns + 1, 1, "a", 0.25, "{}"),  # same cell
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(d / "events.parquet"))
+    got = {
+        (r["dow"], r["hour"]): (r["n_events"], r["sum_value_fix"], r["mean_value"])
+        for r in hour_of_week_profile(spark, str(d)).collect()
+    }
+    assert got == {
+        (4, 0): (1, 1_500_000, 1.5),
+        (0, 1): (2, 2_750_000, 2750000 / 2e6),
+    }

@@ -648,3 +648,49 @@ def half_life_decay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decayed_value"),
         )
     )
+
+
+def hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal baseline: event volume and mean value per (event_type,
+    day-of-week, hour-of-day) cell — the 7×24 rhythm grid an anomaly
+    detector normalizes against before calling a Monday-09:00 spike
+    "abnormal" (the calendar-folded counterpart of
+    ``hypertable_rollup``'s linear time buckets).
+
+    Calendar semantics are PURE INTEGER (same rule as
+    ``weekly_active_users``): dow = ``(epoch_day + 4) % 7`` (0 =
+    Sunday — epoch day 0 was a Thursday), hour = UTC hour — identical
+    on every engine and every executor, no locale/timezone surface.
+    The mean derives from the exact fixed-point sum
+    (``floor(value·1e6)`` BIGINTs), so parity is bit-for-bit.
+
+    Scale posture: one stateless projection into one map-side-combined
+    hash agg onto a ≤ |types|·168-cell grid — the cheapest family in
+    the repo; composes with any time-range scan pushdown.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vfix = F.floor(F.col("value") * F.lit(1_000_000)).cast("long")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("(ts div 1000000000 div 86400 + 4) % 7").alias("dow"),
+            F.expr("(ts div 1000000000 div 3600) % 24").alias("hour"),
+            vfix.alias("vfix"),
+        )
+        .groupBy("event_type", "dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vfix").alias("sum_value_fix"),
+        )
+        .select(
+            "event_type",
+            "dow",
+            "hour",
+            "n_events",
+            "sum_value_fix",
+            (
+                F.col("sum_value_fix").cast("double")
+                / (F.col("n_events").cast("double") * F.lit(1_000_000.0))
+            ).alias("mean_value"),
+        )
+    )

@@ -4183,3 +4183,25 @@ SELECT q.query_id,
        CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / {float(k)} AS recall_at_k
 FROM q LEFT JOIN overlap o USING (query_id)
 """
+
+
+def hour_of_week_profile_sql() -> str:
+    """7×24 calendar-folded seasonal grid — mirrors
+    timeseries.hour_of_week_profile (pure-integer dow/hour, fixed-point
+    value sums)."""
+    return """
+WITH cells AS (
+    SELECT event_type,
+           (epoch_us(ts) // 1000000 // 86400 + 4) % 7 AS dow,
+           (epoch_us(ts) // 1000000 // 3600) % 24 AS hour,
+           CAST(floor(value * 1000000) AS BIGINT) AS vfix
+    FROM events
+)
+SELECT event_type, dow, hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(vfix) AS BIGINT) AS sum_value_fix,
+       CAST(sum(vfix) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_value
+FROM cells
+GROUP BY event_type, dow, hour
+"""
