@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture_weights": curation.temperature_mixture_weights,
         "token_shard_spans": rank.token_shard_spans,
         "truncation_loss_by_source": rank.truncation_loss_by_source,
+        "user_activity_entropy": timeseries.user_activity_entropy,
         "weighted_doc_sample": curation.weighted_doc_sample,
         "weighted_sample_per_source": curation.weighted_sample_per_source,
         "dedup_keep_best": graph.dedup_keep_best,
@@ -191,11 +192,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_unpivot": relational.event_type_unpivot,
         "events_profile": relational.events_profile,
         "gapfill_locf": timeseries.gapfill_locf,
-        "hourly_rate_of_change": timeseries.hourly_rate_of_change,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "hourly_rate_of_change": timeseries.hourly_rate_of_change,
         "hypertable_rollup": windows.hypertable_rollup,
         "knn_batch_topk": vector.knn_batch_topk,
         "lapsed_buyers": relational.lapsed_buyers,
@@ -490,4 +491,5 @@ def oracle_sql() -> dict[str, str]:
         "length_quality_heatmap": oracles.length_quality_heatmap_sql(),
         "ann_recall_report": oracles.ann_recall_report_sql(),
         "hour_of_week_profile": oracles.hour_of_week_profile_sql(),
+        "user_activity_entropy": oracles.user_activity_entropy_sql(),
     }

@@ -114,3 +114,27 @@ def test_hour_of_week_profile_pinned_calendar(spark, tmp_path):
         (4, 0): (1, 1_500_000, 1.5),
         (0, 1): (2, 2_750_000, 2750000 / 2e6),
     }
+
+
+def test_user_activity_entropy_planted(spark, tmp_path):
+    """A single-type hammerer scores 0 bits; a uniform 4-type user
+    scores exactly 2 bits/event (whole-bit quantization is exact on
+    powers of two)."""
+    from via_spark.operators.timeseries import user_activity_entropy
+
+    ns = 1_000_000_000
+    rows = [(i, i * ns, 1, "spam", 0.0, "{}") for i in range(8)]
+    rows += [
+        (100 + i, i * ns, 2, t, 0.0, "{}")
+        for i, t in enumerate(["a", "b", "c", "d"] * 2)
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(d / "events.parquet"))
+    got = {
+        r["user_id"]: (r["n_events"], r["distinct_types"], r["entropy_bits"],
+                       r["mean_bits_per_event"])
+        for r in user_activity_entropy(spark, str(d)).collect()
+    }
+    assert got == {1: (8, 1, 0, 0.0), 2: (8, 4, 16, 2.0)}

@@ -694,3 +694,44 @@ def hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_value"),
         )
     )
+
+
+def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-concentration profile per user: how spread each
+    user's activity is across event types, as order-0 whole-bit
+    entropy over their type distribution — the bot/spam shape detector
+    (single-type hammering compresses to 0 bits; organic users sit in
+    a band; same whole-bit integer quantization as
+    ``char_entropy_bits``, so no float log anywhere).
+
+    Scale posture: one (user, type) hash agg with map-side partials,
+    a partitioned window over each user's ≤ |types|-row histogram —
+    never the event stream — and a per-user rollup. All integer until
+    the final division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n = F.sum("cnt").over(Window.partitionBy("user_id"))
+    scored = hist.withColumn("n", n).select(
+        "user_id",
+        "cnt",
+        "n",
+        (
+            F.col("cnt")
+            * (F.length(F.expr("bin(n div cnt)")) - F.lit(1)).cast("long")
+        ).alias("bits"),
+    )
+    return scored.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("distinct_types"),
+        F.sum("bits").alias("entropy_bits"),
+    ).select(
+        "user_id",
+        "n_events",
+        "distinct_types",
+        "entropy_bits",
+        (F.col("entropy_bits").cast("double") / F.col("n_events").cast("double"))
+        .alias("mean_bits_per_event"),
+    )

@@ -4205,3 +4205,33 @@ SELECT event_type, dow, hour,
 FROM cells
 GROUP BY event_type, dow, hour
 """
+
+
+def user_activity_entropy_sql() -> str:
+    """Per-user whole-bit behavioral entropy — mirrors
+    timeseries.user_activity_entropy (integer-quotient bit-length
+    quantization over the per-user type histogram)."""
+    return """
+WITH hist AS (
+    SELECT user_id, event_type, count(*) AS cnt
+    FROM events GROUP BY user_id, event_type
+),
+scored AS (
+    SELECT user_id, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS n
+    FROM hist
+),
+bits AS (
+    SELECT user_id, cnt, n,
+           cnt * CAST(length(printf('%b', n // cnt)) - 1 AS BIGINT) AS bits
+    FROM scored
+)
+SELECT user_id,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS distinct_types,
+       CAST(sum(bits) AS BIGINT) AS entropy_bits,
+       CAST(sum(bits) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+         AS mean_bits_per_event
+FROM bits
+GROUP BY user_id
+"""
