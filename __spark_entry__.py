@@ -36,6 +36,7 @@ from via_spark.operators import (
     rhythm,
     schema_infer,
     search,
+    sketch,
     stats,
     textstats,
     timeseries,
@@ -143,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle, stalest first) per via_spark.rotation.recommended_head,
         # then stalest-green fill; enforced by tests/test_properties.py ---
         "ann_recall_report": dedup.ann_recall_report,
+        "bloom_semi_join_fpr": sketch.bloom_semi_join_fpr,
         "boilerplate_span_audit": curation.boilerplate_span_audit,
         "char_entropy_bits": textstats.char_entropy_bits,
         "customer_rfm_segments": relational.customer_rfm_segments,
@@ -152,8 +154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "half_life_decay_counts": timeseries.half_life_decay_counts,
         "hour_of_week_profile": timeseries.hour_of_week_profile,
         "ingest_reject_reasons": schema_infer.ingest_reject_reasons,
+        "kmv_distinct_report": sketch.kmv_distinct_report,
         "lang_metadata_confusion": textstats.lang_metadata_confusion,
         "length_quality_heatmap": curation.length_quality_heatmap,
+        "matryoshka_recall_report": vector.matryoshka_recall_report,
         "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
         "multimodal_resize_plan": multimodal.multimodal_resize_plan,
         "neardup_quality_confound": curation.neardup_quality_confound,
@@ -492,4 +496,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_report": oracles.ann_recall_report_sql(),
         "hour_of_week_profile": oracles.hour_of_week_profile_sql(),
         "user_activity_entropy": oracles.user_activity_entropy_sql(),
+        "kmv_distinct_report": oracles.kmv_distinct_report_sql(),
+        "bloom_semi_join_fpr": oracles.bloom_semi_join_fpr_sql(),
+        "matryoshka_recall_report": oracles.matryoshka_recall_report_sql(),
     }

@@ -566,3 +566,49 @@ def test_prefix_dup_plan_shape(spark, sf_oracle):
     assert "Join" not in p and "EvalPython" not in p
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert m and "lang" not in m.group(1) and "source" not in m.group(1)
+
+
+def test_kmv_plan_shape(spark, sf_oracle):
+    """The KMV sketch must stay a distinct-project pipeline: a 2-column
+    pruned scan (day derives from raw ts; no other column read), the
+    per-day k-smallest cut optimized to WindowGroupLimit (never a
+    global sort), and no join wider than a broadcast."""
+    p = _plan(spark, sf_oracle, "kmv_distinct_report")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+    assert "WindowGroupLimit" in p, "rank<=k cut must group-limit, not full-sort"
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        set(s.split(",")[0].split(":")[:1]) <= {"ts"} and "props" not in s
+        for s in schemas
+    ), schemas
+
+
+def test_bloom_plan_shape(spark, sf_oracle):
+    """The Bloom report must keep the broadcast-bitmap shape: the
+    build-side priority filter pushed to the orders scan, every join a
+    broadcast hash join (the bit-set is ≤ m rows), and 2-column pruned
+    scans on both sides."""
+    p = _plan(spark, sf_oracle, "bloom_semi_join_fpr")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p, "bit-set/member joins must broadcast"
+    assert "BroadcastHashJoin" in p
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(o_orderpriority,1-URGENT", p), (
+        "build-side cut must reach the orders scan"
+    )
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert all("o_totalprice" not in s and "c_name" not in s for s in schemas)
+
+
+def test_matryoshka_plan_shape(spark, sf_oracle):
+    """Both recall sides must keep the batched-broadcast kNN shape: the
+    query frame broadcast (the only nested-loop joins in the plan),
+    per-query cuts as WindowGroupLimit, and the vec_id < n_queries
+    predicate pushed to the parquet scan."""
+    p = _plan(spark, sf_oracle, "matryoshka_recall_report")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 2, (
+        "exactly the two query-frame broadcasts may nested-loop"
+    )
+    assert "WindowGroupLimit" in p
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(vec_id,5", p)

@@ -1,0 +1,133 @@
+"""Planted-structure tests for the deterministic sketch family
+(operators/sketch.py) and the matryoshka recall report (vector.py).
+
+The oracle parity sweep proves Spark == DuckDB; these tests prove the
+sketches measure the RIGHT thing — known cardinalities, known members,
+known prefix/tail signal splits — so a formula bug both engines share
+identically cannot hide behind parity.
+"""
+
+from __future__ import annotations
+
+import random
+
+from via_spark.operators.sketch import (
+    KMV_K,
+    bloom_semi_join_fpr,
+    kmv_distinct_report,
+)
+from via_spark.operators.vector import matryoshka_recall_report
+
+NS_DAY = 86_400 * 1_000_000_000
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(path / "events.parquet"))
+
+
+def test_kmv_exact_below_k_and_estimator_above(spark, tmp_path):
+    """Day 0 has 10 distinct users (< k): the KMV set IS the distinct
+    set — estimate exact, rel_error 0. Day 1 has 500 (> k): the
+    estimator engages; k=64 gives σ ≈ n/√(k−2) ≈ 12.7 %, so a 50 %
+    band is a > 3σ correctness check, not a tuning assertion."""
+    rows = [(i, i, i % 10, "a", 0.0, "{}") for i in range(40)]
+    rows += [(1000 + u, NS_DAY + u, 100 + u, "a", 0.0, "{}") for u in range(500)]
+    d = tmp_path / "sf"
+    _write_events(spark, d, rows)
+    got = {r["day"]: r for r in kmv_distinct_report(spark, str(d)).collect()}
+    assert got[0]["exact_distinct"] == 10
+    assert got[0]["kmv_estimate"] == 10.0 and got[0]["rel_error"] == 0.0
+    assert got[1]["exact_distinct"] == 500
+    assert got[1]["kmv_estimate"] != 500.0  # estimator, not a disguised exact count
+    assert got[1]["rel_error"] < 0.5
+    assert got[0]["k"] == KMV_K == got[1]["k"]
+
+
+def test_kmv_duplicate_insensitive(spark, tmp_path):
+    """KMV sketches the distinct SET: the same 200 users seen 1× (day 0)
+    and 5× (day 1) must produce bit-identical estimates."""
+    rows = [(u, u, u, "a", 0.0, "{}") for u in range(200)]
+    rows += [
+        (10_000 + rep * 1000 + u, NS_DAY + rep * 7 + u, u, "a", 0.0, "{}")
+        for rep in range(5)
+        for u in range(200)
+    ]
+    d = tmp_path / "sf"
+    _write_events(spark, d, rows)
+    got = {r["day"]: r for r in kmv_distinct_report(spark, str(d)).collect()}
+    assert got[0]["exact_distinct"] == got[1]["exact_distinct"] == 200
+    assert got[0]["kmv_estimate"] == got[1]["kmv_estimate"]
+
+
+def test_bloom_no_false_negatives_planted(spark, tmp_path):
+    """Fundamental Bloom property: a member is NEVER negative. Planted:
+    customer 1 has an URGENT order (member), customer 2 only a LOW
+    order, customer 3 no orders — with 1 key in 16384 bits a false
+    positive on 2 negatives is (3/16384)³-improbable, so the expected
+    report is exact: 1 member, 1 positive, 0 false positives, fpr 0."""
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        [(10, 1, "1-URGENT"), (11, 2, "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    ).write.parquet(str(d / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "c_custkey long, c_nationkey long"
+    ).write.parquet(str(d / "customer.parquet"))
+    spark.createDataFrame(
+        [(0, "N0")], "n_nationkey long, n_name string"
+    ).write.parquet(str(d / "nation.parquet"))
+    rows = bloom_semi_join_fpr(spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_customers"], r["n_members"]) == (3, 1)
+    assert r["n_bloom_positive"] == 1 and r["n_false_positive"] == 0
+    assert r["fpr"] == 0.0
+
+
+def test_bloom_fixture_consistency(spark, sf_smoke):
+    """On the real fixture: positives ⊇ members (no false negatives) and
+    the false-positive count is exactly positives − members, per nation."""
+    for r in bloom_semi_join_fpr(spark, sf_smoke).collect():
+        assert r["n_bloom_positive"] >= r["n_members"]
+        assert r["n_false_positive"] == r["n_bloom_positive"] - r["n_members"]
+        assert 0.0 <= r["fpr"] <= 1.0
+
+
+def _write_embeddings(spark, path, vecs):
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(path / "embeddings.parquet"))
+
+
+def test_matryoshka_recall_one_when_tail_is_noise_free(spark, tmp_path):
+    """Vectors whose coordinates past d=16 are all zero: truncated
+    ranking must equal full ranking — recall 1.0 for every query."""
+    rng = random.Random(7)
+    vecs = [
+        [rng.uniform(-1, 1) for _ in range(16)] + [0.0] * 48 for _ in range(30)
+    ]
+    d = tmp_path / "sf"
+    _write_embeddings(spark, d, vecs)
+    rows = matryoshka_recall_report(spark, str(d), n_queries=4, k=5).collect()
+    assert len(rows) == 4
+    assert all(r["recall_at_k"] == 1.0 for r in rows)
+
+
+def test_matryoshka_recall_degrades_when_signal_is_in_tail(spark, tmp_path):
+    """Adversarial inverse: every vector shares one prefix; all the
+    ranking signal lives in the tail. The truncated side then ranks by
+    tie-break alone and must NOT reproduce the full-dim top-k — mean
+    recall well below 1 (the report's purpose is exposing exactly this)."""
+    rng = random.Random(11)
+    prefix = [1.0] * 16
+    vecs = [prefix + [rng.uniform(-1, 1) for _ in range(48)] for _ in range(30)]
+    d = tmp_path / "sf"
+    _write_embeddings(spark, d, vecs)
+    rows = matryoshka_recall_report(spark, str(d), n_queries=4, k=5).collect()
+    mean_recall = sum(r["recall_at_k"] for r in rows) / len(rows)
+    assert mean_recall < 0.9

@@ -1,0 +1,206 @@
+"""Deterministic mergeable sketches with MEASURED error — the
+oracle-checkable counterparts of stats.py's engine-native sketches.
+
+Beyond-reference capability, same rationale as ``ann_recall_report``:
+at 100 TB nobody runs exact ``COUNT(DISTINCT)`` or exact semi-joins as
+a pre-filter; they run sketches. The repo's standing rule is that the
+accuracy of every approximate path is measured against the exact
+baseline, never assumed. Spark's own HLL++/Bloom implementations are
+engine-internal (their estimates can't be replayed in another engine),
+so stats.py bounds them with tests. The two operators here instead pin
+a fully deterministic sketch construction — sha256-derived hashes,
+integer arithmetic, identical in DuckDB SQL — so the *measured error
+itself* is an oracle-checked driver query:
+
+* ``kmv_distinct_report`` — K-Minimum-Values cardinality estimator
+  (Bar-Yossef et al., RANDOM 2002): per group keep the k smallest
+  48-bit value hashes; estimate = (k-1) · 2^48 / kth_min. Mergeable
+  (union of KMV sets then re-cut = KMV of the union), O(k) memory per
+  group at any scale. The report carries the exact distinct count and
+  the relative error side by side.
+* ``bloom_semi_join_fpr`` — a Bloom filter over the build side's join
+  keys (m bits, k sha256-derived positions) probed by the full probe
+  side, scored against the exact semi-join: true members, bloom
+  positives, false positives, and the measured FPR per group. This is
+  the pre-filter that turns a shuffle semi-join into a broadcast
+  bitmap test at scale; the FPR report is what tells an operator the
+  m/k trade-off actually achieved on their keys.
+
+Scale posture (100 TB): KMV — one distinct-project shuffle on
+(group, hash48) then a bounded per-group head (row_number ≤ k over
+values already deduped; the window input per group is the group's
+distinct-hash count, never the event stream). Bloom — the bit-set is
+≤ m rows after one distinct-project, broadcast to the probe side; the
+probe side streams once with no shuffle (explode ×k_hash, broadcast
+hash-join, one group-agg). Neither ever materializes a cross product;
+both sketches are unions of per-partition partial states, which is
+exactly the property that makes them cluster-mergeable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from via_spark.session import load_table
+
+#: 48-bit hash space: 12 hex chars of sha256 — wide enough that hash
+#: collisions are negligible at fixture scale, narrow enough that the
+#: estimator numerator (k-1)·2^48 stays exactly representable in a
+#: DOUBLE (63·2^48 < 2^53), so Spark and DuckDB divide identical
+#: numbers and produce bit-identical estimates.
+HASH_BITS = 48
+HASH_SPACE = float(2**HASH_BITS)
+KMV_K = 64
+
+#: Sized so the measured FPR is a real, visible number at fixture
+#: scale: at sf0.01 the build side sets ~1.3k keys × 3 positions in
+#: 16384 bits (fill ≈ 0.21 → FPR ≈ 1 %); at sf0.1 the same m is
+#: deliberately under-sized (fill ≈ 0.9) and the report SHOWS the
+#: filter degrading — the m-must-scale-with-n lesson, measured.
+BLOOM_M = 16384
+BLOOM_K = 3
+BLOOM_BUILD_PRIORITY = "1-URGENT"
+
+
+def _hash48(col: Column) -> Column:
+    """Deterministic 48-bit uniform hash of a string column: the first
+    12 hex chars of sha256, as BIGINT. DuckDB mirror:
+    ``('0x' || substr(sha256(x), 1, 12))::BIGINT``."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 12), 16, 10).cast("long")
+
+
+def kmv_distinct_report(
+    spark: SparkSession, sf_dir: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-day K-Minimum-Values distinct-user estimate vs the exact
+    count, with the measured relative error (oracle ✔) — the daily
+    active-users number, sketched.
+
+    Grouping is the UTC epoch day (same raw-int64 ``ts div`` idiom as
+    ``hour_of_week_profile``): daily cardinalities genuinely vary, so
+    the report exercises the estimator across different n rather than
+    one repeated value.
+
+    Small-cardinality exactness: when a group has fewer than ``k``
+    distinct hashes the KMV set IS the distinct set and the estimate
+    is the (exact) hash count; the estimator formula only engages at
+    ``n ≥ k``.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts div 1000000000 div 86400").alias("day"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    hashed = ev.select("day", _hash48(F.col("uid")).alias("uh")).distinct()
+    w = Window.partitionBy("day").orderBy(F.col("uh").asc())
+    heads = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_head"), F.max("uh").alias("kth_min"))
+    )
+    exact = ev.groupBy("day").agg(
+        F.count_distinct(F.col("uid")).alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_head") < k, F.col("n_head").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * 2**HASH_BITS)) / F.col("kth_min").cast("double")
+    )
+    return (
+        exact.join(heads, "day")
+        .withColumn("kmv_estimate", est)
+        .select(
+            "day",
+            "exact_distinct",
+            F.lit(int(k)).alias("k"),
+            "kmv_estimate",
+            (
+                F.abs(F.col("kmv_estimate") - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_error"),
+        )
+    )
+
+
+def bloom_semi_join_fpr(
+    spark: SparkSession, sf_dir: str, m: int = BLOOM_M, k_hash: int = BLOOM_K
+) -> DataFrame:
+    """Bloom-filter semi-join accuracy report, grouped by nation
+    (oracle ✔): a Bloom filter over the distinct custkeys of URGENT
+    orders (the build side) probed by every customer, scored against
+    the exact has-an-urgent-order semi-join.
+
+    The build side is the urgent subset (not all orders) because in
+    this fixture every customer has SOME order — the urgent cut
+    leaves ~14 % of customers as genuine negatives, so the
+    false-positive rate is a real measurement, not vacuously zero.
+    Per nation: customers probed, exact members, bloom positives,
+    false positives, and the measured FPR over the true negatives.
+
+    Bloom membership uses the standard k-fold construction: positions
+    ``sha256(i ':' key) mod m`` for i < k_hash; positive iff every
+    probed position is set. A key whose k positions collide still
+    probes correctly (each position is tested independently).
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == BLOOM_BUILD_PRIORITY)
+        .select("o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def positions(key: Column) -> list[Column]:
+        return [
+            (_hash48(F.concat(F.lit(f"{i}:"), key.cast("string"))) % m).alias("pos")
+            for i in range(k_hash)
+        ]
+
+    bits = (
+        orders.select(F.explode(F.array(*positions(F.col("o_custkey")))).alias("pos"))
+        .distinct()
+        .withColumn("set_bit", F.lit(1))
+    )
+    probes = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.explode(F.array(*positions(F.col("c_custkey")))).alias("pos"),
+    )
+    probed = (
+        probes.join(F.broadcast(bits), "pos", "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.min(F.coalesce("set_bit", F.lit(0))).alias("bloom_positive"))
+    )
+    exact = orders.select(F.col("o_custkey").alias("c_custkey")).distinct().withColumn(
+        "is_member", F.lit(1)
+    )
+    scored = probed.join(exact, "c_custkey", "left").select(
+        "c_nationkey",
+        "bloom_positive",
+        F.coalesce("is_member", F.lit(0)).alias("is_member"),
+    )
+    agg = scored.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("is_member").alias("n_members"),
+        F.sum("bloom_positive").alias("n_bloom_positive"),
+        F.sum(
+            F.when((F.col("bloom_positive") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+        ).alias("n_false_positive"),
+    )
+    return (
+        agg.join(F.broadcast(nation), agg.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "n_customers",
+            "n_members",
+            "n_bloom_positive",
+            "n_false_positive",
+            F.when(
+                F.col("n_customers") == F.col("n_members"), F.lit(0.0)
+            ).otherwise(
+                F.col("n_false_positive").cast("double")
+                / (F.col("n_customers") - F.col("n_members")).cast("double")
+            ).alias("fpr"),
+        )
+    )

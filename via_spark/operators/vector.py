@@ -524,3 +524,75 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .select("query_id", "query_label", "vec_id", "label", "rank", "score")
     )
+
+
+def matryoshka_recall_report(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10, d: int = 16
+) -> DataFrame:
+    """Recall@k of truncated-dimension (Matryoshka-style) retrieval vs
+    the full-dimension exact baseline, per query (oracle ✔).
+
+    Modern embedding models (MRL — Kusupati et al., NeurIPS 2022) are
+    trained so a prefix of the vector is itself a usable embedding;
+    retrieval over the first ``d`` of ``dim`` coordinates cuts compute
+    and shuffle width by dim/d. Whether that holds for a GIVEN corpus
+    is an empirical question — this report measures it, elevating the
+    check into the oracle-verified surface exactly like
+    ``dedup.ann_recall_report`` does for IVF.
+
+    For each of the first ``n_queries`` stored vectors: exact cosine
+    top-k over the full vectors, cosine top-k over ``slice(embedding,
+    1, d)``, and their overlap. Deterministic end to end: fixed-point
+    BIGINT dots on both sides, (score desc, vec_id asc) tie-breaks.
+
+    Scale posture: both sides are the batched-broadcast kNN shape —
+    queries broadcast (Q rows), the corpus streams once per side;
+    per-query cuts are rank-filters under a (query_id)-partitioned
+    window; the overlap join touches 2·Q·k id pairs. The truncated
+    side projects the slice BEFORE scoring, so at a real 100 TB scan
+    the narrow column is what crosses the wire.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+
+    def _topk(emb: Column, q_emb: Column) -> DataFrame:
+        return (
+            e.crossJoin(F.broadcast(q))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .withColumn("d_fix", dot_fix(emb, q_emb))
+            .withColumn("na_fix", dot_fix(emb, emb))
+            .withColumn("nb_fix", dot_fix(q_emb, q_emb))
+            .withColumn(
+                "score",
+                cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select("query_id", "vec_id")
+        )
+
+    exact = _topk(F.col("embedding"), F.col("q_emb"))
+    trunc = _topk(
+        F.slice(F.col("embedding"), 1, d), F.slice(F.col("q_emb"), 1, d)
+    )
+    overlap = exact.join(trunc, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        q.select("query_id")
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(int(d)).alias("d"),
+            F.lit(int(k)).alias("k"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / F.lit(float(k))
+            ).alias("recall_at_k"),
+        )
+    )

@@ -4235,3 +4235,159 @@ SELECT user_id,
 FROM bits
 GROUP BY user_id
 """
+
+
+def kmv_distinct_report_sql(k: int = 64) -> str:
+    """Per-day K-Minimum-Values distinct-user estimate vs exact —
+    mirrors sketch.kmv_distinct_report (48-bit sha256-prefix hashes;
+    numerator (k-1)·2^48 exactly double-representable so both engines
+    divide identical numbers; same epoch-day idiom as
+    hour_of_week_profile_sql)."""
+    num = float((k - 1) * 2**48)
+    return f"""
+WITH ev AS (
+    SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+           CAST(user_id AS VARCHAR) AS uid
+    FROM events
+),
+h AS (
+    SELECT DISTINCT day,
+           ('0x' || substr(sha256(uid), 1, 12))::BIGINT AS uh
+    FROM ev
+),
+ranked AS (
+    SELECT day, uh,
+           row_number() OVER (PARTITION BY day ORDER BY uh ASC) AS _rn
+    FROM h
+),
+heads AS (
+    SELECT day, count(*) AS n_head, max(uh) AS kth_min
+    FROM ranked WHERE _rn <= {k} GROUP BY day
+),
+ex AS (
+    SELECT day, count(DISTINCT uid) AS exact_distinct
+    FROM ev GROUP BY day
+),
+est AS (
+    SELECT ex.day,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           CASE WHEN h.n_head < {k} THEN CAST(h.n_head AS DOUBLE)
+                ELSE {num!r} / CAST(h.kth_min AS DOUBLE) END AS kmv_estimate
+    FROM ex JOIN heads h USING (day)
+)
+SELECT day, exact_distinct, {k} AS k, kmv_estimate,
+       abs(kmv_estimate - CAST(exact_distinct AS DOUBLE))
+         / CAST(exact_distinct AS DOUBLE) AS rel_error
+FROM est
+"""
+
+
+def bloom_semi_join_fpr_sql(m: int = 16384, k_hash: int = 3) -> str:
+    """Bloom semi-join FPR by nation — mirrors sketch.bloom_semi_join_fpr
+    (build side = URGENT orders' custkeys; positions
+    sha256(i ':' key) mod m; positive iff every probed position is
+    set)."""
+    pos = (
+        "(('0x' || substr(sha256(CAST(i AS VARCHAR) || ':' "
+        f"|| CAST({{key}} AS VARCHAR)), 1, 12))::BIGINT % {m})"
+    )
+    return f"""
+WITH idx AS (SELECT unnest(range({k_hash})) AS i),
+urgent AS (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+bits AS (
+    SELECT DISTINCT {pos.format(key='o.o_custkey')} AS pos
+    FROM urgent o, idx
+),
+probes AS (
+    SELECT c.c_custkey, c.c_nationkey, {pos.format(key='c.c_custkey')} AS pos
+    FROM customer c, idx
+),
+probed AS (
+    SELECT p.c_custkey, p.c_nationkey,
+           min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS bloom_positive
+    FROM probes p LEFT JOIN bits b ON p.pos = b.pos
+    GROUP BY p.c_custkey, p.c_nationkey
+),
+exact AS (SELECT DISTINCT o_custkey AS c_custkey FROM urgent),
+scored AS (
+    SELECT p.c_nationkey, p.bloom_positive,
+           CASE WHEN e.c_custkey IS NULL THEN 0 ELSE 1 END AS is_member
+    FROM probed p LEFT JOIN exact e USING (c_custkey)
+),
+agg AS (
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(is_member) AS BIGINT) AS n_members,
+           CAST(sum(bloom_positive) AS BIGINT) AS n_bloom_positive,
+           CAST(sum(CASE WHEN bloom_positive = 1 AND is_member = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive
+    FROM scored GROUP BY c_nationkey
+)
+SELECT n.n_name, a.n_customers, a.n_members, a.n_bloom_positive,
+       a.n_false_positive,
+       CASE WHEN a.n_customers = a.n_members THEN 0.0
+            ELSE CAST(a.n_false_positive AS DOUBLE)
+                   / CAST(a.n_customers - a.n_members AS DOUBLE) END AS fpr
+FROM agg a JOIN nation n ON a.c_nationkey = n.n_nationkey
+"""
+
+
+def matryoshka_recall_report_sql(
+    n_queries: int = 5, k: int = 10, d: int = 16
+) -> str:
+    """Truncated-dimension recall@k vs full-dim exact — mirrors
+    vector.matryoshka_recall_report (fixed-point dots over
+    list_slice prefixes, pinned tie-breaks)."""
+    d_full = _DOT9.format(a="e.embedding", b="q.q_emb")
+    na_full = _DOT9.format(a="e.embedding", b="e.embedding")
+    nb_full = _DOT9.format(a="q.q_emb", b="q.q_emb")
+    d_tr = _DOT9.format(a="e.t_emb", b="q.t_qemb")
+    na_tr = _DOT9.format(a="e.t_emb", b="e.t_emb")
+    nb_tr = _DOT9.format(a="q.t_qemb", b="q.t_qemb")
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS q_emb,
+           list_slice(embedding, 1, {d}) AS t_qemb
+    FROM embeddings WHERE vec_id < {n_queries}
+),
+tr AS (
+    SELECT vec_id, embedding, list_slice(embedding, 1, {d}) AS t_emb
+    FROM embeddings
+),
+exact AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_COS.format(d=d_full, na=na_full, nb=nb_full)} DESC,
+                            e.vec_id ASC) AS _rn
+        FROM tr e, q
+        WHERE e.vec_id <> q.query_id
+    ) WHERE _rn <= {k}
+),
+trunc AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_COS.format(d=d_tr, na=na_tr, nb=nb_tr)} DESC,
+                            e.vec_id ASC) AS _rn
+        FROM tr e, q
+        WHERE e.vec_id <> q.query_id
+    ) WHERE _rn <= {k}
+),
+overlap AS (
+    SELECT e.query_id, count(*) AS n_overlap
+    FROM exact e JOIN trunc t
+      ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+    GROUP BY e.query_id
+)
+SELECT q.query_id,
+       {d} AS d,
+       {k} AS k,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / {float(k)} AS recall_at_k
+FROM q LEFT JOIN overlap o USING (query_id)
+"""
