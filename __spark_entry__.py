@@ -170,8 +170,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shard_spans": rank.token_shard_spans,
         "truncation_loss_by_source": rank.truncation_loss_by_source,
         "user_activity_entropy": timeseries.user_activity_entropy,
+        "user_state_intervals": windows.user_state_intervals,
         "weighted_doc_sample": curation.weighted_doc_sample,
         "weighted_sample_per_source": curation.weighted_sample_per_source,
+        "zorder_layout_report": rank.zorder_layout_report,
         "dedup_keep_best": graph.dedup_keep_best,
         "global_value_rank": rank.global_value_rank,
         "per_day_topk": relational.per_day_topk,
@@ -191,15 +193,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
         "embedding_centroids_by_label": vector.embedding_centroids_by_label,
         "embedding_norm_stats": vector.embedding_norm_stats,
+        # --- end head (position 50 boundary) --- tail: driver-green
+        # with implementing units and oracles unchanged since their
+        # newest green row (unit-granular, git-derived); all re-proven
+        # every round by tests/test_oracle_parity.py ---
         "event_type_severity_pivot": relational.event_type_severity_pivot,
         "event_type_transition_matrix": timeseries.event_type_transition_matrix,
         "event_type_unpivot": relational.event_type_unpivot,
         "events_profile": relational.events_profile,
         "gapfill_locf": timeseries.gapfill_locf,
-        # --- end head (position 50 boundary) --- tail: driver-green
-        # with implementing units and oracles unchanged since their
-        # newest green row (unit-granular, git-derived); all re-proven
-        # every round by tests/test_oracle_parity.py ---
         "hourly_rate_of_change": timeseries.hourly_rate_of_change,
         "hypertable_rollup": windows.hypertable_rollup,
         "knn_batch_topk": vector.knn_batch_topk,
@@ -499,4 +501,6 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_report": oracles.kmv_distinct_report_sql(),
         "bloom_semi_join_fpr": oracles.bloom_semi_join_fpr_sql(),
         "matryoshka_recall_report": oracles.matryoshka_recall_report_sql(),
+        "user_state_intervals": oracles.user_state_intervals_sql(),
+        "zorder_layout_report": oracles.zorder_layout_report_sql(),
     }

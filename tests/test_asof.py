@@ -138,3 +138,41 @@ def test_user_activity_entropy_planted(spark, tmp_path):
         for r in user_activity_entropy(spark, str(d)).collect()
     }
     assert got == {1: (8, 1, 0, 0.0), 2: (8, 4, 16, 2.0)}
+
+
+def test_user_state_intervals_planted(spark, tmp_path):
+    """RLE islands pinned: a→a→b→a yields THREE runs (the state
+    returning re-opens a new interval, never merges), with exact
+    boundaries; a same-second tie orders by event_id."""
+    from via_spark.operators.windows import user_state_intervals
+
+    ns = 1_000_000_000
+    rows = [
+        (1, 10 * ns, 7, "a", 0.0, "{}"),
+        (2, 20 * ns, 7, "a", 0.0, "{}"),
+        (3, 30 * ns, 7, "b", 0.0, "{}"),
+        (4, 40 * ns, 7, "a", 0.0, "{}"),
+        # user 8: two states in the SAME second — event_id breaks the tie,
+        # so x(id 5) precedes y(id 6): two runs, not an ordering accident
+        (5, 50 * ns, 8, "x", 0.0, "{}"),
+        (6, 50 * ns, 8, "y", 0.0, "{}"),
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+    got = {
+        (r["user_id"], r["run_id"]): (
+            r["event_type"], r["from_sec"], r["to_sec"], r["n_events"]
+        )
+        for r in user_state_intervals(spark, str(d)).collect()
+    }
+    assert got == {
+        (7, 1): ("a", 10, 20, 2),
+        (7, 2): ("b", 30, 30, 1),
+        (7, 3): ("a", 40, 40, 1),
+        (8, 1): ("x", 50, 50, 1),
+        (8, 2): ("y", 50, 50, 1),
+    }

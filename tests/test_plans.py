@@ -612,3 +612,26 @@ def test_matryoshka_plan_shape(spark, sf_oracle):
     )
     assert "WindowGroupLimit" in p
     assert re.search(r"PushedFilters: \[[^\]]*LessThan\(vec_id,5", p)
+
+
+def test_user_state_intervals_plan_shape(spark, sf_oracle):
+    """The RLE islands pipeline must reuse ONE user_id shuffle across
+    both windows and the run rollup (lag, cumulative-sum, and the
+    (user, run) agg all live under the same partitioning) — never a
+    data-wide window, never a second exchange."""
+    p = _plan(spark, sf_oracle, "user_state_intervals")
+    assert p.count("Exchange hashpartitioning") == 1, p[:2000]
+    assert "Exchange SinglePartition" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_zorder_plan_shape(spark, sf_oracle):
+    """Both layouts must come from ONE pass: a single events scan (plus
+    the 1-row min/max anchor scan), the anchor broadcast, the z/lex
+    assignment exploded in-row, and a single (layout, file_id) hash
+    agg — never a union of per-layout scans."""
+    p = _plan(spark, sf_oracle, "zorder_layout_report")
+    assert p.count("Exchange hashpartitioning") == 1, "one shuffle, not per-layout"
+    assert p.count("Exchange SinglePartition") == 1  # the 1-row anchor agg
+    assert p.count("BroadcastNestedLoopJoin") == 1  # the anchor broadcast
+    assert len(re.findall(r"ReadSchema:", p)) == 2, "events scanned once + anchor"

@@ -131,3 +131,47 @@ def test_matryoshka_recall_degrades_when_signal_is_in_tail(spark, tmp_path):
     rows = matryoshka_recall_report(spark, str(d), n_queries=4, k=5).collect()
     mean_recall = sum(r["recall_at_k"] for r in rows) / len(rows)
     assert mean_recall < 0.9
+
+
+def test_zorder_rectangles_on_uniform_grid(spark, tmp_path):
+    """Morton locality, exactly: on a full 32×32 (day × user-level)
+    grid, every 16-z-value file is an aligned 4×4 rectangle (both
+    spans exactly 3 levels), while every lexicographic file is a
+    1-day × 16-user-level strip (day span 0, user span 15) — the
+    balanced-vs-one-sided pruning trade-off as exact integers."""
+    import hashlib
+
+    from via_spark.operators.rank import zorder_layout_report
+
+    # pick one uid per user-hash level (the operator's 48-bit
+    # sha256-prefix hash mod 32), deterministically
+    level_uid: dict[int, int] = {}
+    uid = 0
+    while len(level_uid) < 32:
+        lvl = int(hashlib.sha256(str(uid).encode()).hexdigest()[:12], 16) % 32
+        level_uid.setdefault(lvl, uid)
+        uid += 1
+    ns_day = 86_400 * 1_000_000_000
+    rows = [
+        (day * 1000 + lvl, day * ns_day, level_uid[lvl], "a", 0.0, "{}")
+        for day in range(32)
+        for lvl in range(32)
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+    out = zorder_layout_report(spark, str(d)).collect()
+    z = [r for r in out if r["layout"] == "zorder"]
+    lex = [r for r in out if r["layout"] == "lexicographic"]
+    assert len(z) == 64 and len(lex) == 64
+    for r in z:
+        assert r["n_rows"] == 16
+        assert r["max_day_level"] - r["min_day_level"] == 3
+        assert r["max_user_level"] - r["min_user_level"] == 3
+    for r in lex:
+        assert r["n_rows"] == 16
+        assert r["max_day_level"] == r["min_day_level"]
+        assert r["max_user_level"] - r["min_user_level"] == 15

@@ -500,3 +500,106 @@ def truncation_loss_by_source(
         (F.col("tokens_lost").cast("double") / F.col("total_tokens").cast("double"))
         .alias("loss_rate"),
     )
+
+
+#: z-order quantization: 5 bits per dimension (32 levels), files = the
+#: top 6 bits of the 10-bit z-value (64 files of 16 z-cells each).
+Z_BITS = 5
+Z_FILE_SHIFT = 4
+
+
+def _interleave(qd: Column, qu: Column, bits: int = Z_BITS) -> Column:
+    """Bit-interleave two ``bits``-wide ints: qd in odd positions, qu
+    in even — the Morton/z-value. Pure shifts/masks (codegen-friendly,
+    identical arithmetic in the DuckDB oracle)."""
+    z = F.lit(0)
+    for b in range(bits):
+        z = z + (
+            F.shiftleft(F.shiftright(qd, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+            + F.shiftleft(F.shiftright(qu, b).bitwiseAND(F.lit(1)), 2 * b)
+        )
+    return z
+
+
+def zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout pruning report (oracle ✔): per-file min/max spans of
+    BOTH clustering dimensions under two physical layouts — z-order
+    (Morton-interleaved day × user-hash) and lexicographic (day-major,
+    coarse-user-minor) — the numbers behind choosing OPTIMIZE ZORDER /
+    cluster-by keys for a 100 TB table.
+
+    A parquet/Delta reader prunes a file when the query predicate
+    misses the file's [min, max] on a clustering column; this report
+    measures those ranges. Z-order bounds BOTH spans (≈ √cells per
+    file, the curve's locality guarantee), so single-dimension queries
+    on EITHER day or user prune usefully; the lexicographic layout
+    gives day queries perfect pruning and user queries almost none.
+    Emitting both layouts from one scan makes the trade-off a queryable
+    fact rather than folklore.
+
+    Determinism: day quantized by integer arithmetic against the
+    in-plan (broadcast, never collected) min/max anchor; user hashed
+    with the shared 48-bit sha256-prefix idiom then reduced mod 32.
+
+    Scale posture: one scan, one 1-row broadcast anchor, one hash agg
+    on (layout, file_id) — ≤ 128 output rows at any input size; the
+    z-value is a codegen projection (no UDF, no shuffle beyond the
+    final tiny agg).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts div 1000000000 div 86400").alias("day"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    anchor = ev.agg(
+        F.min("day").alias("min_day"), F.max("day").alias("max_day")
+    )
+    levels = F.lit(2**Z_BITS)
+    q = (
+        ev.crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "qd",
+            F.expr(
+                f"((day - min_day) * {2**Z_BITS}) div (max_day - min_day + 1)"
+            ).cast("int"),
+        )
+        .withColumn(
+            # the repo-wide 48-bit sha256-prefix hash idiom (see
+            # operators/sketch._hash48) inlined: importing it here
+            # would graft sketch.py onto every rank-closure query's
+            # rotation footprint for a one-line expression
+            "qu",
+            (
+                F.conv(
+                    F.substring(F.sha2(F.col("uid"), 256), 1, 12), 16, 10
+                ).cast("long")
+                % levels
+            ).cast("int"),
+        )
+    )
+    z = q.withColumn("z", _interleave(F.col("qd"), F.col("qu")))
+    # Both layouts from ONE pass: each row explodes into its two
+    # (layout, file_id) assignments, then a single (layout, file_id)
+    # hash agg — one scan, one shuffle, instead of a union of two.
+    assignments = F.array(
+        F.struct(
+            F.lit("zorder").alias("layout"),
+            F.shiftright(F.col("z"), Z_FILE_SHIFT).alias("file_id"),
+        ),
+        F.struct(
+            F.lit("lexicographic").alias("layout"),
+            (
+                F.shiftleft(F.col("qd"), 1) + F.shiftright(F.col("qu"), Z_BITS - 1)
+            ).alias("file_id"),
+        ),
+    )
+    return (
+        z.select("qd", "qu", F.explode(assignments).alias("f"))
+        .groupBy(F.col("f.layout").alias("layout"), F.col("f.file_id").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("qd").alias("min_day_level"),
+            F.max("qd").alias("max_day_level"),
+            F.min("qu").alias("min_user_level"),
+            F.max("qu").alias("max_user_level"),
+        )
+    )

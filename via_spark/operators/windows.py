@@ -153,3 +153,54 @@ def sessionize_over(ev: DataFrame, gap_sec: int) -> DataFrame:
             (F.max("sec") - F.min("sec")).alias("duration_sec"),
         )
     )
+
+
+def user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-shaped state timeline per user (value-change
+    gaps-and-islands, oracle ✔): consecutive same-``event_type`` runs
+    collapsed into validity intervals — run ordinal, state, first/last
+    event second, and run size.
+
+    Complements ``user_sessions`` (which breaks on TIME gaps): here a
+    new island starts when the VALUE changes, which is the
+    run-length-encoded behavior timeline — dwell-time per state, state
+    flap-rate, and the build step every slowly-changing-dimension
+    (type-2) table derives its effective_from/effective_to from.
+
+    Determinism: events ordered by (sec, event_id) within user — the
+    same total order ``sessionize_over`` pins.
+
+    Scale posture: identical to ``user_sessions`` — every window
+    partitions by user_id (bounded frames per key, never data-wide),
+    the rollup is one hash agg on (user_id, run_id); AQE splits skewed
+    power users at the shuffle.
+    """
+    from via_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000000000").alias("sec"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    is_new = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("int")
+    run = F.sum(is_new).over(
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("run_id", run)
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(
+            F.min("sec").alias("from_sec"),
+            F.max("sec").alias("to_sec"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

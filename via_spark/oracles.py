@@ -4391,3 +4391,73 @@ SELECT q.query_id,
        CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / {float(k)} AS recall_at_k
 FROM q LEFT JOIN overlap o USING (query_id)
 """
+
+
+def user_state_intervals_sql() -> str:
+    """SCD2-shaped value-change islands per user — mirrors
+    windows.user_state_intervals (same (sec, event_id) total order as
+    the sessionization oracles)."""
+    return """
+WITH ev AS (
+    SELECT user_id, event_id, event_type,
+           epoch_us(ts) // 1000000 AS sec
+    FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, event_type, sec,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS is_new
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+runs AS (
+    SELECT user_id, event_type, sec,
+           CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS run_id
+    FROM flagged
+)
+SELECT user_id, run_id, event_type,
+       CAST(min(sec) AS BIGINT) AS from_sec,
+       CAST(max(sec) AS BIGINT) AS to_sec,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM runs
+GROUP BY user_id, run_id, event_type
+"""
+
+
+def zorder_layout_report_sql(bits: int = 5, file_shift: int = 4) -> str:
+    """Per-file dimension spans under z-order vs lexicographic layout —
+    mirrors rank.zorder_layout_report (integer-quantized day, 48-bit
+    sha256-prefix user hash, Morton interleave by shifts/masks)."""
+    levels = 2**bits
+    z_terms = " + ".join(
+        f"(((qd >> {b}) & 1) << {2 * b + 1}) + (((qu >> {b}) & 1) << {2 * b})"
+        for b in range(bits)
+    )
+    stats = """
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(qd) AS min_day_level, max(qd) AS max_day_level,
+           min(qu) AS min_user_level, max(qu) AS max_user_level"""
+    return f"""
+WITH ev AS (
+    SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+           CAST(user_id AS VARCHAR) AS uid
+    FROM events
+),
+anchor AS (SELECT min(day) AS min_day, max(day) AS max_day FROM ev),
+q AS (
+    SELECT ((day - min_day) * {levels}) // (max_day - min_day + 1) AS qd,
+           ('0x' || substr(sha256(uid), 1, 12))::BIGINT % {levels} AS qu
+    FROM ev, anchor
+),
+zq AS (SELECT qd, qu, {z_terms} AS z FROM q)
+SELECT 'zorder' AS layout, z >> {file_shift} AS file_id,{stats}
+FROM zq GROUP BY file_id
+UNION ALL
+SELECT 'lexicographic' AS layout,
+       (qd << 1) + (qu >> {bits - 1}) AS file_id,{stats}
+FROM zq GROUP BY file_id
+"""
