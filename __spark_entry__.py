@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hour_of_week_profile": timeseries.hour_of_week_profile,
         "ingest_reject_reasons": schema_infer.ingest_reject_reasons,
         "kmv_distinct_report": sketch.kmv_distinct_report,
+        "kmv_retention_overlap": sketch.kmv_retention_overlap,
         "lang_metadata_confusion": textstats.lang_metadata_confusion,
         "length_quality_heatmap": curation.length_quality_heatmap,
         "matryoshka_recall_report": vector.matryoshka_recall_report,
@@ -192,11 +193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": relational.customer_order_distribution,
         "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
         "embedding_centroids_by_label": vector.embedding_centroids_by_label,
-        "embedding_norm_stats": vector.embedding_norm_stats,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "embedding_norm_stats": vector.embedding_norm_stats,
         "event_type_severity_pivot": relational.event_type_severity_pivot,
         "event_type_transition_matrix": timeseries.event_type_transition_matrix,
         "event_type_unpivot": relational.event_type_unpivot,
@@ -503,4 +504,5 @@ def oracle_sql() -> dict[str, str]:
         "matryoshka_recall_report": oracles.matryoshka_recall_report_sql(),
         "user_state_intervals": oracles.user_state_intervals_sql(),
         "zorder_layout_report": oracles.zorder_layout_report_sql(),
+        "kmv_retention_overlap": oracles.kmv_retention_overlap_sql(),
     }

@@ -635,3 +635,14 @@ def test_zorder_plan_shape(spark, sf_oracle):
     assert p.count("Exchange SinglePartition") == 1  # the 1-row anchor agg
     assert p.count("BroadcastNestedLoopJoin") == 1  # the anchor broadcast
     assert len(re.findall(r"ReadSchema:", p)) == 2, "events scanned once + anchor"
+
+
+def test_kmv_retention_plan_shape(spark, sf_oracle):
+    """The retention-overlap sketch must stay equi-key end to end: the
+    day-pair frames broadcast, per-day and per-pair cuts group-limit,
+    2-column pruned scans, and never a cartesian/nested-loop join."""
+    p = _plan(spark, sf_oracle, "kmv_retention_overlap")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "WindowGroupLimit" in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all("props" not in s and "value" not in s for s in schemas)

@@ -175,3 +175,61 @@ def test_zorder_rectangles_on_uniform_grid(spark, tmp_path):
         assert r["n_rows"] == 16
         assert r["max_day_level"] == r["min_day_level"]
         assert r["max_user_level"] - r["min_user_level"] == 15
+
+
+def test_kmv_partial_states_merge_losslessly(spark, tmp_path):
+    """The mergeability contract behind the 100 TB posture, proven:
+    split one day's users into two disjoint halves, take each half's
+    k-minimum hash set (the per-partition partial state), union the
+    partials and re-cut to k — the merged kth-min (hence the whole
+    estimate) must equal the single-pass KMV over the full day."""
+    import hashlib
+
+    from via_spark.operators.sketch import KMV_K, kmv_distinct_report
+
+    users = list(range(1000, 1500))
+    rows = [(u, u, u, "a", 0.0, "{}") for u in users]
+    d = tmp_path / "sf"
+    _write_events(spark, d, rows)
+    [row] = kmv_distinct_report(spark, str(d)).collect()
+
+    def h48(u):
+        return int(hashlib.sha256(str(u).encode()).hexdigest()[:12], 16)
+
+    half_a = sorted(h48(u) for u in users[:250])[:KMV_K]
+    half_b = sorted(h48(u) for u in users[250:])[:KMV_K]
+    merged = sorted(set(half_a) | set(half_b))[:KMV_K]
+    assert len(merged) == KMV_K
+    est = (KMV_K - 1) * float(2**48) / merged[-1]
+    assert row["kmv_estimate"] == est
+
+
+def test_kmv_retention_overlap_planted(spark, tmp_path):
+    """Set-algebra pinned on three planted day pairs: a 50 %-shifted
+    pair (exact jaccard 1/3, estimator within a >4σ band), a disjoint
+    pair (sketch CANNOT invent intersection — exactly 0.0), and a
+    small pair (union ≤ k ⇒ the union sample IS the union, so every
+    sketched number equals the exact one)."""
+    rows = [(u, u, u, "a", 0.0, "{}") for u in range(100)]  # day0: 0..99
+    rows += [(1000 + u, NS_DAY + u, 50 + u, "a", 0.0, "{}") for u in range(100)]  # day1: 50..149
+    rows += [(2000 + u, 2 * NS_DAY + u, 200 + u, "a", 0.0, "{}") for u in range(80)]  # day2
+    rows += [(3000 + u, 3 * NS_DAY + u, 300 + u, "a", 0.0, "{}") for u in range(80)]  # day3: disjoint
+    rows += [(4000 + u, 4 * NS_DAY + u, 400 + u, "a", 0.0, "{}") for u in range(20)]  # day4
+    rows += [(5000 + u, 5 * NS_DAY + u, 410 + u, "a", 0.0, "{}") for u in range(20)]  # day5: ∩ = 10
+    d = tmp_path / "sf"
+    _write_events(spark, d, rows)
+    from via_spark.operators.sketch import kmv_retention_overlap
+
+    got = {r["day_a"]: r for r in kmv_retention_overlap(spark, str(d)).collect()}
+    r01 = got[0]
+    assert (r01["exact_union"], r01["exact_intersection"]) == (150, 50)
+    assert abs(r01["exact_jaccard"] - 1 / 3) < 1e-12
+    assert abs(r01["kmv_jaccard"] - 1 / 3) < 0.25  # >4σ at k=64
+    r23 = got[2]
+    assert r23["exact_intersection"] == 0
+    assert r23["kmv_jaccard"] == 0.0 and r23["kmv_intersection"] == 0.0
+    r45 = got[4]
+    assert (r45["exact_union"], r45["exact_intersection"]) == (30, 10)
+    assert r45["kmv_union"] == 30.0
+    assert r45["kmv_jaccard"] == r45["exact_jaccard"]
+    assert r45["kmv_intersection"] == 10.0

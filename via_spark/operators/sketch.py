@@ -10,7 +10,9 @@ engine-internal (their estimates can't be replayed in another engine),
 so stats.py bounds them with tests. The two operators here instead pin
 a fully deterministic sketch construction — sha256-derived hashes,
 integer arithmetic, identical in DuckDB SQL — so the *measured error
-itself* is an oracle-checked driver query:
+itself* is an oracle-checked driver query (kmv_retention_overlap
+extends the same construction to theta-sketch-style set algebra —
+union/intersection/Jaccard of per-day audience sketches):
 
 * ``kmv_distinct_report`` — K-Minimum-Values cardinality estimator
   (Bar-Yossef et al., RANDOM 2002): per group keep the k smallest
@@ -202,5 +204,109 @@ def bloom_semi_join_fpr(
                 F.col("n_false_positive").cast("double")
                 / (F.col("n_customers") - F.col("n_members")).cast("double")
             ).alias("fpr"),
+        )
+    )
+
+
+def kmv_retention_overlap(
+    spark: SparkSession, sf_dir: str, k: int = KMV_K
+) -> DataFrame:
+    """Day-over-day audience overlap estimated from KMV sketches beside
+    the exact numbers (oracle ✔) — theta-sketch-style set algebra on
+    consecutive-day active-user sets: for each (day, day+1) pair, the
+    union's k smallest hashes form the union sample; members present in
+    BOTH days' k-min sets estimate the Jaccard; union cardinality comes
+    from the union sample's kth min. Exact union/intersection/Jaccard
+    ride along so the estimation error is a queryable fact.
+
+    This is the at-scale form of next-day retention: the exact answer
+    needs the full distinct user sets per day pair; the sketch answer
+    needs k hashes per day and merges losslessly (the merge-exactness
+    test pins that), so a year of daily sketches answers any pair.
+
+    Determinism: the same 48-bit sha256-prefix hash as
+    ``kmv_distinct_report``; every cut is a rank filter under a
+    per-pair window ordered by (hash asc).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts div 1000000000 div 86400").alias("day"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    hashed = ev.select("day", _hash48(F.col("uid")).alias("uh")).distinct()
+
+    days = hashed.select("day").distinct()
+    pairs = days.select(F.col("day").alias("day_a")).join(
+        F.broadcast(days.select(F.col("day").alias("day_b"))),
+        F.col("day_b") == F.col("day_a") + 1,
+    )
+
+    wk = Window.partitionBy("day").orderBy(F.col("uh").asc())
+    kmin = (
+        hashed.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= k)
+        .select("day", "uh")
+    )
+
+    def _pair_union(side: DataFrame) -> DataFrame:
+        """(day_a, day_b, uh, in_a, in_b) over the pair's hash union."""
+        a = side.join(
+            F.broadcast(pairs), side.day == F.col("day_a")
+        ).select("day_a", "day_b", "uh", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        b = side.join(
+            F.broadcast(pairs), side.day == F.col("day_b")
+        ).select("day_a", "day_b", "uh", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        return (
+            a.unionByName(b)
+            .groupBy("day_a", "day_b", "uh")
+            .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        )
+
+    exact = _pair_union(hashed).groupBy("day_a", "day_b").agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("exact_intersection"),
+    )
+
+    wp = Window.partitionBy("day_a", "day_b").orderBy(F.col("uh").asc())
+    sk_union = _pair_union(kmin)
+    cut = sk_union.withColumn("_rn", F.row_number().over(wp)).where(F.col("_rn") <= k)
+    sk = (
+        cut.groupBy("day_a", "day_b")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.max("uh").alias("theta"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("matches"),
+        )
+        .join(
+            sk_union.groupBy("day_a", "day_b").agg(
+                F.count(F.lit(1)).alias("n_union_hashes")
+            ),
+            ["day_a", "day_b"],
+        )
+    )
+    est_union = F.when(
+        F.col("n_union_hashes") < k, F.col("n_union_hashes").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * 2**HASH_BITS)) / F.col("theta").cast("double")
+    )
+    return (
+        exact.join(sk, ["day_a", "day_b"])
+        .withColumn("kmv_union", est_union)
+        .withColumn(
+            "kmv_jaccard",
+            F.col("matches").cast("double") / F.col("m").cast("double"),
+        )
+        .select(
+            "day_a",
+            "day_b",
+            F.lit(int(k)).alias("k"),
+            "exact_union",
+            "exact_intersection",
+            (
+                F.col("exact_intersection").cast("double")
+                / F.col("exact_union").cast("double")
+            ).alias("exact_jaccard"),
+            "kmv_union",
+            "kmv_jaccard",
+            (F.col("kmv_jaccard") * F.col("kmv_union")).alias("kmv_intersection"),
         )
     )

@@ -4461,3 +4461,93 @@ SELECT 'lexicographic' AS layout,
        (qd << 1) + (qu >> {bits - 1}) AS file_id,{stats}
 FROM zq GROUP BY file_id
 """
+
+
+def kmv_retention_overlap_sql(k: int = 64) -> str:
+    """Theta-sketch-style day-over-day audience overlap vs exact —
+    mirrors sketch.kmv_retention_overlap (union sample = k smallest of
+    the two k-min sets; Jaccard from both-sides members within it)."""
+    num = float((k - 1) * 2**48)
+    return f"""
+WITH ev AS (
+    SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+           CAST(user_id AS VARCHAR) AS uid
+    FROM events
+),
+h AS (
+    SELECT DISTINCT day,
+           ('0x' || substr(sha256(uid), 1, 12))::BIGINT AS uh
+    FROM ev
+),
+days AS (SELECT DISTINCT day FROM h),
+pairs AS (
+    SELECT a.day AS day_a, b.day AS day_b
+    FROM days a JOIN days b ON b.day = a.day + 1
+),
+kmin AS (
+    SELECT day, uh FROM (
+        SELECT day, uh,
+               row_number() OVER (PARTITION BY day ORDER BY uh ASC) AS _rn
+        FROM h
+    ) WHERE _rn <= {k}
+),
+pu_exact AS (
+    SELECT day_a, day_b, uh, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT p.day_a, p.day_b, s.uh, 1 AS in_a, 0 AS in_b
+        FROM h s JOIN pairs p ON s.day = p.day_a
+        UNION ALL
+        SELECT p.day_a, p.day_b, s.uh, 0 AS in_a, 1 AS in_b
+        FROM h s JOIN pairs p ON s.day = p.day_b
+    ) GROUP BY day_a, day_b, uh
+),
+exact AS (
+    SELECT day_a, day_b,
+           CAST(count(*) AS BIGINT) AS exact_union,
+           CAST(sum(in_a * in_b) AS BIGINT) AS exact_intersection
+    FROM pu_exact GROUP BY day_a, day_b
+),
+pu_sk AS (
+    SELECT day_a, day_b, uh, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT p.day_a, p.day_b, s.uh, 1 AS in_a, 0 AS in_b
+        FROM kmin s JOIN pairs p ON s.day = p.day_a
+        UNION ALL
+        SELECT p.day_a, p.day_b, s.uh, 0 AS in_a, 1 AS in_b
+        FROM kmin s JOIN pairs p ON s.day = p.day_b
+    ) GROUP BY day_a, day_b, uh
+),
+cut AS (
+    SELECT * FROM (
+        SELECT day_a, day_b, uh, in_a, in_b,
+               row_number() OVER (
+                   PARTITION BY day_a, day_b ORDER BY uh ASC) AS _rn
+        FROM pu_sk
+    ) WHERE _rn <= {k}
+),
+sk AS (
+    SELECT c.day_a, c.day_b,
+           CAST(count(*) AS BIGINT) AS m,
+           max(c.uh) AS theta,
+           CAST(sum(c.in_a * c.in_b) AS BIGINT) AS matches
+    FROM cut c GROUP BY c.day_a, c.day_b
+),
+nu AS (
+    SELECT day_a, day_b, count(*) AS n_union_hashes
+    FROM pu_sk GROUP BY day_a, day_b
+),
+est AS (
+    SELECT e.day_a, e.day_b, e.exact_union, e.exact_intersection,
+           s.m, s.matches,
+           CASE WHEN n.n_union_hashes < {k} THEN CAST(n.n_union_hashes AS DOUBLE)
+                ELSE {num!r} / CAST(s.theta AS DOUBLE) END AS kmv_union,
+           CAST(s.matches AS DOUBLE) / CAST(s.m AS DOUBLE) AS kmv_jaccard
+    FROM exact e
+    JOIN sk s ON e.day_a = s.day_a AND e.day_b = s.day_b
+    JOIN nu n ON e.day_a = n.day_a AND e.day_b = n.day_b
+)
+SELECT day_a, day_b, {k} AS k, exact_union, exact_intersection,
+       CAST(exact_intersection AS DOUBLE) / CAST(exact_union AS DOUBLE)
+         AS exact_jaccard,
+       kmv_union, kmv_jaccard,
+       kmv_jaccard * kmv_union AS kmv_intersection
+FROM est
+"""
