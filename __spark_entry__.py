@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_clusters": graph.embedding_neardup_clusters,
         "greedy_pack_stats": rank.greedy_pack_stats,
         "half_life_decay_counts": timeseries.half_life_decay_counts,
+        "hash_sample_quantile_report": sketch.hash_sample_quantile_report,
         "hour_of_week_profile": timeseries.hour_of_week_profile,
         "ingest_reject_reasons": schema_infer.ingest_reject_reasons,
         "kmv_distinct_report": sketch.kmv_distinct_report,
@@ -192,11 +193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_counts": timeseries.cube_order_counts,
         "customer_order_distribution": relational.customer_order_distribution,
         "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
-        "embedding_centroids_by_label": vector.embedding_centroids_by_label,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "embedding_centroids_by_label": vector.embedding_centroids_by_label,
         "embedding_norm_stats": vector.embedding_norm_stats,
         "event_type_severity_pivot": relational.event_type_severity_pivot,
         "event_type_transition_matrix": timeseries.event_type_transition_matrix,
@@ -505,4 +506,5 @@ def oracle_sql() -> dict[str, str]:
         "user_state_intervals": oracles.user_state_intervals_sql(),
         "zorder_layout_report": oracles.zorder_layout_report_sql(),
         "kmv_retention_overlap": oracles.kmv_retention_overlap_sql(),
+        "hash_sample_quantile_report": oracles.hash_sample_quantile_report_sql(),
     }

@@ -646,3 +646,15 @@ def test_kmv_retention_plan_shape(spark, sf_oracle):
     assert "WindowGroupLimit" in p
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
     assert schemas and all("props" not in s and "value" not in s for s in schemas)
+
+
+def test_hash_sample_quantile_plan_shape(spark, sf_oracle):
+    """Both quantile sides must ride histograms, never row-stream
+    windows: the sample cut is a WindowGroupLimit, every cumulative
+    window runs over the per-(type, value) histogram aggregates, and
+    no join is wider than a broadcast."""
+    p = _plan(spark, sf_oracle, "hash_sample_quantile_report")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "WindowGroupLimit" in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all("props" not in s and "user_id" not in s for s in schemas)

@@ -233,3 +233,25 @@ def test_kmv_retention_overlap_planted(spark, tmp_path):
     assert r45["kmv_union"] == 30.0
     assert r45["kmv_jaccard"] == r45["exact_jaccard"]
     assert r45["kmv_intersection"] == 10.0
+
+
+def test_hash_sample_quantiles_planted(spark, tmp_path):
+    """Rank-quantile + sampling behavior pinned: a 1..1000 uniform type
+    has exact p50=500/p95=950 by the discrete rank definition; the
+    256-row hash sample lands within a >4σ rank band. A type with
+    fewer rows than m samples ITSELF — zero error, exactly."""
+    from via_spark.operators.sketch import hash_sample_quantile_report
+
+    rows = [(i, i, 1, "big", float(i + 1), "{}") for i in range(1000)]
+    rows += [(5000 + i, i, 2, "small", float(i + 1), "{}") for i in range(100)]
+    d = tmp_path / "sf"
+    _write_events(spark, d, rows)
+    got = {r["event_type"]: r for r in hash_sample_quantile_report(spark, str(d)).collect()}
+    big = got["big"]
+    assert (big["n_rows"], big["sample_m"]) == (1000, 256)
+    assert big["p50_exact"] == 500.0 and big["p95_exact"] == 950.0
+    assert abs(big["p50_sample"] - 500.0) < 150  # σ≈31 values at m=256
+    assert abs(big["p95_sample"] - 950.0) < 100
+    small = got["small"]
+    assert (small["n_rows"], small["sample_m"]) == (100, 100)
+    assert small["p50_abs_err"] == 0.0 and small["p95_abs_err"] == 0.0

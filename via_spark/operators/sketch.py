@@ -310,3 +310,97 @@ def kmv_retention_overlap(
             (F.col("kmv_jaccard") * F.col("kmv_union")).alias("kmv_intersection"),
         )
     )
+
+
+#: Bottom-k-by-hash sample size for the quantile report.
+QSAMPLE_M = 256
+
+
+def _rank_quantile(
+    df: DataFrame, group: str, p_num: int, p_den: int = 100
+) -> DataFrame:
+    """Rank-based discrete quantile per group over a ``vfix`` column:
+    min v with p_den·|{x ≤ v}| ≥ p_num·n — the same all-integer
+    definition as stats.p95_rank_threshold (local copy so the sketch
+    module never grafts itself onto the stats rotation closure); the
+    cumulative window runs over the per-(group, value) histogram,
+    never the row stream."""
+    hist = df.groupBy(group, "vfix").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy(group)
+        .orderBy("vfix")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(group)
+    c = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    return (
+        c.where(F.lit(p_den) * F.col("cum") >= F.lit(p_num) * F.col("n"))
+        .groupBy(group)
+        .agg(F.min("vfix").alias(f"q{p_num}_fix"), F.max("n").alias("n"))
+    )
+
+
+def hash_sample_quantile_report(
+    spark: SparkSession, sf_dir: str, m: int = QSAMPLE_M
+) -> DataFrame:
+    """Per-event-type p50/p95 of ``value`` from a bottom-``m``-by-hash
+    uniform row sample, beside the exact quantiles and the measured
+    absolute error (oracle ✔).
+
+    The sample is the ``m`` rows with the smallest 48-bit hash of
+    their event_id — a deterministic uniform sample that, like the KMV
+    set, is a mergeable bounded state: per-partition bottom-m sets
+    union and re-cut losslessly, so at 100 TB the sample costs one
+    group-limit pass while the exact side needs the full per-group
+    histogram. Both sides use the rank-based discrete quantile (pure
+    integer arithmetic — no interpolated double can diverge between
+    engines), so the report's error columns measure SAMPLING error
+    only, which is the number that tells you whether m is big enough
+    for your tail.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vfix"),
+    )
+    ws = Window.partitionBy("event_type").orderBy(
+        _hash48(F.col("event_id").cast("string")).asc(), F.col("event_id").asc()
+    )
+    sample = (
+        ev.withColumn("_rn", F.row_number().over(ws))
+        .where(F.col("_rn") <= m)
+        .select("event_type", "vfix")
+    )
+    parts = [
+        _rank_quantile(ev, "event_type", 50).withColumnRenamed("n", "n_rows"),
+        _rank_quantile(ev, "event_type", 95).drop("n"),
+        (
+            _rank_quantile(sample, "event_type", 50)
+            .withColumnRenamed("q50_fix", "s50_fix")
+            .withColumnRenamed("n", "sample_m")
+        ),
+        _rank_quantile(sample, "event_type", 95).withColumnRenamed(
+            "q95_fix", "s95_fix"
+        ).drop("n"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, "event_type")
+    fix = 1_000_000.0
+    return out.select(
+        "event_type",
+        "n_rows",
+        "sample_m",
+        (F.col("q50_fix").cast("double") / fix).alias("p50_exact"),
+        (F.col("s50_fix").cast("double") / fix).alias("p50_sample"),
+        (
+            F.abs(F.col("s50_fix") - F.col("q50_fix")).cast("double") / fix
+        ).alias("p50_abs_err"),
+        (F.col("q95_fix").cast("double") / fix).alias("p95_exact"),
+        (F.col("s95_fix").cast("double") / fix).alias("p95_sample"),
+        (
+            F.abs(F.col("s95_fix") - F.col("q95_fix")).cast("double") / fix
+        ).alias("p95_abs_err"),
+    )

@@ -4551,3 +4551,56 @@ SELECT day_a, day_b, {k} AS k, exact_union, exact_intersection,
        kmv_jaccard * kmv_union AS kmv_intersection
 FROM est
 """
+
+
+def hash_sample_quantile_report_sql(m: int = 256) -> str:
+    """Bottom-m-by-hash sample quantiles vs exact — mirrors
+    sketch.hash_sample_quantile_report (rank-based discrete quantiles
+    over fixed-point values on BOTH sides; sampling error only)."""
+
+    def rq(src: str, p: int, qcol: str) -> str:
+        return f"""(
+    SELECT event_type, min(vfix) AS {qcol}, max(n) AS n FROM (
+        SELECT event_type, vfix,
+               sum(c) OVER (PARTITION BY event_type ORDER BY vfix
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM (SELECT event_type, vfix, count(*) AS c FROM {src}
+              GROUP BY event_type, vfix)
+    ) WHERE 100 * cum >= {p} * n GROUP BY event_type
+)"""
+
+    return f"""
+WITH ev AS (
+    SELECT event_type, event_id,
+           CAST(floor(value * 1000000) AS BIGINT) AS vfix
+    FROM events
+),
+smp AS (
+    SELECT event_type, vfix FROM (
+        SELECT event_type, vfix,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY ('0x' || substr(sha256(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT ASC,
+                            event_id ASC) AS _rn
+        FROM ev
+    ) WHERE _rn <= {m}
+),
+f50 AS {rq("ev", 50, "q50_fix")},
+f95 AS {rq("ev", 95, "q95_fix")},
+s50 AS {rq("smp", 50, "s50_fix")},
+s95 AS {rq("smp", 95, "s95_fix")}
+SELECT f50.event_type,
+       CAST(f50.n AS BIGINT) AS n_rows,
+       CAST(s50.n AS BIGINT) AS sample_m,
+       CAST(f50.q50_fix AS DOUBLE) / 1000000.0 AS p50_exact,
+       CAST(s50.s50_fix AS DOUBLE) / 1000000.0 AS p50_sample,
+       CAST(abs(s50.s50_fix - f50.q50_fix) AS DOUBLE) / 1000000.0 AS p50_abs_err,
+       CAST(f95.q95_fix AS DOUBLE) / 1000000.0 AS p95_exact,
+       CAST(s95.s95_fix AS DOUBLE) / 1000000.0 AS p95_sample,
+       CAST(abs(s95.s95_fix - f95.q95_fix) AS DOUBLE) / 1000000.0 AS p95_abs_err
+FROM f50
+JOIN f95 USING (event_type)
+JOIN s50 USING (event_type)
+JOIN s95 USING (event_type)
+"""
