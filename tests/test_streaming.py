@@ -555,3 +555,65 @@ def test_streaming_decay_partials_match_batch(spark, sf_smoke, tmp_path):
         )
     }
     assert got == expect and len(got) > 0
+
+
+def test_streaming_kmv_store_matches_batch_sketch(spark, sf_smoke, tmp_path):
+    """The streaming KMV store folded over micro-batches must produce
+    BIT-IDENTICAL per-day estimates to the single-pass batch sketch
+    over the same records — the merge property executed live, not just
+    proven algebraically. Re-merging the last batch (replay) must not
+    change a bit either."""
+    from via_spark.operators.sketch import _hash48
+
+    src = str(tmp_path / "otel_jsonl")
+    store = str(tmp_path / "kmv_store")
+    pipeline.write_otel_fixture_jsonl(spark, sf_smoke, src, n_files=4)
+    stream = pipeline.read_otel_stream(spark, src).select(
+        F.expr("CAST(ts div 86400 AS LONG)").alias("day"),
+        _hash48(F.col("rhythm_hash")).alias("uh"),
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _id: pipeline.merge_kmv_partials(spark, b, store)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["day"]: r["kmv_estimate"]
+        for r in pipeline.kmv_estimates_from_store(spark, store).collect()
+    }
+
+    batch = _batch_equivalent(spark, sf_smoke).select(
+        F.expr("CAST(ts div 86400 AS LONG)").alias("day"),
+        _hash48(F.col("rhythm_hash")).alias("uh"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("day").orderBy(F.col("uh").asc())
+    expect = {
+        r["day"]: (
+            float(r["n_head"])
+            if r["n_head"] < 64
+            else float((64 - 1) * 2**48) / float(r["kth_min"])
+        )
+        for r in batch.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 64)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_head"), F.max("uh").alias("kth_min"))
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+
+    # replay: merging the final batch again must be a no-op
+    last_batch = batch  # superset replay is the worst case
+    pipeline.merge_kmv_partials(spark, last_batch, store)
+    again = {
+        r["day"]: r["kmv_estimate"]
+        for r in pipeline.kmv_estimates_from_store(spark, store).collect()
+    }
+    assert again == got

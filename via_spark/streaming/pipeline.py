@@ -567,3 +567,62 @@ def half_life_decay_from_daily(daily: DataFrame) -> DataFrame:
             F.sum(F.col("n") * F.col("w_fix")).alias("decayed_count_fix"),
         )
     )
+
+
+def merge_kmv_partials(
+    spark: SparkSession, batch_df: DataFrame, store_path: str, k: int = 64
+) -> None:
+    """foreachBatch body for streaming distinct-count sketches: fold a
+    micro-batch's per-(day, uh) hash partials into a parquet KMV store
+    that keeps only the k smallest hashes per day.
+
+    Losslessness is the KMV merge property pinned by
+    tests/test_sketch.py::test_kmv_partial_states_merge_losslessly:
+    union-then-recut of bottom-k sets equals the bottom-k of the
+    union, so the store's estimate after any micro-batch split is
+    bit-identical to the single-pass batch sketch — the streaming
+    counterpart of ``operators.sketch.kmv_distinct_report``, with
+    state O(k · days) instead of O(distinct · days).
+
+    The overwrite is idempotent under replay (merging a batch twice is
+    a set union with itself), the same exactly-once posture as the
+    near-dup gate's signature store.
+    """
+    from pyspark.sql import Window
+
+    incoming = batch_df.select("day", "uh").distinct()
+    try:
+        existing = spark.read.parquet(store_path).select("day", "uh")
+        merged = existing.unionByName(incoming).distinct()
+    except Exception:  # first batch: store not yet created
+        merged = incoming
+    w = Window.partitionBy("day").orderBy(F.col("uh").asc())
+    cut = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("day", "uh")
+    )
+    # the cut is ≤ k·days rows — collect-and-rewrite stays tiny and
+    # avoids read/overwrite races on the same parquet path
+    rows = cut.collect()
+    spark.createDataFrame(rows, "day long, uh long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(store_path)
+
+
+def kmv_estimates_from_store(spark: SparkSession, store_path: str, k: int = 64) -> DataFrame:
+    """Read-time estimator over the streaming KMV store: per day,
+    (k-1)·2^48/kth_min once k hashes accumulated, exact count below —
+    the same formula as ``sketch.kmv_distinct_report``."""
+    store = spark.read.parquet(store_path)
+    agg = store.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_head"), F.max("uh").alias("kth_min")
+    )
+    return agg.select(
+        "day",
+        F.when(F.col("n_head") < k, F.col("n_head").cast("double"))
+        .otherwise(
+            F.lit(float((k - 1) * 2**48)) / F.col("kth_min").cast("double")
+        )
+        .alias("kmv_estimate"),
+    )
