@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncation_loss_by_source": rank.truncation_loss_by_source,
         "user_activity_entropy": timeseries.user_activity_entropy,
         "user_state_intervals": windows.user_state_intervals,
+        "value_drift_tvd": stats.value_drift_tvd,
         "weighted_doc_sample": curation.weighted_doc_sample,
         "weighted_sample_per_source": curation.weighted_sample_per_source,
         "zorder_layout_report": rank.zorder_layout_report,
@@ -192,11 +193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier1_view": _tier1_view,
         "cube_order_counts": timeseries.cube_order_counts,
         "customer_order_distribution": relational.customer_order_distribution,
-        "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
         "embedding_centroids_by_label": vector.embedding_centroids_by_label,
         "embedding_norm_stats": vector.embedding_norm_stats,
         "event_type_severity_pivot": relational.event_type_severity_pivot,
@@ -507,4 +508,5 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout_report": oracles.zorder_layout_report_sql(),
         "kmv_retention_overlap": oracles.kmv_retention_overlap_sql(),
         "hash_sample_quantile_report": oracles.hash_sample_quantile_report_sql(),
+        "value_drift_tvd": oracles.value_drift_tvd_sql(),
     }

@@ -658,3 +658,15 @@ def test_hash_sample_quantile_plan_shape(spark, sf_oracle):
     assert "WindowGroupLimit" in p
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
     assert schemas and all("props" not in s and "user_id" not in s for s in schemas)
+
+
+def test_value_drift_plan_shape(spark, sf_oracle):
+    """Drift must aggregate BEFORE aligning: event rows hit exactly one
+    (type, day, bin) histogram agg; day alignment and the TVD terms
+    join bin rows only — pruned 3-column scans, broadcast anchor, no
+    cartesian, no window anywhere."""
+    p = _plan(spark, sf_oracle, "value_drift_tvd")
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all("props" not in s and "user_id" not in s for s in schemas)

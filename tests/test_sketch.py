@@ -255,3 +255,28 @@ def test_hash_sample_quantiles_planted(spark, tmp_path):
     small = got["small"]
     assert (small["n_rows"], small["sample_m"]) == (100, 100)
     assert small["p50_abs_err"] == 0.0 and small["p95_abs_err"] == 0.0
+
+
+def test_value_drift_tvd_planted(spark, tmp_path):
+    """TVD pinned at its exact landmarks on a 4-day chain: identical
+    distributions → 0, fully disjoint bins → 1, half-shifted → 0.5 —
+    all exact because the numerator is a cross-multiplied integer sum
+    (no float accumulation)."""
+    from via_spark.operators.stats import value_drift_tvd
+
+    def day_rows(day, vals, base):
+        return [
+            (base + i, day * NS_DAY + i, i, "a", float(v), "{}")
+            for i, v in enumerate(vals)
+        ]
+
+    rows = (
+        day_rows(0, [0.0] * 100, 0)
+        + day_rows(1, [0.0] * 100, 1000)
+        + day_rows(2, [1000.0] * 100, 2000)
+        + day_rows(3, [0.0] * 50 + [1000.0] * 50, 3000)
+    )
+    d = tmp_path / "sf"
+    _write_events(spark, d, rows)
+    got = {r["day"]: r["tvd"] for r in value_drift_tvd(spark, str(d)).collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 0.5}

@@ -379,3 +379,101 @@ def daily_priority_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+#: value-drift histogram bins (fixed count; edges from the per-type
+#: min/max anchor so the binning is deterministic and data-derived).
+DRIFT_BINS = 16
+
+
+def value_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day value-distribution drift per event type as TOTAL
+    VARIATION DISTANCE over a fixed 16-bin histogram (oracle ✔) — the
+    drift monitor a feature pipeline runs before trusting today's data
+    against yesterday's model.
+
+    TVD = ½·Σ_b |p_b − q_b| is computed in exact cross-multiplied
+    integer form: Σ_b |c_b(d)·N(d−1) − c_b(d−1)·N(d)| is a BIGINT sum
+    (order-independent — no float accumulation can diverge between
+    engines or executors), divided ONCE by 2·N(d)·N(d−1) at the end.
+    PSI's log-ratio would hinge on ln() ulp agreement across engines;
+    TVD is rational arithmetic end to end, same determinism doctrine
+    as the fixed-point dots.
+
+    Bins: ((vfix − min)·16) div (max − min + 1) against the per-type
+    min/max anchor (in-plan broadcast, never collected) — identical
+    integer quantization to the z-order day axis.
+
+    Scale posture: histogram counts are one (type, day, bin) hash agg;
+    consecutive days align by the same union-merge shape as
+    ``kmv_retention_overlap`` (bin rows shuffle, never event rows);
+    output is ≤ types·days rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 1000000000 div 86400").alias("day"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vfix"),
+    )
+    anchor = ev.groupBy("event_type").agg(
+        F.min("vfix").alias("vmin"), F.max("vfix").alias("vmax")
+    )
+    binned = (
+        ev.join(F.broadcast(anchor), "event_type")
+        .withColumn(
+            "bin",
+            F.expr(f"((vfix - vmin) * {DRIFT_BINS}) div (vmax - vmin + 1)").cast(
+                "int"
+            ),
+        )
+        .groupBy("event_type", "day", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = binned.groupBy("event_type", "day").agg(F.sum("c").alias("n"))
+    pairs = totals.alias("t").join(
+        totals.select(
+            "event_type",
+            (F.col("day") + 1).alias("day"),
+            F.col("n").alias("n_prev"),
+        ),
+        ["event_type", "day"],
+    ).select("event_type", "day", F.col("n").alias("n_curr"), "n_prev")
+
+    curr = binned.select(
+        "event_type", "day", "bin", F.col("c").alias("c_curr"), F.lit(0).alias("c_prev")
+    )
+    prev = binned.select(
+        "event_type",
+        (F.col("day") + 1).alias("day"),
+        "bin",
+        F.lit(0).alias("c_curr"),
+        F.col("c").alias("c_prev"),
+    )
+    both = (
+        curr.unionByName(prev)
+        .groupBy("event_type", "day", "bin")
+        .agg(F.sum("c_curr").alias("c_curr"), F.sum("c_prev").alias("c_prev"))
+    )
+    terms = both.join(pairs, ["event_type", "day"]).withColumn(
+        "term",
+        F.abs(
+            F.col("c_curr") * F.col("n_prev") - F.col("c_prev") * F.col("n_curr")
+        ),
+    )
+    return (
+        terms.groupBy("event_type", "day", "n_curr", "n_prev")
+        .agg(F.sum("term").alias("num"))
+        .select(
+            "event_type",
+            "day",
+            F.col("n_curr").cast("long").alias("n_curr"),
+            F.col("n_prev").cast("long").alias("n_prev"),
+            (
+                F.col("num").cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n_curr").cast("double")
+                    * F.col("n_prev").cast("double")
+                )
+            ).alias("tvd"),
+        )
+    )

@@ -4604,3 +4604,56 @@ JOIN f95 USING (event_type)
 JOIN s50 USING (event_type)
 JOIN s95 USING (event_type)
 """
+
+
+def value_drift_tvd_sql(bins: int = 16) -> str:
+    """Day-over-day TVD drift — mirrors stats.value_drift_tvd (exact
+    cross-multiplied integer numerator, one final division)."""
+    return f"""
+WITH ev AS (
+    SELECT event_type,
+           epoch_us(ts) // 1000000 // 86400 AS day,
+           CAST(floor(value * 1000000) AS BIGINT) AS vfix
+    FROM events
+),
+anchor AS (
+    SELECT event_type, min(vfix) AS vmin, max(vfix) AS vmax
+    FROM ev GROUP BY event_type
+),
+binned AS (
+    SELECT e.event_type, e.day,
+           ((e.vfix - a.vmin) * {bins}) // (a.vmax - a.vmin + 1) AS bin,
+           count(*) AS c
+    FROM ev e JOIN anchor a USING (event_type)
+    GROUP BY e.event_type, e.day, bin
+),
+totals AS (
+    SELECT event_type, day, sum(c) AS n FROM binned GROUP BY event_type, day
+),
+pairs AS (
+    SELECT t.event_type, t.day, t.n AS n_curr, p.n AS n_prev
+    FROM totals t JOIN totals p
+      ON t.event_type = p.event_type AND p.day = t.day - 1
+),
+aligned AS (
+    SELECT event_type, day, bin,
+           sum(c_curr) AS c_curr, sum(c_prev) AS c_prev FROM (
+        SELECT event_type, day, bin, c AS c_curr, 0 AS c_prev FROM binned
+        UNION ALL
+        SELECT event_type, day + 1 AS day, bin, 0 AS c_curr, c AS c_prev
+        FROM binned
+    ) GROUP BY event_type, day, bin
+),
+terms AS (
+    SELECT b.event_type, b.day, p.n_curr, p.n_prev,
+           abs(b.c_curr * p.n_prev - b.c_prev * p.n_curr) AS term
+    FROM aligned b JOIN pairs p ON b.event_type = p.event_type AND b.day = p.day
+)
+SELECT event_type, day,
+       CAST(n_curr AS BIGINT) AS n_curr,
+       CAST(n_prev AS BIGINT) AS n_prev,
+       CAST(sum(term) AS DOUBLE)
+         / (2.0 * CAST(n_curr AS DOUBLE) * CAST(n_prev AS DOUBLE)) AS tvd
+FROM terms
+GROUP BY event_type, day, n_curr, n_prev
+"""
