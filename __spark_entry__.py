@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then stalest-green fill; enforced by tests/test_properties.py ---
         "ann_recall_report": dedup.ann_recall_report,
         "bloom_semi_join_fpr": sketch.bloom_semi_join_fpr,
+        "bloom_sizing_curve": sketch.bloom_sizing_curve,
         "boilerplate_span_audit": curation.boilerplate_span_audit,
         "char_entropy_bits": textstats.char_entropy_bits,
         "customer_rfm_segments": relational.customer_rfm_segments,
@@ -192,11 +193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rhythm_recent_counts": _rhythm_recent_counts,
         "tier1_view": _tier1_view,
         "cube_order_counts": timeseries.cube_order_counts,
-        "customer_order_distribution": relational.customer_order_distribution,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "customer_order_distribution": relational.customer_order_distribution,
         "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
         "embedding_centroids_by_label": vector.embedding_centroids_by_label,
         "embedding_norm_stats": vector.embedding_norm_stats,
@@ -509,4 +510,5 @@ def oracle_sql() -> dict[str, str]:
         "kmv_retention_overlap": oracles.kmv_retention_overlap_sql(),
         "hash_sample_quantile_report": oracles.hash_sample_quantile_report_sql(),
         "value_drift_tvd": oracles.value_drift_tvd_sql(),
+        "bloom_sizing_curve": oracles.bloom_sizing_curve_sql(),
     }

@@ -670,3 +670,15 @@ def test_value_drift_plan_shape(spark, sf_oracle):
     assert "Window" not in p
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
     assert schemas and all("props" not in s and "user_id" not in s for s in schemas)
+
+
+def test_bloom_sizing_curve_plan_shape(spark, sf_oracle):
+    """The sweep must stay one hash pass: the build-side priority cut
+    pushed to the orders scan, the per-m bit-sets broadcast, and no
+    join wider than a broadcast — adding a size adds a modulo, never a
+    scan or a shuffle join."""
+    p = _plan(spark, sf_oracle, "bloom_sizing_curve")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(o_orderpriority,1-URGENT", p)

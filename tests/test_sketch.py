@@ -280,3 +280,22 @@ def test_value_drift_tvd_planted(spark, tmp_path):
     _write_events(spark, d, rows)
     got = {r["day"]: r["tvd"] for r in value_drift_tvd(spark, str(d)).collect()}
     assert got == {1: 0.0, 2: 1.0, 3: 0.5}
+
+
+def test_bloom_sizing_curve_monotone(spark, sf_smoke):
+    """The sizing law on the real fixture: growing m must not increase
+    fill or FPR (same keys, same hashes, only the modulus changes),
+    members are never missed at any size, and the bookkeeping ties out
+    (fp = positives − members; fill = set bits / m ≤ keys·k/m)."""
+    from via_spark.operators.sketch import bloom_sizing_curve
+
+    rows = sorted(bloom_sizing_curve(spark, sf_smoke).collect(), key=lambda r: r["m"])
+    assert len(rows) == 3
+    assert len({r["n_keys"] for r in rows}) == 1  # same build set at every m
+    for r in rows:
+        assert r["n_bloom_positive"] >= r["n_members"]  # no false negatives
+        assert r["n_false_positive"] == r["n_bloom_positive"] - r["n_members"]
+        assert 0.0 < r["fill_fraction"] <= min(1.0, r["n_keys"] * 3 / r["m"])
+    for small, big in zip(rows, rows[1:]):
+        assert big["fill_fraction"] < small["fill_fraction"]
+        assert big["fpr"] <= small["fpr"]

@@ -404,3 +404,102 @@ def hash_sample_quantile_report(
             F.abs(F.col("s95_fix") - F.col("q95_fix")).cast("double") / fix
         ).alias("p95_abs_err"),
     )
+
+
+#: The sizing sweep: same build/probe population as
+#: bloom_semi_join_fpr, three filter sizes spanning under- to
+#: well-provisioned at fixture scale.
+BLOOM_SIZES = (4096, 16384, 65536)
+
+
+def bloom_sizing_curve(
+    spark: SparkSession, sf_dir: str, sizes: tuple = BLOOM_SIZES, k_hash: int = BLOOM_K
+) -> DataFrame:
+    """The Bloom m-sizing law, measured (oracle ✔): the SAME build set
+    (URGENT-order custkeys) and probe population (all customers) as
+    ``bloom_semi_join_fpr``, evaluated at three filter sizes in one
+    pass — one row per m with the achieved fill and false-positive
+    rate. The curve is what turns "size m to n" folklore into the
+    number an operator reads before provisioning a semi-join
+    pre-filter at 100 TB.
+
+    One pass: the k_hash 48-bit hashes per key are computed once;
+    each (key, hash) row explodes across the sizes with pos = h mod m,
+    so adding a size costs a modulo, not a scan.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == BLOOM_BUILD_PRIORITY)
+        .select("o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def hashes(key: Column) -> Column:
+        return F.array(
+            *[
+                _hash48(F.concat(F.lit(f"{i}:"), key.cast("string")))
+                for i in range(k_hash)
+            ]
+        )
+
+    m_arr = F.array(*[F.lit(int(m)) for m in sizes])
+    bits = (
+        orders.select(F.explode(hashes(F.col("o_custkey"))).alias("h"))
+        .select(F.explode(m_arr).alias("m"), "h")
+        .select("m", (F.col("h") % F.col("m")).alias("pos"))
+        .distinct()
+        .withColumn("set_bit", F.lit(1))
+    )
+    probes = (
+        cust.select("c_custkey", F.explode(hashes(F.col("c_custkey"))).alias("h"))
+        .select("c_custkey", F.explode(m_arr).alias("m"), "h")
+        .select("c_custkey", "m", (F.col("h") % F.col("m")).alias("pos"))
+    )
+    probed = (
+        probes.join(F.broadcast(bits), ["m", "pos"], "left")
+        .groupBy("c_custkey", "m")
+        .agg(F.min(F.coalesce("set_bit", F.lit(0))).alias("bloom_positive"))
+    )
+    members = orders.distinct().select(
+        F.col("o_custkey").alias("c_custkey"), F.lit(1).alias("is_member")
+    )
+    n_keys = orders.distinct().agg(F.count(F.lit(1)).alias("n_keys"))
+    scored = probed.join(members, "c_custkey", "left").select(
+        "m",
+        "bloom_positive",
+        F.coalesce("is_member", F.lit(0)).alias("is_member"),
+    )
+    fill = bits.groupBy("m").agg(F.count(F.lit(1)).alias("n_set_bits"))
+    return (
+        scored.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.sum("is_member").cast("long").alias("n_members"),
+            F.sum("bloom_positive").cast("long").alias("n_bloom_positive"),
+            F.sum(
+                F.when(
+                    (F.col("bloom_positive") == 1) & (F.col("is_member") == 0), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_false_positive"),
+        )
+        .join(F.broadcast(fill), "m")
+        .crossJoin(F.broadcast(n_keys))
+        .select(
+            "m",
+            F.lit(int(k_hash)).alias("k_hash"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            "n_probed",
+            "n_members",
+            "n_bloom_positive",
+            "n_false_positive",
+            (
+                F.col("n_set_bits").cast("double") / F.col("m").cast("double")
+            ).alias("fill_fraction"),
+            F.when(
+                F.col("n_probed") == F.col("n_members"), F.lit(0.0)
+            ).otherwise(
+                F.col("n_false_positive").cast("double")
+                / (F.col("n_probed") - F.col("n_members")).cast("double")
+            ).alias("fpr"),
+        )
+    )

@@ -4657,3 +4657,66 @@ SELECT event_type, day,
 FROM terms
 GROUP BY event_type, day, n_curr, n_prev
 """
+
+
+def bloom_sizing_curve_sql(
+    sizes: tuple = (4096, 16384, 65536), k_hash: int = 3
+) -> str:
+    """Bloom FPR/fill at three sizes from one hash pass — mirrors
+    sketch.bloom_sizing_curve."""
+    size_list = ", ".join(str(int(m)) for m in sizes)
+    return f"""
+WITH idx AS (SELECT unnest(range({k_hash})) AS i),
+ms AS (SELECT unnest([{size_list}]) AS m),
+urgent AS (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+build_h AS (
+    SELECT ('0x' || substr(sha256(CAST(i AS VARCHAR) || ':'
+            || CAST(o.o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+    FROM (SELECT o_custkey FROM orders
+          WHERE o_orderpriority = '1-URGENT') o, idx
+),
+bits AS (
+    SELECT DISTINCT ms.m, build_h.h % ms.m AS pos FROM build_h, ms
+),
+probe_h AS (
+    SELECT c.c_custkey,
+           ('0x' || substr(sha256(CAST(i AS VARCHAR) || ':'
+            || CAST(c.c_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+    FROM customer c, idx
+),
+probes AS (
+    SELECT p.c_custkey, ms.m, p.h % ms.m AS pos FROM probe_h p, ms
+),
+probed AS (
+    SELECT p.c_custkey, p.m,
+           min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS bloom_positive
+    FROM probes p LEFT JOIN bits b ON p.m = b.m AND p.pos = b.pos
+    GROUP BY p.c_custkey, p.m
+),
+scored AS (
+    SELECT p.m, p.bloom_positive,
+           CASE WHEN u.o_custkey IS NULL THEN 0 ELSE 1 END AS is_member
+    FROM probed p LEFT JOIN urgent u ON p.c_custkey = u.o_custkey
+),
+fill AS (SELECT m, count(*) AS n_set_bits FROM bits GROUP BY m),
+nk AS (SELECT count(*) AS n_keys FROM urgent),
+agg AS (
+    SELECT m,
+           CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(is_member) AS BIGINT) AS n_members,
+           CAST(sum(bloom_positive) AS BIGINT) AS n_bloom_positive,
+           CAST(sum(CASE WHEN bloom_positive = 1 AND is_member = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive
+    FROM scored GROUP BY m
+)
+SELECT a.m, {k_hash} AS k_hash,
+       CAST(nk.n_keys AS BIGINT) AS n_keys,
+       a.n_probed, a.n_members, a.n_bloom_positive, a.n_false_positive,
+       CAST(f.n_set_bits AS DOUBLE) / CAST(a.m AS DOUBLE) AS fill_fraction,
+       CASE WHEN a.n_probed = a.n_members THEN 0.0
+            ELSE CAST(a.n_false_positive AS DOUBLE)
+                   / CAST(a.n_probed - a.n_members AS DOUBLE) END AS fpr
+FROM agg a JOIN fill f ON a.m = f.m CROSS JOIN nk
+"""
