@@ -299,3 +299,55 @@ def test_bloom_sizing_curve_monotone(spark, sf_smoke):
     for small, big in zip(rows, rows[1:]):
         assert big["fill_fraction"] < small["fill_fraction"]
         assert big["fpr"] <= small["fpr"]
+
+
+def test_kmv_matches_python_model_property(spark, tmp_path):
+    """Hypothesis: for arbitrary user-id multisets, the engine's KMV
+    estimate per day equals a pure-Python replay of the estimator
+    (sha256-prefix hashes, bottom-k, (k-1)·2^48/kth) — run over one
+    Spark session with multiple generated days in one frame to keep
+    the property affordable."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from via_spark.operators.sketch import KMV_K, kmv_distinct_report
+
+    day_sets = st.lists(
+        st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=120),
+        min_size=1,
+        max_size=4,
+    )
+
+    def h48(u):
+        return int(hashlib.sha256(str(u).encode()).hexdigest()[:12], 16)
+
+    counter = {"n": 0}
+
+    @given(days=day_sets)
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def prop(days):
+        counter["n"] += 1
+        d = tmp_path / f"sf{counter['n']}"
+        rows = [
+            (di * 100_000 + i, di * NS_DAY + i, u, "a", 0.0, "{}")
+            for di, users in enumerate(days)
+            for i, u in enumerate(users)
+        ]
+        _write_events(spark, d, rows)
+        got = {r["day"]: r["kmv_estimate"] for r in kmv_distinct_report(spark, str(d)).collect()}
+        for di, users in enumerate(days):
+            hs = sorted({h48(u) for u in users})
+            expect = (
+                float(len(hs))
+                if len(hs) < KMV_K
+                else (KMV_K - 1) * float(2**48) / hs[KMV_K - 1]
+            )
+            assert got[di] == expect
+
+    prop()
