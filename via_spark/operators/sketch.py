@@ -10,9 +10,13 @@ engine-internal (their estimates can't be replayed in another engine),
 so stats.py bounds them with tests. The two operators here instead pin
 a fully deterministic sketch construction — sha256-derived hashes,
 integer arithmetic, identical in DuckDB SQL — so the *measured error
-itself* is an oracle-checked driver query (kmv_retention_overlap
-extends the same construction to theta-sketch-style set algebra —
-union/intersection/Jaccard of per-day audience sketches):
+itself* is an oracle-checked driver query. The family:
+``kmv_distinct_report`` (cardinality), ``kmv_retention_overlap``
+(theta-sketch set algebra over per-day audiences),
+``hash_sample_quantile_report`` (bottom-k-hash sampled quantiles,
+sampling error isolated), ``bloom_semi_join_fpr`` and
+``bloom_sizing_curve`` (membership pre-filter accuracy and its
+m-sizing law). The two anchors in detail:
 
 * ``kmv_distinct_report`` — K-Minimum-Values cardinality estimator
   (Bar-Yossef et al., RANDOM 2002): per group keep the k smallest
