@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_sizing_curve": sketch.bloom_sizing_curve,
         "boilerplate_span_audit": curation.boilerplate_span_audit,
         "char_entropy_bits": textstats.char_entropy_bits,
+        "cm_frequency_report": sketch.cm_frequency_report,
         "customer_rfm_segments": relational.customer_rfm_segments,
         "doc_length_p95_by_source": textstats.doc_length_p95_by_source,
         "embedding_neardup_clusters": graph.embedding_neardup_clusters,
@@ -192,11 +193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rhythm_baseline_stats": _rhythm_baseline_stats,
         "rhythm_recent_counts": _rhythm_recent_counts,
         "tier1_view": _tier1_view,
-        "cube_order_counts": timeseries.cube_order_counts,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "cube_order_counts": timeseries.cube_order_counts,
         "customer_order_distribution": relational.customer_order_distribution,
         "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
         "embedding_centroids_by_label": vector.embedding_centroids_by_label,
@@ -511,4 +512,5 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_quantile_report": oracles.hash_sample_quantile_report_sql(),
         "value_drift_tvd": oracles.value_drift_tvd_sql(),
         "bloom_sizing_curve": oracles.bloom_sizing_curve_sql(),
+        "cm_frequency_report": oracles.cm_frequency_report_sql(),
     }

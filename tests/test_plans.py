@@ -682,3 +682,17 @@ def test_bloom_sizing_curve_plan_shape(spark, sf_oracle):
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
     assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(o_orderpriority,1-URGENT", p)
+
+
+def test_cm_frequency_plan_shape(spark, sf_oracle):
+    """Count-Min must aggregate first: one exact-count hash agg feeds
+    both the ≤ d·w counter matrix (broadcast back) and the estimate
+    join — the event stream shuffles once, everything after is
+    distinct-key-sized; 1-column pruned scan, no cartesian, no
+    window."""
+    p = _plan(spark, sf_oracle, "cm_frequency_report")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(s.strip() == "user_id:bigint" for s in schemas), schemas

@@ -351,3 +351,34 @@ def test_kmv_matches_python_model_property(spark, tmp_path):
             assert got[di] == expect
 
     prop()
+
+
+def test_cm_one_sided_and_exact_without_collisions(spark, tmp_path):
+    """Count-Min's defining contracts, planted: estimates are NEVER
+    below exact (one-sided error, every key), and with 3 keys in a
+    256-wide matrix a collision across ALL 4 rows is
+    (3/256)⁴-improbable — every estimate exact. A forced-collision
+    case (width=1) degenerates every estimate to the total mass."""
+    from via_spark.operators.sketch import cm_frequency_report
+
+    rows = [(i, i, u, "a", 0.0, "{}") for i, u in enumerate([7] * 5 + [8] * 3 + [9] * 2)]
+    d = tmp_path / "sf"
+    _write_events(spark, d, rows)
+    got = {r["user_id"]: r for r in cm_frequency_report(spark, str(d)).collect()}
+    assert {u: r["exact_count"] for u, r in got.items()} == {7: 5, 8: 3, 9: 2}
+    assert all(r["cm_estimate"] == r["exact_count"] for r in got.values())
+    forced = {
+        r["user_id"]: r["cm_estimate"]
+        for r in cm_frequency_report(spark, str(d), width=1).collect()
+    }
+    assert forced == {7: 10, 8: 10, 9: 10}  # all mass in one counter
+
+
+def test_cm_never_underestimates_fixture(spark, sf_smoke):
+    """One-sided error on the real fixture: overestimate ≥ 0 for every
+    key and the bookkeeping ties out."""
+    from via_spark.operators.sketch import cm_frequency_report
+
+    for r in cm_frequency_report(spark, sf_smoke).collect():
+        assert r["overestimate"] >= 0
+        assert r["cm_estimate"] == r["exact_count"] + r["overestimate"]

@@ -507,3 +507,73 @@ def bloom_sizing_curve(
             ).alias("fpr"),
         )
     )
+
+
+#: Count-Min geometry: d hash rows × w counters. At fixture scale the
+#: overestimate is a real, visible number (heavy keys share counters);
+#: both are operator dials and the report measures what they achieve.
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+
+def cm_frequency_report(
+    spark: SparkSession, sf_dir: str, depth: int = CM_DEPTH, width: int = CM_WIDTH
+) -> DataFrame:
+    """Count-Min frequency estimates vs exact per-user event counts,
+    with the measured overestimate (oracle ✔) — the third leg of the
+    sketch triad: KMV answers "how many distinct", Bloom answers "is
+    it a member", Count-Min answers "how often", all in bounded
+    memory with their errors measured, never assumed.
+
+    Construction (Cormode & Muthukrishnan 2005): d×w counter matrix;
+    counter[i][sha256(i ':' key) mod w] accumulates every key's count;
+    estimate = min over the d rows. Counters are plain sums, so
+    per-partition partials merge by addition — the mergeable-state
+    property the whole family is built on. Count-Min errors are
+    ONE-SIDED: estimate ≥ exact always (the planted test pins it),
+    and the report's overestimate column is the collision cost the
+    (d, w) geometry actually pays on this key distribution.
+
+    Scale posture: exact counts are one hash agg; the counter matrix
+    is a ≤ d·w-row aggregate (broadcast back); the estimate join
+    touches d rows per distinct key — no shuffle ever carries more
+    than the distinct-key frame.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    exact = ev.groupBy("uid").agg(F.count(F.lit(1)).alias("exact_count"))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (
+                    _hash48(F.concat(F.lit(f"{i}:"), F.col("uid"))) % width
+                ).alias("pos"),
+            )
+            for i in range(depth)
+        ]
+    )
+    keyed = exact.select(
+        "uid", "exact_count", F.explode(rows).alias("rp")
+    ).select("uid", "exact_count", "rp.row_i", "rp.pos")
+    counters = keyed.groupBy("row_i", "pos").agg(
+        F.sum("exact_count").alias("counter")
+    )
+    est = (
+        keyed.join(F.broadcast(counters), ["row_i", "pos"])
+        .groupBy("uid", "exact_count")
+        .agg(F.min("counter").alias("cm_estimate"))
+    )
+    return est.select(
+        F.col("uid").cast("long").alias("user_id"),
+        "exact_count",
+        F.lit(int(depth)).alias("depth"),
+        F.lit(int(width)).alias("width"),
+        F.col("cm_estimate").cast("long").alias("cm_estimate"),
+        (F.col("cm_estimate") - F.col("exact_count")).cast("long").alias("overestimate"),
+        (
+            (F.col("cm_estimate") - F.col("exact_count")).cast("double")
+            / F.col("exact_count").cast("double")
+        ).alias("rel_overestimate"),
+    )

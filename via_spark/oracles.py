@@ -4720,3 +4720,36 @@ SELECT a.m, {k_hash} AS k_hash,
                    / CAST(a.n_probed - a.n_members AS DOUBLE) END AS fpr
 FROM agg a JOIN fill f ON a.m = f.m CROSS JOIN nk
 """
+
+
+def cm_frequency_report_sql(depth: int = 4, width: int = 256) -> str:
+    """Count-Min estimates vs exact per-user counts — mirrors
+    sketch.cm_frequency_report (d×w counter sums, min over rows)."""
+    return f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS uid FROM events),
+exact AS (SELECT uid, count(*) AS exact_count FROM ev GROUP BY uid),
+idx AS (SELECT unnest(range({depth})) AS row_i),
+keyed AS (
+    SELECT e.uid, e.exact_count, i.row_i,
+           ('0x' || substr(sha256(CAST(i.row_i AS VARCHAR) || ':' || e.uid), 1, 12))::BIGINT
+             % {width} AS pos
+    FROM exact e, idx i
+),
+counters AS (
+    SELECT row_i, pos, sum(exact_count) AS counter
+    FROM keyed GROUP BY row_i, pos
+),
+est AS (
+    SELECT k.uid, k.exact_count, min(c.counter) AS cm_estimate
+    FROM keyed k JOIN counters c ON k.row_i = c.row_i AND k.pos = c.pos
+    GROUP BY k.uid, k.exact_count
+)
+SELECT CAST(uid AS BIGINT) AS user_id,
+       CAST(exact_count AS BIGINT) AS exact_count,
+       {depth} AS depth, {width} AS width,
+       CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(cm_estimate - exact_count AS BIGINT) AS overestimate,
+       CAST(cm_estimate - exact_count AS DOUBLE)
+         / CAST(exact_count AS DOUBLE) AS rel_overestimate
+FROM est
+"""
