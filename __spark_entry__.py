@@ -190,9 +190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": curation.leakage_safe_split,
         "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
         "fuzzy_name_pairs": curation.fuzzy_name_pairs,
+        "repetition_scores": textstats.repetition_scores,
         "rhythm_baseline_stats": _rhythm_baseline_stats,
         "rhythm_recent_counts": _rhythm_recent_counts,
-        "tier1_view": _tier1_view,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
@@ -266,7 +266,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_documents": curation.pii_scrub_documents,
         "promotion_rollup": promote.promotion_rollup_flat,
         "quality_deciles": curation.quality_deciles,
-        "repetition_scores": textstats.repetition_scores,
         "rhythm_anomalies": _rhythm_anomalies,
         "rhythm_frequency_sensitive": _rhythm_frequency,
         "rhythm_novelty_small_baseline": _rhythm_novelty,
@@ -274,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": vector.simhash_documents,
         "stratified_sample": curation.stratified_sample,
         "suppressed_anomalies": control.suppressed_anomalies,
+        "tier1_view": _tier1_view,
         "time_range_orders": relational.time_range_orders,
         "token_count_documents": textstats.token_count_documents,
         "video_frame_sample": multimodal.video_frame_sample,

@@ -1061,9 +1061,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     global ranking — pure integer arithmetic, ties pinned by custkey.
 
     Scale posture: one orders scan into a customers-keyed hash agg;
-    the three rankings run over that CUSTOMER-sized aggregate (range
-    partition + broadcast offsets each — no single-partition window,
-    no second orders scan).
+    the three rankings each run INDEPENDENTLY over that CUSTOMER-sized
+    aggregate (range partition + broadcast offsets — no
+    single-partition window) and equi-join back on ``c_custkey``.
+    Chaining the rankings instead compounds the two evaluation
+    branches (counts + offsets-join) of each level — 2³ = 8 upstream
+    re-evaluations, 16 orders scans in the physical plan, measured 3×
+    slower at sf0.1. The independent-rankings-join shape keeps the
+    re-evaluation constant (two per ranking); at cluster scale,
+    persisting the aggregate before ranking cuts those six scans of
+    the customer-sized frame to one materialization.
     """
     from via_spark.operators.rank import global_row_number
 
@@ -1084,9 +1091,11 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     cur = base
     for out, order in dims:
-        cur = global_row_number(cur, order, "_rk", total="_n").withColumn(
-            out, (F.expr("((_rk - 1) * 4) div _n").cast("int") + 1)
-        ).drop("_rk", "_n")
+        q = global_row_number(base, order, "_rk", total="_n").select(
+            "c_custkey",
+            (F.expr("((_rk - 1) * 4) div _n").cast("int") + 1).alias(out),
+        )
+        cur = cur.join(q, "c_custkey")
     return cur.select(
         "c_custkey",
         "recency_day",

@@ -138,8 +138,9 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk boundaries and the metric genuinely fires on 2/3 of rows.
 
     Scale posture: pure per-row higher-order functions — no shuffle, no
-    UDF; the inner count scan is O(n_grams²) per row, bounded by the
-    document length, and stays inside whole-stage codegen.
+    UDF; the 2-gram mode is found by sort + run-length scan
+    (O(n log n) per row, vs the naive O(n·distinct) count-per-distinct
+    loop), and stays inside whole-stage codegen.
     """
     d = load_table(spark, sf_dir, "documents")
     L = LINE_TOKENS
@@ -184,10 +185,36 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         g2.alias("g2"),
         g5.alias("g5"),
     )
+    # Mode-of-array by sort + run-length scan: run starts are the
+    # positions where the sorted array changes value; each run's length
+    # is the gap to the next start.  Emits the same (c, g) struct shape
+    # as the naive count-per-distinct loop, so the tie-break below
+    # (lexicographically smallest max-count gram) is unchanged.
+    s = F.array_sort("g2")
+    starts = F.concat(
+        F.array(F.lit(1).cast("bigint")),
+        F.filter(
+            F.sequence(F.lit(2), F.size("s2")),
+            lambda i: F.element_at("s2", i.cast("int"))
+            != F.element_at("s2", (i - 1).cast("int")),
+        ),
+    )
+    b = b.withColumn("s2", s).withColumn("starts", starts)
     counted = F.transform(
-        F.array_distinct("g2"),
-        lambda g: F.struct(
-            F.size(F.filter("g2", lambda x: x == g)).alias("c"), g.alias("g")
+        F.sequence(F.lit(1), F.size("starts")),
+        lambda j: F.struct(
+            (
+                F.coalesce(
+                    F.try_element_at("starts", (j + 1).cast("int")),
+                    F.size("s2").cast("bigint") + 1,
+                )
+                - F.element_at("starts", j.cast("int"))
+            )
+            .cast("int")
+            .alias("c"),
+            F.element_at(
+                "s2", F.element_at("starts", j.cast("int")).cast("int")
+            ).alias("g"),
         ),
     )
     b = b.select(
