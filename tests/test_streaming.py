@@ -617,3 +617,89 @@ def test_streaming_kmv_store_matches_batch_sketch(spark, sf_smoke, tmp_path):
         for r in pipeline.kmv_estimates_from_store(spark, store).collect()
     }
     assert again == got
+
+
+def test_streaming_cm_store_matches_batch_sketch(spark, sf_smoke, tmp_path):
+    """The streaming Count-Min counter store folded over micro-batches
+    must produce BIT-IDENTICAL per-key estimates to the single-pass
+    batch sketch over the same records: counters are integer sums, the
+    per-batch partials partition the occurrence set, and integer
+    addition is associative. Replaying a batch (same id, same content)
+    must not change a bit — the batch_id=N overwrite partition is the
+    idempotence mechanism, since addition itself is not idempotent."""
+    from via_spark.operators.sketch import cm_probes
+
+    src = str(tmp_path / "otel_jsonl")
+    store = str(tmp_path / "cm_store")
+    pipeline.write_otel_fixture_jsonl(spark, sf_smoke, src, n_files=4)
+    stream = pipeline.read_otel_stream(spark, src).select(
+        F.explode(cm_probes(F.col("service"))).alias("rp")
+    ).select("rp.row_i", "rp.pos")
+
+    replayed = {}
+
+    def fold(b, bid):
+        replayed[bid] = [tuple(r) for r in b.collect()]
+        pipeline.merge_cm_partials(spark, b, bid, store)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(replayed) >= 1
+
+    keys = _batch_equivalent(spark, sf_smoke).select("service").distinct()
+    probes = keys.select(
+        F.col("service").alias("key"), F.explode(cm_probes(F.col("service"))).alias("rp")
+    ).select("key", "rp.row_i", "rp.pos")
+    got = {
+        r["key"]: r["cm_estimate"]
+        for r in pipeline.cm_estimates_from_store(spark, store, probes).collect()
+    }
+
+    # single-pass batch sketch over the same records, same probe family
+    occ = _batch_equivalent(spark, sf_smoke).select(
+        F.col("service").alias("key"),
+        F.explode(cm_probes(F.col("service"))).alias("rp"),
+    ).select("key", "rp.row_i", "rp.pos")
+    counters = occ.groupBy("row_i", "pos").agg(F.count(F.lit(1)).alias("counter"))
+    expect = {
+        r["key"]: r["cm_estimate"]
+        for r in occ.join(counters, ["row_i", "pos"])
+        .groupBy("key")
+        .agg(F.min("counter").alias("cm_estimate"))
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+    # one-sided error, executed live: estimate >= exact occurrence count
+    exact = {
+        r["key"]: r["n"]
+        for r in _batch_equivalent(spark, sf_smoke)
+        .groupBy(F.col("service").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert all(got[k] >= exact[k] for k in exact)
+
+    # replay the last batch verbatim: same id, same content, no change
+    last_id = max(replayed)
+    last_df = spark.createDataFrame(
+        replayed[last_id] or [], "row_i int, pos long"
+    )
+    pipeline.merge_cm_partials(spark, last_df, last_id, store)
+    again = {
+        r["key"]: r["cm_estimate"]
+        for r in pipeline.cm_estimates_from_store(spark, store, probes).collect()
+    }
+    assert again == got
+
+    # a key the stream never saw estimates 0 through the same read path
+    ghost = spark.createDataFrame([("svc_never_seen_xyz",)], "key string")
+    gprobes = ghost.select(
+        "key", F.explode(cm_probes(F.col("key"))).alias("rp")
+    ).select("key", "rp.row_i", "rp.pos")
+    gval = pipeline.cm_estimates_from_store(spark, store, gprobes).collect()
+    assert len(gval) == 1 and gval[0]["cm_estimate"] >= 0

@@ -516,6 +516,24 @@ CM_DEPTH = 4
 CM_WIDTH = 256
 
 
+def cm_probes(key: Column, depth: int = CM_DEPTH, width: int = CM_WIDTH) -> Column:
+    """The canonical Count-Min probe family: for a string key, the
+    array of (row_i, pos) structs — row i probes position
+    ``_hash48(concat(i, ':', key)) % width``. Every CM surface (the
+    batch report, the streaming partial-merge store, their tests) MUST
+    expand probes through this one definition, or estimates stop being
+    comparable across surfaces."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (_hash48(F.concat(F.lit(f"{i}:"), key)) % width).alias("pos"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
 def cm_frequency_report(
     spark: SparkSession, sf_dir: str, depth: int = CM_DEPTH, width: int = CM_WIDTH
 ) -> DataFrame:
@@ -543,19 +561,8 @@ def cm_frequency_report(
         F.col("user_id").cast("string").alias("uid")
     )
     exact = ev.groupBy("uid").agg(F.count(F.lit(1)).alias("exact_count"))
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row_i"),
-                (
-                    _hash48(F.concat(F.lit(f"{i}:"), F.col("uid"))) % width
-                ).alias("pos"),
-            )
-            for i in range(depth)
-        ]
-    )
     keyed = exact.select(
-        "uid", "exact_count", F.explode(rows).alias("rp")
+        "uid", "exact_count", F.explode(cm_probes(F.col("uid"), depth, width)).alias("rp")
     ).select("uid", "exact_count", "rp.row_i", "rp.pos")
     counters = keyed.groupBy("row_i", "pos").agg(
         F.sum("exact_count").alias("counter")

@@ -626,3 +626,63 @@ def kmv_estimates_from_store(spark: SparkSession, store_path: str, k: int = 64) 
         )
         .alias("kmv_estimate"),
     )
+
+
+def merge_cm_partials(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, store_path: str
+) -> None:
+    """foreachBatch body for streaming Count-Min frequency sketches:
+    fold one micro-batch's probe occurrences into a parquet counter
+    store. ``batch_df`` carries one row per (row_i, pos) probe of each
+    event occurrence — the caller expands probes with the canonical
+    hash family (``operators.sketch.cm_probes``), the same division of
+    labor as :func:`merge_kmv_partials` (the caller hashes, the body
+    folds), which keeps this module free of a sketch-module import
+    edge.
+
+    Counters are plain sums, so per-batch partials merge by ADDITION —
+    but addition is NOT idempotent, so unlike the KMV store a replayed
+    batch must not re-add. Each batch's ≤ d·w-row partial therefore
+    lands in its OWN ``batch_id=N`` store partition via overwrite:
+    replaying batch N rewrites partition N with identical content
+    instead of double-counting — the same per-batch-partition
+    exactly-once posture as the near-dup gate's signature store. The
+    read-time estimator sums across partitions, and integer addition
+    is associative, so the streamed estimate is bit-identical to the
+    single-pass batch sketch over the same records
+    (tests/test_streaming.py pins it live).
+    """
+    part = batch_df.groupBy("row_i", "pos").agg(F.count(F.lit(1)).alias("n"))
+    rows = part.collect()  # ≤ depth·width rows by construction
+    spark.createDataFrame(rows, "row_i int, pos long, n long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{store_path}/batch_id={int(batch_id)}")
+
+
+def cm_estimates_from_store(
+    spark: SparkSession, store_path: str, probes_df: DataFrame
+) -> DataFrame:
+    """Read-time Count-Min estimator over the streaming counter store:
+    total counters = sum of per-batch partials per (row_i, pos);
+    estimate per key = min over its probe rows. ``probes_df`` carries
+    (key, row_i, pos) — one row per probe, expanded by the caller with
+    the SAME ``sketch.cm_probes`` family the stream used. A probe
+    position no batch ever hit has counter 0 (the left join's null →
+    0), so never-seen keys estimate 0 — standard CM semantics.
+
+    Scale posture: the counter aggregate is ≤ d·w rows per batch
+    partition, summed into one ≤ d·w-row broadcast; the estimate is a
+    broadcast join + min-agg on the keys frame — no shuffle ever
+    carries more than the keys being asked about.
+    """
+    counters = (
+        spark.read.parquet(store_path)
+        .groupBy("row_i", "pos")
+        .agg(F.sum("n").alias("counter"))
+    )
+    return (
+        probes_df.join(F.broadcast(counters), ["row_i", "pos"], "left")
+        .select("key", F.coalesce(F.col("counter"), F.lit(0)).alias("counter"))
+        .groupBy("key")
+        .agg(F.min("counter").alias("cm_estimate"))
+    )
