@@ -703,3 +703,59 @@ def test_streaming_cm_store_matches_batch_sketch(spark, sf_smoke, tmp_path):
     ).select("key", "rp.row_i", "rp.pos")
     gval = pipeline.cm_estimates_from_store(spark, store, gprobes).collect()
     assert len(gval) == 1 and gval[0]["cm_estimate"] >= 0
+
+
+def test_streaming_bloom_store_matches_batch_filter(spark, sf_smoke, tmp_path):
+    """The streaming Bloom bit store folded over micro-batches must
+    equal the batch-built filter BIT FOR BIT (set union is associative
+    and order-free), never false-negative a streamed key, and be a
+    no-op under replay (union is natively idempotent — no per-batch
+    partitioning needed, unlike the Count-Min counter store)."""
+    from via_spark.operators.sketch import bloom_positions
+
+    src = str(tmp_path / "otel_jsonl")
+    store = str(tmp_path / "bloom_store")
+    pipeline.write_otel_fixture_jsonl(spark, sf_smoke, src, n_files=4)
+    stream = pipeline.read_otel_stream(spark, src).select(
+        F.explode(bloom_positions(F.col("service"))).alias("pos")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _id: pipeline.merge_bloom_partials(spark, b, store)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = _batch_equivalent(spark, sf_smoke)
+    # bit-for-bit: streamed store == batch-built position set
+    got_bits = {r["pos"] for r in spark.read.parquet(store).collect()}
+    want_bits = {
+        r["pos"]
+        for r in batch.select(
+            F.explode(bloom_positions(F.col("service"))).alias("pos")
+        )
+        .distinct()
+        .collect()
+    }
+    assert got_bits == want_bits and len(got_bits) > 0
+
+    # zero false negatives, executed live through the read path
+    keys = batch.select("service").distinct()
+    probes = keys.select(
+        F.col("service").alias("key"),
+        F.explode(bloom_positions(F.col("service"))).alias("pos"),
+    )
+    member = pipeline.bloom_membership_from_store(spark, store, probes)
+    assert all(r["bloom_positive"] == 1 for r in member.collect())
+    assert member.count() == keys.count()
+
+    # replay the whole stream's worth of bits: a strict no-op
+    pipeline.merge_bloom_partials(
+        spark,
+        batch.select(F.explode(bloom_positions(F.col("service"))).alias("pos")),
+        store,
+    )
+    assert {r["pos"] for r in spark.read.parquet(store).collect()} == got_bits

@@ -129,6 +129,22 @@ def kmv_distinct_report(
     )
 
 
+def bloom_positions(
+    key: Column, m: int = BLOOM_M, k_hash: int = BLOOM_K
+) -> Column:
+    """The canonical Bloom position family: for a key, the array of
+    its k probe positions ``_hash48(concat(i, ':', key)) % m``. Every
+    Bloom surface (the semi-join report, the streaming bit store,
+    their tests) expands positions through this one definition — same
+    single-source contract as :func:`cm_probes`."""
+    return F.array(
+        *[
+            (_hash48(F.concat(F.lit(f"{i}:"), key.cast("string"))) % m).alias("pos")
+            for i in range(k_hash)
+        ]
+    )
+
+
 def bloom_semi_join_fpr(
     spark: SparkSession, sf_dir: str, m: int = BLOOM_M, k_hash: int = BLOOM_K
 ) -> DataFrame:
@@ -144,10 +160,11 @@ def bloom_semi_join_fpr(
     Per nation: customers probed, exact members, bloom positives,
     false positives, and the measured FPR over the true negatives.
 
-    Bloom membership uses the standard k-fold construction: positions
-    ``sha256(i ':' key) mod m`` for i < k_hash; positive iff every
-    probed position is set. A key whose k positions collide still
-    probes correctly (each position is tested independently).
+    Bloom membership uses the standard k-fold construction
+    (:func:`bloom_positions`): positions ``sha256(i ':' key) mod m``
+    for i < k_hash; positive iff every probed position is set. A key
+    whose k positions collide still probes correctly (each position is
+    tested independently).
     """
     orders = (
         load_table(spark, sf_dir, "orders")
@@ -157,21 +174,17 @@ def bloom_semi_join_fpr(
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
 
-    def positions(key: Column) -> list[Column]:
-        return [
-            (_hash48(F.concat(F.lit(f"{i}:"), key.cast("string"))) % m).alias("pos")
-            for i in range(k_hash)
-        ]
-
     bits = (
-        orders.select(F.explode(F.array(*positions(F.col("o_custkey")))).alias("pos"))
+        orders.select(
+            F.explode(bloom_positions(F.col("o_custkey"), m, k_hash)).alias("pos")
+        )
         .distinct()
         .withColumn("set_bit", F.lit(1))
     )
     probes = cust.select(
         "c_custkey",
         "c_nationkey",
-        F.explode(F.array(*positions(F.col("c_custkey")))).alias("pos"),
+        F.explode(bloom_positions(F.col("c_custkey"), m, k_hash)).alias("pos"),
     )
     probed = (
         probes.join(F.broadcast(bits), "pos", "left")

@@ -686,3 +686,52 @@ def cm_estimates_from_store(
         .groupBy("key")
         .agg(F.min("counter").alias("cm_estimate"))
     )
+
+
+def merge_bloom_partials(
+    spark: SparkSession, batch_df: DataFrame, store_path: str
+) -> None:
+    """foreachBatch body for a streaming Bloom membership filter: fold
+    one micro-batch's set-bit positions into a parquet bit store.
+    ``batch_df`` carries one ``pos`` row per set position — the caller
+    expands keys with the canonical family
+    (``operators.sketch.bloom_positions``).
+
+    Merge is SET UNION of bit positions, which — like the KMV bottom-k
+    union and unlike Count-Min addition — is natively idempotent:
+    replaying any batch unions in bits already present, so no
+    per-batch partitioning is needed. State is ≤ m rows regardless of
+    stream length; the rewrite is collect-and-overwrite like the KMV
+    store (tiny by construction, no read/overwrite race).
+    """
+    incoming = batch_df.select("pos").distinct()
+    try:
+        existing = spark.read.parquet(store_path).select("pos")
+        merged = existing.unionByName(incoming).distinct()
+    except Exception:  # first batch: store not yet created
+        merged = incoming
+    rows = merged.collect()
+    spark.createDataFrame(rows, "pos long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(store_path)
+
+
+def bloom_membership_from_store(
+    spark: SparkSession, store_path: str, probes_df: DataFrame
+) -> DataFrame:
+    """Read-time Bloom probe over the streaming bit store: positive
+    iff EVERY probed position is set. ``probes_df`` carries
+    (key, pos) — one row per probe, expanded by the caller with the
+    SAME ``sketch.bloom_positions`` family the stream used. Never
+    false-negative for streamed keys (their bits are all set by
+    construction — the live test pins it); false positives are the
+    filter's one-sided error, measured by the batch report.
+    """
+    bits = spark.read.parquet(store_path).select("pos").distinct().withColumn(
+        "set_bit", F.lit(1)
+    )
+    return (
+        probes_df.join(F.broadcast(bits), "pos", "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("set_bit", F.lit(0))).alias("bloom_positive"))
+    )
