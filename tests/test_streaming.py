@@ -759,3 +759,127 @@ def test_streaming_bloom_store_matches_batch_filter(spark, sf_smoke, tmp_path):
         store,
     )
     assert {r["pos"] for r in spark.read.parquet(store).collect()} == got_bits
+
+
+def test_streaming_mg_store_heavy_hitters(spark, sf_smoke, tmp_path):
+    """The streaming Misra-Gries store folded over micro-batches must
+    honor the mergeable-summaries contract, executed live: every
+    reported key's true count lies in [mg_count, mg_count +
+    error_bound]; every key whose true count exceeds error_bound IS
+    reported (heavy-hitter completeness — non-vacuous here: the
+    fixture's DEBUG severity carries ~40% of events, far above the
+    bound at k=2); and error_bound <= n/(k+1). Replaying the last
+    batch verbatim (same id, same content) must not change a row —
+    the batch_id=N overwrite partition is the idempotence mechanism,
+    since counter addition is not idempotent."""
+    src = str(tmp_path / "otel_jsonl")
+    store = str(tmp_path / "mg_store")
+    k = 2
+    pipeline.write_otel_fixture_jsonl(spark, sf_smoke, src, n_files=4)
+    stream = pipeline.read_otel_stream(spark, src).select(
+        F.xxhash64(F.col("severity")).alias("key")
+    )
+
+    replayed = {}
+
+    def fold(b, bid):
+        replayed[bid] = [tuple(r) for r in b.collect()]
+        pipeline.merge_mg_partials(spark, b, bid, store, k=k)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt_mg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(replayed) >= 1
+
+    got = {
+        r["key"]: r for r in pipeline.mg_heavy_hitters_from_store(spark, store).collect()
+    }
+    assert len(got) > 0
+    err = next(iter(got.values()))["error_bound"]
+    total_n = next(iter(got.values()))["total_n"]
+
+    exact = {
+        r["key"]: r["n"]
+        for r in _batch_equivalent(spark, sf_smoke)
+        .groupBy(F.xxhash64(F.col("severity")).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert total_n == sum(exact.values())
+    assert err <= total_n // (k + 1)
+    # bracket: lower bound never overshoots, upper bound never undershoots
+    for key, row in got.items():
+        assert row["mg_count"] <= exact[key] <= row["upper_bound"]
+    # completeness: genuinely heavy keys are always present — and the
+    # fixture genuinely has one (assert the check is not vacuous)
+    heavy = {key for key, n in exact.items() if n > err}
+    assert heavy and heavy <= set(got)
+
+    # replay the last batch verbatim: same id, same content, no change
+    last_id = max(replayed)
+    last_df = spark.createDataFrame(replayed[last_id] or [], "key long")
+    pipeline.merge_mg_partials(spark, last_df, last_id, store, k=k)
+    again = {
+        r["key"]: r for r in pipeline.mg_heavy_hitters_from_store(spark, store).collect()
+    }
+    assert {key: tuple(r) for key, r in again.items()} == {
+        key: tuple(r) for key, r in got.items()
+    }
+
+
+def test_mg_partials_planted_multibatch(spark, tmp_path):
+    """Deterministic MG partial-merge model check on planted skew,
+    driven batch-by-batch without the streaming harness: three batches
+    with a known Zipf-ish key distribution; the store must keep <= k
+    summary rows per batch, realize decr_b <= n_b/(k+1) in each, and
+    the read-time bracket must hold for EVERY key including ones the
+    summary dropped (mg_count = 0 floor). Re-merging an EARLIER batch
+    id (out-of-order replay, not just the latest) must leave the store
+    bit-identical."""
+    store = str(tmp_path / "mg_store")
+    k = 3
+    batches = [
+        [100] * 60 + [200] * 25 + [300] * 10 + [400] * 3 + [500] * 2,
+        [100] * 40 + [200] * 30 + [600] * 20 + [300] * 10,
+        [100] * 50 + [700] * 30 + [200] * 15 + [500] * 5,
+    ]
+    for bid, keys in enumerate(batches):
+        b = spark.createDataFrame([(key,) for key in keys], "key long")
+        pipeline.merge_mg_partials(spark, b, bid, store, k=k)
+        part = spark.read.parquet(f"{store}/batch_id={bid}").collect()
+        summary = [r for r in part if r["key"] is not None]
+        meta = [r for r in part if r["key"] is None]
+        assert len(summary) <= k and len(meta) == 1
+        assert meta[0]["n"] == len(keys)
+        assert meta[0]["decr"] <= len(keys) // (k + 1)
+
+    from collections import Counter
+
+    exact = Counter(key for keys in batches for key in keys)
+    got = {
+        r["key"]: r for r in pipeline.mg_heavy_hitters_from_store(spark, store).collect()
+    }
+    err = next(iter(got.values()))["error_bound"]
+    assert next(iter(got.values()))["total_n"] == sum(exact.values())
+    for key, n in exact.items():
+        row = got.get(key)
+        low = row["mg_count"] if row is not None else 0
+        high = low + err
+        assert low <= n <= high
+    heavy = {key for key, n in exact.items() if n > err}
+    assert heavy and heavy <= set(got)  # 100 is unmissable by construction
+
+    # out-of-order replay: re-merge batch 0 verbatim, store unchanged
+    before = sorted(
+        (tuple(r) for r in spark.read.parquet(store).collect()), key=repr
+    )
+    b0 = spark.createDataFrame([(key,) for key in batches[0]], "key long")
+    pipeline.merge_mg_partials(spark, b0, 0, store, k=k)
+    after = sorted(
+        (tuple(r) for r in spark.read.parquet(store).collect()), key=repr
+    )
+    assert after == before

@@ -735,3 +735,83 @@ def bloom_membership_from_store(
         .groupBy("key")
         .agg(F.min(F.coalesce("set_bit", F.lit(0))).alias("bloom_positive"))
     )
+
+
+def merge_mg_partials(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    k: int = 8,
+) -> None:
+    """foreachBatch body for a streaming Misra-Gries heavy-hitters
+    summary: compress one micro-batch's exact per-``key`` counts into
+    a ≤ k-counter partial and land it in the batch's own
+    ``batch_id=N`` store partition.
+
+    The per-batch reduction is the mergeable-summaries cut (Agarwal
+    et al., PODS'12): take the batch's exact counts, subtract the
+    (k+1)-th largest count ``decr_b`` from every counter, and keep the
+    positives — at most k survive, and since k+1 keys each carried at
+    least ``decr_b`` occurrences, ``decr_b <= n_b/(k+1)``. Selection
+    is purely value-based (``cnt > decr_b``), so the partial's content
+    is a deterministic function of the batch — replaying batch N
+    rewrites partition N bit-identically instead of double-counting,
+    the same per-batch-partition exactly-once posture as the Count-Min
+    store (counter ADDITION is not idempotent, unlike the KMV/Bloom
+    set unions).
+
+    Each partition carries its ≤ k summary rows plus one ``key IS
+    NULL`` meta row recording (``decr_b``, ``n_b``) so the read-time
+    estimator can reconstitute exact error bounds. Driver-side cost is
+    one top-(k+1) collect per batch (``TakeOrderedAndProject``, never
+    a full key-space collect).
+    """
+    counts = batch_df.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(k + 1).collect()
+    n_b = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    decr = int(top[k]["cnt"]) if len(top) > k else 0
+    rows = [
+        (int(r["key"]), int(r["cnt"]) - decr, None, None)
+        for r in top
+        if int(r["cnt"]) > decr
+    ]
+    rows.append((None, None, decr, int(n_b)))
+    spark.createDataFrame(
+        rows, "key long, cnt long, decr long, n long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{store_path}/batch_id={int(batch_id)}"
+    )
+
+
+def mg_heavy_hitters_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Read-time Misra-Gries estimator over the streaming partial
+    store: per-key lower bound = sum of that key's partial counters;
+    ``error_bound`` = sum of every batch's realized decrement, so the
+    true count of ANY key (reported or not) lies in
+    ``[mg_count, mg_count + error_bound]`` with ``mg_count = 0`` for
+    absent keys. Completeness follows: every key whose true count
+    exceeds ``error_bound`` (<= n/(k+1) by the per-batch bound) must
+    appear in at least one partial, so genuine heavy hitters are never
+    silently dropped — the live test pins both properties.
+
+    Scale posture: state is ≤ (k+1)·batches rows; the aggregate is one
+    hash-agg over that tiny store and the meta totals broadcast back —
+    nothing here ever touches the raw stream again.
+    """
+    store = spark.read.parquet(store_path)
+    meta = store.where(F.col("key").isNull()).agg(
+        F.sum("decr").alias("error_bound"), F.sum("n").alias("total_n")
+    )
+    summary = (
+        store.where(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.sum("cnt").alias("mg_count"))
+    )
+    return summary.crossJoin(F.broadcast(meta)).select(
+        "key",
+        "mg_count",
+        (F.col("mg_count") + F.col("error_bound")).alias("upper_bound"),
+        "error_bound",
+        "total_n",
+    )
