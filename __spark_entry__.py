@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_span_audit": curation.boilerplate_span_audit,
         "char_entropy_bits": textstats.char_entropy_bits,
         "cm_frequency_report": sketch.cm_frequency_report,
+        "contingency_chi2": stats.contingency_chi2,
         "customer_rfm_segments": relational.customer_rfm_segments,
         "doc_length_p95_by_source": textstats.doc_length_p95_by_source,
         "embedding_neardup_clusters": graph.embedding_neardup_clusters,
@@ -157,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_quantile_report": sketch.hash_sample_quantile_report,
         "hour_of_week_profile": timeseries.hour_of_week_profile,
         "ingest_reject_reasons": schema_infer.ingest_reject_reasons,
+        "join_output_planner": stats.join_output_planner,
         "kmv_distinct_report": sketch.kmv_distinct_report,
         "kmv_retention_overlap": sketch.kmv_retention_overlap,
         "lang_metadata_confusion": textstats.lang_metadata_confusion,
@@ -191,12 +193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
         "fuzzy_name_pairs": curation.fuzzy_name_pairs,
         "repetition_scores": textstats.repetition_scores,
-        "rhythm_baseline_stats": _rhythm_baseline_stats,
-        "rhythm_recent_counts": _rhythm_recent_counts,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "rhythm_baseline_stats": _rhythm_baseline_stats,
+        "rhythm_recent_counts": _rhythm_recent_counts,
         "cube_order_counts": timeseries.cube_order_counts,
         "customer_order_distribution": relational.customer_order_distribution,
         "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
@@ -513,4 +515,6 @@ def oracle_sql() -> dict[str, str]:
         "value_drift_tvd": oracles.value_drift_tvd_sql(),
         "bloom_sizing_curve": oracles.bloom_sizing_curve_sql(),
         "cm_frequency_report": oracles.cm_frequency_report_sql(),
+        "join_output_planner": oracles.join_output_planner_sql(),
+        "contingency_chi2": oracles.contingency_chi2_sql(),
     }

@@ -696,3 +696,36 @@ def test_cm_frequency_plan_shape(spark, sf_oracle):
     assert "BroadcastHashJoin" in p
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
     assert schemas and all(s.strip() == "user_id:bigint" for s in schemas), schemas
+
+
+def test_join_output_planner_plan_shape(spark, sf_oracle):
+    """The planner must never execute the planned join: per-side
+    1-column pruned scans into key-level hash aggs, histogram ⋈
+    histogram broadcast join, broadcast scalar totals (the one BNLJ is
+    the 1-row totals frame), and the top-20 as a TakeOrderedAndProject
+    heap — no sort-merge, no cartesian, no window."""
+    p = _plan(spark, sf_oracle, "join_output_planner")
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        s.strip() in ("o_custkey:bigint", "user_id:bigint") for s in schemas
+    ), schemas
+
+
+def test_contingency_chi2_plan_shape(spark, sf_oracle):
+    """Chi-square cells: one (type, hour) hash agg per margin branch
+    over 2-column pruned scans; margins broadcast back (the one BNLJ
+    is the 1-row grand total) — no sort-merge, no cartesian, no
+    window, nothing event-row-sized after the first agg."""
+    p = _plan(spark, sf_oracle, "contingency_chi2")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        set(c.split(":")[0] for c in s.split(",")) == {"ts", "event_type"}
+        for s in schemas
+    ), schemas

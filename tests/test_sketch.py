@@ -382,3 +382,87 @@ def test_cm_never_underestimates_fixture(spark, sf_smoke):
     for r in cm_frequency_report(spark, sf_smoke).collect():
         assert r["overestimate"] >= 0
         assert r["cm_estimate"] == r["exact_count"] + r["overestimate"]
+
+
+def test_join_output_planner_matches_executed_join(spark, sf_smoke):
+    """The planner's exact output cardinality must equal the row count
+    of ACTUALLY executing the planned join, and the top-20 rows must
+    reproduce a pure-Python computation over the per-key counts
+    (products, totals, skew ratio bit-for-bit)."""
+    from via_spark.operators.stats import join_output_planner
+    from via_spark.session import load_table
+
+    got = join_output_planner(spark, sf_smoke).collect()
+    assert 0 < len(got) <= 20
+
+    orders = load_table(spark, sf_smoke, "orders")
+    events = load_table(spark, sf_smoke, "events")
+    executed = orders.join(
+        events, orders["o_custkey"] == events["user_id"]
+    ).count()
+    assert got[0]["total_output"] == executed
+
+    from collections import Counter
+
+    lcnt = Counter(r["o_custkey"] for r in orders.select("o_custkey").collect())
+    rcnt = Counter(r["user_id"] for r in events.select("user_id").collect())
+    prod = {
+        k: lcnt[k] * rcnt[k] for k in lcnt.keys() & rcnt.keys()
+    }
+    total = sum(prod.values())
+    top = sorted(prod.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["join_key"], r["key_output"]) for r in got] == top
+    for r in got:
+        assert r["n_left"] == lcnt[r["join_key"]]
+        assert r["n_right"] == rcnt[r["join_key"]]
+        assert r["n_matched_keys"] == len(prod)
+        assert r["skew_ratio"] == (
+            float(r["key_output"]) * float(len(prod)) / float(total)
+        )
+
+
+def test_contingency_chi2_python_reference(spark, sf_smoke):
+    """Every cell of the chi-square audit must reproduce a pure-Python
+    integer computation of the margins and the cross-multiplied
+    deviation exactly, and the float columns bit-for-bit (they are
+    single expressions over exactly-cast integers, so Python's IEEE
+    doubles replicate them). Structural identities: margins sum to n,
+    and per-row deviations sum to zero whenever the row's hour
+    coverage is complete."""
+    from collections import Counter
+
+    from via_spark.operators.stats import contingency_chi2
+    from via_spark.session import load_table
+
+    got = contingency_chi2(spark, sf_smoke).collect()
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .selectExpr("event_type", "cast((ts div 1000000000 div 3600) % 24 as int) h")
+        .collect()
+    )
+    cells = Counter((r["event_type"], r["h"]) for r in ev)
+    rt = Counter(r["event_type"] for r in ev)
+    ct = Counter(r["h"] for r in ev)
+    n = len(ev)
+    assert len(got) == len(cells)
+    for r in got:
+        obs = cells[(r["event_type"], r["hour"])]
+        assert r["obs"] == obs
+        assert r["row_total"] == rt[r["event_type"]]
+        assert r["col_total"] == ct[r["hour"]]
+        assert r["n_total"] == n
+        dev = n * obs - rt[r["event_type"]] * ct[r["hour"]]
+        assert r["dev"] == dev
+        assert r["expected"] == (
+            float(rt[r["event_type"]]) * float(ct[r["hour"]]) / float(n)
+        )
+        assert r["contribution"] == (
+            float(dev)
+            * float(dev)
+            / (float(n) * float(rt[r["event_type"]]) * float(ct[r["hour"]]))
+        )
+    # complete-grid marginal identity
+    hours = {h for _, h in cells}
+    for t in rt:
+        if all((t, h) in cells for h in hours) and len(hours) == 24:
+            assert sum(n * cells[(t, h)] - rt[t] * ct[h] for h in hours) == 0

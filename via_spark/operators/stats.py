@@ -477,3 +477,137 @@ def value_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tvd"),
         )
     )
+
+
+def join_output_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planned-join output-cardinality report (oracle ✔): for the
+    orders(o_custkey) ⋈ events(user_id) enrichment join, the EXACT
+    output row count and where it concentrates — per matched key the
+    two side counts and their product, the top 20 keys by output
+    contribution, and each key's skew flag (key output vs the
+    per-matched-key mean). ``join_key_skew_report`` profiles one
+    side's key histogram; this is the other half a 100 TB join plan
+    needs: output size = Σ_k a_k·b_k is a property of the PAIR of
+    histograms, and a key that looks mild on each side alone (10⁴ ×
+    10⁴) still detonates the output (10⁸ rows from one key).
+
+    All counts and products are BIGINT-exact; the one DOUBLE is the
+    final skew ratio, a single division of exactly-representable
+    integers (same doctrine as ``value_drift_tvd``).
+
+    Scale posture: the planner never executes the join — each side
+    collapses to a per-key hash agg (distinct-key-sized), the two
+    histograms equi-join on the key (tiny ⋈ tiny), the global total
+    is an in-plan broadcast scalar, and top-20 plans as
+    TakeOrderedAndProject. Cost is two scans + one distinct-key join
+    regardless of how catastrophic the planned join itself would be.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    left = orders.groupBy(F.col("o_custkey").alias("join_key")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    right = events.groupBy(F.col("user_id").alias("join_key")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    matched = left.join(right, "join_key").select(
+        "join_key",
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("key_output"),
+    )
+    totals = matched.agg(
+        F.sum("key_output").alias("total_output"),
+        F.count(F.lit(1)).alias("n_matched_keys"),
+    )
+    return (
+        matched.crossJoin(F.broadcast(totals))
+        .select(
+            "join_key",
+            "n_left",
+            "n_right",
+            "key_output",
+            "total_output",
+            "n_matched_keys",
+            (
+                F.col("key_output").cast("double")
+                * F.col("n_matched_keys").cast("double")
+                / F.col("total_output").cast("double")
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.col("key_output").desc(), F.col("join_key").asc())
+        .limit(20)
+    )
+
+
+def contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell chi-square independence audit of event_type × hour-of-
+    day (oracle ✔) — the "is behavior type independent of time" gate a
+    pipeline runs before trusting a stratified sample or a time-based
+    split. Each of the ≤ types·24 cells carries its observed count,
+    margins, the exact integer deviation ``dev = n·obs − rt·ct``
+    (BIGINT — its sign and magnitude rank cells with no float in the
+    loop), the expected count, and the cell's chi-square contribution
+    ``dev²/(n·rt·ct)``, algebraically identical to the textbook
+    (obs−exp)²/exp.
+
+    Determinism doctrine: every count is one hash agg; ``dev`` is
+    exact integer cross-multiplication (same shape as
+    ``value_drift_tvd``'s numerator); the two DOUBLE columns are pure
+    per-row expressions over exactly-cast BIGINTs with identical
+    expression trees in the DuckDB oracle — no float accumulation
+    anywhere (the corpus-level chi-square TOTAL is deliberately NOT a
+    column: summing 120 doubles is executor-order-dependent; consumers
+    sum the exact ``dev`` ranking instead, or the contributions
+    client-side).
+
+    Scale posture: one events scan into a (type, hour) hash agg; the
+    margins are re-aggregations of that ≤ types·24-row frame,
+    broadcast back. Nothing downstream of the first agg ever sees an
+    event row.
+    """
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("(ts div 1000000000 div 3600) % 24").cast("int").alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    row_tot = cells.groupBy("event_type").agg(F.sum("obs").alias("row_total"))
+    col_tot = cells.groupBy("hour").agg(F.sum("obs").alias("col_total"))
+    n_tot = cells.agg(F.sum("obs").alias("n_total"))
+    return (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "hour")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "dev",
+            F.col("n_total") * F.col("obs")
+            - F.col("row_total") * F.col("col_total"),
+        )
+        .select(
+            "event_type",
+            "hour",
+            "obs",
+            "row_total",
+            "col_total",
+            "n_total",
+            "dev",
+            (
+                F.col("row_total").cast("double")
+                * F.col("col_total").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("expected"),
+            (
+                F.col("dev").cast("double")
+                * F.col("dev").cast("double")
+                / (
+                    F.col("n_total").cast("double")
+                    * F.col("row_total").cast("double")
+                    * F.col("col_total").cast("double")
+                )
+            ).alias("contribution"),
+        )
+    )

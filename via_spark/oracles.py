@@ -4753,3 +4753,68 @@ SELECT CAST(uid AS BIGINT) AS user_id,
          / CAST(exact_count AS DOUBLE) AS rel_overestimate
 FROM est
 """
+
+
+def join_output_planner_sql() -> str:
+    """Planned-join output cardinality — mirrors
+    stats.join_output_planner: per-side key histograms, exact
+    per-matched-key output products, top 20 by output with the
+    broadcast totals and one final skew division."""
+    return """
+WITH lft AS (
+    SELECT o_custkey AS join_key, CAST(count(*) AS BIGINT) AS n_left
+    FROM orders GROUP BY 1
+),
+rgt AS (
+    SELECT user_id AS join_key, CAST(count(*) AS BIGINT) AS n_right
+    FROM events GROUP BY 1
+),
+matched AS (
+    SELECT join_key, n_left, n_right,
+           CAST(n_left * n_right AS BIGINT) AS key_output
+    FROM lft JOIN rgt USING (join_key)
+),
+totals AS (
+    SELECT CAST(sum(key_output) AS BIGINT) AS total_output,
+           CAST(count(*) AS BIGINT) AS n_matched_keys
+    FROM matched
+)
+SELECT join_key, n_left, n_right, key_output, total_output, n_matched_keys,
+       CAST(key_output AS DOUBLE) * CAST(n_matched_keys AS DOUBLE)
+         / CAST(total_output AS DOUBLE) AS skew_ratio
+FROM matched, totals
+ORDER BY key_output DESC, join_key ASC
+LIMIT 20
+"""
+
+
+def contingency_chi2_sql() -> str:
+    """event_type × hour-of-day chi-square cells — mirrors
+    stats.contingency_chi2: exact BIGINT margins and cross-multiplied
+    deviation, per-cell DOUBLE expected/contribution with identical
+    expression trees (no float accumulation)."""
+    return """
+WITH cells AS (
+    SELECT event_type,
+           CAST((epoch_us(ts) // 1000000 // 3600) % 24 AS INTEGER) AS hour,
+           CAST(count(*) AS BIGINT) AS obs
+    FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS row_total
+       FROM cells GROUP BY 1),
+ct AS (SELECT hour, CAST(sum(obs) AS BIGINT) AS col_total
+       FROM cells GROUP BY 1),
+nt AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM cells)
+SELECT c.event_type, c.hour, c.obs, rt.row_total, ct.col_total, nt.n_total,
+       CAST(nt.n_total * c.obs - rt.row_total * ct.col_total AS BIGINT) AS dev,
+       CAST(rt.row_total AS DOUBLE) * CAST(ct.col_total AS DOUBLE)
+         / CAST(nt.n_total AS DOUBLE) AS expected,
+       CAST(nt.n_total * c.obs - rt.row_total * ct.col_total AS DOUBLE)
+         * CAST(nt.n_total * c.obs - rt.row_total * ct.col_total AS DOUBLE)
+         / (CAST(nt.n_total AS DOUBLE) * CAST(rt.row_total AS DOUBLE)
+            * CAST(ct.col_total AS DOUBLE)) AS contribution
+FROM cells c
+JOIN rt USING (event_type)
+JOIN ct USING (hour)
+CROSS JOIN nt
+"""
