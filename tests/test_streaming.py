@@ -883,3 +883,99 @@ def test_mg_partials_planted_multibatch(spark, tmp_path):
         (tuple(r) for r in spark.read.parquet(store).collect()), key=repr
     )
     assert after == before
+
+
+def test_streaming_sample_store_matches_batch_sample(spark, sf_smoke, tmp_path):
+    """The streaming bottom-m-by-hash sample folded over micro-batches
+    must be BIT-IDENTICAL to the single-pass batch bottom-m cut over
+    the same records (union-then-recut = recut-of-union, executed
+    live), and the read-time rank quantiles must equal the same
+    all-integer quantile computed on the batch sample. Replaying the
+    last batch verbatim must not change a row (set-union idempotence,
+    same posture as KMV/Bloom)."""
+    from via_spark.operators.sketch import _hash48
+
+    src = str(tmp_path / "otel_jsonl")
+    store = str(tmp_path / "sample_store")
+    m = 16
+    pipeline.write_otel_fixture_jsonl(spark, sf_smoke, src, n_files=4)
+
+    def sampled_cols(df):
+        return df.select(
+            F.col("severity").alias("grp"),
+            _hash48(F.col("event_id").cast("string")).alias("sk"),
+            F.col("event_id").alias("tie"),
+            F.length("body").cast("long").alias("vfix"),
+        )
+
+    stream = sampled_cols(pipeline.read_otel_stream(spark, src))
+    replayed = {}
+
+    def fold(b, bid):
+        replayed[bid] = [tuple(r) for r in b.collect()]
+        pipeline.merge_sample_partials(spark, b, store, m=m)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sample"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(replayed) >= 1
+
+    got = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+
+    from pyspark.sql import Window
+
+    batch = sampled_cols(
+        _batch_equivalent(spark, sf_smoke).withColumn(
+            "event_id", F.abs(F.xxhash64("service", "severity", "body", "ts"))
+        )
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy(F.col("sk").asc(), F.col("tie").asc())
+    expect = sorted(
+        tuple(r)
+        for r in batch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= m)
+        .drop("_rn")
+        .collect()
+    )
+    assert got == expect
+
+    # read-time quantiles == the batch-side rank quantiles on the cut
+    import math
+
+    by_grp = {}
+    for grp, sk, tie, vfix in expect:
+        by_grp.setdefault(grp, []).append(vfix)
+
+    def rank_q(vals, num, den=100):
+        vals = sorted(vals)
+        n = len(vals)
+        cum = 0
+        seen = 0
+        for v in vals:
+            seen += 1
+            if den * seen >= num * n:
+                return v
+        raise AssertionError
+
+    qrows = {
+        r["grp"]: r
+        for r in pipeline.sample_quantiles_from_store(spark, store).collect()
+    }
+    assert set(qrows) == set(by_grp)
+    for grp, vals in by_grp.items():
+        assert qrows[grp]["sample_m"] == len(vals)
+        assert qrows[grp]["s50_fix"] == rank_q(vals, 50)
+        assert qrows[grp]["s95_fix"] == rank_q(vals, 95)
+
+    # replay the last batch verbatim: idempotent set union, no change
+    last_id = max(replayed)
+    last_df = spark.createDataFrame(
+        replayed[last_id] or [], "grp string, sk long, tie long, vfix long"
+    )
+    pipeline.merge_sample_partials(spark, last_df, store, m=m)
+    again = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    assert again == got

@@ -815,3 +815,92 @@ def mg_heavy_hitters_from_store(spark: SparkSession, store_path: str) -> DataFra
         "error_bound",
         "total_n",
     )
+
+
+def merge_sample_partials(
+    spark: SparkSession, batch_df: DataFrame, store_path: str, m: int = 64
+) -> None:
+    """foreachBatch body for a streaming bottom-m-by-hash uniform row
+    sample: fold one micro-batch's candidate rows into a parquet store
+    that keeps, per group, only the ``m`` rows with the smallest
+    sample hash. ``batch_df`` carries (``grp``, ``sk``, ``tie``,
+    ``vfix``) — the caller computes ``sk`` with the canonical 48-bit
+    family (``operators.sketch._hash48``), the same caller-hashes
+    division of labor as the KMV/CM/Bloom folds.
+
+    This is the streaming counterpart of
+    ``sketch.hash_sample_quantile_report``'s sample side: a bottom-m
+    set is a mergeable bounded state exactly like the KMV bottom-k —
+    union-then-recut of per-batch bottom-m sets equals the bottom-m of
+    the union, so the store after any micro-batch split is
+    bit-identical to the batch sample over the same records. Merge is
+    a SET UNION (distinct on the full row; a replayed row is the
+    identical row), so the fold is idempotent and needs no per-batch
+    partitioning — same replay posture as KMV and Bloom, opposite of
+    the additive CM/MG stores.
+
+    Scale posture: state is ≤ m·groups rows; each fold touches the
+    batch once for its own bottom-m cut, then unions row sets that are
+    both ≤ m·groups.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(F.col("sk").asc(), F.col("tie").asc())
+    incoming = (
+        batch_df.select("grp", "sk", "tie", "vfix")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= m)
+        .drop("_rn")
+    )
+    try:
+        existing = spark.read.parquet(store_path).select("grp", "sk", "tie", "vfix")
+        merged = existing.unionByName(incoming).distinct()
+    except Exception:  # first batch: store not yet created
+        merged = incoming
+    cut = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= m)
+        .select("grp", "sk", "tie", "vfix")
+    )
+    rows = cut.collect()  # ≤ m·groups rows by construction
+    spark.createDataFrame(
+        rows, "grp string, sk long, tie long, vfix long"
+    ).coalesce(1).write.mode("overwrite").parquet(store_path)
+
+
+def sample_quantiles_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Read-time quantile estimator over the streaming sample store:
+    per group, the rank-based discrete p50/p95 of ``vfix`` over the
+    stored sample — the same all-integer definition as
+    ``sketch.hash_sample_quantile_report``'s sample side (min v with
+    den·|{x ≤ v}| ≥ num·n over the per-(group, value) histogram), so
+    the streamed estimates are bit-identical to the batch sample
+    quantiles whenever the stores match (which the merge property
+    guarantees and the live test pins).
+
+    Scale posture: the store is ≤ m·groups rows; everything here is
+    histogram-sized window arithmetic over that."""
+    from pyspark.sql import Window
+
+    store = spark.read.parquet(store_path)
+    hist = store.groupBy("grp", "vfix").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("vfix")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("grp")
+    c = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    parts = None
+    for num, den, col in ((50, 100, "s50_fix"), (95, 100, "s95_fix")):
+        q = (
+            c.where(F.lit(den) * F.col("cum") >= F.lit(num) * F.col("n"))
+            .groupBy("grp")
+            .agg(F.min("vfix").alias(col), F.max("n").alias("_n"))
+        )
+        q = q.withColumnRenamed("_n", "sample_m") if parts is None else q.drop("_n")
+        parts = q if parts is None else parts.join(q, "grp")
+    return parts.select("grp", "sample_m", "s50_fix", "s95_fix")
