@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm_segments": relational.customer_rfm_segments,
         "doc_length_p95_by_source": textstats.doc_length_p95_by_source,
         "embedding_neardup_clusters": graph.embedding_neardup_clusters,
+        "gram_novelty_by_doc": dedup.gram_novelty_by_doc,
         "greedy_pack_stats": rank.greedy_pack_stats,
         "half_life_decay_counts": timeseries.half_life_decay_counts,
         "hash_sample_quantile_report": sketch.hash_sample_quantile_report,
@@ -170,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate_documents": textstats.oov_rate_documents,
         "prefix_dup_groups": dedup.prefix_dup_groups,
         "repeated_span_scrub": curation.repeated_span_scrub,
+        "source_marginal_utility": dedup.source_marginal_utility,
         "source_overlap_matrix": dedup.source_overlap_matrix,
         "source_repeat_factors": curation.source_repeat_factors,
         "temperature_mixture_weights": curation.temperature_mixture_weights,
@@ -191,12 +193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_value_p95": timeseries.hourly_value_p95,
         "leakage_safe_split": curation.leakage_safe_split,
         "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
-        "fuzzy_name_pairs": curation.fuzzy_name_pairs,
-        "repetition_scores": textstats.repetition_scores,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "fuzzy_name_pairs": curation.fuzzy_name_pairs,
+        "repetition_scores": textstats.repetition_scores,
         "rhythm_baseline_stats": _rhythm_baseline_stats,
         "rhythm_recent_counts": _rhythm_recent_counts,
         "cube_order_counts": timeseries.cube_order_counts,
@@ -517,4 +519,6 @@ def oracle_sql() -> dict[str, str]:
         "cm_frequency_report": oracles.cm_frequency_report_sql(),
         "join_output_planner": oracles.join_output_planner_sql(),
         "contingency_chi2": oracles.contingency_chi2_sql(),
+        "gram_novelty_by_doc": oracles.gram_novelty_by_doc_sql(),
+        "source_marginal_utility": oracles.source_marginal_utility_sql(),
     }

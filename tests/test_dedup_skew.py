@@ -257,3 +257,48 @@ def test_minhash_calibration_planted(spark, tmp_path):
         assert abs(r["est_error"] - (r["est_jaccard"] - r["jaccard"])) == 0.0
         if r["jaccard"] == 1.0:
             assert r["est_matches"] == 8  # identical sets -> identical sigs
+
+
+def test_gram_novelty_planted_redundancy(spark, tmp_path):
+    """Planted novelty structure: doc0 is all-new (rate 1.0); doc2
+    re-delivers doc0's text verbatim plus nothing else (rate 0.0 —
+    pure redundancy with NO near-dup pair to doc1); doc1 mixes doc0's
+    shingles with fresh ones at a known exact ratio. Source rollup
+    must sum the same integers. Crucially doc2's redundancy is only
+    visible corpus-wide: its Jaccard to doc1 is 0, so pairwise dedup
+    alone would keep it."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.dedup import (
+        gram_novelty_by_doc,
+        source_marginal_utility,
+    )
+
+    base = "alpha beta gamma delta epsilon"  # 5 toks -> 3 shingles
+    rows = [
+        (0, base, "s0"),
+        (1, f"{base} zeta eta", "s1"),  # 7 toks -> 5 shingles, 2 new
+        (2, base, "s2"),  # verbatim re-delivery of doc0
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    got = {r["doc_id"]: r for r in gram_novelty_by_doc(spark, str(d)).collect()}
+    assert (got[0]["n_grams"], got[0]["n_novel"]) == (3, 3)
+    assert got[0]["novelty_rate"] == 1.0
+    assert (got[1]["n_grams"], got[1]["n_novel"]) == (5, 2)
+    assert got[1]["novelty_rate"] == 2 / 5
+    assert (got[2]["n_grams"], got[2]["n_novel"]) == (3, 0)
+    assert got[2]["novelty_rate"] == 0.0
+
+    by_src = {
+        r["source"]: r for r in source_marginal_utility(spark, str(d)).collect()
+    }
+    assert (by_src["s0"]["n_grams"], by_src["s0"]["n_novel"]) == (3, 3)
+    assert (by_src["s1"]["n_grams"], by_src["s1"]["n_novel"]) == (5, 2)
+    assert (by_src["s2"]["n_grams"], by_src["s2"]["n_novel"]) == (3, 0)
+    assert by_src["s2"]["novelty_rate"] == 0.0

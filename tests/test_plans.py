@@ -729,3 +729,27 @@ def test_contingency_chi2_plan_shape(spark, sf_oracle):
         set(c.split(":")[0] for c in s.split(",")) == {"ts", "event_type"}
         for s in schemas
     ), schemas
+
+
+def test_gram_novelty_plan_shape(spark, sf_oracle):
+    """Novelty without pairwise comparison: the exploded gram stream
+    shuffles into two hash aggs (per-gram min-doc, per-doc counts) and
+    joins at DOC grain — no gram-keyed join back onto the exploded
+    stream, no doc×doc product, no window; 2-column pruned scans."""
+    p = _plan(spark, sf_oracle, "gram_novelty_by_doc")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p and "BroadcastNestedLoopJoin" not in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        s.strip() == "doc_id:bigint,text:string" for s in schemas
+    ), schemas
+
+
+def test_source_marginal_utility_plan_shape(spark, sf_oracle):
+    """The source rollup joins the doc-sized novelty aggregate to a
+    2-column documents scan (broadcast), then one ≤ |sources|-row agg
+    — same no-pairwise guarantees as the per-doc shape."""
+    p = _plan(spark, sf_oracle, "source_marginal_utility")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p

@@ -850,3 +850,87 @@ def ann_recall_report(
             ).alias("recall_at_k"),
         )
     )
+
+
+def gram_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty (oracle ✔): for each document (in
+    doc_id order — the corpus's ingest order), the fraction of its
+    distinct token trigrams that NO earlier document contains. The
+    marginal-content view of dedup: a doc can be far from any single
+    neighbor (no near-dup pair fires) yet contribute almost nothing
+    new because its grams are scattered across the corpus — exactly
+    the redundancy class n-gram language-model dedup (CCNet, Gopher)
+    targets and pairwise Jaccard cannot see.
+
+    Novelty needs no pairwise comparison at all: a gram's FIRST
+    document is ``min(doc_id)`` over the gram's postings, so
+    ``n_novel(d) = |{g : first_doc(g) = d}|`` falls out of regrouping
+    the first-occurrence table — two hash aggs and a doc-sized join,
+    never a gram-keyed join back onto the exploded stream and never a
+    doc×doc product. Docs under 3 tokens carry no shingles and are
+    out of grain (same rule as ``shingled_documents``).
+
+    Scale posture (100 TB): the exploded gram stream shuffles once
+    into per-gram min-doc (map-side partial min), once into per-doc
+    gram counts; everything after is doc-count-sized. This is the
+    streaming-friendly form of "what does one more source add" —
+    the same aggregates fold incrementally as new docs arrive.
+    """
+    grams = shingled_documents(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("g")
+    )
+    n_grams = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        n_grams.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            (
+                F.coalesce("n_novel", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+def source_marginal_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal utility per source (oracle ✔): aggregate the per-doc
+    shingle novelty over ``documents.source`` — how much genuinely new
+    content each source adds to the corpus in ingest order, the number
+    that prices "should we keep paying for this feed". Sums of the
+    per-doc BIGINT counts with one final division; a source whose
+    ``novelty_rate`` collapses toward 0 is re-delivering content the
+    corpus already has even if its documents are not near-dups of any
+    single earlier document.
+
+    Scale posture: rides ``gram_novelty_by_doc``'s two-hash-agg shape;
+    the source join touches the doc-sized aggregate against a pruned
+    2-column documents scan, then one ≤ |sources|-row agg.
+    """
+    per_doc = gram_novelty_by_doc(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("n_grams"),
+            F.sum("n_novel").alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_grams",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
+            ).alias("novelty_rate"),
+        )
+    )

@@ -4818,3 +4818,46 @@ JOIN rt USING (event_type)
 JOIN ct USING (hour)
 CROSS JOIN nt
 """
+
+
+def gram_novelty_by_doc_sql() -> str:
+    """Per-doc shingle novelty — mirrors dedup.gram_novelty_by_doc:
+    distinct token trigrams, first-occurrence = min(doc_id) per gram,
+    novel count = regroup of the first-occurrence table, one final
+    division."""
+    return f"""
+WITH {_SHINGLES_CTE},
+grams AS (SELECT doc_id, unnest(sh) AS g FROM dsh),
+n_grams AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY 1
+),
+novel AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel FROM (
+        SELECT g, min(doc_id) AS doc_id FROM grams GROUP BY g
+    ) GROUP BY 1
+)
+SELECT g.doc_id, g.n_grams,
+       CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(coalesce(n.n_novel, 0) AS DOUBLE) / CAST(g.n_grams AS DOUBLE)
+         AS novelty_rate
+FROM n_grams g LEFT JOIN novel n USING (doc_id)
+"""
+
+
+def source_marginal_utility_sql() -> str:
+    """Per-source marginal novelty — mirrors
+    dedup.source_marginal_utility: sums of the per-doc counts over
+    documents.source, one final division."""
+    return f"""
+WITH per_doc AS (
+{gram_novelty_by_doc_sql()}
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_grams) AS BIGINT) AS n_grams,
+       CAST(sum(p.n_novel) AS BIGINT) AS n_novel,
+       CAST(sum(p.n_novel) AS DOUBLE) / CAST(sum(p.n_grams) AS DOUBLE)
+         AS novelty_rate
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
