@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_span_audit": curation.boilerplate_span_audit,
         "char_entropy_bits": textstats.char_entropy_bits,
         "cm_frequency_report": sketch.cm_frequency_report,
+        "containment_dedup_pairs": dedup.containment_dedup_pairs,
         "contingency_chi2": stats.contingency_chi2,
         "customer_rfm_segments": relational.customer_rfm_segments,
         "doc_length_p95_by_source": textstats.doc_length_p95_by_source,
@@ -192,11 +193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "behavior_trigrams": timeseries.behavior_trigrams,
         "hourly_value_p95": timeseries.hourly_value_p95,
         "leakage_safe_split": curation.leakage_safe_split,
-        "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
         "fuzzy_name_pairs": curation.fuzzy_name_pairs,
         "repetition_scores": textstats.repetition_scores,
         "rhythm_baseline_stats": _rhythm_baseline_stats,
@@ -521,4 +522,5 @@ def oracle_sql() -> dict[str, str]:
         "contingency_chi2": oracles.contingency_chi2_sql(),
         "gram_novelty_by_doc": oracles.gram_novelty_by_doc_sql(),
         "source_marginal_utility": oracles.source_marginal_utility_sql(),
+        "containment_dedup_pairs": oracles.containment_dedup_pairs_sql(),
     }

@@ -302,3 +302,83 @@ def test_gram_novelty_planted_redundancy(spark, tmp_path):
     assert (by_src["s1"]["n_grams"], by_src["s1"]["n_novel"]) == (5, 2)
     assert (by_src["s2"]["n_grams"], by_src["s2"]["n_novel"]) == (3, 0)
     assert by_src["s2"]["novelty_rate"] == 0.0
+
+
+def test_containment_pairs_planted_snippet(spark, tmp_path):
+    """The class Jaccard misses: a 6-shingle snippet verbatim inside a
+    ~120-shingle container has Jaccard ≈ 0.05 (far below any near-dup
+    threshold) but containment 1.0 — the pair MUST surface, in the
+    snippet→container direction only. A doc sharing less than 9/10 of
+    its shingles must NOT pair. Then brute-force equality: on the
+    whole planted corpus the operator's pair set equals all-pairs
+    ordered containment ≥ 9/10 computed in Python."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.dedup import containment_dedup_pairs
+
+    snippet = "quarterly revenue rose nine percent beating analyst estimates"
+    filler = " ".join(f"w{i}a w{i}b" for i in range(60))
+    rows = [
+        (0, snippet, "s"),                            # 8 toks -> 6 shingles
+        (1, f"{filler} {snippet}", "s"),              # container
+        (2, f"{snippet} totally different tail here now", "s"),  # partial
+        (3, "unrelated text with completely different words entirely", "s"),
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in containment_dedup_pairs(spark, str(d)).collect()
+    }
+    assert (0, 1) in got
+    assert got[(0, 1)]["containment"] == 1.0
+    # jaccard for the same pair is tiny — the asymmetric gate is the point
+    assert got[(0, 1)]["n_overlap"] / (
+        got[(0, 1)]["n_a"] + got[(0, 1)]["n_b"] - got[(0, 1)]["n_overlap"]
+    ) < 0.1
+    assert (1, 0) not in got  # container is NOT contained in snippet
+
+    # brute force over the planted corpus
+    def shingles(text):
+        t = [x for x in text.lower().split() if x]
+        return set(
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        ) if len(t) >= 3 else set()
+
+    sh = {i: shingles(t) for i, t, _ in rows}
+    expect = {}
+    for a in sh:
+        for b in sh:
+            if a != b and sh[a] and 10 * len(sh[a] & sh[b]) >= 9 * len(sh[a]):
+                expect[(a, b)] = len(sh[a] & sh[b])
+    assert set(got) == set(expect)
+    for key, r in got.items():
+        assert r["n_overlap"] == expect[key]
+
+
+def test_containment_pairs_bruteforce_fixture(spark, sf_smoke):
+    """Prefix-filter completeness on real fixture text: the operator's
+    ordered pair set at t = 9/10 must EQUAL the all-pairs brute force
+    over collected shingle sets — no candidate the pigeonhole
+    guarantees can be lost to the rare-first prefix cut."""
+    from via_spark.operators.dedup import containment_dedup_pairs, shingled_documents
+
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in shingled_documents(spark, sf_smoke).collect()
+    }
+    expect = set()
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a != b and 10 * len(sa & sb) >= 9 * len(sa):
+                expect.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in containment_dedup_pairs(spark, sf_smoke).collect()
+    }
+    assert got == expect and len(expect) > 0

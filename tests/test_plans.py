@@ -753,3 +753,16 @@ def test_source_marginal_utility_plan_shape(spark, sf_oracle):
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "Window" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_containment_pairs_plan_shape(spark, sf_oracle):
+    """Containment candidates must be an equi-join on shingle keys
+    (prefix × postings) — never a doc×doc product; verify joins
+    shingle arrays onto deduplicated pairs; scans prune to
+    (doc_id, text)."""
+    p = _plan(spark, sf_oracle, "containment_dedup_pairs")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        s.strip() == "doc_id:bigint,text:string" for s in schemas
+    ), schemas

@@ -934,3 +934,86 @@ def source_marginal_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+#: containment threshold as an exact rational (9/10) — thresholding is
+#: all-integer (10·|A∩B| ≥ 9·|A|) so no engine's float ulp can move a
+#: boundary pair; 0.9·m via floats would (IEEE 0.9·30 = 27.000…0004,
+#: ceil = 28 — off by one vs exact arithmetic).
+CONTAINMENT_NUM, CONTAINMENT_DEN = 9, 10
+
+
+def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (oracle ✔): ordered pairs
+    (doc_a, doc_b) where at least 9/10 of doc_a's distinct token
+    trigrams also occur in doc_b — the truncated-mirror / pagination /
+    quote-expansion class that symmetric Jaccard MISSES by
+    construction (a snippet fully inside a 100× longer doc has
+    Jaccard ≈ |A|/|B| ≈ 0.01, so MinHash bands never bucket them).
+
+    Candidates come from the prefix filter (Vernica et al., SIGMOD'10):
+    sort each doc's shingles by global document frequency (rarest
+    first), keep the first ``m − ⌈t·m⌉ + 1``, and equi-join those
+    prefix shingles against the full posting list. COMPLETE by
+    pigeonhole: containment ≥ t means doc_a has at most ``m − ⌈t·m⌉``
+    shingles outside doc_b, which is fewer than the prefix — so some
+    prefix shingle must be in doc_b and the pair surfaces. The prefix
+    length uses exact integer ceiling ``(9·m + 9) div 10``; the final
+    gate is ``10·|A∩B| ≥ 9·|A|``.
+
+    Scale posture: never all-pairs — candidates are an equi-join on
+    shingle keys, and candidate volume is Σ_prefix df(g), which
+    rare-first ordering actively minimizes (the filter's entire
+    point: common boilerplate grams never generate candidates because
+    they never land in a prefix). Document frequencies are one hash
+    agg; the per-doc rank window runs over doc-bounded shingle sets;
+    verify joins the shingle arrays onto DEDUPLICATED candidate pairs
+    only, same shape as :func:`dedup_minhash_pairs`.
+    """
+    t_num, t_den = CONTAINMENT_NUM, CONTAINMENT_DEN
+    sh = shingled_documents(spark, sf_dir).cache()
+    grams = sh.select("doc_id", F.explode("sh").alias("g"))
+    df_cnt = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_cnt"))
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("df_cnt").asc(), F.col("g").asc()
+    )
+    prefix = (
+        grams.join(df_cnt, "g")
+        .withColumn("_r", F.row_number().over(wr))
+        .join(sh.select("doc_id", F.size("sh").alias("m")), "doc_id")
+        .where(
+            F.col("_r")
+            <= F.col("m") - F.expr(f"({t_num} * m + {t_den - 1}) div {t_den}") + 1
+        )
+        .select(F.col("doc_id").alias("doc_a"), "g")
+    )
+    cand = (
+        prefix.join(grams.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verify = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b"
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        verify.withColumn("n_overlap", inter.cast("long"))
+        .where(
+            F.lit(t_den) * F.col("n_overlap")
+            >= F.lit(t_num) * F.size("sh_a").cast("long")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+            "n_overlap",
+            (
+                F.col("n_overlap").cast("double")
+                / F.size("sh_a").cast("double")
+            ).alias("containment"),
+        )
+    )

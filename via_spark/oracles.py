@@ -4861,3 +4861,44 @@ SELECT d.source,
 FROM per_doc p JOIN documents d USING (doc_id)
 GROUP BY d.source
 """
+
+
+def containment_dedup_pairs_sql(t_num: int = 9, t_den: int = 10) -> str:
+    """Prefix-filtered containment pairs — mirrors
+    dedup.containment_dedup_pairs: rarest-first prefix of length
+    m − ceil(t·m) + 1 (exact integer ceiling), posting-list equi-join
+    for candidates, all-integer final gate 10·|A∩B| ≥ 9·|A|."""
+    return f"""
+WITH {_SHINGLES_CTE},
+grams AS (SELECT doc_id, unnest(sh) AS g FROM dsh),
+df AS (SELECT g, count(*) AS df_cnt FROM grams GROUP BY g),
+sized AS (SELECT doc_id, len(sh) AS m FROM dsh),
+ranked AS (
+    SELECT gr.doc_id, gr.g, s.m,
+           row_number() OVER (PARTITION BY gr.doc_id
+                              ORDER BY d.df_cnt ASC, gr.g ASC) AS r
+    FROM grams gr JOIN df d USING (g) JOIN sized s USING (doc_id)
+),
+prefix AS (
+    SELECT doc_id AS doc_a, g FROM ranked
+    WHERE r <= m - (({t_num} * m + {t_den - 1}) // {t_den}) + 1
+),
+cand AS (
+    SELECT DISTINCT p.doc_a, gr.doc_id AS doc_b
+    FROM prefix p JOIN grams gr USING (g)
+    WHERE p.doc_a <> gr.doc_id
+),
+verify AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(a.sh) AS BIGINT) AS n_a,
+           CAST(len(b.sh) AS BIGINT) AS n_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_overlap
+    FROM cand c
+    JOIN dsh a ON a.doc_id = c.doc_a
+    JOIN dsh b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_a, n_b, n_overlap,
+       CAST(n_overlap AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+FROM verify
+WHERE {t_den} * n_overlap >= {t_num} * n_a
+"""
