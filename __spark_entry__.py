@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_drift_tvd": stats.value_drift_tvd,
         "weighted_doc_sample": curation.weighted_doc_sample,
         "weighted_sample_per_source": curation.weighted_sample_per_source,
+        "winsorized_stats": stats.winsorized_stats,
         "zorder_layout_report": rank.zorder_layout_report,
         "dedup_keep_best": graph.dedup_keep_best,
         "global_value_rank": rank.global_value_rank,
@@ -192,11 +193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_p95_events": stats.above_p95_events,
         "behavior_trigrams": timeseries.behavior_trigrams,
         "hourly_value_p95": timeseries.hourly_value_p95,
-        "leakage_safe_split": curation.leakage_safe_split,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "leakage_safe_split": curation.leakage_safe_split,
         "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
         "fuzzy_name_pairs": curation.fuzzy_name_pairs,
         "repetition_scores": textstats.repetition_scores,
@@ -523,4 +524,5 @@ def oracle_sql() -> dict[str, str]:
         "gram_novelty_by_doc": oracles.gram_novelty_by_doc_sql(),
         "source_marginal_utility": oracles.source_marginal_utility_sql(),
         "containment_dedup_pairs": oracles.containment_dedup_pairs_sql(),
+        "winsorized_stats": oracles.winsorized_stats_sql(),
     }

@@ -766,3 +766,19 @@ def test_containment_pairs_plan_shape(spark, sf_oracle):
     assert schemas and all(
         s.strip() == "doc_id:bigint,text:string" for s in schemas
     ), schemas
+
+
+def test_winsorized_stats_plan_shape(spark, sf_oracle):
+    """Winsorizing must never rescan or reshuffle the fact table: one
+    (type, value) histogram agg; thresholds and clamped sums both ride
+    that histogram, bounds broadcast back onto histogram rows; scans
+    prune to (event_type, value); windows run over histogram rows only
+    (partitioned — no global sort)."""
+    p = _plan(spark, sf_oracle, "winsorized_stats")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        set(c.split(":")[0] for c in s.split(",")) == {"event_type", "value"}
+        for s in schemas
+    ), schemas

@@ -466,3 +466,48 @@ def test_contingency_chi2_python_reference(spark, sf_smoke):
     for t in rt:
         if all((t, h) in cells for h in hours) and len(hours) == 24:
             assert sum(n * cells[(t, h)] - rt[t] * ct[h] for h in hours) == 0
+
+
+def test_winsorized_stats_planted_outlier(spark, tmp_path):
+    """One fat-finger value (1e6 among ~100 unit-scale rows) must drag
+    the raw mean far away while the winsorized mean stays put; clip
+    bounds are the exact discrete p1/p99 ranks of the planted
+    distribution; clip counts are exact. A clean uniform group clips
+    nothing beyond its own rank-extremes and both means agree."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.stats import winsorized_stats
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # dirty: 99 values 1.0..99.0 plus one 1e6 outlier
+    for i in range(99):
+        rows.append((i, base, 7, "dirty", float(i + 1), "{}"))
+    rows.append((99, base, 7, "dirty", 1_000_000.0, "{}"))
+    # clean: 100 values 1.0..100.0
+    for i in range(100):
+        rows.append((100 + i, base, 8, "clean", float(i + 1), "{}"))
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(d / "events.parquet"))
+
+    got = {r["event_type"]: r for r in winsorized_stats(spark, str(d)).collect()}
+
+    dirty = got["dirty"]
+    # discrete ranks over 100 rows: p1 = 1st value, p99 = 99th value
+    assert dirty["lo_clip"] == 1.0 and dirty["hi_clip"] == 99.0
+    assert dirty["n"] == 100
+    assert dirty["n_clipped_low"] == 0 and dirty["n_clipped_high"] == 1
+    # raw mean poisoned (~10049.5), winsorized mean = mean(1..99, 99)
+    assert dirty["mean_raw"] > 10_000
+    assert dirty["mean_winsorized"] == (sum(range(1, 100)) + 99) / 100 / 1.0
+    clean = got["clean"]
+    # discrete ranks: p1 = 1st of 100, p99 = 99th of 100 -> value 100
+    # winsorizes down to 99 by definition (exact-rank semantics)
+    assert clean["lo_clip"] == 1.0 and clean["hi_clip"] == 99.0
+    assert clean["n_clipped_low"] == 0 and clean["n_clipped_high"] == 1
+    assert clean["mean_raw"] == 50.5
+    assert clean["mean_winsorized"] == (sum(range(1, 100)) + 99) / 100

@@ -611,3 +611,87 @@ def contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contribution"),
         )
     )
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per event type (oracle ✔): clip
+    ``value`` to the rank-based discrete [p1, p99] and report the
+    clipped mean beside the raw mean and the clip counts — the
+    "is my average one fat-finger away from garbage" report every
+    metrics pipeline needs before trusting a mean at scale.
+
+    All-integer doctrine: clip bounds are discrete rank thresholds
+    (min v with 100·cum ≥ k·n — same shape as ``p95_rank_threshold``,
+    never an interpolated double); clipping clamps fixed-point
+    BIGINTs; both means are ONE division of a BIGINT sum (no float
+    accumulation — the sum of clamped int64 values is exact and
+    order-independent across executors and engines).
+
+    Scale posture: one hash agg builds the per-(type, value)
+    histogram; BOTH thresholds and BOTH sums come from that histogram
+    (weight each distinct value by its count) — the fact table is
+    scanned once and nothing row-sized survives the first agg; the
+    thresholds broadcast back onto histogram rows, not onto events.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vfix"),
+    )
+    hist = ev.groupBy("event_type", "vfix").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vfix")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    c = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    bounds = (
+        c.groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("cum") >= F.lit(1) * F.col("n"), F.col("vfix")
+                )
+            ).alias("lo_fix"),
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("cum") >= F.lit(99) * F.col("n"), F.col("vfix")
+                )
+            ).alias("hi_fix"),
+        )
+    )
+    clipped = hist.join(F.broadcast(bounds), "event_type").withColumn(
+        "wfix",
+        F.greatest(F.col("lo_fix"), F.least(F.col("hi_fix"), F.col("vfix"))),
+    )
+    fix = 1_000_000.0
+    return (
+        clipped.groupBy("event_type", "lo_fix", "hi_fix")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("vfix") * F.col("c")).alias("raw_sum"),
+            F.sum(F.col("wfix") * F.col("c")).alias("win_sum"),
+            F.sum(F.when(F.col("vfix") < F.col("lo_fix"), F.col("c")).otherwise(F.lit(0))).alias("n_clipped_low"),
+            F.sum(F.when(F.col("vfix") > F.col("hi_fix"), F.col("c")).otherwise(F.lit(0))).alias("n_clipped_high"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("lo_fix").cast("double") / fix).alias("lo_clip"),
+            (F.col("hi_fix").cast("double") / fix).alias("hi_clip"),
+            (
+                F.col("raw_sum").cast("double")
+                / (F.col("n").cast("double") * F.lit(fix))
+            ).alias("mean_raw"),
+            (
+                F.col("win_sum").cast("double")
+                / (F.col("n").cast("double") * F.lit(fix))
+            ).alias("mean_winsorized"),
+            F.col("n_clipped_low").cast("long").alias("n_clipped_low"),
+            F.col("n_clipped_high").cast("long").alias("n_clipped_high"),
+        )
+    )

@@ -4902,3 +4902,49 @@ SELECT doc_a, doc_b, n_a, n_b, n_overlap,
 FROM verify
 WHERE {t_den} * n_overlap >= {t_num} * n_a
 """
+
+
+def winsorized_stats_sql() -> str:
+    """Winsorized robust stats — mirrors stats.winsorized_stats:
+    rank-based discrete [p1, p99] clip bounds from the per-(type,
+    value) histogram, BIGINT clamped sums weighted by histogram
+    counts, one final division per mean."""
+    return """
+WITH ev AS (
+    SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS vfix
+    FROM events
+),
+hist AS (SELECT event_type, vfix, count(*) AS c FROM ev GROUP BY 1, 2),
+cc AS (
+    SELECT *,
+           sum(c) OVER (PARTITION BY event_type ORDER BY vfix
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+    FROM hist
+),
+bounds AS (
+    SELECT event_type,
+           min(CASE WHEN 100 * cum >= 1 * n THEN vfix END) AS lo_fix,
+           min(CASE WHEN 100 * cum >= 99 * n THEN vfix END) AS hi_fix
+    FROM cc GROUP BY 1
+),
+clipped AS (
+    SELECT h.event_type, h.vfix, h.c, b.lo_fix, b.hi_fix,
+           greatest(b.lo_fix, least(b.hi_fix, h.vfix)) AS wfix
+    FROM hist h JOIN bounds b USING (event_type)
+)
+SELECT event_type,
+       CAST(sum(c) AS BIGINT) AS n,
+       CAST(lo_fix AS DOUBLE) / 1000000.0 AS lo_clip,
+       CAST(hi_fix AS DOUBLE) / 1000000.0 AS hi_clip,
+       CAST(CAST(sum(vfix * c) AS BIGINT) AS DOUBLE)
+         / (CAST(sum(c) AS DOUBLE) * 1000000.0) AS mean_raw,
+       CAST(CAST(sum(wfix * c) AS BIGINT) AS DOUBLE)
+         / (CAST(sum(c) AS DOUBLE) * 1000000.0) AS mean_winsorized,
+       CAST(sum(CASE WHEN vfix < lo_fix THEN c ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(sum(CASE WHEN vfix > hi_fix THEN c ELSE 0 END) AS BIGINT)
+         AS n_clipped_high
+FROM clipped
+GROUP BY event_type, lo_fix, hi_fix
+"""
