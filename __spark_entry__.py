@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity_entropy": timeseries.user_activity_entropy,
         "user_state_intervals": windows.user_state_intervals,
         "value_drift_tvd": stats.value_drift_tvd,
+        "vocab_growth_curve": dedup.vocab_growth_curve,
         "weighted_doc_sample": curation.weighted_doc_sample,
         "weighted_sample_per_source": curation.weighted_sample_per_source,
         "winsorized_stats": stats.winsorized_stats,
@@ -525,4 +526,5 @@ def oracle_sql() -> dict[str, str]:
         "source_marginal_utility": oracles.source_marginal_utility_sql(),
         "containment_dedup_pairs": oracles.containment_dedup_pairs_sql(),
         "winsorized_stats": oracles.winsorized_stats_sql(),
+        "vocab_growth_curve": oracles.vocab_growth_curve_sql(),
     }

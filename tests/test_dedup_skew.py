@@ -382,3 +382,36 @@ def test_containment_pairs_bruteforce_fixture(spark, sf_smoke):
         for r in containment_dedup_pairs(spark, sf_smoke).collect()
     }
     assert got == expect and len(expect) > 0
+
+
+def test_vocab_growth_planted_saturation(spark, tmp_path):
+    """Planted saturation: checkpoint 0 introduces all grams;
+    checkpoint `step` re-delivers only known text (zero new types,
+    occurrences still advance); checkpoint 2·step adds exactly 2 fresh
+    grams. Cumulative columns must be exact integer prefix sums and
+    the type/token ratio must fall monotonically."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.dedup import vocab_growth_curve
+
+    base = "alpha beta gamma delta epsilon"  # 3 shingles
+    rows = [
+        (0, base, "s"),
+        (50, base, "s"),                       # pure re-delivery
+        (100, f"{base} zeta eta", "s"),        # 5 shingles, 2 new
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    got = {r["checkpoint"]: r for r in vocab_growth_curve(spark, str(d)).collect()}
+    assert set(got) == {0, 50, 100}
+    assert (got[0]["new_types"], got[0]["cum_types"], got[0]["cum_occurrences"]) == (3, 3, 3)
+    assert (got[50]["new_types"], got[50]["cum_types"], got[50]["cum_occurrences"]) == (0, 3, 6)
+    assert (got[100]["new_types"], got[100]["cum_types"], got[100]["cum_occurrences"]) == (2, 5, 11)
+    ratios = [got[k]["type_token_ratio"] for k in (0, 50, 100)]
+    assert ratios == sorted(ratios, reverse=True)
+    assert ratios[0] == 1.0 and ratios[1] == 0.5 and ratios[2] == 5 / 11

@@ -782,3 +782,18 @@ def test_winsorized_stats_plan_shape(spark, sf_oracle):
         set(c.split(":")[0] for c in s.split(",")) == {"event_type", "value"}
         for s in schemas
     ), schemas
+
+
+def test_vocab_growth_plan_shape(spark, sf_oracle):
+    """The growth curve's heavy work is the two gram-stream hash aggs;
+    the cumulative windows run over checkpoint-count rows only (a
+    provably tiny frame — the accepted single-partition window class,
+    same as join_key_skew_report's count-of-counts histogram); scans
+    prune to (doc_id, text), no joins beyond the checkpoint-grain
+    merge."""
+    p = _plan(spark, sf_oracle, "vocab_growth_curve")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        s.strip() == "doc_id:bigint,text:string" for s in schemas
+    ), schemas

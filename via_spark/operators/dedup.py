@@ -1017,3 +1017,68 @@ def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+#: vocabulary-growth checkpoint spacing (docs per checkpoint)
+VOCAB_CHECKPOINT = 50
+
+
+def vocab_growth_curve(
+    spark: SparkSession, sf_dir: str, step: int = VOCAB_CHECKPOINT
+) -> DataFrame:
+    """Vocabulary growth (Heaps-law) curve (oracle ✔): at every
+    ``step``-doc checkpoint of the corpus in doc_id order, the exact
+    cumulative number of distinct token trigrams seen so far beside
+    the cumulative gram occurrences — the saturation curve that tells
+    a data buyer whether the next tranche of a source still grows the
+    vocabulary or just re-spends tokens on known content (the
+    corpus-level integral of ``gram_novelty_by_doc``).
+
+    Same no-pairwise machinery as the novelty op: a gram's first
+    occurrence is ``min(doc_id)`` over its postings, so distinct-seen
+    at checkpoint d is ONE cumulative sum over the per-checkpoint
+    first-occurrence counts. Occurrences cumulate the same way. Both
+    windows run over the ≤ |corpus|/step checkpoint rows, never the
+    gram stream.
+
+    Scale posture: two hash aggs on the exploded gram stream (per-gram
+    min-doc; per-checkpoint counts), then window arithmetic over
+    checkpoint-count-sized frames. At 100 TB the checkpoint grain is
+    the dial — the heavy work is identical to the novelty op and
+    shares its incremental-fold property.
+    """
+    grams = shingled_documents(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("g")
+    )
+    ck = F.expr(f"(doc_id div {int(step)}) * {int(step)}").alias("checkpoint")
+    occ = grams.groupBy(ck).agg(F.count(F.lit(1)).alias("occ"))
+    first = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy(ck)
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = (
+        Window.orderBy("checkpoint")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        occ.join(first, "checkpoint", "left")
+        .select(
+            "checkpoint",
+            F.col("occ"),
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+        .withColumn("cum_occurrences", F.sum("occ").over(w))
+        .withColumn("cum_types", F.sum("new_types").over(w))
+        .select(
+            "checkpoint",
+            F.col("new_types").cast("long").alias("new_types"),
+            F.col("cum_types").cast("long").alias("cum_types"),
+            F.col("cum_occurrences").cast("long").alias("cum_occurrences"),
+            (
+                F.col("cum_types").cast("double")
+                / F.col("cum_occurrences").cast("double")
+            ).alias("type_token_ratio"),
+        )
+    )

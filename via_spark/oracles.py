@@ -4948,3 +4948,38 @@ SELECT event_type,
 FROM clipped
 GROUP BY event_type, lo_fix, hi_fix
 """
+
+
+def vocab_growth_curve_sql(step: int = 50) -> str:
+    """Heaps-law vocabulary growth — mirrors dedup.vocab_growth_curve:
+    per-gram min(doc_id) first occurrences, per-checkpoint counts,
+    cumulative windows over checkpoint rows, one final division."""
+    return f"""
+WITH {_SHINGLES_CTE},
+grams AS (SELECT doc_id, unnest(sh) AS g FROM dsh),
+occ AS (
+    SELECT (doc_id // {step}) * {step} AS checkpoint, count(*) AS occ
+    FROM grams GROUP BY 1
+),
+firsts AS (
+    SELECT (doc_id // {step}) * {step} AS checkpoint, count(*) AS new_types
+    FROM (SELECT g, min(doc_id) AS doc_id FROM grams GROUP BY g)
+    GROUP BY 1
+),
+cum AS (
+    SELECT o.checkpoint,
+           coalesce(f.new_types, 0) AS new_types,
+           sum(coalesce(f.new_types, 0)) OVER (ORDER BY o.checkpoint
+               ROWS UNBOUNDED PRECEDING) AS cum_types,
+           sum(o.occ) OVER (ORDER BY o.checkpoint
+               ROWS UNBOUNDED PRECEDING) AS cum_occurrences
+    FROM occ o LEFT JOIN firsts f USING (checkpoint)
+)
+SELECT checkpoint,
+       CAST(new_types AS BIGINT) AS new_types,
+       CAST(cum_types AS BIGINT) AS cum_types,
+       CAST(cum_occurrences AS BIGINT) AS cum_occurrences,
+       CAST(cum_types AS DOUBLE) / CAST(cum_occurrences AS DOUBLE)
+         AS type_token_ratio
+FROM cum
+"""
