@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_frequency_report": sketch.cm_frequency_report,
         "containment_dedup_pairs": dedup.containment_dedup_pairs,
         "contingency_chi2": stats.contingency_chi2,
+        "cooccurrence_lift": timeseries.cooccurrence_lift,
         "customer_rfm_segments": relational.customer_rfm_segments,
         "doc_length_p95_by_source": textstats.doc_length_p95_by_source,
         "embedding_neardup_clusters": graph.embedding_neardup_clusters,
@@ -527,4 +528,5 @@ def oracle_sql() -> dict[str, str]:
         "containment_dedup_pairs": oracles.containment_dedup_pairs_sql(),
         "winsorized_stats": oracles.winsorized_stats_sql(),
         "vocab_growth_curve": oracles.vocab_growth_curve_sql(),
+        "cooccurrence_lift": oracles.cooccurrence_lift_sql(),
     }

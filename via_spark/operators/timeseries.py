@@ -735,3 +735,63 @@ def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("entropy_bits").cast("double") / F.col("n_events").cast("double"))
         .alias("mean_bits_per_event"),
     )
+
+
+def cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence lift over user-days (oracle ✔): for
+    every unordered type pair, how much more (or less) often the two
+    types appear in the SAME user's SAME day than independence
+    predicts — ``lift = n_ud·c_ab / (c_a·c_b)``, the association
+    measure behind market-basket and behavior-bundle analysis. Lift
+    is deliberately the rational form, not PMI: ``ln()`` ulp agreement
+    across engines is not a contract worth betting determinism on
+    (same doctrine as ``value_drift_tvd``), and the numerator
+    ``n_ud·c_ab`` is an exact BIGINT before the ONE division.
+
+    Scale posture: the fact table reduces to DISTINCT (user, day,
+    type) in one hash agg; the pair join is keyed on (user, day) with
+    fanout bounded by |types|² per key — never a global cross product
+    — and everything after is |types|²-sized with margins and the
+    user-day total broadcast back.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("ts div 1000000000 div 86400").cast("long").alias("day"),
+        "event_type",
+    ).distinct()
+    n_ud = ud.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_user_days")
+    )
+    margins = ud.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = ud.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = ud.select("user_id", "day", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(margins.select(F.col("event_type").alias("type_a"), F.col("c").alias("c_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(margins.select(F.col("event_type").alias("type_b"), F.col("c").alias("c_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_ud))
+        .select(
+            "type_a",
+            "type_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            "n_user_days",
+            (
+                (F.col("n_user_days") * F.col("c_ab")).cast("double")
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+            ).alias("lift"),
+        )
+    )

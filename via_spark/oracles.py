@@ -4983,3 +4983,37 @@ SELECT checkpoint,
          AS type_token_ratio
 FROM cum
 """
+
+
+def cooccurrence_lift_sql() -> str:
+    """User-day type co-occurrence lift — mirrors
+    timeseries.cooccurrence_lift: distinct (user, day, type) grain,
+    bounded-fanout pair join, exact BIGINT numerator, one division."""
+    return """
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           epoch_us(ts) // 1000000 // 86400 AS day,
+           event_type
+    FROM events
+),
+nud AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_user_days
+    FROM (SELECT DISTINCT user_id, day FROM ud)
+),
+m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM ud GROUP BY 1),
+p AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS c_ab
+    FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.day = b.day
+                       AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.c_ab,
+       ma.c AS c_a, mb.c AS c_b, nud.n_user_days,
+       CAST(nud.n_user_days * p.c_ab AS DOUBLE)
+         / (CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE)) AS lift
+FROM p
+JOIN m ma ON ma.event_type = p.type_a
+JOIN m mb ON mb.event_type = p.type_b
+CROSS JOIN nud
+"""
