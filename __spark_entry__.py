@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_quantile_report": sketch.hash_sample_quantile_report,
         "hour_of_week_profile": timeseries.hour_of_week_profile,
         "ingest_reject_reasons": schema_infer.ingest_reject_reasons,
+        "interarrival_profile": timeseries.interarrival_profile,
         "join_output_planner": stats.join_output_planner,
         "kmv_distinct_report": sketch.kmv_distinct_report,
         "kmv_retention_overlap": sketch.kmv_retention_overlap,
@@ -529,4 +530,5 @@ def oracle_sql() -> dict[str, str]:
         "winsorized_stats": oracles.winsorized_stats_sql(),
         "vocab_growth_curve": oracles.vocab_growth_curve_sql(),
         "cooccurrence_lift": oracles.cooccurrence_lift_sql(),
+        "interarrival_profile": oracles.interarrival_profile_sql(),
     }

@@ -815,3 +815,18 @@ def test_cooccurrence_lift_plan_shape(spark, sf_oracle):
         <= {"ts", "user_id", "event_type"}
         for s in schemas
     ), schemas
+
+
+def test_interarrival_profile_plan_shape(spark, sf_oracle):
+    """The lag window partitions by (user, type) — bounded frames,
+    never a global sort; the quantile windows run over the gap
+    HISTOGRAM; 3-column pruned scan, no joins."""
+    p = _plan(spark, sf_oracle, "interarrival_profile")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        set(c.split(":")[0] for c in s.split(","))
+        == {"ts", "user_id", "event_type", "event_id"}
+        for s in schemas
+    ), schemas

@@ -549,3 +549,51 @@ def test_cooccurrence_lift_planted_association(spark, tmp_path):
     assert (ab["c_ab"], ab["c_a"], ab["c_b"], ab["n_user_days"]) == (4, 4, 4, 8)
     assert ab["lift"] == 8 * 4 / (4 * 4)  # 2.0: perfect co-occurrence
     assert ("A", "C") not in got and ("B", "C") not in got  # never together
+
+
+def test_interarrival_profile_planted_cadence(spark, tmp_path):
+    """Planted cadences: a strict 60 s heartbeat (all gaps 60 — p50 =
+    p95 = mean = 60); a bursty type with gaps [1,1,1,1,1,1,1,1,1,991]
+    (p50 = 1, p95 = 991, exact mean 100); cross-user independence
+    (two users' heartbeat streams never produce a cross-user gap);
+    same-second events yield a 0 gap via the event_id tiebreak."""
+    import datetime
+
+    from via_spark.operators.timeseries import interarrival_profile
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def ev(day_s, user, typ):
+        nonlocal eid
+        rows.append(
+            (eid, base + datetime.timedelta(seconds=day_s), user, typ, 1.0, "{}")
+        )
+        eid += 1
+
+    for u in (1, 2):  # two users, identical heartbeats
+        for i in range(11):
+            ev(i * 60, u, "heartbeat")
+    t = 0
+    ev(t, 3, "bursty")
+    for g in [1] * 9 + [991]:
+        t += g
+        ev(t, 3, "bursty")
+    ev(5000, 4, "tied"); ev(5000, 4, "tied")  # same second
+
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(d / "events.parquet"))
+
+    got = {r["event_type"]: r for r in interarrival_profile(spark, str(d)).collect()}
+    hb = got["heartbeat"]
+    assert hb["n_gaps"] == 20  # 10 per user — never a cross-user gap
+    assert hb["p50_gap_s"] == hb["p95_gap_s"] == 60
+    assert hb["mean_gap_s"] == 60.0
+    b = got["bursty"]
+    assert b["n_gaps"] == 10
+    assert (b["p50_gap_s"], b["p95_gap_s"]) == (1, 991)
+    assert b["mean_gap_s"] == 100.0
+    assert got["tied"]["n_gaps"] == 1 and got["tied"]["p50_gap_s"] == 0

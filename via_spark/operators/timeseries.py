@@ -795,3 +795,71 @@ def cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival cadence profile (oracle ✔): the gaps (in
+    whole seconds) between a user's consecutive events of the same
+    type, summarized per event type as rank-based discrete p50/p95
+    plus the exact mean — the cadence fingerprint that separates
+    heartbeat-like types (tight p95) from bursty ones (p95 ≫ p50), and
+    the baseline a "did this feed stall" monitor alarms against.
+
+    All-integer doctrine: gaps are BIGINT second differences from a
+    lag over (user, type) ordered by (ts, event_id) — the event_id
+    tiebreak pins same-second ordering so both engines see identical
+    gap multisets; quantiles are discrete ranks over the per-(type,
+    gap) histogram (min g with 100·cum ≥ k·n); the mean is one
+    division of an exact BIGINT sum.
+
+    Scale posture: the lag window partitions by (user_id, event_type)
+    — per-user-per-type event counts bound the frame (same class as
+    sessionization); the quantile windows run over the gap HISTOGRAM,
+    never the event stream.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("ts div 1000000000").cast("long").alias("ts_s"),
+    )
+    wl = Window.partitionBy("user_id", "event_type").orderBy("ts_s", "event_id")
+    gaps = (
+        ev.withColumn("prev_s", F.lag("ts_s").over(wl))
+        .where(F.col("prev_s").isNotNull())
+        .select("event_type", (F.col("ts_s") - F.col("prev_s")).alias("gap_s"))
+    )
+    hist = gaps.groupBy("event_type", "gap_s").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    c = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_gaps"),
+            F.sum(F.col("gap_s") * F.col("c")).alias("gap_sum"),
+            F.min(
+                F.when(F.lit(100) * F.col("cum") >= F.lit(50) * F.col("n"), F.col("gap_s"))
+            ).alias("p50_gap_s"),
+            F.min(
+                F.when(F.lit(100) * F.col("cum") >= F.lit(95) * F.col("n"), F.col("gap_s"))
+            ).alias("p95_gap_s"),
+        )
+        .select(
+            "event_type",
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            "p50_gap_s",
+            "p95_gap_s",
+            (
+                F.col("gap_sum").cast("double") / F.col("n_gaps").cast("double")
+            ).alias("mean_gap_s"),
+        )
+    )

@@ -5017,3 +5017,41 @@ JOIN m ma ON ma.event_type = p.type_a
 JOIN m mb ON mb.event_type = p.type_b
 CROSS JOIN nud
 """
+
+
+def interarrival_profile_sql() -> str:
+    """Per-type inter-arrival cadence — mirrors
+    timeseries.interarrival_profile: lag over (user, type) ordered by
+    (ts, event_id), discrete rank p50/p95 over the gap histogram,
+    exact-sum mean."""
+    return """
+WITH ev AS (
+    SELECT user_id, event_type, event_id,
+           epoch_us(ts) // 1000000 AS ts_s
+    FROM events
+),
+gaps AS (
+    SELECT event_type, ts_s - prev_s AS gap_s FROM (
+        SELECT event_type, ts_s,
+               lag(ts_s) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts_s, event_id) AS prev_s
+        FROM ev
+    ) WHERE prev_s IS NOT NULL
+),
+hist AS (SELECT event_type, gap_s, count(*) AS c FROM gaps GROUP BY 1, 2),
+cc AS (
+    SELECT *,
+           sum(c) OVER (PARTITION BY event_type ORDER BY gap_s
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+    FROM hist
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_gaps,
+       min(CASE WHEN 100 * cum >= 50 * n THEN gap_s END) AS p50_gap_s,
+       min(CASE WHEN 100 * cum >= 95 * n THEN gap_s END) AS p95_gap_s,
+       CAST(CAST(sum(gap_s * c) AS BIGINT) AS DOUBLE)
+         / CAST(max(n) AS DOUBLE) AS mean_gap_s
+FROM cc
+GROUP BY event_type
+"""
