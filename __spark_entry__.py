@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contingency_chi2": stats.contingency_chi2,
         "cooccurrence_lift": timeseries.cooccurrence_lift,
         "customer_rfm_segments": relational.customer_rfm_segments,
+        "dedup_token_budget": graph.dedup_token_budget,
         "doc_length_p95_by_source": textstats.doc_length_p95_by_source,
         "embedding_neardup_clusters": graph.embedding_neardup_clusters,
         "gram_novelty_by_doc": dedup.gram_novelty_by_doc,
@@ -531,4 +532,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth_curve": oracles.vocab_growth_curve_sql(),
         "cooccurrence_lift": oracles.cooccurrence_lift_sql(),
         "interarrival_profile": oracles.interarrival_profile_sql(),
+        "dedup_token_budget": oracles.dedup_token_budget_sql(),
     }

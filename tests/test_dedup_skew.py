@@ -415,3 +415,39 @@ def test_vocab_growth_planted_saturation(spark, tmp_path):
     ratios = [got[k]["type_token_ratio"] for k in (0, 50, 100)]
     assert ratios == sorted(ratios, reverse=True)
     assert ratios[0] == 1.0 and ratios[1] == 0.5 and ratios[2] == 5 / 11
+
+
+def test_dedup_token_budget_planted_mirror(spark, tmp_path):
+    """Planted syndication: source 'mirror' re-delivers source
+    'origin's doc verbatim (same cluster, origin's doc_id is smaller →
+    canonical) plus one unique doc. origin keeps 100% of its tokens;
+    mirror keeps only its unique doc's tokens; the mirrored copy's
+    tokens are charged to mirror's raw budget but never to its kept
+    budget. A clean source keeps everything."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.graph import dedup_token_budget
+
+    dup = " ".join(f"shared{i}" for i in range(40))  # 40 tokens, near-dup pair
+    rows = [
+        (0, dup, "origin"),
+        (1, f"{dup} tail", "mirror"),  # 41 tokens, jaccard ~0.93 with doc0
+        (2, " ".join(f"uniq{i}" for i in range(10)), "mirror"),
+        (3, " ".join(f"clean{i}" for i in range(7)), "clean"),
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    got = {r["source"]: r for r in dedup_token_budget(spark, str(d)).collect()}
+    o = got["origin"]
+    assert (o["n_docs"], o["n_canonical"], o["raw_tokens"], o["kept_tokens"]) == (1, 1, 40, 40)
+    assert o["kept_ratio"] == 1.0
+    m = got["mirror"]
+    assert (m["n_docs"], m["n_canonical"], m["raw_tokens"], m["kept_tokens"]) == (2, 1, 51, 10)
+    assert m["kept_ratio"] == 10 / 51
+    c = got["clean"]
+    assert (c["raw_tokens"], c["kept_tokens"], c["kept_ratio"]) == (7, 7, 1.0)

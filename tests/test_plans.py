@@ -830,3 +830,13 @@ def test_interarrival_profile_plan_shape(spark, sf_oracle):
         == {"ts", "user_id", "event_type", "event_id"}
         for s in schemas
     ), schemas
+
+
+def test_dedup_token_budget_plan_shape(spark, sf_oracle):
+    """The budget rolls up the PERSISTED cluster-label table joined to
+    a stateless token projection — one doc-grain join, one
+    |sources|-row agg; no recursive walk, no pairwise structure in
+    this plan."""
+    p = _plan(spark, sf_oracle, "dedup_token_budget")
+    assert "CartesianProduct" not in p
+    assert "Window" not in p

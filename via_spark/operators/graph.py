@@ -241,3 +241,66 @@ def embedding_neardup_clusters(
 
     threshold = EMB_COS_THRESHOLD if threshold is None else threshold
     return store.embedding_cluster_labels(spark, sf_dir, threshold)
+
+
+def dedup_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-dedup token budget per source (oracle ✔): raw whitespace
+    tokens beside the tokens that SURVIVE a dedup pass keeping only
+    each near-dup cluster's canonical (min doc_id) — the number a
+    training-budget plan actually spends, since duplicated tokens
+    train like one copy. A source can look token-rich raw and collapse
+    after dedup; ``kept_ratio`` is the per-source discount factor.
+
+    Attribution rule: every doc's tokens count toward its OWN source's
+    raw budget; only canonical docs contribute to the kept budget (a
+    non-canonical mirror of another source's doc keeps nothing —
+    cross-source syndication shows up as a low ratio on the mirroring
+    side, matching ``source_overlap_matrix``'s view).
+
+    Scale posture: rides the persisted cluster-label table
+    (``store.cluster_labels`` — the artifact a production dedup pass
+    materializes once); token counts are a stateless projection; one
+    doc-grain join, one |sources|-row agg. BIGINT sums, one division.
+    """
+    from via_spark.functions.text import tokens
+    from via_spark.operators.dedup import JACCARD_THRESHOLD as _t
+
+    labels = dedup_clusters(spark, sf_dir)
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return (
+        toks.join(labels.select("doc_id", "cluster_rep"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("cluster_rep"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_canonical"),
+            F.sum("n_tokens").alias("raw_tokens"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") == F.col("cluster_rep"), F.col("n_tokens")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_canonical",
+            "raw_tokens",
+            "kept_tokens",
+            (
+                F.col("kept_tokens").cast("double")
+                / F.col("raw_tokens").cast("double")
+            ).alias("kept_ratio"),
+        )
+    )

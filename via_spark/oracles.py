@@ -5055,3 +5055,32 @@ SELECT event_type,
 FROM cc
 GROUP BY event_type
 """
+
+
+def dedup_token_budget_sql(threshold: float = 0.5) -> str:
+    """Post-dedup token budget — mirrors graph.dedup_token_budget:
+    cluster canonicals from the recursive component closure, raw vs
+    canonical-only token sums per source, one division."""
+    return f"""
+WITH clusters AS (
+{dedup_clusters_sql(threshold)}
+),
+dtok AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c.doc_id = c.cluster_rep THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_canonical,
+       CAST(sum(t.n_tokens) AS BIGINT) AS raw_tokens,
+       CAST(sum(CASE WHEN c.doc_id = c.cluster_rep THEN t.n_tokens ELSE 0 END)
+            AS BIGINT) AS kept_tokens,
+       CAST(sum(CASE WHEN c.doc_id = c.cluster_rep THEN t.n_tokens ELSE 0 END)
+            AS DOUBLE)
+         / CAST(sum(t.n_tokens) AS DOUBLE) AS kept_ratio
+FROM dtok t JOIN clusters c USING (doc_id)
+GROUP BY t.source
+"""
