@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contingency_chi2": stats.contingency_chi2,
         "cooccurrence_lift": timeseries.cooccurrence_lift,
         "customer_rfm_segments": relational.customer_rfm_segments,
+        "daily_trend_slopes": timeseries.daily_trend_slopes,
         "dedup_token_budget": graph.dedup_token_budget,
         "doc_length_p95_by_source": textstats.doc_length_p95_by_source,
         "embedding_neardup_clusters": graph.embedding_neardup_clusters,
@@ -533,4 +534,5 @@ def oracle_sql() -> dict[str, str]:
         "cooccurrence_lift": oracles.cooccurrence_lift_sql(),
         "interarrival_profile": oracles.interarrival_profile_sql(),
         "dedup_token_budget": oracles.dedup_token_budget_sql(),
+        "daily_trend_slopes": oracles.daily_trend_slopes_sql(),
     }

@@ -840,3 +840,18 @@ def test_dedup_token_budget_plan_shape(spark, sf_oracle):
     p = _plan(spark, sf_oracle, "dedup_token_budget")
     assert "CartesianProduct" not in p
     assert "Window" not in p
+
+
+def test_daily_trend_slopes_plan_shape(spark, sf_oracle):
+    """All five regression sums aggregate the (type, day) count table;
+    the rebase anchor broadcasts (the one BNLJ is that 1-row frame);
+    2-column pruned scan, no windows, no sort-merge."""
+    p = _plan(spark, sf_oracle, "daily_trend_slopes")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    # the min-day anchor branch prunes event_type away entirely
+    assert schemas and all(
+        set(c.split(":")[0] for c in s.split(",")) <= {"ts", "event_type"}
+        for s in schemas
+    ), schemas

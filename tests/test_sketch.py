@@ -597,3 +597,55 @@ def test_interarrival_profile_planted_cadence(spark, tmp_path):
     assert (b["p50_gap_s"], b["p95_gap_s"]) == (1, 991)
     assert b["mean_gap_s"] == 100.0
     assert got["tied"]["n_gaps"] == 1 and got["tied"]["p50_gap_s"] == 0
+
+
+def test_daily_trend_slopes_planted_lines(spark, tmp_path):
+    """Planted exact lines: a perfectly linear ramp y = 5 + 2x over 10
+    days must yield slope EXACTLY 2 (integer numerator/denominator
+    ratio); a flat line slope 0 with zero numerator; a V-shape
+    (symmetric) also 0 — least squares cancels symmetric deviations;
+    and the reported double equals num/den bit-for-bit."""
+    import datetime
+
+    from via_spark.operators.timeseries import daily_trend_slopes
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def burst(day, typ, n):
+        nonlocal eid
+        for _ in range(n):
+            rows.append(
+                (eid, base + datetime.timedelta(days=day), 1, typ, 1.0, "{}")
+            )
+            eid += 1
+
+    for x in range(10):
+        burst(x, "ramp", 5 + 2 * x)
+        burst(x, "flat", 7)
+        burst(x, "vee", abs(x - 4) + 1)  # symmetric around day 4... not quite
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(d / "events.parquet"))
+
+    got = {r["event_type"]: r for r in daily_trend_slopes(spark, str(d)).collect()}
+    ramp = got["ramp"]
+    assert ramp["slope_num"] / ramp["slope_den"] == 2.0
+    assert ramp["slope_per_day"] == 2.0
+    flat = got["flat"]
+    assert flat["slope_num"] == 0 and flat["slope_per_day"] == 0.0
+    # |x-4|+1 over x=0..9 is NOT symmetric about the x-mean (4.5): the
+    # exact rational slope is computable by hand
+    import statistics
+
+    ys = [abs(x - 4) + 1 for x in range(10)]
+    n = 10
+    sx, sy = sum(range(10)), sum(ys)
+    sxy = sum(x * y for x, y in zip(range(10), ys))
+    sxx = sum(x * x for x in range(10))
+    vee = got["vee"]
+    assert vee["slope_num"] == n * sxy - sx * sy
+    assert vee["slope_den"] == n * sxx - sx * sx
+    assert vee["slope_per_day"] == float(n * sxy - sx * sy) / float(n * sxx - sx * sx)

@@ -863,3 +863,59 @@ def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_gap_s"),
         )
     )
+
+
+def daily_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-volume trend (oracle ✔): the least-squares slope
+    of events-per-day against the day index, in EXACT rational form —
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` where x = epoch day
+    and y = that day's event count. The is-this-feed-growing-or-
+    decaying detector, reported as the exact BIGINT numerator and
+    denominator (their signs and ratios rank types with no float
+    anywhere) plus the one-division double.
+
+    Determinism doctrine: all five sums are BIGINT aggregations of the
+    per-(type, day) count table; numerator and denominator are exact
+    integer cross-products (same shape as ``value_drift_tvd``'s TVD
+    numerator); the double is a single division of exactly-cast
+    BIGINTs. Day indexes are rebased to the corpus minimum (in-plan
+    broadcast) so the Σx² magnitudes stay far below 2⁶³ at any
+    realistic day span.
+
+    Scale posture: one hash agg to (type, day) counts — everything
+    after is days-sized; the rebase anchor broadcasts; no windows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 1000000000 div 86400").cast("long").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("y"))
+    anchor = daily.agg(F.min("day").alias("day0"))
+    rebased = daily.crossJoin(F.broadcast(anchor)).select(
+        "event_type", (F.col("day") - F.col("day0")).alias("x"), "y"
+    )
+    sums = rebased.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "slope_num"
+        ),
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "slope_den"
+        ),
+        (
+            (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("slope_per_day"),
+    )

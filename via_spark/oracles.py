@@ -5084,3 +5084,36 @@ SELECT t.source,
 FROM dtok t JOIN clusters c USING (doc_id)
 GROUP BY t.source
 """
+
+
+def daily_trend_slopes_sql() -> str:
+    """Per-type daily-volume OLS slope — mirrors
+    timeseries.daily_trend_slopes: (type, day) counts, min-day rebase,
+    exact BIGINT cross-product numerator/denominator, one division."""
+    return """
+WITH daily AS (
+    SELECT event_type,
+           epoch_us(ts) // 1000000 // 86400 AS day,
+           CAST(count(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+anchor AS (SELECT min(day) AS day0 FROM daily),
+rebased AS (
+    SELECT event_type, day - day0 AS x, y FROM daily CROSS JOIN anchor
+),
+sums AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM rebased GROUP BY 1
+)
+SELECT event_type, n_days,
+       CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(n_days * sxy - sx * sy AS DOUBLE)
+         / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope_per_day
+FROM sums
+"""
