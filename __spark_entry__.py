@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_output_planner": stats.join_output_planner,
         "kmv_distinct_report": sketch.kmv_distinct_report,
         "kmv_retention_overlap": sketch.kmv_retention_overlap,
+        "kmv_rolling_distinct": sketch.kmv_rolling_distinct,
         "lang_metadata_confusion": textstats.lang_metadata_confusion,
         "length_quality_heatmap": curation.length_quality_heatmap,
         "matryoshka_recall_report": vector.matryoshka_recall_report,
@@ -535,4 +536,5 @@ def oracle_sql() -> dict[str, str]:
         "interarrival_profile": oracles.interarrival_profile_sql(),
         "dedup_token_budget": oracles.dedup_token_budget_sql(),
         "daily_trend_slopes": oracles.daily_trend_slopes_sql(),
+        "kmv_rolling_distinct": oracles.kmv_rolling_distinct_sql(),
     }

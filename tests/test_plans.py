@@ -855,3 +855,18 @@ def test_daily_trend_slopes_plan_shape(spark, sf_oracle):
         set(c.split(":")[0] for c in s.split(",")) <= {"ts", "event_type"}
         for s in schemas
     ), schemas
+
+
+def test_kmv_rolling_plan_shape(spark, sf_oracle):
+    """The daily cut must precede the window spread (≤ 7·k rows per
+    as-of day enter the merge re-cut — WindowGroupLimit on both
+    row_number cuts); offsets generate via broadcast, never a shuffle;
+    2-column pruned scans."""
+    p = _plan(spark, sf_oracle, "kmv_rolling_distinct")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        set(c.split(":")[0] for c in s.split(",")) <= {"ts", "user_id"}
+        for s in schemas
+    ), schemas

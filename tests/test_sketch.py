@@ -649,3 +649,76 @@ def test_daily_trend_slopes_planted_lines(spark, tmp_path):
     assert vee["slope_num"] == n * sxy - sx * sy
     assert vee["slope_den"] == n * sxx - sx * sx
     assert vee["slope_per_day"] == float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+
+
+def test_kmv_rolling_merge_losslessness_live(spark, tmp_path):
+    """Merged-daily-sketch estimates must be BIT-IDENTICAL to
+    sketching each window's union directly (union-then-recut =
+    recut-of-union, executed at query grain), including cross-day
+    duplicate users hashing identically. Under k merged hashes the
+    estimate must be EXACT."""
+    import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.sketch import (
+        KMV_K,
+        _hash48,
+        kmv_rolling_distinct,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 12 days; user u active on day d iff (u + d) % 3 == 0 — lots of
+    # cross-day repetition; 90 users keeps some windows near/above k=64
+    for d in range(12):
+        for u in range(90):
+            if (u + d) % 3 == 0:
+                rows.append(
+                    (eid, base + datetime.timedelta(days=d), u, "view", 1.0, "{}")
+                )
+                eid += 1
+    sf = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(sf / "events.parquet"))
+
+    got = {r["as_of_day"]: r for r in kmv_rolling_distinct(spark, str(sf)).collect()}
+
+    # direct sketch of each window's union
+    du = (
+        spark.read.parquet(str(sf / "events.parquet"))
+        .select(
+            F.expr("unix_date(cast(ts as date))").cast("long").alias("day"),
+            F.col("user_id").cast("string").alias("uid"),
+        )
+        .distinct()
+    )
+    pairs = du.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("as_of_day"),
+        _hash48(F.col("uid")).alias("uh"),
+    ).distinct()
+    max_day = du.agg(F.max("day")).collect()[0][0]
+    w = Window.partitionBy("as_of_day").orderBy(F.col("uh").asc())
+    direct = {
+        r["as_of_day"]: r
+        for r in pairs.where(F.col("as_of_day") <= max_day)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= KMV_K)
+        .groupBy("as_of_day")
+        .agg(F.count(F.lit(1)).alias("n_head"), F.max("uh").alias("kth_min"))
+        .collect()
+    }
+    assert set(got) == set(direct)
+    for day, r in got.items():
+        d = direct[day]
+        if d["n_head"] < KMV_K:
+            assert r["kmv_estimate"] == float(d["n_head"])
+            assert r["kmv_estimate"] == float(r["exact_rolling_distinct"])
+            assert r["rel_error"] == 0.0
+        else:
+            assert r["kmv_estimate"] == float((KMV_K - 1) * 2**48) / float(
+                d["kth_min"]
+            )

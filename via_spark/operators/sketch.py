@@ -597,3 +597,94 @@ def cm_frequency_report(
             / F.col("exact_count").cast("double")
         ).alias("rel_overestimate"),
     )
+
+
+def kmv_rolling_distinct(
+    spark: SparkSession, sf_dir: str, k: int = KMV_K, window_days: int = 7
+) -> DataFrame:
+    """Trailing-7-day distinct users from MERGED per-day KMV sketches,
+    beside the exact rolling distinct and the measured relative error
+    (oracle ✔) — the sketch-algebra answer to the rolling-window
+    COUNT(DISTINCT): build each day's bottom-k ONCE, then any as-of
+    day's window is union-the-sketches-and-recut, never a rescan of
+    the events. ``rolling_7d_active_users`` is the exact counterpart;
+    at 100 TB the exact side re-touches every (day, user) pair per
+    window while the sketch side touches ≤ 7·k rows per as-of day —
+    this report prices that trade on real data.
+
+    The merge is the KMV losslessness property executed at query
+    grain: union of the seven daily bottom-k sets, dedup (the same
+    user hashing identically on multiple days), re-cut to the k
+    smallest — identical to the sketch of the union, which is what the
+    streaming store (``merge_kmv_partials``) exploits batch-wise.
+
+    Small-window exactness: under k merged hashes the union IS the
+    distinct set and the estimate is exact, same contract as
+    ``kmv_distinct_report``.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts div 1000000000 div 86400").alias("day"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    hashed = ev.select("day", _hash48(F.col("uid")).alias("uh")).distinct()
+    wd = Window.partitionBy("day").orderBy(F.col("uh").asc())
+    daily_heads = (
+        hashed.withColumn("_rn", F.row_number().over(wd))
+        .where(F.col("_rn") <= k)
+        .select("day", "uh")
+    )
+    bounds = hashed.agg(F.max("day").alias("max_day"))
+    spread_heads = (
+        daily_heads.select(
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + (window_days - 1))
+            ).alias("as_of_day"),
+            "uh",
+        )
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("as_of_day") <= F.col("max_day"))
+        .select("as_of_day", "uh")
+        .distinct()
+    )
+    wa = Window.partitionBy("as_of_day").orderBy(F.col("uh").asc())
+    merged = (
+        spread_heads.withColumn("_rn", F.row_number().over(wa))
+        .where(F.col("_rn") <= k)
+        .groupBy("as_of_day")
+        .agg(F.count(F.lit(1)).alias("n_head"), F.max("uh").alias("kth_min"))
+    )
+    exact = (
+        ev.distinct()
+        .select(
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + (window_days - 1))
+            ).alias("as_of_day"),
+            "uid",
+        )
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("as_of_day") <= F.col("max_day"))
+        .groupBy("as_of_day")
+        .agg(F.count_distinct("uid").alias("exact_rolling_distinct"))
+    )
+    est = F.when(
+        F.col("n_head") < k, F.col("n_head").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * 2**HASH_BITS)) / F.col("kth_min").cast("double")
+    )
+    return (
+        exact.join(merged, "as_of_day")
+        .withColumn("kmv_estimate", est)
+        .select(
+            "as_of_day",
+            "exact_rolling_distinct",
+            F.lit(int(k)).alias("k"),
+            "kmv_estimate",
+            (
+                F.abs(
+                    F.col("kmv_estimate")
+                    - F.col("exact_rolling_distinct").cast("double")
+                )
+                / F.col("exact_rolling_distinct").cast("double")
+            ).alias("rel_error"),
+        )
+    )

@@ -5117,3 +5117,61 @@ SELECT event_type, n_days,
          / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope_per_day
 FROM sums
 """
+
+
+def kmv_rolling_distinct_sql(k: int = 64, window_days: int = 7) -> str:
+    """Rolling-window distinct from merged per-day KMV sketches —
+    mirrors sketch.kmv_rolling_distinct: daily bottom-k FIRST, spread
+    each head row to its trailing-window as-of days, dedup, re-cut to
+    k, same estimator; exact side from the full (day, uid) grain."""
+    num = float((k - 1) * 2**48)
+    return f"""
+WITH ev AS (
+    SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+           CAST(user_id AS VARCHAR) AS uid
+    FROM events
+),
+h AS (
+    SELECT DISTINCT day,
+           ('0x' || substr(sha256(uid), 1, 12))::BIGINT AS uh
+    FROM ev
+),
+bounds AS (SELECT max(day) AS max_day FROM h),
+daily_heads AS (
+    SELECT day, uh FROM (
+        SELECT day, uh,
+               row_number() OVER (PARTITION BY day ORDER BY uh ASC) AS _rn
+        FROM h
+    ) WHERE _rn <= {k}
+),
+spread_heads AS (
+    SELECT DISTINCT d.day + o.o AS as_of_day, d.uh
+    FROM daily_heads d, range({window_days}) o(o), bounds b
+    WHERE d.day + o.o <= b.max_day
+),
+merged AS (
+    SELECT as_of_day, count(*) AS n_head, max(uh) AS kth_min FROM (
+        SELECT as_of_day, uh,
+               row_number() OVER (PARTITION BY as_of_day ORDER BY uh ASC) AS _rn
+        FROM spread_heads
+    ) WHERE _rn <= {k} GROUP BY as_of_day
+),
+ex AS (
+    SELECT as_of_day, count(DISTINCT uid) AS exact_rolling_distinct FROM (
+        SELECT DISTINCT d.day + o.o AS as_of_day, d.uid
+        FROM (SELECT DISTINCT day, uid FROM ev) d,
+             range({window_days}) o(o), bounds b
+        WHERE d.day + o.o <= b.max_day
+    ) GROUP BY as_of_day
+)
+SELECT ex.as_of_day,
+       CAST(ex.exact_rolling_distinct AS BIGINT) AS exact_rolling_distinct,
+       {k} AS k,
+       CASE WHEN m.n_head < {k} THEN CAST(m.n_head AS DOUBLE)
+            ELSE {num!r} / CAST(m.kth_min AS DOUBLE) END AS kmv_estimate,
+       abs(CASE WHEN m.n_head < {k} THEN CAST(m.n_head AS DOUBLE)
+                ELSE {num!r} / CAST(m.kth_min AS DOUBLE) END
+           - CAST(ex.exact_rolling_distinct AS DOUBLE))
+         / CAST(ex.exact_rolling_distinct AS DOUBLE) AS rel_error
+FROM ex JOIN merged m USING (as_of_day)
+"""
