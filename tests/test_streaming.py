@@ -979,3 +979,91 @@ def test_streaming_sample_store_matches_batch_sample(spark, sf_smoke, tmp_path):
     pipeline.merge_sample_partials(spark, last_df, store, m=m)
     again = sorted(tuple(r) for r in spark.read.parquet(store).collect())
     assert again == got
+
+
+def test_cm_store_checkpoint_restart_exactly_once(spark, sf_smoke, tmp_path):
+    """Checkpoint-recovery for the ADDITIVE sketch store — the case
+    where a processing mistake would actually corrupt state (counter
+    addition is not idempotent): run the Count-Min fold over an
+    initial file set, STOP, append more files, restart the SAME
+    checkpoint. The restarted query must process only the new files
+    (batch ids continue, no partition is double-added), and the final
+    estimates must be bit-identical to the single-pass batch sketch
+    over the full data — proving checkpoint recovery composes with the
+    per-batch-partition replay posture end to end."""
+    from via_spark.operators.sketch import cm_probes
+
+    src = str(tmp_path / "otel_jsonl")
+    store = str(tmp_path / "cm_store")
+    ckpt = str(tmp_path / "ckpt_cm_restart")
+    pipeline.write_otel_fixture_jsonl(spark, sf_smoke, src, n_files=2)
+
+    def probes_of(df):
+        return df.select(
+            F.explode(cm_probes(F.col("service"))).alias("rp")
+        ).select("rp.row_i", "rp.pos")
+
+    seen_batches = []
+
+    def fold(b, bid):
+        seen_batches.append(bid)
+        pipeline.merge_cm_partials(spark, b, bid, store)
+
+    def run_once():
+        q = (
+            probes_of(pipeline.read_otel_stream(spark, src))
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first_batches = list(seen_batches)
+    assert first_batches
+
+    # restart with NO new data: nothing runs, store untouched
+    before = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    run_once()
+    assert sorted(tuple(r) for r in spark.read.parquet(store).collect()) == before
+
+    # append a second tranche, restart the same checkpoint
+    from via_spark.operators.schema_infer import otel_envelope_from_events
+
+    extra = otel_envelope_from_events(spark, sf_smoke).select("raw").limit(500)
+    extra.coalesce(1).write.mode("append").text(src)
+    run_once()
+    new_batches = seen_batches[len(first_batches):]
+    # the restarted run continued the batch-id sequence — no id reuse,
+    # so no existing partition could have been overwritten with a
+    # double-add
+    assert all(b > max(first_batches) for b in new_batches if new_batches)
+
+    # final estimates == single-pass batch sketch over ALL current rows
+    allrows = spark.read.text(src)
+    from via_spark.operators.schema_infer import otel_flatten
+
+    flat = otel_flatten(allrows, raw_col="value")
+    occ = flat.select(
+        F.col("service").alias("key"),
+        F.explode(cm_probes(F.col("service"))).alias("rp"),
+    ).select("key", "rp.row_i", "rp.pos")
+    counters = occ.groupBy("row_i", "pos").agg(F.count(F.lit(1)).alias("counter"))
+    expect = {
+        r["key"]: r["cm_estimate"]
+        for r in occ.join(counters, ["row_i", "pos"])
+        .groupBy("key")
+        .agg(F.min("counter").alias("cm_estimate"))
+        .collect()
+    }
+    keys = flat.select("service").distinct()
+    probes = keys.select(
+        F.col("service").alias("key"),
+        F.explode(cm_probes(F.col("service"))).alias("rp"),
+    ).select("key", "rp.row_i", "rp.pos")
+    got = {
+        r["key"]: r["cm_estimate"]
+        for r in pipeline.cm_estimates_from_store(spark, store, probes).collect()
+    }
+    assert got == expect and len(got) > 0
