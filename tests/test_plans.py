@@ -870,3 +870,18 @@ def test_kmv_rolling_plan_shape(spark, sf_oracle):
         set(c.split(":")[0] for c in s.split(",")) <= {"ts", "user_id"}
         for s in schemas
     ), schemas
+
+
+def test_ship_lag_profile_plan_shape(spark, sf_oracle):
+    """The order-key join is the one fact-sized shuffle; everything
+    after the (priority, lag) hash agg is histogram-sized; scans prune
+    to the join key + date columns (+ priority on the orders side)."""
+    p = _plan(spark, sf_oracle, "ship_lag_profile")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    cols = set()
+    for s in schemas:
+        cols |= {c.split(":")[0] for c in s.split(",")}
+    assert cols <= {
+        "l_orderkey", "l_shipdate", "o_orderkey", "o_orderdate", "o_orderpriority"
+    }, schemas

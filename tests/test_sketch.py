@@ -722,3 +722,49 @@ def test_kmv_rolling_merge_losslessness_live(spark, tmp_path):
             assert r["kmv_estimate"] == float((KMV_K - 1) * 2**48) / float(
                 d["kth_min"]
             )
+
+
+def test_ship_lag_profile_planted_sla(spark, tmp_path):
+    """Planted SLA shapes: a 'FAST' priority shipping every item in
+    exactly 2 days (p50 = p95 = mean = 2); a 'TAIL' priority with 19
+    one-day shipments and one 100-day straggler (p50 = 1, p95 = 100,
+    mean = (19 + 100)/20 exact). Multi-lineitem orders inherit their
+    order's date exactly once per lineitem."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.stats import ship_lag_profile
+
+    base = datetime.datetime(2024, 1, 1)
+    orders, lineitems = [], []
+    # FAST: 5 orders x 2 lineitems, ship at +2 days
+    for i in range(5):
+        orders.append((i, base, "FAST"))
+        for j in range(2):
+            lineitems.append((i, base + datetime.timedelta(days=2)))
+    # TAIL: 20 orders x 1 lineitem: 18 at +1, two at +100 (19/20 sits
+    # exactly ON the 0.95 rank boundary, so 19+1 would legitimately
+    # give p95 = 1 under the discrete definition — 18+2 crosses it)
+    for i in range(20):
+        oid = 100 + i
+        orders.append((oid, base, "TAIL"))
+        lag = 100 if i >= 18 else 1
+        lineitems.append((oid, base + datetime.timedelta(days=lag)))
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderdate timestamp, o_orderpriority string"
+    ).write.parquet(str(d / "orders.parquet"))
+    spark.createDataFrame(
+        lineitems, "l_orderkey long, l_shipdate timestamp"
+    ).write.parquet(str(d / "lineitem.parquet"))
+
+    got = {r["priority"]: r for r in ship_lag_profile(spark, str(d)).collect()}
+    fast = got["FAST"]
+    assert fast["n_lineitems"] == 10
+    assert fast["p50_lag_days"] == fast["p95_lag_days"] == 2
+    assert fast["mean_lag_days"] == 2.0
+    tail = got["TAIL"]
+    assert tail["n_lineitems"] == 20
+    assert (tail["p50_lag_days"], tail["p95_lag_days"]) == (1, 100)
+    assert tail["mean_lag_days"] == (18 * 1 + 2 * 100) / 20

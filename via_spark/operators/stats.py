@@ -695,3 +695,73 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_clipped_high").cast("long").alias("n_clipped_high"),
         )
     )
+
+
+def ship_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency profile (oracle ✔): per order priority, the
+    rank-based discrete p50/p95 and exact mean of the order-to-ship
+    lag in whole days — the SLA distribution behind "does URGENT
+    actually ship faster", and the percentile form of the fixed 60-day
+    cutoff the late-shipment filter hardcodes.
+
+    All-integer: the lag is a date difference in days (BIGINT),
+    quantiles are discrete ranks over the per-(priority, lag)
+    histogram, the mean is one division of an exact BIGINT sum.
+
+    Scale posture: the lineitem⋈orders join shuffles on the order key
+    — the one genuinely fact-sized shuffle here, co-partitionable by
+    bucketing both tables on the key at ingest; everything after the
+    (priority, lag) hash agg is histogram-sized.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", "o_orderpriority"
+    )
+    lags = li.join(o, "l_orderkey").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("lag_days"),
+    )
+    hist = lags.groupBy("priority", "lag_days").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("priority")
+    c = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    return (
+        c.groupBy("priority")
+        .agg(
+            F.max("n").alias("n_lineitems"),
+            F.sum(F.col("lag_days") * F.col("c")).alias("lag_sum"),
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("cum") >= F.lit(50) * F.col("n"),
+                    F.col("lag_days"),
+                )
+            ).alias("p50_lag_days"),
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("cum") >= F.lit(95) * F.col("n"),
+                    F.col("lag_days"),
+                )
+            ).alias("p95_lag_days"),
+        )
+        .select(
+            "priority",
+            F.col("n_lineitems").cast("long").alias("n_lineitems"),
+            "p50_lag_days",
+            "p95_lag_days",
+            (
+                F.col("lag_sum").cast("double") / F.col("n_lineitems").cast("double")
+            ).alias("mean_lag_days"),
+        )
+    )

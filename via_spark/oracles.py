@@ -5175,3 +5175,33 @@ SELECT ex.as_of_day,
          / CAST(ex.exact_rolling_distinct AS DOUBLE) AS rel_error
 FROM ex JOIN merged m USING (as_of_day)
 """
+
+
+def ship_lag_profile_sql() -> str:
+    """Order-to-ship lag percentiles — mirrors stats.ship_lag_profile:
+    day-difference BIGINTs, discrete-rank p50/p95 over the
+    per-(priority, lag) histogram, exact-sum mean."""
+    return """
+WITH lags AS (
+    SELECT o.o_orderpriority AS priority,
+           CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+hist AS (SELECT priority, lag_days, count(*) AS c FROM lags GROUP BY 1, 2),
+cc AS (
+    SELECT *,
+           sum(c) OVER (PARTITION BY priority ORDER BY lag_days
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY priority) AS n
+    FROM hist
+)
+SELECT priority,
+       CAST(max(n) AS BIGINT) AS n_lineitems,
+       min(CASE WHEN 100 * cum >= 50 * n THEN lag_days END) AS p50_lag_days,
+       min(CASE WHEN 100 * cum >= 95 * n THEN lag_days END) AS p95_lag_days,
+       CAST(CAST(sum(lag_days * c) AS BIGINT) AS DOUBLE)
+         / CAST(max(n) AS DOUBLE) AS mean_lag_days
+FROM cc
+GROUP BY priority
+"""
