@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate_documents": textstats.oov_rate_documents,
         "prefix_dup_groups": dedup.prefix_dup_groups,
         "repeated_span_scrub": curation.repeated_span_scrub,
+        "seasonal_zscore_outliers": timeseries.seasonal_zscore_outliers,
         "ship_lag_profile": stats.ship_lag_profile,
         "source_marginal_utility": dedup.source_marginal_utility,
         "source_overlap_matrix": dedup.source_overlap_matrix,
@@ -539,4 +540,5 @@ def oracle_sql() -> dict[str, str]:
         "daily_trend_slopes": oracles.daily_trend_slopes_sql(),
         "kmv_rolling_distinct": oracles.kmv_rolling_distinct_sql(),
         "ship_lag_profile": oracles.ship_lag_profile_sql(),
+        "seasonal_zscore_outliers": oracles.seasonal_zscore_outliers_sql(),
     }

@@ -885,3 +885,13 @@ def test_ship_lag_profile_plan_shape(spark, sf_oracle):
     assert cols <= {
         "l_orderkey", "l_shipdate", "o_orderkey", "o_orderdate", "o_orderpriority"
     }, schemas
+
+
+def test_seasonal_zscore_plan_shape(spark, sf_oracle):
+    """Cell moments are one hash agg to ≤ types·168 rows broadcast
+    back onto the fact scan — no window over events, no sort-merge;
+    the output is the outlier subset only."""
+    p = _plan(spark, sf_oracle, "seasonal_zscore_outliers")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p

@@ -768,3 +768,42 @@ def test_ship_lag_profile_planted_sla(spark, tmp_path):
     assert tail["n_lineitems"] == 20
     assert (tail["p50_lag_days"], tail["p95_lag_days"]) == (1, 100)
     assert tail["mean_lag_days"] == (18 * 1 + 2 * 100) / 20
+
+
+def test_seasonal_zscore_planted_cell_structure(spark, tmp_path):
+    """The reason the cell baseline exists: a value of 50 is planted
+    as NORMAL for (typ, hour A) — tight cluster around 50 — and
+    ANOMALOUS for (typ, hour B) where the baseline clusters around 1.
+    The global z-score would blur the two populations; the cell
+    variant must flag the 50 at hour B (and the 500 spike at hour A)
+    while flagging NONE of the in-cell-normal values."""
+    rows = []
+    eid = 0
+    HOUR = 3600 * 1_000_000_000
+    # hour A (ts in hour 0): values ~50; one 500 spike
+    for i in range(30):
+        rows.append((eid, i * 1_000_000_000, 1, "typ", 50.0 + (i % 3) * 0.5, "{}"))
+        eid += 1
+    rows.append((eid, 40 * 1_000_000_000, 1, "typ", 500.0, "{}")); eid += 1
+    # hour B (ts in hour 1): values ~1; one 50 "normal elsewhere"
+    for i in range(30):
+        rows.append((eid, HOUR + i * 1_000_000_000, 1, "typ", 1.0 + (i % 3) * 0.05, "{}"))
+        eid += 1
+    rows.append((eid, HOUR + 40 * 1_000_000_000, 1, "typ", 50.0, "{}"))
+    spike_a, spike_b = eid - 31, eid  # event ids of the two planted spikes
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+
+    from via_spark.operators.timeseries import seasonal_zscore_outliers
+
+    got = {r["event_id"]: r for r in seasonal_zscore_outliers(spark, str(d)).collect()}
+    assert spike_b in got and got[spike_b]["value"] == 50.0
+    assert got[spike_b]["how"] == 1 and got[spike_b]["zscore"] > 3
+    spike_a_row = [r for r in got.values() if r["value"] == 500.0]
+    assert len(spike_a_row) == 1 and spike_a_row[0]["how"] == 0
+    # nothing in-cell-normal flagged
+    assert all(r["value"] in (50.0, 500.0) for r in got.values())

@@ -919,3 +919,62 @@ def daily_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("slope_per_day"),
     )
+
+
+def seasonal_zscore_outliers(
+    spark: SparkSession, sf_dir: str, z_threshold: float = 3.0
+) -> DataFrame:
+    """Seasonally adjusted outliers (oracle ✔): events whose value is
+    more than 3σ from their (event_type, hour-of-week) CELL baseline —
+    the deseasonalized sibling of ``value_zscore_by_type``. A value
+    normal for Monday-9am can be wildly anomalous for Sunday-3am; the
+    global z-score averages that structure away, the 168-cell baseline
+    keeps it (same grid as ``hour_of_week_profile``).
+
+    Exactness: cell moments come from fixed-point BIGINT sums and
+    DECIMAL(38) squares (identical integers in both engines); the z
+    and the 3σ gate are one pinned double chain over those integers —
+    the threshold comparison uses the same expression tree in the
+    oracle, so membership never diverges.
+
+    Scale posture: one hash agg to ≤ types·168 cell moments, broadcast
+    back onto the fact scan — no window over events, no second
+    shuffle; the output is the outlier set only.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("(ts div 1000000000 div 3600) % 168").cast("int").alias("how"),
+    )
+    vfix = F.floor(F.col("value") * F.lit(1_000_000)).cast("long")
+    mom = (
+        ev.select("event_type", "how", vfix.alias("vfix"))
+        .groupBy("event_type", "how")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vfix").alias("s_fix"),
+            F.sum(
+                F.col("vfix").cast("decimal(19,0)") * F.col("vfix").cast("decimal(19,0)")
+            ).alias("ss_fix"),
+        )
+    )
+    joined = ev.join(F.broadcast(mom), ["event_type", "how"])
+    nd = F.col("n").cast("double")
+    mean = F.col("s_fix").cast("double") / nd
+    var = F.col("ss_fix").cast("double") / nd - mean * mean
+    z = (vfix.cast("double") - mean) / F.sqrt(var)
+    return (
+        joined.where((var > 0) & (F.abs(z) > F.lit(float(z_threshold))))
+        .select(
+            "event_id",
+            "event_type",
+            "how",
+            "value",
+            (mean / F.lit(1_000_000.0)).alias("cell_mean"),
+            F.col("n").cast("long").alias("cell_n"),
+            (F.floor(z * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)).alias(
+                "zscore"
+            ),
+        )
+    )

@@ -5205,3 +5205,40 @@ SELECT priority,
 FROM cc
 GROUP BY priority
 """
+
+
+def seasonal_zscore_outliers_sql(z_threshold: float = 3.0) -> str:
+    """Seasonal-cell outliers — mirrors
+    timeseries.seasonal_zscore_outliers: (type, hour-of-week) cell
+    moments from fixed-point sums, the same pinned double chain as
+    value_zscore_by_type_sql, gate |z| > threshold with var > 0."""
+    mean = "CAST(s_fix AS DOUBLE) / CAST(n AS DOUBLE)"
+    var = (
+        f"CAST(ss_fix AS DOUBLE) / CAST(n AS DOUBLE) - ({mean}) * ({mean})"
+    )
+    z = (
+        f"(CAST(CAST(floor(e.value * 1000000) AS BIGINT) AS DOUBLE) - {mean})"
+        f" / sqrt({var})"
+    )
+    return f"""
+WITH ev AS (
+    SELECT event_id, event_type, value,
+           CAST((epoch_us(ts) // 1000000 // 3600) % 168 AS INTEGER) AS how
+    FROM events
+),
+mom AS (
+    SELECT event_type, how,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS s_fix,
+           sum(CAST(floor(value * 1000000) AS HUGEINT)
+               * CAST(floor(value * 1000000) AS HUGEINT)) AS ss_fix
+    FROM ev GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, e.how, e.value,
+       ({mean}) / 1000000.0 AS cell_mean,
+       n AS cell_n,
+       floor(({z}) * 1000000.0 + 0.5) / 1000000.0 AS zscore
+FROM ev e
+JOIN mom USING (event_type, how)
+WHERE ({var}) > 0 AND abs({z}) > {z_threshold!r}
+"""
