@@ -139,10 +139,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (see its docstring).
     """
     return {
-        # --- head (first 50): change-aware rotation (r8) — never-
+        # --- head (first 50): change-aware rotation (r9) — never-
         # verified first, then required (changed-since-green, impl OR
         # oracle, stalest first) per via_spark.rotation.recommended_head,
         # then stalest-green fill; enforced by tests/test_properties.py ---
+        "dedup_keep_best": graph.dedup_keep_best,
+        "global_value_rank": rank.global_value_rank,
+        "per_day_topk": relational.per_day_topk,
+        "range_containment_join": windows.range_containment_join,
+        "session_hash_counts": windows.session_hash_counts,
+        "above_p95_events": stats.above_p95_events,
+        "behavior_trigrams": timeseries.behavior_trigrams,
+        "hourly_value_p95": timeseries.hourly_value_p95,
+        "leakage_safe_split": curation.leakage_safe_split,
+        "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
+        "fuzzy_name_pairs": curation.fuzzy_name_pairs,
+        "repetition_scores": textstats.repetition_scores,
+        "rhythm_baseline_stats": _rhythm_baseline_stats,
+        "rhythm_recent_counts": _rhythm_recent_counts,
+        "tier1_view": _tier1_view,
+        "cube_order_counts": timeseries.cube_order_counts,
+        "customer_order_distribution": relational.customer_order_distribution,
+        "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
+        "embedding_centroids_by_label": vector.embedding_centroids_by_label,
+        "embedding_norm_stats": vector.embedding_norm_stats,
+        "event_type_severity_pivot": relational.event_type_severity_pivot,
+        "event_type_transition_matrix": timeseries.event_type_transition_matrix,
+        "event_type_unpivot": relational.event_type_unpivot,
+        "events_profile": relational.events_profile,
+        "gapfill_locf": timeseries.gapfill_locf,
+        "hourly_rate_of_change": timeseries.hourly_rate_of_change,
+        "hypertable_rollup": windows.hypertable_rollup,
+        "knn_batch_topk": vector.knn_batch_topk,
+        "lapsed_buyers": relational.lapsed_buyers,
+        "large_orders_having": relational.large_orders_having,
+        "lineitem_rollup": relational.lineitem_rollup,
+        "local_supplier_volume": relational.local_supplier_volume,
+        "mad_outliers": stats.mad_outliers,
+        "min_cost_supplier": relational.min_cost_supplier,
+        "moving_avg_daily": timeseries.moving_avg_daily,
+        "newest_events": relational.newest_events,
+        "order_priority_counts": relational.order_priority_counts,
+        "pricing_summary": relational.pricing_summary,
+        "promo_revenue": relational.promo_revenue,
+        "props_json_stats": relational.props_json_stats,
+        "purchase_intervals": timeseries.purchase_intervals,
+        "referential_audit": relational.referential_audit,
+        "repeat_buyers": relational.repeat_buyers,
+        "rolling_7d_active_users": timeseries.rolling_7d_active_users,
+        "salted_event_type_counts": relational.salted_event_type_counts,
+        "severity_set_concat": relational.severity_set_concat,
+        "shipping_priority": relational.shipping_priority,
+        "sliding_hash_counts": windows.sliding_hash_counts,
+        "source_mix_allocation": curation.source_mix_allocation,
+        "tfidf_top_terms": search.tfidf_top_terms,
+        # --- end head (position 50 boundary) --- tail: driver-green
+        # with implementing units and oracles unchanged since their
+        # newest green row (unit-granular, git-derived); all re-proven
+        # every round by tests/test_oracle_parity.py ---
         "ann_recall_report": dedup.ann_recall_report,
         "bloom_semi_join_fpr": sketch.bloom_semi_join_fpr,
         "bloom_sizing_curve": sketch.bloom_sizing_curve,
@@ -193,59 +247,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_per_source": curation.weighted_sample_per_source,
         "winsorized_stats": stats.winsorized_stats,
         "zorder_layout_report": rank.zorder_layout_report,
-        "dedup_keep_best": graph.dedup_keep_best,
-        "global_value_rank": rank.global_value_rank,
-        "per_day_topk": relational.per_day_topk,
-        "range_containment_join": windows.range_containment_join,
-        "session_hash_counts": windows.session_hash_counts,
-        "above_p95_events": stats.above_p95_events,
-        "behavior_trigrams": timeseries.behavior_trigrams,
-        "hourly_value_p95": timeseries.hourly_value_p95,
-        # --- end head (position 50 boundary) --- tail: driver-green
-        # with implementing units and oracles unchanged since their
-        # newest green row (unit-granular, git-derived); all re-proven
-        # every round by tests/test_oracle_parity.py ---
-        "leakage_safe_split": curation.leakage_safe_split,
-        "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
-        "fuzzy_name_pairs": curation.fuzzy_name_pairs,
-        "repetition_scores": textstats.repetition_scores,
-        "rhythm_baseline_stats": _rhythm_baseline_stats,
-        "rhythm_recent_counts": _rhythm_recent_counts,
-        "cube_order_counts": timeseries.cube_order_counts,
-        "customer_order_distribution": relational.customer_order_distribution,
-        "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
-        "embedding_centroids_by_label": vector.embedding_centroids_by_label,
-        "embedding_norm_stats": vector.embedding_norm_stats,
-        "event_type_severity_pivot": relational.event_type_severity_pivot,
-        "event_type_transition_matrix": timeseries.event_type_transition_matrix,
-        "event_type_unpivot": relational.event_type_unpivot,
-        "events_profile": relational.events_profile,
-        "gapfill_locf": timeseries.gapfill_locf,
-        "hourly_rate_of_change": timeseries.hourly_rate_of_change,
-        "hypertable_rollup": windows.hypertable_rollup,
-        "knn_batch_topk": vector.knn_batch_topk,
-        "lapsed_buyers": relational.lapsed_buyers,
-        "large_orders_having": relational.large_orders_having,
-        "lineitem_rollup": relational.lineitem_rollup,
-        "local_supplier_volume": relational.local_supplier_volume,
-        "mad_outliers": stats.mad_outliers,
-        "min_cost_supplier": relational.min_cost_supplier,
-        "moving_avg_daily": timeseries.moving_avg_daily,
-        "newest_events": relational.newest_events,
-        "order_priority_counts": relational.order_priority_counts,
-        "pricing_summary": relational.pricing_summary,
-        "promo_revenue": relational.promo_revenue,
-        "props_json_stats": relational.props_json_stats,
-        "purchase_intervals": timeseries.purchase_intervals,
-        "referential_audit": relational.referential_audit,
-        "repeat_buyers": relational.repeat_buyers,
-        "rolling_7d_active_users": timeseries.rolling_7d_active_users,
-        "salted_event_type_counts": relational.salted_event_type_counts,
-        "severity_set_concat": relational.severity_set_concat,
-        "shipping_priority": relational.shipping_priority,
-        "sliding_hash_counts": windows.sliding_hash_counts,
-        "source_mix_allocation": curation.source_mix_allocation,
-        "tfidf_top_terms": search.tfidf_top_terms,
         "user_sessions": windows.user_sessions,
         "value_histogram": timeseries.value_histogram,
         "value_percentiles": stats.value_percentiles,
@@ -287,7 +288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": vector.simhash_documents,
         "stratified_sample": curation.stratified_sample,
         "suppressed_anomalies": control.suppressed_anomalies,
-        "tier1_view": _tier1_view,
         "time_range_orders": relational.time_range_orders,
         "token_count_documents": textstats.token_count_documents,
         "video_frame_sample": multimodal.video_frame_sample,
