@@ -133,22 +133,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordering against the committed CORRECTNESS_r*.json files + git.
     The tail is re-proven every round by tests/test_oracle_parity.py.
 
-    Contract note: entries are lazy plan builders, with one documented
-    exception — ``ann_lsh_topk`` runs a memoized point-lookup job at
-    build time to turn the query's LSH probe keys into plan literals
-    (see its docstring).
+    Contract note: every entry is a pure lazy plan builder — building
+    a DataFrame runs no Spark job (the former ``ann_lsh_topk``
+    point-lookup exception was retired in r9; its probe keys now plan
+    as a broadcast semi-join).
     """
     return {
         # --- head (first 50): change-aware rotation (r9) — never-
         # verified first, then required (changed-since-green, impl OR
         # oracle, stalest first) per via_spark.rotation.recommended_head,
         # then stalest-green fill; enforced by tests/test_properties.py ---
+        "phash_dup_pairs": multimodal.phash_dup_pairs,
+        "shared_span_pairs": dedup.shared_span_pairs,
         "dedup_keep_best": graph.dedup_keep_best,
         "global_value_rank": rank.global_value_rank,
         "per_day_topk": relational.per_day_topk,
         "range_containment_join": windows.range_containment_join,
         "session_hash_counts": windows.session_hash_counts,
         "above_p95_events": stats.above_p95_events,
+        "ann_lsh_topk": dedup.ann_lsh_topk,
         "behavior_trigrams": timeseries.behavior_trigrams,
         "hourly_value_p95": timeseries.hourly_value_p95,
         "leakage_safe_split": curation.leakage_safe_split,
@@ -190,13 +193,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_type_counts": relational.salted_event_type_counts,
         "severity_set_concat": relational.severity_set_concat,
         "shipping_priority": relational.shipping_priority,
-        "sliding_hash_counts": windows.sliding_hash_counts,
-        "source_mix_allocation": curation.source_mix_allocation,
-        "tfidf_top_terms": search.tfidf_top_terms,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "sliding_hash_counts": windows.sliding_hash_counts,
+        "source_mix_allocation": curation.source_mix_allocation,
+        "tfidf_top_terms": search.tfidf_top_terms,
         "ann_recall_report": dedup.ann_recall_report,
         "bloom_semi_join_fpr": sketch.bloom_semi_join_fpr,
         "bloom_sizing_curve": sketch.bloom_sizing_curve,
@@ -338,7 +341,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_positions": rank.curriculum_positions,
         "recommend_average_vector": vector.recommend_average_vector,
         "hybrid_rrf": search.hybrid_rrf,
-        "ann_lsh_topk": dedup.ann_lsh_topk,
         "ann_quantized_topk": vector.ann_quantized_topk,
         "dedup_exact": dedup.dedup_exact,
     }
@@ -541,4 +543,6 @@ def oracle_sql() -> dict[str, str]:
         "kmv_rolling_distinct": oracles.kmv_rolling_distinct_sql(),
         "ship_lag_profile": oracles.ship_lag_profile_sql(),
         "seasonal_zscore_outliers": oracles.seasonal_zscore_outliers_sql(),
+        "shared_span_pairs": oracles.shared_span_pairs_sql(),
+        "phash_dup_pairs": oracles.phash_dup_pairs_sql(),
     }

@@ -14,10 +14,17 @@ configs set after session start, Python-worker env — fails loudly here.
 Usage::
 
     python scripts/cluster_smoke.py [--sf-dir /root/testdata/sf0.01]
+    python scripts/cluster_smoke.py --full   # whole queries() registry
+
+``--full`` runs EVERY registered query on the cluster and value-checks
+each against its DuckDB oracle (same order-insensitive repr-hash the
+external driver uses) — the cheapest way to flush a local-mode
+assumption (session confs, store paths, broadcast sizes, Python-worker
+env) across all plans at once.
 
 Prints one JSON line: {"ok": true, "queries": {name: rows}, ...}.
-Exit code 0 iff every query ran. Workers and master are torn down on
-exit (including on failure).
+Exit code 0 iff every query ran (and, with --full, hash-matched).
+Workers and master are torn down on exit (including on failure).
 """
 
 from __future__ import annotations
@@ -85,6 +92,8 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--cores-per-worker", type=int, default=4)
     ap.add_argument("--mem-per-worker", default="4g")
+    ap.add_argument("--full", action="store_true",
+                    help="run the whole queries() registry with oracle hash parity")
     args = ap.parse_args()
 
     procs: list[subprocess.Popen] = []
@@ -127,11 +136,46 @@ def main() -> int:
 
             qs = em.queries()
             counts: dict[str, int] = {}
-            for name in HEADLINE:
-                df = qs[name](spark, args.sf_dir)
-                rows = df.collect()
-                assert df.columns, f"{name}: empty schema"
-                counts[name] = len(rows)
+            mismatched: list[str] = []
+            if args.full:
+                import hashlib
+
+                import duckdb
+
+                con = duckdb.connect()
+                for t in ("region nation customer supplier part orders "
+                          "lineitem events documents embeddings").split():
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{args.sf_dir}/{t}.parquet')"
+                    )
+
+                def vhash(cols, rows):
+                    order = sorted(range(len(cols)), key=lambda i: cols[i])
+                    canon = sorted(
+                        "|".join(repr(r[i]) for i in order) for r in rows
+                    )
+                    return hashlib.sha256("\n".join(canon).encode()).hexdigest()
+
+                osql = em.oracle_sql()
+                for name in qs:
+                    df = qs[name](spark, args.sf_dir)
+                    rows = [tuple(r) for r in df.collect()]
+                    counts[name] = len(rows)
+                    rel = con.sql(osql[name])
+                    drows = rel.fetchall()
+                    if len(rows) != len(drows) or vhash(df.columns, rows) != vhash(
+                        rel.columns, drows
+                    ):
+                        mismatched.append(name)
+                assert not mismatched, f"oracle mismatch on cluster: {mismatched}"
+                result["oracle_hash_matches"] = len(counts)
+            else:
+                for name in HEADLINE:
+                    df = qs[name](spark, args.sf_dir)
+                    rows = df.collect()
+                    assert df.columns, f"{name}: empty schema"
+                    counts[name] = len(rows)
             # the smoke's point: this ran on a real cluster, not local
             assert not spark.sparkContext.master.startswith("local"), (
                 "session fell back to local mode"

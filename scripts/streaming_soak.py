@@ -1,0 +1,254 @@
+"""Real-trigger soak of the full two-tier streaming loop (T1-T8).
+
+The pytest streaming suite proves each piece with ``availableNow``
+triggers; this soak composes them the way the reference deployment
+runs (reference: app/worker.py:13-36 cadence loop + otel_mock/main.py
+firehose): a rate-limited OTel-JSONL feeder at >= 100 envelopes/s,
+REAL processing-time triggers (0.5 s ingest, 60 s detection), several
+minutes of wall-clock, and one mid-run stop/restart of both queries
+from their checkpoints while the feeder keeps writing.
+
+Planted workload (oracle-by-construction, same shapes as
+tests/test_api.py): steady login traffic that must NEVER be flagged,
+a payment pattern whose rate spikes 10x inside the final logical
+window (frequency anomaly), and a never-seen-before FATAL pattern
+(novelty anomaly) — both planted mid-soak so detection latency is
+measurable against the 60 s cadence.
+
+Asserts:
+  * tier1 row count == envelopes written (exactly-once file-sink
+    semantics across the restart; the stop is graceful, so the file
+    source's checkpoint commits cleanly — crash-replay duplication of
+    the APPEND tier2 sink is out of scope here and covered by
+    tests/test_streaming.py::test_checkpoint_recovery_is_exactly_once)
+  * both planted anomalies reach tier2 within 2 detection cadences of
+    the plant (one cadence to see the data, one for trigger phase)
+  * the steady login pattern has NO tier2 cluster
+  * measured feed rate >= 100 envelopes/s while the feeder ran
+
+Usage::
+
+    python scripts/streaming_soak.py [--workdir /tmp/via-soak]
+
+Prints one JSON line; exit 0 iff every assertion held.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import threading
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+WINDOW_SEC = 300           # logical detection window
+HISTORY_END = 9_400        # history: ts 0 .. HISTORY_END-1
+PLANT_LO = 9_700           # anomalies live in [PLANT_LO, PLANT_LO+300)
+FILLER_SERVICES = ["search-service", "cart-service"]
+RATE_TARGET = 100.0        # envelopes/s the feeder must sustain
+CADENCE_SEC = 60.0         # detection trigger
+
+
+def _envelope(ts: int, service: str, severity: str, body: str) -> str:
+    return json.dumps({
+        "resourceLogs": [{
+            "resource": {"attributes": [
+                {"key": "host.name", "value": {"stringValue": "soak-host"}},
+                {"key": "service.name", "value": {"stringValue": service}},
+            ]},
+            "scopeLogs": [{"logRecords": [{
+                "timeUnixNano": str(ts * 1_000_000_000),
+                "severityText": severity,
+                "body": {"stringValue": body},
+            }]}],
+        }]
+    })
+
+
+def _history_lines() -> list[str]:
+    out = []
+    for ts in range(0, HISTORY_END):
+        out.append(_envelope(ts, "auth-service", "INFO",
+                             f"User login succeeded id={ts}"))
+        for svc in FILLER_SERVICES:
+            out.append(_envelope(ts, svc, "INFO",
+                                 f"Request handled in {ts % 97} ms path=/x/{ts}"))
+        if ts % 100 == 0:
+            out.append(_envelope(ts, "payment-service", "INFO",
+                                 f"Payment processed id={ts}"))
+    return out
+
+
+def _plant_lines() -> list[str]:
+    """The final logical window: login steady, payment 10x, FATAL novel."""
+    out = []
+    for i in range(300):
+        ts = PLANT_LO + i
+        out.append(_envelope(ts, "auth-service", "INFO",
+                             f"User login succeeded id={i}"))
+        for svc in FILLER_SERVICES:
+            out.append(_envelope(ts, svc, "INFO",
+                                 f"Request handled in {i % 97} ms path=/x/{i}"))
+    for i in range(30):
+        out.append(_envelope(PLANT_LO + i * 10, "payment-service", "INFO",
+                             f"Payment processed id={i}"))
+    for i in range(3):
+        out.append(_envelope(PLANT_LO + 50 + i, "payment-service", "FATAL",
+                             f"Quantum fluctuation detected in shard {i}"))
+    return out
+
+
+class Feeder(threading.Thread):
+    """Writes JSONL files into ``src`` at >= RATE_TARGET envelopes/s,
+    in logical-ts order; exposes wall-clock plant time + totals."""
+
+    def __init__(self, src: Path, lines_per_file: int = 200):
+        super().__init__(daemon=True)
+        self.src = src
+        self.lines_per_file = lines_per_file
+        self.total = 0
+        self.t_start = 0.0
+        self.t_plant: float | None = None
+        self.t_done: float | None = None
+        self._history = _history_lines()
+        self._plant = _plant_lines()
+
+    def _write_stream(self, lines: list[str], name: str) -> None:
+        interval = self.lines_per_file / RATE_TARGET / 1.15  # 15% headroom
+        for n, i in enumerate(range(0, len(lines), self.lines_per_file)):
+            chunk = lines[i:i + self.lines_per_file]
+            tmp = self.src / f".{name}-{n:05d}.tmp"
+            tmp.write_text("\n".join(chunk) + "\n")
+            tmp.rename(self.src / f"{name}-{n:05d}.jsonl")  # atomic publish
+            self.total += len(chunk)
+            time.sleep(interval)
+
+    def run(self) -> None:
+        self.t_start = time.monotonic()
+        self._write_stream(self._history, "history")
+        self.t_plant = time.monotonic()
+        self._write_stream(self._plant, "plant")
+        self.t_done = time.monotonic()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/via-soak")
+    args = ap.parse_args()
+    work = Path(args.workdir)
+    if work.exists():
+        shutil.rmtree(work)
+    src = work / "src"
+    src.mkdir(parents=True)
+    tier1 = str(work / "tier1")
+    tier2 = str(work / "tier2")
+    ck_ingest = str(work / "ckpt_ingest")
+    ck_detect = str(work / "ckpt_detect")
+
+    from pyspark.sql import SparkSession
+
+    from via_spark.operators import promote
+    from via_spark.session import configure
+    from via_spark.streaming import pipeline
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("via-streaming-soak")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    configure(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    detect_kwargs = dict(sample_size=200, novelty_min_count=1)
+
+    def start_queries():
+        q_ing = pipeline.start_tier1_ingest(
+            pipeline.read_otel_stream(spark, str(src)), tier1, ck_ingest
+        )
+        q_det = pipeline.start_detection(
+            spark, pipeline.read_otel_stream(spark, str(src)),
+            tier1, tier2, ck_detect, window_sec=WINDOW_SEC, **detect_kwargs,
+        )
+        return q_ing, q_det
+
+    result: dict = {"ok": False}
+    feeder = Feeder(src)
+    feeder.start()
+    q_ingest, q_detect = start_queries()
+
+    # phase 1: let history flow under real triggers, then mid-run restart
+    time.sleep(75.0)
+    q_ingest.stop()
+    q_detect.stop()
+    result["restart_at_s"] = round(time.monotonic() - feeder.t_start, 1)
+    q_ingest, q_detect = start_queries()
+
+    feeder.join(timeout=600)
+    assert feeder.t_done is not None, "feeder did not finish"
+    fed_rate = feeder.total / (feeder.t_done - feeder.t_start)
+
+    # wait for both planted anomalies to surface (<= 2 cadences + drain)
+    deadline = feeder.t_plant + 2 * CADENCE_SEC + 45.0
+    seen: set[str] = set()
+    while time.monotonic() < deadline and seen != {"novelty", "frequency"}:
+        time.sleep(5.0)
+        try:
+            rows = promote.read_tier2(spark, tier2).select("anomaly_type").collect()
+        except Exception:
+            continue  # store not created yet
+        seen = {r["anomaly_type"] for r in rows}
+    t_detect = time.monotonic()
+    q_ingest.stop()
+    q_detect.stop()
+
+    # drain any unread files so the exactly-once count is total-vs-total
+    q = pipeline.start_tier1_ingest(
+        pipeline.read_otel_stream(spark, str(src)), tier1, ck_ingest,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    tier1_rows = spark.read.parquet(tier1).count()
+    try:
+        cluster_rows = promote.read_tier2(spark, tier2).select(
+            "anomaly_type", "body"
+        ).collect()
+    except Exception:
+        cluster_rows = []  # nothing ever promoted -> checks fail below
+    texts = [r["body"] for r in cluster_rows if r["body"]]
+    types = {r["anomaly_type"] for r in cluster_rows}
+    login_flagged = any("login succeeded" in t.lower() for t in texts)
+    fatal_seen = any("quantum fluctuation" in t.lower() for t in texts)
+    payment_spike = "frequency" in types
+
+    checks = {
+        "tier1_exactly_once": tier1_rows == feeder.total,
+        "feed_rate_ge_100": fed_rate >= RATE_TARGET,
+        "novelty_detected": "novelty" in types and fatal_seen,
+        "frequency_detected": payment_spike,
+        "login_never_flagged": not login_flagged,
+        "detected_within_2_cadences": seen == {"novelty", "frequency"}
+        and (t_detect - feeder.t_plant) <= 2 * CADENCE_SEC + 45.0,
+    }
+    result.update(
+        ok=all(checks.values()),
+        checks=checks,
+        envelopes=feeder.total,
+        tier1_rows=tier1_rows,
+        fed_rate_per_s=round(fed_rate, 1),
+        detect_latency_s=round(t_detect - feeder.t_plant, 1),
+        soak_wall_s=round(time.monotonic() - feeder.t_start, 1),
+        tier2_cluster_rows=len(cluster_rows),
+    )
+    spark.stop()
+    print(json.dumps(result))
+    return 0 if result["ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -895,3 +895,36 @@ def test_seasonal_zscore_plan_shape(spark, sf_oracle):
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "Window" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_shared_span_pairs_plan_shape(spark, sf_oracle):
+    """Span candidates must come from the gram-hash equi-join — never a
+    doc×doc product; the run-length window partitions by the candidate
+    pair (no global sort of the gram stream); scans prune to
+    (doc_id, text); grams shuffle as xxhash64 values (no text column in
+    the exchange)."""
+    p = _plan(spark, sf_oracle, "shared_span_pairs")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        s.strip() == "doc_id:bigint,text:string" for s in schemas
+    ), schemas
+    # the pair-grain window is partitioned (pos - row_number trick),
+    # never an un-partitioned global ordering
+    assert "Window" in p
+    # equi-join on the gram hash; fixture scale may broadcast one side
+    assert any(j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_phash_dup_pairs_plan_shape(spark, sf_oracle):
+    """dHash candidates must come from the 16-bit block equi-join over
+    the CACHED fingerprint frame (decode+hash runs once, both join
+    sides reuse it) — never an all-pairs product; the payload scan
+    prunes to (doc_id, text)."""
+    p = _plan(spark, sf_oracle, "phash_dup_pairs")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "InMemoryTableScan" in p  # fingerprints computed once
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        s.strip() == "doc_id:bigint,text:string" for s in schemas
+    ), schemas

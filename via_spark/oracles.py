@@ -5242,3 +5242,101 @@ FROM ev e
 JOIN mom USING (event_type, how)
 WHERE ({var}) > 0 AND abs({z}) > {z_threshold!r}
 """
+
+
+def shared_span_pairs_sql(anchor_n: int = 8, min_span: int = 12) -> str:
+    """Oracle for operators.dedup.shared_span_pairs: raw-gram join
+    (Spark side joins on xxhash64(gram) — equivalent absent 64-bit
+    collisions, same contract as dup_ngram_stats), identical
+    pos − row_number run-group recovery."""
+    return rf"""
+WITH tl AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, i AS p,
+           array_to_string(toks[i:i+{anchor_n - 1}], ' ') AS gram
+    FROM tl, unnest(range(1, len(toks) - {anchor_n - 2})) AS g(i)
+    WHERE len(toks) >= {anchor_n}
+),
+aligned AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.p AS pa, a.p - b.p AS diff
+    FROM grams a JOIN grams b USING (gram)
+    WHERE a.doc_id < b.doc_id
+),
+spans AS (
+    SELECT doc_a, doc_b, {anchor_n} + count(*) - 1 AS span
+    FROM (
+        SELECT doc_a, doc_b, diff, pa,
+               pa - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, diff ORDER BY pa) AS grp
+        FROM aligned
+    )
+    GROUP BY doc_a, doc_b, diff, grp
+)
+SELECT doc_a, doc_b, CAST(max(span) AS BIGINT) AS longest_span_tokens
+FROM spans
+GROUP BY 1, 2
+HAVING max(span) >= {min_span}
+"""
+
+
+def phash_dup_pairs_sql(max_hamming: int = 3) -> str:
+    """Oracle for operators.multimodal.phash_dup_pairs: recompute the
+    deterministic dHash grid byte-exactly (ASCII fixture: char index ==
+    byte index), pack MSB-first into a signed 64-bit value via two
+    32-bit halves (no HUGEINT in the output path), then exact-pair
+    xor + bit_count — the oracle may all-pairs at sf0.01; the engine
+    side never does."""
+    return rf"""
+WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+bytes AS (
+    SELECT doc_id, n,
+           CAST((72 * (p - 1) + 71) // n AS BIGINT) AS j,
+           ascii(substr(text, CAST(p AS INT), 1)) AS v
+    FROM docs, unnest(range(1, n + 1)) AS bp(p)
+),
+grid AS (
+    SELECT doc_id, CAST(j AS BIGINT) AS j
+    FROM docs, unnest(range(0, 72)) AS gj(j)
+),
+cells AS (
+    SELECT g.doc_id, g.j, COALESCE(s.cellv, 0) AS cellv
+    FROM grid g
+    LEFT JOIN (
+        SELECT doc_id, j, SUM(v) AS cellv FROM bytes GROUP BY 1, 2
+    ) s ON s.doc_id = g.doc_id AND s.j = g.j
+),
+bits AS (
+    SELECT cur.doc_id,
+           (cur.j // 9) * 8 + (cur.j % 9) AS k,
+           CASE WHEN nxt.cellv > cur.cellv THEN 1 ELSE 0 END AS bit
+    FROM cells cur
+    JOIN cells nxt ON nxt.doc_id = cur.doc_id AND nxt.j = cur.j + 1
+    WHERE cur.j % 9 < 8
+),
+halves AS (
+    SELECT doc_id,
+           SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - k))
+                    ELSE 0 END) AS hi,
+           SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - k))
+                    ELSE 0 END) AS lo
+    FROM bits GROUP BY doc_id
+),
+hashes AS (
+    SELECT doc_id,
+           CAST(CASE WHEN hi >= 2147483648
+                     THEN (hi - 4294967296) * 4294967296 + lo
+                     ELSE hi * 4294967296 + lo END AS BIGINT) AS h
+    FROM halves
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM hashes a
+JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}
+"""
