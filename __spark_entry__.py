@@ -143,8 +143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified first, then required (changed-since-green, impl OR
         # oracle, stalest first) per via_spark.rotation.recommended_head,
         # then stalest-green fill; enforced by tests/test_properties.py ---
+        "hll_distinct_report": sketch.hll_distinct_report,
         "phash_dup_pairs": multimodal.phash_dup_pairs,
         "shared_span_pairs": dedup.shared_span_pairs,
+        "span_dup_token_stats": dedup.span_dup_token_stats,
         "dedup_keep_best": graph.dedup_keep_best,
         "global_value_rank": rank.global_value_rank,
         "per_day_topk": relational.per_day_topk,
@@ -191,12 +193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_buyers": relational.repeat_buyers,
         "rolling_7d_active_users": timeseries.rolling_7d_active_users,
         "salted_event_type_counts": relational.salted_event_type_counts,
-        "severity_set_concat": relational.severity_set_concat,
-        "shipping_priority": relational.shipping_priority,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "severity_set_concat": relational.severity_set_concat,
+        "shipping_priority": relational.shipping_priority,
         "sliding_hash_counts": windows.sliding_hash_counts,
         "source_mix_allocation": curation.source_mix_allocation,
         "tfidf_top_terms": search.tfidf_top_terms,
@@ -545,4 +547,6 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_zscore_outliers": oracles.seasonal_zscore_outliers_sql(),
         "shared_span_pairs": oracles.shared_span_pairs_sql(),
         "phash_dup_pairs": oracles.phash_dup_pairs_sql(),
+        "hll_distinct_report": oracles.hll_distinct_report_sql(),
+        "span_dup_token_stats": oracles.span_dup_token_stats_sql(),
     }

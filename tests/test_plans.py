@@ -928,3 +928,33 @@ def test_phash_dup_pairs_plan_shape(spark, sf_oracle):
     assert schemas and all(
         s.strip() == "doc_id:bigint,text:string" for s in schemas
     ), schemas
+
+
+def test_hll_plan_shape(spark, sf_oracle):
+    """HLL must stay two hash aggs (register maxima, day rollup) plus a
+    day-grain join — no window at all (contrast KMV's rank cut), no
+    sort-merge, 2-column pruned scans (day derives from raw ts)."""
+    p = _plan(spark, sf_oracle, "hll_distinct_report")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+    assert "WindowGroupLimit" not in p and "Window\n" not in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        {c.split(":")[0] for c in s.split(",")} <= {"ts", "user_id"}
+        for s in schemas
+    ), schemas
+
+
+def test_span_dup_token_stats_plan_shape(spark, sf_oracle):
+    """Token-coverage rollup keeps shared_span_pairs' candidate shape
+    (gram-hash equi-join, never doc×doc) and its windows stay
+    PARTITIONED (pair-grain run recovery, doc-grain island merge —
+    no global sort); scans prune to (doc_id, text, source)."""
+    p = _plan(spark, sf_oracle, "span_dup_token_stats")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        {c.split(":")[0] for c in s.split(",")} <= {"doc_id", "text", "source"}
+        for s in schemas
+    ), schemas
+    assert "Window" in p

@@ -807,3 +807,94 @@ def test_seasonal_zscore_planted_cell_structure(spark, tmp_path):
     assert len(spike_a_row) == 1 and spike_a_row[0]["how"] == 0
     # nothing in-cell-normal flagged
     assert all(r["value"] in (50.0, 500.0) for r in got.values())
+
+
+def test_hll_python_reference_and_regime(spark, sf_oracle):
+    """Every HLL column equals a pure-Python model over the same
+    sha256-prefix hashes, bit-for-bit — the harmonic denominator is a
+    sum of dyadics spanning < 53 mantissa bits, so BOTH engines' add
+    order is provably irrelevant and floats compare with ==. Also pins
+    the regime choice: fixture day-cardinalities must sit above the
+    2.5·m linear-counting threshold, so rel_error is a real accuracy
+    number (and stays under 3× the 1.04/sqrt(m) theory band)."""
+    import duckdb
+    import hashlib
+
+    from via_spark.operators.sketch import HLL_P, hll_distinct_report
+
+    m = 1 << HLL_P
+    w_bits = 48 - HLL_P
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT),"
+        f" CAST(user_id AS VARCHAR)"
+        f" FROM read_parquet('{sf_oracle}/events.parquet')"
+    ).fetchall()
+    regs: dict[int, dict[int, int]] = {}
+    exact: dict[int, set] = {}
+    for day, uid in rows:
+        h = int(hashlib.sha256(uid.encode()).hexdigest()[:12], 16)
+        reg, w = h & (m - 1), h >> HLL_P
+        rank = (w_bits + 1) if w == 0 else (w_bits + 1 - w.bit_length())
+        d = regs.setdefault(day, {})
+        d[reg] = max(d.get(reg, 0), rank)
+        exact.setdefault(day, set()).add(uid)
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    expect = {}
+    for day, d in regs.items():
+        denom = sum(1.0 / (1 << r) for r in d.values()) + (float(m) - len(d))
+        est = alpha * float(m) * float(m) / denom
+        ex = len(exact[day])
+        expect[day] = (ex, len(d), m - len(d), est, abs(est - ex) / ex)
+    got = {
+        r["day"]: (
+            r["exact_distinct"], r["registers_hit"], r["zero_registers"],
+            r["hll_estimate"], r["rel_error"],
+        )
+        for r in hll_distinct_report(spark, sf_oracle).collect()
+    }
+    assert got == expect
+    # regime pins: raw estimator valid (n > 2.5m) and error in band
+    for day, (ex, _, _, _, err) in expect.items():
+        assert ex > 2.5 * m, f"day {day}: fixture left the raw-HLL regime"
+        assert err < 3 * 1.04 / m ** 0.5, f"day {day}: error {err} out of band"
+
+
+def test_span_dup_token_stats_planted_overlap(spark, tmp_path):
+    """Hand-computed coverage: two docs share a 20-token span AND an
+    overlapping 14-token span (same region shifted) — the doc's covered
+    tokens must be the interval UNION, never the sum; a source whose
+    docs share nothing reports 0; totals are exact token counts."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.dedup import span_dup_token_stats
+
+    span = " ".join(f"s{i}" for i in range(20))
+    # doc 1: [a a a] S0..S19 [z z]            -> covered [4, 23]
+    # doc 2: [b] S0..S19 [y y y]              -> covered [2, 21]
+    # doc 3: [c c] S6..S19 [x x x x]          -> covered [3, 16] (14-span)
+    rows = [
+        (1, "a1 a2 a3 " + span + " z1 z2", "dup_src"),
+        (2, "b1 " + span + " y1 y2 y3", "dup_src"),
+        (3, "c1 c2 " + " ".join(f"s{i}" for i in range(6, 20)) + " x1 x2 x3 x4",
+         "dup_src"),
+        (4, " ".join(f"u{i}" for i in range(25)), "clean_src"),
+        (5, " ".join(f"v{i}" for i in range(15)), "clean_src"),
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["total_tokens"], r["dup_span_tokens"],
+                      r["dup_token_ratio"])
+        for r in span_dup_token_stats(spark, str(d)).collect()
+    }
+    # doc1: spans vs doc2 (20 tokens at [4,23]) and vs doc3 (14 at [10,23])
+    #   union = [4,23] = 20;  doc2: [2,21] ∪ [8,21] = 20
+    #   doc3: whole shared run with doc1/doc2 = 14 tokens at [3,16]
+    assert got["dup_src"] == (3, 25 + 24 + 20, 20 + 20 + 14,
+                              (20 + 20 + 14) / (25 + 24 + 20))
+    assert got["clean_src"] == (2, 40, 0, 0.0)

@@ -1067,3 +1067,27 @@ def test_cm_store_checkpoint_restart_exactly_once(spark, sf_smoke, tmp_path):
         for r in pipeline.cm_estimates_from_store(spark, store, probes).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_store_has_data_sees_through_metadata_shell(spark, tmp_path):
+    """The round-9 soak race: a streaming file sink creates the store
+    directory and _spark_metadata BEFORE any data commit; a concurrent
+    reader must treat that shell (and a batch write's _temporary tree)
+    as not-yet-written, while one committed data file flips it."""
+    store = tmp_path / "store"
+    assert pipeline._store_has_data(spark, str(store)) is False  # absent
+    (store / "_spark_metadata").mkdir(parents=True)
+    (store / "_spark_metadata" / "0").write_text("{}")
+    (store / "_temporary" / "0").mkdir(parents=True)
+    (store / "_temporary" / "0" / "part-000.parquet").write_text("x")
+    assert pipeline._store_has_data(spark, str(store)) is False  # shell only
+    part = store / "event_date=2026-01-01"
+    part.mkdir()
+    (part / "part-000.parquet").write_text("x")
+    assert pipeline._store_has_data(spark, str(store)) is True
+    # local fallback path (no JVM gateway) agrees
+    class _NoJvm:
+        _jvm = None
+        _jsc = None
+    assert pipeline._store_has_data(_NoJvm(), str(store)) is True
+    assert pipeline._store_has_data(_NoJvm(), str(tmp_path / "nope")) is False

@@ -1143,3 +1143,111 @@ def shared_span_pairs(
         .agg(F.max("span").cast("long").alias("longest_span_tokens"))
         .where(F.col("longest_span_tokens") >= min_span)
     )
+
+
+def span_dup_token_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    anchor_n: int = SPAN_ANCHOR_N,
+    min_span: int = SPAN_MIN_TOKENS,
+) -> DataFrame:
+    """Per-source span-duplication budget (oracle ✔): what fraction of
+    each source's TOKENS sits inside a verbatim shared run of at least
+    ``min_span`` tokens — the Lee et al. 2022 headline number ("N% of
+    the corpus is in duplicated substrings") at the grain a curation
+    plan spends: tokens, not pairs. ``shared_span_pairs`` answers
+    "which pairs"; this answers "how much is there to cut, and from
+    whose budget".
+
+    Same aligned-run recovery as :func:`shared_span_pairs`; each
+    qualifying run then projects a CLOSED token interval into BOTH
+    documents, per-doc intervals merge with the classic
+    gaps-and-islands running-max (overlapping spans from different
+    partners must not double-count a token), and island lengths roll
+    up doc → source. All integer arithmetic plus one final division.
+
+    Scale posture (100 TB): identical candidate shape to
+    shared_span_pairs (gram-hash equi-join, never doc×doc); the
+    interval-merge window partitions by doc_id — corpus-parallel,
+    bounded by spans-per-doc, no global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    occ = (
+        t.where(F.size("toks") >= anchor_n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {anchor_n - 1}),"
+                    f" i -> xxhash64(concat_ws(' ', slice(toks, i, {anchor_n}))))"
+                )
+            ).alias("p0", "gh"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "gh")
+    )
+    a = occ.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "gh")
+    b = occ.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "gh")
+    aligned = (
+        a.join(b, "gh")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diff"))
+        .distinct()
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diff").orderBy("pa")
+    runs = (
+        aligned.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diff", "grp")
+        .agg(
+            F.min("pa").alias("a_start"),
+            (F.count(F.lit(1)) + F.lit(anchor_n - 1)).alias("span"),
+        )
+        .where(F.col("span") >= min_span)
+    )
+    # doc_a != doc_b (not <) above, so every run already appears once
+    # from each document's perspective — project each doc's own interval
+    intervals = runs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("a_start").alias("lo"),
+        (F.col("a_start") + F.col("span") - 1).alias("hi"),
+    ).distinct()
+    iw = Window.partitionBy("doc_id").orderBy("lo", "hi")
+    islands = (
+        intervals.withColumn(
+            "prev_hi",
+            F.max("hi").over(iw.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_hi").isNull() | (F.col("lo") > F.col("prev_hi")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_island").over(iw))
+        .groupBy("doc_id", "island")
+        .agg((F.max("hi") - F.min("lo") + 1).alias("ilen"))
+        .groupBy("doc_id")
+        .agg(F.sum("ilen").alias("covered"))
+    )
+    per_doc = t.select("doc_id", "source", F.size("toks").alias("n_toks")).join(
+        islands, "doc_id", "left"
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.sum(F.coalesce("covered", F.lit(0))).cast("long").alias("dup_span_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "dup_span_tokens",
+            (
+                F.col("dup_span_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("dup_token_ratio"),
+        )
+    )

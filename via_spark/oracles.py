@@ -5340,3 +5340,122 @@ FROM hashes a
 JOIN hashes b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}
 """
+
+
+def hll_distinct_report_sql(p: int = 5) -> str:
+    """Mirrors sketch.hll_distinct_report: low-p-bit register, rank via
+    binary-string length (never floor(log2)), harmonic denominator of
+    exact dyadic doubles (order-independent: < 53 mantissa-bit spread),
+    alpha as the same literal arithmetic."""
+    m = 1 << p
+    w_bits = 48 - p
+    return f"""
+WITH ev AS (
+    SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+           CAST(user_id AS VARCHAR) AS uid
+    FROM events
+),
+h AS (
+    SELECT day, ('0x' || substr(sha256(uid), 1, 12))::BIGINT AS uh
+    FROM ev
+),
+ranks AS (
+    SELECT day,
+           uh & {m - 1} AS reg,
+           CASE WHEN (uh >> {p}) = 0 THEN {w_bits + 1}
+                ELSE {w_bits + 1} - length(bin(uh >> {p})) END AS rank
+    FROM h
+),
+per_reg AS (
+    SELECT day, reg, max(rank) AS m_rank FROM ranks GROUP BY day, reg
+),
+per_day AS (
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS registers_hit,
+           SUM(1.0::DOUBLE / CAST((1::BIGINT << m_rank) AS DOUBLE)) AS inv_sum_hit
+    FROM per_reg GROUP BY day
+),
+ex AS (
+    SELECT day, count(DISTINCT uid) AS exact_distinct FROM ev GROUP BY day
+)
+SELECT d.day,
+       ex.exact_distinct,
+       d.registers_hit,
+       CAST({m} - d.registers_hit AS BIGINT) AS zero_registers,
+       (0.7213 / (1.0 + 1.079 / {float(m)!r})) * {float(m)!r} * {float(m)!r}
+           / (d.inv_sum_hit + ({float(m)!r} - d.registers_hit)) AS hll_estimate,
+       abs((0.7213 / (1.0 + 1.079 / {float(m)!r})) * {float(m)!r} * {float(m)!r}
+           / (d.inv_sum_hit + ({float(m)!r} - d.registers_hit))
+           - CAST(ex.exact_distinct AS DOUBLE)) / CAST(ex.exact_distinct AS DOUBLE)
+           AS rel_error
+FROM per_day d JOIN ex USING (day)
+"""
+
+
+def span_dup_token_stats_sql(anchor_n: int = 8, min_span: int = 12) -> str:
+    """Mirrors dedup.span_dup_token_stats: same aligned-run recovery as
+    shared_span_pairs_sql (doc_a != doc_b so each doc sees its own
+    interval), gaps-and-islands interval merge, doc -> source rollup."""
+    return rf"""
+WITH tl AS (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, i AS p,
+           array_to_string(toks[i:i+{anchor_n - 1}], ' ') AS gram
+    FROM tl, unnest(range(1, len(toks) - {anchor_n - 2})) AS g(i)
+    WHERE len(toks) >= {anchor_n}
+),
+aligned AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.p AS pa, a.p - b.p AS diff
+    FROM grams a JOIN grams b USING (gram)
+    WHERE a.doc_id <> b.doc_id
+),
+runs AS (
+    SELECT doc_a, min(pa) AS a_start, {anchor_n} + count(*) - 1 AS span
+    FROM (
+        SELECT doc_a, doc_b, diff, pa,
+               pa - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, diff ORDER BY pa) AS grp
+        FROM aligned
+    )
+    GROUP BY doc_a, doc_b, diff, grp
+    HAVING {anchor_n} + count(*) - 1 >= {min_span}
+),
+intervals AS (
+    SELECT DISTINCT doc_a AS doc_id, a_start AS lo,
+           a_start + span - 1 AS hi
+    FROM runs
+),
+marked AS (
+    SELECT doc_id, lo, hi,
+           max(hi) OVER (PARTITION BY doc_id ORDER BY lo, hi
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_hi
+    FROM intervals
+),
+islands AS (
+    SELECT doc_id, lo, hi,
+           SUM(CASE WHEN prev_hi IS NULL OR lo > prev_hi THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY lo, hi) AS island
+    FROM marked
+),
+covered AS (
+    SELECT doc_id, SUM(ilen) AS covered FROM (
+        SELECT doc_id, island, max(hi) - min(lo) + 1 AS ilen
+        FROM islands GROUP BY doc_id, island
+    ) GROUP BY doc_id
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(t.toks)) AS BIGINT) AS total_tokens,
+       CAST(SUM(COALESCE(c.covered, 0)) AS BIGINT) AS dup_span_tokens,
+       CAST(SUM(COALESCE(c.covered, 0)) AS DOUBLE)
+           / CAST(SUM(len(t.toks)) AS DOUBLE) AS dup_token_ratio
+FROM tl t LEFT JOIN covered c USING (doc_id)
+GROUP BY t.source
+"""

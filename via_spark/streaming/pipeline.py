@@ -73,6 +73,48 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def _store_has_data(spark: SparkSession, path: str) -> bool:
+    """Does the store at ``path`` contain at least one COMMITTED data
+    file — not just the directory the streaming file sink creates
+    eagerly with ``_spark_metadata`` before any batch commits, and not
+    a batch write's in-flight ``_temporary`` tree?
+
+    The round-9 streaming soak caught the race ``_store_exists`` can't
+    see: a detection trigger fired between sink start and first commit,
+    ``spark.read.parquet`` found an existing-but-dataless directory and
+    failed schema inference, poisoning the batch. A file counts as data
+    iff no path component under the store starts with ``_`` or ``.``
+    (``_spark_metadata/0``, ``_temporary/...``, dotfiles are metadata).
+    Transient FS errors still PROPAGATE (same contract as
+    ``_store_exists``)."""
+    if getattr(spark, "_jvm", None) is None or getattr(spark, "_jsc", None) is None:
+        import os
+
+        if not os.path.isdir(path):
+            return False
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            if any(not f.startswith(("_", ".")) for f in files):
+                return True
+        return False
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    base = fs.makeQualified(jpath).toUri().getPath()
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        rel = st.getPath().toUri().getPath()
+        if rel.startswith(base):
+            rel = rel[len(base):].lstrip("/")
+        parts = rel.split("/")
+        if parts and not any(c.startswith(("_", ".")) for c in parts):
+            return True
+    return False
+
+
 def read_otel_stream(spark: SparkSession, input_dir: str,
                      max_files_per_trigger: int | None = None) -> DataFrame:
     """S1 streaming flavor: OTel-JSONL files → flattened tier1 columns.
@@ -175,8 +217,11 @@ def start_detection(
         # ONLY the not-yet-written case is absorbed; a transient read
         # failure must propagate (fail the batch, retried by the
         # engine) — absorbing it would silently run detection without
-        # the store, or worse, without the suppression rules
-        if not _store_exists(spark, tier1_path):
+        # the store, or worse, without the suppression rules.
+        # _store_has_data (not _store_exists): the ingest QUERY creates
+        # the directory + _spark_metadata before committing any data
+        # file, and reading that shell fails schema inference
+        if not _store_has_data(spark, tier1_path):
             return  # ingest has not committed any files yet
         tier1 = spark.read.parquet(tier1_path)
         if not tier1.take(1):
@@ -305,7 +350,10 @@ def start_rollup_maintenance(
             r["event_date"]
             for r in batch_df.select("event_date").distinct().collect()
         ]
-        if not touched or not _store_exists(spark, tier1_path):
+        # _store_has_data: tier1 is written by a DIFFERENT query — its
+        # directory can exist dataless between sink start and first
+        # commit (see start_detection's guard)
+        if not touched or not _store_has_data(spark, tier1_path):
             return
         tier1 = spark.read.parquet(tier1_path)
         recomputed = (
