@@ -1091,3 +1091,64 @@ def test_store_has_data_sees_through_metadata_shell(spark, tmp_path):
         _jsc = None
     assert pipeline._store_has_data(_NoJvm(), str(store)) is True
     assert pipeline._store_has_data(_NoJvm(), str(tmp_path / "nope")) is False
+
+
+def test_streaming_hll_store_matches_batch_sketch(spark, sf_smoke, tmp_path):
+    """The streaming HLL register store folded over micro-batches must
+    be BIT-IDENTICAL to the single-pass batch sketch over the same
+    records — register-max merge executed live. Replaying a superset
+    batch must not change a bit (max is idempotent AND commutative, so
+    this store needs no per-batch partitioning at all)."""
+    from via_spark.operators.sketch import HLL_P, hll_register_rows
+
+    src = str(tmp_path / "otel_jsonl")
+    store = str(tmp_path / "hll_store")
+    pipeline.write_otel_fixture_jsonl(spark, sf_smoke, src, n_files=4)
+    stream = hll_register_rows(
+        pipeline.read_otel_stream(spark, src).select(
+            F.expr("CAST(ts div 86400 AS LONG)").alias("day"),
+            F.col("rhythm_hash").alias("uid"),
+        )
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _id: pipeline.merge_hll_partials(spark, b, store)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["day"], r["registers_hit"], r["hll_estimate"])
+        for r in pipeline.hll_estimates_from_store(spark, store, p=HLL_P).collect()
+    }
+
+    batch = hll_register_rows(
+        _batch_equivalent(spark, sf_smoke).select(
+            F.expr("CAST(ts div 86400 AS LONG)").alias("day"),
+            F.col("rhythm_hash").alias("uid"),
+        )
+    )
+    m = 1 << HLL_P
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    expect = set()
+    reg_rows = batch.groupBy("day", "reg").agg(F.max("rank").alias("m_rank")).collect()
+    per_day: dict = {}
+    for r in reg_rows:
+        per_day.setdefault(r["day"], []).append(r["m_rank"])
+    for day, ranks in per_day.items():
+        denom = sum(1.0 / (1 << mr) for mr in ranks) + (float(m) - len(ranks))
+        expect.add((day, len(ranks), alpha * float(m) * float(m) / denom))
+    assert got == expect and len(got) > 0
+
+    # replay: re-merging the WHOLE stream again must be a no-op
+    pipeline.merge_hll_partials(spark, batch.groupBy("day", "reg").agg(
+        F.max("rank").alias("m_rank")
+    ).selectExpr("day", "reg", "m_rank AS rank"), store)
+    again = {
+        (r["day"], r["registers_hit"], r["hll_estimate"])
+        for r in pipeline.hll_estimates_from_store(spark, store, p=HLL_P).collect()
+    }
+    assert again == got

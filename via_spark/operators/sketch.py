@@ -701,6 +701,36 @@ HLL_M = 1 << HLL_P
 HLL_W = HASH_BITS - HLL_P  # rank window: remaining 43 hash bits
 
 
+
+def hll_register_rows(
+    frame: DataFrame, key: str = "day", value: str = "uid", p: int = HLL_P
+) -> DataFrame:
+    """(key, value) observations → (key, reg, rank) HLL register rows —
+    THE pinned register definition every HLL surface (the batch report,
+    the streaming partial store, their tests) expands through: register
+    = low ``p`` bits of the 48-bit sha256-prefix hash, rank = leading
+    zeros of the remaining ``48-p`` bits + 1 via binary-string length
+    (integer-exact; never floor(log2))."""
+    w_bits = HASH_BITS - p
+    m = 1 << p
+    return (
+        frame.select(F.col(key).alias("day"), _hash48(F.col(value)).alias("uh"))
+        .select(
+            "day",
+            F.col("uh").bitwiseAND(F.lit(m - 1)).alias("reg"),
+            F.shiftright("uh", p).alias("w"),
+        )
+        .select(
+            "day",
+            "reg",
+            F.when(F.col("w") == 0, F.lit(w_bits + 1))
+            .otherwise(F.lit(w_bits + 1) - F.length(F.bin("w")))
+            .cast("int")
+            .alias("rank"),
+        )
+    )
+
+
 def hll_distinct_report(
     spark: SparkSession, sf_dir: str, p: int = HLL_P
 ) -> DataFrame:
@@ -734,25 +764,15 @@ def hll_distinct_report(
     error column and drops at production scale.
     """
     m = 1 << p
-    w_bits = HASH_BITS - p
     ev = load_table(spark, sf_dir, "events").select(
         F.expr("ts div 1000000000 div 86400").alias("day"),
         F.col("user_id").cast("string").alias("uid"),
     )
-    h = ev.select("day", _hash48(F.col("uid")).alias("uh"))
-    regs = h.select(
-        "day",
-        F.col("uh").bitwiseAND(F.lit(m - 1)).alias("reg"),
-        F.shiftright("uh", p).alias("w"),
-    ).select(
-        "day",
-        "reg",
-        F.when(F.col("w") == 0, F.lit(w_bits + 1))
-        .otherwise(F.lit(w_bits + 1) - F.length(F.bin("w")))
-        .cast("int")
-        .alias("rank"),
+    per_reg = (
+        hll_register_rows(ev, key="day", value="uid", p=p)
+        .groupBy("day", "reg")
+        .agg(F.max("rank").alias("m_rank"))
     )
-    per_reg = regs.groupBy("day", "reg").agg(F.max("rank").alias("m_rank"))
     # alpha_m from the canonical formula, as the same literal-arithmetic
     # expression the oracle uses (IEEE ops -> identical double)
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))

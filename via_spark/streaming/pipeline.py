@@ -952,3 +952,69 @@ def sample_quantiles_from_store(spark: SparkSession, store_path: str) -> DataFra
         q = q.withColumnRenamed("_n", "sample_m") if parts is None else q.drop("_n")
         parts = q if parts is None else parts.join(q, "grp")
     return parts.select("grp", "sample_m", "s50_fix", "s95_fix")
+
+
+def merge_hll_partials(
+    spark: SparkSession, batch_df: DataFrame, store_path: str
+) -> None:
+    """foreachBatch body for streaming HyperLogLog distinct sketches:
+    fold a micro-batch's (day, reg, rank) register observations (the
+    caller expands them with the canonical definition,
+    ``operators.sketch.hll_register_rows`` — same caller-hashes
+    division of labor as :func:`merge_kmv_partials`) into a parquet
+    register store keeping max(rank) per (day, reg).
+
+    MAX is idempotent AND commutative, so this store is replay-safe by
+    construction with no per-batch partitioning at all (stronger than
+    both the KMV set-union and the Count-Min per-batch-partition
+    postures): merging any batch any number of times, in any order,
+    yields the same registers — and the streamed registers equal the
+    single-pass batch sketch's registers bit-for-bit
+    (tests/test_streaming.py::test_streaming_hll_store_matches_batch_sketch).
+    State is O(2^p · days) regardless of cardinality.
+    """
+    incoming = batch_df.groupBy("day", "reg").agg(F.max("rank").alias("m_rank"))
+    try:
+        existing = spark.read.parquet(store_path)
+        merged = (
+            existing.unionByName(incoming)
+            .groupBy("day", "reg")
+            .agg(F.max("m_rank").alias("m_rank"))
+        )
+    except Exception:  # first batch: store not yet created
+        merged = incoming
+    # ≤ 2^p · days rows — collect-and-rewrite stays tiny and avoids
+    # read/overwrite races on the same parquet path
+    rows = merged.collect()
+    spark.createDataFrame(rows, "day long, reg long, m_rank int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(store_path)
+
+
+def hll_estimates_from_store(
+    spark: SparkSession, store_path: str, p: int = 5
+) -> DataFrame:
+    """Read-time estimator over the streaming HLL register store: the
+    same raw-estimator arithmetic as ``sketch.hll_distinct_report``
+    (alpha from literal arithmetic, harmonic denominator of exact
+    dyadic doubles), so the streamed estimate is bit-identical to the
+    batch sketch over the same records."""
+    m = 1 << p
+    store = spark.read.parquet(store_path)
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    per_day = store.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("registers_hit"),
+        F.sum(
+            F.lit(1.0) / F.expr("cast(shiftleft(1L, m_rank) as double)")
+        ).alias("inv_sum_hit"),
+    )
+    return per_day.select(
+        "day",
+        "registers_hit",
+        (
+            alpha
+            * F.lit(float(m))
+            * F.lit(float(m))
+            / (F.col("inv_sum_hit") + (F.lit(float(m)) - F.col("registers_hit")))
+        ).alias("hll_estimate"),
+    )
