@@ -164,7 +164,13 @@ def main() -> int:
     )
     configure(spark)
     spark.sparkContext.setLogLevel("ERROR")
-    detect_kwargs = dict(sample_size=200, novelty_min_count=1)
+    # sample_size must cover enough WALL of baseline at this feed's
+    # density: the baseline is the newest N rows before the window
+    # (rhythm.baseline_sample), and at ~3.4 envelopes per logical second
+    # 200 rows span only ~60 logical seconds — zero payment occurrences,
+    # so the spike would misclassify as novelty instead of frequency.
+    # 5000 rows span ~1450 logical seconds (~14 payment baseline points).
+    detect_kwargs = dict(sample_size=5000, novelty_min_count=1)
 
     def start_queries():
         q_ing = pipeline.start_tier1_ingest(
