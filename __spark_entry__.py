@@ -145,8 +145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then stalest-green fill; enforced by tests/test_properties.py ---
         "hll_distinct_report": sketch.hll_distinct_report,
         "phash_dup_pairs": multimodal.phash_dup_pairs,
+        "retrieval_mrr_report": vector.retrieval_mrr_report,
         "shared_span_pairs": dedup.shared_span_pairs,
         "span_dup_token_stats": dedup.span_dup_token_stats,
+        "span_scrub_plan": dedup.span_scrub_plan,
         "dedup_keep_best": graph.dedup_keep_best,
         "global_value_rank": rank.global_value_rank,
         "per_day_topk": relational.per_day_topk,
@@ -191,12 +193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_intervals": timeseries.purchase_intervals,
         "referential_audit": relational.referential_audit,
         "repeat_buyers": relational.repeat_buyers,
-        "rolling_7d_active_users": timeseries.rolling_7d_active_users,
-        "salted_event_type_counts": relational.salted_event_type_counts,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "rolling_7d_active_users": timeseries.rolling_7d_active_users,
+        "salted_event_type_counts": relational.salted_event_type_counts,
         "severity_set_concat": relational.severity_set_concat,
         "shipping_priority": relational.shipping_priority,
         "sliding_hash_counts": windows.sliding_hash_counts,
@@ -549,4 +551,6 @@ def oracle_sql() -> dict[str, str]:
         "phash_dup_pairs": oracles.phash_dup_pairs_sql(),
         "hll_distinct_report": oracles.hll_distinct_report_sql(),
         "span_dup_token_stats": oracles.span_dup_token_stats_sql(),
+        "span_scrub_plan": oracles.span_scrub_plan_sql(),
+        "retrieval_mrr_report": oracles.retrieval_mrr_report_sql(),
     }

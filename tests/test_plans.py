@@ -958,3 +958,30 @@ def test_span_dup_token_stats_plan_shape(spark, sf_oracle):
         for s in schemas
     ), schemas
     assert "Window" in p
+
+
+def test_span_scrub_plan_plan_shape(spark, sf_oracle):
+    """The scrub plan rides the same gram-hash equi-join as
+    shared_span_pairs (never doc×doc) with partitioned windows only;
+    scans prune to (doc_id, text)."""
+    p = _plan(spark, sf_oracle, "span_scrub_plan")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        s.strip() == "doc_id:bigint,text:string" for s in schemas
+    ), schemas
+    assert "Window" in p
+
+
+def test_retrieval_mrr_plan_shape(spark, sf_oracle):
+    """MRR rides knn_batch_topk: broadcast query block (the 1-row MRR
+    summary and the n_queries block are the only nested-loop sides),
+    per-query WindowGroupLimit, no sort-merge join, 3-column scans."""
+    p = _plan(spark, sf_oracle, "retrieval_mrr_report")
+    assert "SortMergeJoin" not in p
+    assert "WindowGroupLimit" in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        {c.split(":")[0] for c in s.split(",")} <= {"vec_id", "label", "embedding"}
+        for s in schemas
+    ), schemas

@@ -190,3 +190,84 @@ def test_dhash_short_payload_empty_cells(spark, tmp_path):
     sf = _write_docs(spark, tmp_path, rows)
     got = {r["doc_id"]: r["dhash"] for r in image_dhash(spark, sf).collect()}
     assert got == {1: dhash64(b"tiny doc"), 2: dhash64(b"ab")}
+
+
+def test_span_scrub_plan_keep_lowest_and_merge(spark, tmp_path):
+    """The scrub plan must cut from the HIGHER doc only (canonical copy
+    survives in the lowest doc_id), merge overlapping cuts from
+    different partners into one interval, and leave span-free docs
+    uncut. Token positions are checked by hand."""
+    span = " ".join(f"s{i}" for i in range(20))
+    sub = " ".join(f"s{i}" for i in range(6, 20))  # inner 14-token slice
+    rows = [
+        (1, "a1 a2 a3 " + span + " z1 z2", "s"),     # lowest: keeps all
+        (2, "b1 " + span + " y1 y2 y3", "s"),        # cut [2, 21] (vs 1)
+        (3, "c1 c2 " + sub + " x1 x2 x3 x4", "s"),   # cut [3, 16] (vs 1 and 2)
+        (4, " ".join(f"u{i}" for i in range(25)), "s"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    from via_spark.operators.dedup import span_scrub_plan
+
+    got = {
+        (r["doc_id"], r["cut_lo"], r["cut_hi"], r["cut_tokens"])
+        for r in span_scrub_plan(spark, sf).collect()
+    }
+    assert got == {(2, 2, 21, 20), (3, 3, 16, 14)}
+
+
+def test_span_scrub_plan_consistency_with_stats(spark, sf_smoke):
+    """On the real fixture the scrub plan's cut tokens must be a strict
+    subset of the measured dup-covered tokens (one copy of every span
+    survives), and no cut interval may fall on the globally lowest doc
+    of its content (spot-checked via shared_span_pairs: a doc that is
+    doc_a in EVERY pair it appears in must receive no cuts)."""
+    from via_spark.operators.dedup import (
+        shared_span_pairs,
+        span_dup_token_stats,
+        span_scrub_plan,
+    )
+
+    cuts = span_scrub_plan(spark, sf_smoke).collect()
+    cut_total = sum(r["cut_tokens"] for r in cuts)
+    stats = span_dup_token_stats(spark, sf_smoke).collect()
+    covered_total = sum(r["dup_span_tokens"] for r in stats)
+    assert 0 < cut_total < covered_total
+
+    pairs = shared_span_pairs(spark, sf_smoke).collect()
+    only_low = {r["doc_a"] for r in pairs} - {r["doc_b"] for r in pairs}
+    cut_docs = {r["doc_id"] for r in cuts}
+    assert not (only_low & cut_docs), "a keep-side doc received a cut"
+
+
+def test_retrieval_mrr_exact_rational(spark, sf_oracle):
+    """MRR columns equal a pure-Python model over the collected top-k
+    (floats compare with == because both sides are single divisions of
+    exact integers); no-match queries score 0 with NULL rank."""
+    from via_spark.operators.vector import knn_batch_topk, retrieval_mrr_report
+
+    topk = knn_batch_topk(spark, sf_oracle, n_queries=16, k=10).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    labels = dict(con.sql(
+        f"SELECT vec_id, label FROM read_parquet('{sf_oracle}/embeddings.parquet')"
+        f" WHERE vec_id < 16"
+    ).fetchall())
+    firsts: dict[int, int] = {}
+    for r in sorted(topk, key=lambda r: (r["query_id"], r["rank"])):
+        q = r["query_id"]
+        if q not in firsts and r["label"] == labels[q]:
+            firsts[q] = r["rank"]
+    scaled = {q: (2520 // firsts[q] if q in firsts else 0) for q in labels}
+    mrr = float(sum(scaled.values())) / (2520.0 * float(len(labels)))
+    expect = {
+        (q, labels[q], firsts.get(q), scaled[q] / 2520.0, mrr) for q in labels
+    }
+    got = {
+        (r["query_id"], r["query_label"], r["first_match_rank"],
+         r["reciprocal_rank"], r["mrr"])
+        for r in retrieval_mrr_report(spark, sf_oracle).collect()
+    }
+    assert got == expect
+    assert any(r[2] is None for r in got), "fixture should exercise the no-match path"
+    assert any(r[2] is not None for r in got)

@@ -1251,3 +1251,94 @@ def span_dup_token_stats(
             ).alias("dup_token_ratio"),
         )
     )
+
+
+def span_scrub_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    anchor_n: int = SPAN_ANCHOR_N,
+    min_span: int = SPAN_MIN_TOKENS,
+) -> DataFrame:
+    """Span-grain scrub PLAN (oracle ✔): the "act" step after
+    :func:`shared_span_pairs` (detect) and :func:`span_dup_token_stats`
+    (measure) — for every verbatim shared run of >= ``min_span``
+    tokens, the canonical copy stays with the LOWEST doc_id (the same
+    keep-min rule as ``dedup_exact``) and every other doc gets a cut
+    interval. Output: one row per merged cut interval
+    (doc_id, cut_lo, cut_hi, cut_tokens), 1-based token positions,
+    overlapping cuts from different partners already UNIONed per doc —
+    directly executable against the token stream.
+
+    Pairwise keep-lowest is the public Lee et al. 2022 greedy
+    approximation of remove-all-but-one-occurrence: a doc cuts a region
+    iff SOME lower doc carries the same run, so at least one copy (the
+    globally lowest doc_id's) always survives.
+
+    Scale posture (100 TB): identical candidate shape to
+    shared_span_pairs (gram-hash equi-join, never doc×doc); cuts merge
+    in a doc-partitioned window, bounded by spans-per-doc.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= anchor_n
+    )
+    occ = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {anchor_n - 1}),"
+                f" i -> xxhash64(concat_ws(' ', slice(toks, i, {anchor_n}))))"
+            )
+        ).alias("p0", "gh"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "gh")
+    a = occ.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "gh")
+    b = occ.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "gh")
+    # keep-lowest: only the HIGHER doc of a pair accrues cut intervals,
+    # so orient the join low -> high and track the HIGH side's positions
+    aligned = (
+        a.join(b, "gh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pb", (F.col("pb") - F.col("pa")).alias("diff")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diff").orderBy("pb")
+    cuts = (
+        aligned.withColumn("grp", F.col("pb") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diff", "grp")
+        .agg(
+            F.min("pb").alias("lo"),
+            (F.count(F.lit(1)) + F.lit(anchor_n - 1)).alias("span"),
+        )
+        .where(F.col("span") >= min_span)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            "lo",
+            (F.col("lo") + F.col("span") - 1).alias("hi"),
+        )
+        .distinct()
+    )
+    iw = Window.partitionBy("doc_id").orderBy("lo", "hi")
+    return (
+        cuts.withColumn(
+            "prev_hi",
+            F.max("hi").over(iw.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_hi").isNull() | (F.col("lo") > F.col("prev_hi")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_island").over(iw))
+        .groupBy("doc_id", "island")
+        .agg(F.min("lo").alias("cut_lo"), F.max("hi").alias("cut_hi"))
+        .select(
+            "doc_id",
+            "cut_lo",
+            "cut_hi",
+            (F.col("cut_hi") - F.col("cut_lo") + 1).cast("long").alias("cut_tokens"),
+        )
+    )

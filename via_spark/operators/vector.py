@@ -596,3 +596,74 @@ def matryoshka_recall_report(
             ).alias("recall_at_k"),
         )
     )
+
+
+#: LCM(1..10): every reciprocal rank 1/r for r <= 10 is the exact
+#: integer 2520/r over this common denominator, so the MRR numerator
+#: sums as BIGINTs and only ONE final division produces a double —
+#: no float accumulation order to diverge across engines or executors
+#: (same no-ln/no-float-sum contract as cooccurrence_lift).
+MRR_LCM = 2520
+
+
+def retrieval_mrr_report(
+    spark: SparkSession, sf_dir: str, n_queries: int = 16, k: int = 10
+) -> DataFrame:
+    """Retrieval eval #2 (oracle ✔): Mean Reciprocal Rank of the first
+    same-label neighbor over the batched kNN — the ranking-quality
+    complement of retrieval_label_precision's set-quality view (a
+    system returning the right label at rank 10 and one at rank 1 have
+    the same precision@10; MRR separates them).
+
+    Exact-rational form: reciprocal rank = (LCM/r)/LCM with
+    LCM(1..k) = 2520 for k = 10, so per-query values and the corpus
+    MRR are each a single division of exact integers — bit-identical
+    cross-engine. Queries with NO same-label neighbor in the top-k
+    score 0 (rank NULL in the output), the standard MRR convention.
+
+    Scale posture: rides knn_batch_topk (broadcast query block, one
+    corpus pass, per-query WindowGroupLimit); everything after is
+    n_queries-sized, and the 1-row MRR summary attaches through the
+    standard broadcast scalar cross join.
+    """
+    if k > 10:
+        raise ValueError("MRR_LCM covers ranks 1..10; widen the LCM for larger k")
+    e = load_table(spark, sf_dir, "embeddings")
+    topk = knn_batch_topk(spark, sf_dir, n_queries, k)
+    q_labels = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("query_label")
+    )
+    firsts = (
+        topk.join(F.broadcast(q_labels), "query_id")
+        .where(F.col("label") == F.col("query_label"))
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("first_match_rank"))
+    )
+    per_q = (
+        q_labels.join(F.broadcast(firsts), "query_id", "left")
+        .withColumn(
+            "rr_scaled",
+            F.coalesce(
+                F.expr(f"{MRR_LCM}L div first_match_rank"),
+                F.lit(0).cast("long"),
+            ),
+        )
+    )
+    summary = per_q.agg(
+        (
+            F.sum("rr_scaled").cast("double")
+            / (F.lit(float(MRR_LCM)) * F.count(F.lit(1)).cast("double"))
+        ).alias("mrr")
+    )
+    return (
+        per_q.crossJoin(F.broadcast(summary))
+        .select(
+            "query_id",
+            "query_label",
+            "first_match_rank",
+            (F.col("rr_scaled").cast("double") / F.lit(float(MRR_LCM))).alias(
+                "reciprocal_rank"
+            ),
+            "mrr",
+        )
+    )

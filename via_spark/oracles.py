@@ -5459,3 +5459,94 @@ SELECT t.source,
 FROM tl t LEFT JOIN covered c USING (doc_id)
 GROUP BY t.source
 """
+
+
+def span_scrub_plan_sql(anchor_n: int = 8, min_span: int = 12) -> str:
+    """Mirrors dedup.span_scrub_plan: keep-lowest orientation (only the
+    higher doc of a pair accrues cuts), run recovery on the HIGH side's
+    positions, gaps-and-islands merge per doc."""
+    return rf"""
+WITH tl AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, i AS p,
+           array_to_string(toks[i:i+{anchor_n - 1}], ' ') AS gram
+    FROM tl, unnest(range(1, len(toks) - {anchor_n - 2})) AS g(i)
+    WHERE len(toks) >= {anchor_n}
+),
+aligned AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           b.p AS pb, b.p - a.p AS diff
+    FROM grams a JOIN grams b USING (gram)
+    WHERE a.doc_id < b.doc_id
+),
+cuts AS (
+    SELECT DISTINCT doc_b AS doc_id, lo, lo + span - 1 AS hi FROM (
+        SELECT doc_a, doc_b, diff, min(pb) AS lo,
+               {anchor_n} + count(*) - 1 AS span
+        FROM (
+            SELECT doc_a, doc_b, diff, pb,
+                   pb - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, diff ORDER BY pb) AS grp
+            FROM aligned
+        )
+        GROUP BY doc_a, doc_b, diff, grp
+        HAVING {anchor_n} + count(*) - 1 >= {min_span}
+    )
+),
+marked AS (
+    SELECT doc_id, lo, hi,
+           max(hi) OVER (PARTITION BY doc_id ORDER BY lo, hi
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_hi
+    FROM cuts
+),
+islands AS (
+    SELECT doc_id, lo, hi,
+           SUM(CASE WHEN prev_hi IS NULL OR lo > prev_hi THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY lo, hi) AS island
+    FROM marked
+)
+SELECT doc_id, min(lo) AS cut_lo, max(hi) AS cut_hi,
+       CAST(max(hi) - min(lo) + 1 AS BIGINT) AS cut_tokens
+FROM islands
+GROUP BY doc_id, island
+"""
+
+
+def retrieval_mrr_report_sql(n_queries: int = 16, k: int = 10) -> str:
+    """Mirrors vector.retrieval_mrr_report: reuses the batched-kNN CTE,
+    LCM-2520 integer reciprocal ranks, one final division each for the
+    per-query value and the corpus MRR."""
+    lcm = 2520
+    return f"""
+WITH topk AS ({knn_batch_topk_sql(n_queries, k)}),
+ql AS (
+    SELECT vec_id AS query_id, label AS query_label
+    FROM embeddings WHERE vec_id < {n_queries}
+),
+firsts AS (
+    SELECT t.query_id, min(t.rank) AS first_match_rank
+    FROM topk t JOIN ql ON t.query_id = ql.query_id
+    WHERE t.label = ql.query_label
+    GROUP BY t.query_id
+),
+per_q AS (
+    SELECT ql.query_id, ql.query_label, f.first_match_rank,
+           COALESCE({lcm} // f.first_match_rank, 0) AS rr_scaled
+    FROM ql LEFT JOIN firsts f ON ql.query_id = f.query_id
+),
+summary AS (
+    SELECT CAST(SUM(rr_scaled) AS DOUBLE)
+               / ({float(lcm)!r} * CAST(count(*) AS DOUBLE)) AS mrr
+    FROM per_q
+)
+SELECT p.query_id, p.query_label, p.first_match_rank,
+       CAST(p.rr_scaled AS DOUBLE) / {float(lcm)!r} AS reciprocal_rank,
+       s.mrr
+FROM per_q p, summary s
+"""
