@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle, stalest first) per via_spark.rotation.recommended_head,
         # then stalest-green fill; enforced by tests/test_properties.py ---
         "hll_distinct_report": sketch.hll_distinct_report,
+        "hll_union_report": sketch.hll_union_report,
+        "incremental_span_pairs": dedup.incremental_span_pairs,
         "phash_dup_pairs": multimodal.phash_dup_pairs,
         "retrieval_mrr_report": vector.retrieval_mrr_report,
         "shared_span_pairs": dedup.shared_span_pairs,
@@ -191,12 +193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": relational.promo_revenue,
         "props_json_stats": relational.props_json_stats,
         "purchase_intervals": timeseries.purchase_intervals,
-        "referential_audit": relational.referential_audit,
-        "repeat_buyers": relational.repeat_buyers,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "referential_audit": relational.referential_audit,
+        "repeat_buyers": relational.repeat_buyers,
         "rolling_7d_active_users": timeseries.rolling_7d_active_users,
         "salted_event_type_counts": relational.salted_event_type_counts,
         "severity_set_concat": relational.severity_set_concat,
@@ -553,4 +555,6 @@ def oracle_sql() -> dict[str, str]:
         "span_dup_token_stats": oracles.span_dup_token_stats_sql(),
         "span_scrub_plan": oracles.span_scrub_plan_sql(),
         "retrieval_mrr_report": oracles.retrieval_mrr_report_sql(),
+        "incremental_span_pairs": oracles.incremental_span_pairs_sql(),
+        "hll_union_report": oracles.hll_union_report_sql(),
     }

@@ -985,3 +985,30 @@ def test_retrieval_mrr_plan_shape(spark, sf_oracle):
         {c.split(":")[0] for c in s.split(",")} <= {"vec_id", "label", "embedding"}
         for s in schemas
     ), schemas
+
+
+def test_incremental_span_plan_shape(spark, sf_oracle):
+    """Batch-vs-corpus span lookup: cost must ride the gram equi-join
+    (never doc×doc, never a corpus self-join) with pair-partitioned
+    windows; scans prune to (doc_id, text)."""
+    p = _plan(spark, sf_oracle, "incremental_span_pairs")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        s.strip() == "doc_id:bigint,text:string" for s in schemas
+    ), schemas
+    assert "Window" in p
+
+
+def test_hll_union_plan_shape(spark, sf_oracle):
+    """Sketch-algebra rollup: hash aggs only (per-source registers,
+    union re-agg, scope rollup) — no window, no sort-merge join, scans
+    prune to (text, source)."""
+    p = _plan(spark, sf_oracle, "hll_union_report")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "WindowGroupLimit" not in p and "Window\n" not in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        {c.split(":")[0] for c in s.split(",")} <= {"text", "source"}
+        for s in schemas
+    ), schemas

@@ -898,3 +898,93 @@ def test_span_dup_token_stats_planted_overlap(spark, tmp_path):
     assert got["dup_src"] == (3, 25 + 24 + 20, 20 + 20 + 14,
                               (20 + 20 + 14) / (25 + 24 + 20))
     assert got["clean_src"] == (2, 40, 0, 0.0)
+
+
+def test_hll_union_merge_losslessness(spark, sf_oracle):
+    """Sketch algebra: the __corpus__ union row's registers (max over
+    per-source register maxima) must be IDENTICAL to hashing the whole
+    corpus directly — associativity of max executed on real data — so
+    the union estimate equals the direct estimate bit-for-bit. Also
+    pins the dedup story: the union exact is strictly less than the
+    per-source exact sum (sources share grams), and every scope sits
+    above the 2.5·m raw-regime threshold."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.sketch import (
+        HLL_P,
+        hll_register_rows,
+        hll_union_report,
+    )
+    from via_spark.session import load_table
+
+    rows = hll_union_report(spark, sf_oracle).collect()
+    by_scope = {r["scope"]: r for r in rows}
+    union = by_scope.pop("__corpus__")
+    m = 1 << HLL_P
+    assert union["exact_distinct"] < sum(
+        r["exact_distinct"] for r in by_scope.values()
+    ), "sources share no grams — union demo is vacuous"
+    assert all(r["exact_distinct"] > 2.5 * m for r in rows)
+
+    # direct corpus hashing -> registers must equal the merged union's
+    from via_spark.functions.text import tokens
+
+    t = (
+        load_table(spark, sf_oracle, "documents")
+        .select(tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 3)
+    )
+    grams = t.select(
+        F.lit("all").alias("k"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', slice(toks, i, 3)))"
+            )
+        ).alias("gram"),
+    )
+    direct = (
+        hll_register_rows(grams, key="k", value="gram")
+        .groupBy("reg")
+        .agg(F.max("rank").alias("m_rank"))
+        .collect()
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    ranks = [r["m_rank"] for r in direct]
+    denom = sum(1.0 / (1 << mr) for mr in ranks) + (float(m) - len(ranks))
+    assert union["hll_estimate"] == alpha * float(m) * float(m) / denom
+    assert union["registers_hit"] == len(ranks)
+
+
+def test_incremental_span_consistency_with_self_join(spark, sf_oracle):
+    """Every incremental (batch->corpus) span pair must appear in the
+    full self-join's pair set with the SAME longest span, and the
+    incremental output must contain exactly the self-join pairs that
+    straddle the residue split — same consistency contract as
+    test_incremental_pairs_consistent_with_self_join."""
+    from via_spark.operators.dedup import (
+        INCREMENTAL_BATCH_RESIDUE,
+        INCREMENTAL_MOD,
+        incremental_span_pairs,
+        shared_span_pairs,
+    )
+
+    inc = {
+        (r["new_doc"], r["corpus_doc"]): r["longest_span_tokens"]
+        for r in incremental_span_pairs(spark, sf_oracle).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]): r["longest_span_tokens"]
+        for r in shared_span_pairs(spark, sf_oracle).collect()
+    }
+
+    def is_batch(d):
+        return d % INCREMENTAL_MOD == INCREMENTAL_BATCH_RESIDUE
+
+    expect = {}
+    for (a, b), span in full.items():
+        if is_batch(a) != is_batch(b):
+            new, corp = (a, b) if is_batch(a) else (b, a)
+            expect[(new, corp)] = span
+    assert inc == expect
+    assert inc, "fixture must exercise the incremental split (vacuous otherwise)"

@@ -1342,3 +1342,67 @@ def span_scrub_plan(
             (F.col("cut_hi") - F.col("cut_lo") + 1).cast("long").alias("cut_tokens"),
         )
     )
+
+
+def incremental_span_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    anchor_n: int = SPAN_ANCHOR_N,
+    min_span: int = SPAN_MIN_TOKENS,
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) SPAN dedup (oracle ✔) — the ingest
+    form of :func:`shared_span_pairs`, completing the span family the
+    way ``incremental_minhash_pairs`` completes MinHash: today's batch
+    joins the STORED corpus gram-posting table, so cost scales with
+    |batch| x postings width, never |corpus|²; the corpus is never
+    re-self-joined. Same pinned residue split (doc_id % 5 == 4 plays
+    the batch) as the MinHash incremental.
+
+    Output: one row per (new doc, corpus doc) pair sharing a verbatim
+    run of >= ``min_span`` tokens, with the longest such run — the
+    lookup an ingest gate does before admitting a document whose text
+    verbatim-quotes the corpus.
+
+    Scale posture: the stored side is the persisted (gh, doc, pos)
+    posting table ingest maintains; the batch side is small, so the
+    gram join broadcasts it when it fits; run recovery windows
+    partition by the candidate pair exactly as in the self-join form.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= anchor_n
+    )
+    occ = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {anchor_n - 1}),"
+                f" i -> xxhash64(concat_ws(' ', slice(toks, i, {anchor_n}))))"
+            )
+        ).alias("p0", "gh"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "gh")
+    is_batch = F.col("doc_id") % INCREMENTAL_MOD == INCREMENTAL_BATCH_RESIDUE
+    corpus = occ.where(~is_batch).select(
+        F.col("doc_id").alias("corpus_doc"), F.col("p").alias("pc"), "gh"
+    )
+    batch = occ.where(is_batch).select(
+        F.col("doc_id").alias("new_doc"), F.col("p").alias("pn"), "gh"
+    )
+    aligned = (
+        batch.join(corpus, "gh")
+        .select(
+            "new_doc", "corpus_doc", "pn", (F.col("pn") - F.col("pc")).alias("diff")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("new_doc", "corpus_doc", "diff").orderBy("pn")
+    runs = (
+        aligned.withColumn("grp", F.col("pn") - F.row_number().over(w))
+        .groupBy("new_doc", "corpus_doc", "diff", "grp")
+        .agg((F.count(F.lit(1)) + F.lit(anchor_n - 1)).alias("span"))
+    )
+    return (
+        runs.groupBy("new_doc", "corpus_doc")
+        .agg(F.max("span").cast("long").alias("longest_span_tokens"))
+        .where(F.col("longest_span_tokens") >= min_span)
+    )

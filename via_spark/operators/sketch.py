@@ -805,3 +805,94 @@ def hll_distinct_report(
             ).alias("rel_error"),
         )
     )
+
+
+def hll_union_report(spark: SparkSession, sf_dir: str, p: int = HLL_P) -> DataFrame:
+    """Corpus vocabulary from MERGED per-source HLL sketches vs exact
+    (oracle ✔) — sketch ALGEBRA as a query: each source stores one
+    register set over its distinct token trigrams (the mergeable state
+    a federated ingest keeps per feed), and the corpus-wide distinct
+    vocabulary is answered by register-wise MAX across sources — never
+    by rescanning or re-shuffling the gram streams. One output row per
+    source plus the ``__corpus__`` union row; because sources SHARE
+    grams (the span-dedup families measure exactly that), the union is
+    visibly less than the per-source sum — the sketch sees through
+    cross-source duplication.
+
+    The first pick for this report (weekly user unions) measured
+    nicely but was DEGENERATE on the fixture: 150 total users saturate
+    every weekly union to the same register set. Gram vocabularies per
+    source (~1.3k) and their corpus union (~20k) vary for real and sit
+    far above the 2.5·m linear-counting threshold.
+
+    Merge losslessness: max is associative, so the union registers are
+    provably identical to hashing the whole corpus directly — pinned by
+    tests/test_sketch.py::test_hll_union_merge_losslessness.
+
+    Scale posture: per-source state is <= 2^p rows regardless of
+    volume; the union re-agg touches <= 2^p · sources rows; the exact
+    side exists only for the error column.
+    """
+    m = 1 << p
+    from via_spark.functions.text import tokens  # the pinned tokenizer
+
+    d = load_table(spark, sf_dir, "documents")
+    # docs under 3 tokens carry no trigrams (same out-of-grain rule as
+    # shingled_documents); tokens() is used instead of an inline regex
+    # literal — a '\\s+' embedded in F.expr costs one escaping level in
+    # the SQL parser and silently becomes the regex 's+'
+    t = d.select("source", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    grams = t.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', slice(toks, i, 3)))"
+            )
+        ).alias("gram"),
+    )
+    per_src_regs = (
+        hll_register_rows(grams, key="source", value="gram", p=p)
+        .withColumnRenamed("day", "scope")
+        .groupBy("scope", "reg")
+        .agg(F.max("rank").alias("m_rank"))
+    )
+    union_regs = per_src_regs.groupBy("reg").agg(
+        F.max("m_rank").alias("m_rank")
+    ).select(F.lit("__corpus__").alias("scope"), "reg", "m_rank")
+    all_regs = per_src_regs.unionByName(union_regs)
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    per_scope = all_regs.groupBy("scope").agg(
+        F.count(F.lit(1)).cast("long").alias("registers_hit"),
+        F.sum(
+            F.lit(1.0) / F.expr("cast(shiftleft(1L, m_rank) as double)")
+        ).alias("inv_sum_hit"),
+    )
+    ex_src = grams.groupBy("source").agg(
+        F.count_distinct("gram").alias("exact_distinct")
+    ).select(F.col("source").alias("scope"), "exact_distinct")
+    ex_union = grams.agg(
+        F.count_distinct("gram").alias("exact_distinct")
+    ).select(F.lit("__corpus__").alias("scope"), "exact_distinct")
+    exact = ex_src.unionByName(ex_union)
+    est = (
+        alpha
+        * F.lit(float(m))
+        * F.lit(float(m))
+        / (F.col("inv_sum_hit") + (F.lit(float(m)) - F.col("registers_hit")))
+    )
+    return (
+        per_scope.join(exact, "scope")
+        .select(
+            "scope",
+            "exact_distinct",
+            "registers_hit",
+            est.alias("hll_estimate"),
+            (
+                F.abs(est - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_error"),
+        )
+    )

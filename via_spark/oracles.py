@@ -5550,3 +5550,105 @@ SELECT p.query_id, p.query_label, p.first_match_rank,
        s.mrr
 FROM per_q p, summary s
 """
+
+
+def incremental_span_pairs_sql(anchor_n: int = 8, min_span: int = 12) -> str:
+    """Mirrors dedup.incremental_span_pairs: same residue split as
+    incremental_minhash_pairs_sql, run recovery on the batch side's
+    positions."""
+    return rf"""
+WITH tl AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, i AS p,
+           array_to_string(toks[i:i+{anchor_n - 1}], ' ') AS gram
+    FROM tl, unnest(range(1, len(toks) - {anchor_n - 2})) AS g(i)
+    WHERE len(toks) >= {anchor_n}
+),
+aligned AS (
+    SELECT DISTINCT b.doc_id AS new_doc, c.doc_id AS corpus_doc,
+           b.p AS pn, b.p - c.p AS diff
+    FROM grams b JOIN grams c USING (gram)
+    WHERE b.doc_id % 5 = 4 AND c.doc_id % 5 <> 4
+),
+spans AS (
+    SELECT new_doc, corpus_doc, {anchor_n} + count(*) - 1 AS span
+    FROM (
+        SELECT new_doc, corpus_doc, diff, pn,
+               pn - row_number() OVER (
+                   PARTITION BY new_doc, corpus_doc, diff ORDER BY pn) AS grp
+        FROM aligned
+    )
+    GROUP BY new_doc, corpus_doc, diff, grp
+)
+SELECT new_doc, corpus_doc, CAST(max(span) AS BIGINT) AS longest_span_tokens
+FROM spans
+GROUP BY 1, 2
+HAVING max(span) >= {min_span}
+"""
+
+
+def hll_union_report_sql(p: int = 5) -> str:
+    """Mirrors sketch.hll_union_report: per-source register maxima over
+    distinct token trigrams, re-merged into the __corpus__ union row,
+    same literal-arithmetic estimator as hll_distinct_report_sql."""
+    m = 1 << p
+    w_bits = 48 - p
+    est = (
+        f"(0.7213 / (1.0 + 1.079 / {float(m)!r})) * {float(m)!r} * {float(m)!r}"
+        f" / (w.inv_sum_hit + ({float(m)!r} - w.registers_hit))"
+    )
+    return rf"""
+WITH tl AS (
+    SELECT source,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+grams AS (
+    SELECT source, array_to_string(toks[i:i+2], ' ') AS gram
+    FROM tl, unnest(range(1, len(toks) - 1)) AS g(i)
+    WHERE len(toks) >= 3
+),
+ranks AS (
+    SELECT source AS scope,
+           ('0x' || substr(sha256(gram), 1, 12))::BIGINT & {m - 1} AS reg,
+           CASE WHEN (('0x' || substr(sha256(gram), 1, 12))::BIGINT >> {p}) = 0
+                THEN {w_bits + 1}
+                ELSE {w_bits + 1} - length(bin(
+                    ('0x' || substr(sha256(gram), 1, 12))::BIGINT >> {p})) END
+               AS rank
+    FROM grams
+),
+per_src AS (
+    SELECT scope, reg, max(rank) AS m_rank FROM ranks GROUP BY scope, reg
+),
+all_regs AS (
+    SELECT scope, reg, m_rank FROM per_src
+    UNION ALL
+    SELECT '__corpus__' AS scope, reg, max(m_rank) AS m_rank
+    FROM per_src GROUP BY reg
+),
+per_scope AS (
+    SELECT scope,
+           CAST(count(*) AS BIGINT) AS registers_hit,
+           SUM(1.0::DOUBLE / CAST((1::BIGINT << m_rank) AS DOUBLE)) AS inv_sum_hit
+    FROM all_regs GROUP BY scope
+),
+ex AS (
+    SELECT source AS scope, count(DISTINCT gram) AS exact_distinct
+    FROM grams GROUP BY source
+    UNION ALL
+    SELECT '__corpus__' AS scope, count(DISTINCT gram) AS exact_distinct
+    FROM grams
+)
+SELECT w.scope, ex.exact_distinct, w.registers_hit,
+       {est} AS hll_estimate,
+       abs({est} - CAST(ex.exact_distinct AS DOUBLE))
+           / CAST(ex.exact_distinct AS DOUBLE) AS rel_error
+FROM per_scope w JOIN ex USING (scope)
+"""
