@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from via_spark.operators.dedup import shared_span_pairs
+from via_spark.operators.dedup import shared_span_pairs, span_dup_token_stats
 from via_spark.operators.multimodal import dhash64, image_dhash, phash_dup_pairs
 
 
@@ -271,3 +271,89 @@ def test_retrieval_mrr_exact_rational(spark, sf_oracle):
     assert got == expect
     assert any(r[2] is None for r in got), "fixture should exercise the no-match path"
     assert any(r[2] is not None for r in got)
+
+
+def test_span_family_random_adversarial_corpus(spark, tmp_path):
+    """Seeded adversarial corpus: a SMALL token alphabet (heavy gram
+    collisions), internally repeated blocks, docs at and below the
+    anchor width, and verbatim splices between docs. Both span
+    operators must match independent Python models — shared_span_pairs
+    vs the DP longest-common-substring, span_dup_token_stats vs an
+    interval-union coverage model built from the same DP machinery's
+    aligned runs."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    alphabet = [f"w{i}" for i in range(12)]  # tiny -> frequent collisions
+    docs: list[list[str]] = []
+    for i in range(48):
+        n = rng.choice([5, 8, 9, 15, 30, 60])
+        docs.append([rng.choice(alphabet) for _ in range(n)])
+    # verbatim splices: copy a random window of one doc into another
+    for _ in range(12):
+        a, b = rng.randrange(len(docs)), rng.randrange(len(docs))
+        if len(docs[a]) < 14:
+            continue
+        lo = rng.randrange(0, len(docs[a]) - 13)
+        piece = docs[a][lo : lo + 14]
+        at = rng.randrange(0, len(docs[b]) + 1)
+        docs[b] = docs[b][:at] + piece + docs[b][at:]
+    docs.append(list(docs[0]))  # one exact duplicate
+    rows = [
+        (i, " ".join(ts), f"s{i % 3}") for i, ts in enumerate(docs)
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+
+    anchor_n, min_span = 8, 12
+    got_pairs = {
+        (r["doc_a"], r["doc_b"]): r["longest_span_tokens"]
+        for r in shared_span_pairs(spark, sf).collect()
+    }
+    expect_pairs = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            run = _longest_common_run(docs[a], docs[b])
+            if run >= min_span:
+                expect_pairs[(a, b)] = run
+    assert got_pairs == expect_pairs
+    assert expect_pairs, "splices must create qualifying pairs"
+
+    # coverage model: per doc, union of intervals of every aligned run
+    # >= min_span against every OTHER doc (both directions)
+    def runs_against(ta, tb):
+        """All (start_in_ta, length) maximal aligned runs >= min_span."""
+        out = []
+        for diff in {pa - pb for pa in range(len(ta)) for pb in range(len(tb))}:
+            run = 0
+            for pa in range(len(ta)):
+                pb = pa - diff
+                if 0 <= pb < len(tb) and ta[pa] == tb[pb]:
+                    run += 1
+                else:
+                    if run >= min_span:
+                        out.append((pa - run, run))
+                    run = 0
+            if run >= min_span:
+                out.append((len(ta) - run, run))
+        return out
+
+    covered = {}
+    for i, ti in enumerate(docs):
+        marks = [False] * len(ti)
+        for j, tj in enumerate(docs):
+            if i == j:
+                continue
+            for lo, ln in runs_against(ti, tj):
+                for p in range(lo, lo + ln):
+                    marks[p] = True
+        covered[i] = sum(marks)
+    expect_stats = {}
+    for i, ts in enumerate(docs):
+        src = f"s{i % 3}"
+        nd, tt, cc = expect_stats.get(src, (0, 0, 0))
+        expect_stats[src] = (nd + 1, tt + len(ts), cc + covered[i])
+    got_stats = {
+        r["source"]: (r["n_docs"], r["total_tokens"], r["dup_span_tokens"])
+        for r in span_dup_token_stats(spark, sf).collect()
+    }
+    assert got_stats == expect_stats
