@@ -1107,7 +1107,10 @@ def shared_span_pairs(
     at corpus scale run ``boilerplate_span_audit`` / the scrub first,
     or cap postings per gram (a recall dial this fixture doesn't need).
     """
-    d = load_table(spark, sf_dir, "documents")
+    # gated spread: the single-split fixture scan widens so the
+    # tokenize+gram+hash projection parallelizes (cluster scans keep
+    # their partitioning)
+    d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", tokens(F.col("text")).alias("toks")).where(
         F.size("toks") >= anchor_n
     )
@@ -1171,7 +1174,10 @@ def span_dup_token_stats(
     interval-merge window partitions by doc_id — corpus-parallel,
     bounded by spans-per-doc, no global sort.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # gated spread: the single-split fixture scan widens so the
+    # tokenize+gram+hash projection parallelizes (cluster scans keep
+    # their partitioning)
+    d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
     occ = (
         t.where(F.size("toks") >= anchor_n)
@@ -1278,7 +1284,10 @@ def span_scrub_plan(
     shared_span_pairs (gram-hash equi-join, never doc×doc); cuts merge
     in a doc-partitioned window, bounded by spans-per-doc.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # gated spread: the single-split fixture scan widens so the
+    # tokenize+gram+hash projection parallelizes (cluster scans keep
+    # their partitioning)
+    d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", tokens(F.col("text")).alias("toks")).where(
         F.size("toks") >= anchor_n
     )
@@ -1368,7 +1377,10 @@ def incremental_span_pairs(
     gram join broadcasts it when it fits; run recovery windows
     partition by the candidate pair exactly as in the self-join form.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # gated spread: the single-split fixture scan widens so the
+    # tokenize+gram+hash projection parallelizes (cluster scans keep
+    # their partitioning)
+    d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", tokens(F.col("text")).alias("toks")).where(
         F.size("toks") >= anchor_n
     )
