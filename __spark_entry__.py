@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified first, then required (changed-since-green, impl OR
         # oracle, stalest first) per via_spark.rotation.recommended_head,
         # then stalest-green fill; enforced by tests/test_properties.py ---
+        "audio_segment_plan": multimodal.audio_segment_plan,
         "hll_distinct_report": sketch.hll_distinct_report,
         "hll_union_report": sketch.hll_union_report,
         "incremental_span_pairs": dedup.incremental_span_pairs,
@@ -151,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_span_pairs": dedup.shared_span_pairs,
         "span_dup_token_stats": dedup.span_dup_token_stats,
         "span_scrub_plan": dedup.span_scrub_plan,
+        "tokenizer_fertility_by_source": textstats.tokenizer_fertility_by_source,
         "dedup_keep_best": graph.dedup_keep_best,
         "global_value_rank": rank.global_value_rank,
         "per_day_topk": relational.per_day_topk,
@@ -191,12 +193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": relational.order_priority_counts,
         "pricing_summary": relational.pricing_summary,
         "promo_revenue": relational.promo_revenue,
-        "props_json_stats": relational.props_json_stats,
-        "purchase_intervals": timeseries.purchase_intervals,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "props_json_stats": relational.props_json_stats,
+        "purchase_intervals": timeseries.purchase_intervals,
         "referential_audit": relational.referential_audit,
         "repeat_buyers": relational.repeat_buyers,
         "rolling_7d_active_users": timeseries.rolling_7d_active_users,
@@ -557,4 +559,6 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_mrr_report": oracles.retrieval_mrr_report_sql(),
         "incremental_span_pairs": oracles.incremental_span_pairs_sql(),
         "hll_union_report": oracles.hll_union_report_sql(),
+        "audio_segment_plan": oracles.audio_segment_plan_sql(),
+        "tokenizer_fertility_by_source": oracles.tokenizer_fertility_by_source_sql(),
     }

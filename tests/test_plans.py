@@ -1012,3 +1012,29 @@ def test_hll_union_plan_shape(spark, sf_oracle):
         {c.split(":")[0] for c in s.split(",")} <= {"text", "source"}
         for s in schemas
     ), schemas
+
+
+def test_audio_segment_plan_shape(spark, sf_oracle):
+    """Audio framing is one linear Arrow stage: MapInPandas over a
+    2-column pruned payload scan, zero shuffle, no join."""
+    p = _plan(spark, sf_oracle, "audio_segment_plan")
+    assert "MapInPandas" in p
+    assert "Exchange hashpartitioning" not in p and "SortMergeJoin" not in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        {c.split(":")[0] for c in s.split(",")} <= {"doc_id", "text"}
+        for s in schemas
+    ), schemas
+
+
+def test_tokenizer_fertility_plan_shape(spark, sf_oracle):
+    """Fertility rollup is per-row codegen counting + ONE hash agg on
+    (source, lang): 3-column scan, no window, no join."""
+    p = _plan(spark, sf_oracle, "tokenizer_fertility_by_source")
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "Window" not in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        {c.split(":")[0] for c in s.split(",")} <= {"text", "source", "lang"}
+        for s in schemas
+    ), schemas

@@ -285,3 +285,56 @@ def phash_dup_pairs(
         .select("doc_a", "doc_b", "hamming")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+AUDIO_WIN_MS = 400     # analysis window
+AUDIO_HOP_MS = 200     # 50% overlap
+AUDIO_SEG_SCHEMA = (
+    "doc_id long, seg_index long, start_ms long, end_ms long, n_segments long"
+)
+
+
+def audio_duration_ms(n_bytes: int) -> int:
+    """Audio decode stub (same class as ``_fake_features`` /
+    ``sample_frame_indices``): deterministic fake duration derived from
+    the payload size — a real decoder reads the container header. Kept
+    a named function so swapping in a real probe changes one place."""
+    return n_bytes * 7 % 9000 + 500  # 0.5 .. 9.5 s
+
+
+def _segment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for i, c in zip(pdf["doc_id"], pdf["content"]):
+            dur = audio_duration_ms(len(bytes(c)))
+            # hop-spaced windows, clamped at the tail (standard STFT
+            # framing with a final partial window when any audio remains)
+            n = max(1, (dur - 1) // AUDIO_HOP_MS + 1)
+            starts = [j * AUDIO_HOP_MS for j in range(n) if j * AUDIO_HOP_MS < dur]
+            out.extend(
+                (int(i), j, st, min(st + AUDIO_WIN_MS, dur), len(starts))
+                for j, st in enumerate(starts)
+            )
+        yield pd.DataFrame(
+            out, columns=["doc_id", "seg_index", "start_ms", "end_ms", "n_segments"]
+        )
+
+
+def audio_segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation as an N:M Arrow stage (oracle ✔) — the third
+    modality next to ``multimodal_features`` (image) and
+    ``video_frame_sample`` (video): each 'audio' payload explodes into
+    hop-spaced overlapping analysis windows (400 ms window, 200 ms hop,
+    tail window clamped to the clip) — the framing every downstream
+    feature extractor (fbank, VAD, diarization) consumes. The decode
+    stub derives the duration arithmetically from the payload so the
+    oracle recomputes the exact rows; the Spark plumbing (binary column
+    in, Arrow batches through the Python worker, typed multi-row
+    output) is the production path unchanged.
+
+    Scale posture: one linear mapInPandas pass, output rows bounded by
+    duration/hop per clip, zero shuffle.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"), 8)
+    payloads = with_binary_payload(d).select("doc_id", "content")
+    return payloads.mapInPandas(_segment_batches, schema=AUDIO_SEG_SCHEMA)

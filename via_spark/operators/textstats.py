@@ -771,3 +771,53 @@ def char_entropy_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("entropy_bits").cast("double") / F.col("n_chars").cast("double"))
         .alias("mean_bits_per_char"),
     )
+
+
+def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility rollup (oracle ✔): per (source, lang), how
+    many bytes a training token buys — the number a data-budget plan
+    multiplies corpus size by. Reports both tokenizations the repo
+    pins (whitespace and the BPE-ish pretokenizer) so their divergence
+    per source is visible: sources whose bpe/ws ratio runs high are
+    punctuation/code-heavy and will fragment under a real BPE.
+
+    All columns are exact BIGINT sums with single final divisions
+    (bytes per BPE token, BPE-per-ws ratio) — bit-identical
+    cross-engine, no float accumulation.
+
+    Scale posture: per-row counting expressions (whole-stage codegen)
+    into one hash agg keyed by (source, lang); nothing else moves.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.select(
+        "source",
+        "lang",
+        F.length("text").alias("n_bytes"),
+        F.size(tokens(F.col("text"))).alias("n_ws"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_bpe"),
+    )
+    return (
+        counts.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum("n_ws").cast("long").alias("total_ws_tokens"),
+            F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "total_bytes",
+            "total_ws_tokens",
+            "total_bpe_tokens",
+            (
+                F.col("total_bytes").cast("double")
+                / F.col("total_bpe_tokens").cast("double")
+            ).alias("bytes_per_bpe_token"),
+            (
+                F.col("total_bpe_tokens").cast("double")
+                / F.col("total_ws_tokens").cast("double")
+            ).alias("bpe_per_ws_ratio"),
+        )
+    )

@@ -5652,3 +5652,48 @@ SELECT w.scope, ex.exact_distinct, w.registers_hit,
            / CAST(ex.exact_distinct AS DOUBLE) AS rel_error
 FROM per_scope w JOIN ex USING (scope)
 """
+
+
+def audio_segment_plan_sql(win_ms: int = 400, hop_ms: int = 200) -> str:
+    """Mirrors multimodal.audio_segment_plan: fake duration from payload
+    bytes, hop-spaced windows with the tail clamped to the clip."""
+    return f"""
+WITH docs AS (
+    SELECT doc_id,
+           (octet_length(encode(text)) * 7) % 9000 + 500 AS dur
+    FROM documents
+)
+SELECT doc_id,
+       CAST(j AS BIGINT) AS seg_index,
+       CAST(j * {hop_ms} AS BIGINT) AS start_ms,
+       CAST(least(j * {hop_ms} + {win_ms}, dur) AS BIGINT) AS end_ms,
+       CAST((dur - 1) // {hop_ms} + 1 AS BIGINT) AS n_segments
+FROM docs, unnest(range(0, (dur - 1) // {hop_ms} + 1)) AS g(j)
+"""
+
+
+def tokenizer_fertility_by_source_sql() -> str:
+    """Mirrors textstats.tokenizer_fertility_by_source: exact BIGINT
+    sums of the two pinned tokenizations, single final divisions."""
+    return r"""
+WITH counts AS (
+    SELECT source, lang,
+           length(text) AS n_bytes,
+           len(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '')) AS n_ws,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))
+               AS n_bpe
+    FROM documents
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(sum(n_bytes) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE)
+           AS bytes_per_bpe_token,
+       CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_ws) AS DOUBLE)
+           AS bpe_per_ws_ratio
+FROM counts
+GROUP BY source, lang
+"""
