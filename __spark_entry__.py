@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_report": sketch.hll_distinct_report,
         "hll_union_report": sketch.hll_union_report,
         "incremental_span_pairs": dedup.incremental_span_pairs,
+        "phash_dup_clusters": graph.phash_dup_clusters,
         "phash_dup_pairs": multimodal.phash_dup_pairs,
         "retrieval_mrr_report": vector.retrieval_mrr_report,
         "shared_span_pairs": dedup.shared_span_pairs,
@@ -192,11 +193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "newest_events": relational.newest_events,
         "order_priority_counts": relational.order_priority_counts,
         "pricing_summary": relational.pricing_summary,
-        "promo_revenue": relational.promo_revenue,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "promo_revenue": relational.promo_revenue,
         "props_json_stats": relational.props_json_stats,
         "purchase_intervals": timeseries.purchase_intervals,
         "referential_audit": relational.referential_audit,
@@ -561,4 +562,5 @@ def oracle_sql() -> dict[str, str]:
         "hll_union_report": oracles.hll_union_report_sql(),
         "audio_segment_plan": oracles.audio_segment_plan_sql(),
         "tokenizer_fertility_by_source": oracles.tokenizer_fertility_by_source_sql(),
+        "phash_dup_clusters": oracles.phash_dup_clusters_sql(),
     }

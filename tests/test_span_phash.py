@@ -422,3 +422,59 @@ def test_tokenizer_fertility_hand_computed(spark, tmp_path):
     assert got["prose"] == (2, 36, 7, 7, 36 / 7, 1.0)
     assert got["code"] == (1, 15, 2, 14, 15 / 14, 14 / 2)
     assert got["code"][5] > got["prose"][5]
+
+
+def test_phash_clusters_transitive_and_union_find(spark, tmp_path, sf_smoke):
+    """Transitivity: A~B and B~C (but A far from C) must still land all
+    three in one cluster with rep = min doc_id; an unrelated payload
+    stays a singleton. Then on the real fixture the labels must equal a
+    Python union-find over the (already brute-force-proven) pair set."""
+    from via_spark.operators.graph import phash_dup_clusters
+
+    base = " ".join(f"pixel{i:03d}" for i in range(40))
+    step1 = base.replace("pixel020", "pixel02b", 1)
+    step2 = step1.replace("pixel031", "pixel03c", 1)
+    other = " ".join(f"zone{i * 7 % 91:03d}" for i in range(40))
+    rows = [(1, base, "s"), (2, step1, "s"), (3, step2, "s"), (4, other, "s")]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in phash_dup_clusters(spark, sf).collect()
+    }
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert got[4] == (4, 1)
+
+    # fixture: labels == union-find over the collected pairs
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in phash_dup_pairs(spark, sf_smoke).collect()
+    ]
+    import duckdb
+
+    ids = [r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_smoke}/documents.parquet')"
+    ).fetchall()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in ids:
+        comp.setdefault(find(i), []).append(i)
+    expect = {}
+    for rep, members in comp.items():
+        for m in members:
+            expect[m] = (min(members), len(members))
+    got_fx = {
+        r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in phash_dup_clusters(spark, sf_smoke).collect()
+    }
+    assert got_fx == expect

@@ -304,3 +304,46 @@ def dedup_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_ratio"),
         )
     )
+
+
+def phash_clusters_compute(
+    spark: SparkSession, sf_dir: str, max_hamming: int
+) -> DataFrame:
+    """The raw perceptual-hash cluster assignment (store builder):
+    connected components over the dHash block-join pair graph."""
+    from via_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    pairs = multimodal.phash_dup_pairs(spark, sf_dir, max_hamming)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(docs, edges)
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_rep")
+    ).withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_rep")),
+    )
+
+
+def phash_dup_clusters(
+    spark: SparkSession, sf_dir: str, max_hamming: int | None = None
+) -> DataFrame:
+    """Cluster assignment over perceptual-hash near-dup pairs: every
+    image payload → (doc_id, cluster_rep, cluster_size) — the cluster
+    grain of the multimodal dedup story (a re-encoded image family
+    collapses to one canonical survivor = min doc_id), completing the
+    same pair→cluster ladder the lexical (MinHash) and semantic
+    (embedding) families already climb.
+
+    Served from the session store (``store.phash_cluster_labels``)
+    exactly like those two: the label-propagation fixpoint runs ONCE
+    per (dataset, max_hamming); consumers scan a flat three-column
+    parquet. Candidate edges are the 4×16-bit block pigeonhole join —
+    never all-pairs."""
+    from via_spark import store
+    from via_spark.operators.multimodal import PHASH_MAX_HAMMING
+
+    max_hamming = PHASH_MAX_HAMMING if max_hamming is None else max_hamming
+    return store.phash_cluster_labels(spark, sf_dir, max_hamming)

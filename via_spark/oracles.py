@@ -5697,3 +5697,28 @@ SELECT source, lang,
 FROM counts
 GROUP BY source, lang
 """
+
+
+def phash_dup_clusters_sql(max_hamming: int = 3) -> str:
+    """Connected components of the dHash pair graph via recursive
+    transitive closure — mirrors graph.phash_dup_clusters (component =
+    min reachable doc_id), same shape as embedding_neardup_clusters_sql."""
+    return f"""
+WITH RECURSIVE pairs AS (
+{phash_dup_pairs_sql(max_hamming)}
+),
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION ALL
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s
+),
+rep AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id)
+SELECT id AS doc_id, cluster_rep,
+       count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+FROM rep
+"""

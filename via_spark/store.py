@@ -229,3 +229,33 @@ def embedding_cluster_labels(
             raise
         _STORES[key] = path
     return spark.read.parquet(path)
+
+
+def phash_cluster_labels(
+    spark: SparkSession, sf_dir: str, max_hamming: int
+) -> DataFrame:
+    """Perceptual-hash (dHash) near-dup cluster labels — materialized on
+    first use per max_hamming, same write-once shape and staleness
+    contract as :func:`cluster_labels`."""
+    from via_spark.operators import graph
+
+    if os.environ.get("VIA_SPARK_TIER1_CACHE", "1") == "0":
+        return graph.phash_clusters_compute(spark, sf_dir, max_hamming)
+    key = (
+        spark.sparkContext.applicationId,
+        "phash_clusters",
+        os.path.abspath(sf_dir),
+        max_hamming,
+    )
+    path = _STORES.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="via_phash_clusters_")
+        try:
+            graph.phash_clusters_compute(spark, sf_dir, max_hamming).write.mode(
+                "overwrite"
+            ).parquet(path)
+        except Exception:
+            shutil.rmtree(path, ignore_errors=True)
+            raise
+        _STORES[key] = path
+    return spark.read.parquet(path)
