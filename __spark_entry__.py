@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle, stalest first) per via_spark.rotation.recommended_head,
         # then stalest-green fill; enforced by tests/test_properties.py ---
         "audio_segment_plan": multimodal.audio_segment_plan,
+        "embedding_separability_report": vector.embedding_separability_report,
         "hll_distinct_report": sketch.hll_distinct_report,
         "hll_union_report": sketch.hll_union_report,
         "incremental_span_pairs": dedup.incremental_span_pairs,
@@ -192,11 +193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg_daily": timeseries.moving_avg_daily,
         "newest_events": relational.newest_events,
         "order_priority_counts": relational.order_priority_counts,
-        "pricing_summary": relational.pricing_summary,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "pricing_summary": relational.pricing_summary,
         "promo_revenue": relational.promo_revenue,
         "props_json_stats": relational.props_json_stats,
         "purchase_intervals": timeseries.purchase_intervals,
@@ -563,4 +564,5 @@ def oracle_sql() -> dict[str, str]:
         "audio_segment_plan": oracles.audio_segment_plan_sql(),
         "tokenizer_fertility_by_source": oracles.tokenizer_fertility_by_source_sql(),
         "phash_dup_clusters": oracles.phash_dup_clusters_sql(),
+        "embedding_separability_report": oracles.embedding_separability_report_sql(),
     }

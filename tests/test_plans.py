@@ -1038,3 +1038,17 @@ def test_tokenizer_fertility_plan_shape(spark, sf_oracle):
         {c.split(":")[0] for c in s.split(",")} <= {"text", "source", "lang"}
         for s in schemas
     ), schemas
+
+
+def test_embedding_separability_plan_shape(spark, sf_oracle):
+    """Separability is one (label, dim) hash agg over the exploded
+    vectors + broadcast global sums + a label-grain agg — no window, no
+    sort-merge join, 2-column scan."""
+    p = _plan(spark, sf_oracle, "embedding_separability_report")
+    assert "SortMergeJoin" not in p and "Window" not in p
+    assert "BroadcastHashJoin" in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        {c.split(":")[0] for c in s.split(",")} <= {"label", "embedding"}
+        for s in schemas
+    ), schemas

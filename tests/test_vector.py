@@ -357,3 +357,78 @@ def test_ann_recall_report_planted_structure(spark, sf_oracle):
         n = len(exact & ivf)
         assert rep[qid] == (n, n / 10.0)
         assert rep[qid][1] >= 0.8, "recall floor at nprobe=8 (measured 0.9)"
+
+
+def test_embedding_separability_python_reference_and_plant(spark, sf_oracle, tmp_path):
+    """Every column equals a pure-Python integer model of the pinned
+    quantized scatter decomposition (floats compare == — each is one
+    conversion/division chain over exact integers). Then the semantic
+    plant: two tight, well-separated synthetic labels must score orders
+    of magnitude above an interleaved noise label."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.vector import embedding_separability_report
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT label, embedding FROM read_parquet('{sf_oracle}/embeddings.parquet')"
+    ).fetchall()
+    import math
+
+    FIX = 1_000_000_000.0
+    per_ld: dict = {}
+    for label, emb in rows:
+        for dim, x in enumerate(emb):
+            n, sf_, ss = per_ld.get((label, dim), (0, 0, 0))
+            xd = float(x)
+            per_ld[(label, dim)] = (
+                n + 1,
+                sf_ + math.floor(xd * FIX),
+                ss + math.floor((xd * xd) * FIX),
+            )
+    dims = sorted({d for _, d in per_ld})
+    labels = sorted({l for l, _ in per_ld})
+    gsum = {d: sum(per_ld[(l, d)][1] for l in labels) for d in dims}
+    n_tot = {d: sum(per_ld[(l, d)][0] for l in labels) for d in dims}
+    expect = {}
+    for l in labels:
+        n_c = per_ld[(l, dims[0])][0]
+        N = n_tot[dims[0]]
+        ss_sum = sum(per_ld[(l, d)][2] for d in dims)
+        musq = sum(per_ld[(l, d)][1] ** 2 for d in dims)
+        diffsq = sum(
+            (N * per_ld[(l, d)][1] - n_c * gsum[d]) ** 2 for d in dims
+        )
+        within = float(ss_sum) / FIX - float(musq) / ((float(n_c) * FIX) * FIX)
+        between = float(diffsq) / (
+            (((float(n_c) * float(N)) * float(N)) * FIX) * FIX
+        )
+        expect[l] = (n_c, within, between, between / within)
+    got = {
+        r["label"]: (r["n_vectors"], r["within_ss"], r["between_ss"], r["separability"])
+        for r in embedding_separability_report(spark, sf_oracle).collect()
+    }
+    assert got == expect
+
+    # plant: tight separated clusters vs interleaved noise
+    import random
+
+    rng = random.Random(7)
+    planted = []
+    for i in range(30):
+        planted.append((i, 0, [1.0 + rng.uniform(-0.01, 0.01)] + [0.0] * 7))
+    for i in range(30, 60):
+        planted.append((i, 1, [-1.0 + rng.uniform(-0.01, 0.01)] + [0.0] * 7))
+    for i in range(60, 90):
+        planted.append((i, 2, [rng.uniform(-1, 1) for _ in range(8)]))
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        planted, "vec_id long, label int, embedding array<float>"
+    ).write.parquet(str(d / "embeddings.parquet"))
+    sep = {
+        r["label"]: r["separability"]
+        for r in embedding_separability_report(spark, str(d)).collect()
+    }
+    assert sep[0] > 100 * sep[2] and sep[1] > 100 * sep[2], sep

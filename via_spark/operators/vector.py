@@ -667,3 +667,79 @@ def retrieval_mrr_report(
             "mrr",
         )
     )
+
+
+def embedding_separability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label Fisher-style separability (oracle ✔): between-class
+    scatter n_c·|μ_c − μ|² against within-class scatter
+    Σᵢ|xᵢ|² − n_c·|μ_c|² — the embedding-QA number that says whether a
+    label is a real cluster (ratio high) or noise (ratio ~ its share of
+    variance). Reported per label deliberately: no float sum ever
+    crosses label rows, so there is no accumulation order to diverge.
+
+    Exact-arithmetic contract: every sum that crosses rows is integer —
+    per-(label, dim) fixed-point component sums (BIGINT), per-label
+    Σ floor(x²·1e9) (BIGINT), and the dim-sums of SQUARED integers in
+    DECIMAL(38,0) (DuckDB HUGEINT) where a BIGINT would overflow:
+    |μ_c − μ|² rides Σ_d (N·sum_cd − n_c·gsum_d)², scales canceling in
+    one pinned final expression. The only floats are correctly-rounded
+    integer→double conversions and a fixed multiplication/division
+    sequence mirrored token-for-token in the oracle.
+
+    Scale posture: posexplode → ONE hash agg keyed (label, dim)
+    (map-side partial sums; |labels|·dim rows shuffle, never vectors),
+    the global sums broadcast back, everything after is label-grain.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    per_ld = ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_c"),
+        F.sum(
+            F.floor(F.col("x").cast("double") * F.lit(FIX9)).cast("long")
+        ).alias("sum_fix"),
+        F.sum(
+            F.floor(
+                F.col("x").cast("double") * F.col("x").cast("double") * F.lit(FIX9)
+            ).cast("long")
+        ).alias("ss_fix"),
+    )
+    glob = per_ld.groupBy("dim").agg(
+        F.sum("sum_fix").alias("gsum_fix"), F.sum("n_c").alias("n_total")
+    )
+    joined = per_ld.join(F.broadcast(glob), "dim")
+    dec19 = "decimal(19,0)"
+    diff = (
+        F.col("n_total").cast(dec19) * F.col("sum_fix").cast(dec19)
+        - F.col("n_c").cast(dec19) * F.col("gsum_fix").cast(dec19)
+    )
+    per_label = joined.groupBy("label").agg(
+        F.first("n_c").alias("n_c"),
+        F.first("n_total").alias("n_total"),
+        F.sum("ss_fix").alias("ss_fix_sum"),
+        F.sum(
+            (F.col("sum_fix").cast(dec19) * F.col("sum_fix").cast(dec19)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("musq_num"),
+        # re-narrow before squaring: decimal(38)×decimal(38) hits
+        # Spark's precision cap; |diff| <= ~3e13 fits 19 digits
+        F.sum(
+            (diff.cast(dec19) * diff.cast(dec19)).cast("decimal(38,0)")
+        ).alias("diff_sq_sum"),
+    )
+    n_c_d = F.col("n_c").cast("double")
+    n_t_d = F.col("n_total").cast("double")
+    within = (
+        F.col("ss_fix_sum").cast("double") / F.lit(FIX9)
+        - F.col("musq_num").cast("double") / (n_c_d * F.lit(FIX9) * F.lit(FIX9))
+    )
+    between = F.col("diff_sq_sum").cast("double") / (
+        n_c_d * n_t_d * n_t_d * F.lit(FIX9) * F.lit(FIX9)
+    )
+    return per_label.select(
+        "label",
+        F.col("n_c").cast("long").alias("n_vectors"),
+        within.alias("within_ss"),
+        between.alias("between_ss"),
+        (between / within).alias("separability"),
+    )

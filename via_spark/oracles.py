@@ -5722,3 +5722,61 @@ SELECT id AS doc_id, cluster_rep,
        count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
 FROM rep
 """
+
+
+def embedding_separability_report_sql() -> str:
+    """Mirrors vector.embedding_separability_report token-for-token:
+    BIGINT fixed-point sums, HUGEINT squared-integer dim-sums, the same
+    multiplication/division order in the final double expressions."""
+    return """
+WITH ex AS (
+    SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+per_ld AS (
+    SELECT label, dim,
+           count(*) AS n_c,
+           SUM(CAST(floor(x * 1000000000.0) AS BIGINT))
+               AS sum_fix,
+           SUM(CAST(floor((x * x)
+                          * 1000000000.0) AS BIGINT)) AS ss_fix
+    FROM ex GROUP BY label, dim
+),
+gtot AS (
+    SELECT dim, CAST(SUM(sum_fix) AS BIGINT) AS gsum_fix,
+           CAST(SUM(n_c) AS BIGINT) AS n_total
+    FROM per_ld GROUP BY dim
+),
+per_label AS (
+    SELECT p.label,
+           CAST(MIN(p.n_c) AS BIGINT) AS n_c,
+           CAST(MIN(g.n_total) AS BIGINT) AS n_total,
+           CAST(SUM(p.ss_fix) AS BIGINT) AS ss_fix_sum,
+           SUM(CAST(p.sum_fix AS HUGEINT) * CAST(p.sum_fix AS HUGEINT))
+               AS musq_num,
+           SUM((CAST(g.n_total AS HUGEINT) * p.sum_fix
+                - CAST(p.n_c AS HUGEINT) * g.gsum_fix)
+               * (CAST(g.n_total AS HUGEINT) * p.sum_fix
+                  - CAST(p.n_c AS HUGEINT) * g.gsum_fix)) AS diff_sq_sum
+    FROM per_ld p JOIN gtot g USING (dim)
+    GROUP BY p.label
+)
+SELECT label,
+       n_c AS n_vectors,
+       CAST(ss_fix_sum AS DOUBLE) / 1000000000.0
+           - CAST(musq_num AS DOUBLE)
+             / ((CAST(n_c AS DOUBLE) * 1000000000.0) * 1000000000.0)
+           AS within_ss,
+       CAST(diff_sq_sum AS DOUBLE)
+           / ((((CAST(n_c AS DOUBLE) * CAST(n_total AS DOUBLE))
+                * CAST(n_total AS DOUBLE)) * 1000000000.0) * 1000000000.0)
+           AS between_ss,
+       (CAST(diff_sq_sum AS DOUBLE)
+           / ((((CAST(n_c AS DOUBLE) * CAST(n_total AS DOUBLE))
+                * CAST(n_total AS DOUBLE)) * 1000000000.0) * 1000000000.0))
+       / (CAST(ss_fix_sum AS DOUBLE) / 1000000000.0
+           - CAST(musq_num AS DOUBLE)
+             / ((CAST(n_c AS DOUBLE) * 1000000000.0) * 1000000000.0))
+           AS separability
+FROM per_label
+"""
