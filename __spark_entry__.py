@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle, stalest first) per via_spark.rotation.recommended_head,
         # then stalest-green fill; enforced by tests/test_properties.py ---
         "audio_segment_plan": multimodal.audio_segment_plan,
+        "dedup_family_compare": graph.dedup_family_compare,
         "embedding_separability_report": vector.embedding_separability_report,
         "hll_distinct_report": sketch.hll_distinct_report,
         "hll_union_report": sketch.hll_union_report,
@@ -192,11 +193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": relational.min_cost_supplier,
         "moving_avg_daily": timeseries.moving_avg_daily,
         "newest_events": relational.newest_events,
-        "order_priority_counts": relational.order_priority_counts,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
         # every round by tests/test_oracle_parity.py ---
+        "order_priority_counts": relational.order_priority_counts,
         "pricing_summary": relational.pricing_summary,
         "promo_revenue": relational.promo_revenue,
         "props_json_stats": relational.props_json_stats,
@@ -565,4 +566,5 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility_by_source": oracles.tokenizer_fertility_by_source_sql(),
         "phash_dup_clusters": oracles.phash_dup_clusters_sql(),
         "embedding_separability_report": oracles.embedding_separability_report_sql(),
+        "dedup_family_compare": oracles.dedup_family_compare_sql(),
     }

@@ -478,3 +478,38 @@ def test_phash_clusters_transitive_and_union_find(spark, tmp_path, sf_smoke):
         for r in phash_dup_clusters(spark, sf_smoke).collect()
     }
     assert got_fx == expect
+
+
+def test_dedup_family_compare_ties_out(spark, sf_oracle):
+    """The comparison table must tie out against the three label
+    queries it summarizes — counts, duplicate rate (items − clusters)
+    / items, and the degenerate-state guards it exists to catch (no
+    family all-singleton with known planted dups, no family collapsed
+    into one giant cluster on this fixture)."""
+    from via_spark.operators.graph import (
+        dedup_clusters,
+        dedup_family_compare,
+        embedding_neardup_clusters,
+        phash_dup_clusters,
+    )
+
+    got = {r["family"]: r for r in dedup_family_compare(spark, sf_oracle).collect()}
+    assert set(got) == {"lexical_minhash", "semantic_embedding", "perceptual_phash"}
+    for family, q in [
+        ("lexical_minhash", dedup_clusters),
+        ("semantic_embedding", embedding_neardup_clusters),
+        ("perceptual_phash", phash_dup_clusters),
+    ]:
+        labels = q(spark, sf_oracle).collect()
+        n_items = len(labels)
+        n_clusters = len({r["cluster_rep"] for r in labels})
+        in_dup = sum(1 for r in labels if r["cluster_size"] > 1)
+        largest = max(r["cluster_size"] for r in labels)
+        row = got[family]
+        assert (
+            row["n_items"], row["n_clusters"], row["items_in_dup_clusters"],
+            row["largest_cluster"],
+        ) == (n_items, n_clusters, in_dup, largest), family
+        assert row["duplicate_rate"] == (n_items - n_clusters) / n_items
+        assert 0 < row["duplicate_rate"] < 0.5, (family, row["duplicate_rate"])
+        assert row["largest_cluster"] < n_items // 10, family

@@ -347,3 +347,65 @@ def phash_dup_clusters(
 
     max_hamming = PHASH_MAX_HAMMING if max_hamming is None else max_hamming
     return store.phash_cluster_labels(spark, sf_dir, max_hamming)
+
+
+def dedup_family_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family dedup comparison (oracle ✔): the cluster-size
+    distribution of all three near-dup families side by side — lexical
+    (MinHash shingles), semantic (embedding cosine), perceptual (dHash
+    payload) — plus each family's duplicate rate (fraction of items
+    that are NOT their cluster's canonical). The one-table answer to
+    "which redundancy class dominates this corpus", and the QA view
+    that catches a family silently degenerating (everything singleton,
+    or one giant cluster) after a threshold change.
+
+    Scale posture: all three inputs are the persisted label stores
+    (each fixpoint ran once); this query is three label-table scans,
+    one union, one hash agg — no pair or graph work re-runs.
+    """
+    from via_spark.operators.dedup import (
+        EMB_COS_THRESHOLD,
+        JACCARD_THRESHOLD,
+    )
+    from via_spark.operators.multimodal import PHASH_MAX_HAMMING
+    from via_spark import store
+
+    frames = [
+        (
+            "lexical_minhash",
+            store.cluster_labels(spark, sf_dir, JACCARD_THRESHOLD),
+        ),
+        (
+            "semantic_embedding",
+            store.embedding_cluster_labels(spark, sf_dir, EMB_COS_THRESHOLD),
+        ),
+        (
+            "perceptual_phash",
+            store.phash_cluster_labels(spark, sf_dir, PHASH_MAX_HAMMING),
+        ),
+    ]
+    labeled = None
+    for family, f in frames:
+        part = f.select(
+            F.lit(family).alias("family"),
+            F.col("cluster_rep"),
+            F.col("cluster_size"),
+        )
+        labeled = part if labeled is None else labeled.unionByName(part)
+    per_family = labeled.groupBy("family").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.count_distinct("cluster_rep").alias("n_clusters"),
+        F.sum((F.col("cluster_size") > 1).cast("long")).alias("items_in_dup_clusters"),
+        F.max("cluster_size").cast("long").alias("largest_cluster"),
+    )
+    return per_family.select(
+        "family",
+        "n_items",
+        "n_clusters",
+        "items_in_dup_clusters",
+        "largest_cluster",
+        (
+            (F.col("n_items") - F.col("n_clusters")).cast("double")
+            / F.col("n_items").cast("double")
+        ).alias("duplicate_rate"),
+    )

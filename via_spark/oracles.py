@@ -5780,3 +5780,38 @@ SELECT label,
            AS separability
 FROM per_label
 """
+
+
+def dedup_family_compare_sql() -> str:
+    """Mirrors graph.dedup_family_compare: the three recursive-closure
+    cluster CTEs unioned under family tags, one rollup. duplicate_rate
+    = (items - clusters) / items (every non-canonical member is one
+    duplicate to cut)."""
+    return f"""
+WITH lex AS (
+{dedup_clusters_sql()}
+),
+sem AS (
+{embedding_neardup_clusters_sql()}
+),
+per AS (
+{phash_dup_clusters_sql()}
+),
+labeled AS (
+    SELECT 'lexical_minhash' AS family, cluster_rep, cluster_size FROM lex
+    UNION ALL
+    SELECT 'semantic_embedding' AS family, cluster_rep, cluster_size FROM sem
+    UNION ALL
+    SELECT 'perceptual_phash' AS family, cluster_rep, cluster_size FROM per
+)
+SELECT family,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(DISTINCT cluster_rep) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS items_in_dup_clusters,
+       CAST(max(cluster_size) AS BIGINT) AS largest_cluster,
+       CAST(count(*) - count(DISTINCT cluster_rep) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS duplicate_rate
+FROM labeled
+GROUP BY family
+"""
