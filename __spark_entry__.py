@@ -145,13 +145,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then stalest-green fill; enforced by tests/test_properties.py ---
         "audio_segment_plan": multimodal.audio_segment_plan,
         "dedup_family_compare": graph.dedup_family_compare,
+        "disjunctive_revenue": relational.disjunctive_revenue,
         "embedding_separability_report": vector.embedding_separability_report,
+        "excess_shippers": relational.excess_shippers,
         "hll_distinct_report": sketch.hll_distinct_report,
         "hll_union_report": sketch.hll_union_report,
         "incremental_span_pairs": dedup.incremental_span_pairs,
+        "late_only_suppliers": relational.late_only_suppliers,
         "phash_dup_clusters": graph.phash_dup_clusters,
         "phash_dup_pairs": multimodal.phash_dup_pairs,
         "retrieval_mrr_report": vector.retrieval_mrr_report,
+        "returnflag_priority_counts": relational.returnflag_priority_counts,
         "shared_span_pairs": dedup.shared_span_pairs,
         "span_dup_token_stats": dedup.span_dup_token_stats,
         "span_scrub_plan": dedup.span_scrub_plan,
@@ -563,6 +567,10 @@ def oracle_sql() -> dict[str, str]:
         "incremental_span_pairs": oracles.incremental_span_pairs_sql(),
         "hll_union_report": oracles.hll_union_report_sql(),
         "audio_segment_plan": oracles.audio_segment_plan_sql(),
+        "disjunctive_revenue": oracles.disjunctive_revenue_sql(),
+        "excess_shippers": oracles.excess_shippers_sql(),
+        "late_only_suppliers": oracles.late_only_suppliers_sql(),
+        "returnflag_priority_counts": oracles.returnflag_priority_counts_sql(),
         "tokenizer_fertility_by_source": oracles.tokenizer_fertility_by_source_sql(),
         "phash_dup_clusters": oracles.phash_dup_clusters_sql(),
         "embedding_separability_report": oracles.embedding_separability_report_sql(),

@@ -1108,3 +1108,176 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_quartile") * 100 + F.col("f_quartile") * 10 + F.col("m_quartile")
         ).alias("rfm_segment"),
     )
+
+
+# --- TPC-H Q12/Q19/Q20/Q21 shapes over the fixture's column subset ---------
+
+def returnflag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted — the fixture has no l_shipmode, so the
+    grouping key is l_returnflag): for lines shipped in 1996, count
+    critical-priority (URGENT/HIGH) vs other orders per flag — the
+    "did the cheap ship mode delay critical orders" report re-keyed.
+
+    Scale posture: the ship-date range pushes to the lineitem scan; the
+    fact-fact join shuffles on the order key; both counts come out of
+    ONE hash agg via conditional sums (no second pass, no self-join).
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_returnflag")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) disjunct arms — pinned so the
+# oracle renders the identical predicate.
+DISJUNCT_ARMS = (
+    ("Brand#1", 1, 10, 1, 20),
+    ("Brand#2", 5, 20, 10, 30),
+    ("Brand#3", 10, 40, 20, 50),
+)
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue matched by an OR-of-ANDs predicate over
+    part attributes × line quantity — one arm per brand, each with its
+    own size and quantity band, summed per brand.
+
+    Scale posture: the predicate is a single disjunction evaluated
+    after a broadcast part join (part is the dim side), so Catalyst
+    keeps it in one codegen stage; no arm runs its own scan. Revenue
+    sums are exact 1e-6 fixed point.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = None
+    for brand, slo, shi, qlo, qhi in DISJUNCT_ARMS:
+        a = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        arm = a if arm is None else (arm | a)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(arm)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(fixed6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_fix"
+            ),
+        )
+    )
+
+
+def excess_shippers(spark: SparkSession, sf_dir: str,
+                    name_prefix: str = "red ",
+                    year: int = 1996,
+                    pct_num: int = 3, pct_den: int = 10) -> DataFrame:
+    """TPC-H Q20 shape (adapted — no partsupp table): suppliers who
+    shipped more than ``pct_num/pct_den`` of a red part's total
+    ``year`` volume, i.e. the "who could drain this part's stock"
+    probe re-expressed over shipped quantities.
+
+    Scale posture: the part-name prefix filter broadcasts; the fact is
+    scanned ONCE — per-part totals come from a partition window over
+    the (part, supplier) agg, not a second aggregation of the same
+    subtree (which Spark would re-plan as a second scan); the share
+    threshold compares exact fixed-point integers cross-multiplied
+    (q·den > tot·num — no float division); nation/supplier dims
+    broadcast at the end.
+    """
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").startswith(name_prefix)
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp_ntz"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    ps = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(fixed6(F.col("l_quantity"))).alias("q_fix"))
+        .withColumn(
+            "tot_fix", F.sum("q_fix").over(Window.partitionBy("l_partkey"))
+        )
+    )
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name")
+    )
+    return (
+        ps.where(F.col("q_fix") * pct_den > F.col("tot_fix") * pct_num)
+        .select("l_suppkey")
+        .distinct()
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), "s_nationkey")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def late_only_suppliers(spark: SparkSession, sf_dir: str,
+                        late_days: int = 90, k: int = 25) -> DataFrame:
+    """TPC-H Q21 shape (adapted — late = shipped more than
+    ``late_days`` after the order date, since the fixture has no
+    commit/receipt dates): on finished multi-supplier orders, count
+    per supplier the orders where THEY were the only late shipper —
+    the "who alone held the order up" blame report.
+
+    Scale posture: Q21's EXISTS + NOT-EXISTS double correlated
+    subquery is re-expressed as per-order distinct-supplier counts
+    computed by ``size(collect_set(...))`` partition windows over the
+    joined facts — the fact is scanned and shuffled ONCE (join on the
+    order key, window on the same key), instead of two correlated
+    fact self-joins or an agg branch that would re-scan the subtree.
+    Supplier dim broadcasts; final cut is a TakeOrderedAndProject
+    heap.
+    """
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.make_dt_interval(days=F.lit(late_days))
+        ).alias("late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    blamed = (
+        lo.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late",
+            F.size(
+                F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+            ),
+        )
+        .where(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(k)
+    )

@@ -5815,3 +5815,87 @@ SELECT family,
 FROM labeled
 GROUP BY family
 """
+
+
+def returnflag_priority_counts_sql() -> str:
+    return """
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+def disjunctive_revenue_sql(arms=None) -> str:
+    from via_spark.operators.relational import DISJUNCT_ARMS
+
+    arms = arms or DISJUNCT_ARMS
+    ors = "\n   OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+        f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in arms
+    )
+    return f"""
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum({_REV6}) AS BIGINT) AS revenue_fix
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE {ors}
+GROUP BY 1
+"""
+
+
+def excess_shippers_sql(name_prefix: str = "red ", year: int = 1996,
+                        pct_num: int = 3, pct_den: int = 10) -> str:
+    return f"""
+WITH ps AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         sum(CAST(floor(l.l_quantity * 1000000) AS BIGINT)) AS q_fix
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '{name_prefix}%'
+    AND l.l_shipdate >= TIMESTAMP '{year}-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '{year + 1}-01-01 00:00:00'
+  GROUP BY 1, 2
+), tot AS (
+  SELECT l_partkey, sum(q_fix) AS tot_fix FROM ps GROUP BY 1
+)
+SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+FROM ps
+JOIN tot USING (l_partkey)
+JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE ps.q_fix * {pct_den} > tot.tot_fix * {pct_num}
+"""
+
+
+def late_only_suppliers_sql(late_days: int = 90, k: int = 25) -> str:
+    return f"""
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL {late_days} DAY) AS late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+  FROM lo GROUP BY 1
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late) b
+JOIN per_order po ON b.l_orderkey = po.l_orderkey
+JOIN supplier s ON b.l_suppkey = s.s_suppkey
+WHERE po.n_supp > 1 AND po.n_late = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name ASC
+LIMIT {k}
+"""
