@@ -146,8 +146,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segment_plan": multimodal.audio_segment_plan,
         "dedup_family_compare": graph.dedup_family_compare,
         "disjunctive_revenue": relational.disjunctive_revenue,
+        "dsir_importance_weights": curation.dsir_importance_weights,
         "embedding_separability_report": vector.embedding_separability_report,
+        "ewma_daily_counts": timeseries.ewma_daily_counts,
         "excess_shippers": relational.excess_shippers,
+        "gopher_rule_audit": curation.gopher_rule_audit,
         "hll_distinct_report": sketch.hll_distinct_report,
         "hll_union_report": sketch.hll_union_report,
         "incremental_span_pairs": dedup.incremental_span_pairs,
@@ -568,6 +571,9 @@ def oracle_sql() -> dict[str, str]:
         "hll_union_report": oracles.hll_union_report_sql(),
         "audio_segment_plan": oracles.audio_segment_plan_sql(),
         "disjunctive_revenue": oracles.disjunctive_revenue_sql(),
+        "dsir_importance_weights": oracles.dsir_importance_weights_sql(),
+        "ewma_daily_counts": oracles.ewma_daily_counts_sql(),
+        "gopher_rule_audit": oracles.gopher_rule_audit_sql(),
         "excess_shippers": oracles.excess_shippers_sql(),
         "late_only_suppliers": oracles.late_only_suppliers_sql(),
         "returnflag_priority_counts": oracles.returnflag_priority_counts_sql(),

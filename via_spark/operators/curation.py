@@ -829,3 +829,161 @@ def length_quality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("length_decile", "quality_decile")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# Gopher-style per-rule bands, calibrated to the fixture corpus so every
+# rule has both passing and failing documents (the published absolute
+# thresholds — 50..100k words etc., Rae et al. 2021 "Scaling Language
+# Models" App. A — are vacuous on the short synthetic fixture docs; the
+# rule STRUCTURE is what this operator pins). All bands compare exact
+# integers (ratios cross-multiplied), never floats.
+GOPHER_RULES = (
+    ("word_count", "n BETWEEN 30 AND 60"),
+    ("mean_word_len", "chars*10 BETWEEN 40*n AND 46*n"),
+    ("stopword_hits", "stop >= 2"),
+    ("unique_ratio", "uniq*2 >= n"),
+    ("top_token_share", "top*10 <= n"),
+)
+
+
+def gopher_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule audit: for each document-quality rule,
+    how many documents pass and fail, plus an ``all_rules`` row for the
+    conjunctive filter a pipeline would actually apply. The per-rule
+    breakdown is what you read BEFORE turning the filter on — it shows
+    which rule does the cutting.
+
+    Scale posture: one documents scan; the five per-doc signals are
+    array-local expressions over the pinned tokenizer (token frequency
+    via a distinct-element recount inside the array — O(len²) on a
+    bounded doc array beats a token explode+shuffle); the rule
+    booleans explode into (rule, fail) pairs AFTER the per-doc signals
+    collapse to five ints, so the shuffle carries 6 tiny rows per doc.
+    """
+    from via_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n"),
+        F.aggregate(
+            tokens(F.col("text")),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t),
+        ).alias("chars"),
+        F.size(
+            F.filter(
+                tokens(F.col("text")),
+                lambda x: x.isin(*textstats.STOPWORDS["en"]),
+            )
+        ).alias("stop"),
+        F.size(F.array_distinct(tokens(F.col("text")))).alias("uniq"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(tokens(F.col("text"))),
+                lambda u: F.size(
+                    F.filter(tokens(F.col("text")), lambda x: x == u)
+                ),
+            )
+        ).alias("top"),
+    )
+    passes = sig.select(
+        F.col("n").between(30, 60).alias("word_count"),
+        (F.col("chars") * 10).between(40 * F.col("n"), 46 * F.col("n")).alias(
+            "mean_word_len"
+        ),
+        (F.col("stop") >= 2).alias("stopword_hits"),
+        (F.col("uniq") * 2 >= F.col("n")).alias("unique_ratio"),
+        (F.col("top") * 10 <= F.col("n")).alias("top_token_share"),
+    )
+    rule_names = [r for r, _ in GOPHER_RULES]
+    pairs = passes.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("rule"), F.col(r).alias("ok"))
+                    for r in rule_names
+                ],
+                F.struct(
+                    F.lit("all_rules").alias("rule"),
+                    F.expr(" AND ".join(rule_names)).alias("ok"),
+                ),
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(F.col("p.rule").alias("rule")).agg(
+        F.sum(F.when(F.col("p.ok"), 1).otherwise(0)).cast("long").alias("n_pass"),
+        F.sum(F.when(F.col("p.ok"), 0).otherwise(1)).cast("long").alias("n_fail"),
+    )
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str,
+                            target_lang: str = "en",
+                            n_buckets: int = 64) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how much its hashed-unigram distribution
+    looks like the target domain (here: the ``target_lang`` slice)
+    versus the rest of the corpus. High-weight raw docs are the ones
+    importance resampling would pull into the training mix.
+
+    Per-token score = floor(log2( (t_b/T) / (r_b/R) )) over the token's
+    hash bucket b, add-one smoothed — computed EXACTLY as
+    ``bitlen(((t_b << 16) · R) div (r_b · T)) - 17`` (integer
+    shift/divide; both engines lack correctly-rounded transcendental
+    log — the same whole-bit quantization as unigram_surprisal_scores).
+    Ratios below 2^-16 clamp to -17 (the quotient underflows to 0);
+    the shift order keeps every intermediate < 2^63 up to ~1e13 corpus
+    tokens — past that, widen the ONE 64-row computation to
+    decimal(38,0), nothing at data grain changes.
+
+    Scale posture: the score depends only on the bucket, so it is
+    computed ONCE in the ``n_buckets``-row bucket frame (scalar totals
+    attached by broadcast) — the per-token join is against a tiny
+    broadcast of precomputed ints, and tokens collapse straight back
+    to per-doc sums in one hash agg, same plan family as surprisal.
+    """
+    from via_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        (F.col("lang") == target_lang).alias("is_target"),
+        F.explode(tokens(F.col("text"))).alias("t"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(F.substring(F.sha2(F.col("t"), 256), 1, 12), 16, 10)
+            .cast("long") % n_buckets
+        ).alias("b"),
+    )
+    buckets = tok.groupBy("b").agg(
+        (F.sum(F.when(F.col("is_target"), 1).otherwise(0)) + 1).alias("t_b"),
+        (F.sum(F.when(F.col("is_target"), 0).otherwise(1)) + 1).alias("r_b"),
+    )
+    # totals attach via an unpartitioned window over the 64-row bucket
+    # frame, NOT a second agg of the same subtree (which Spark would
+    # re-plan as another full documents scan)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bucket_bits = (
+        buckets.withColumn("t_tot", F.sum("t_b").over(wall))
+        .withColumn("r_tot", F.sum("r_b").over(wall))
+        .withColumn("q", F.expr("(t_b << 16) * r_tot div (r_b * t_tot)"))
+        .select(
+            "b",
+            F.when(F.col("q") == 0, F.lit(-17).cast("long"))
+            .otherwise(F.length(F.expr("bin(q)")).cast("long") - 17)
+            .alias("bits"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(bucket_bits), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").alias("weight_bits"),
+        )
+    )

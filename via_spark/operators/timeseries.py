@@ -978,3 +978,56 @@ def seasonal_zscore_outliers(
             ),
         )
     )
+
+
+EWMA_WINDOW_DAYS = 20  # dyadic alpha=1/2 truncated at 20 taps (tail weight 2^-20)
+
+
+def ewma_daily_counts(spark: SparkSession, sf_dir: str,
+                      window_days: int = EWMA_WINDOW_DAYS) -> DataFrame:
+    """Exponentially weighted moving average of daily event counts per
+    event type — the classic trend smoother, with alpha pinned to the
+    DYADIC 1/2 so every weight is a power of two and the whole
+    computation stays in exact integer arithmetic:
+    ``ewma(d) = Σ_j count(d-j) · 2^(W-1-j) / 2^W`` for j in [0, W),
+    emitted as floor 1e-6 fixed point. (IEEE pow/exp are not
+    correctly-rounded, so a float alpha could differ in the last ulp
+    between engines; dyadic weights are shiftleft's.)
+
+    Scale posture: the heavy pass is the per-(type, day) hash agg over
+    the raw events — the fact is scanned and aggregated ONCE; smoothing
+    is a RANGE-frame window over that TINY daily table (collect the
+    ≤ W in-frame (day, count) pairs, weight them array-locally) — a
+    band self-join would re-plan the daily agg as a second full fact
+    scan. Truncation at W taps bounds the numerator at count_max·2^W —
+    no overflow for any realistic daily count.
+    """
+    daily = (
+        _events_sec(spark, sf_dir)
+        .groupBy("event_type", F.expr("sec div 86400").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return (
+        daily.withColumn(
+            "pairs", F.collect_list(F.struct("day", "cnt")).over(w)
+        )
+        .withColumn(
+            "num",
+            F.expr(
+                "aggregate(pairs, 0L, (acc, p) -> acc + p.cnt *"
+                f" shiftleft(1L, {window_days - 1}"
+                " - cast(day - p.day as int)))"
+            ),
+        )
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            F.expr(f"num * 1000000 div {1 << window_days}").alias("ewma_fix"),
+        )
+    )

@@ -5899,3 +5899,94 @@ GROUP BY 1
 ORDER BY numwait DESC, s_name ASC
 LIMIT {k}
 """
+
+
+def gopher_rule_audit_sql() -> str:
+    return """
+WITH sig AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         list_sum(list_transform(toks, t -> CAST(len(t) AS BIGINT))) AS chars,
+         len(list_filter(toks,
+             x -> x IN ('the','a','and','of','to','in','is','for'))) AS stop,
+         len(list_distinct(toks)) AS uniq,
+         list_max(list_transform(list_distinct(toks),
+             u -> len(list_filter(toks, x -> x = u)))) AS top
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+), p AS (
+  SELECT (n BETWEEN 30 AND 60) AS word_count,
+         (chars*10 BETWEEN 40*n AND 46*n) AS mean_word_len,
+         (stop >= 2) AS stopword_hits,
+         (uniq*2 >= n) AS unique_ratio,
+         (top*10 <= n) AS top_token_share
+  FROM sig
+), pairs AS (
+  SELECT 'word_count' AS rule, word_count AS ok FROM p
+  UNION ALL SELECT 'mean_word_len', mean_word_len FROM p
+  UNION ALL SELECT 'stopword_hits', stopword_hits FROM p
+  UNION ALL SELECT 'unique_ratio', unique_ratio FROM p
+  UNION ALL SELECT 'top_token_share', top_token_share FROM p
+  UNION ALL SELECT 'all_rules',
+    word_count AND mean_word_len AND stopword_hits
+      AND unique_ratio AND top_token_share FROM p
+)
+SELECT rule,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+FROM pairs GROUP BY 1
+"""
+
+
+def dsir_importance_weights_sql(target_lang: str = "en",
+                                n_buckets: int = 64) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, (lang = '{target_lang}') AS is_target,
+         ('0x' || substr(sha256(t), 1, 12))::BIGINT % {n_buckets} AS b
+  FROM (SELECT doc_id, lang,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS t
+        FROM documents)
+), buckets AS (
+  SELECT b,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) + 1 AS t_b,
+         sum(CASE WHEN is_target THEN 0 ELSE 1 END) + 1 AS r_b
+  FROM tok GROUP BY 1
+), totals AS (
+  SELECT sum(t_b) AS t_tot, sum(r_b) AS r_tot FROM buckets
+), bucket_bits AS (
+  SELECT b,
+         CASE WHEN q = 0 THEN CAST(-17 AS BIGINT)
+              ELSE CAST(len(bin(q)) AS BIGINT) - 17 END AS bits
+  FROM (SELECT b, (t_b * 65536) * r_tot // (r_b * t_tot) AS q
+        FROM buckets, totals)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(bits) AS BIGINT) AS weight_bits
+FROM tok JOIN bucket_bits USING (b)
+GROUP BY 1
+"""
+
+
+def ewma_daily_counts_sql(window_days: int = 20) -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT d1.event_type, d1.day,
+       CAST(sum(CASE WHEN d1.day = d2.day THEN d2.cnt ELSE 0 END) AS BIGINT)
+         AS cnt,
+       CAST(sum(d2.cnt * (CAST(1 AS BIGINT) << ({window_days} - 1
+                  - CAST(d1.day - d2.day AS INTEGER)))) * 1000000
+            // {1 << window_days} AS BIGINT) AS ewma_fix
+FROM daily d1
+JOIN daily d2 ON d1.event_type = d2.event_type
+            AND d1.day - d2.day BETWEEN 0 AND {window_days - 1}
+GROUP BY 1, 2
+"""
