@@ -1052,3 +1052,55 @@ def test_embedding_separability_plan_shape(spark, sf_oracle):
         {c.split(":")[0] for c in s.split(",")} <= {"label", "embedding"}
         for s in schemas
     ), schemas
+
+
+def _scan_count(p: str) -> int:
+    return len(re.findall(r"Scan parquet", p))
+
+
+def test_round9b_tpch_shape_plans(spark, sf_oracle):
+    """The four adapted TPC-H shapes must keep their scale-critical
+    structure: disjuncts pushed to both scans of a broadcast part join
+    (Q19), one-pass conditional counts (Q12), and — the point of the
+    window rewrites — each fact scanned exactly ONCE in the share and
+    blame reports (Q20/Q21), where a naive agg-branch or correlated
+    subquery would re-scan it."""
+    p = _plan(spark, sf_oracle, "disjunctive_revenue")
+    assert "BroadcastHashJoin" in p
+    assert re.search(r"PushedFilters: \[.*p_brand", p), "part disjunct must push"
+    assert re.search(r"PushedFilters: \[.*l_quantity", p), "qty disjunct must push"
+
+    p = _plan(spark, sf_oracle, "returnflag_priority_counts")
+    assert _scan_count(p) == 2  # lineitem + orders, once each
+    assert re.search(r"PushedFilters: \[.*l_shipdate", p)
+
+    p = _plan(spark, sf_oracle, "excess_shippers")
+    assert _scan_count(p) == 4, "lineitem/part/supplier/nation once each"
+    assert "windowspecdefinition(l_partkey" in p
+    assert re.search(r"PushedFilters: \[.*StringStartsWith\(p_name", p)
+
+    p = _plan(spark, sf_oracle, "late_only_suppliers")
+    assert _scan_count(p) == 3, "lineitem/orders/supplier once each"
+    assert "windowspecdefinition(l_orderkey" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_round9b_pipeline_op_plans(spark, sf_oracle):
+    """gopher: ONE documents scan, rules explode only after the per-doc
+    signal collapse. dsir: exactly two documents scans (model-fit pass
+    + scoring pass — the irreducible DSIR shape), bucket table joined
+    by broadcast, totals attached by window (no third scan). ewma: ONE
+    events scan, smoothing is a partitioned RANGE window over the
+    daily agg."""
+    p = _plan(spark, sf_oracle, "gopher_rule_audit")
+    assert _scan_count(p) == 1
+    assert "partial_sum" in p  # map-side combine on the rule pairs
+
+    p = _plan(spark, sf_oracle, "dsir_importance_weights")
+    assert _scan_count(p) == 2
+    assert "BroadcastHashJoin" in p
+
+    p = _plan(spark, sf_oracle, "ewma_daily_counts")
+    assert _scan_count(p) == 1
+    assert "windowspecdefinition(event_type" in p
+    assert "windowspecdefinition()" not in p
