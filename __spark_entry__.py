@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_dup_pairs": multimodal.phash_dup_pairs,
         "retrieval_mrr_report": vector.retrieval_mrr_report,
         "returnflag_priority_counts": relational.returnflag_priority_counts,
+        "semdedup_assignments": vector.semdedup_assignments,
         "shared_span_pairs": dedup.shared_span_pairs,
         "span_dup_token_stats": dedup.span_dup_token_stats,
         "span_scrub_plan": dedup.span_scrub_plan,
@@ -577,6 +578,7 @@ def oracle_sql() -> dict[str, str]:
         "excess_shippers": oracles.excess_shippers_sql(),
         "late_only_suppliers": oracles.late_only_suppliers_sql(),
         "returnflag_priority_counts": oracles.returnflag_priority_counts_sql(),
+        "semdedup_assignments": oracles.semdedup_assignments_sql(),
         "tokenizer_fertility_by_source": oracles.tokenizer_fertility_by_source_sql(),
         "phash_dup_clusters": oracles.phash_dup_clusters_sql(),
         "embedding_separability_report": oracles.embedding_separability_report_sql(),

@@ -432,3 +432,48 @@ def test_embedding_separability_python_reference_and_plant(spark, sf_oracle, tmp
         for r in embedding_separability_report(spark, str(d)).collect()
     }
     assert sep[0] > 100 * sep[2] and sep[1] > 100 * sep[2], sep
+
+
+def test_semdedup_planted_duplicate_families(spark, tmp_path):
+    """SemDeDup semantics on planted data: identical vectors always
+    share a cluster (same scores, same pinned tiebreak) and every
+    member except the lowest id is marked dup; mutually-orthogonal
+    unique vectors are never marked (cosine 0 < tau). Calls the raw
+    compute directly so the planted run doesn't touch the session
+    store cache."""
+    from via_spark.operators.vector import semdedup_compute
+
+    dim = 16
+    def onehot(i, scale=1.0):
+        v = [0.0] * dim
+        v[i % dim] = scale
+        return v
+
+    rows = (
+        [(i, onehot(0), 0) for i in range(5)]            # family A: ids 0-4
+        + [(10 + i, onehot(1, 2.0), 1) for i in range(3)]  # family B: 10-12
+        + [(100 + i, onehot(2 + i), 2) for i in range(6)]  # singletons
+    )
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    got = {
+        r["vec_id"]: (r["cluster"], r["is_dup"])
+        for r in semdedup_compute(spark, str(d), k=4).collect()
+    }
+    assert len(got) == len(rows)
+    assert all(0 <= c < 4 for c, _ in got.values())
+    # family A: one cluster, min id survives
+    a_clusters = {got[i][0] for i in range(5)}
+    assert len(a_clusters) == 1
+    assert got[0][1] is False
+    assert all(got[i][1] for i in range(1, 5))
+    # family B likewise
+    b_clusters = {got[10 + i][0] for i in range(3)}
+    assert len(b_clusters) == 1
+    assert got[10][1] is False
+    assert all(got[10 + i][1] for i in range(1, 3))
+    # orthogonal singletons never marked
+    assert not any(got[100 + i][1] for i in range(6))

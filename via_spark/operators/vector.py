@@ -743,3 +743,155 @@ def embedding_separability_report(spark: SparkSession, sf_dir: str) -> DataFrame
         between.alias("between_ss"),
         (between / within).alias("separability"),
     )
+
+
+# --- SemDeDup: k-means coarse clustering + within-cluster near-dup ---------
+
+SEMDEDUP_K = 8        # coarse clusters (fixture-sized; scale k ~ sqrt(N))
+SEMDEDUP_ITERS = 2    # assignment passes (recenters between = ITERS-1)
+SEMDEDUP_TAU = 0.3    # within-cluster dup cosine (fixture-calibrated; real
+                      # corpora run 0.9+ — the fixture's random-ish vectors
+                      # top out near 0.51, see test calibration)
+
+
+def _semdedup_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by exact fixed-point cosine; ties
+    break to the lowest centroid id (pinned, engine-stable)."""
+    s = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("d_fix", dot_fix(F.col("embedding"), F.col("c")))
+        .withColumn("na_fix", dot_fix(F.col("embedding"), F.col("embedding")))
+        .withColumn("nc_fix", dot_fix(F.col("c"), F.col("c")))
+        .withColumn(
+            "score",
+            cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nc_fix")),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cid").asc()
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        # na_fix rides along: the pair scan reuses the per-vector norm
+        # instead of recomputing it for every candidate pair
+        .select("vec_id", "embedding", "cid", "na_fix")
+    )
+
+
+def _semdedup_recenter(assigned: DataFrame) -> DataFrame:
+    """Per-cluster elementwise mean, exact: fixed-1e6 integer sums,
+    truncating integer division (``div`` ≡ DuckDB ``//``), one
+    correctly-rounded int→double conversion per dimension."""
+    ex = assigned.select("cid", F.posexplode("embedding").alias("dim", "x"))
+    dims = ex.groupBy("cid", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("x").cast("double") * F.lit(FIX6)).cast("long")
+        ).alias("s"),
+    )
+    return (
+        dims.withColumn(
+            "cval", F.expr("s div n").cast("double") / F.lit(FIX6)
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda p: p.cval,
+            ).alias("c")
+        )
+    )
+
+
+def semdedup_compute(spark: SparkSession, sf_dir: str,
+                     k: int = SEMDEDUP_K, iters: int = SEMDEDUP_ITERS,
+                     tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means coarse
+    clusters over the embedding column, then within each cluster mark
+    every vector that has a LOWER-id neighbor above the ``tau`` cosine
+    — the semantic near-duplicates a curation pass would drop. Output:
+    (vec_id, cluster, is_dup).
+
+    Every arithmetic step is engine-exact: hash-seeded centroids (no
+    RNG), fixed-point dot products, truncating-division centroids —
+    so the full iterative pipeline is DuckDB-oracle-checkable.
+
+    Scale posture: each assignment pass is one corpus scan against a
+    k-row broadcast; recentering shuffles (cid, dim) partial sums, not
+    vectors; the dup scan joins WITHIN clusters only (the whole point
+    of SemDeDup — ε-ball search confined to a coarse cell, never
+    all-pairs). Like production k-means, the iterative loop
+    materializes once into the session store (store.semdedup_labels)
+    and every consumer reads the flat label parquet.
+    """
+    e = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    h = F.conv(
+        F.substring(F.sha2(F.col("vec_id").cast("string"), 256), 1, 12), 16, 10
+    ).cast("long")
+    wseed = Window.orderBy("h", "vec_id")
+    cents = (
+        e.withColumn("h", h)
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .withColumn("cid", F.row_number().over(wseed) - 1)
+        .select(
+            "cid",
+            F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+        )
+    )
+    # This runs inside the one-time store materialization, so lineage
+    # truncation between Lloyd passes is legitimate (and essential —
+    # the unrolled plan would otherwise re-evaluate every earlier pass
+    # for each consumer of the next one): each assignment/centroid
+    # frame is tiny (N rows / k rows) and checkpoints in milliseconds.
+    assigned = None
+    for i in range(iters):
+        assigned = _semdedup_assign(e, cents).localCheckpoint()
+        if i < iters - 1:
+            cents = _semdedup_recenter(assigned).localCheckpoint()
+    a = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("va"),
+        F.col("embedding").alias("emb_a"), F.col("na_fix").alias("norm_a"),
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("emb_b"), F.col("na_fix").alias("norm_b"),
+    )
+    # the cid equi-join leaves only k distinct keys — rebalance the
+    # BOUNDED candidate-pair set across all cores before the per-pair
+    # dot (round-robin on pair identity, not a keyed shuffle)
+    dup = (
+        a.join(b, "cid")
+        .where(F.col("va") < F.col("vb"))
+        .repartition(F.col("va"), F.col("vb"))
+        .withColumn("d_fix", dot_fix(F.col("emb_a"), F.col("emb_b")))
+        .where(
+            cosine_from_fix(F.col("d_fix"), F.col("norm_a"), F.col("norm_b"))
+            >= tau
+        )
+        .select("vb")
+        .distinct()
+    )
+    return (
+        assigned.join(dup, assigned.vec_id == dup.vb, "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster"),
+            F.col("vb").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def semdedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup label table, served from the session store (the
+    iterative k-means runs ONCE per dataset; consumers scan the flat
+    parquet — same contract as dedup_clusters)."""
+    from via_spark import store
+
+    return store.semdedup_labels(
+        spark, sf_dir, SEMDEDUP_K, SEMDEDUP_ITERS, SEMDEDUP_TAU
+    )

@@ -5990,3 +5990,77 @@ JOIN daily d2 ON d1.event_type = d2.event_type
             AND d1.day - d2.day BETWEEN 0 AND {window_days - 1}
 GROUP BY 1, 2
 """
+
+
+def semdedup_assignments_sql(k: int = 8, tau: float = 0.3, dim: int = 64) -> str:
+    """Unrolled two-pass k-means + within-cluster dup marking —
+    token-for-token the same integer/double op chain as
+    vector.semdedup_compute (floor-1e9 dots, floor-1e6 centroid sums,
+    truncating // division, one int→double conversion per value)."""
+    d9 = (
+        "list_sum(list_transform(range(1, {n}), i -> "
+        "CAST(floor(CAST({a}[i] AS DOUBLE) * {b} * 1e9) AS BIGINT)))"
+    )
+
+    def dot(a, b, bcast=True):
+        bi = f"{b}[i]" if bcast else f"CAST({b}[i] AS DOUBLE)"
+        return d9.format(n=dim + 1, a=a, b=bi)
+
+    def cos(dcol, na, nb):
+        return (
+            f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 "
+            f"ELSE {dcol} / (sqrt({na}) * sqrt({nb})) END"
+        )
+
+    assign = """
+  SELECT vec_id, embedding, cid FROM (
+    SELECT s.*, row_number() OVER (
+        PARTITION BY vec_id ORDER BY ({score}) DESC, cid) AS rn
+    FROM (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {d} AS d, {na} AS na, {nc} AS nc
+      FROM embeddings e CROSS JOIN {cents} c) s
+  ) WHERE rn = 1
+"""
+
+    def assign_sql(cents):
+        return assign.format(
+            score=cos("d", "na", "nc"),
+            d=dot("e.embedding", "c.c"),
+            na=dot("e.embedding", "e.embedding", bcast=False),
+            nc=d9.format(n=dim + 1, a="c.c", b="c.c[i]"),
+            cents=cents,
+        )
+
+    return f"""
+WITH seeds AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+                    vec_id) - 1 AS cid
+  FROM embeddings
+  QUALIFY cid < {k}
+), cents0 AS (
+  SELECT cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c FROM seeds
+), a1 AS ({assign_sql("cents0")}
+), dims AS (
+  SELECT cid, i,
+         sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM a1, (SELECT unnest(range(1, {dim + 1})) AS i)
+  GROUP BY 1, 2
+), cents1 AS (
+  SELECT cid, list(CAST(s // n AS DOUBLE) / 1e6 ORDER BY i) AS c
+  FROM dims GROUP BY cid
+), a2 AS ({assign_sql("cents1")}
+), dup AS (
+  SELECT b.vec_id AS vb
+  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE ({cos(dot("a.embedding", "b.embedding", bcast=False),
+              dot("a.embedding", "a.embedding", bcast=False),
+              dot("b.embedding", "b.embedding", bcast=False))}) >= {tau}
+  GROUP BY 1
+)
+SELECT a2.vec_id, a2.cid AS cluster, (dup.vb IS NOT NULL) AS is_dup
+FROM a2 LEFT JOIN dup ON a2.vec_id = dup.vb
+"""

@@ -259,3 +259,34 @@ def phash_cluster_labels(
             raise
         _STORES[key] = path
     return spark.read.parquet(path)
+
+
+def semdedup_labels(spark: SparkSession, sf_dir: str,
+                    k: int, iters: int, tau: float) -> DataFrame:
+    """SemDeDup (k-means + within-cluster near-dup) label table —
+    materialized on first use per (k, iters, tau), same write-once
+    shape and staleness contract as :func:`cluster_labels`."""
+    from via_spark.operators import vector
+
+    if os.environ.get("VIA_SPARK_TIER1_CACHE", "1") == "0":
+        return vector.semdedup_compute(spark, sf_dir, k, iters, tau)
+    key = (
+        spark.sparkContext.applicationId,
+        "semdedup",
+        os.path.abspath(sf_dir),
+        k,
+        iters,
+        tau,
+    )
+    path = _STORES.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="via_semdedup_")
+        try:
+            vector.semdedup_compute(spark, sf_dir, k, iters, tau).write.mode(
+                "overwrite"
+            ).parquet(path)
+        except Exception:
+            shutil.rmtree(path, ignore_errors=True)
+            raise
+        _STORES[key] = path
+    return spark.read.parquet(path)
