@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_union_report": sketch.hll_union_report,
         "incremental_span_pairs": dedup.incremental_span_pairs,
         "late_only_suppliers": relational.late_only_suppliers,
+        "pagerank_event_types": graph.pagerank_event_types,
         "phash_dup_clusters": graph.phash_dup_clusters,
         "phash_dup_pairs": multimodal.phash_dup_pairs,
         "retrieval_mrr_report": vector.retrieval_mrr_report,
@@ -578,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
         "excess_shippers": oracles.excess_shippers_sql(),
         "late_only_suppliers": oracles.late_only_suppliers_sql(),
         "returnflag_priority_counts": oracles.returnflag_priority_counts_sql(),
+        "pagerank_event_types": oracles.pagerank_event_types_sql(),
         "semdedup_assignments": oracles.semdedup_assignments_sql(),
         "tokenizer_fertility_by_source": oracles.tokenizer_fertility_by_source_sql(),
         "phash_dup_clusters": oracles.phash_dup_clusters_sql(),

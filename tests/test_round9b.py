@@ -167,3 +167,45 @@ def test_ewma_daily_counts_exact_dyadic(spark, tmp_path):
         1: (2, 2_000_000),           # 2/2 + 4/4
         3: (8, 4_500_000),           # 8/2 + 2/8 + 4/16
     }
+
+
+def test_pagerank_planted_two_node_exact(spark, tmp_path):
+    """Hand-computed exact ranks on the 2-node graph x→y (y dangling):
+    after three damped (3/4) integer iterations x holds exactly the
+    teleport mass S/8 and y gets S/8 + 3/4·S/8; total mass shrinks
+    only by the documented dangling-drop."""
+    d = tmp_path / "sf"
+    rows = [
+        (0, 1_000_000_000, 1, "x", 1.0),
+        (1, 2_000_000_000, 1, "y", 1.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    ).write.parquet(str(d / "events.parquet"))
+
+    from via_spark.operators.graph import pagerank_event_types
+
+    got = {
+        r["event_type"]: r["rank_fix"]
+        for r in pagerank_event_types(spark, str(d)).collect()
+    }
+    assert got == {"x": 125_000_000_000, "y": 218_750_000_000}
+
+
+def test_pagerank_fixture_mass_and_order(spark, sf_oracle):
+    """On the real fixture: ranks are positive, total mass is within
+    truncation+dangling slack of SCALE, and every node beats the bare
+    teleport floor."""
+    from via_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank_event_types,
+    )
+
+    rows = pagerank_event_types(spark, sf_oracle).collect()
+    total = sum(r["rank_fix"] for r in rows)
+    n = len(rows)
+    assert n == 5
+    assert total <= PAGERANK_SCALE
+    assert total >= PAGERANK_SCALE * 95 // 100  # no dangling types here
+    floor = PAGERANK_SCALE // (4 * n)
+    assert all(r["rank_fix"] > floor for r in rows)

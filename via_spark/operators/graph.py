@@ -409,3 +409,82 @@ def dedup_family_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_items").cast("double")
         ).alias("duplicate_rate"),
     )
+
+
+# --- PageRank (exact-integer, unrolled) ------------------------------------
+
+PAGERANK_SCALE = 10**12   # rank fixed-point (integer mass conservation)
+PAGERANK_ITERS = 3        # pinned unrolled power iterations
+# damping pinned to the DYADIC 3/4 (not the literature's 0.85): both the
+# teleport term S div 4N and the damped sum (3*s) div 4 stay in exact
+# truncating integer division, so every engine computes identical ranks
+PAGERANK_DAMP_NUM, PAGERANK_DAMP_DEN = 3, 4
+
+
+def pagerank_event_types(spark: SparkSession, sf_dir: str,
+                         iters: int = PAGERANK_ITERS) -> DataFrame:
+    """Weighted PageRank over the behavioral transition graph (nodes =
+    event types, edge weight = consecutive-pair count per
+    ``event_type_transition_matrix``): which action is most central in
+    user flows once indirect paths count, not just raw frequency.
+
+    All arithmetic is exact fixed-point: ranks carry ``PAGERANK_SCALE``
+    units of integer mass; per-edge contribution is
+    ``(r·w) div w_tot`` (truncating div ≡ DuckDB ``//``); the update is
+    ``S div (den·N) + (num·Σcontrib) div den`` with the dyadic 3/4
+    damping. Nodes without out-edges drop their damped mass (the
+    pinned "dangling mass discarded" variant — the teleport term keeps
+    them ranked). Output: (event_type, rank_fix), Σ rank_fix ≤ SCALE.
+
+    Scale posture: the generic shape is rank-table ⋈ edge-list on src,
+    hash-agg on dst, per iteration — at web scale both sides partition
+    by node key and each iteration is one shuffle. Here the edge list
+    collapses to the |types|² transition table first (the heavy fact
+    scan happens once per iteration only as Catalyst re-plans the
+    shared subtree; its exchange is reused across iterations).
+    """
+    from via_spark.operators.timeseries import event_type_transition_matrix
+
+    # A/B-measured: caching the edge table costs more in barrier than
+    # the re-planned references save (ReusedExchange already dedups the
+    # identical agg exchanges at runtime) — keep the plan cache-free
+    edges = event_type_transition_matrix(spark, sf_dir).select(
+        F.col("prev_type").alias("src"),
+        F.col("next_type").alias("dst"),
+        F.col("n").alias("w"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_total = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    out_tot = edges.groupBy("src").agg(F.sum("w").alias("w_tot"))
+    num, den = PAGERANK_DAMP_NUM, PAGERANK_DAMP_DEN
+
+    # base is the static (node, n_nodes) frame; each iteration's rank
+    # frame is referenced exactly ONCE (by the next contrib join), so
+    # plan depth stays LINEAR in iters — pulling n_nodes through the
+    # rank chain instead would reference each level twice and
+    # re-evaluate the chain 2^iters times
+    base = nodes.crossJoin(F.broadcast(n_total))
+    ranks = base.select("node", F.expr(f"{PAGERANK_SCALE} div n_nodes").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(out_tot, "src")
+            .join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            .select("dst", F.expr("(r * w) div w_tot").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            base.join(contrib, base.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.expr(f"{PAGERANK_SCALE} div ({den} * n_nodes)")
+                    + F.expr(f"({num} * coalesce(s, 0L)) div {den}")
+                ).alias("r"),
+            )
+        )
+    return ranks.select(F.col("node").alias("event_type"), F.col("r").alias("rank_fix"))

@@ -6064,3 +6064,45 @@ WITH seeds AS (
 SELECT a2.vec_id, a2.cid AS cluster, (dup.vb IS NOT NULL) AS is_dup
 FROM a2 LEFT JOIN dup ON a2.vec_id = dup.vb
 """
+
+
+def pagerank_event_types_sql(iters: int = 3, scale: int = 10**12,
+                             num: int = 3, den: int = 4) -> str:
+    """Unrolled exact-integer PageRank — same truncating-division op
+    chain as graph.pagerank_event_types."""
+    parts = [f"""
+WITH e AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) // 1000000 AS sec
+    FROM events
+), m AS (
+    SELECT event_type AS next_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id
+           ) AS prev_type
+    FROM e
+), edges AS (
+    SELECT prev_type AS src, next_type AS dst, CAST(count(*) AS BIGINT) AS w
+    FROM m WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+), nodes AS (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), nt AS (SELECT count(*) AS n_nodes FROM nodes),
+out_tot AS (SELECT src, sum(w) AS w_tot FROM edges GROUP BY 1),
+r0 AS (
+    SELECT node, {scale} // n_nodes AS r FROM nodes CROSS JOIN nt
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", c{i} AS (
+    SELECT dst, sum((r * w) // w_tot) AS s
+    FROM edges JOIN out_tot USING (src)
+    JOIN r{i - 1} ON r{i - 1}.node = edges.src
+    GROUP BY 1
+), r{i} AS (
+    SELECT node,
+           {scale} // ({den} * n_nodes) + ({num} * coalesce(s, 0)) // {den} AS r
+    FROM nodes CROSS JOIN nt LEFT JOIN c{i} ON node = dst
+)""")
+    parts.append(
+        f"\nSELECT node AS event_type, CAST(r AS BIGINT) AS rank_fix FROM r{iters}\n"
+    )
+    return "".join(parts)
