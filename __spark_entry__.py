@@ -154,7 +154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_report": sketch.hll_distinct_report,
         "hll_union_report": sketch.hll_union_report,
         "incremental_span_pairs": dedup.incremental_span_pairs,
+        "k_anonymity_audit": curation.k_anonymity_audit,
         "late_only_suppliers": relational.late_only_suppliers,
+        "neardup_motif_report": graph.neardup_motif_report,
         "pagerank_event_types": graph.pagerank_event_types,
         "phash_dup_clusters": graph.phash_dup_clusters,
         "phash_dup_pairs": multimodal.phash_dup_pairs,
@@ -580,6 +582,8 @@ def oracle_sql() -> dict[str, str]:
         "late_only_suppliers": oracles.late_only_suppliers_sql(),
         "returnflag_priority_counts": oracles.returnflag_priority_counts_sql(),
         "pagerank_event_types": oracles.pagerank_event_types_sql(),
+        "k_anonymity_audit": oracles.k_anonymity_audit_sql(),
+        "neardup_motif_report": oracles.neardup_motif_report_sql(),
         "semdedup_assignments": oracles.semdedup_assignments_sql(),
         "tokenizer_fertility_by_source": oracles.tokenizer_fertility_by_source_sql(),
         "phash_dup_clusters": oracles.phash_dup_clusters_sql(),

@@ -209,3 +209,21 @@ def test_pagerank_fixture_mass_and_order(spark, sf_oracle):
     assert total >= PAGERANK_SCALE * 95 // 100  # no dangling types here
     floor = PAGERANK_SCALE // (4 * n)
     assert all(r["rank_fix"] > floor for r in rows)
+
+
+def test_motif_report_planted_graph(spark):
+    """Hand-counted motifs: a triangle {1,2,3} plus a star center 10
+    with leaves 11,12,13 → 4+3=7 nodes, 6 edges, wedges = 3 (triangle
+    corners) + 3 (star C(3,2)) = 6, 1 triangle, clustering
+    3·1/6 = 0.5."""
+    from via_spark.operators.graph import motif_report_from_edges
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (10, 13)],
+        "a long, b long",
+    )
+    row = motif_report_from_edges(edges).collect()[0]
+    assert (
+        row["n_nodes"], row["n_edges"], row["n_wedges"],
+        row["n_triangles"], row["clustering_fix"],
+    ) == (7, 6, 6, 1, 500_000)

@@ -987,3 +987,32 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str,
             F.sum("bits").alias("weight_bits"),
         )
     )
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """k-anonymity audit over the documents metadata (Sweeney 2002):
+    per quasi-identifier combination (lang, source), the group size,
+    whether it violates k, and the size a k-anonymized release would
+    publish (suppressed groups publish 0) — the privacy gate a corpus
+    with user-contributed metadata runs before release.
+
+    Scale posture: ONE hash agg on the QI key with map-side combine;
+    the flags are per-row projections of the exact group count. The QI
+    choice generalizes — any column tuple works; (lang, source) is the
+    fixture's non-vacuous pair (both violating and safe groups exist
+    at k=3).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .select(
+            "lang",
+            "source",
+            "group_size",
+            (F.col("group_size") < k).alias("violates_k"),
+            F.when(F.col("group_size") < k, F.lit(0).cast("long"))
+            .otherwise(F.col("group_size"))
+            .alias("published_size"),
+        )
+    )

@@ -488,3 +488,68 @@ def pagerank_event_types(spark: SparkSession, sf_dir: str,
             )
         )
     return ranks.select(F.col("node").alias("event_type"), F.col("r").alias("rank_fix"))
+
+
+def neardup_motif_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-motif census of the MinHash near-dup graph: nodes, edges,
+    wedges (length-2 paths), triangles, and the global clustering
+    coefficient ``3·triangles/wedges`` as 1e-6 fixed point. High
+    clustering says near-dups arrive in dense families (one canonical
+    survivor per family suffices); low clustering with many wedges
+    says chained borderline pairs — the regime where transitive
+    cluster-merge over-groups and thresholds need a second look.
+
+    Scale posture: triangles are counted on ORDERED edges (a<b<c), the
+    standard two-join motif plan whose candidate volume is bounded by
+    wedge count, never nodes³; degrees/wedges are one hash agg. The
+    pair list (already banded + verified upstream) is cached — it
+    feeds five branches, and re-planning the MinHash pipeline per
+    branch would rescan the corpus five times (same contract as the
+    shingle-frame caches in operators/dedup.py).
+    """
+    edges = (
+        dedup_minhash_pairs(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .cache()
+    )
+    return motif_report_from_edges(edges)
+
+
+def motif_report_from_edges(edges: DataFrame) -> DataFrame:
+    """Motif census over an ordered (a < b) edge frame — the testable
+    core of :func:`neardup_motif_report`."""
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    nodes_edges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"),
+    )
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tris = (
+        edges.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        nodes_edges.crossJoin(F.broadcast(tris))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("(3 * n_triangles * 1000000) div n_wedges")
+            )
+            .alias("clustering_fix"),
+        )
+    )

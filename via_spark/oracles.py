@@ -6106,3 +6106,40 @@ r0 AS (
         f"\nSELECT node AS event_type, CAST(r AS BIGINT) AS rank_fix FROM r{iters}\n"
     )
     return "".join(parts)
+
+
+def k_anonymity_audit_sql(k: int = 3) -> str:
+    return f"""
+SELECT lang, source, CAST(count(*) AS BIGINT) AS group_size,
+       (count(*) < {k}) AS violates_k,
+       CAST(CASE WHEN count(*) < {k} THEN 0 ELSE count(*) END AS BIGINT)
+         AS published_size
+FROM documents GROUP BY 1, 2
+"""
+
+
+def neardup_motif_report_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH pairs AS (
+{dedup_minhash_pairs_sql(threshold)}
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+), deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+), ne AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
+    ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((3 * n_triangles * 1000000) // n_wedges AS BIGINT)
+       END AS clustering_fix
+FROM ne CROSS JOIN tri
+"""
