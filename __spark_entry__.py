@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle, stalest first) per via_spark.rotation.recommended_head,
         # then stalest-green fill; enforced by tests/test_properties.py ---
         "audio_segment_plan": multimodal.audio_segment_plan,
+        "bpe_merge_table": textstats.bpe_merge_table,
         "dedup_family_compare": graph.dedup_family_compare,
         "disjunctive_revenue": relational.disjunctive_revenue,
         "dsir_importance_weights": curation.dsir_importance_weights,
@@ -584,6 +585,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_event_types": oracles.pagerank_event_types_sql(),
         "k_anonymity_audit": oracles.k_anonymity_audit_sql(),
         "neardup_motif_report": oracles.neardup_motif_report_sql(),
+        "bpe_merge_table": oracles.bpe_merge_table_sql(),
         "semdedup_assignments": oracles.semdedup_assignments_sql(),
         "tokenizer_fertility_by_source": oracles.tokenizer_fertility_by_source_sql(),
         "phash_dup_clusters": oracles.phash_dup_clusters_sql(),

@@ -227,3 +227,27 @@ def test_motif_report_planted_graph(spark):
         row["n_nodes"], row["n_edges"], row["n_wedges"],
         row["n_triangles"], row["clustering_fix"],
     ) == (7, 6, 6, 1, 500_000)
+
+
+def test_bpe_merge_table_planted_sennrich(spark, tmp_path):
+    """Hand-computed first three merges on the classic low/lower/newest
+    corpus: (l,o)x5 wins step 1 on the lexicographic tie with (o,w);
+    (lo,w)x5 follows; step 3's tie at count 2 resolves (e,r) < (low,e)
+    lexicographically."""
+    from via_spark.operators.textstats import bpe_merge_table
+
+    rows = [
+        (0, "low low low", "en"),
+        (1, "lower lower", "en"),
+        (2, "newest", "en"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = [
+        (r["step"], r["merge_left"], r["merge_right"], r["merged"], r["pair_count"])
+        for r in bpe_merge_table(spark, sf).orderBy("step").collect()
+    ]
+    assert got == [
+        (1, "l", "o", "lo", 5),
+        (2, "lo", "w", "low", 5),
+        (3, "e", "r", "er", 2),
+    ]

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from via_spark.functions.text import tokens
 from via_spark.operators.dedup import _shingles
-from via_spark.session import load_table
+from via_spark.session import load_table, spread
 
 # BPE-ish pretokenizer: word runs OR single non-word non-space chars
 BPE_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
@@ -821,3 +821,111 @@ def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("bpe_per_ws_ratio"),
         )
     )
+
+
+# --- BPE tokenizer training (merge-table learner) --------------------------
+
+BPE_MERGE_STEPS = 3
+BPE_SEP = "\x01"  # symbol boundary marker; cannot occur in whitespace tokens
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str,
+                    merges: int = BPE_MERGE_STEPS) -> DataFrame:
+    """Train the first ``merges`` BPE merges on the corpus (Sennrich et
+    al. 2016, "Neural Machine Translation of Rare Words with Subword
+    Units"): count adjacent symbol pairs weighted by word frequency,
+    merge the most frequent pair (lexicographic (left, right) tiebreak
+    — no RNG), rewrite the vocabulary, repeat. Output: one row per
+    merge step (step, merge_left, merge_right, merged, pair_count) —
+    the merge table a BPE tokenizer ships.
+
+    Merge application is pinned to boundary-delimited string replace
+    (``␁l␁r␁`` → ``␁lr␁``, leftmost non-overlapping on the source
+    string) — measured IDENTICAL in Spark and DuckDB, including the
+    self-overlapping run case (l = r on an odd run, where canonical
+    left-greedy BPE would differ: ␁a␁×5 merges positions 1-2 and 4-5
+    here, 1-2 and 3-4 greedily). Every quantity is an exact integer or
+    string, so parity is structural.
+
+    Scale posture: the ONE corpus-scale pass is the initial word-count
+    hash agg; every iteration after it runs over the VOCABULARY table
+    (words × their symbol strings — bounded by distinct words, not
+    corpus tokens), exactly how production BPE trainers scale. Each
+    iteration's vocab frame is cached (tiny), because the next
+    iteration references it through both the pair argmax and the
+    rewrite — uncached that doubles the evaluation per level.
+    """
+    # spread(): the one corpus-scale pass (token explode + word-count
+    # agg) must not serialize on a single-split fixture scan
+    d = spread(load_table(spark, sf_dir, "documents"))
+    # '\x01a\x01b\x01c\x01' — SEP-interleaved character symbols
+    interleaved = F.concat(
+        F.regexp_replace(F.col("w"), "(.)", BPE_SEP + "$1"), F.lit(BPE_SEP)
+    )
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("cnt", interleaved.alias("s"))
+        .cache()
+    )
+    best_rows = []
+    for step in range(1, merges + 1):
+        # hoist the symbol array to its own projection — inlining the
+        # split+filter into the transform lambda re-evaluates it per
+        # element (O(len^2) per word)
+        pairs = (
+            words.select(
+                "cnt",
+                F.expr(f"filter(split(s, '{BPE_SEP}'), x -> x != '')").alias(
+                    "syms"
+                ),
+            )
+            .select(
+                "cnt",
+                F.explode(
+                    F.when(
+                        F.size("syms") < 2,
+                        F.expr(
+                            "cast(array() as array<struct<l:string,r:string>>)"
+                        ),
+                    ).otherwise(
+                        F.expr(
+                            "transform(sequence(1, size(syms) - 1),"
+                            " i -> struct(element_at(syms, i) as l,"
+                            " element_at(syms, i + 1) as r))"
+                        )
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.col("pair_count").desc(), F.col("l").asc(), F.col("r").asc()
+        ).limit(1)
+        best_rows.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("l").alias("merge_left"),
+                F.col("r").alias("merge_right"),
+                F.concat("l", "r").alias("merged"),
+                "pair_count",
+            )
+        )
+        if step < merges:
+            words = (
+                words.crossJoin(F.broadcast(best))
+                .select(
+                    "cnt",
+                    F.expr(
+                        f"replace(s, concat('{BPE_SEP}', l, '{BPE_SEP}', r, '{BPE_SEP}'),"
+                        f" concat('{BPE_SEP}', l, r, '{BPE_SEP}'))"
+                    ).alias("s"),
+                )
+                .cache()
+            )
+    out = best_rows[0]
+    for b in best_rows[1:]:
+        out = out.unionAll(b)
+    return out

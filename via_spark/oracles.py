@@ -6143,3 +6143,44 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
        END AS clustering_fix
 FROM ne CROSS JOIN tri
 """
+
+
+def bpe_merge_table_sql(merges: int = 3) -> str:
+    """Unrolled BPE merge training — same string/integer op chain as
+    textstats.bpe_merge_table (chr(1) boundary markers, leftmost
+    non-overlapping replace, lexicographic argmax tiebreak)."""
+    parts = [r"""
+WITH w0 AS (
+  SELECT count(*) AS cnt,
+         regexp_replace(w, '(.)', chr(1) || '\1', 'g') || chr(1) AS s
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w
+)"""]
+    for i in range(1, merges + 1):
+        parts.append(f""", p{i} AS (
+  SELECT l, r, sum(cnt) AS pair_count FROM (
+    SELECT t.cnt, t.syms[u.i] AS l, t.syms[u.i + 1] AS r
+    FROM (SELECT cnt, list_filter(string_split(s, chr(1)), x -> x <> '') AS syms
+          FROM w{i - 1}) t,
+         unnest(range(1, len(t.syms))) AS u(i))
+  GROUP BY 1, 2
+), b{i} AS (
+  SELECT l, r, pair_count FROM p{i}
+  QUALIFY row_number() OVER (ORDER BY pair_count DESC, l ASC, r ASC) = 1
+)""")
+        if i < merges:
+            parts.append(f""", w{i} AS (
+  SELECT cnt,
+         replace(s, chr(1) || l || chr(1) || r || chr(1),
+                 chr(1) || l || r || chr(1)) AS s
+  FROM w{i - 1} CROSS JOIN b{i}
+)""")
+    selects = [
+        f"SELECT {i} AS step, l AS merge_left, r AS merge_right,"
+        f" l || r AS merged, CAST(pair_count AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, merges + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects) + "\n")
+    return "".join(parts)
