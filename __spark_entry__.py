@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then stalest-green fill; enforced by tests/test_properties.py ---
         "audio_segment_plan": multimodal.audio_segment_plan,
         "bpe_merge_table": textstats.bpe_merge_table,
+        "cusum_changepoints": timeseries.cusum_changepoints,
         "dedup_family_compare": graph.dedup_family_compare,
         "disjunctive_revenue": relational.disjunctive_revenue,
         "dsir_importance_weights": curation.dsir_importance_weights,
@@ -586,6 +587,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_audit": oracles.k_anonymity_audit_sql(),
         "neardup_motif_report": oracles.neardup_motif_report_sql(),
         "bpe_merge_table": oracles.bpe_merge_table_sql(),
+        "cusum_changepoints": oracles.cusum_changepoints_sql(),
         "semdedup_assignments": oracles.semdedup_assignments_sql(),
         "tokenizer_fertility_by_source": oracles.tokenizer_fertility_by_source_sql(),
         "phash_dup_clusters": oracles.phash_dup_clusters_sql(),

@@ -251,3 +251,51 @@ def test_bpe_merge_table_planted_sennrich(spark, tmp_path):
         (2, "lo", "w", "low", 5),
         (3, "e", "r", "er", 2),
     ]
+
+
+def test_cusum_planted_level_shift(spark, tmp_path):
+    """A planted level shift (10/day for 10 days, then 30/day) must
+    alarm on the first shifted day; a flat series must not alarm.
+    Expected values come from an independent pure-Python CUSUM over
+    the same integer recursion."""
+    from via_spark.operators.timeseries import (
+        CUSUM_H_DIV,
+        CUSUM_SLACK_DIV,
+        cusum_changepoints,
+    )
+
+    series = {
+        "shifted": [10] * 10 + [30] * 5,
+        "flat": [12] * 15,
+    }
+    rows, eid = [], 0
+    for etype, counts in series.items():
+        for day, cnt in enumerate(counts):
+            for _ in range(cnt):
+                rows.append((eid, day * NS_DAY + 500, etype, 1.0))
+                eid += 1
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "event_id long, ts long, event_type string, value double"
+    ).write.parquet(str(d / "events.parquet"))
+
+    def model(counts):
+        n = len(counts)
+        mean_fix = sum(counts) * 1_000_000 // n
+        s = mx = 0
+        alarm = None
+        for day, c in enumerate(counts):
+            s = max(0, s + (c * 1_000_000 - mean_fix - mean_fix // CUSUM_SLACK_DIV))
+            mx = max(mx, s)
+            if alarm is None and s > mean_fix // CUSUM_H_DIV:
+                alarm = day
+        return mean_fix, mx, alarm
+
+    got = {
+        r["event_type"]: (r["mean_fix"], r["max_cusum"], r["alarm_day"])
+        for r in cusum_changepoints(spark, str(d)).collect()
+    }
+    for etype, counts in series.items():
+        assert got[etype] == model(counts), etype
+    assert got["shifted"][2] == 10  # first shifted day
+    assert got["flat"][2] is None

@@ -1031,3 +1031,78 @@ def ewma_daily_counts(spark: SparkSession, sf_dir: str,
             F.expr(f"num * 1000000 div {1 << window_days}").alias("ewma_fix"),
         )
     )
+
+
+# CUSUM dials, pinned (fixture-calibrated so alarm/no-alarm both occur):
+# slack = mean/16 absorbs ordinary fluctuation, threshold = mean/4
+CUSUM_SLACK_DIV = 16
+CUSUM_H_DIV = 4
+
+
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection (Page 1954) over per-type
+    daily counts: S_t = max(0, S_{t-1} + (x_t − mean − slack)); report
+    each type's max statistic and the FIRST day the threshold was
+    crossed (null when never) — the classic "did this feed's rate
+    shift, and when" monitor.
+
+    Exactness: deviations are 1e-6 fixed-point integers against a
+    truncating-division mean, so the recursion is pure BIGINT in both
+    engines (the oracle runs it as a recursive CTE; Spark runs it as
+    an array-local fold).
+
+    Scale posture: ONE events scan — the per-type mean attaches via a
+    partition window over the daily agg (a second agg branch would
+    re-scan the fact); the fold then runs over each type's collected
+    (day, count) sequence, bounded by CALENDAR length like the
+    moving-average family, not by data volume.
+    """
+    daily = (
+        _events_sec(spark, sf_dir)
+        .groupBy("event_type", F.expr("sec div 86400").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type")
+    enriched = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.expr(
+            "sum(cnt) over (partition by event_type) * 1000000"
+            " div count(cnt) over (partition by event_type)"
+        ).alias("mean_fix"),
+        F.count(F.lit(1)).over(w).alias("n_days"),
+    )
+    folded = (
+        enriched.groupBy("event_type", "mean_fix", "n_days")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "cnt"))).alias("seq"))
+        .select(
+            "event_type",
+            "n_days",
+            "mean_fix",
+            F.expr(
+                f"""aggregate(
+  seq,
+  named_struct('s', 0L, 'mx', 0L, 'alarm', -1L),
+  (acc, p) -> named_struct(
+    's', greatest(0L, acc.s + (p.cnt * 1000000 - mean_fix
+                               - mean_fix div {CUSUM_SLACK_DIV})),
+    'mx', greatest(acc.mx,
+        greatest(0L, acc.s + (p.cnt * 1000000 - mean_fix
+                              - mean_fix div {CUSUM_SLACK_DIV}))),
+    'alarm', if(acc.alarm >= 0, acc.alarm,
+        if(greatest(0L, acc.s + (p.cnt * 1000000 - mean_fix
+                                 - mean_fix div {CUSUM_SLACK_DIV}))
+           > mean_fix div {CUSUM_H_DIV}, p.day, -1L))))"""
+            ).alias("st"),
+        )
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        "mean_fix",
+        F.col("st.mx").alias("max_cusum"),
+        F.when(F.col("st.alarm") < 0, F.lit(None).cast("long"))
+        .otherwise(F.col("st.alarm"))
+        .alias("alarm_day"),
+    )

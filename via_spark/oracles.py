@@ -6184,3 +6184,39 @@ WITH w0 AS (
     ]
     parts.append("\n" + "\nUNION ALL\n".join(selects) + "\n")
     return "".join(parts)
+
+
+def cusum_changepoints_sql(slack_div: int = 16, h_div: int = 4) -> str:
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), enriched AS (
+  SELECT event_type, day, cnt,
+         sum(cnt) OVER (PARTITION BY event_type) * 1000000
+           // count(cnt) OVER (PARTITION BY event_type) AS mean_fix,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+), st AS (
+  SELECT event_type, rn, day, mean_fix, n_days,
+         greatest(CAST(0 AS BIGINT),
+                  cnt * 1000000 - mean_fix - mean_fix // {slack_div}) AS s
+  FROM enriched WHERE rn = 1
+  UNION ALL
+  SELECT e.event_type, e.rn, e.day, e.mean_fix, e.n_days,
+         greatest(CAST(0 AS BIGINT),
+                  st.s + (e.cnt * 1000000 - e.mean_fix
+                          - e.mean_fix // {slack_div}))
+  FROM st JOIN enriched e
+    ON e.event_type = st.event_type AND e.rn = st.rn + 1
+)
+SELECT event_type,
+       CAST(any_value(n_days) AS BIGINT) AS n_days,
+       CAST(any_value(mean_fix) AS BIGINT) AS mean_fix,
+       CAST(max(s) AS BIGINT) AS max_cusum,
+       CAST(min(CASE WHEN s > mean_fix // {h_div} THEN day END) AS BIGINT)
+         AS alarm_day
+FROM st GROUP BY 1
+"""
