@@ -144,10 +144,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle, stalest first) per via_spark.rotation.recommended_head,
         # then stalest-green fill; enforced by tests/test_properties.py ---
         "audio_segment_plan": multimodal.audio_segment_plan,
+        "bigram_lm_perplexity": textstats.bigram_lm_perplexity,
         "bpe_merge_table": textstats.bpe_merge_table,
         "cusum_changepoints": timeseries.cusum_changepoints,
         "dedup_family_compare": graph.dedup_family_compare,
         "disjunctive_revenue": relational.disjunctive_revenue,
+        "distinct_ngram_diversity": textstats.distinct_ngram_diversity,
         "dsir_importance_weights": curation.dsir_importance_weights,
         "embedding_separability_report": vector.embedding_separability_report,
         "ewma_daily_counts": timeseries.ewma_daily_counts,
@@ -155,11 +157,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rule_audit": curation.gopher_rule_audit,
         "hll_distinct_report": sketch.hll_distinct_report,
         "hll_union_report": sketch.hll_union_report,
+        "holt_linear_forecast": timeseries.holt_linear_forecast,
         "incremental_span_pairs": dedup.incremental_span_pairs,
+        "interval_overlap_pairs": windows.interval_overlap_pairs,
         "k_anonymity_audit": curation.k_anonymity_audit,
+        "l_diversity_audit": curation.l_diversity_audit,
         "late_only_suppliers": relational.late_only_suppliers,
+        "linear_interp_gapfill": timeseries.linear_interp_gapfill,
         "neardup_motif_report": graph.neardup_motif_report,
         "pagerank_event_types": graph.pagerank_event_types,
+        "pareto_frontier_parts": relational.pareto_frontier_parts,
         "phash_dup_clusters": graph.phash_dup_clusters,
         "phash_dup_pairs": multimodal.phash_dup_pairs,
         "retrieval_mrr_report": vector.retrieval_mrr_report,
@@ -168,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_span_pairs": dedup.shared_span_pairs,
         "span_dup_token_stats": dedup.span_dup_token_stats,
         "span_scrub_plan": dedup.span_scrub_plan,
+        "theil_sen_trend": timeseries.theil_sen_trend,
         "tokenizer_fertility_by_source": textstats.tokenizer_fertility_by_source,
         "dedup_keep_best": graph.dedup_keep_best,
         "global_value_rank": rank.global_value_rank,
@@ -185,6 +193,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rhythm_baseline_stats": _rhythm_baseline_stats,
         "rhythm_recent_counts": _rhythm_recent_counts,
         "tier1_view": _tier1_view,
+        # --- end head (position 50 boundary) --- tail: driver-green
+        # with implementing units and oracles unchanged since their
+        # newest green row (unit-granular, git-derived); all re-proven
+        # every round by tests/test_oracle_parity.py ---
         "cube_order_counts": timeseries.cube_order_counts,
         "customer_order_distribution": relational.customer_order_distribution,
         "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
@@ -206,10 +218,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": relational.min_cost_supplier,
         "moving_avg_daily": timeseries.moving_avg_daily,
         "newest_events": relational.newest_events,
-        # --- end head (position 50 boundary) --- tail: driver-green
-        # with implementing units and oracles unchanged since their
-        # newest green row (unit-granular, git-derived); all re-proven
-        # every round by tests/test_oracle_parity.py ---
         "order_priority_counts": relational.order_priority_counts,
         "pricing_summary": relational.pricing_summary,
         "promo_revenue": relational.promo_revenue,
@@ -593,4 +601,12 @@ def oracle_sql() -> dict[str, str]:
         "phash_dup_clusters": oracles.phash_dup_clusters_sql(),
         "embedding_separability_report": oracles.embedding_separability_report_sql(),
         "dedup_family_compare": oracles.dedup_family_compare_sql(),
+        "bigram_lm_perplexity": oracles.bigram_lm_perplexity_sql(),
+        "distinct_ngram_diversity": oracles.distinct_ngram_diversity_sql(),
+        "holt_linear_forecast": oracles.holt_linear_forecast_sql(),
+        "interval_overlap_pairs": oracles.interval_overlap_pairs_sql(),
+        "l_diversity_audit": oracles.l_diversity_audit_sql(),
+        "linear_interp_gapfill": oracles.linear_interp_gapfill_sql(),
+        "pareto_frontier_parts": oracles.pareto_frontier_parts_sql(),
+        "theil_sen_trend": oracles.theil_sen_trend_sql(),
     }

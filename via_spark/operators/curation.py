@@ -1016,3 +1016,38 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame
             .alias("published_size"),
         )
     )
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str, l: int = 2,
+                      bucket: int = 500) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the k-anonymity
+    companion (``k_anonymity_audit``): a group can satisfy k yet leak
+    its sensitive attribute when every member shares one value.  Per
+    quasi-identifier group (lang, source): the group size, the number
+    of DISTINCT sensitive values (length bucket ``n_chars div 500`` —
+    the fixture's non-degenerate stand-in for a sensitive column), and
+    the l=2 violation flag.
+
+    Scale posture: ONE hash agg on the QI key; count_distinct expands
+    to the standard two-phase partial-distinct aggregate (map-side
+    dedup on (QI, sens) before the shuffle), so the wire carries at
+    most |QI × sens-bucket| rows regardless of corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang", "source", F.expr(f"n_chars div {bucket}").alias("sens")
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.count_distinct("sens").alias("distinct_sensitive"),
+        )
+        .select(
+            "lang",
+            "source",
+            "group_size",
+            "distinct_sensitive",
+            (F.col("distinct_sensitive") < l).alias("violates_l"),
+        )
+    )

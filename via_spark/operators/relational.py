@@ -1281,3 +1281,48 @@ def late_only_suppliers(spark: SparkSession, sf_dir: str,
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(k)
     )
+
+
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier over the part dimension (Börzsönyi
+    et al. 2001): the parts not dominated on (minimize retail price,
+    maximize size) — q dominates p when q is no worse on both axes and
+    strictly better on one.  Price compares in exact 1e-6 fixed point.
+
+    2-D skylines reduce to ONE running max: p is on the frontier iff
+    ``p_size > max(p_size | price < p.price)`` (no cheaper part is at
+    least as large) AND ``p_size = max(p_size | price = p.price)``
+    (nothing strictly larger at the same price; equal (price, size)
+    ties all stay, as dominance is strict-somewhere).
+
+    Scale posture: NO data-wide window over the fact — the running max
+    lives on the price-GRAIN aggregate (|distinct prices| rows, ≪
+    |parts| for any dimension with a bounded price book), and parts
+    join that tiny threshold table back by price equi-join (broadcast).
+    The O(n²) NOT-EXISTS form is the oracle, not the plan.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        fixed6(F.col("p_retailprice")).alias("price_fix"),
+    )
+    price_grain = p.groupBy("price_fix").agg(F.max("p_size").alias("max_sz"))
+    w = Window.orderBy("price_fix").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    thresholds = price_grain.withColumn(
+        "best_cheaper", F.max("max_sz").over(w)
+    )
+    return (
+        p.join(F.broadcast(thresholds), "price_fix")
+        .where(
+            (
+                F.col("best_cheaper").isNull()
+                | (F.col("p_size") > F.col("best_cheaper"))
+            )
+            & (F.col("p_size") == F.col("max_sz"))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size", "price_fix")
+    )

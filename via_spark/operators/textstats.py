@@ -929,3 +929,133 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str,
     for b in best_rows[1:]:
         out = out.unionAll(b)
     return out
+
+
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source (the distinct-1/2/3 metric of
+    Li et al. 2016, the standard lexical-diversity gauge for generated
+    or scraped corpora): unique n-grams over total n-grams, n-grams
+    taken WITHIN documents (never across doc boundaries), emitted as
+    1e-6 fixed-point ratios of exact BIGINT counts.
+
+    A source whose distinct-2 collapses is template spam even when its
+    vocabulary (distinct-1) looks healthy — the cross-check
+    ``vocab_growth_curve`` can't do at source grain.
+
+    Scale posture: one documents scan exploded once per n; each n is a
+    (source, gram) hash agg with map-side combine, then a source-grain
+    rollup — counts only, no token stream survives the shuffle wider
+    than the gram space. The three n branches union at source grain
+    (3 rows per source) before a 1-pivot projection.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", tokens(F.col("text")).alias("toks")
+    )
+    per_n = []
+    for n in (1, 2, 3):
+        if n == 1:
+            grams = F.explode("toks").alias("gram")
+        else:
+            grams = F.explode(
+                F.expr(
+                    f"transform(slice(toks, 1, greatest(size(toks) - {n - 1}, 0)),"
+                    f" (t, i) -> concat_ws(' ', slice(toks, i + 1, {n})))"
+                )
+            ).alias("gram")
+        per_n.append(
+            d.select("source", grams)
+            .groupBy("source", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("uniq"),
+                F.sum("c").alias("total"),
+            )
+            .select("source", F.lit(n).alias("n"), "uniq", "total")
+        )
+    u = per_n[0].unionByName(per_n[1]).unionByName(per_n[2])
+    return (
+        u.groupBy("source")
+        .pivot("n", [1, 2, 3])
+        .agg(
+            F.first(
+                F.expr("named_struct('uniq', uniq, 'total', total)")
+            )
+        )
+        .select(
+            "source",
+            F.col("`1`.total").alias("n_tokens"),
+            F.col("`1`.uniq").alias("uniq_1"),
+            F.expr("`1`.uniq * 1000000L div `1`.total").alias("distinct1_fix"),
+            F.coalesce(F.col("`2`.uniq"), F.lit(0)).alias("uniq_2"),
+            F.expr(
+                "if(`2`.total is null or `2`.total = 0, cast(null as long),"
+                " `2`.uniq * 1000000L div `2`.total)"
+            ).alias("distinct2_fix"),
+            F.coalesce(F.col("`3`.uniq"), F.lit(0)).alias("uniq_3"),
+            F.expr(
+                "if(`3`.total is null or `3`.total = 0, cast(null as long),"
+                " `3`.uniq * 1000000L div `3`.total)"
+            ).alias("distinct3_fix"),
+        )
+    )
+
+
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (the CCNet/KenLM filtering recipe one
+    order up from ``unigram_surprisal_scores``): per-document mean
+    surprisal of each in-doc token bigram under the corpus's own
+    add-one-smoothed bigram model —
+    ``p(t_i | t_{i-1}) = (c(t_{i-1} t_i) + 1) / (c(t_{i-1}) + V)``.
+    Fluent text that repeats corpus-typical transitions scores low;
+    shuffled or machine-garbled text scores high even when its unigram
+    mix looks normal (the failure mode the unigram score can't see).
+
+    Surprisal is quantized to WHOLE BITS exactly as the unigram query
+    pins it: ``floor(log2((c_ctx + V) / (c_bg + 1)))`` via the bit
+    length of the integer quotient — no transcendental log, bit-exact
+    in both engines (the quotient is ≥ 1 because c_ctx ≥ c_bg and
+    V ≥ 1).
+
+    Scale posture: the bigram and context tables are gram-space-sized
+    (≪ corpus at any scale, Heaps' law) and join the token stream as
+    broadcast hash joins; V is a 1-row broadcast crossJoin. One
+    documents scan feeds one explode; the rollup is a per-doc hash agg.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " (t, i) -> named_struct('ctx', t, 'nxt', toks[i + 1]))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.ctx").alias("ctx"), F.col("b.nxt").alias("nxt"))
+    bg_counts = bg.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx_counts = bg.groupBy("ctx").agg(F.count(F.lit(1)).alias("c_ctx"))
+    vocab = d.select(F.explode("toks").alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    )
+    scored = (
+        bg.join(bg_counts, ["ctx", "nxt"])
+        .join(ctx_counts, "ctx")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                F.length(F.expr("bin((c_ctx + v) div (c_bg + 1))")) - F.lit(1)
+            ).cast("long").alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bits").alias("surprisal_bits"),
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "surprisal_bits",
+        F.expr("surprisal_bits * 1000000L div n_bigrams").alias("mean_bits_fix"),
+    )

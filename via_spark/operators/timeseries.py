@@ -1106,3 +1106,185 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("st.alarm"))
         .alias("alarm_day"),
     )
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator per event type (Sen 1968): the
+    median of all pairwise slopes of the (day, daily count) series —
+    the outlier-resistant alternative to the OLS fit in
+    ``daily_trend_slopes`` (one corrupted day moves OLS arbitrarily but
+    shifts a median by at most one order statistic).
+
+    Exactness: each pairwise slope is truncated to 1e-6 fixed point
+    (``(c2-c1)*1e6 div (d2-d1)`` — truncating div ≡ DuckDB ``//`` on
+    both signs, verified), and the reported statistic is the LOWER
+    median (rank ``(n+1) div 2``) of those integers — a k-th order
+    statistic, well-defined under ties, no float ordering anywhere.
+
+    Scale posture: the only fact scan is the per-(type, day) hash agg;
+    the O(d²) pair expansion is ARRAY-LOCAL over each type's collected
+    daily series (d is bounded by the calendar span, not the row
+    count — a year is ~365 taps → ≤66k pairs per series), so no
+    self-join shuffle exists in the plan. Median = element_at on the
+    array-sorted slopes, also local.
+    """
+    daily = (
+        _events_sec(spark, sf_dir)
+        .groupBy("event_type", F.expr("sec div 86400").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.array_sort(F.collect_list(F.struct("day", "cnt"))).alias("seq"),
+        )
+        .withColumn(
+            "slopes",
+            F.expr(
+                "array_sort(flatten(transform(seq, (p, i) ->"
+                " transform(slice(seq, i + 2, size(seq)),"
+                " q -> (q.cnt - p.cnt) * 1000000L div (q.day - p.day)))))"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.expr("size(slopes)").cast("long").alias("n_pairs"),
+            F.expr(
+                "if(size(slopes) = 0, cast(null as long),"
+                " element_at(slopes, cast((size(slopes) + 1) div 2 as int)))"
+            ).alias("slope_fix"),
+        )
+    )
+
+
+def linear_interp_gapfill(spark: SparkSession, sf_dir: str,
+                          bucket_sec: int = HOUR) -> DataFrame:
+    """Dense hourly grid with LINEAR interpolation between the nearest
+    observed buckets — the companion to ``gapfill_locf`` for series
+    where a staircase fill biases downstream rates (TimescaleDB's
+    ``interpolate()`` vs ``locf()`` pair).
+
+    Empty buckets get ``n = 0`` and
+    ``filled_fix = (prev·(next_h − h) + next·(h − prev_h)) div
+    (next_h − prev_h)`` over the 1e-6 fixed-point bucket sums — pure
+    BIGINT, truncating div, identical in both engines. Buckets before
+    the first or after the last observation stay NULL (no
+    extrapolation).
+
+    Scale posture: same generated-grid shape as ``gapfill_locf_over``
+    (|series| × |buckets| rows regardless of fact size, broadcast
+    grid sides); the prev/next lookups are two bounded ignore-nulls
+    window passes over the same series partition — no extra shuffle
+    beyond the one the grid join already does.
+    """
+    ev = _events_sec(spark, sf_dir)
+    hourly = (
+        ev.withColumn("hour_start", F.col("sec") - F.col("sec") % bucket_sec)
+        .groupBy("event_type", "hour_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.floor(F.col("value") * FIX).cast("long")).alias("sum_fix"),
+        )
+    )
+    bounds = ev.agg(
+        (F.min("sec") - F.min("sec") % bucket_sec).alias("lo"),
+        (F.max("sec") - F.max("sec") % bucket_sec).alias("hi"),
+    )
+    grid_hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(bucket_sec))).alias("hour_start")
+    )
+    series = ev.select("event_type").distinct()
+    grid = F.broadcast(series).crossJoin(F.broadcast(grid_hours))
+    joined = grid.join(hourly, ["event_type", "hour_start"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("sum_fix").isNotNull(), F.col("hour_start"))
+    return (
+        joined.withColumn("prev_fix", F.last("sum_fix", ignorenulls=True).over(wb))
+        .withColumn("prev_h", F.last(obs_h, ignorenulls=True).over(wb))
+        .withColumn("next_fix", F.first("sum_fix", ignorenulls=True).over(wf))
+        .withColumn("next_h", F.first(obs_h, ignorenulls=True).over(wf))
+        .select(
+            "event_type",
+            "hour_start",
+            F.coalesce("n_obs", F.lit(0)).alias("n"),
+            F.expr(
+                "case when sum_fix is not null then sum_fix"
+                " when prev_fix is null or next_fix is null"
+                " then cast(null as long)"
+                " else (prev_fix * (next_h - hour_start)"
+                "       + next_fix * (hour_start - prev_h))"
+                "      div (next_h - prev_h) end"
+            ).alias("filled_fix"),
+        )
+    )
+
+
+# Holt dials, pinned dyadic so the recursion is exact BIGINT:
+# alpha = 1/2 (level), beta = 1/4 (trend)
+HOLT_BETA_DEN = 4
+
+
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over per-type daily
+    counts, with the one-step-ahead forecast — the trend-aware upgrade
+    of ``ewma_daily_counts``: EWMA lags a ramp by design; Holt's trend
+    term tracks it.
+
+    Recursion (Holt 1957), alpha = 1/2 and beta = 1/4 pinned DYADIC so
+    every step is exact BIGINT in 1e-6 fixed point (truncating ``div``
+    ≡ DuckDB ``//`` on both signs — the trend term CAN go negative):
+    ``l_t = (x_t + l_{t-1} + b_{t-1}) div 2``;
+    ``b_t = (l_t − l_{t-1}) div 4 + 3·b_{t-1} div 4``;
+    init ``l_1 = x_1, b_1 = 0``. Output per type: final level/trend and
+    ``forecast_fix = l_T + b_T`` (the T+1 prediction). The oracle runs
+    the identical recursion as a recursive CTE.
+
+    Scale posture: one events scan into the per-(type, day) hash agg;
+    the fold is array-local over each type's collected daily series
+    (O(days) scalar state — bounded by calendar span, not row count),
+    exactly the CUSUM machinery.
+    """
+    daily = (
+        _events_sec(spark, sf_dir)
+        .groupBy("event_type", F.expr("sec div 86400").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    folded = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.max("day").alias("last_day"),
+            F.array_sort(F.collect_list(F.struct("day", "cnt"))).alias("seq"),
+        )
+        .withColumn(
+            "st",
+            F.expr(
+                """aggregate(
+  slice(seq, 2, size(seq)),
+  named_struct('l', seq[0].cnt * 1000000L, 'b', 0L),
+  (acc, p) -> named_struct(
+    'l', (p.cnt * 1000000L + acc.l + acc.b) div 2,
+    'b', ((p.cnt * 1000000L + acc.l + acc.b) div 2 - acc.l) div 4
+         + (3 * acc.b) div 4))"""
+            ),
+        )
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        "last_day",
+        F.col("st.l").alias("level_fix"),
+        F.col("st.b").alias("trend_fix"),
+        (F.col("st.l") + F.col("st.b")).alias("forecast_fix"),
+    )

@@ -204,3 +204,63 @@ def user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str,
+                           gap_sec: int = 21_600) -> DataFrame:
+    """Interval-overlap join (the OVERLAPS analogue of
+    ``range_containment_join``, which pins CONTAINMENT semantics):
+    user sessions × hot days — for every (session, above-mean-traffic
+    day) pair whose spans intersect, the exact overlap in seconds.
+    The shape behind "which user sessions ran during an incident
+    window" forensics.
+
+    Semantics pinned: sessions are closed [start, end] second spans
+    (overlap computed on the half-open [start, end+1)); hot days are
+    the calendar days whose event count strictly exceeds the truncated
+    mean daily count (data-derived, non-vacuous at every SF).
+
+    Scale posture: NO theta-join anywhere — each session explodes to
+    its covered day buckets (bounded by session length, gap_sec keeps
+    sessions short) and equi-joins the broadcast hot-day table on the
+    bucket key; the generic form (both sides large) buckets both sides
+    the same way. Sessionization itself is the per-user bounded-frame
+    machinery of ``user_sessions``.
+    """
+    from via_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000000000").alias("sec")
+    )
+    sess = sessionize_over(ev, gap_sec)
+    daily = ev.groupBy(F.expr("sec div 86400").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    thr = daily.agg(F.expr("sum(n) div count(n)").alias("mean_n"))
+    hot = (
+        daily.crossJoin(F.broadcast(thr))
+        .where(F.col("n") > F.col("mean_n"))
+        .select("day", F.col("n").alias("day_events"))
+    )
+    exploded = sess.select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        F.explode(
+            F.sequence(
+                F.expr("session_start div 86400"),
+                F.expr("session_end div 86400"),
+            )
+        ).alias("day"),
+    )
+    return exploded.join(F.broadcast(hot), "day").select(
+        "user_id",
+        "session_id",
+        "day",
+        "day_events",
+        F.expr(
+            "least(session_end + 1, (day + 1) * 86400)"
+            " - greatest(session_start, day * 86400)"
+        ).alias("overlap_sec"),
+    )

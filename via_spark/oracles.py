@@ -6220,3 +6220,246 @@ SELECT event_type,
          AS alarm_day
 FROM st GROUP BY 1
 """
+
+
+def theil_sen_trend_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         (b.cnt - a.cnt) * 1000000 // (b.day - a.day) AS slope_fix
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), ranked AS (
+  SELECT event_type, slope_fix,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope_fix) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM pairs
+), meds AS (
+  SELECT event_type, n_pairs, slope_fix
+  FROM ranked WHERE rn = (n_pairs + 1) // 2
+)
+SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(COALESCE(any_value(m.n_pairs), 0) AS BIGINT) AS n_pairs,
+       CAST(any_value(m.slope_fix) AS BIGINT) AS slope_fix
+FROM daily d LEFT JOIN meds m ON d.event_type = m.event_type
+GROUP BY 1
+"""
+
+
+def linear_interp_gapfill_sql() -> str:
+    return f"""
+WITH {_EVENTS_SEC_CTE},
+hourly AS (
+    SELECT event_type, sec - sec % 3600 AS hour_start,
+           count(*) AS n_obs,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_fix
+    FROM esec GROUP BY 1, 2
+),
+bounds AS (
+    SELECT min(sec) - min(sec) % 3600 AS lo,
+           max(sec) - max(sec) % 3600 AS hi
+    FROM esec
+),
+hours AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_start FROM bounds),
+series AS (SELECT DISTINCT event_type FROM esec),
+grid AS (SELECT event_type, hour_start FROM series, hours),
+j AS (
+    SELECT g.event_type, g.hour_start, h.n_obs, h.sum_fix
+    FROM grid g
+    LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour_start = g.hour_start
+),
+w AS (
+    SELECT event_type, hour_start, n_obs, sum_fix,
+           last_value(sum_fix IGNORE NULLS) OVER wb AS prev_fix,
+           last_value(CASE WHEN sum_fix IS NOT NULL THEN hour_start END
+                      IGNORE NULLS) OVER wb AS prev_h,
+           first_value(sum_fix IGNORE NULLS) OVER wf AS next_fix,
+           first_value(CASE WHEN sum_fix IS NOT NULL THEN hour_start END
+                       IGNORE NULLS) OVER wf AS next_h
+    FROM j
+    WINDOW wb AS (PARTITION BY event_type ORDER BY hour_start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY event_type ORDER BY hour_start
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hour_start, COALESCE(n_obs, 0) AS n,
+       CASE WHEN sum_fix IS NOT NULL THEN sum_fix
+            WHEN prev_fix IS NULL OR next_fix IS NULL THEN NULL
+            ELSE (prev_fix * (next_h - hour_start)
+                  + next_fix * (hour_start - prev_h)) // (next_h - prev_h)
+       END AS filled_fix
+FROM w
+"""
+
+
+def holt_linear_forecast_sql() -> str:
+    return """
+WITH RECURSIVE daily AS (
+  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), enriched AS (
+  SELECT event_type, day, cnt,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_days,
+         max(day) OVER (PARTITION BY event_type) AS last_day
+  FROM daily
+), st AS (
+  SELECT event_type, rn, n_days, last_day,
+         cnt * 1000000 AS l, CAST(0 AS BIGINT) AS b
+  FROM enriched WHERE rn = 1
+  UNION ALL
+  SELECT e.event_type, e.rn, e.n_days, e.last_day,
+         (e.cnt * 1000000 + st.l + st.b) // 2,
+         ((e.cnt * 1000000 + st.l + st.b) // 2 - st.l) // 4 + (3 * st.b) // 4
+  FROM st JOIN enriched e
+    ON e.event_type = st.event_type AND e.rn = st.rn + 1
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(last_day AS BIGINT) AS last_day,
+       CAST(l AS BIGINT) AS level_fix, CAST(b AS BIGINT) AS trend_fix,
+       CAST(l + b AS BIGINT) AS forecast_fix
+FROM st WHERE rn = n_days
+"""
+
+
+def distinct_ngram_diversity_sql() -> str:
+    return f"""
+WITH {DOC_TOKS_CTE},
+g1 AS (SELECT source, unnest(toks) AS gram FROM dtok),
+g2 AS (
+    SELECT source,
+           unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS gram
+    FROM dtok
+),
+g3 AS (
+    SELECT source,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                 i -> toks[i] || ' ' || toks[i + 1]
+                                      || ' ' || toks[i + 2])) AS gram
+    FROM dtok
+),
+gn AS (
+    SELECT source, 1 AS n, gram FROM g1
+    UNION ALL SELECT source, 2 AS n, gram FROM g2
+    UNION ALL SELECT source, 3 AS n, gram FROM g3
+),
+agg AS (
+    SELECT source, n,
+           CAST(count(DISTINCT gram) AS BIGINT) AS uniq,
+           CAST(count(*) AS BIGINT) AS total
+    FROM gn GROUP BY 1, 2
+)
+SELECT source,
+       CAST(max(CASE WHEN n = 1 THEN total END) AS BIGINT) AS n_tokens,
+       CAST(max(CASE WHEN n = 1 THEN uniq END) AS BIGINT) AS uniq_1,
+       CAST(max(CASE WHEN n = 1 THEN uniq * 1000000 // total END)
+            AS BIGINT) AS distinct1_fix,
+       CAST(COALESCE(max(CASE WHEN n = 2 THEN uniq END), 0) AS BIGINT) AS uniq_2,
+       CAST(max(CASE WHEN n = 2 THEN uniq * 1000000 // total END)
+            AS BIGINT) AS distinct2_fix,
+       CAST(COALESCE(max(CASE WHEN n = 3 THEN uniq END), 0) AS BIGINT) AS uniq_3,
+       CAST(max(CASE WHEN n = 3 THEN uniq * 1000000 // total END)
+            AS BIGINT) AS distinct3_fix
+FROM agg GROUP BY 1
+"""
+
+
+def bigram_lm_perplexity_sql() -> str:
+    return f"""
+WITH {DOC_TOKS_CTE},
+bg AS (
+    SELECT doc_id, toks[i] AS ctx, toks[i + 1] AS nxt
+    FROM dtok, unnest(range(1, greatest(len(toks), 1))) AS t(i)
+),
+bgc AS (SELECT ctx, nxt, CAST(count(*) AS BIGINT) AS c_bg FROM bg GROUP BY 1, 2),
+ctxc AS (SELECT ctx, CAST(count(*) AS BIGINT) AS c_ctx FROM bg GROUP BY 1),
+voc AS (
+    SELECT CAST(count(DISTINCT x) AS BIGINT) AS v
+    FROM (SELECT unnest(toks) AS x FROM dtok)
+),
+scored AS (
+    SELECT bg.doc_id,
+           CAST(length(printf('%b', (c_ctx + v) // (c_bg + 1))) - 1
+                AS BIGINT) AS bits
+    FROM bg JOIN bgc USING (ctx, nxt) JOIN ctxc USING (ctx), voc
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+       CAST(sum(bits) * 1000000 // count(*) AS BIGINT) AS mean_bits_fix
+FROM scored GROUP BY 1
+"""
+
+
+def l_diversity_audit_sql(l: int = 2, bucket: int = 500) -> str:
+    return f"""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(DISTINCT n_chars // {bucket}) AS BIGINT) AS distinct_sensitive,
+       count(DISTINCT n_chars // {bucket}) < {l} AS violates_l
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def interval_overlap_pairs_sql(gap_sec: int = 21_600) -> str:
+    return f"""
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec FROM events
+),
+m AS (
+    SELECT user_id, event_id, sec,
+           CASE WHEN lag(sec) OVER w IS NULL
+                     OR sec - lag(sec) OVER w > {gap_sec}
+                THEN 1 ELSE 0 END AS is_new
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+s AS (
+    SELECT user_id, sec,
+           SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS session_id
+    FROM m
+),
+sess AS (
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(sec) AS session_start, max(sec) AS session_end
+    FROM s GROUP BY user_id, session_id
+),
+daily AS (
+    SELECT sec // 86400 AS day, CAST(count(*) AS BIGINT) AS n
+    FROM e GROUP BY 1
+),
+thr AS (SELECT sum(n) // count(n) AS mean_n FROM daily),
+hot AS (SELECT day, n AS day_events FROM daily, thr WHERE n > mean_n)
+SELECT user_id, session_id, day, day_events,
+       least(session_end + 1, (day + 1) * 86400)
+       - greatest(session_start, day * 86400) AS overlap_sec
+FROM sess JOIN hot
+  ON session_start // 86400 <= day AND day <= session_end // 86400
+"""
+
+
+def pareto_frontier_parts_sql() -> str:
+    return """
+WITH p AS (
+    SELECT p_partkey, p_brand, p_type, p_size,
+           CAST(floor(p_retailprice * 1000000) AS BIGINT) AS price_fix
+    FROM part
+)
+SELECT p_partkey, p_brand, p_type, p_size, price_fix
+FROM p a
+WHERE NOT EXISTS (
+    SELECT 1 FROM p b
+    WHERE (b.price_fix < a.price_fix AND b.p_size >= a.p_size)
+       OR (b.price_fix = a.price_fix AND b.p_size > a.p_size)
+)
+"""
