@@ -1418,3 +1418,205 @@ def test_source_repeat_factors_matches_reference(spark, sizes, tmp_path_factory)
         eff = (n * repeat) // 1000
         expect[src] = (n, share, target, repeat, eff, max(0, target - eff))
     assert got == expect
+
+
+# --- round-9c cores vs pure-Python models -----------------------------------
+
+_DAILY_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                 # series key
+        st.integers(min_value=0, max_value=20),      # day
+        st.integers(min_value=0, max_value=500),     # count
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: (r[0], r[1]),                # one row per (key, day)
+)
+
+
+def _tdiv(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+@given(rows=_DAILY_ROWS)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_theil_sen_matches_python_model(spark, rows):
+    """theil_sen_over vs the pure pairwise-slope lower-median model on
+    random (key, day, cnt) frames — incl. negative slopes, whose
+    truncation sign the dyadic div semantics pin."""
+    from via_spark.operators.timeseries import theil_sen_over
+
+    daily = spark.createDataFrame(rows, "event_type string, day long, cnt long")
+    got = {
+        r["event_type"]: (r["n_days"], r["n_pairs"], r["slope_fix"])
+        for r in theil_sen_over(daily).collect()
+    }
+    series: dict = {}
+    for k, d, c in rows:
+        series.setdefault(k, []).append((d, c))
+    for k, pts in series.items():
+        pts.sort()
+        slopes = sorted(
+            _tdiv((c2 - c1) * 1_000_000, d2 - d1)
+            for i, (d1, c1) in enumerate(pts)
+            for d2, c2 in pts[i + 1:]
+        )
+        med = slopes[(len(slopes) + 1) // 2 - 1] if slopes else None
+        assert got[k] == (len(pts), len(slopes), med), k
+
+
+@given(rows=_DAILY_ROWS)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_holt_matches_python_model(spark, rows):
+    """holt_over vs the pure dyadic level/trend recursion on random
+    frames — decreasing series exercise the negative-trend truncation."""
+    from via_spark.operators.timeseries import holt_over
+
+    daily = spark.createDataFrame(rows, "event_type string, day long, cnt long")
+    got = {
+        r["event_type"]: (
+            r["n_days"], r["last_day"], r["level_fix"], r["trend_fix"],
+            r["forecast_fix"],
+        )
+        for r in holt_over(daily).collect()
+    }
+    series: dict = {}
+    for k, d, c in rows:
+        series.setdefault(k, []).append((d, c))
+    for k, pts in series.items():
+        pts.sort()
+        level, b = pts[0][1] * 1_000_000, 0
+        for _, x in pts[1:]:
+            new_level = _tdiv(x * 1_000_000 + level + b, 2)
+            b = _tdiv(new_level - level, 4) + _tdiv(3 * b, 4)
+            level = new_level
+        assert got[k] == (
+            len(pts), max(d for d, _ in pts), level, b, level + b
+        ), k
+
+
+@given(rows=_ts_rows)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_linear_interp_matches_python_model(spark, rows):
+    """linear_interp_over vs a pure-Python spec on random tiny series,
+    bucket=10s: observed buckets keep their sum, interior gaps get the
+    truncated linear blend, edges stay None."""
+    from via_spark.operators.timeseries import linear_interp_over
+
+    ev = spark.createDataFrame(
+        [(k, s, float(v)) for k, s, v in rows],
+        "event_type string, sec long, value double",
+    )
+    got = {
+        (r["event_type"], r["hour_start"]): (r["n"], r["filled_fix"])
+        for r in linear_interp_over(ev, bucket_sec=10).collect()
+    }
+
+    B = 10
+    lo = min(s for _, s, _ in rows) // B * B
+    hi = max(s for _, s, _ in rows) // B * B
+    series = {k for k, _, _ in rows}
+    obs: dict = {}
+    for k, s, v in rows:
+        key = (k, s // B * B)
+        n, t = obs.get(key, (0, 0))
+        obs[key] = (n + 1, t + math.floor(v * 1_000_000))
+    expect = {}
+    for k in series:
+        buckets = list(range(lo, hi + B, B))
+        observed = [b for b in buckets if (k, b) in obs]
+        for b in buckets:
+            if (k, b) in obs:
+                expect[(k, b)] = obs[(k, b)]
+                continue
+            prevs = [o for o in observed if o < b]
+            nexts = [o for o in observed if o > b]
+            if not prevs or not nexts:
+                expect[(k, b)] = (0, None)
+                continue
+            p0, p1 = max(prevs), min(nexts)
+            v0, v1 = obs[(k, p0)][1], obs[(k, p1)][1]
+            expect[(k, b)] = (0, _tdiv(v0 * (p1 - b) + v1 * (b - p0), p1 - p0))
+    assert got == expect
+
+
+_SKYLINE_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),   # price_fix (small: many ties)
+        st.integers(min_value=0, max_value=9),   # size
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_SKYLINE_ROWS)
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_skyline_matches_bruteforce_dominance(spark, rows):
+    """skyline2d_over vs the O(n^2) dominance definition on random
+    point sets with heavy ties (the window formulation's risk zone)."""
+    from via_spark.operators.relational import skyline2d_over
+
+    pts = [(i, p, s) for i, (p, s) in enumerate(rows)]
+    df = spark.createDataFrame(pts, "p_partkey long, price_fix long, p_size long")
+    got = sorted(r["p_partkey"] for r in skyline2d_over(df).collect())
+    expect = sorted(
+        i
+        for i, p, s in pts
+        if not any(
+            (q < p and t >= s) or (q == p and t > s) for _, q, t in pts
+        )
+    )
+    assert got == expect
+
+
+_SESS_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),         # user
+        st.integers(min_value=0, max_value=400_000),   # start sec (~4.6 days)
+        st.integers(min_value=0, max_value=90_000),    # duration
+    ),
+    min_size=1,
+    max_size=12,
+)
+_HOT_DAYS = st.sets(st.integers(min_value=0, max_value=6), max_size=4)
+
+
+@given(sessions=_SESS_ROWS, hot_days=_HOT_DAYS)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interval_overlap_matches_bruteforce(spark, sessions, hot_days):
+    """interval_overlap_over vs the direct overlap definition: for
+    every (session, hot day) pair, rows appear iff the spans intersect
+    and carry the exact [start, end+1) ∩ [day·86400, (day+1)·86400)
+    length — incl. multi-day sessions and day-boundary endpoints."""
+    from via_spark.operators.windows import interval_overlap_over
+
+    sess_rows = [
+        (u, i, s, s + d) for i, (u, s, d) in enumerate(sessions)
+    ]
+    sess = spark.createDataFrame(
+        sess_rows,
+        "user_id long, session_id long, session_start long, session_end long",
+    )
+    hot = spark.createDataFrame(
+        [(d, 100 + d) for d in sorted(hot_days)], "day long, day_events long"
+    )
+    got = sorted(
+        (r["user_id"], r["session_id"], r["day"], r["day_events"],
+         r["overlap_sec"])
+        for r in interval_overlap_over(sess, hot).collect()
+    )
+    expect = sorted(
+        (u, i, d, 100 + d,
+         min(e + 1, (d + 1) * 86_400) - max(s, d * 86_400))
+        for u, i, s, e in sess_rows
+        for d in sorted(hot_days)
+        if s < (d + 1) * 86_400 and e >= d * 86_400
+    )
+    assert got == expect

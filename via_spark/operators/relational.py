@@ -1308,6 +1308,14 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         fixed6(F.col("p_retailprice")).alias("price_fix"),
     )
+    return skyline2d_over(p)
+
+
+def skyline2d_over(p: DataFrame) -> DataFrame:
+    """Core 2-D skyline over ANY frame with (price_fix, p_size) axes
+    (minimize price_fix, maximize p_size; other columns pass through) —
+    property-tested against a brute-force dominance model in
+    tests/test_properties.py."""
     price_grain = p.groupBy("price_fix").agg(F.max("p_size").alias("max_sz"))
     w = Window.orderBy("price_fix").rowsBetween(
         Window.unboundedPreceding, -1
@@ -1324,5 +1332,6 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             & (F.col("p_size") == F.col("max_sz"))
         )
-        .select("p_partkey", "p_brand", "p_type", "p_size", "price_fix")
+        .drop("max_sz", "best_cheaper")
+        .select(*[c for c in p.columns if c != "price_fix"], "price_fix")
     )

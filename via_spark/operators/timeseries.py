@@ -1133,6 +1133,13 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.expr("sec div 86400").alias("day"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return theil_sen_over(daily)
+
+
+def theil_sen_over(daily: DataFrame) -> DataFrame:
+    """Core Theil–Sen over ANY (event_type, day, cnt) frame —
+    property-tested against a pure-Python model in
+    tests/test_properties.py."""
     return (
         daily.groupBy("event_type")
         .agg(
@@ -1179,7 +1186,13 @@ def linear_interp_gapfill(spark: SparkSession, sf_dir: str,
     window passes over the same series partition — no extra shuffle
     beyond the one the grid join already does.
     """
-    ev = _events_sec(spark, sf_dir)
+    return linear_interp_over(_events_sec(spark, sf_dir), bucket_sec)
+
+
+def linear_interp_over(ev: DataFrame, bucket_sec: int = HOUR) -> DataFrame:
+    """Core linear-interpolation gap-fill over ANY (event_type, sec,
+    value) frame — property-tested against a pure-Python model in
+    tests/test_properties.py."""
     hourly = (
         ev.withColumn("hour_start", F.col("sec") - F.col("sec") % bucket_sec)
         .groupBy("event_type", "hour_start")
@@ -1260,6 +1273,13 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.expr("sec div 86400").alias("day"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return holt_over(daily)
+
+
+def holt_over(daily: DataFrame) -> DataFrame:
+    """Core Holt fold over ANY (event_type, day, cnt) frame —
+    property-tested against a pure-Python model in
+    tests/test_properties.py."""
     folded = (
         daily.groupBy("event_type")
         .agg(

@@ -242,6 +242,14 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str,
         .where(F.col("n") > F.col("mean_n"))
         .select("day", F.col("n").alias("day_events"))
     )
+    return interval_overlap_over(sess, hot)
+
+
+def interval_overlap_over(sess: DataFrame, hot: DataFrame) -> DataFrame:
+    """Core bucketed overlap join over ANY (user_id, session_id,
+    session_start, session_end) × (day, day_events) frames —
+    property-tested against a brute-force pure-Python model in
+    tests/test_properties.py."""
     exploded = sess.select(
         "user_id",
         "session_id",
