@@ -1620,3 +1620,98 @@ def test_interval_overlap_matches_bruteforce(spark, sessions, hot_days):
         if s < (d + 1) * 86_400 and e >= d * 86_400
     )
     assert got == expect
+
+
+_TOKEN = st.sampled_from(["a", "b", "c", "dd", "e f".replace(" ", "")])
+_DOC_LISTS = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),
+        st.lists(_TOKEN, min_size=0, max_size=8),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=_DOC_LISTS)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_distinct_ngram_matches_python_model(spark, docs):
+    """distinct_ngram_over vs a pure-Python model on random tiny
+    corpora: n-grams never cross doc boundaries, uniqueness pools per
+    source, zero-bigram/trigram sources surface NULL ratios — an
+    INDEPENDENT gram definition, guarding the class where an oracle
+    written from the same (wrong) tokenization would agree."""
+    from via_spark.operators.textstats import distinct_ngram_over
+
+    d = spark.createDataFrame(
+        [(s, t) for s, t in docs], "source string, toks array<string>"
+    )
+    got = {
+        r["source"]: (
+            r["n_tokens"], r["uniq_1"], r["distinct1_fix"],
+            r["uniq_2"], r["distinct2_fix"],
+            r["uniq_3"], r["distinct3_fix"],
+        )
+        for r in distinct_ngram_over(d).collect()
+    }
+    per_source: dict = {}
+    for s, toks in docs:
+        per_source.setdefault(s, []).append(toks)
+    expect = {}
+    for s, docs_toks in per_source.items():
+        stats = {}
+        for n in (1, 2, 3):
+            grams = [
+                " ".join(ts[i:i + n])
+                for ts in docs_toks
+                for i in range(len(ts) - n + 1)
+            ]
+            stats[n] = (len(set(grams)), len(grams))
+        u1, t1 = stats[1]
+        if t1 == 0:
+            continue  # token-less source never appears
+        u2, t2 = stats[2]
+        u3, t3 = stats[3]
+        expect[s] = (
+            t1, u1, u1 * 1_000_000 // t1,
+            u2, (u2 * 1_000_000 // t2) if t2 else None,
+            u3, (u3 * 1_000_000 // t3) if t3 else None,
+        )
+    assert got == expect
+
+
+@given(docs=st.lists(st.lists(_TOKEN, min_size=0, max_size=8),
+                     min_size=1, max_size=10))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bigram_lm_matches_python_model(spark, docs):
+    """bigram_lm_over vs an independent pure-Python add-one bigram
+    model on random tiny corpora (bit-length surprisal, docs with no
+    bigrams absent)."""
+    from collections import Counter
+
+    from via_spark.operators.textstats import bigram_lm_over
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, toks array<string>"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["surprisal_bits"], r["mean_bits_fix"])
+        for r in bigram_lm_over(d).collect()
+    }
+    bigrams = [
+        (ts[i], ts[i + 1]) for ts in docs for i in range(len(ts) - 1)
+    ]
+    c_bg = Counter(bigrams)
+    c_ctx = Counter(b[0] for b in bigrams)
+    v = len({t for ts in docs for t in ts})
+    expect = {}
+    for i, ts in enumerate(docs):
+        bits = [
+            ((c_ctx[ts[j]] + v) // (c_bg[(ts[j], ts[j + 1])] + 1)).bit_length() - 1
+            for j in range(len(ts) - 1)
+        ]
+        if bits:
+            expect[i] = (len(bits), sum(bits), sum(bits) * 1_000_000 // len(bits))
+    assert got == expect

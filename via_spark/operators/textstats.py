@@ -948,9 +948,17 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the gram space. The three n branches union at source grain
     (3 rows per source) before a 1-pivot projection.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "source", tokens(F.col("text")).alias("toks")
+    return distinct_ngram_over(
+        load_table(spark, sf_dir, "documents").select(
+            "source", tokens(F.col("text")).alias("toks")
+        )
     )
+
+
+def distinct_ngram_over(d: DataFrame) -> DataFrame:
+    """Core distinct-n over ANY (source, toks array) frame —
+    property-tested against a pure-Python model in
+    tests/test_properties.py."""
     per_n = []
     for n in (1, 2, 3):
         if n == 1:
@@ -1025,9 +1033,17 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.34 s warm at sf0.1 — because the heavy joins run after their own
     exchanges; the single-split scan is not the bottleneck.)
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("toks")
+    return bigram_lm_over(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", tokens(F.col("text")).alias("toks")
+        )
     )
+
+
+def bigram_lm_over(d: DataFrame) -> DataFrame:
+    """Core bigram-LM surprisal over ANY (doc_id, toks array) frame —
+    property-tested against a pure-Python model in
+    tests/test_properties.py."""
     bg = d.select(
         "doc_id",
         F.explode(
