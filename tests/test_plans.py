@@ -1104,3 +1104,25 @@ def test_round9b_pipeline_op_plans(spark, sf_oracle):
     assert _scan_count(p) == 1
     assert "windowspecdefinition(event_type" in p
     assert "windowspecdefinition()" not in p
+
+
+def test_round9c_op_plans(spark, sf_oracle):
+    """theil_sen / holt: ONE events scan each, the O(days) folds are
+    array-local — no Join node anywhere. linear_interp: generated-grid
+    assembly via broadcasts like gapfill_locf, and both ignore-nulls
+    window passes ride ONE per-series window spec (no data-wide
+    window). bigram LM: the 1-row vocabulary frame attaches by
+    broadcast, never a shuffled join."""
+    p = _plan(spark, sf_oracle, "theil_sen_trend")
+    assert _scan_count(p) == 1 and "Join" not in p, p[:2000]
+
+    p = _plan(spark, sf_oracle, "holt_linear_forecast")
+    assert _scan_count(p) == 1 and "Join" not in p, p[:2000]
+
+    p = _plan(spark, sf_oracle, "linear_interp_gapfill")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "windowspecdefinition(event_type" in p
+    assert "windowspecdefinition()" not in p
+
+    p = _plan(spark, sf_oracle, "bigram_lm_perplexity")
+    assert p.count("BroadcastNestedLoopJoin") == 1, p[:2000]  # 1-row V only
