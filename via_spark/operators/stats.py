@@ -765,3 +765,230 @@ def ship_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_lag_days"),
         )
     )
+
+
+# --- round-10 staged additions (registered through via_spark.staging
+# until the r10 head splice; each has an oracle + parity test already) ---
+
+# Benford first-digit probabilities log10(1 + 1/d), d = 1..9, in 1e-6
+# micro units. The nine integers sum to exactly 1_000_000 and are PINNED
+# constants in both engines — no transcendental log is evaluated at query
+# time (same doctrine as the whole-bit surprisal quantization).
+BENFORD_MICRO = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals (fraud/synthetic-
+    data screening: naturally-occurring money amounts follow
+    P(d) = log10(1+1/d); fabricated ones usually don't).
+
+    Per digit 1..9: observed count, observed share (1e-6 fixed), the
+    pinned Benford expectation, the deviation, and one chi-square-style
+    statistic ``sum(dev² div expected)`` attached to every row. Exactness:
+    the first digit comes from the decimal rendering of the 1e-6
+    fixed-point BIGINT (identical strings in both engines — totals are
+    ≥ 1, so the fix never has leading zeros); shares and the statistic
+    are pure BIGINT arithmetic with ONE truncating division each, and the
+    statistic is share-based (n-independent) so it cannot overflow at any
+    corpus size. Missing digits contribute their full expected mass, the
+    textbook definition.
+
+    Scale posture: one orders scan → 9-group hash agg; everything after
+    is 9-row arithmetic with the total and the statistic attached through
+    broadcast scalar cross joins.
+    """
+    from via_spark.operators.relational import fixed6
+
+    o = load_table(spark, sf_dir, "orders")
+    observed = (
+        o.select(
+            F.substring(fixed6(F.col("o_totalprice")).cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = observed.agg(F.sum("n_obs").alias("n_total"))
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    expected = F.element_at(
+        F.array(*[F.lit(x).cast("long") for x in BENFORD_MICRO]), F.col("digit")
+    )
+    per = (
+        digits.join(F.broadcast(observed), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            expected.alias("benford_micro"),
+            F.expr("coalesce(n_obs, 0L) * 1000000L div n_total").alias("share_micro"),
+        )
+        .withColumn("dev_micro", F.col("share_micro") - F.col("benford_micro"))
+    )
+    chi = per.agg(
+        F.sum(F.expr("dev_micro * dev_micro div benford_micro")).alias("chi2_micro")
+    )
+    return per.crossJoin(F.broadcast(chi)).select(
+        "digit", "n_obs", "share_micro", "benford_micro", "dev_micro", "chi2_micro"
+    )
+
+
+def quartiles_over(
+    vals: DataFrame, key: str, fix_col: str, tiebreak: str
+) -> DataFrame:
+    """Exact per-``key`` quartiles of ``fix_col`` as PINNED order
+    statistics (the all-integer discrete-threshold doctrine): q1 at rank
+    ``greatest(1, (n+1) div 4)``, q3 at rank ``least(n, 3*(n+1) div 4)``
+    over the ascending fixed-point order. Both are k-th order statistics —
+    well-defined under ties, no interpolation, no float ordering. Returns
+    one row per key: (key, n, q1_fix, q3_fix).
+
+    Property-tested against a pure-Python model in tests/test_staging.py.
+
+    Scale posture: one window pass per key (row_number + count over the
+    same partitioning — one sort), then a per-key hash agg over the ≤2
+    surviving rank-hit rows. Per-key sorts are the EXACT tier; unbounded
+    keys at 100 TB take the mergeable-sketch path (hash_sample_quantile_
+    report) instead — same pairing as value_percentiles vs
+    approx_value_quantiles.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(fix_col).asc(), F.col(tiebreak).asc())
+    wt = Window.partitionBy(key)
+    ranked = vals.select(
+        key,
+        fix_col,
+        tiebreak,
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    q1r = F.greatest(F.lit(1).cast("long"), F.expr("(n + 1) div 4"))
+    q3r = F.least(F.col("n"), F.expr("3 * (n + 1) div 4"))
+    return (
+        ranked.where((F.col("rn") == q1r) | (F.col("rn") == q3r))
+        .groupBy(key)
+        .agg(
+            F.max("n").alias("n"),
+            F.min(F.when(F.col("rn") == q1r, F.col(fix_col))).alias("q1_fix"),
+            F.max(F.when(F.col("rn") == q3r, F.col(fix_col))).alias("q3_fix"),
+        )
+    )
+
+
+def iqr_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per event type: exact order-statistic
+    quartiles of ``value`` (see :func:`quartiles_over`), then counts of
+    points beyond the 1.5·IQR fences. The doubled-fence comparison
+    ``2·v_fix < 2·q1_fix − 3·iqr_fix`` keeps every bound a BIGINT — no
+    halves, no floats, no division at all (complements mad_outliers'
+    median-based spread and above_p95_events' one-sided tail).
+
+    Scale posture: the quartile pass is one per-type window sort; the
+    fence count joins the 5-row quartile frame back BROADCAST and is one
+    hash agg — two scans of events total, the sort pass dominating.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v_fix"),
+        )
+    )
+    q = quartiles_over(ev, "event_type", "v_fix", "event_id").withColumn(
+        "iqr_fix", F.col("q3_fix") - F.col("q1_fix")
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("q1_fix").alias("q1_fix"),
+            F.max("q3_fix").alias("q3_fix"),
+            F.max("iqr_fix").alias("iqr_fix"),
+            F.sum(
+                (
+                    F.lit(2) * F.col("v_fix")
+                    < F.lit(2) * F.col("q1_fix") - F.lit(3) * F.col("iqr_fix")
+                ).cast("long")
+            ).alias("n_low"),
+            F.sum(
+                (
+                    F.lit(2) * F.col("v_fix")
+                    > F.lit(2) * F.col("q3_fix") + F.lit(3) * F.col("iqr_fix")
+                ).cast("long")
+            ).alias("n_high"),
+        )
+    )
+
+
+def fd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freedman–Diaconis auto-binned histogram of ``value`` — the
+    statistically-principled bin width ``2·IQR/n^(1/3)`` instead of
+    value_histogram's fixed bucket size, so the resolution adapts to the
+    corpus without a hand-tuned knob.
+
+    Exactness: IQR comes from exact GLOBAL order statistics (rank
+    q1/q3 over rank.global_row_number — range partition + broadcast
+    offsets, never a single-partition window); the cube root is the
+    INTEGER cube root via a bounded monotone scan
+    (``size(filter(sequence(1, cap), x -> x³ ≤ n))``, cap³ bounds the
+    supported corpus and overflows nothing), and the width
+    ``greatest(1, 2·iqr_fix div icbrt)`` plus every bin edge is BIGINT.
+
+    Scale posture: one stats pass (the global-rank shuffle), then one
+    binning pass — broadcast 1-row stats frame, hash agg keyed by bin.
+    """
+    from via_spark.operators.rank import global_row_number
+
+    icbrt_cap = 200_000  # cap³ = 8e15 rows — far beyond any real corpus
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v_fix"),
+    ).where(F.col("v_fix").isNotNull())
+    ranked = global_row_number(
+        ev, [F.col("v_fix").asc(), F.col("event_id").asc()], out="rn", total="n"
+    )
+    q1r = F.greatest(F.lit(1).cast("long"), F.expr("(n + 1) div 4"))
+    q3r = F.least(F.col("n"), F.expr("3 * (n + 1) div 4"))
+    quart = (
+        ranked.where((F.col("rn") == q1r) | (F.col("rn") == q3r))
+        .agg(
+            F.max("n").alias("n"),
+            F.min(F.when(F.col("rn") == q1r, F.col("v_fix"))).alias("q1_fix"),
+            F.max(F.when(F.col("rn") == q3r, F.col("v_fix"))).alias("q3_fix"),
+        )
+    )
+    lo = ev.agg(F.min("v_fix").alias("min_fix"))
+    stats = (
+        quart.crossJoin(F.broadcast(lo))
+        .withColumn(
+            "icbrt",
+            F.expr(
+                f"size(filter(sequence(1L, {icbrt_cap}L),"
+                " x -> x * x * x <= n))"
+            ).cast("long"),
+        )
+        .withColumn(
+            "width_fix",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("2 * (q3_fix - q1_fix) div icbrt"),
+            ),
+        )
+        .select("min_fix", "width_fix")
+    )
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .withColumn("bin", F.expr("(v_fix - min_fix) div width_fix"))
+        .groupBy("bin", "width_fix", "min_fix")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bin",
+            (F.col("min_fix") + F.col("bin") * F.col("width_fix")).alias("bin_lo_fix"),
+            "width_fix",
+            "n_rows",
+        )
+    )

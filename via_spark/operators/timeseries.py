@@ -1308,3 +1308,65 @@ def holt_over(daily: DataFrame) -> DataFrame:
         F.col("st.b").alias("trend_fix"),
         (F.col("st.l") + F.col("st.b")).alias("forecast_fix"),
     )
+
+
+# --- round-10 staged additions (registered through via_spark.staging
+# until the r10 head splice) ---
+
+
+def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov two-sample drift per event type: the exact KS
+    statistic between the value distribution of the FIRST and SECOND half
+    of the time range — the binless companion to value_drift_tvd (TVD
+    sees only mass moved between its fixed bins; KS catches any CDF
+    divergence, at any value, without choosing a bin width).
+
+    Exactness: with cumulative counts c_a, c_b over the pooled sorted
+    values, ``D = max |c_a/n_a − c_b/n_b| = max |c_a·n_b − c_b·n_a| /
+    (n_a·n_b)`` — the numerator is an exact BIGINT window maximum and the
+    single division happens once per type, truncated to 1e-6
+    (``ks_micro``). The split point ``(min_sec + max_sec + 1) div 2`` is
+    itself integer arithmetic. Types absent from either half report NULL
+    (no distribution to compare).
+
+    Scale posture: one events scan → per-(type, value) hash agg (the
+    pooled-step compression: the windows run over DISTINCT values, not
+    rows), one per-type window sort over those steps, one per-type agg.
+    The BIGINT numerator holds to ~9e18, i.e. n_a·n_b per type up to
+    ~3e9 rows per half; beyond that this report runs on the stratified-
+    sample tier like every exact-order-statistic op.
+    """
+    ev = _events_sec(spark, sf_dir).where(F.col("value").isNotNull())
+    bounds = ev.agg(
+        F.expr("(min(sec) + max(sec) + 1) div 2").alias("split_sec")
+    )
+    steps = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v_fix"),
+            (F.col("sec") < F.col("split_sec")).cast("long").alias("is_a"),
+        )
+        .groupBy("event_type", "v_fix")
+        .agg(
+            F.sum("is_a").alias("na_v"),
+            F.sum(F.lit(1) - F.col("is_a")).alias("nb_v"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("v_fix")
+    wt = Window.partitionBy("event_type")
+    cum = steps.select(
+        "event_type",
+        F.sum("na_v").over(w).alias("cum_a"),
+        F.sum("nb_v").over(w).alias("cum_b"),
+        F.sum("na_v").over(wt).alias("n_a"),
+        F.sum("nb_v").over(wt).alias("n_b"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.when(
+            (F.max("n_a") > 0) & (F.max("n_b") > 0),
+            F.expr("max(abs(cum_a * n_b - cum_b * n_a)) * 1000000L div (max(n_a) * max(n_b))"),
+        ).alias("ks_micro"),
+    )

@@ -6463,3 +6463,125 @@ WHERE NOT EXISTS (
        OR (b.price_fix = a.price_fix AND b.p_size > a.p_size)
 )
 """
+
+
+# --- round-10 staged oracles (wired in via_spark.staging) ---
+
+
+def benford_digit_audit_sql() -> str:
+    return """
+WITH obs AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 1000000) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM orders GROUP BY 1
+), tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs),
+bent(digit, benford_micro) AS (VALUES
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+), per AS (
+    SELECT b.digit,
+           CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST(b.benford_micro AS BIGINT) AS benford_micro,
+           CAST(COALESCE(o.n_obs, 0) * 1000000 // t.n_total AS BIGINT) AS share_micro
+    FROM bent b LEFT JOIN obs o USING (digit) CROSS JOIN tot t
+), chi AS (
+    SELECT CAST(sum((share_micro - benford_micro) * (share_micro - benford_micro)
+                    // benford_micro) AS BIGINT) AS chi2_micro
+    FROM per
+)
+SELECT per.digit, per.n_obs, per.share_micro, per.benford_micro,
+       CAST(per.share_micro - per.benford_micro AS BIGINT) AS dev_micro,
+       chi.chi2_micro
+FROM per CROSS JOIN chi
+"""
+
+
+def iqr_outlier_report_sql() -> str:
+    return """
+WITH v AS (
+    SELECT event_type, event_id,
+           CAST(floor(value * 1000000) AS BIGINT) AS v_fix
+    FROM events WHERE value IS NOT NULL
+), ranked AS (
+    SELECT event_type, v_fix,
+           row_number() OVER (PARTITION BY event_type ORDER BY v_fix, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM v
+), quart AS (
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN rn = greatest(1, (n + 1) // 4) THEN v_fix END) AS q1_fix,
+           max(CASE WHEN rn = least(n, 3 * (n + 1) // 4) THEN v_fix END) AS q3_fix
+    FROM ranked
+    WHERE rn = greatest(1, (n + 1) // 4) OR rn = least(n, 3 * (n + 1) // 4)
+    GROUP BY 1
+)
+SELECT v.event_type, q.n, q.q1_fix, q.q3_fix,
+       CAST(q.q3_fix - q.q1_fix AS BIGINT) AS iqr_fix,
+       CAST(sum(CASE WHEN 2 * v.v_fix < 2 * q.q1_fix - 3 * (q.q3_fix - q.q1_fix)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN 2 * v.v_fix > 2 * q.q3_fix + 3 * (q.q3_fix - q.q1_fix)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM v JOIN quart q USING (event_type)
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+def fd_histogram_sql() -> str:
+    return """
+WITH v AS (
+    SELECT event_id, CAST(floor(value * 1000000) AS BIGINT) AS v_fix
+    FROM events WHERE value IS NOT NULL
+), ranked AS (
+    SELECT v_fix,
+           row_number() OVER (ORDER BY v_fix, event_id) AS rn,
+           count(*) OVER () AS n
+    FROM v
+), quart AS (
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN rn = greatest(1, (n + 1) // 4) THEN v_fix END) AS q1_fix,
+           max(CASE WHEN rn = least(n, 3 * (n + 1) // 4) THEN v_fix END) AS q3_fix
+    FROM ranked
+    WHERE rn = greatest(1, (n + 1) // 4) OR rn = least(n, 3 * (n + 1) // 4)
+), stats AS (
+    SELECT (SELECT min(v_fix) FROM v) AS min_fix,
+           greatest(1, 2 * (q3_fix - q1_fix) //
+                       len(list_filter(range(1, 200001), x -> x * x * x <= n))) AS width_fix
+    FROM quart
+)
+SELECT CAST((v.v_fix - s.min_fix) // s.width_fix AS BIGINT) AS bin,
+       CAST(s.min_fix + ((v.v_fix - s.min_fix) // s.width_fix) * s.width_fix AS BIGINT) AS bin_lo_fix,
+       CAST(s.width_fix AS BIGINT) AS width_fix,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM v CROSS JOIN stats s
+GROUP BY 1, 2, 3
+"""
+
+
+def ks_two_sample_drift_sql() -> str:
+    return f"""
+WITH {_EVENTS_SEC_CTE},
+vv AS (SELECT * FROM esec WHERE value IS NOT NULL),
+bounds AS (SELECT (min(sec) + max(sec) + 1) // 2 AS split_sec FROM vv),
+steps AS (
+    SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v_fix,
+           CAST(sum(CASE WHEN sec < b.split_sec THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+           CAST(sum(CASE WHEN sec < b.split_sec THEN 0 ELSE 1 END) AS BIGINT) AS nb_v
+    FROM vv CROSS JOIN bounds b
+    GROUP BY 1, 2
+), cum AS (
+    SELECT event_type,
+           sum(na_v) OVER (PARTITION BY event_type ORDER BY v_fix) AS cum_a,
+           sum(nb_v) OVER (PARTITION BY event_type ORDER BY v_fix) AS cum_b,
+           sum(na_v) OVER (PARTITION BY event_type) AS n_a,
+           sum(nb_v) OVER (PARTITION BY event_type) AS n_b
+    FROM steps
+)
+SELECT event_type,
+       CAST(max(n_a) AS BIGINT) AS n_a,
+       CAST(max(n_b) AS BIGINT) AS n_b,
+       CAST(CASE WHEN max(n_a) > 0 AND max(n_b) > 0 THEN
+            max(abs(cum_a * n_b - cum_b * n_a)) * 1000000 // (max(n_a) * max(n_b))
+       END AS BIGINT) AS ks_micro
+FROM cum
+GROUP BY 1
+"""

@@ -1,0 +1,51 @@
+"""Round-10 staging registry — fully-built queries awaiting head slots.
+
+Round 9 reached the rotation program's convergence goal: the backlog of
+queries needing a driver CORRECTNESS row is exactly 50 = the driver's
+per-round head cap, so every registered query gets a fresh green row this
+round. Registering MORE queries mid-round would evict the 16 genuinely
+stale r5–r7 queries from the head and break that convergence — so new
+operators land here instead: implementation, DuckDB oracle, and parity
+tests are all DONE (tests/test_staging.py runs the same compare harness
+as test_oracle_parity at sf0.01); only the driver registration waits.
+
+FIRST COMMIT OF ROUND 10: splice these into ``__spark_entry__`` —
+
+    queries()    head += staged_queries()   (alphabetical, before the
+                                             changed/stale refill)
+    oracle_sql()      += staged_oracle_sql()
+
+then delete this module and move the tests' parametrization over to the
+main parity suite (they assert dict-key equality, so a missed splice
+fails loudly).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from via_spark import oracles
+from via_spark.operators import stats, timeseries
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Same contract as __spark_entry__.queries(): pure lazy plan
+    builders (spark, sf_dir) -> DataFrame."""
+    return {
+        "benford_digit_audit": stats.benford_digit_audit,
+        "iqr_outlier_report": stats.iqr_outlier_report,
+        "fd_histogram": stats.fd_histogram,
+        "ks_two_sample_drift": timeseries.ks_two_sample_drift,
+    }
+
+
+def staged_oracle_sql() -> dict[str, str]:
+    """Same contract as __spark_entry__.oracle_sql()."""
+    return {
+        "benford_digit_audit": oracles.benford_digit_audit_sql(),
+        "iqr_outlier_report": oracles.iqr_outlier_report_sql(),
+        "fd_histogram": oracles.fd_histogram_sql(),
+        "ks_two_sample_drift": oracles.ks_two_sample_drift_sql(),
+    }
