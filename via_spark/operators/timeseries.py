@@ -1370,3 +1370,184 @@ def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("max(abs(cum_a * n_b - cum_b * n_a)) * 1000000L div (max(n_a) * max(n_b))"),
         ).alias("ks_micro"),
     )
+
+
+def dense_daily_counts(ev: DataFrame) -> DataFrame:
+    """Dense per-type daily count series over the frame's full span:
+    (event_type, day, cnt) with gap days present as cnt = 0 — the
+    regular-spacing precondition every lag-based statistic (ACF, STL,
+    Fano) needs. Same generated-grid shape as gapfill_locf_over:
+    ``sequence()`` over one broadcast bounds row × the distinct series
+    keys, so grid size is |series| × |days| no matter the row count."""
+    daily = (
+        ev.groupBy("event_type", F.expr("sec div 86400").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bounds = ev.agg(
+        F.expr("min(sec) div 86400").alias("lo"),
+        F.expr("max(sec) div 86400").alias("hi"),
+    )
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    series = ev.select("event_type").distinct()
+    grid = F.broadcast(series).crossJoin(F.broadcast(days))
+    return grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")
+    )
+
+
+ACF_MAX_LAG = 7
+
+
+def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the per-type daily count series at
+    lags 1..7 — the periodicity detector (a weekly rhythm shows as an
+    ACF peak at lag 7) behind seasonal model selection, complementing
+    the assumed-period operators (seasonal_zscore_outliers pins dow,
+    hour_of_week_profile pins the week).
+
+    Exactness: with S = Σx and n days, centered values are scaled to
+    integers ``c_t = n·x_t − S`` so
+    ``r_k = Σ c_t·c_{t+k} / Σ c_t²`` needs no float mean; both sums are
+    exact BIGINTs and ``acf_micro = num·1e6 div den`` is one signed
+    truncating division (Spark div ≡ DuckDB // on negatives, verified).
+    Constant series (den = 0) report NULL.
+
+    Scale posture: one events scan → per-(type, day) hash agg; the
+    series is ARRAY-LOCAL per type (theil_sen doctrine — length is
+    calendar-bounded, not row-bounded) and each lag's product sum is a
+    local fold; the lag explode is 7 rows per type. BIGINT bound:
+    |c_t| ≤ n·max_day_count, so den ≤ n³·max² — holds past 1e5 daily
+    events on a 3-year span; beyond that the counts rescale first.
+    """
+    dense = dense_daily_counts(_events_sec(spark, sf_dir))
+    series = (
+        dense.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "cnt"))).alias("seq"))
+        .select(
+            "event_type",
+            F.expr("transform(seq, p -> p.cnt)").alias("xs"),
+        )
+        .select(
+            "event_type",
+            F.expr("size(xs)").cast("long").alias("n_days"),
+            F.expr(
+                "transform(xs, x -> size(xs) * x"
+                " - aggregate(xs, 0L, (a, v) -> a + v))"
+            ).alias("cen"),
+        )
+        .withColumn("den", F.expr("aggregate(cen, 0L, (a, c) -> a + c * c)"))
+    )
+    lags = F.explode(F.array(*[F.lit(k) for k in range(1, ACF_MAX_LAG + 1)])).alias("lag")
+    return (
+        series.select("event_type", "n_days", "cen", "den", lags)
+        .where(F.col("n_days") > F.col("lag"))
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            "n_days",
+            # signed truncating division, parity-verified on negatives
+            F.expr(
+                "if(den > 0,"
+                " aggregate(transform(sequence(1, size(cen) - lag),"
+                "   i -> element_at(cen, cast(i as int))"
+                "      * element_at(cen, cast(i + lag as int))),"
+                "  0L, (a, p) -> a + p) * 1000000L div den,"
+                " cast(null as long))"
+            ).alias("acf_micro"),
+        )
+    )
+
+
+STL_HALF = 3  # centered 7-day trend window
+
+
+def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the per-type daily count
+    series (the moving-average STL shape, Cleveland's step 1-2 without
+    the loess): trend = centered 7-day mean, seasonal = per-day-of-week
+    mean of the detrended series, residual = remainder — the
+    decomposition behind 'is Monday low because Mondays are low, or is
+    something wrong'. Complements seasonal_zscore_outliers (which
+    assumes the dow pattern) by MEASURING the pattern against trend.
+
+    Exactness: every component is 1e-6 fixed point derived from BIGINT
+    count sums — ``trend_micro = (Σ 7-window cnt)·1e6 div 7`` (NULL at
+    the edges where the window is partial), ``seasonal_micro =
+    Σ detrended div n_dow``, ``resid_micro = cnt·1e6 − trend − seasonal``
+    — with truncating division only (signed parity verified). Day-of-week
+    is ``(day + 4) % 7`` (epoch day 0 = Thursday; Monday = 0) — pure
+    integer arithmetic, no calendar functions.
+
+    Scale posture: the dense grid is |types| × |days| (generated,
+    broadcast sides); the trend is one bounded rows-frame window per
+    type; the seasonal means are a 7·|types|-row hash agg joined back
+    broadcast. Nothing scales with raw event rows except the first
+    daily hash agg.
+    """
+    dense = dense_daily_counts(_events_sec(spark, sf_dir))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-STL_HALF, STL_HALF)
+    )
+    trended = dense.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.when(
+            F.count(F.lit(1)).over(w) == 2 * STL_HALF + 1,
+            (F.sum("cnt").over(w) * F.lit(1_000_000)).cast("long"),
+        ).alias("win_sum_micro"),
+    ).withColumn(
+        "trend_micro", F.expr(f"win_sum_micro div {2 * STL_HALF + 1}")
+    ).withColumn("dow", F.expr("(day + 4) % 7")).withColumn(
+        "detr_micro", F.col("cnt") * F.lit(1_000_000) - F.col("trend_micro")
+    )
+    seasonal = (
+        trended.where(F.col("detr_micro").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(F.expr("sum(detr_micro) div count(1)").alias("seasonal_micro"))
+    )
+    return (
+        trended.join(F.broadcast(seasonal), ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.col("dow").cast("int").alias("dow"),
+            "cnt",
+            "trend_micro",
+            "seasonal_micro",
+            (
+                F.col("cnt") * F.lit(1_000_000)
+                - F.col("trend_micro")
+                - F.col("seasonal_micro")
+            ).alias("resid_micro"),
+        )
+    )
+
+
+def fano_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, variance/mean) of the per-type
+    daily count series — the burstiness scalar: 1 under Poisson arrivals,
+    > 1 for bursty traffic, < 1 for regular/rate-limited flows. The
+    single-number companion to the shape-level operators
+    (interarrival_profile, acf_daily_counts).
+
+    Exactness: over the DENSE daily series (gap days are real zeros),
+    ``var/mean = (n·Σx² − S²) / (n·S)`` — both sides exact BIGINTs from
+    count sums, one truncating division to 1e-6. Types with S = 0 cannot
+    exist (a type only appears by having events).
+
+    Scale posture: one events scan → daily hash agg → |types|-row agg
+    over the generated dense grid. BIGINT bound: n·Σx² ≤ days²·max²·…
+    holds to ~3e9 events/day on a 10-year span.
+    """
+    dense = dense_daily_counts(_events_sec(spark, sf_dir))
+    return dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("sum(cnt) * 1000000L div count(1)").alias("mean_micro"),
+        F.expr(
+            "(count(1) * sum(cnt * cnt) - sum(cnt) * sum(cnt)) * 1000000L"
+            " div (count(1) * sum(cnt))"
+        ).alias("fano_micro"),
+    )

@@ -6585,3 +6585,102 @@ SELECT event_type,
 FROM cum
 GROUP BY 1
 """
+
+
+# Dense per-type daily count grid (gap days = 0) — shared by the
+# lag-based staged statistics (ACF / STL / Fano); mirrors
+# operators/timeseries.dense_daily_counts.
+_DENSE_DAILY_CTE = """
+daily AS (
+    SELECT event_type, sec // 86400 AS day, CAST(count(*) AS BIGINT) AS cnt
+    FROM esec GROUP BY 1, 2
+),
+dbounds AS (SELECT min(sec) // 86400 AS lo, max(sec) // 86400 AS hi FROM esec),
+ddays AS (SELECT unnest(generate_series(lo, hi)) AS day FROM dbounds),
+dseries AS (SELECT DISTINCT event_type FROM esec),
+dense AS (
+    SELECT s.event_type, d.day, CAST(COALESCE(dc.cnt, 0) AS BIGINT) AS cnt
+    FROM dseries s CROSS JOIN ddays d
+    LEFT JOIN daily dc ON dc.event_type = s.event_type AND dc.day = d.day
+)
+"""
+
+
+def acf_daily_counts_sql() -> str:
+    return f"""
+WITH {_EVENTS_SEC_CTE},
+{_DENSE_DAILY_CTE},
+tot AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(cnt) AS BIGINT) AS s
+    FROM dense GROUP BY 1
+),
+cen AS (
+    SELECT d.event_type, d.day, t.n_days,
+           CAST(t.n_days * d.cnt - t.s AS BIGINT) AS c
+    FROM dense d JOIN tot t USING (event_type)
+),
+den AS (SELECT event_type, CAST(sum(c * c) AS BIGINT) AS den FROM cen GROUP BY 1),
+lags AS (SELECT unnest(range(1, 8)) AS lag),
+num AS (
+    SELECT a.event_type, l.lag, CAST(sum(a.c * b.c) AS BIGINT) AS num
+    FROM cen a
+    CROSS JOIN lags l
+    JOIN cen b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+    GROUP BY 1, 2
+)
+SELECT t.event_type, CAST(l.lag AS INT) AS lag, t.n_days,
+       CAST(CASE WHEN dn.den > 0 THEN n.num * 1000000 // dn.den END AS BIGINT)
+           AS acf_micro
+FROM tot t
+CROSS JOIN lags l
+JOIN den dn USING (event_type)
+LEFT JOIN num n ON n.event_type = t.event_type AND n.lag = l.lag
+WHERE t.n_days > l.lag
+"""
+
+
+def stl_decompose_daily_sql() -> str:
+    return f"""
+WITH {_EVENTS_SEC_CTE},
+{_DENSE_DAILY_CTE},
+w AS (
+    SELECT event_type, day, cnt,
+           CASE WHEN count(*) OVER win = 7
+                THEN sum(cnt) OVER win * 1000000 END AS win_sum_micro
+    FROM dense
+    WINDOW win AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+t AS (
+    SELECT event_type, day, cnt,
+           win_sum_micro // 7 AS trend_micro,
+           (day + 4) % 7 AS dow,
+           cnt * 1000000 - win_sum_micro // 7 AS detr_micro
+    FROM w
+),
+seas AS (
+    SELECT event_type, dow,
+           CAST(sum(detr_micro) // count(*) AS BIGINT) AS seasonal_micro
+    FROM t WHERE detr_micro IS NOT NULL GROUP BY 1, 2
+)
+SELECT t.event_type, t.day, CAST(t.dow AS INT) AS dow, t.cnt,
+       CAST(t.trend_micro AS BIGINT) AS trend_micro,
+       s.seasonal_micro,
+       CAST(t.cnt * 1000000 - t.trend_micro - s.seasonal_micro AS BIGINT)
+           AS resid_micro
+FROM t LEFT JOIN seas s USING (event_type, dow)
+"""
+
+
+def fano_burstiness_by_type_sql() -> str:
+    return f"""
+WITH {_EVENTS_SEC_CTE},
+{_DENSE_DAILY_CTE}
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(cnt) * 1000000 // count(*) AS BIGINT) AS mean_micro,
+       CAST((count(*) * sum(cnt * cnt) - sum(cnt) * sum(cnt)) * 1000000
+            // (count(*) * sum(cnt)) AS BIGINT) AS fano_micro
+FROM dense
+GROUP BY 1
+"""

@@ -38,6 +38,9 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_outlier_report": stats.iqr_outlier_report,
         "fd_histogram": stats.fd_histogram,
         "ks_two_sample_drift": timeseries.ks_two_sample_drift,
+        "acf_daily_counts": timeseries.acf_daily_counts,
+        "stl_decompose_daily": timeseries.stl_decompose_daily,
+        "fano_burstiness_by_type": timeseries.fano_burstiness_by_type,
     }
 
 
@@ -48,4 +51,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "iqr_outlier_report": oracles.iqr_outlier_report_sql(),
         "fd_histogram": oracles.fd_histogram_sql(),
         "ks_two_sample_drift": oracles.ks_two_sample_drift_sql(),
+        "acf_daily_counts": oracles.acf_daily_counts_sql(),
+        "stl_decompose_daily": oracles.stl_decompose_daily_sql(),
+        "fano_burstiness_by_type": oracles.fano_burstiness_by_type_sql(),
     }
