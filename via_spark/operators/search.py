@@ -250,3 +250,83 @@ def chunk_bm25_topk(
             (F.col("score_fix").cast("double") / F.lit(SCORE_FIX)).alias("score"),
         )
     )
+
+
+# --- round-10 staged additions (registered through via_spark.staging) ---
+
+OVERLAP_CUTS = (5, 10, 20, 50)
+
+
+def ranker_overlap_report(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: Sequence[str] = DEFAULT_TERMS,
+    query_id: int = 0,
+    cut_n: int = 1000,
+) -> DataFrame:
+    """Retriever-complementarity diagnostic: for the pinned hybrid query
+    (BM25 terms + dense query vector, the hybrid_rrf pairing), the
+    top-k set overlap between the sparse and dense rankings at k = 5,
+    10, 20, 50 — low overlap is the empirical justification for fusion
+    (the two retrievers surface different documents), high overlap means
+    one ranker suffices. The set-level companion to hybrid_rrf, which
+    fuses the rankings this report compares.
+
+    Exactness: ranks are exact within the global top-``cut_n`` cuts
+    (TakeOrderedAndProject heaps, same contract as hybrid_rrf);
+    ``jaccard_micro = inter·1e6 div (2k − inter)`` is pure BIGINT.
+
+    Scale posture: identical to hybrid_rrf — the scored candidate frame
+    is computed once (persist), each cut is a top-N heap, and the
+    overlap agg runs on ≤ 2·cut_n rows crossed with 4 cut levels.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_emb"),
+        dot_fix(F.col("embedding"), F.col("embedding")).alias("nb_fix"),
+    )
+    cand = (
+        bm25_scored(docs, terms)
+        .join(emb, F.col("doc_id") == F.col("vec_id"))
+        .crossJoin(F.broadcast(q))
+        .withColumn("d_fix", dot_fix(F.col("embedding"), F.col("q_emb")))
+        .withColumn("na_fix", dot_fix(F.col("embedding"), F.col("embedding")))
+        .withColumn(
+            "dense_score",
+            cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")),
+        )
+        .select("doc_id", "score_fix", "dense_score")
+        .persist()
+    )
+
+    def cut(order: list, out: str) -> DataFrame:
+        w = Window.orderBy(*order)
+        return (
+            cand.orderBy(*order)
+            .limit(cut_n)
+            .withColumn(out, F.row_number().over(w).cast("long"))
+            .select("doc_id", out)
+        )
+
+    dense = cut([F.col("dense_score").desc(), F.col("doc_id").asc()], "rank_dense")
+    sparse = cut([F.col("score_fix").desc(), F.col("doc_id").asc()], "rank_sparse")
+    ranks = dense.join(sparse, "doc_id", "full_outer")
+    cuts = F.explode(
+        F.array(*[F.lit(c).cast("long") for c in OVERLAP_CUTS])
+    ).alias("k")
+    return (
+        ranks.select("rank_dense", "rank_sparse", cuts)
+        .groupBy("k")
+        .agg(
+            F.sum(
+                ((F.col("rank_dense") <= F.col("k")) & (F.col("rank_sparse") <= F.col("k")))
+                .cast("long")
+            ).alias("n_common")
+        )
+        .select(
+            "k",
+            "n_common",
+            F.expr("n_common * 1000000L div (2 * k - n_common)").alias("jaccard_micro"),
+        )
+    )

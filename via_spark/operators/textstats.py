@@ -1078,3 +1078,59 @@ def bigram_lm_over(d: DataFrame) -> DataFrame:
         "surprisal_bits",
         F.expr("surprisal_bits * 1000000L div n_bigrams").alias("mean_bits_fix"),
     )
+
+
+# --- round-10 staged additions (registered through via_spark.staging) ---
+
+
+def spearman_length_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Spearman rank correlation between document length
+    (n_chars) and vocabulary size (distinct pinned tokens) — the
+    monotone-association audit behind 'does this feed's length signal
+    proxy for lexical richness, or are its long documents boilerplate?'
+    A boilerplate-heavy source shows low rho (long docs, few distinct
+    tokens); natural text shows high rho (Herdan's law).
+
+    Exactness: ranks are row_number over the PINNED total order
+    (metric, then doc_id) — the deterministic tie-broken variant, not
+    tie-averaged (averaged ties need n+1/2 rationals; the tiebreak keeps
+    every rank an integer and is pinned in both engines). Then
+    ``rho_micro = (n(n²−1) − 6·Σd²)·1e6 div (n(n²−1))`` — one signed
+    truncating division of exact BIGINTs. Sources with n < 2 report
+    NULL (no variance to correlate).
+
+    Scale posture: one documents scan computes both metrics per row
+    (token set is a per-row codegen expression, never shuffled); the
+    two rankings are windows over the SAME source partitioning (one
+    exchange, two sorts); the rollup is a per-source hash agg. BIGINT
+    bound: n³ ≤ 9e18 → 2.6e6 docs per source; beyond that, rank on the
+    stratified-sample tier.
+    """
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars"),
+            F.size(F.array_distinct(tokens(F.col("text")))).cast("long").alias("n_vocab"),
+        )
+    )
+    w_len = Window.partitionBy("source").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    w_voc = Window.partitionBy("source").orderBy(F.col("n_vocab").asc(), F.col("doc_id").asc())
+    ranked = d.select(
+        "source",
+        (F.row_number().over(w_len).cast("long") - F.row_number().over(w_voc).cast("long")).alias("d_rank"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("d_rank") * F.col("d_rank")).alias("sum_d2"),
+        F.expr(
+            "if(count(1) >= 2,"
+            " (count(1) * (count(1) * count(1) - 1)"
+            "  - 6 * sum(d_rank * d_rank)) * 1000000L"
+            " div (count(1) * (count(1) * count(1) - 1)),"
+            " cast(null as long))"
+        ).alias("rho_micro"),
+    )

@@ -895,3 +895,85 @@ def semdedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.semdedup_labels(
         spark, sf_dir, SEMDEDUP_K, SEMDEDUP_ITERS, SEMDEDUP_TAU
     )
+
+
+# --- round-10 staged additions (registered through via_spark.staging) ---
+
+# 1/log2(i+1) in 1e-6 micro units for ranks 1..10 — the nDCG discount
+# table as PINNED integers (no transcendental log at query time; the
+# whole-bit-surprisal doctrine applied to ranking metrics), and its
+# prefix sums (the ideal-DCG ladder for 1..10 relevant documents).
+NDCG_DISC_MICRO = (
+    1_000_000, 630_930, 500_000, 430_677, 386_853,
+    356_207, 333_333, 315_465, 301_030, 289_065,
+)
+NDCG_IDCG_MICRO = (
+    1_000_000, 1_630_930, 2_130_930, 2_561_607, 2_948_460,
+    3_304_667, 3_638_000, 3_953_465, 4_254_495, 4_543_560,
+)
+
+
+def retrieval_ndcg_report(
+    spark: SparkSession, sf_dir: str, n_queries: int = 16, k: int = 10
+) -> DataFrame:
+    """Retrieval eval #3: nDCG@10 per query over the batched exact kNN
+    (binary relevance = same-label neighbor), with the corpus mean
+    attached — the position-weighted ranking metric that MRR (first hit
+    only) and precision@k (set only) both miss: a ranker returning all
+    relevant docs at ranks 6-10 and one at ranks 1-5 have equal
+    precision and similar MRR, but very different nDCG.
+
+    Exactness: DCG is a BIGINT sum of pinned integer discounts; the
+    ideal DCG is ``NDCG_IDCG_MICRO[min(k, n_rel)]`` where n_rel counts
+    the query's same-label corpus neighbors (self excluded); the single
+    truncating division yields ``ndcg_micro``, and the mean over
+    scoreable queries (n_rel > 0) is a second integer division.
+
+    Scale posture: rides knn_batch_topk (broadcast query block, one
+    corpus pass, WindowGroupLimit); label counts are one |labels|-row
+    agg broadcast back; everything after is n_queries-sized.
+    """
+    if k != len(NDCG_DISC_MICRO):
+        raise ValueError("discount table pins k = 10; extend NDCG_DISC_MICRO first")
+    e = load_table(spark, sf_dir, "embeddings")
+    topk = knn_batch_topk(spark, sf_dir, n_queries, k)
+    q_labels = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("query_label")
+    )
+    label_counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    disc = F.element_at(
+        F.array(*[F.lit(x).cast("long") for x in NDCG_DISC_MICRO]), F.col("rank")
+    )
+    dcg = (
+        topk.join(F.broadcast(q_labels), "query_id")
+        .groupBy("query_id", "query_label")
+        .agg(
+            F.sum(
+                F.when(F.col("label") == F.col("query_label"), disc).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("dcg_micro")
+        )
+    )
+    idcg_arr = F.array(*[F.lit(x).cast("long") for x in NDCG_IDCG_MICRO])
+    per = (
+        dcg.join(
+            F.broadcast(label_counts), dcg.query_label == label_counts.label
+        )
+        .withColumn("n_rel", F.least(F.lit(k).cast("long"), F.col("n_label") - 1))
+        .withColumn(
+            "idcg_micro",
+            F.when(
+                F.col("n_rel") > 0,
+                F.element_at(idcg_arr, F.col("n_rel").cast("int")),
+            ),
+        )
+        .withColumn("ndcg_micro", F.expr("dcg_micro * 1000000L div idcg_micro"))
+        .select(
+            "query_id", "query_label", "n_rel", "dcg_micro", "idcg_micro", "ndcg_micro"
+        )
+    )
+    mean = per.agg(
+        F.expr("sum(ndcg_micro) div count(ndcg_micro)").alias("mean_ndcg_micro")
+    )
+    return per.crossJoin(F.broadcast(mean))

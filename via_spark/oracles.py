@@ -6684,3 +6684,130 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
 FROM dense
 GROUP BY 1
 """
+
+
+def retrieval_ndcg_report_sql(n_queries: int = 16, k: int = 10) -> str:
+    from via_spark.operators.vector import NDCG_DISC_MICRO, NDCG_IDCG_MICRO
+
+    disc_rows = ", ".join(
+        f"({i + 1}, {v})" for i, v in enumerate(NDCG_DISC_MICRO)
+    )
+    idcg_rows = ", ".join(
+        f"({i + 1}, {v})" for i, v in enumerate(NDCG_IDCG_MICRO)
+    )
+    return f"""
+WITH topk AS (SELECT * FROM ({knn_batch_topk_sql(n_queries, k)}) t),
+ql AS (
+    SELECT vec_id AS query_id, label AS query_label
+    FROM embeddings WHERE vec_id < {n_queries}
+),
+lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM embeddings GROUP BY 1),
+disc(rank, d_micro) AS (VALUES {disc_rows}),
+idcg(n_rel, idcg_micro) AS (VALUES {idcg_rows}),
+dcg AS (
+    SELECT t.query_id, q.query_label,
+           CAST(sum(CASE WHEN t.label = q.query_label THEN d.d_micro ELSE 0 END)
+                AS BIGINT) AS dcg_micro
+    FROM topk t JOIN ql q USING (query_id) JOIN disc d ON d.rank = t.rank
+    GROUP BY 1, 2
+),
+per AS (
+    SELECT dcg.query_id, dcg.query_label,
+           CAST(least({k}, lc.n_label - 1) AS BIGINT) AS n_rel,
+           dcg.dcg_micro,
+           CAST(i.idcg_micro AS BIGINT) AS idcg_micro
+    FROM dcg JOIN lc ON lc.label = dcg.query_label
+    LEFT JOIN idcg i ON i.n_rel = least({k}, lc.n_label - 1)
+),
+scored AS (
+    SELECT *, CAST(dcg_micro * 1000000 // idcg_micro AS BIGINT) AS ndcg_micro
+    FROM per
+),
+m AS (
+    SELECT CAST(sum(ndcg_micro) // count(ndcg_micro) AS BIGINT) AS mean_ndcg_micro
+    FROM scored
+)
+SELECT s.query_id, s.query_label, s.n_rel, s.dcg_micro, s.idcg_micro,
+       s.ndcg_micro, m.mean_ndcg_micro
+FROM scored s CROSS JOIN m
+"""
+
+
+def ranker_overlap_report_sql(
+    terms=("hash", "merge", "spark"), query_id: int = 0, cut_n: int = 1000
+) -> str:
+    """Mirrors search.ranker_overlap_report: hybrid_rrf's cut semantics,
+    then set overlap per cut level instead of fusion."""
+    return (
+        _bm25_scored_cte(terms)
+        + f"""
+, e AS (SELECT * FROM embeddings),
+q AS (SELECT embedding AS qe FROM e WHERE vec_id = {query_id}),
+hj AS (
+    SELECT s.doc_id, s.score_fix,
+           {_DOT9.format(a="e.embedding", b="q.qe")} AS d_fix,
+           {_DOT9.format(a="e.embedding", b="e.embedding")} AS na_fix,
+           {_DOT9.format(a="q.qe", b="q.qe")} AS nb_fix
+    FROM scored s JOIN e ON s.doc_id = e.vec_id, q
+),
+cand AS (
+    SELECT doc_id, score_fix,
+           {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} AS dense_score
+    FROM hj
+),
+dense_cut AS (
+    SELECT doc_id, row_number() OVER (ORDER BY dense_score DESC, doc_id ASC)
+           AS rank_dense
+    FROM cand ORDER BY dense_score DESC, doc_id ASC LIMIT {cut_n}
+),
+sparse_cut AS (
+    SELECT doc_id, row_number() OVER (ORDER BY score_fix DESC, doc_id ASC)
+           AS rank_sparse
+    FROM cand ORDER BY score_fix DESC, doc_id ASC LIMIT {cut_n}
+),
+ranks AS (
+    SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id, rank_dense, rank_sparse
+    FROM dense_cut d FULL OUTER JOIN sparse_cut s USING (doc_id)
+),
+cuts AS (SELECT unnest([5, 10, 20, 50]) AS k),
+per AS (
+    SELECT CAST(c.k AS BIGINT) AS k,
+           CAST(sum(CASE WHEN r.rank_dense <= c.k AND r.rank_sparse <= c.k
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+    FROM cuts c CROSS JOIN ranks r
+    GROUP BY 1
+)
+SELECT k, n_common,
+       CAST(n_common * 1000000 // (2 * k - n_common) AS BIGINT) AS jaccard_micro
+FROM per
+"""
+    )
+
+
+def spearman_length_vocab_sql() -> str:
+    return r"""
+WITH d AS (
+    SELECT doc_id, source, n_chars,
+           CAST(len(list_distinct(
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+           )) AS BIGINT) AS n_vocab
+    FROM documents
+),
+ranked AS (
+    SELECT source,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+                AS BIGINT)
+           - CAST(row_number() OVER (PARTITION BY source ORDER BY n_vocab, doc_id)
+                AS BIGINT) AS d_rank
+    FROM d
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d_rank * d_rank) AS BIGINT) AS sum_d2,
+       CAST(CASE WHEN count(*) >= 2 THEN
+            (count(*) * (count(*) * count(*) - 1) - 6 * sum(d_rank * d_rank))
+            * 1000000 // (count(*) * (count(*) * count(*) - 1))
+       END AS BIGINT) AS rho_micro
+FROM ranked
+GROUP BY 1
+"""

@@ -27,7 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from via_spark import oracles
-from via_spark.operators import stats, timeseries
+from via_spark.operators import search, stats, textstats, timeseries, vector
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -41,6 +41,9 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_daily_counts": timeseries.acf_daily_counts,
         "stl_decompose_daily": timeseries.stl_decompose_daily,
         "fano_burstiness_by_type": timeseries.fano_burstiness_by_type,
+        "retrieval_ndcg_report": vector.retrieval_ndcg_report,
+        "ranker_overlap_report": search.ranker_overlap_report,
+        "spearman_length_vocab": textstats.spearman_length_vocab,
     }
 
 
@@ -54,4 +57,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "acf_daily_counts": oracles.acf_daily_counts_sql(),
         "stl_decompose_daily": oracles.stl_decompose_daily_sql(),
         "fano_burstiness_by_type": oracles.fano_burstiness_by_type_sql(),
+        "retrieval_ndcg_report": oracles.retrieval_ndcg_report_sql(),
+        "ranker_overlap_report": oracles.ranker_overlap_report_sql(),
+        "spearman_length_vocab": oracles.spearman_length_vocab_sql(),
     }
