@@ -123,3 +123,66 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_event_id").alias("last_purchase_event"),
         F.col("asof_purchase_value").alias("last_purchase_value"),
     )
+
+
+# --- round-10 staged additions (registered through via_spark.staging) ---
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every PURCHASE event credits
+    the same user's latest at-or-before NON-purchase event, and purchase
+    value rolls up per touching event type — the conversion-credit
+    report every funnel analysis ends in. (asof_last_purchase runs the
+    same as-of shape the other way: events looking back at purchases.
+    The credit stays inside the events stream because the fixture's
+    TPC-H order dates predate its event era — a cross-table as-of would
+    be vacuously unattributed, the class of fixture blind spot the
+    verify doctrine screens for.)
+
+    Semantics pinned: inclusive as-of (a same-second touch attributes,
+    right-before-left tiebreak inside asof_join); purchases with no
+    prior touch land in the ``asof_event_type NULL`` group (reported,
+    not dropped — unattributed conversions are a real number people ask
+    for). Value is exact fixed-point; the share is a division-only
+    double of two exact BIGINTs (the daily_revenue_share doctrine —
+    correctly-rounded division of identical integers is bit-identical
+    cross-engine).
+
+    Scale posture: rides asof_join — one union + one per-user window
+    pass, no range join, no per-purchase scan of the event history; the
+    rollup is an |event_types|-row agg with a broadcast scalar attach.
+    """
+    from via_spark.operators.relational import fixed6
+    from via_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000000000").alias("sec"),
+        "event_type",
+        "event_id",
+        "value",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "sec", "event_id", fixed6(F.col("value")).alias("value_fix")
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "sec", "event_type", "event_id"
+    )
+    attributed = asof_join(
+        purchases.withColumnRenamed("event_id", "purchase_id"),
+        touches, key="user_id", ts="sec",
+        payload_cols=["event_type"], tiebreak="event_id",
+    )
+    per = attributed.groupBy("asof_event_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("value_fix").alias("value_fix"),
+    )
+    total = per.agg(F.sum("value_fix").alias("total_fix"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "asof_event_type",
+        "n_purchases",
+        "value_fix",
+        (
+            F.col("value_fix").cast("double") / F.col("total_fix").cast("double")
+        ).alias("value_share"),
+    )

@@ -992,3 +992,101 @@ def fd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+# Cumulative Poisson(1) CDF in 1e-6 micro units (Σ_{j≤k} e⁻¹/j! for
+# k = 0..7; mass above 7 is 1e-5 and maps to weight 8). PINNED integer
+# thresholds — the inverse-CDF table both engines share, so no engine
+# evaluates exp() at query time.
+POISSON1_CDF_MICRO = (
+    367_879, 735_759, 919_699, 981_012, 996_340, 999_406, 999_917, 999_990
+)
+BOOTSTRAP_REPS = 32
+
+
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the per-source mean
+    document token count — THE bootstrap that works on unbounded data:
+    instead of resampling n-of-n (which needs global coordination),
+    every row independently takes a Poisson(1) weight per replicate
+    (Chamandy et al., Google 2012), so the resample is a single
+    streaming pass and replicates merge associatively.
+
+    Determinism: the replicate weight is the pinned inverse-CDF lookup
+    on ``hash48(doc_id:rep) mod 1e6`` (the repo-wide sha256-prefix
+    idiom) against POISSON1_CDF_MICRO — no RNG state, identical in both
+    engines and under any partitioning. Replicate means are
+    ``Σ(w·x)·1e6 div Σw`` BIGINT divisions; the CI is the 2nd / 31st
+    ORDER STATISTIC of the 32 replicate means (≈ the central 94 %),
+    array-local per source. Replicates whose Σw = 0 (probability
+    e^(−n·source)) drop out; the ranks then read 2nd and (m−1)th.
+
+    Scale posture: one documents scan × 32 replicate explode → one
+    (source, rep) hash agg → |sources|·32 rows collapse array-locally.
+    At 100 TB the explode is the textbook Poisson-bootstrap plan: no
+    per-replicate shuffle of the corpus, weights computed inline.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens_of_text()).cast("long").alias("x"),
+    )
+    reps = F.explode(
+        F.array(*[F.lit(r) for r in range(1, BOOTSTRAP_REPS + 1)])
+    ).alias("rep")
+    cdf = F.array(*[F.lit(t).cast("long") for t in POISSON1_CDF_MICRO])
+    weighted = (
+        d.select("doc_id", "source", "x", reps)
+        .withColumn(
+            "u",
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("rep").cast("string")),
+                        256,
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(1_000_000),
+        )
+        .withColumn("w", F.size(F.filter(cdf, lambda t: F.col("u") >= t)).cast("long"))
+    )
+    rep_means = (
+        weighted.groupBy("source", "rep")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("wx"),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select("source", F.expr("wx * 1000000L div sw").alias("rep_mean_micro"))
+    )
+    ci = (
+        rep_means.groupBy("source")
+        .agg(F.array_sort(F.collect_list("rep_mean_micro")).alias("ms"))
+        .select(
+            "source",
+            F.expr("size(ms)").cast("long").alias("n_reps"),
+            F.expr("element_at(ms, 2)").alias("boot_lo_micro"),
+            F.expr("element_at(ms, cast(size(ms) - 1 as int))").alias("boot_hi_micro"),
+        )
+    )
+    point = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(x) * 1000000L div count(1)").alias("mean_micro"),
+    )
+    return point.join(F.broadcast(ci), "source").select(
+        "source", "n_docs", "mean_micro", "n_reps", "boot_lo_micro", "boot_hi_micro"
+    )
+
+
+def tokens_of_text():
+    """The pinned whitespace tokenizer applied to the ``text`` column —
+    thin local alias so stats.py doesn't re-import at module level (the
+    canonical definition is functions/text.tokens)."""
+    from via_spark.functions.text import tokens
+
+    return tokens(F.col("text"))

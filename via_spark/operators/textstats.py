@@ -1134,3 +1134,104 @@ def spearman_length_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(null as long))"
         ).alias("rho_micro"),
     )
+
+
+RAKE_TOP_K = 25
+
+
+def rake_keyphrases(spark: SparkSession, sf_dir: str, k: int = RAKE_TOP_K) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs
+    (gaps-and-islands on the pinned tokenizer + the pinned "en"
+    stopword set), each word scores ``degree/frequency`` (degree =
+    Σ length of phrases containing it), and a phrase scores the sum of
+    its word scores — the classic unsupervised keyword surface for
+    corpus labeling and topic triage.
+
+    Exactness: word scores are ``deg·1e6 div freq`` BIGINTs; phrase
+    scores are BIGINT sums over member occurrences; duplicate phrase
+    texts collapse (identical scores by construction — word scores are
+    corpus-global) with an occurrence count. Top-k by
+    (score desc, phrase asc) is a pinned total order.
+
+    Scale posture: one documents scan → posexplode → the island id is
+    one per-doc window (bounded partitions); phrase assembly and word
+    stats are hash aggs keyed by (doc, island) / token; the word-score
+    join is |vocab|-sized (Heaps-law small, broadcast); the final cut
+    is a TakeOrderedAndProject heap. Nothing is quadratic.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    ns = pos.where(~F.col("tok").isin(*STOPWORDS["en"]))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = ns.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    ph = isl.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, tok))), p -> p.tok)"),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    wsc = (
+        isl.join(ph.select("doc_id", "grp", "n_words"), ["doc_id", "grp"])
+        .groupBy("tok")
+        .agg(F.expr("sum(n_words) * 1000000L div count(1)").alias("wscore"))
+    )
+    psc = (
+        isl.join(F.broadcast(wsc), "tok")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("wscore").alias("score_micro"))
+    )
+    return (
+        ph.join(psc, ["doc_id", "grp"])
+        .groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.max("score_micro").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("phrase").asc())
+        .limit(k)
+        .select("phrase", "n_words", "n_occ", "score_micro")
+    )
+
+
+def gini_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of token mass across documents, per source —
+    the scalar inequality complement to revenue_concentration's decile
+    curve, applied to the training-data question 'is this feed's token
+    budget spread across documents or locked in a few giants?' (High
+    Gini sources are crawl-dump-shaped; low Gini sources are uniform.)
+
+    Exactness: with per-doc token counts sorted ascending and 1-based
+    ranks i, ``G = (2·Σ i·x_i − (n+1)·S) / (n·S)`` — numerator and
+    denominator exact BIGINTs, one truncating division to 1e-6. Rank
+    ties break on doc_id (the Σ i·x_i sum is tie-order invariant when
+    the x values are equal, so the tiebreak only pins determinism).
+
+    Scale posture: token counts are per-row codegen; one window sort
+    per source; one hash agg. Same BIGINT envelope as the Spearman op.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("x").asc(), F.col("doc_id").asc())
+    ranked = d.select("source", "x", F.row_number().over(w).cast("long").alias("i"))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("x").alias("total_tokens"),
+        F.expr(
+            "if(sum(x) > 0,"
+            " (2 * sum(i * x) - (count(1) + 1) * sum(x)) * 1000000L"
+            " div (count(1) * sum(x)),"
+            " cast(null as long))"
+        ).alias("gini_micro"),
+    )

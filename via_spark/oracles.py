@@ -6811,3 +6811,159 @@ SELECT source,
 FROM ranked
 GROUP BY 1
 """
+
+
+def rake_keyphrases_sql(k: int = 25) -> str:
+    from via_spark.operators.textstats import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return rf"""
+WITH dtok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, i AS pos, toks[i] AS tok
+    FROM dtok, unnest(range(1, len(toks) + 1)) AS t(i)
+),
+ns AS (SELECT * FROM pos WHERE tok NOT IN ({stop})),
+isl AS (
+    SELECT *, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM ns
+),
+ph AS (
+    SELECT doc_id, grp,
+           string_agg(tok, ' ' ORDER BY pos) AS phrase,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM isl GROUP BY 1, 2
+),
+wsc AS (
+    SELECT i.tok,
+           CAST(sum(p.n_words) * 1000000 // count(*) AS BIGINT) AS wscore
+    FROM isl i JOIN ph p USING (doc_id, grp)
+    GROUP BY 1
+),
+psc AS (
+    SELECT i.doc_id, i.grp, CAST(sum(w.wscore) AS BIGINT) AS score_micro
+    FROM isl i JOIN wsc w USING (tok)
+    GROUP BY 1, 2
+),
+agg AS (
+    SELECT ph.phrase,
+           CAST(max(ph.n_words) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(max(p.score_micro) AS BIGINT) AS score_micro
+    FROM ph JOIN psc p USING (doc_id, grp)
+    GROUP BY 1
+)
+SELECT phrase, n_words, n_occ, score_micro
+FROM agg ORDER BY score_micro DESC, phrase ASC LIMIT {k}
+"""
+
+
+def gini_token_concentration_sql() -> str:
+    return r"""
+WITH d AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS x
+    FROM documents
+),
+ranked AS (
+    SELECT source, x,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY x, doc_id)
+                AS BIGINT) AS i
+    FROM d
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(x) AS BIGINT) AS total_tokens,
+       CAST(CASE WHEN sum(x) > 0 THEN
+            (2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000
+            // (count(*) * sum(x))
+       END AS BIGINT) AS gini_micro
+FROM ranked
+GROUP BY 1
+"""
+
+
+def poisson_bootstrap_ci_sql() -> str:
+    from via_spark.operators.stats import BOOTSTRAP_REPS, POISSON1_CDF_MICRO
+
+    cdf = ", ".join(str(t) for t in POISSON1_CDF_MICRO)
+    return rf"""
+WITH d AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS x
+    FROM documents
+),
+reps AS (SELECT unnest(range(1, {BOOTSTRAP_REPS + 1})) AS rep),
+weighted AS (
+    SELECT d.source, d.x,
+           CAST(len(list_filter([{cdf}],
+                t -> ('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR) || ':'
+                                            || CAST(r.rep AS VARCHAR)), 1, 12)
+                     )::BIGINT % 1000000 >= t)) AS BIGINT) AS w,
+           r.rep
+    FROM d CROSS JOIN reps r
+),
+rep_means AS (
+    SELECT source, CAST(sum(w * x) * 1000000 // sum(w) AS BIGINT) AS rep_mean_micro
+    FROM weighted
+    GROUP BY source, rep
+    HAVING sum(w) > 0
+),
+ci AS (
+    SELECT source, list_sort(list(rep_mean_micro)) AS ms
+    FROM rep_means GROUP BY 1
+),
+point AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(x) * 1000000 // count(*) AS BIGINT) AS mean_micro
+    FROM d GROUP BY 1
+)
+SELECT p.source, p.n_docs, p.mean_micro,
+       CAST(len(c.ms) AS BIGINT) AS n_reps,
+       CAST(c.ms[2] AS BIGINT) AS boot_lo_micro,
+       CAST(c.ms[len(c.ms) - 1] AS BIGINT) AS boot_hi_micro
+FROM point p JOIN ci c USING (source)
+"""
+
+
+def attribution_last_touch_sql() -> str:
+    return """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_type, event_id,
+           CAST(floor(value * 1000000) AS BIGINT) AS value_fix
+    FROM events
+),
+purchases AS (SELECT user_id, sec, event_id AS purchase_id, value_fix
+              FROM ev WHERE event_type = 'purchase'),
+touches AS (SELECT user_id, sec, event_type, event_id
+            FROM ev WHERE event_type <> 'purchase'),
+pairs AS (
+    SELECT p.purchase_id, t.event_type,
+           row_number() OVER (PARTITION BY p.purchase_id
+                              ORDER BY t.sec DESC, t.event_id DESC) AS rn
+    FROM purchases p JOIN touches t
+      ON t.user_id = p.user_id AND t.sec <= p.sec
+),
+att AS (
+    SELECT p.purchase_id, p.value_fix, x.event_type AS asof_event_type
+    FROM purchases p
+    LEFT JOIN (SELECT * FROM pairs WHERE rn = 1) x USING (purchase_id)
+),
+per AS (
+    SELECT asof_event_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(value_fix) AS BIGINT) AS value_fix
+    FROM att GROUP BY 1
+),
+tot AS (SELECT CAST(sum(value_fix) AS BIGINT) AS total_fix FROM per)
+SELECT per.asof_event_type, per.n_purchases, per.value_fix,
+       CAST(per.value_fix AS DOUBLE) / CAST(tot.total_fix AS DOUBLE)
+           AS value_share
+FROM per CROSS JOIN tot
+"""

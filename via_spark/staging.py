@@ -27,7 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from via_spark import oracles
-from via_spark.operators import search, stats, textstats, timeseries, vector
+from via_spark.operators import asof, search, stats, textstats, timeseries, vector
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -44,6 +44,10 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_ndcg_report": vector.retrieval_ndcg_report,
         "ranker_overlap_report": search.ranker_overlap_report,
         "spearman_length_vocab": textstats.spearman_length_vocab,
+        "rake_keyphrases": textstats.rake_keyphrases,
+        "gini_token_concentration": textstats.gini_token_concentration,
+        "poisson_bootstrap_ci": stats.poisson_bootstrap_ci,
+        "attribution_last_touch": asof.attribution_last_touch,
     }
 
 
@@ -60,4 +64,8 @@ def staged_oracle_sql() -> dict[str, str]:
         "retrieval_ndcg_report": oracles.retrieval_ndcg_report_sql(),
         "ranker_overlap_report": oracles.ranker_overlap_report_sql(),
         "spearman_length_vocab": oracles.spearman_length_vocab_sql(),
+        "rake_keyphrases": oracles.rake_keyphrases_sql(),
+        "gini_token_concentration": oracles.gini_token_concentration_sql(),
+        "poisson_bootstrap_ci": oracles.poisson_bootstrap_ci_sql(),
+        "attribution_last_touch": oracles.attribution_last_touch_sql(),
     }
