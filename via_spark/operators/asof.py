@@ -152,28 +152,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, no range join, no per-purchase scan of the event history; the
     rollup is an |event_types|-row agg with a broadcast scalar attach.
     """
-    from via_spark.operators.relational import fixed6
-    from via_spark.session import load_table
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.expr("ts div 1000000000").alias("sec"),
-        "event_type",
-        "event_id",
-        "value",
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "sec", "event_id", fixed6(F.col("value")).alias("value_fix")
-    )
-    touches = ev.where(F.col("event_type") != "purchase").select(
-        "user_id", "sec", "event_type", "event_id"
-    )
-    attributed = asof_join(
-        purchases.withColumnRenamed("event_id", "purchase_id"),
-        touches, key="user_id", ts="sec",
-        payload_cols=["event_type"], tiebreak="event_id",
-    )
-    per = attributed.groupBy("asof_event_type").agg(
+    per = attributed_purchases(spark, sf_dir).groupBy("asof_event_type").agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum("value_fix").alias("value_fix"),
     )
@@ -185,4 +164,84 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("value_fix").cast("double") / F.col("total_fix").cast("double")
         ).alias("value_share"),
+    )
+
+
+def attributed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared last-touch core: every purchase event with its latest
+    at-or-before non-purchase touch (type + touch second) attached via
+    asof_join — attribution_last_touch rolls it up by credited type,
+    conversion_lag_profile by touch-to-purchase latency."""
+    from via_spark.operators.relational import fixed6
+    from via_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000000000").alias("sec"),
+        "event_type",
+        "event_id",
+        "value",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "sec",
+        F.col("event_id").alias("purchase_id"),
+        fixed6(F.col("value")).alias("value_fix"),
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "sec", "event_type", "event_id"
+    )
+    return asof_join(
+        purchases, touches, key="user_id", ts="sec",
+        payload_cols=["event_type", "sec"], tiebreak="event_id",
+    )
+
+
+def conversion_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Touch-to-conversion latency per credited touch type: over the
+    last-touch attribution frame, the distribution of
+    ``purchase_sec − touch_sec`` — median and p95 as all-integer
+    DISCRETE rank thresholds (the ship_lag_profile idiom: smallest lag
+    whose cumulative count reaches 50 % / 95 %), plus the mean from
+    exact sums. The 'how stale can a touch be and still convert'
+    number that sets attribution windows.
+
+    Unattributed purchases (NULL touch) have no lag and are excluded
+    here by construction; attribution_last_touch reports their mass.
+
+    Scale posture: rides attributed_purchases (union + per-user
+    window); the profile is a per-(type, lag) hash agg, a window over
+    that agg's ≤ |types|·|lags| rows, and one final agg.
+    """
+    att = attributed_purchases(spark, sf_dir).where(
+        F.col("asof_event_type").isNotNull()
+    )
+    lags = att.select(
+        F.col("asof_event_type").alias("touch_type"),
+        (F.col("sec") - F.col("asof_sec")).alias("lag_sec"),
+    )
+    per = lags.groupBy("touch_type", "lag_sec").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("touch_type")
+        .orderBy("lag_sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("touch_type")
+    cum = per.select(
+        "touch_type",
+        "lag_sec",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wt).alias("n"),
+        F.sum(F.col("c") * F.col("lag_sec")).over(wt).alias("lag_sum"),
+    )
+    return cum.groupBy("touch_type").agg(
+        F.max("n").alias("n_conversions"),
+        F.min(
+            F.when(F.lit(100) * F.col("cum") >= F.lit(50) * F.col("n"), F.col("lag_sec"))
+        ).alias("p50_lag_sec"),
+        F.min(
+            F.when(F.lit(100) * F.col("cum") >= F.lit(95) * F.col("n"), F.col("lag_sec"))
+        ).alias("p95_lag_sec"),
+        F.expr("max(lag_sum) div max(n)").alias("mean_lag_sec"),
     )

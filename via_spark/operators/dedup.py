@@ -1418,3 +1418,75 @@ def incremental_span_pairs(
         .agg(F.max("span").cast("long").alias("longest_span_tokens"))
         .where(F.col("longest_span_tokens") >= min_span)
     )
+
+
+# --- round-10 staged additions (registered through via_spark.staging) ---
+
+DENSITY_TAU = 0.2      # neighbor similarity floor (looser than the 0.4 dup cut)
+DENSITY_MIN_PTS = 2    # neighbors below this => semantic outlier
+
+
+def lsh_density_outliers(
+    spark: SparkSession, sf_dir: str,
+    tau: float = DENSITY_TAU, min_pts: int = DENSITY_MIN_PTS,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Density-based semantic outlier labels over the embedding corpus
+    (the DBSCAN core-point test, LSH-bucketed): a vector is an OUTLIER
+    when fewer than ``min_pts`` other vectors sit within cosine ≥ τ of
+    it among its multi-probe sign-LSH candidates — the curation filter
+    that flags mislabeled/garbage embeddings no near-DUP threshold
+    catches (an outlier has no neighbors at ANY dup cut).
+
+    Candidates come from the SAME Hamming-``probe_radius`` bucket join
+    as neardup_embedding_pairs — never all-pairs — so the density is
+    computed over the LSH neighborhood, the deliberate scale semantics
+    (a vector's true neighbors outside every probed bucket are the
+    algorithm's known recall dial, measured by ann_recall_report). The
+    oracle implements the identical probed algorithm, so parity is
+    exact, not approximate.
+
+    Scale posture: one embeddings scan → probe explode (9 keys at
+    radius 1) → bucket equi-join → exact fixed-point verify → per-vec
+    hash agg joined back broadcast-from-agg. Candidate volume is
+    bucket-bounded, the neardup family's envelope.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding",
+        _sign_bucket(F.col("embedding")).alias("bucket"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        F.explode(probe_buckets(F.col("bucket"), radius=probe_radius)).alias("bucket"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    from via_spark.operators.vector import cosine_from_fix, dot_fix
+
+    counts = (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") != F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("d_fix", dot_fix(F.col("emb_a"), F.col("emb_b")))
+        .withColumn("na_fix", dot_fix(F.col("emb_a"), F.col("emb_a")))
+        .withColumn("nb_fix", dot_fix(F.col("emb_b"), F.col("emb_b")))
+        .where(
+            cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix"))
+            >= F.lit(tau)
+        )
+        .groupBy("vec_a")
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+    )
+    return (
+        e.join(counts, e.vec_id == counts.vec_a, "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce(F.col("n_neighbors"), F.lit(0).cast("long")).alias("n_neighbors"),
+            (
+                F.coalesce(F.col("n_neighbors"), F.lit(0).cast("long"))
+                < F.lit(min_pts)
+            ).alias("is_outlier"),
+        )
+    )

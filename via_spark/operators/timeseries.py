@@ -1551,3 +1551,78 @@ def fano_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (count(1) * sum(cnt))"
         ).alias("fano_micro"),
     )
+
+
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event prediction, evaluated honestly:
+    train transition counts on the FIRST time half, predict argmax
+    next-type per current type, score top-1 accuracy on the SECOND half
+    — the sequence-model baseline every session-prediction feature is
+    judged against (event_type_transition_matrix reports the full
+    matrix; this turns it into a measured capability with a temporal
+    holdout, the ks_two_sample_drift split idiom).
+
+    Determinism: transitions order by (sec, event_id) per user (the
+    sessionize total order); a transition belongs to the half its
+    TARGET event falls in; argmax ties break on type asc;
+    ``acc_micro = hits·1e6 div n_test``. Types never seen in training
+    predict NULL and score their misses (pinned: no silent drop).
+
+    Scale posture: one events scan → per-user LAG window (bounded
+    partitions) → two hash aggs over |types|²-sized frames; the model
+    (≤ |types|² rows) broadcasts back onto the test rollup.
+    """
+    base = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000000000").alias("sec")
+    )
+    bounds = base.agg(F.expr("(min(sec) + max(sec) + 1) div 2").alias("split_sec"))
+    w = Window.partitionBy("user_id").orderBy(F.col("sec").asc(), F.col("event_id").asc())
+    trans = (
+        base.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "prev_type",
+            F.col("event_type").alias("next_type"),
+            (F.col("sec") < F.col("split_sec")).alias("is_train"),
+        )
+    )
+    model = (
+        trans.where(F.col("is_train"))
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("prev_type").orderBy(
+                    F.col("c").desc(), F.col("next_type").asc()
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted_type"))
+    )
+    test = trans.where(~F.col("is_train"))
+    return (
+        test.join(F.broadcast(model), "prev_type", "left")
+        .groupBy("prev_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.max("predicted_type").alias("predicted_type"),
+            F.sum(
+                # NULL prediction (type unseen in training) scores a
+                # miss, not a NULL — coalesce BEFORE the sum
+                F.coalesce(
+                    (F.col("next_type") == F.col("predicted_type")).cast("long"),
+                    F.lit(0).cast("long"),
+                )
+            ).alias("n_hits"),
+        )
+        .select(
+            "prev_type",
+            "n_test",
+            "predicted_type",
+            "n_hits",
+            F.expr("n_hits * 1000000L div n_test").alias("acc_micro"),
+        )
+    )

@@ -977,3 +977,59 @@ def retrieval_ndcg_report(
         F.expr("sum(ndcg_micro) div count(ndcg_micro)").alias("mean_ndcg_micro")
     )
     return per.crossJoin(F.broadcast(mean))
+
+
+def quantization_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured INT8 quantization error per label: relative L2
+    reconstruction error of the round trip through quantized_vec (the
+    same symmetric per-vector scale ann_quantized_topk ranks with) —
+    the 'is 4× compression costing me recall' number, reported beside
+    the ranking-level checks (ann_recall_report) so the error is
+    attributable to quantization rather than inferred from rank churn.
+
+    Determinism: reconstruction is ``q / s`` with the SAME
+    ``s = 127/max|x|`` double both engines derive, every residual
+    product floored to 1e-9 fixed point before summation (dot_fix
+    discipline — order-independent exact BIGINT sums), and
+    ``relerr_micro = err_fix·1e6 div norm_fix`` one truncating
+    division. Zero vectors (s undefined) report NULL and are excluded
+    from the means.
+
+    Scale posture: pure per-row array arithmetic over one embeddings
+    scan + one |labels|-row hash agg. At 100 TB this runs as the
+    validation pass of the quantized-index build it audits.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    s = F.lit(127.0) / F.col("maxabs")
+    scales = F.array_repeat(s, F.size(F.col("embedding")))
+    resid = F.zip_with(
+        F.col("embedding"),
+        F.zip_with(
+            F.col("embedding"), scales,
+            lambda x, sv: F.floor(x.cast("double") * sv).cast("double") / sv,
+        ),
+        lambda x, xhat: x.cast("double") - xhat,
+    )
+    per = (
+        e.withColumn("maxabs", maxabs)
+        .withColumn("norm_fix", dot_fix(F.col("embedding"), F.col("embedding")))
+        .withColumn(
+            "err_fix",
+            F.when(F.col("maxabs") > 0, dot_fix(resid, resid)),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                "if(norm_fix > 0 and err_fix is not null,"
+                " err_fix * 1000000L div norm_fix, cast(null as long))"
+            ).alias("relerr_micro"),
+        )
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count("relerr_micro").alias("n_scored"),
+        F.expr("sum(relerr_micro) div count(relerr_micro)").alias("mean_relerr_micro"),
+        F.max("relerr_micro").alias("max_relerr_micro"),
+    )

@@ -6967,3 +6967,191 @@ SELECT per.asof_event_type, per.n_purchases, per.value_fix,
            AS value_share
 FROM per CROSS JOIN tot
 """
+
+
+def markov_next_event_accuracy_sql() -> str:
+    return """
+WITH base AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) // 1000000 AS sec
+    FROM events
+),
+bounds AS (SELECT (min(sec) + max(sec) + 1) // 2 AS split_sec FROM base),
+trans AS (
+    SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+               AS prev_type,
+           event_type AS next_type,
+           sec < b.split_sec AS is_train
+    FROM base CROSS JOIN bounds b
+),
+t2 AS (SELECT * FROM trans WHERE prev_type IS NOT NULL),
+model AS (
+    SELECT prev_type, next_type AS predicted_type
+    FROM (
+        SELECT prev_type, next_type,
+               row_number() OVER (PARTITION BY prev_type
+                                  ORDER BY count(*) DESC, next_type ASC) AS rn
+        FROM t2 WHERE is_train GROUP BY prev_type, next_type
+    ) WHERE rn = 1
+),
+test AS (SELECT * FROM t2 WHERE NOT is_train)
+SELECT t.prev_type,
+       CAST(count(*) AS BIGINT) AS n_test,
+       max(m.predicted_type) AS predicted_type,
+       CAST(sum(CASE WHEN t.next_type = m.predicted_type THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN t.next_type = m.predicted_type THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS acc_micro
+FROM test t LEFT JOIN model m USING (prev_type)
+GROUP BY 1
+"""
+
+
+# Last-touch attribution core (purchase -> latest prior non-purchase
+# touch) — shared by attribution_last_touch_sql / conversion_lag_profile_sql.
+_ATTRIBUTED_CTE = """
+ev AS (
+    SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_type, event_id,
+           CAST(floor(value * 1000000) AS BIGINT) AS value_fix
+    FROM events
+),
+purchases AS (SELECT user_id, sec, event_id AS purchase_id, value_fix
+              FROM ev WHERE event_type = 'purchase'),
+touches AS (SELECT user_id, sec, event_type, event_id
+            FROM ev WHERE event_type <> 'purchase'),
+apairs AS (
+    SELECT p.purchase_id, t.event_type, t.sec AS touch_sec,
+           row_number() OVER (PARTITION BY p.purchase_id
+                              ORDER BY t.sec DESC, t.event_id DESC) AS rn
+    FROM purchases p JOIN touches t
+      ON t.user_id = p.user_id AND t.sec <= p.sec
+),
+att AS (
+    SELECT p.purchase_id, p.sec, p.value_fix,
+           x.event_type AS asof_event_type, x.touch_sec
+    FROM purchases p
+    LEFT JOIN (SELECT * FROM apairs WHERE rn = 1) x USING (purchase_id)
+)
+"""
+
+
+def conversion_lag_profile_sql() -> str:
+    return f"""
+WITH {_ATTRIBUTED_CTE},
+lags AS (
+    SELECT asof_event_type AS touch_type, sec - touch_sec AS lag_sec
+    FROM att WHERE asof_event_type IS NOT NULL
+),
+per AS (
+    SELECT touch_type, lag_sec, CAST(count(*) AS BIGINT) AS c
+    FROM lags GROUP BY 1, 2
+),
+cum AS (
+    SELECT touch_type, lag_sec,
+           sum(c) OVER (PARTITION BY touch_type ORDER BY lag_sec
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY touch_type) AS n,
+           sum(c * lag_sec) OVER (PARTITION BY touch_type) AS lag_sum
+    FROM per
+)
+SELECT touch_type,
+       CAST(max(n) AS BIGINT) AS n_conversions,
+       min(CASE WHEN 100 * cum >= 50 * n THEN lag_sec END) AS p50_lag_sec,
+       min(CASE WHEN 100 * cum >= 95 * n THEN lag_sec END) AS p95_lag_sec,
+       CAST(max(lag_sum) // max(n) AS BIGINT) AS mean_lag_sec
+FROM cum
+GROUP BY 1
+"""
+
+
+def quantization_error_report_sql() -> str:
+    dot_pair = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "s -> CAST(floor(CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)*1000000000.0)"
+        " AS BIGINT)))"
+    )
+    return f"""
+WITH e AS (
+    SELECT vec_id, label, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS maxabs
+    FROM embeddings
+),
+r AS (
+    SELECT vec_id, label, embedding, maxabs,
+           CASE WHEN maxabs > 0 THEN
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE)
+                        - floor(CAST(x AS DOUBLE) * (127.0 / maxabs))
+                          / (127.0 / maxabs))
+           END AS resid
+    FROM e
+),
+per AS (
+    SELECT vec_id, label,
+           CAST({dot_pair.format(a="embedding", b="embedding")} AS BIGINT)
+               AS norm_fix,
+           CAST(CASE WHEN maxabs > 0
+                THEN {dot_pair.format(a="resid", b="resid")} END AS BIGINT)
+               AS err_fix
+    FROM r
+),
+scored AS (
+    SELECT label,
+           CASE WHEN norm_fix > 0 AND err_fix IS NOT NULL
+                THEN CAST(err_fix * 1000000 // norm_fix AS BIGINT)
+           END AS relerr_micro
+    FROM per
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(relerr_micro) AS BIGINT) AS n_scored,
+       CAST(sum(relerr_micro) // count(relerr_micro) AS BIGINT)
+           AS mean_relerr_micro,
+       CAST(max(relerr_micro) AS BIGINT) AS max_relerr_micro
+FROM scored
+GROUP BY 1
+"""
+
+
+def lsh_density_outliers_sql(
+    tau: float = 0.2, min_pts: int = 2, bits: int = 8, radius: int = 1
+) -> str:
+    """Mirrors dedup.lsh_density_outliers — the neardup probe join with
+    vec_a <> vec_b (both directions), per-vec verified-neighbor counts."""
+    probes = ["bucket"] + [_flip_bit_sql("bucket", i) for i in range(bits)]
+    if radius >= 2:
+        probes += [
+            _flip_bit_sql(f"({_flip_bit_sql('bucket', i)})", j)
+            for i in range(bits)
+            for j in range(i + 1, bits)
+        ]
+    probe_list = ", ".join(probes)
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding, {_SIGN_BUCKET} AS bucket FROM embeddings),
+ap AS (
+    SELECT vec_id AS vec_a, embedding AS emb_a,
+           unnest([{probe_list}]) AS bucket
+    FROM e
+),
+cand AS (
+    SELECT DISTINCT ap.vec_a, ap.emb_a, b.vec_id AS vec_b, b.embedding AS emb_b
+    FROM ap JOIN e b ON ap.bucket = b.bucket AND ap.vec_a <> b.vec_id
+),
+scored AS (
+    SELECT vec_a, vec_b,
+           {_DOT9_PAIR.format(a="emb_a", b="emb_b")} AS d_fix,
+           {_DOT9_PAIR.format(a="emb_a", b="emb_a")} AS na_fix,
+           {_DOT9_PAIR.format(a="emb_b", b="emb_b")} AS nb_fix
+    FROM cand
+),
+counts AS (
+    SELECT vec_a, CAST(count(*) AS BIGINT) AS n_neighbors
+    FROM scored
+    WHERE {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} >= {tau!r}
+    GROUP BY 1
+)
+SELECT e.vec_id, e.label,
+       CAST(COALESCE(c.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+       COALESCE(c.n_neighbors, 0) < {min_pts} AS is_outlier
+FROM e LEFT JOIN counts c ON c.vec_a = e.vec_id
+"""

@@ -27,7 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from via_spark import oracles
-from via_spark.operators import asof, search, stats, textstats, timeseries, vector
+from via_spark.operators import asof, dedup, search, stats, textstats, timeseries, vector
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -48,6 +48,10 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_token_concentration": textstats.gini_token_concentration,
         "poisson_bootstrap_ci": stats.poisson_bootstrap_ci,
         "attribution_last_touch": asof.attribution_last_touch,
+        "conversion_lag_profile": asof.conversion_lag_profile,
+        "markov_next_event_accuracy": timeseries.markov_next_event_accuracy,
+        "quantization_error_report": vector.quantization_error_report,
+        "lsh_density_outliers": dedup.lsh_density_outliers,
     }
 
 
@@ -68,4 +72,8 @@ def staged_oracle_sql() -> dict[str, str]:
         "gini_token_concentration": oracles.gini_token_concentration_sql(),
         "poisson_bootstrap_ci": oracles.poisson_bootstrap_ci_sql(),
         "attribution_last_touch": oracles.attribution_last_touch_sql(),
+        "conversion_lag_profile": oracles.conversion_lag_profile_sql(),
+        "markov_next_event_accuracy": oracles.markov_next_event_accuracy_sql(),
+        "quantization_error_report": oracles.quantization_error_report_sql(),
+        "lsh_density_outliers": oracles.lsh_density_outliers_sql(),
     }
