@@ -60,3 +60,145 @@ def test_quartiles_over_matches_python_model(spark):
         q1 = s[max(1, (n + 1) // 4) - 1]
         q3 = s[min(n, 3 * (n + 1) // 4) - 1]
         assert got[k] == (n, q1, q3), k
+
+
+def _dense_df(spark, rows):
+    return spark.createDataFrame(rows, "event_type string, day long, cnt long")
+
+
+def test_acf_over_matches_python_model(spark):
+    """ACF at lags 1..7 vs a pure-Python integer model, including a
+    constant series (NULL) and a short series (rows only for n > lag)."""
+    series = {
+        "a": [3, 1, 4, 1, 5, 9, 2, 6, 5, 3],
+        "b": [7, 7, 7, 7, 7, 7, 7, 7],        # constant -> den = 0 -> NULL
+        "c": [1, 2, 3],                        # only lags 1..2 emit rows
+    }
+    rows = [
+        (k, d, v) for k, xs in series.items() for d, v in enumerate(xs)
+    ]
+    from via_spark.operators.timeseries import acf_over
+
+    got = {
+        (r["event_type"], r["lag"]): (r["n_days"], r["acf_micro"])
+        for r in acf_over(_dense_df(spark, rows)).collect()
+    }
+    expected_keys = set()
+    for k, xs in series.items():
+        n, s = len(xs), sum(xs)
+        cen = [n * x - s for x in xs]
+        den = sum(c * c for c in cen)
+        for lag in range(1, 8):
+            if n <= lag:
+                continue
+            expected_keys.add((k, lag))
+            num = sum(cen[i] * cen[i + lag] for i in range(n - lag))
+            want = None if den == 0 else _trunc_div(num * 1_000_000, den)
+            assert got[(k, lag)] == (n, want), (k, lag)
+    assert set(got.keys()) == expected_keys
+
+
+def _trunc_div(a, b):
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_stl_over_matches_python_model(spark):
+    """STL components vs a pure-Python model on a 3-week series with a
+    planted weekly pattern + linear trend."""
+    xs = [10 + t + (5 if t % 7 == 0 else 0) for t in range(21)]
+    rows = [("a", d, v) for d, v in enumerate(xs)]
+    from via_spark.operators.timeseries import stl_over
+
+    got = {r["day"]: r for r in stl_over(_dense_df(spark, rows)).collect()}
+    n = len(xs)
+    trend = {
+        d: _trunc_div(sum(xs[d - 3:d + 4]) * 1_000_000, 7)
+        for d in range(3, n - 3)
+    }
+    detr = {d: xs[d] * 1_000_000 - trend[d] for d in trend}
+    seas = {}
+    for dow in range(7):
+        vals = [v for d, v in detr.items() if (d + 4) % 7 == dow]
+        seas[dow] = _trunc_div(sum(vals), len(vals))
+    for d in range(n):
+        r = got[d]
+        dow = (d + 4) % 7
+        assert r["dow"] == dow and r["cnt"] == xs[d]
+        assert r["trend_micro"] == trend.get(d)
+        assert r["seasonal_micro"] == seas[dow]
+        want_resid = (
+            None if d not in trend else xs[d] * 1_000_000 - trend[d] - seas[dow]
+        )
+        assert r["resid_micro"] == want_resid, d
+    # the planted dow-0 spike must dominate the seasonal component
+    assert seas[(0 + 4) % 7] == max(seas.values())
+
+
+def test_gini_over_matches_python_model(spark):
+    rows = [
+        ("equal", i, 10) for i in range(4)
+    ] + [("skewed", i, v) for i, v in enumerate([0, 0, 0, 100])] + [
+        ("empty", 0, 0)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, x long")
+    from via_spark.operators.textstats import gini_over
+
+    got = {r["source"]: r for r in gini_over(df).collect()}
+    assert got["equal"]["gini_micro"] == 0          # perfect equality
+    # skewed: sorted [0,0,0,100], G = (2*400 - 5*100)/(4*100) = 0.75
+    assert got["skewed"]["gini_micro"] == 750_000
+    assert got["empty"]["gini_micro"] is None        # no mass, no Gini
+
+
+def test_rake_over_plants(spark):
+    """Planted RAKE semantics: stopwords split islands; a co-occurring
+    pair outranks a lone word (degree beats frequency)."""
+    docs = [
+        (0, "red fox and red fox"),          # "red fox" twice (split by 'and')
+        (1, "red fox"),
+        (2, "the lonely the lonely the lonely"),  # "lonely" x3, always alone
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from via_spark.operators.textstats import rake_over
+
+    rows = {r["phrase"]: r for r in rake_over(df, k=10).collect()}
+    # islands: 'and'/'the' never appear inside a phrase
+    assert all(" and " not in p and p not in ("and", "the") for p in rows)
+    # red: deg = 2*3 (three 2-word phrases) ... freq 3 -> wscore 2e6
+    # fox: same -> "red fox" score 4e6; "lonely": deg 3*1, freq 3 -> 1e6
+    assert rows["red fox"]["score_micro"] == 4_000_000
+    assert rows["red fox"]["n_occ"] == 3 and rows["red fox"]["n_words"] == 2
+    assert rows["lonely"]["score_micro"] == 1_000_000
+    assert rows["lonely"]["n_occ"] == 3
+
+
+def test_markov_over_planted_sequences(spark):
+    """Planted holdout: train half teaches a->b; test half presents a->b
+    (hit) and a->c (miss); type seen only in test predicts NULL and
+    scores misses."""
+    # sec 0..9 train (split at 10), 10..19 test
+    seq = []
+    eid = 0
+    # user 1 train: a b a b a b  (transitions a->b x3, b->a x2)
+    for t, ty in enumerate(["a", "b", "a", "b", "a", "b"]):
+        seq.append((1, eid, ty, t)); eid += 1
+    # user 1 test: a b a c  (a->b hit, b->a ..., a->c miss)
+    for t, ty in enumerate(["a", "b", "a", "c"]):
+        seq.append((1, eid, ty, 14 + t)); eid += 1
+    # user 2 test-only: z a z a (z unseen in training -> NULL prediction)
+    for t, ty in enumerate(["z", "a", "z", "a"]):
+        seq.append((2, eid, ty, 14 + t)); eid += 1
+    df = spark.createDataFrame(seq, "user_id long, event_id long, event_type string, sec long")
+    from via_spark.operators.timeseries import markov_over
+
+    got = {r["prev_type"]: r for r in markov_over(df).collect()}
+    # 'a' test transitions: a->b (hit: model says b), a->c and user 2's
+    # a->z (misses)
+    a = got["a"]
+    assert a["predicted_type"] == "b" and a["n_test"] == 3 and a["n_hits"] == 1
+    assert a["acc_micro"] == 333_333
+    # 'z' unseen in training: predicted NULL, both its transitions miss
+    z = got["z"]
+    assert z["predicted_type"] is None and z["n_test"] == 2 and z["n_hits"] == 0
+    assert z["acc_micro"] == 0

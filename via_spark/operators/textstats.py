@@ -1162,7 +1162,14 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str, k: int = RAKE_TOP_K) -> Da
     """
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    return rake_over(load_table(spark, sf_dir, "documents"), k)
+
+
+def rake_over(d: DataFrame, k: int = RAKE_TOP_K) -> DataFrame:
+    """Core RAKE over ANY (doc_id, text) frame — planted-fixture tested
+    (island boundaries, degree/freq scores) in tests/test_staging.py."""
+    from pyspark.sql import Window
+
     pos = d.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
     )
@@ -1223,6 +1230,14 @@ def gini_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(tokens(F.col("text"))).cast("long").alias("x"),
     )
+    return gini_over(d)
+
+
+def gini_over(d: DataFrame) -> DataFrame:
+    """Core Gini over ANY (source, doc_id, x) frame — property-tested
+    against a pure-Python model in tests/test_staging.py."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("source").orderBy(F.col("x").asc(), F.col("doc_id").asc())
     ranked = d.select("source", "x", F.row_number().over(w).cast("long").alias("i"))
     return ranked.groupBy("source").agg(

@@ -1419,7 +1419,12 @@ def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     |c_t| ≤ n·max_day_count, so den ≤ n³·max² — holds past 1e5 daily
     events on a 3-year span; beyond that the counts rescale first.
     """
-    dense = dense_daily_counts(_events_sec(spark, sf_dir))
+    return acf_over(dense_daily_counts(_events_sec(spark, sf_dir)))
+
+
+def acf_over(dense: DataFrame) -> DataFrame:
+    """Core ACF over ANY dense (event_type, day, cnt) frame —
+    property-tested against a pure-Python model in tests/test_staging.py."""
     series = (
         dense.groupBy("event_type")
         .agg(F.array_sort(F.collect_list(F.struct("day", "cnt"))).alias("seq"))
@@ -1484,7 +1489,12 @@ def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Nothing scales with raw event rows except the first
     daily hash agg.
     """
-    dense = dense_daily_counts(_events_sec(spark, sf_dir))
+    return stl_over(dense_daily_counts(_events_sec(spark, sf_dir)))
+
+
+def stl_over(dense: DataFrame) -> DataFrame:
+    """Core decomposition over ANY dense (event_type, day, cnt) frame —
+    property-tested against a pure-Python model in tests/test_staging.py."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
@@ -1542,7 +1552,11 @@ def fano_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the generated dense grid. BIGINT bound: n·Σx² ≤ days²·max²·…
     holds to ~3e9 events/day on a 10-year span.
     """
-    dense = dense_daily_counts(_events_sec(spark, sf_dir))
+    return fano_over(dense_daily_counts(_events_sec(spark, sf_dir)))
+
+
+def fano_over(dense: DataFrame) -> DataFrame:
+    """Core Fano factor over ANY dense (event_type, day, cnt) frame."""
     return dense.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.expr("sum(cnt) * 1000000L div count(1)").alias("mean_micro"),
@@ -1575,6 +1589,12 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", F.expr("ts div 1000000000").alias("sec")
     )
+    return markov_over(base)
+
+
+def markov_over(base: DataFrame) -> DataFrame:
+    """Core Markov holdout eval over ANY (user_id, event_id, event_type,
+    sec) frame — planted-sequence tested in tests/test_staging.py."""
     bounds = base.agg(F.expr("(min(sec) + max(sec) + 1) div 2").alias("split_sec"))
     w = Window.partitionBy("user_id").orderBy(F.col("sec").asc(), F.col("event_id").asc())
     trans = (
