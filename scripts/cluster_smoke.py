@@ -94,6 +94,9 @@ def main() -> int:
     ap.add_argument("--mem-per-worker", default="4g")
     ap.add_argument("--full", action="store_true",
                     help="run the whole queries() registry with oracle hash parity")
+    ap.add_argument("--staged", action="store_true",
+                    help="run the via_spark.staging registry (r10 staged "
+                         "queries) with oracle hash parity instead")
     args = ap.parse_args()
 
     procs: list[subprocess.Popen] = []
@@ -134,10 +137,15 @@ def main() -> int:
         try:
             import __spark_entry__ as em
 
-            qs = em.queries()
+            if args.staged:
+                from via_spark import staging
+
+                qs = staging.staged_queries()
+            else:
+                qs = em.queries()
             counts: dict[str, int] = {}
             mismatched: list[str] = []
-            if args.full:
+            if args.full or args.staged:
                 import hashlib
 
                 import duckdb
@@ -157,7 +165,12 @@ def main() -> int:
                     )
                     return hashlib.sha256("\n".join(canon).encode()).hexdigest()
 
-                osql = em.oracle_sql()
+                if args.staged:
+                    from via_spark import staging
+
+                    osql = staging.staged_oracle_sql()
+                else:
+                    osql = em.oracle_sql()
                 for name in qs:
                     df = qs[name](spark, args.sf_dir)
                     rows = [tuple(r) for r in df.collect()]
