@@ -202,3 +202,60 @@ def test_markov_over_planted_sequences(spark):
     z = got["z"]
     assert z["predicted_type"] is None and z["n_test"] == 2 and z["n_hits"] == 0
     assert z["acc_micro"] == 0
+
+
+def test_good_turing_planted_sources(spark):
+    """A hapax-rich source carries high unseen mass; a saturated source
+    (every type repeated) carries zero."""
+    docs = [
+        (0, "alpha beta gamma delta", "fresh"),       # 4 hapax / 4 tokens
+        (1, "same same same word word", "stale"),     # no hapax
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    import via_spark.operators.textstats as ts
+    from pyspark.sql import functions as F
+
+    tok_counts = (
+        df.select("source", F.explode(ts.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = {
+        r["source"]: r
+        for r in tok_counts.groupBy("source").agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+            F.expr("sum(if(c = 1, 1L, 0L)) * 1000000L div sum(c)").alias("p_unseen_micro"),
+        ).collect()
+    }
+    assert got["fresh"]["p_unseen_micro"] == 1_000_000  # all tokens hapax
+    assert got["stale"]["p_unseen_micro"] == 0
+    assert got["fresh"]["n_hapax"] == 4 and got["stale"]["n_hapax"] == 0
+
+
+def test_session_survival_planted_durations(spark):
+    """Survival counts against hand-built sessions: durations 0 / 120 /
+    4000 sec from three users (gap rule never splits them)."""
+    rows = []
+    eid = 0
+    for uid, secs in [(1, [100]), (2, [100, 160, 220]), (3, [0, 4000])]:
+        for s in secs:
+            rows.append((uid, eid, s)); eid += 1
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, sec long")
+    from via_spark.operators.windows import sessionize_over
+    from pyspark.sql import functions as F
+
+    sessions = sessionize_over(ev, 21_600).select("duration_sec")
+    durs = sorted(r["duration_sec"] for r in sessions.collect())
+    assert durs == [0, 120, 4000]
+    ladder = [0, 60, 300, 900, 1800, 3600, 7200, 14400]
+    lad = F.explode(F.array(*[F.lit(t).cast("long") for t in ladder])).alias("t_sec")
+    got = {
+        r["t_sec"]: r["n_surviving"]
+        for r in sessions.select("duration_sec", lad)
+        .groupBy("t_sec")
+        .agg(F.sum((F.col("duration_sec") >= F.col("t_sec")).cast("long")).alias("n_surviving"))
+        .collect()
+    }
+    assert got[0] == 3 and got[60] == 2 and got[300] == 1
+    assert got[3600] == 1 and got[7200] == 0

@@ -1250,3 +1250,36 @@ def gini_over(d: DataFrame) -> DataFrame:
             " cast(null as long))"
         ).alias("gini_micro"),
     )
+
+
+def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing unseen-vocabulary mass per source: the probability
+    that the NEXT token drawn from a source is a type never seen there,
+    estimated by the Turing formula P₀ = n₁/N (hapax count over token
+    count) — the coverage answer behind 'have we crawled this feed to
+    exhaustion' that vocab_growth_curve shows as a trend and this pins
+    as the statistic. Also reports the frequency-of-frequencies head
+    (hapax / dis legomena / vocabulary) that the full Simple Good-Turing
+    smoother would consume.
+
+    Exactness: all counts are exact integers off one (source, token)
+    hash agg; ``p_unseen_micro = n₁·1e6 div N`` is the single division.
+
+    Scale posture: token explode → (source, token) hash agg (gram-space
+    sized, Heaps' law) → per-source rollup. One documents scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok_counts = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tok_counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+        F.sum((F.col("c") == 2).cast("long")).alias("n_dis"),
+        F.expr("sum(if(c = 1, 1L, 0L)) * 1000000L div sum(c)").alias(
+            "p_unseen_micro"
+        ),
+    )

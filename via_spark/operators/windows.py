@@ -272,3 +272,46 @@ def interval_overlap_over(sess: DataFrame, hot: DataFrame) -> DataFrame:
             " - greatest(session_start, day * 86400)"
         ).alias("overlap_sec"),
     )
+
+
+# --- round-10 staged additions (registered through via_spark.staging) ---
+
+SURVIVAL_LADDER = (0, 60, 300, 900, 1800, 3600, 7200, 14400)
+
+
+def session_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration survival curve: S(t) = fraction of sessions
+    lasting at least ``t`` seconds, on the pinned ladder — the
+    engagement-decay view (Kaplan–Meier without censoring: every
+    session here is complete by construction, since the gap rule closes
+    it). Reads as 'half my sessions die inside X minutes', the number
+    session-timeout and prefetch policies are tuned against.
+
+    Exactness: survivors are exact counts over the session rollup;
+    ``surv_micro = n_surv·1e6 div n``. One pinned integer ladder in
+    both engines.
+
+    Scale posture: rides sessionize_over (per-user windows, one hash
+    agg); the curve is |ladder| conditional sums in ONE pass over the
+    |sessions|-row rollup crossed with the broadcast ladder.
+    """
+    sessions = user_sessions(spark, sf_dir).select("duration_sec")
+    ladder = F.explode(
+        F.array(*[F.lit(t).cast("long") for t in SURVIVAL_LADDER])
+    ).alias("t_sec")
+    return (
+        sessions.select("duration_sec", ladder)
+        .groupBy("t_sec")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum((F.col("duration_sec") >= F.col("t_sec")).cast("long")).alias(
+                "n_surviving"
+            ),
+        )
+        .select(
+            "t_sec",
+            "n_sessions",
+            "n_surviving",
+            F.expr("n_surviving * 1000000L div n_sessions").alias("surv_micro"),
+        )
+    )

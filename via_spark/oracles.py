@@ -7155,3 +7155,63 @@ SELECT e.vec_id, e.label,
        COALESCE(c.n_neighbors, 0) < {min_pts} AS is_outlier
 FROM e LEFT JOIN counts c ON c.vec_a = e.vec_id
 """
+
+
+def session_survival_curve_sql(gap_sec: int = 21_600) -> str:
+    from via_spark.operators.windows import SURVIVAL_LADDER
+
+    ladder = ", ".join(str(t) for t in SURVIVAL_LADDER)
+    return f"""
+WITH ev AS (
+    SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec FROM events
+),
+marked AS (
+    SELECT user_id, sec, event_id,
+           CASE WHEN lag(sec) OVER w IS NULL
+                  OR sec - lag(sec) OVER w > {gap_sec}
+                THEN 1 ELSE 0 END AS is_new
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+sess AS (
+    SELECT user_id,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id,
+           sec
+    FROM marked
+),
+durs AS (
+    SELECT max(sec) - min(sec) AS duration_sec
+    FROM sess GROUP BY user_id, session_id
+),
+t AS (SELECT unnest([{ladder}]) AS t_sec)
+SELECT CAST(t.t_sec AS BIGINT) AS t_sec,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN d.duration_sec >= t.t_sec THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_surviving,
+       CAST(sum(CASE WHEN d.duration_sec >= t.t_sec THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS surv_micro
+FROM durs d CROSS JOIN t
+GROUP BY 1
+"""
+
+
+def good_turing_unseen_mass_sql() -> str:
+    return r"""
+WITH tok AS (
+    SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '')) AS tok
+    FROM documents
+),
+tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // sum(c)
+            AS BIGINT) AS p_unseen_micro
+FROM tc
+GROUP BY 1
+"""

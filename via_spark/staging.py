@@ -27,7 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from via_spark import oracles
-from via_spark.operators import asof, dedup, search, stats, textstats, timeseries, vector
+from via_spark.operators import asof, dedup, search, stats, textstats, timeseries, vector, windows
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -52,6 +52,8 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_next_event_accuracy": timeseries.markov_next_event_accuracy,
         "quantization_error_report": vector.quantization_error_report,
         "lsh_density_outliers": dedup.lsh_density_outliers,
+        "session_survival_curve": windows.session_survival_curve,
+        "good_turing_unseen_mass": textstats.good_turing_unseen_mass,
     }
 
 
@@ -76,4 +78,6 @@ def staged_oracle_sql() -> dict[str, str]:
         "markov_next_event_accuracy": oracles.markov_next_event_accuracy_sql(),
         "quantization_error_report": oracles.quantization_error_report_sql(),
         "lsh_density_outliers": oracles.lsh_density_outliers_sql(),
+        "session_survival_curve": oracles.session_survival_curve_sql(),
+        "good_turing_unseen_mass": oracles.good_turing_unseen_mass_sql(),
     }
