@@ -259,3 +259,29 @@ def test_session_survival_planted_durations(spark):
     }
     assert got[0] == 3 and got[60] == 2 and got[300] == 1
     assert got[3600] == 1 and got[7200] == 0
+
+
+def test_sorted_neighborhood_subset_of_symspell(spark, sf_oracle):
+    """Blocking-strategy relationship: at max_dist=1 every SN pair must
+    also be found by the SymSpell join (which is COMPLETE for d<=1), and
+    SN's window-w recall on this fixture stays above its measured floor
+    (the fixture's d<=1 families are digit substitutions scattered
+    through sort order — SN's known weak case, which is exactly why the
+    floor documents it)."""
+    from via_spark.operators.curation import (
+        fuzzy_name_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    sn = {
+        tuple(sorted((r["key_a"], r["key_b"])))
+        for r in sorted_neighborhood_pairs(spark, sf_oracle).collect()
+    }
+    fz = {
+        tuple(sorted((r["key_a"], r["key_b"])))
+        for r in fuzzy_name_pairs(spark, sf_oracle).collect()
+    }
+    assert sn, "SN found no pairs — vacuous fixture"
+    assert sn <= fz, f"SN invented pairs SymSpell (complete at d<=1) lacks: {sorted(sn - fz)[:5]}"
+    recall = len(sn & fz) / len(fz)
+    assert recall >= 0.15, recall

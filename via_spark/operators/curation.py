@@ -1051,3 +1051,57 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str, l: int = 2,
             (F.col("distinct_sensitive") < l).alias("violates_l"),
         )
     )
+
+
+# --- round-10 staged additions (registered through via_spark.staging) ---
+
+SN_WINDOW = 3  # sorted-neighborhood width (pairs per row = w)
+
+
+def sorted_neighborhood_pairs(
+    spark: SparkSession, sf_dir: str, w: int = SN_WINDOW, max_dist: int = 1
+) -> DataFrame:
+    """Entity resolution, blocking strategy #2: the sorted-neighborhood
+    method (Hernández–Stolfo 1995) — sort customer names once, compare
+    each name only to its ``w`` successors in sort order, verify with
+    exact levenshtein ≤ ``max_dist``. The classic alternative to
+    fuzzy_name_pairs' SymSpell deletion keys: SN's candidate count is a
+    FIXED w·n (predictable cost, no key fan-out, catches prefix-locality
+    typos of any edit distance), while SymSpell is complete for d ≤ 1
+    but explodes keys on long strings. Production ER runs both and
+    unions (multi-pass blocking); the recall relationship is pinned in
+    tests/test_staging.py (SN ⊆ SymSpell at d ≤ 1, measured recall).
+
+    Scale posture: ONE global sort via rank.global_row_number (range
+    partition + broadcast offsets), then candidates come from an
+    equi-join of rank against rank+offset (w tiny offsets exploded on
+    one side) — no window over data, no all-pairs; levenshtein runs on
+    candidate pairs only.
+    """
+    from via_spark.operators.rank import global_row_number
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.lower(F.col("c_name")).alias("name")
+    )
+    ranked = global_row_number(
+        c, [F.col("name").asc(), F.col("c_custkey").asc()], out="rn"
+    )
+    a = ranked.select(
+        F.col("c_custkey").alias("key_a"), F.col("name").alias("name_a"),
+        F.col("rn"),
+        F.explode(
+            F.array(*[F.lit(i).cast("long") for i in range(1, w + 1)])
+        ).alias("off"),
+    ).select(
+        "key_a", "name_a", (F.col("rn") + F.col("off")).alias("rn_b")
+    )
+    b = ranked.select(
+        F.col("c_custkey").alias("key_b"), F.col("name").alias("name_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    return (
+        a.join(b, "rn_b")
+        .withColumn("lev", F.levenshtein(F.col("name_a"), F.col("name_b")))
+        .where(F.col("lev") <= max_dist)
+        .select("key_a", "key_b", "name_a", "name_b", "lev")
+    )

@@ -7215,3 +7215,25 @@ SELECT source,
 FROM tc
 GROUP BY 1
 """
+
+
+def sorted_neighborhood_pairs_sql(w: int = 3, max_dist: int = 1) -> str:
+    return f"""
+WITH c AS (
+    SELECT c_custkey, lower(c_name) AS name FROM customer
+),
+ranked AS (
+    SELECT c_custkey, name,
+           CAST(row_number() OVER (ORDER BY name, c_custkey) AS BIGINT) AS rn
+    FROM c
+),
+offs AS (SELECT unnest(range(1, {w + 1})) AS off),
+a AS (
+    SELECT r.c_custkey AS key_a, r.name AS name_a, r.rn + o.off AS rn_b
+    FROM ranked r CROSS JOIN offs o
+)
+SELECT a.key_a, b.c_custkey AS key_b, a.name_a, b.name AS name_b,
+       CAST(levenshtein(a.name_a, b.name) AS INT) AS lev
+FROM a JOIN ranked b ON b.rn = a.rn_b
+WHERE levenshtein(a.name_a, b.name) <= {max_dist}
+"""

@@ -27,7 +27,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from via_spark import oracles
-from via_spark.operators import asof, dedup, search, stats, textstats, timeseries, vector, windows
+from via_spark.operators import (
+    asof,
+    curation,
+    dedup,
+    search,
+    stats,
+    textstats,
+    timeseries,
+    vector,
+    windows,
+)
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -54,6 +64,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_density_outliers": dedup.lsh_density_outliers,
         "session_survival_curve": windows.session_survival_curve,
         "good_turing_unseen_mass": textstats.good_turing_unseen_mass,
+        "sorted_neighborhood_pairs": curation.sorted_neighborhood_pairs,
     }
 
 
@@ -80,4 +91,5 @@ def staged_oracle_sql() -> dict[str, str]:
         "lsh_density_outliers": oracles.lsh_density_outliers_sql(),
         "session_survival_curve": oracles.session_survival_curve_sql(),
         "good_turing_unseen_mass": oracles.good_turing_unseen_mass_sql(),
+        "sorted_neighborhood_pairs": oracles.sorted_neighborhood_pairs_sql(),
     }
