@@ -285,3 +285,66 @@ def test_sorted_neighborhood_subset_of_symspell(spark, sf_oracle):
     assert sn <= fz, f"SN invented pairs SymSpell (complete at d<=1) lacks: {sorted(sn - fz)[:5]}"
     recall = len(sn & fz) / len(fz)
     assert recall >= 0.15, recall
+
+
+def test_mann_whitney_planted_shift(spark):
+    """Cliff's delta vs a pure-Python pairwise model on planted halves —
+    full separation => +1e6; overlap and ties land on the exact
+    pairwise-dominance value."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+    # mirror the operator's core on an in-memory (type, v_fix, is_a) frame
+    def delta(spark_rows):
+        df = spark.createDataFrame(
+            spark_rows, "event_type string, v_fix long, is_a long"
+        )
+        steps = df.groupBy("event_type", "v_fix").agg(
+            F.sum("is_a").alias("na_v"),
+            F.sum(F.lit(1) - F.col("is_a")).alias("nb_v"),
+        )
+        w = Window.partitionBy("event_type").orderBy("v_fix")
+        wt = Window.partitionBy("event_type")
+        cum = steps.select(
+            "event_type", "na_v", "nb_v",
+            F.coalesce(
+                F.sum(F.col("na_v") + F.col("nb_v")).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ).alias("cum_before"),
+            F.sum("na_v").over(wt).alias("n_a"),
+            F.sum("nb_v").over(wt).alias("n_b"),
+        )
+        out = cum.groupBy("event_type").agg(
+            F.expr(
+                "(2 * max(n_a) * max(n_b)"
+                " - 2 * (sum(na_v * (2 * cum_before + (na_v + nb_v) + 1))"
+                "        - max(n_a) * (max(n_a) + 1))) * 1000000L"
+                " div (2 * max(n_a) * max(n_b))"
+            ).alias("d")
+        ).collect()
+        return {r["event_type"]: r["d"] for r in out}
+
+    def python_delta(a, b):
+        # Cliff's delta = (#(b>a) - #(a>b)) / (na*nb) over all pairs,
+        # where dominance counts B-over-A as positive (B = second half)
+        gt = sum(1 for x in a for y in b if y > x)
+        lt = sum(1 for x in a for y in b if y < x)
+        num = (gt - lt) * 1_000_000
+        den = len(a) * len(b)
+        q = abs(num) // den
+        return q if num >= 0 else -q
+
+    cases = {
+        "sep": ([1, 2, 3], [10, 11]),        # full separation -> +1e6
+        "rev": ([10, 11], [1, 2, 3]),        # reversed -> -1e6
+        "tie": ([1, 2, 2, 3], [2, 3, 3]),    # heavy ties
+        "same": ([5, 5], [5, 5, 5]),         # identical -> 0
+    }
+    rows = []
+    for k, (a, b) in cases.items():
+        rows += [(k, v, 1) for v in a] + [(k, v, 0) for v in b]
+    got = delta(rows)
+    for k, (a, b) in cases.items():
+        assert got[k] == python_delta(a, b), (k, got[k], python_delta(a, b))
+    assert got["sep"] == 1_000_000 and got["rev"] == -1_000_000 and got["same"] == 0

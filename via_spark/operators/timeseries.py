@@ -1646,3 +1646,79 @@ def markov_over(base: DataFrame) -> DataFrame:
             F.expr("n_hits * 1000000L div n_test").alias("acc_micro"),
         )
     )
+
+
+def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney rank-sum drift per event type between the two time
+    halves — the LOCATION-shift detector beside ks_two_sample_drift's
+    any-divergence view (KS fires on variance or shape changes too; a
+    one-sided U says 'the second half's values are systematically
+    larger'), reported with Cliff's delta oriented as SECOND-half
+    dominance: ``δ = 1 − 2U_a/(n_a·n_b) ∈ [−1, 1]`` (+1 = every
+    second-half value exceeds every first-half value).
+
+    Exactness: U is computed from TIE-AWARE midranks ×2 so every rank
+    is an integer (``2·midrank = 2·cum_before + (ties + 1)``): with
+    per-value counts the pooled 2·rank-sum of side A is
+    ``Σ na_v·(2·cum_before(v) + tie(v) + 1)`` — exact BIGINTs, so
+    ``u2 = 2·U_a`` is exact and ``delta_micro = (2·u2 − 2·n_a·n_b)·1e6
+    div (2·n_a·n_b)`` needs one signed truncating division. Types
+    missing a side report NULL.
+
+    Scale posture: identical to KS — per-(type, value) hash agg (the
+    windows see distinct values, not rows), one per-type window sort,
+    one per-type agg.
+    """
+    ev = _events_sec(spark, sf_dir).where(F.col("value").isNotNull())
+    bounds = ev.agg(F.expr("(min(sec) + max(sec) + 1) div 2").alias("split_sec"))
+    steps = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v_fix"),
+            (F.col("sec") < F.col("split_sec")).cast("long").alias("is_a"),
+        )
+        .groupBy("event_type", "v_fix")
+        .agg(
+            F.sum("is_a").alias("na_v"),
+            F.sum(F.lit(1) - F.col("is_a")).alias("nb_v"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("v_fix")
+    wt = Window.partitionBy("event_type")
+    cum = steps.select(
+        "event_type",
+        "na_v",
+        "nb_v",
+        (
+            F.coalesce(
+                F.sum(F.col("na_v") + F.col("nb_v")).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            )
+        ).alias("cum_before"),
+        F.sum("na_v").over(wt).alias("n_a"),
+        F.sum("nb_v").over(wt).alias("n_b"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        # 2*rank-sum of A over pooled midranks, minus 2*na(na+1)/2 => 2U
+        F.when(
+            (F.max("n_a") > 0) & (F.max("n_b") > 0),
+            F.expr(
+                "sum(na_v * (2 * cum_before + (na_v + nb_v) + 1))"
+                " - max(n_a) * (max(n_a) + 1)"
+            ),
+        ).alias("u2"),
+        F.when(
+            (F.max("n_a") > 0) & (F.max("n_b") > 0),
+            F.expr(
+                "(2 * max(n_a) * max(n_b)"
+                " - 2 * (sum(na_v * (2 * cum_before + (na_v + nb_v) + 1))"
+                "        - max(n_a) * (max(n_a) + 1))) * 1000000L"
+                " div (2 * max(n_a) * max(n_b))"
+            ),
+        ).alias("cliffs_delta_micro"),
+    )

@@ -7237,3 +7237,42 @@ SELECT a.key_a, b.c_custkey AS key_b, a.name_a, b.name AS name_b,
 FROM a JOIN ranked b ON b.rn = a.rn_b
 WHERE levenshtein(a.name_a, b.name) <= {max_dist}
 """
+
+
+def mann_whitney_drift_sql() -> str:
+    return f"""
+WITH {_EVENTS_SEC_CTE},
+vv AS (SELECT * FROM esec WHERE value IS NOT NULL),
+bounds AS (SELECT (min(sec) + max(sec) + 1) // 2 AS split_sec FROM vv),
+steps AS (
+    SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v_fix,
+           CAST(sum(CASE WHEN sec < b.split_sec THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+           CAST(sum(CASE WHEN sec < b.split_sec THEN 0 ELSE 1 END) AS BIGINT) AS nb_v
+    FROM vv CROSS JOIN bounds b
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, na_v, nb_v,
+           COALESCE(sum(na_v + nb_v) OVER (
+               PARTITION BY event_type ORDER BY v_fix
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+           sum(na_v) OVER (PARTITION BY event_type) AS n_a,
+           sum(nb_v) OVER (PARTITION BY event_type) AS n_b
+    FROM steps
+)
+SELECT event_type,
+       CAST(max(n_a) AS BIGINT) AS n_a,
+       CAST(max(n_b) AS BIGINT) AS n_b,
+       CAST(CASE WHEN max(n_a) > 0 AND max(n_b) > 0 THEN
+            sum(na_v * (2 * cum_before + (na_v + nb_v) + 1))
+            - max(n_a) * (max(n_a) + 1)
+       END AS BIGINT) AS u2,
+       CAST(CASE WHEN max(n_a) > 0 AND max(n_b) > 0 THEN
+            (2 * max(n_a) * max(n_b)
+             - 2 * (sum(na_v * (2 * cum_before + (na_v + nb_v) + 1))
+                    - max(n_a) * (max(n_a) + 1))) * 1000000
+            // (2 * max(n_a) * max(n_b))
+       END AS BIGINT) AS cliffs_delta_micro
+FROM cum
+GROUP BY 1
+"""

@@ -65,6 +65,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_survival_curve": windows.session_survival_curve,
         "good_turing_unseen_mass": textstats.good_turing_unseen_mass,
         "sorted_neighborhood_pairs": curation.sorted_neighborhood_pairs,
+        "mann_whitney_drift": timeseries.mann_whitney_drift,
     }
 
 
@@ -92,4 +93,5 @@ def staged_oracle_sql() -> dict[str, str]:
         "session_survival_curve": oracles.session_survival_curve_sql(),
         "good_turing_unseen_mass": oracles.good_turing_unseen_mass_sql(),
         "sorted_neighborhood_pairs": oracles.sorted_neighborhood_pairs_sql(),
+        "mann_whitney_drift": oracles.mann_whitney_drift_sql(),
     }
