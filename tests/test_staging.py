@@ -348,3 +348,44 @@ def test_mann_whitney_planted_shift(spark):
     for k, (a, b) in cases.items():
         assert got[k] == python_delta(a, b), (k, got[k], python_delta(a, b))
     assert got["sep"] == 1_000_000 and got["rev"] == -1_000_000 and got["same"] == 0
+
+
+def _splan(spark, sf_oracle, name: str) -> str:
+    from via_spark.plans import executed_plan
+
+    return executed_plan(STAGED[name](spark, sf_oracle))
+
+
+def test_staged_plan_shapes(spark, sf_oracle):
+    """Scale-critical plan pins for the staged surface (the
+    tests/test_plans.py discipline, applied before registration):
+
+    - rake's top-k is a heap, its word-score join broadcasts;
+    - density outliers / ranker overlap / sorted-neighborhood /
+      attribution never produce an unbroadcast cross product — their
+      candidates come from bucket/rank equi-joins; the only nested-loop
+      joins allowed are the broadcast scalar/1-row attaches the whole
+      repo uses (ranker_overlap's query vector; its full-outer of two
+      <=cut_n cuts is a bounded SMJ by construction, full outer cannot
+      broadcast);
+    - the Poisson bootstrap never shuffles the corpus per replicate
+      (the explode is inline on the scan side).
+    """
+    p = _splan(spark, sf_oracle, "rake_keyphrases")
+    assert "TakeOrderedAndProject" in p, "rake top-k must not global-sort"
+    assert "BroadcastHashJoin" in p, "word-score join must broadcast"
+
+    for name in ("lsh_density_outliers", "ranker_overlap_report",
+                 "sorted_neighborhood_pairs", "attribution_last_touch"):
+        p = _splan(spark, sf_oracle, name)
+        assert "CartesianProduct" not in p, f"{name}: cartesian product"
+    # density candidates specifically: the bucket join must be an
+    # equi-join, and the verify never degrades to a nested loop
+    p = _splan(spark, sf_oracle, "lsh_density_outliers")
+    assert "BroadcastNestedLoopJoin" not in p, "density must bucket-equi-join"
+
+    p = _splan(spark, sf_oracle, "poisson_bootstrap_ci")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # the replicate explode must happen inline on the scan side — the
+    # only exchanges are the (source, rep) agg and source-level joins
+    assert p.count("Generate") >= 1, "replicates must come from an inline explode"
