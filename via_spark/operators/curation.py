@@ -1105,3 +1105,94 @@ def sorted_neighborhood_pairs(
         .where(F.col("lev") <= max_dist)
         .select("key_a", "key_b", "name_a", "name_b", "lev")
     )
+
+
+T_CLOSENESS_T_MICRO = 250_000  # pinned t = 0.25 (Li et al.'s example regime)
+
+
+def t_closeness_audit(
+    spark: SparkSession, sf_dir: str, bucket: int = 500,
+    t_micro: int = T_CLOSENESS_T_MICRO,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    rung of the release-gate ladder after k_anonymity_audit (group
+    sizes) and l_diversity_audit (distinct sensitive values): a group
+    can satisfy both and still leak by DISTRIBUTION (all-large lengths
+    in one group). Per QI group (lang, source): the ordered Earth
+    Mover's Distance between the group's sensitive-value distribution
+    (the same ``n_chars div bucket`` stand-in l-diversity uses) and the
+    global one, and the ``emd > t`` violation flag.
+
+    Exactness: for ordered discrete values the EMD is the mean absolute
+    cumulative-share gap, ``Σ|cum_g/n_g − cum/n| / (m−1)`` — cross-
+    multiplied to BIGINTs: ``Σ|cum_g·n − cum·n_g| · 1e6 div
+    ((m−1)·n_g·n)``, one truncating division per group. Groups see the
+    COMPLETE global value grid (absent values as zero counts), else
+    cumulative gaps would skip exactly the rows where mass is missing.
+    A single global value (m = 1) reports NULL. BIGINT bound: n·n_g ≤
+    9e12 before the ·1e6 — the share-based form takes over past ~3e9
+    total rows, same envelope note as the KS family.
+
+    Scale posture: one documents scan → (QI, sens) and (sens) hash
+    aggs; the grid is |groups| × m with the m-row global side broadcast
+    (m is the bucketed-domain size, a constant); one window per group
+    over m rows; one final agg.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", F.expr(f"n_chars div {bucket}").alias("sens")
+    )
+    return t_closeness_over(d, t_micro)
+
+
+def t_closeness_over(d: DataFrame, t_micro: int = T_CLOSENESS_T_MICRO) -> DataFrame:
+    """Core ordered-EMD audit over ANY (lang, source, sens) frame —
+    planted-distribution tested in tests/test_staging.py."""
+    per = d.groupBy("lang", "source", "sens").agg(F.count(F.lit(1)).alias("c_g"))
+    w_glob = Window.orderBy("sens").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    glob = (
+        d.groupBy("sens").agg(F.count(F.lit(1)).alias("c"))
+        # m rows total — the single-partition window is over the
+        # bucketed VALUE DOMAIN, a constant, never data-sized
+        .select(
+            "sens",
+            F.sum("c").over(w_glob).alias("cum"),
+            F.sum("c").over(
+                Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).alias("n"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).alias("m"),
+        )
+    )
+    groups = per.groupBy("lang", "source").agg(F.sum("c_g").alias("n_g"))
+    grid = groups.crossJoin(F.broadcast(glob))
+    joined = grid.join(per, ["lang", "source", "sens"], "left").select(
+        "lang", "source", "sens", "n_g", "cum", "n", "m",
+        F.coalesce(F.col("c_g"), F.lit(0).cast("long")).alias("c_g"),
+    )
+    w_g = Window.partitionBy("lang", "source").orderBy("sens").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = joined.select(
+        "lang", "source", "n_g", "cum", "n", "m",
+        F.sum("c_g").over(w_g).alias("cum_g"),
+    )
+    return (
+        cum.groupBy("lang", "source")
+        .agg(
+            F.max("n_g").alias("group_size"),
+            F.expr(
+                "if(max(m) > 1,"
+                " sum(abs(cum_g * n - cum * n_g)) * 1000000L"
+                " div ((max(m) - 1) * max(n_g) * max(n)),"
+                " cast(null as long))"
+            ).alias("emd_micro"),
+        )
+        .select(
+            "lang",
+            "source",
+            "group_size",
+            "emd_micro",
+            (F.col("emd_micro") > F.lit(t_micro)).alias("violates_t"),
+        )
+    )

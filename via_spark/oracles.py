@@ -7276,3 +7276,51 @@ SELECT event_type,
 FROM cum
 GROUP BY 1
 """
+
+
+def t_closeness_audit_sql(bucket: int = 500, t_micro: int = 250_000) -> str:
+    return f"""
+WITH d AS (
+    SELECT lang, source, n_chars // {bucket} AS sens FROM documents
+),
+per AS (
+    SELECT lang, source, sens, CAST(count(*) AS BIGINT) AS c_g
+    FROM d GROUP BY 1, 2, 3
+),
+gdist AS (
+    SELECT sens,
+           CAST(sum(count(*)) OVER (ORDER BY sens
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           CAST(sum(count(*)) OVER () AS BIGINT) AS n,
+           CAST(count(*) OVER () AS BIGINT) AS m
+    FROM d GROUP BY sens
+),
+groups AS (
+    SELECT lang, source, CAST(sum(c_g) AS BIGINT) AS n_g FROM per GROUP BY 1, 2
+),
+grid AS (
+    SELECT g.lang, g.source, g.n_g, gl.sens, gl.cum, gl.n, gl.m,
+           CAST(COALESCE(p.c_g, 0) AS BIGINT) AS c_g
+    FROM groups g CROSS JOIN gdist gl
+    LEFT JOIN per p ON p.lang = g.lang AND p.source = g.source
+                    AND p.sens = gl.sens
+),
+cum AS (
+    SELECT lang, source, n_g, cum, n, m,
+           sum(c_g) OVER (PARTITION BY lang, source ORDER BY sens
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
+    FROM grid
+),
+agg AS (
+    SELECT lang, source,
+           CAST(max(n_g) AS BIGINT) AS group_size,
+           CAST(CASE WHEN max(m) > 1 THEN
+                sum(abs(cum_g * n - cum * n_g)) * 1000000
+                // ((max(m) - 1) * max(n_g) * max(n))
+           END AS BIGINT) AS emd_micro
+    FROM cum GROUP BY 1, 2
+)
+SELECT lang, source, group_size, emd_micro,
+       emd_micro > {t_micro} AS violates_t
+FROM agg
+"""

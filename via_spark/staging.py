@@ -66,6 +66,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing_unseen_mass": textstats.good_turing_unseen_mass,
         "sorted_neighborhood_pairs": curation.sorted_neighborhood_pairs,
         "mann_whitney_drift": timeseries.mann_whitney_drift,
+        "t_closeness_audit": curation.t_closeness_audit,
     }
 
 
@@ -94,4 +95,5 @@ def staged_oracle_sql() -> dict[str, str]:
         "good_turing_unseen_mass": oracles.good_turing_unseen_mass_sql(),
         "sorted_neighborhood_pairs": oracles.sorted_neighborhood_pairs_sql(),
         "mann_whitney_drift": oracles.mann_whitney_drift_sql(),
+        "t_closeness_audit": oracles.t_closeness_audit_sql(),
     }
