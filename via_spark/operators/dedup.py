@@ -1429,7 +1429,7 @@ DENSITY_MIN_PTS = 2    # neighbors below this => semantic outlier
 def lsh_density_outliers(
     spark: SparkSession, sf_dir: str,
     tau: float = DENSITY_TAU, min_pts: int = DENSITY_MIN_PTS,
-    probe_radius: int = 1,
+    probe_radius: int = 1, bits: int = 8,
 ) -> DataFrame:
     """Density-based semantic outlier labels over the embedding corpus
     (the DBSCAN core-point test, LSH-bucketed): a vector is an OUTLIER
@@ -1446,18 +1446,24 @@ def lsh_density_outliers(
     oracle implements the identical probed algorithm, so parity is
     exact, not approximate.
 
-    Scale posture: one embeddings scan → probe explode (9 keys at
+    Scale posture: one embeddings scan → probe explode (bits+1 keys at
     radius 1) → bucket equi-join → exact fixed-point verify → per-vec
-    hash agg joined back broadcast-from-agg. Candidate volume is
-    bucket-bounded, the neardup family's envelope.
+    hash agg joined back broadcast-from-agg. ``bits`` is THE scale
+    dial: the bucket space is 2^bits, so per-bucket occupancy — and
+    with it candidate volume, which is quadratic per bucket — stays
+    constant only if ``bits`` grows with log2 of the corpus (measured
+    in SCALEUP_STAGED_r9.json: at 10× corpus under FIXED bits the
+    candidate set grows ~100×; the dial exists precisely for that).
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding",
-        _sign_bucket(F.col("embedding")).alias("bucket"),
+        _sign_bucket(F.col("embedding"), dims=bits).alias("bucket"),
     )
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
-        F.explode(probe_buckets(F.col("bucket"), radius=probe_radius)).alias("bucket"),
+        F.explode(
+            probe_buckets(F.col("bucket"), bits=bits, radius=probe_radius)
+        ).alias("bucket"),
     )
     b = e.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
