@@ -553,3 +553,30 @@ def motif_report_from_edges(edges: DataFrame) -> DataFrame:
             .alias("clustering_fix"),
         )
     )
+
+
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: for each cluster size, how
+    many clusters and what share of the corpus sits in them — the
+    dedup-regime readout (a healthy crawl shows a geometric tail;
+    mirror-heavy corpora show mass in large clusters, boilerplate shows
+    one giant component). Reads the same materialized cluster labels
+    every dedup_* consumer rides.
+
+    Exactness: clusters-per-size is ``count(*) div size`` over the
+    label table (each member row carries its cluster_size, so the
+    member count per size is an exact multiple); shares are one
+    truncating division against the broadcast corpus total.
+
+    Scale posture: one pass over the label store → |distinct sizes|-row
+    hash agg; the corpus total attaches via broadcast scalar.
+    """
+    labels = dedup_clusters(spark, sf_dir).select("cluster_size")
+    per = labels.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = per.agg(F.sum("n_docs").alias("n_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "cluster_size",
+        F.expr("n_docs div cluster_size").alias("n_clusters"),
+        "n_docs",
+        F.expr("n_docs * 1000000L div n_total").alias("doc_share_micro"),
+    )

@@ -1283,3 +1283,57 @@ def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_unseen_micro"
         ),
     )
+
+
+YIELD_BITS_LADDER = (3, 4, 5, 6)
+
+
+def surprisal_filter_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-yield curve for the unigram-surprisal quality gate: for
+    each candidate threshold t (mean bits/token), how many documents
+    and how much token mass a ``mean surprisal ≤ t`` filter would keep
+    — the number you read BEFORE picking the filter knob (CCNet-style
+    pipelines tune the perplexity cut by exactly this curve; cutting at
+    4 bits vs 5 bits can halve the corpus).
+
+    Exactness: the threshold test is the integer cross-multiplication
+    ``surprisal_bits ≤ t·n_tokens`` (no float mean anywhere); kept
+    counts, kept token mass, and the 1e-6 shares are exact integers
+    with one truncating division each.
+
+    Scale posture: rides unigram_surprisal_scores (one explode + one
+    broadcast model join), then ONE pass over the per-doc frame crossed
+    with the 4-row broadcast ladder.
+    """
+    scores = unigram_surprisal_scores(spark, sf_dir).select(
+        "n_tokens", "surprisal_bits"
+    )
+    ladder = F.explode(
+        F.array(*[F.lit(t).cast("long") for t in YIELD_BITS_LADDER])
+    ).alias("t_bits")
+    return (
+        scores.select("n_tokens", "surprisal_bits", ladder)
+        .groupBy("t_bits")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(
+                (F.col("surprisal_bits") <= F.col("t_bits") * F.col("n_tokens"))
+                .cast("long")
+            ).alias("n_kept"),
+            F.sum(
+                F.when(
+                    F.col("surprisal_bits") <= F.col("t_bits") * F.col("n_tokens"),
+                    F.col("n_tokens"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("tokens_kept"),
+        )
+        .select(
+            "t_bits",
+            "n_docs",
+            "n_kept",
+            F.expr("n_kept * 1000000L div n_docs").alias("doc_share_micro"),
+            "tokens_kept",
+            F.expr("tokens_kept * 1000000L div total_tokens").alias("token_share_micro"),
+        )
+    )

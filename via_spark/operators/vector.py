@@ -1033,3 +1033,52 @@ def quantization_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(relerr_micro) div count(relerr_micro)").alias("mean_relerr_micro"),
         F.max("relerr_micro").alias("max_relerr_micro"),
     )
+
+
+SEMANTIC_CONTAM_TAU = 0.4  # same cut as the embedding near-dup family
+
+
+def semantic_contamination(
+    spark: SparkSession, sf_dir: str, bench_max_id: int = 10,
+    tau: float = SEMANTIC_CONTAM_TAU,
+) -> DataFrame:
+    """Embedding-level decontamination: for every corpus vector, its
+    maximum exact cosine against the benchmark block (vec_id <
+    ``bench_max_id``, the same deterministic pseudo-benchmark
+    benchmark_contamination uses at SHINGLE level) and the ≥ τ flag —
+    the semantic leak detector paraphrased eval items evade shingle
+    matching with (the SemDeDup/decontamination argument applied to
+    eval hygiene).
+
+    Determinism: exact fixed-point dots; best-match ties break on
+    smallest bench id (argmax via the pinned (score desc, bench_id)
+    order). Scale posture: the benchmark block broadcasts, the corpus
+    streams through ONE scan, and the per-vector argmax is a
+    WindowGroupLimit — identical envelope to knn_batch_topk with the
+    roles reversed (many corpus rows, few queries).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    bench = e.where(F.col("vec_id") < bench_max_id).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("b_emb"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("bench_id").asc()
+    )
+    return (
+        e.where(F.col("vec_id") >= bench_max_id)
+        .crossJoin(F.broadcast(bench))
+        .withColumn("d_fix", dot_fix(F.col("embedding"), F.col("b_emb")))
+        .withColumn("na_fix", dot_fix(F.col("embedding"), F.col("embedding")))
+        .withColumn("nb_fix", dot_fix(F.col("b_emb"), F.col("b_emb")))
+        .withColumn("cos", cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            "bench_id",
+            F.col("cos").alias("best_cos"),
+            (F.col("cos") >= F.lit(tau)).alias("contaminated"),
+        )
+    )

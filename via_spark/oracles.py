@@ -7324,3 +7324,73 @@ SELECT lang, source, group_size, emd_micro,
        emd_micro > {t_micro} AS violates_t
 FROM agg
 """
+
+
+def surprisal_filter_yield_sql() -> str:
+    from via_spark.operators.textstats import YIELD_BITS_LADDER
+
+    ladder = ", ".join(str(t) for t in YIELD_BITS_LADDER)
+    return f"""
+WITH scores AS (SELECT * FROM ({unigram_surprisal_scores_sql()}) s),
+t AS (SELECT unnest([{ladder}]) AS t_bits),
+agg AS (
+    SELECT t.t_bits,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(s.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN s.surprisal_bits <= t.t_bits * s.n_tokens
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN s.surprisal_bits <= t.t_bits * s.n_tokens
+                    THEN s.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM scores s CROSS JOIN t
+    GROUP BY 1
+)
+SELECT CAST(t_bits AS BIGINT) AS t_bits, n_docs, n_kept,
+       CAST(n_kept * 1000000 // n_docs AS BIGINT) AS doc_share_micro,
+       tokens_kept,
+       CAST(tokens_kept * 1000000 // total_tokens AS BIGINT) AS token_share_micro
+FROM agg
+"""
+
+
+def dup_cluster_size_histogram_sql() -> str:
+    return f"""
+WITH labels AS (SELECT * FROM ({dedup_clusters_sql()}) l),
+per AS (
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_docs
+    FROM labels GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM per)
+SELECT per.cluster_size,
+       CAST(per.n_docs // per.cluster_size AS BIGINT) AS n_clusters,
+       per.n_docs,
+       CAST(per.n_docs * 1000000 // tot.n_total AS BIGINT) AS doc_share_micro
+FROM per CROSS JOIN tot
+"""
+
+
+def semantic_contamination_sql(bench_max_id: int = 10, tau: float = 0.4) -> str:
+    return f"""
+WITH bench AS (
+    SELECT vec_id AS bench_id, embedding AS b_emb
+    FROM embeddings WHERE vec_id < {bench_max_id}
+),
+scored AS (
+    SELECT e.vec_id, e.label, b.bench_id,
+           {_DOT9_PAIR.format(a="e.embedding", b="b.b_emb")} AS d_fix,
+           {_DOT9_PAIR.format(a="e.embedding", b="e.embedding")} AS na_fix,
+           {_DOT9_PAIR.format(a="b.b_emb", b="b.b_emb")} AS nb_fix
+    FROM embeddings e CROSS JOIN bench b
+    WHERE e.vec_id >= {bench_max_id}
+),
+ranked AS (
+    SELECT vec_id, label, bench_id,
+           {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} AS cos,
+           row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} DESC,
+                        bench_id ASC) AS rn
+    FROM scored
+)
+SELECT vec_id, label, bench_id, cos AS best_cos, cos >= {tau!r} AS contaminated
+FROM ranked WHERE rn = 1
+"""

@@ -18,6 +18,14 @@ FIRST COMMIT OF ROUND 10: splice these into ``__spark_entry__`` —
 then delete this module and move the tests' parametrization over to the
 main parity suite (they assert dict-key equality, so a missed splice
 fails loudly).
+
+Also queued for r10 (post-splice, once the head re-verifies them):
+expose the sign-LSH ``bits`` dial on the REGISTERED
+neardup_embedding_pairs / embedding_neardup_clusters — the staged
+density probe measured the fixed-8-bit occupancy blow-up and the dial
+closing it (SCALEUP_STAGED_r9.json "bits_dial_ab"); changing those
+green tail queries this round would push the rotation backlog past the
+50-row head.
 """
 
 from __future__ import annotations
@@ -31,6 +39,7 @@ from via_spark.operators import (
     asof,
     curation,
     dedup,
+    graph,
     search,
     stats,
     textstats,
@@ -67,6 +76,9 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood_pairs": curation.sorted_neighborhood_pairs,
         "mann_whitney_drift": timeseries.mann_whitney_drift,
         "t_closeness_audit": curation.t_closeness_audit,
+        "surprisal_filter_yield": textstats.surprisal_filter_yield,
+        "dup_cluster_size_histogram": graph.dup_cluster_size_histogram,
+        "semantic_contamination": vector.semantic_contamination,
     }
 
 
@@ -96,4 +108,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "sorted_neighborhood_pairs": oracles.sorted_neighborhood_pairs_sql(),
         "mann_whitney_drift": oracles.mann_whitney_drift_sql(),
         "t_closeness_audit": oracles.t_closeness_audit_sql(),
+        "surprisal_filter_yield": oracles.surprisal_filter_yield_sql(),
+        "dup_cluster_size_histogram": oracles.dup_cluster_size_histogram_sql(),
+        "semantic_contamination": oracles.semantic_contamination_sql(),
     }
