@@ -423,3 +423,51 @@ def test_t_closeness_planted_distributions(spark):
     df2 = spark.createDataFrame(rows2, "lang string, source string, sens long")
     got2 = {r["source"]: r for r in t_closeness_over(df2).collect()}
     assert got2["exact"]["emd_micro"] == 0 and got2["g"]["emd_micro"] == 0
+
+
+def test_forecast_backtest_planted_regimes(spark):
+    """Each baseline wins exactly on its own generating process: a pure
+    ramp gives drift MAE 0 (the average slope is exact integer), a pure
+    weekly cycle gives seasonal MAE 0, and a constant series ties at 0
+    with the pinned order picking 'naive'."""
+    series = {
+        "ramp": [10 + 3 * t for t in range(15)],
+        "weekly": [(100 if t % 7 == 0 else 10) for t in range(15)],
+        "flat": [5] * 15,
+    }
+    rows = [(k, d, v) for k, xs in series.items() for d, v in enumerate(xs)]
+    dense = spark.createDataFrame(rows, "event_type string, day long, cnt long")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # mirror the operator core on the in-memory dense frame
+    w = Window.partitionBy("event_type").orderBy("day")
+    t0 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = dense.select(
+        "event_type", "cnt",
+        F.lag("cnt", 1).over(w).alias("prev1"),
+        F.lag("cnt", 7).over(w).alias("prev7"),
+        F.first("cnt").over(t0).alias("x0"),
+        (F.row_number().over(w) - 1).cast("long").alias("t"),
+    ).where(F.col("t") >= 7)
+    errs = scored.select(
+        "event_type",
+        (F.abs(F.col("cnt") - F.col("prev1")) * F.lit(1_000_000)).alias("e_naive"),
+        (F.abs(F.col("cnt") - F.col("prev7")) * F.lit(1_000_000)).alias("e_seasonal"),
+        F.abs(
+            F.col("cnt") * F.lit(1_000_000)
+            - (F.col("prev1") * F.lit(1_000_000)
+               + F.expr("(prev1 - x0) * 1000000L div (t - 1)"))
+        ).alias("e_drift"),
+    )
+    got = {
+        r["event_type"]: r
+        for r in errs.groupBy("event_type").agg(
+            F.expr("sum(e_naive) div count(1)").alias("n"),
+            F.expr("sum(e_seasonal) div count(1)").alias("s"),
+            F.expr("sum(e_drift) div count(1)").alias("d"),
+        ).collect()
+    }
+    assert got["ramp"]["d"] == 0 and got["ramp"]["n"] > 0
+    assert got["weekly"]["s"] == 0 and got["weekly"]["n"] > 0
+    assert got["flat"]["n"] == got["flat"]["s"] == got["flat"]["d"] == 0

@@ -1722,3 +1722,68 @@ def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("cliffs_delta_micro"),
     )
+
+
+def forecast_baseline_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead backtest of the three standard forecast baselines
+    over the per-type dense daily series — naive (yesterday),
+    seasonal-naive (same weekday last week), drift (yesterday plus the
+    average historical slope) — scored on the SAME evaluation days
+    (t ≥ 7, where all three are defined), in 1e-6 MAE. This is the
+    yardstick every fancier forecaster (holt_linear_forecast) must
+    beat; M-competition practice says report it first.
+
+    Exactness: naive/seasonal errors are integer count differences;
+    the drift prediction is ``x_{t−1}·1e6 + (x_{t−1} − x_0)·1e6 div
+    (t−1)`` (one truncating division before the absolute difference);
+    MAEs are exact sums with one final division. ``best_method`` is the
+    argmin with the pinned tie order naive < seasonal < drift.
+
+    Scale posture: dense grid (|types| × |days|, generated), three LAG/
+    FIRST window expressions over ONE per-type pass, one hash agg.
+    """
+    dense = dense_daily_counts(_events_sec(spark, sf_dir))
+    w = Window.partitionBy("event_type").orderBy("day")
+    t0 = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = dense.select(
+        "event_type",
+        "cnt",
+        F.lag("cnt", 1).over(w).alias("prev1"),
+        F.lag("cnt", 7).over(w).alias("prev7"),
+        F.first("cnt").over(t0).alias("x0"),
+        (F.row_number().over(w) - 1).cast("long").alias("t"),
+    ).where(F.col("t") >= 7)
+    errs = scored.select(
+        "event_type",
+        (F.abs(F.col("cnt") - F.col("prev1")) * F.lit(1_000_000)).alias("e_naive"),
+        (F.abs(F.col("cnt") - F.col("prev7")) * F.lit(1_000_000)).alias("e_seasonal"),
+        F.abs(
+            F.col("cnt") * F.lit(1_000_000)
+            - (
+                F.col("prev1") * F.lit(1_000_000)
+                # average slope over the t-1 steps from x_0 to x_{t-1}
+                + F.expr("(prev1 - x0) * 1000000L div (t - 1)")
+            )
+        ).alias("e_drift"),
+    )
+    return (
+        errs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.expr("sum(e_naive) div count(1)").alias("mae_naive_micro"),
+            F.expr("sum(e_seasonal) div count(1)").alias("mae_seasonal_micro"),
+            F.expr("sum(e_drift) div count(1)").alias("mae_drift_micro"),
+        )
+        .withColumn(
+            "best_method",
+            F.expr(
+                "case"
+                " when mae_naive_micro <= mae_seasonal_micro"
+                "  and mae_naive_micro <= mae_drift_micro then 'naive'"
+                " when mae_seasonal_micro <= mae_drift_micro then 'seasonal'"
+                " else 'drift' end"
+            ),
+        )
+    )

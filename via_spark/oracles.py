@@ -7394,3 +7394,43 @@ ranked AS (
 SELECT vec_id, label, bench_id, cos AS best_cos, cos >= {tau!r} AS contaminated
 FROM ranked WHERE rn = 1
 """
+
+
+def forecast_baseline_backtest_sql() -> str:
+    return f"""
+WITH {_EVENTS_SEC_CTE},
+{_DENSE_DAILY_CTE},
+scored AS (
+    SELECT event_type, cnt,
+           lag(cnt, 1) OVER w AS prev1,
+           lag(cnt, 7) OVER w AS prev7,
+           first_value(cnt) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x0,
+           CAST(row_number() OVER w - 1 AS BIGINT) AS t
+    FROM dense
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+errs AS (
+    SELECT event_type,
+           abs(cnt - prev1) * 1000000 AS e_naive,
+           abs(cnt - prev7) * 1000000 AS e_seasonal,
+           abs(cnt * 1000000
+               - (prev1 * 1000000 + (prev1 - x0) * 1000000 // (t - 1)))
+               AS e_drift
+    FROM scored WHERE t >= 7
+),
+agg AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(e_naive) // count(*) AS BIGINT) AS mae_naive_micro,
+           CAST(sum(e_seasonal) // count(*) AS BIGINT) AS mae_seasonal_micro,
+           CAST(sum(e_drift) // count(*) AS BIGINT) AS mae_drift_micro
+    FROM errs GROUP BY 1
+)
+SELECT *,
+       CASE WHEN mae_naive_micro <= mae_seasonal_micro
+             AND mae_naive_micro <= mae_drift_micro THEN 'naive'
+            WHEN mae_seasonal_micro <= mae_drift_micro THEN 'seasonal'
+            ELSE 'drift' END AS best_method
+FROM agg
+"""

@@ -79,6 +79,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surprisal_filter_yield": textstats.surprisal_filter_yield,
         "dup_cluster_size_histogram": graph.dup_cluster_size_histogram,
         "semantic_contamination": vector.semantic_contamination,
+        "forecast_baseline_backtest": timeseries.forecast_baseline_backtest,
     }
 
 
@@ -111,4 +112,5 @@ def staged_oracle_sql() -> dict[str, str]:
         "surprisal_filter_yield": oracles.surprisal_filter_yield_sql(),
         "dup_cluster_size_histogram": oracles.dup_cluster_size_histogram_sql(),
         "semantic_contamination": oracles.semantic_contamination_sql(),
+        "forecast_baseline_backtest": oracles.forecast_baseline_backtest_sql(),
     }
