@@ -471,3 +471,37 @@ def test_forecast_backtest_planted_regimes(spark):
     assert got["ramp"]["d"] == 0 and got["ramp"]["n"] > 0
     assert got["weekly"]["s"] == 0 and got["weekly"]["n"] > 0
     assert got["flat"]["n"] == got["flat"]["s"] == got["flat"]["d"] == 0
+
+
+def test_staged_builders_are_lazy(spark, sf_oracle):
+    """The queries() contract the staged entries will join: building a
+    DataFrame runs NO Spark action (the driver may build all plans
+    before executing any)."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    def _no_jobs(name):
+        def fail(self, *a, **k):  # pragma: no cover - failure path
+            raise AssertionError(f"ran DataFrame.{name} at build time")
+        return fail
+
+    # warm the session store once (dedup_clusters' label table is
+    # materialized by its own registered query; the staged histogram
+    # only READS it)
+    from via_spark.operators.graph import dedup_clusters
+
+    dedup_clusters(spark, sf_oracle).count()
+
+    with mock.patch.multiple(
+        DataFrame,
+        first=_no_jobs("first"),
+        collect=_no_jobs("collect"),
+        count=_no_jobs("count"),
+        take=_no_jobs("take"),
+        head=_no_jobs("head"),
+        toPandas=_no_jobs("toPandas"),
+    ):
+        for name, fn in STAGED.items():
+            df = fn(spark, sf_oracle)
+            assert df.columns, name
