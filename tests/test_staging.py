@@ -505,3 +505,24 @@ def test_staged_builders_are_lazy(spark, sf_oracle):
         for name, fn in STAGED.items():
             df = fn(spark, sf_oracle)
             assert df.columns, name
+
+
+def test_linear_attribution_conserves_value(spark, sf_oracle):
+    """The remainder-to-newest-touch design means credits sum EXACTLY
+    to the purchase value mass — no 1/n leak at any group count."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.asof import attribution_linear_window
+    from via_spark.operators.relational import fixed6
+    from via_spark.session import load_table
+
+    credited = attribution_linear_window(spark, sf_oracle).agg(
+        F.sum("credit_fix")
+    ).collect()[0][0]
+    exact = (
+        load_table(spark, sf_oracle, "events")
+        .where(F.col("event_type") == "purchase")
+        .agg(F.sum(fixed6(F.col("value"))))
+        .collect()[0][0]
+    )
+    assert credited == exact

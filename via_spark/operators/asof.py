@@ -245,3 +245,112 @@ def conversion_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p95_lag_sec"),
         F.expr("max(lag_sum) div max(n)").alias("mean_lag_sec"),
     )
+
+
+ATTRIBUTION_WINDOW_SEC = 86_400  # 1-day lookback (pinned)
+
+
+def attribution_linear_window(spark: SparkSession, sf_dir: str,
+                              window_sec: int = ATTRIBUTION_WINDOW_SEC) -> DataFrame:
+    """Multi-touch LINEAR attribution: every purchase splits its value
+    equally across ALL the user's non-purchase touches in the pinned
+    lookback window — the fairness-spectrum counterpart to
+    attribution_last_touch (last-touch over-credits the final click;
+    linear is the other standard the two-model comparison every
+    marketing-mix review starts with). Purchases with no in-window
+    touch land in the NULL group at full value.
+
+    Exactness: per-pair credit is ``value_fix div n_touches`` with the
+    REMAINDER assigned to the newest touch (pinned), so per-purchase
+    credits sum exactly to value_fix and the grand total is conserved
+    to the unit — no 1/n rational leaks. Shares are division-only
+    doubles of exact BIGINTs.
+
+    Scale posture: the purchase×touch pairing is an equi-join on
+    (user_id, day-bucket) with each purchase probing its own and the
+    previous bucket (complete for a 1-bucket window by construction —
+    the interval_overlap_pairs blocking argument), then an exact
+    in-window filter; never a data-wide theta join. Credit rollup is
+    one hash agg + broadcast totals.
+    """
+    from via_spark.operators.relational import fixed6
+    from via_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000000000").alias("sec"),
+        "event_type",
+        "event_id",
+        "value",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("sec").alias("p_sec"),
+        F.col("event_id").alias("purchase_id"),
+        fixed6(F.col("value")).alias("value_fix"),
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", F.col("sec").alias("t_sec"), "event_type",
+        F.col("event_id").alias("touch_id"),
+        F.expr(f"sec div {window_sec}").alias("bucket"),
+    )
+    probes = purchases.select(
+        "*",
+        F.explode(
+            F.array(
+                F.expr(f"p_sec div {window_sec}"),
+                F.expr(f"p_sec div {window_sec} - 1"),
+            )
+        ).alias("bucket"),
+    )
+    pairs = (
+        probes.join(touches, ["user_id", "bucket"])
+        .where(
+            (F.col("t_sec") <= F.col("p_sec"))
+            & (F.col("t_sec") > F.col("p_sec") - F.lit(window_sec))
+        )
+        .select("purchase_id", "value_fix", "event_type", "t_sec", "touch_id")
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy(
+        F.col("t_sec").desc(), F.col("touch_id").desc()
+    )
+    credited = pairs.select(
+        "purchase_id",
+        "event_type",
+        (
+            F.expr("value_fix div count(1) over (partition by purchase_id)")
+            + F.when(
+                F.row_number().over(wr) == 1,
+                F.col("value_fix") % F.count(F.lit(1)).over(wp),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("credit_fix"),
+    )
+    unattributed = (
+        purchases.join(
+            pairs.select("purchase_id").distinct(), "purchase_id", "left_anti"
+        )
+        .select(
+            F.lit(None).cast("string").alias("event_type"),
+            F.col("value_fix").alias("credit_fix"),
+        )
+    )
+    per = (
+        credited.select("event_type", "credit_fix")
+        .unionByName(unattributed)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit_fix").alias("credit_fix"),
+        )
+    )
+    total = per.agg(F.sum("credit_fix").alias("total_fix"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "event_type",
+        "n_credits",
+        "credit_fix",
+        (
+            F.col("credit_fix").cast("double") / F.col("total_fix").cast("double")
+        ).alias("credit_share"),
+    )

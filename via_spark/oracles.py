@@ -7434,3 +7434,53 @@ SELECT *,
             ELSE 'drift' END AS best_method
 FROM agg
 """
+
+
+def attribution_linear_window_sql(window_sec: int = 86_400) -> str:
+    return f"""
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_type, event_id,
+           CAST(floor(value * 1000000) AS BIGINT) AS value_fix
+    FROM events
+),
+purchases AS (
+    SELECT user_id, sec AS p_sec, event_id AS purchase_id, value_fix
+    FROM ev WHERE event_type = 'purchase'
+),
+touches AS (
+    SELECT user_id, sec AS t_sec, event_type, event_id AS touch_id
+    FROM ev WHERE event_type <> 'purchase'
+),
+pairs AS (
+    SELECT p.purchase_id, p.value_fix, t.event_type, t.t_sec, t.touch_id
+    FROM purchases p JOIN touches t
+      ON t.user_id = p.user_id
+     AND t.t_sec <= p.p_sec AND t.t_sec > p.p_sec - {window_sec}
+),
+credited AS (
+    SELECT event_type,
+           CAST(value_fix // count(*) OVER (PARTITION BY purchase_id)
+                + CASE WHEN row_number() OVER (PARTITION BY purchase_id
+                                ORDER BY t_sec DESC, touch_id DESC) = 1
+                       THEN value_fix % count(*) OVER (PARTITION BY purchase_id)
+                       ELSE 0 END AS BIGINT) AS credit_fix
+    FROM pairs
+),
+unatt AS (
+    SELECT CAST(NULL AS VARCHAR) AS event_type, p.value_fix AS credit_fix
+    FROM purchases p
+    WHERE NOT EXISTS (SELECT 1 FROM pairs x WHERE x.purchase_id = p.purchase_id)
+),
+per AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(sum(credit_fix) AS BIGINT) AS credit_fix
+    FROM (SELECT * FROM credited UNION ALL SELECT * FROM unatt)
+    GROUP BY 1
+),
+tot AS (SELECT CAST(sum(credit_fix) AS BIGINT) AS total_fix FROM per)
+SELECT per.event_type, per.n_credits, per.credit_fix,
+       CAST(per.credit_fix AS DOUBLE) / CAST(tot.total_fix AS DOUBLE)
+           AS credit_share
+FROM per CROSS JOIN tot
+"""

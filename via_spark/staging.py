@@ -80,6 +80,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_size_histogram": graph.dup_cluster_size_histogram,
         "semantic_contamination": vector.semantic_contamination,
         "forecast_baseline_backtest": timeseries.forecast_baseline_backtest,
+        "attribution_linear_window": asof.attribution_linear_window,
     }
 
 
@@ -113,4 +114,5 @@ def staged_oracle_sql() -> dict[str, str]:
         "dup_cluster_size_histogram": oracles.dup_cluster_size_histogram_sql(),
         "semantic_contamination": oracles.semantic_contamination_sql(),
         "forecast_baseline_backtest": oracles.forecast_baseline_backtest_sql(),
+        "attribution_linear_window": oracles.attribution_linear_window_sql(),
     }
