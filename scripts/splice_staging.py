@@ -36,12 +36,17 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-ENTRY = REPO / "__spark_entry__.py"
-PARITY = REPO / "tests" / "test_oracle_parity.py"
-STAGING = REPO / "via_spark" / "staging.py"
 
+def main(root: Path = REPO) -> int:
+    """Splice against ``root``'s copies of the three files. The live
+    registries are always read from the REAL repo (import machinery);
+    passing a different ``root`` edits copies instead — how
+    tests/test_staging.py regression-tests this script without touching
+    the working tree."""
+    entry_path = root / "__spark_entry__.py"
+    parity_path = root / "tests" / "test_oracle_parity.py"
+    staging_path = root / "via_spark" / "staging.py"
 
-def main() -> int:
     import __spark_entry__ as em
     from via_spark import staging
 
@@ -66,7 +71,7 @@ def main() -> int:
         assert hasattr(oracles, sql_fn), sql_fn
         o_lines.append(f'        "{name}": oracles.{sql_fn}(),')
 
-    src = ENTRY.read_text()
+    src = entry_path.read_text()
     # Anchor each insert on the LAST entry of ITS OWN dict, searching
     # only within that function's span — a whole-file regex for a query
     # name also matches the same name's oracle_sql() line (the round-7
@@ -87,17 +92,17 @@ def main() -> int:
     )
     for pos, insert in spans:
         src = src[:pos] + insert + src[pos:]
-    ENTRY.write_text(src)
+    entry_path.write_text(src)
 
     n_new = len(registered) + len(staged)
-    ptxt = PARITY.read_text()
+    ptxt = parity_path.read_text()
     ptxt2, n_sub = re.subn(
         r"== len\(ORACLES\) == \d+", f"== len(ORACLES) == {n_new}", ptxt
     )
     assert n_sub == 1, "count pin not found"
-    PARITY.write_text(ptxt2)
+    parity_path.write_text(ptxt2)
 
-    stxt = STAGING.read_text()
+    stxt = staging_path.read_text()
     stxt = re.sub(
         r"def staged_queries\(\).*",
         'def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:\n'
@@ -109,7 +114,7 @@ def main() -> int:
         stxt,
         flags=re.S,
     )
-    STAGING.write_text(stxt)
+    staging_path.write_text(stxt)
 
     print(f"spliced {len(staged)} queries; parity pin -> {n_new}")
     print("next: python -m via_spark.rotation  (reorder the head)")

@@ -526,3 +526,60 @@ def test_linear_attribution_conserves_value(spark, sf_oracle):
         .collect()[0][0]
     )
     assert credited == exact
+
+
+def test_splice_script_on_copies(tmp_path):
+    """Regression-test scripts/splice_staging.py against TEMP copies:
+    both dicts gain exactly the staged names (queries as callables —
+    the round-7 SQL-string-leak trap), the parity pin bumps, and the
+    staging registry drains, all without touching the working tree."""
+    import ast
+    import shutil
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    (tmp_path / "tests").mkdir()
+    (tmp_path / "via_spark").mkdir()
+    shutil.copy(repo / "__spark_entry__.py", tmp_path / "__spark_entry__.py")
+    shutil.copy(repo / "tests" / "test_oracle_parity.py",
+                tmp_path / "tests" / "test_oracle_parity.py")
+    shutil.copy(repo / "via_spark" / "staging.py",
+                tmp_path / "via_spark" / "staging.py")
+
+    sys.path.insert(0, str(repo / "scripts"))
+    try:
+        import splice_staging
+    finally:
+        sys.path.pop(0)
+    from via_spark import staging as live_staging
+
+    n_staged = len(live_staging.staged_queries())
+    if n_staged == 0:
+        return  # post-splice repo state: nothing to test
+    assert splice_staging.main(tmp_path) == 0
+
+    tree = ast.parse((tmp_path / "__spark_entry__.py").read_text())
+    dicts = {}
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name in ("queries", "oracle_sql"):
+            ret = node.body[-1]
+            assert isinstance(ret, ast.Return) and isinstance(ret.value, ast.Dict)
+            dicts[node.name] = ret.value
+    q_keys = [k.value for k in dicts["queries"].keys]
+    o_keys = [k.value for k in dicts["oracle_sql"].keys]
+    assert set(q_keys) == set(o_keys) and len(q_keys) == len(set(q_keys))
+    for name in live_staging.staged_queries():
+        assert name in q_keys and name in o_keys
+    # queries() values must be callables (module.func attributes or the
+    # module-local _wrappers), NEVER string constants — the round-7
+    # SQL-string-leak guard; oracle values are oracles.x_sql() calls
+    assert all(
+        isinstance(v, (ast.Attribute, ast.Name)) for v in dicts["queries"].values
+    )
+    assert all(isinstance(v, ast.Call) for v in dicts["oracle_sql"].values)
+
+    ptxt = (tmp_path / "tests" / "test_oracle_parity.py").read_text()
+    assert f"== len(ORACLES) == {len(q_keys)}" in ptxt
+    stxt = (tmp_path / "via_spark" / "staging.py").read_text()
+    assert "return {}" in stxt
