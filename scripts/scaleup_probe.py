@@ -160,6 +160,10 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--staged", action="store_true",
                     help="probe the staged (r10) representatives instead")
+    ap.add_argument("--probes", default=None,
+                    help="comma-separated probe subset (for big --factor runs"
+                         " where the token-explode families would dominate"
+                         " wall-clock without adding signal)")
     args = ap.parse_args()
 
     spark = get_spark("scaleup-probe")
@@ -171,6 +175,8 @@ def main() -> int:
 
     qs = {**em.queries(), **staging.staged_queries()}
     probes = STAGED_PROBES if args.staged else PROBES
+    if args.probes:
+        probes = [p.strip() for p in args.probes.split(",") if p.strip()]
 
     def force(df):
         cols = [F.col(c) for c in df.columns]
