@@ -1337,3 +1337,37 @@ def surprisal_filter_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("tokens_kept * 1000000L div total_tokens").alias("token_share_micro"),
         )
     )
+
+
+def hhi_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of the corpus token mass
+    across sources — the 'is the training mix dominated by a few feeds'
+    scalar beside gini_token_concentration (Gini: inequality of DOCS
+    within a source; HHI: concentration of the CORPUS across sources;
+    temperature_mixture_weights is the knob this number motivates
+    turning). 1e6·(1/n_sources) = perfectly balanced; 1e6 = monopoly.
+
+    Exactness: per-source shares are ``mass·1e6 div total`` BIGINTs;
+    HHI = Σ share²/1e6 one more truncating division. One row, with the
+    per-source shares returned alongside for the drill-down.
+
+    Scale posture: one documents scan → per-source hash agg → the HHI
+    scalar attaches back via broadcast (|sources| rows throughout).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("x")
+    )
+    per = d.groupBy("source").agg(F.sum("x").alias("mass"))
+    total = per.agg(F.sum("mass").alias("total"))
+    shares = per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "mass",
+        F.expr("mass * 1000000L div total").alias("share_micro"),
+    )
+    hhi = shares.agg(
+        F.expr("sum(share_micro * share_micro) div 1000000L").alias("hhi_micro"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return shares.crossJoin(F.broadcast(hhi)).select(
+        "source", "mass", "share_micro", "n_sources", "hhi_micro"
+    )

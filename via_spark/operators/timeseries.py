@@ -1787,3 +1787,68 @@ def forecast_baseline_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per event type: is the daily count
+    series RANDOM around its median, or does it cluster (fewer runs =
+    regime-y/level-shifted, more runs = oscillating)? The nonparametric
+    serial-dependence check beside acf_daily_counts (ACF sees linear
+    lag correlation; the runs count reacts to ANY above/below-median
+    clustering, including nonlinear regimes CUSUM-style shifts create).
+
+    Exactness: the median is the pinned LOWER order statistic of the
+    dense daily counts ((n+1) div 2 — the discrete-threshold doctrine);
+    above/at-or-below flags, run boundaries, n₁/n₂ and the observed run
+    count are exact integers; the expected count under randomness,
+    ``1 + 2·n₁·n₂/(n₁+n₂)``, is one truncating division to 1e-6, and
+    ``ratio_micro = n_runs·1e12 div expected_micro`` (≈1e6 ⇒ random).
+    Degenerate constant series (n₁ or n₂ = 0) report NULL.
+
+    Scale posture: dense grid → one per-type window sort for the
+    median, one LAG pass for run boundaries, two hash aggs. Same
+    calendar-bounded envelope as the rest of the daily family.
+    """
+    dense = dense_daily_counts(_events_sec(spark, sf_dir))
+    w = Window.partitionBy("event_type").orderBy(F.col("cnt").asc(), F.col("day").asc())
+    wt = Window.partitionBy("event_type")
+    med = (
+        dense.select(
+            "event_type",
+            "cnt",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(wt).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("cnt").alias("median_cnt"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    flagged = (
+        dense.join(F.broadcast(med), "event_type")
+        .withColumn("above", (F.col("cnt") > F.col("median_cnt")).cast("long"))
+        .withColumn(
+            "new_run",
+            (
+                F.lag("above").over(wd).isNull()
+                | (F.lag("above").over(wd) != F.col("above"))
+            ).cast("long"),
+        )
+    )
+    return flagged.groupBy("event_type").agg(
+        F.sum("above").alias("n_above"),
+        F.sum(F.lit(1) - F.col("above")).alias("n_below"),
+        F.sum("new_run").alias("n_runs"),
+        F.expr(
+            "if(sum(above) > 0 and sum(1 - above) > 0,"
+            " 1000000L + 2 * sum(above) * sum(1 - above) * 1000000L"
+            "   div (sum(above) + sum(1 - above)),"
+            " cast(null as long))"
+        ).alias("expected_micro"),
+        F.expr(
+            "if(sum(above) > 0 and sum(1 - above) > 0,"
+            " sum(new_run) * 1000000000000L"
+            "   div (1000000L + 2 * sum(above) * sum(1 - above) * 1000000L"
+            "        div (sum(above) + sum(1 - above))),"
+            " cast(null as long))"
+        ).alias("ratio_micro"),
+    )

@@ -7484,3 +7484,71 @@ SELECT per.event_type, per.n_credits, per.credit_fix,
            AS credit_share
 FROM per CROSS JOIN tot
 """
+
+
+def runs_test_randomness_sql() -> str:
+    return f"""
+WITH {_EVENTS_SEC_CTE},
+{_DENSE_DAILY_CTE},
+med AS (
+    SELECT event_type, cnt AS median_cnt
+    FROM (
+        SELECT event_type, cnt,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cnt, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dense
+    ) WHERE rn = (n + 1) // 2
+),
+flagged AS (
+    SELECT d.event_type,
+           CASE WHEN d.cnt > m.median_cnt THEN 1 ELSE 0 END AS above,
+           CASE WHEN lag(CASE WHEN d.cnt > m.median_cnt THEN 1 ELSE 0 END)
+                     OVER w IS NULL
+                  OR lag(CASE WHEN d.cnt > m.median_cnt THEN 1 ELSE 0 END)
+                     OVER w <> CASE WHEN d.cnt > m.median_cnt THEN 1 ELSE 0 END
+                THEN 1 ELSE 0 END AS new_run
+    FROM dense d JOIN med m USING (event_type)
+    WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)
+)
+SELECT event_type,
+       CAST(sum(above) AS BIGINT) AS n_above,
+       CAST(sum(1 - above) AS BIGINT) AS n_below,
+       CAST(sum(new_run) AS BIGINT) AS n_runs,
+       CAST(CASE WHEN sum(above) > 0 AND sum(1 - above) > 0 THEN
+            1000000 + 2 * sum(above) * sum(1 - above) * 1000000
+                      // (sum(above) + sum(1 - above))
+       END AS BIGINT) AS expected_micro,
+       CAST(CASE WHEN sum(above) > 0 AND sum(1 - above) > 0 THEN
+            sum(new_run) * 1000000000000
+            // (1000000 + 2 * sum(above) * sum(1 - above) * 1000000
+                          // (sum(above) + sum(1 - above)))
+       END AS BIGINT) AS ratio_micro
+FROM flagged
+GROUP BY 1
+"""
+
+
+def hhi_source_concentration_sql() -> str:
+    return r"""
+WITH d AS (
+    SELECT source,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS x
+    FROM documents
+),
+per AS (SELECT source, CAST(sum(x) AS BIGINT) AS mass FROM d GROUP BY 1),
+tot AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM per),
+shares AS (
+    SELECT per.source, per.mass,
+           CAST(per.mass * 1000000 // tot.total AS BIGINT) AS share_micro
+    FROM per CROSS JOIN tot
+),
+hhi AS (
+    SELECT CAST(sum(share_micro * share_micro) // 1000000 AS BIGINT) AS hhi_micro,
+           CAST(count(*) AS BIGINT) AS n_sources
+    FROM shares
+)
+SELECT s.source, s.mass, s.share_micro, h.n_sources, h.hhi_micro
+FROM shares s CROSS JOIN hhi h
+"""

@@ -81,6 +81,8 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_contamination": vector.semantic_contamination,
         "forecast_baseline_backtest": timeseries.forecast_baseline_backtest,
         "attribution_linear_window": asof.attribution_linear_window,
+        "runs_test_randomness": timeseries.runs_test_randomness,
+        "hhi_source_concentration": textstats.hhi_source_concentration,
     }
 
 
@@ -115,4 +117,6 @@ def staged_oracle_sql() -> dict[str, str]:
         "semantic_contamination": oracles.semantic_contamination_sql(),
         "forecast_baseline_backtest": oracles.forecast_baseline_backtest_sql(),
         "attribution_linear_window": oracles.attribution_linear_window_sql(),
+        "runs_test_randomness": oracles.runs_test_randomness_sql(),
+        "hhi_source_concentration": oracles.hhi_source_concentration_sql(),
     }
