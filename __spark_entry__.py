@@ -139,10 +139,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     as a broadcast semi-join).
     """
     return {
-        # --- head (first 50): change-aware rotation (r9) — never-
-        # verified first, then required (changed-since-green, impl OR
-        # oracle, stalest first) per via_spark.rotation.recommended_head,
-        # then stalest-green fill; enforced by tests/test_properties.py ---
+        # --- head (first 50): change-aware rotation (r10) — the 30
+        # spliced staged queries (never driver-verified) first, then
+        # stalest-green fill per via_spark.rotation.suggested_full_head;
+        # enforced by tests/test_properties.py ---
+        "acf_daily_counts": timeseries.acf_daily_counts,
+        "attribution_last_touch": asof.attribution_last_touch,
+        "attribution_linear_window": asof.attribution_linear_window,
+        "benford_digit_audit": stats.benford_digit_audit,
+        "conversion_lag_profile": asof.conversion_lag_profile,
+        "dup_cluster_size_histogram": graph.dup_cluster_size_histogram,
+        "fano_burstiness_by_type": timeseries.fano_burstiness_by_type,
+        "fd_histogram": stats.fd_histogram,
+        "forecast_baseline_backtest": timeseries.forecast_baseline_backtest,
+        "gini_token_concentration": textstats.gini_token_concentration,
+        "good_turing_unseen_mass": textstats.good_turing_unseen_mass,
+        "hhi_source_concentration": textstats.hhi_source_concentration,
+        "iqr_outlier_report": stats.iqr_outlier_report,
+        "ks_two_sample_drift": timeseries.ks_two_sample_drift,
+        "lsh_density_outliers": dedup.lsh_density_outliers,
+        "mann_whitney_drift": timeseries.mann_whitney_drift,
+        "markov_next_event_accuracy": timeseries.markov_next_event_accuracy,
+        "poisson_bootstrap_ci": stats.poisson_bootstrap_ci,
+        "quantization_error_report": vector.quantization_error_report,
+        "rake_keyphrases": textstats.rake_keyphrases,
+        "ranker_overlap_report": search.ranker_overlap_report,
+        "retrieval_ndcg_report": vector.retrieval_ndcg_report,
+        "runs_test_randomness": timeseries.runs_test_randomness,
+        "semantic_contamination": vector.semantic_contamination,
+        "session_survival_curve": windows.session_survival_curve,
+        "sorted_neighborhood_pairs": curation.sorted_neighborhood_pairs,
+        "spearman_length_vocab": textstats.spearman_length_vocab,
+        "stl_decompose_daily": timeseries.stl_decompose_daily,
+        "surprisal_filter_yield": textstats.surprisal_filter_yield,
+        "t_closeness_audit": curation.t_closeness_audit,
+        "cube_order_counts": timeseries.cube_order_counts,
+        "customer_order_distribution": relational.customer_order_distribution,
+        "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
+        "embedding_centroids_by_label": vector.embedding_centroids_by_label,
+        "embedding_norm_stats": vector.embedding_norm_stats,
+        "event_type_severity_pivot": relational.event_type_severity_pivot,
+        "event_type_transition_matrix": timeseries.event_type_transition_matrix,
+        "event_type_unpivot": relational.event_type_unpivot,
+        "events_profile": relational.events_profile,
+        "gapfill_locf": timeseries.gapfill_locf,
+        "hourly_rate_of_change": timeseries.hourly_rate_of_change,
+        "hypertable_rollup": windows.hypertable_rollup,
+        "knn_batch_topk": vector.knn_batch_topk,
+        "lapsed_buyers": relational.lapsed_buyers,
+        "large_orders_having": relational.large_orders_having,
+        "lineitem_rollup": relational.lineitem_rollup,
+        "local_supplier_volume": relational.local_supplier_volume,
+        "mad_outliers": stats.mad_outliers,
+        "min_cost_supplier": relational.min_cost_supplier,
+        "moving_avg_daily": timeseries.moving_avg_daily,
+        # --- end head (position 50 boundary) --- tail: driver-green
+        # with implementing units and oracles unchanged since their
+        # newest green row (unit-granular, git-derived); all re-proven
+        # every round by tests/test_oracle_parity.py ---
         "audio_segment_plan": multimodal.audio_segment_plan,
         "bigram_lm_perplexity": textstats.bigram_lm_perplexity,
         "bpe_merge_table": textstats.bpe_merge_table,
@@ -193,30 +247,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rhythm_baseline_stats": _rhythm_baseline_stats,
         "rhythm_recent_counts": _rhythm_recent_counts,
         "tier1_view": _tier1_view,
-        # --- end head (position 50 boundary) --- tail: driver-green
-        # with implementing units and oracles unchanged since their
-        # newest green row (unit-granular, git-derived); all re-proven
-        # every round by tests/test_oracle_parity.py ---
-        "cube_order_counts": timeseries.cube_order_counts,
-        "customer_order_distribution": relational.customer_order_distribution,
-        "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
-        "embedding_centroids_by_label": vector.embedding_centroids_by_label,
-        "embedding_norm_stats": vector.embedding_norm_stats,
-        "event_type_severity_pivot": relational.event_type_severity_pivot,
-        "event_type_transition_matrix": timeseries.event_type_transition_matrix,
-        "event_type_unpivot": relational.event_type_unpivot,
-        "events_profile": relational.events_profile,
-        "gapfill_locf": timeseries.gapfill_locf,
-        "hourly_rate_of_change": timeseries.hourly_rate_of_change,
-        "hypertable_rollup": windows.hypertable_rollup,
-        "knn_batch_topk": vector.knn_batch_topk,
-        "lapsed_buyers": relational.lapsed_buyers,
-        "large_orders_having": relational.large_orders_having,
-        "lineitem_rollup": relational.lineitem_rollup,
-        "local_supplier_volume": relational.local_supplier_volume,
-        "mad_outliers": stats.mad_outliers,
-        "min_cost_supplier": relational.min_cost_supplier,
-        "moving_avg_daily": timeseries.moving_avg_daily,
         "newest_events": relational.newest_events,
         "order_priority_counts": relational.order_priority_counts,
         "pricing_summary": relational.pricing_summary,
@@ -609,4 +639,34 @@ def oracle_sql() -> dict[str, str]:
         "linear_interp_gapfill": oracles.linear_interp_gapfill_sql(),
         "pareto_frontier_parts": oracles.pareto_frontier_parts_sql(),
         "theil_sen_trend": oracles.theil_sen_trend_sql(),
+        "benford_digit_audit": oracles.benford_digit_audit_sql(),
+        "iqr_outlier_report": oracles.iqr_outlier_report_sql(),
+        "fd_histogram": oracles.fd_histogram_sql(),
+        "ks_two_sample_drift": oracles.ks_two_sample_drift_sql(),
+        "acf_daily_counts": oracles.acf_daily_counts_sql(),
+        "stl_decompose_daily": oracles.stl_decompose_daily_sql(),
+        "fano_burstiness_by_type": oracles.fano_burstiness_by_type_sql(),
+        "retrieval_ndcg_report": oracles.retrieval_ndcg_report_sql(),
+        "ranker_overlap_report": oracles.ranker_overlap_report_sql(),
+        "spearman_length_vocab": oracles.spearman_length_vocab_sql(),
+        "rake_keyphrases": oracles.rake_keyphrases_sql(),
+        "gini_token_concentration": oracles.gini_token_concentration_sql(),
+        "poisson_bootstrap_ci": oracles.poisson_bootstrap_ci_sql(),
+        "attribution_last_touch": oracles.attribution_last_touch_sql(),
+        "conversion_lag_profile": oracles.conversion_lag_profile_sql(),
+        "markov_next_event_accuracy": oracles.markov_next_event_accuracy_sql(),
+        "quantization_error_report": oracles.quantization_error_report_sql(),
+        "lsh_density_outliers": oracles.lsh_density_outliers_sql(),
+        "session_survival_curve": oracles.session_survival_curve_sql(),
+        "good_turing_unseen_mass": oracles.good_turing_unseen_mass_sql(),
+        "sorted_neighborhood_pairs": oracles.sorted_neighborhood_pairs_sql(),
+        "mann_whitney_drift": oracles.mann_whitney_drift_sql(),
+        "t_closeness_audit": oracles.t_closeness_audit_sql(),
+        "surprisal_filter_yield": oracles.surprisal_filter_yield_sql(),
+        "dup_cluster_size_histogram": oracles.dup_cluster_size_histogram_sql(),
+        "semantic_contamination": oracles.semantic_contamination_sql(),
+        "forecast_baseline_backtest": oracles.forecast_baseline_backtest_sql(),
+        "attribution_linear_window": oracles.attribution_linear_window_sql(),
+        "runs_test_randomness": oracles.runs_test_randomness_sql(),
+        "hhi_source_concentration": oracles.hhi_source_concentration_sql(),
     }

@@ -98,6 +98,16 @@ def main() -> int:
                     help="run the via_spark.staging registry (r10 staged "
                          "queries) with oracle hash parity instead")
     args = ap.parse_args()
+    if args.full and args.staged:
+        ap.error("--full and --staged are mutually exclusive (--staged "
+                 "replaces the registered surface, it does not add to it)")
+    if args.staged:
+        from via_spark import staging
+
+        if not staging.staged_queries():
+            print("staging registry is empty (post-splice) — a 0/0 smoke "
+                  "proves nothing; run without --staged", file=sys.stderr)
+            return 2
 
     procs: list[subprocess.Popen] = []
     result: dict = {"ok": False, "master": f"spark://127.0.0.1:{MASTER_PORT}"}

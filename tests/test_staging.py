@@ -353,7 +353,10 @@ def test_mann_whitney_planted_shift(spark):
 def _splan(spark, sf_oracle, name: str) -> str:
     from via_spark.plans import executed_plan
 
-    return executed_plan(STAGED[name](spark, sf_oracle))
+    # Post-splice the staged registry is drained and these queries live
+    # on the registered surface — the plan pins keep guarding them there.
+    fn = STAGED.get(name) or entrymod.queries()[name]
+    return executed_plan(fn(spark, sf_oracle))
 
 
 def test_staged_plan_shapes(spark, sf_oracle):

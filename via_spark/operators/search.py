@@ -274,7 +274,11 @@ def ranker_overlap_report(
 
     Exactness: ranks are exact within the global top-``cut_n`` cuts
     (TakeOrderedAndProject heaps, same contract as hybrid_rrf);
-    ``jaccard_micro = inter·1e6 div (2k − inter)`` is pure BIGINT.
+    ``jaccard_micro = inter·1e6 div (|dense@k| + |sparse@k| − inter)``
+    is pure BIGINT. The union uses the ACTUAL per-cut list sizes
+    (min(k, candidates)), not 2k — when the BM25 candidate pool is
+    smaller than k, assuming full lists overstates the union and
+    understates jaccard. NULL when both lists are empty.
 
     Scale posture: identical to hybrid_rrf — the scored candidate frame
     is computed once (persist), each cut is a top-N heap, and the
@@ -322,11 +326,16 @@ def ranker_overlap_report(
             F.sum(
                 ((F.col("rank_dense") <= F.col("k")) & (F.col("rank_sparse") <= F.col("k")))
                 .cast("long")
-            ).alias("n_common")
+            ).alias("n_common"),
+            F.sum((F.col("rank_dense") <= F.col("k")).cast("long")).alias("n_dense"),
+            F.sum((F.col("rank_sparse") <= F.col("k")).cast("long")).alias("n_sparse"),
         )
         .select(
             "k",
             "n_common",
-            F.expr("n_common * 1000000L div (2 * k - n_common)").alias("jaccard_micro"),
+            F.expr(
+                "CASE WHEN n_dense + n_sparse > n_common THEN"
+                " n_common * 1000000L div (n_dense + n_sparse - n_common) END"
+            ).alias("jaccard_micro"),
         )
     )

@@ -1070,8 +1070,17 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.expr("size(ms)").cast("long").alias("n_reps"),
-            F.expr("element_at(ms, 2)").alias("boot_lo_micro"),
-            F.expr("element_at(ms, cast(size(ms) - 1 as int))").alias("boot_hi_micro"),
+            # <3 surviving replicates (possible for a 1-doc source: the
+            # deterministic Poisson weights can zero out all but a couple
+            # of reps) would make element_at hit index 0 (error) or
+            # invert the interval (hi < lo at size 2) — emit NULL bounds.
+            F.expr("CASE WHEN size(ms) >= 3 THEN element_at(ms, 2) END").alias(
+                "boot_lo_micro"
+            ),
+            F.expr(
+                "CASE WHEN size(ms) >= 3"
+                " THEN element_at(ms, cast(size(ms) - 1 as int)) END"
+            ).alias("boot_hi_micro"),
         )
     )
     point = d.groupBy("source").agg(

@@ -6773,12 +6773,18 @@ cuts AS (SELECT unnest([5, 10, 20, 50]) AS k),
 per AS (
     SELECT CAST(c.k AS BIGINT) AS k,
            CAST(sum(CASE WHEN r.rank_dense <= c.k AND r.rank_sparse <= c.k
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           CAST(sum(CASE WHEN r.rank_dense <= c.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dense,
+           CAST(sum(CASE WHEN r.rank_sparse <= c.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sparse
     FROM cuts c CROSS JOIN ranks r
     GROUP BY 1
 )
 SELECT k, n_common,
-       CAST(n_common * 1000000 // (2 * k - n_common) AS BIGINT) AS jaccard_micro
+       CAST(CASE WHEN n_dense + n_sparse > n_common THEN
+            n_common * 1000000 // (n_dense + n_sparse - n_common)
+       END AS BIGINT) AS jaccard_micro
 FROM per
 """
     )
@@ -6926,8 +6932,9 @@ point AS (
 )
 SELECT p.source, p.n_docs, p.mean_micro,
        CAST(len(c.ms) AS BIGINT) AS n_reps,
-       CAST(c.ms[2] AS BIGINT) AS boot_lo_micro,
-       CAST(c.ms[len(c.ms) - 1] AS BIGINT) AS boot_hi_micro
+       CAST(CASE WHEN len(c.ms) >= 3 THEN c.ms[2] END AS BIGINT) AS boot_lo_micro,
+       CAST(CASE WHEN len(c.ms) >= 3 THEN c.ms[len(c.ms) - 1] END
+            AS BIGINT) AS boot_hi_micro
 FROM point p JOIN ci c USING (source)
 """
 
