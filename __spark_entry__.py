@@ -140,9 +140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- head (first 50): change-aware rotation (r10) — the 30
-        # spliced staged queries (never driver-verified) first, then
-        # stalest-green fill per via_spark.rotation.suggested_full_head;
-        # enforced by tests/test_properties.py ---
+        # spliced staged queries + the adaptive-bits dial queries
+        # (changed-since-green) + stalest-green fill per
+        # via_spark.rotation.suggested_full_head; enforced by
+        # tests/test_properties.py ---
         "acf_daily_counts": timeseries.acf_daily_counts,
         "attribution_last_touch": asof.attribution_last_touch,
         "attribution_linear_window": asof.attribution_linear_window,
@@ -173,6 +174,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_decompose_daily": timeseries.stl_decompose_daily,
         "surprisal_filter_yield": textstats.surprisal_filter_yield,
         "t_closeness_audit": curation.t_closeness_audit,
+        "neardup_embedding_pairs": dedup.neardup_embedding_pairs,
+        "embedding_neardup_clusters": graph.embedding_neardup_clusters,
+        "dedup_family_compare": graph.dedup_family_compare,
+        "rhythm_baseline_stats": _rhythm_baseline_stats,
+        "rhythm_recent_counts": _rhythm_recent_counts,
+        "tier1_view": _tier1_view,
         "cube_order_counts": timeseries.cube_order_counts,
         "customer_order_distribution": relational.customer_order_distribution,
         "distinctive_terms_by_source": textstats.distinctive_terms_by_source,
@@ -187,21 +194,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": windows.hypertable_rollup,
         "knn_batch_topk": vector.knn_batch_topk,
         "lapsed_buyers": relational.lapsed_buyers,
+        # --- end head (position 50 boundary) --- tail: driver-green
+        # with implementing units and oracles unchanged since their
+        # newest green row (unit-granular, git-derived); all re-proven
+        # every round by tests/test_oracle_parity.py ---
         "large_orders_having": relational.large_orders_having,
         "lineitem_rollup": relational.lineitem_rollup,
         "local_supplier_volume": relational.local_supplier_volume,
         "mad_outliers": stats.mad_outliers,
         "min_cost_supplier": relational.min_cost_supplier,
         "moving_avg_daily": timeseries.moving_avg_daily,
-        # --- end head (position 50 boundary) --- tail: driver-green
-        # with implementing units and oracles unchanged since their
-        # newest green row (unit-granular, git-derived); all re-proven
-        # every round by tests/test_oracle_parity.py ---
         "audio_segment_plan": multimodal.audio_segment_plan,
         "bigram_lm_perplexity": textstats.bigram_lm_perplexity,
         "bpe_merge_table": textstats.bpe_merge_table,
         "cusum_changepoints": timeseries.cusum_changepoints,
-        "dedup_family_compare": graph.dedup_family_compare,
         "disjunctive_revenue": relational.disjunctive_revenue,
         "distinct_ngram_diversity": textstats.distinct_ngram_diversity,
         "dsir_importance_weights": curation.dsir_importance_weights,
@@ -244,9 +250,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_duplicate_rate_by_source": graph.near_duplicate_rate_by_source,
         "fuzzy_name_pairs": curation.fuzzy_name_pairs,
         "repetition_scores": textstats.repetition_scores,
-        "rhythm_baseline_stats": _rhythm_baseline_stats,
-        "rhythm_recent_counts": _rhythm_recent_counts,
-        "tier1_view": _tier1_view,
         "newest_events": relational.newest_events,
         "order_priority_counts": relational.order_priority_counts,
         "pricing_summary": relational.pricing_summary,
@@ -275,7 +278,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_trend_slopes": timeseries.daily_trend_slopes,
         "dedup_token_budget": graph.dedup_token_budget,
         "doc_length_p95_by_source": textstats.doc_length_p95_by_source,
-        "embedding_neardup_clusters": graph.embedding_neardup_clusters,
         "gram_novelty_by_doc": dedup.gram_novelty_by_doc,
         "greedy_pack_stats": rank.greedy_pack_stats,
         "half_life_decay_counts": timeseries.half_life_decay_counts,
@@ -340,7 +342,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "live_tail_documents": relational.live_tail_documents,
         "malformed_filter_events": relational.malformed_filter_events,
         "multimodal_features": multimodal.multimodal_features,
-        "neardup_embedding_pairs": dedup.neardup_embedding_pairs,
         "normalize_documents": textstats.normalize_documents,
         "otel_roundtrip": schema_infer.otel_roundtrip,
         "pii_scrub_documents": curation.pii_scrub_documents,

@@ -51,7 +51,14 @@ HISTORY_END = 9_400        # history: ts 0 .. HISTORY_END-1
 PLANT_LO = 9_700           # anomalies live in [PLANT_LO, PLANT_LO+300)
 FILLER_SERVICES = ["search-service", "cart-service"]
 RATE_TARGET = 100.0        # envelopes/s the feeder must sustain
-CADENCE_SEC = 60.0         # detection trigger
+CADENCE_SEC = 60.0         # the reference worker's cadence (the budget)
+# Evaluation trigger: the 60 s budget is the reference's operating
+# point (app/worker.py:13 sleep(60)); the event-time WINDOW stays
+# WINDOW_SEC regardless. Triggering the same analysis at 30 s bounds
+# worst-case detection latency by trigger phase (30 s) + compute (~2 s)
+# instead of a full cadence — SOAK_r9 measured 59.5 s against the 60 s
+# budget purely from phase alignment.
+TRIGGER_SEC = 30.0
 
 
 def _envelope(ts: int, service: str, severity: str, body: str) -> str:
@@ -172,13 +179,17 @@ def main() -> int:
     # 5000 rows span ~1450 logical seconds (~14 payment baseline points).
     detect_kwargs = dict(sample_size=5000, novelty_min_count=1)
 
+    batch_timings: list = []
+
     def start_queries():
         q_ing = pipeline.start_tier1_ingest(
             pipeline.read_otel_stream(spark, str(src)), tier1, ck_ingest
         )
         q_det = pipeline.start_detection(
             spark, pipeline.read_otel_stream(spark, str(src)),
-            tier1, tier2, ck_detect, window_sec=WINDOW_SEC, **detect_kwargs,
+            tier1, tier2, ck_detect, window_sec=WINDOW_SEC,
+            trigger_sec=TRIGGER_SEC, batch_timings=batch_timings,
+            **detect_kwargs,
         )
         return q_ing, q_det
 
@@ -202,7 +213,7 @@ def main() -> int:
     deadline = feeder.t_plant + 2 * CADENCE_SEC + 45.0
     seen: set[str] = set()
     while time.monotonic() < deadline and seen != {"novelty", "frequency"}:
-        time.sleep(5.0)
+        time.sleep(2.0)
         try:
             rows = promote.read_tier2(spark, tier2).select("anomaly_type").collect()
         except Exception:
@@ -241,6 +252,7 @@ def main() -> int:
         "detected_within_2_cadences": seen == {"novelty", "frequency"}
         and (t_detect - feeder.t_plant) <= 2 * CADENCE_SEC + 45.0,
     }
+    computes = [b["compute_s"] for b in batch_timings]
     result.update(
         ok=all(checks.values()),
         checks=checks,
@@ -250,6 +262,15 @@ def main() -> int:
         detect_latency_s=round(t_detect - feeder.t_plant, 1),
         soak_wall_s=round(time.monotonic() - feeder.t_start, 1),
         tier2_cluster_rows=len(cluster_rows),
+        # the latency budget decomposition: worst-case = trigger phase
+        # (<= trigger_sec) + compute + poll granularity (2 s)
+        trigger_sec=TRIGGER_SEC,
+        cadence_budget_sec=CADENCE_SEC,
+        detect_triggers=len(batch_timings),
+        detect_compute_max_s=round(max(computes), 2) if computes else None,
+        detect_compute_median_s=(
+            round(sorted(computes)[len(computes) // 2], 2) if computes else None
+        ),
     )
     spark.stop()
     print(json.dumps(result))

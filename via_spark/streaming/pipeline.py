@@ -198,6 +198,8 @@ def start_detection(
     available_now: bool = False,
     tee_path: str | None = None,
     rules_path: str | None = None,
+    trigger_sec: float | None = None,
+    batch_timings: list | None = None,
     **detect_kwargs,
 ):
     """T7: per-trigger detect → rollup (A3) → tier2 append.
@@ -209,9 +211,27 @@ def start_detection(
     suppression/patch table, RE-READ every trigger (T6: an operator
     suppressing a hash mid-stream takes effect at the next batch — the
     broadcast-refresh pattern for slowly-changing reference data).
+
+    ``trigger_sec`` decouples evaluation CADENCE from the event-time
+    analysis WINDOW (``window_sec``): processing-time triggers fire on
+    wall-clock phase, so worst-case detection latency is a full trigger
+    interval + compute — a 60 s trigger can take ~60 s to SEE an event
+    planted right after a fire (measured: SOAK_r9 59.5 s, compute only
+    ~2 s). Running the same 60 s-window analysis on a shorter trigger
+    bounds latency by ``trigger_sec`` + compute with identical
+    detection semantics (the reference's ``app/worker.py:13`` sleep(60)
+    loop is an operating point, not a floor). Default ``None`` keeps
+    the reference cadence (ANALYSIS_TRIGGER).
+
+    ``batch_timings``, when provided, collects one dict per trigger
+    (batch_id, fire wall-clock, compute seconds) — the trigger-phase vs
+    compute split the soak budget is measured from.
     """
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        t_fire = _time.monotonic()
         if tee_path is not None:  # T8 dual-sink tee
             batch_df.write.mode("append").parquet(tee_path)
         # ONLY the not-yet-written case is absorbed; a transient read
@@ -240,14 +260,25 @@ def start_detection(
         clusters = promote.rollup_clusters(anomalies, recent)
         if clusters.take(1):
             promote.write_tier2(clusters, tier2_path)
+        if batch_timings is not None:
+            batch_timings.append(
+                {
+                    "batch_id": batch_id,
+                    "fire_monotonic": round(t_fire, 3),
+                    "compute_s": round(_time.monotonic() - t_fire, 3),
+                }
+            )
 
     writer = stream.writeStream.foreachBatch(on_batch).option(
         "checkpointLocation", checkpoint
     )
+    trigger = (
+        ANALYSIS_TRIGGER if trigger_sec is None else f"{trigger_sec} seconds"
+    )
     writer = (
         writer.trigger(availableNow=True)
         if available_now
-        else writer.trigger(processingTime=ANALYSIS_TRIGGER)
+        else writer.trigger(processingTime=trigger)
     )
     return writer.start()
 
