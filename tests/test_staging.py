@@ -719,3 +719,82 @@ def test_recall_report_bounds_and_truth_subset(spark, sf_oracle):
     row = r[0]
     assert 0 <= row["n_hit"] <= row["n_sample_pairs"]
     assert row["recall_micro"] == row["n_hit"] * 1_000_000 // row["n_sample_pairs"]
+
+
+def test_threshold_sweep_monotone_and_anchored(spark, sf_oracle):
+    """n_pairs is non-increasing in threshold, every sweep threshold is
+    present (zero counts included), and the 0.5 row equals the
+    registered dedup_minhash_pairs count at its default threshold."""
+    from via_spark.operators.dedup import (
+        SWEEP_THRESHOLDS,
+        dedup_minhash_pairs,
+        dedup_threshold_sweep,
+    )
+
+    rows = {
+        r["threshold_pct"]: r["n_pairs"]
+        for r in dedup_threshold_sweep(spark, sf_oracle).collect()
+    }
+    assert set(rows) == set(SWEEP_THRESHOLDS)
+    counts = [rows[p] for p in sorted(rows)]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[50] == dedup_minhash_pairs(spark, sf_oracle).count()
+
+
+def test_simhash_bit_balance_planted_stuck_bit(spark, tmp_path):
+    """A single-token corpus plants every bit: each doc's votes are the
+    token hash's own bits, so ones_micro is exactly 0 or 1e6 per bit
+    matching the sha256 bit pattern — the 'stuck bit' the report is
+    built to surface."""
+    import hashlib
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    rows = [(i, "sentinel") for i in range(5)]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(str(d / "documents.parquet"))
+
+    from via_spark.operators.textstats import simhash_bit_balance_report
+
+    got = {
+        r["bit"]: r["ones_micro"]
+        for r in simhash_bit_balance_report(spark, str(d)).collect()
+    }
+    # bit b lives in nibble b//4 (hex char order), position b%4; a
+    # 1-bit votes +1 per token (sum > 0 -> bit 1), a 0-bit votes -1
+    # (sum < 0 -> bit 0), so every doc fingerprints identically
+    hexstr = hashlib.sha256(b"sentinel").hexdigest()[:16]
+    for b in range(64):
+        nib = int(hexstr[b // 4], 16)
+        want = 1_000_000 if ((nib >> (b % 4)) & 1) else 0
+        assert got[b] == want, b
+    assert len(got) == 64
+
+
+def test_stopword_coverage_planted_ratio(spark, tmp_path):
+    """Planted ratios: 'the cat and dog' = 2/4 stopwords; a no-stopword
+    doc = 0; an empty-token source yields NULL stop_micro."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    rows = [
+        (0, "the cat and dog", "prose"),
+        (1, "cat dog fox hen", "prose"),
+        (2, "", "empty"),
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+    from via_spark.operators.textstats import stopword_coverage_by_source
+
+    got = {r["source"]: r for r in stopword_coverage_by_source(spark, str(d)).collect()}
+    p = got["prose"]
+    assert (p["n_docs"], p["n_tokens"], p["n_stop"]) == (2, 8, 2)
+    assert p["stop_micro"] == 2 * 1_000_000 // 8
+    assert got["empty"]["stop_micro"] is None

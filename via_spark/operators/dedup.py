@@ -433,39 +433,46 @@ def neardup_embedding_pairs(
     the r9 ``dropDuplicates`` shuffled the full candidate set for
     nothing.
     """
-    e0 = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # self-norms are per-VECTOR, so compute them once on the N-row scan
+    # side, never per candidate: the 64-dim dots are higher-order-function
+    # expressions (outside whole-stage codegen), and at 10x data the
+    # per-pair na/nb dots were 2/3 of a measured ~39us/candidate verify
+    e0 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        dot_fix(F.col("embedding"), F.col("embedding")).alias("n_fix"),
+    )
     if bits is None:
         if probe_radius != 1:
             raise ValueError("adaptive bits supports probe_radius=1 only")
-        e = adaptive_sign_frame(e0, ["vec_id", "embedding"])
+        e = adaptive_sign_frame(e0, ["vec_id", "embedding", "n_fix"])
         a = e.select(
             F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+            F.col("n_fix").alias("na_fix"),
             F.explode(F.expr(_VARIABLE_PROBES)).alias("bucket"),
         )
         b = e.select(
             F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
-            "bucket",
+            F.col("n_fix").alias("nb_fix"), "bucket",
         )
     else:
         e = e0.select(
-            "vec_id", "embedding",
+            "vec_id", "embedding", "n_fix",
             _sign_bucket(F.col("embedding"), dims=bits).alias("bucket"),
         )
         a = e.select(
             F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+            F.col("n_fix").alias("na_fix"),
             F.explode(
                 probe_buckets(F.col("bucket"), bits=bits, radius=probe_radius)
             ).alias("bucket"),
         )
         b = e.select(
             F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
-            "bucket",
+            F.col("n_fix").alias("nb_fix"), "bucket",
         )
     cand = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
     return (
         cand.withColumn("d_fix", dot_fix(F.col("emb_a"), F.col("emb_b")))
-        .withColumn("na_fix", dot_fix(F.col("emb_a"), F.col("emb_a")))
-        .withColumn("nb_fix", dot_fix(F.col("emb_b"), F.col("emb_b")))
         .withColumn("score", cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")))
         .where(F.col("score") >= threshold)
         .select("vec_a", "vec_b", "score")
@@ -1548,15 +1555,21 @@ def lsh_density_outliers(
     dedup: each ordered candidate pair matches exactly one probe (see
     neardup_embedding_pairs).
     """
+    from via_spark.operators.vector import cosine_from_fix, dot_fix
+
+    # per-vector self-norm on the scan side, never per candidate — see
+    # neardup_embedding_pairs (same measured 2/3-of-verify saving)
     e0 = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding"
+        "vec_id", "label", "embedding",
+        dot_fix(F.col("embedding"), F.col("embedding")).alias("n_fix"),
     )
     if bits is None:
         if probe_radius != 1:
             raise ValueError("adaptive bits supports probe_radius=1 only")
-        e = adaptive_sign_frame(e0, ["vec_id", "label", "embedding"])
+        e = adaptive_sign_frame(e0, ["vec_id", "label", "embedding", "n_fix"])
         a = e.select(
             F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+            F.col("n_fix").alias("na_fix"),
             F.explode(F.expr(_VARIABLE_PROBES)).alias("bucket"),
         )
     else:
@@ -1565,21 +1578,19 @@ def lsh_density_outliers(
         )
         a = e.select(
             F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+            F.col("n_fix").alias("na_fix"),
             F.explode(
                 probe_buckets(F.col("bucket"), bits=bits, radius=probe_radius)
             ).alias("bucket"),
         )
     b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.col("n_fix").alias("nb_fix"), "bucket",
     )
-    from via_spark.operators.vector import cosine_from_fix, dot_fix
-
     counts = (
         a.join(b, "bucket")
         .where(F.col("vec_a") != F.col("vec_b"))
         .withColumn("d_fix", dot_fix(F.col("emb_a"), F.col("emb_b")))
-        .withColumn("na_fix", dot_fix(F.col("emb_a"), F.col("emb_a")))
-        .withColumn("nb_fix", dot_fix(F.col("emb_b"), F.col("emb_b")))
         .where(
             cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix"))
             >= F.lit(tau)
@@ -1705,5 +1716,42 @@ def neardup_lsh_recall_report(
                 "CASE WHEN n_sample_pairs > 0"
                 " THEN n_hit * 1000000L div n_sample_pairs END"
             ).alias("recall_micro"),
+        )
+    )
+
+
+SWEEP_THRESHOLDS = (20, 30, 40, 50, 60, 70, 80)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-count-vs-threshold curve over the verified MinHash
+    candidates — the number a pipeline owner reads to PICK the dedup
+    threshold (too low deletes paraphrases, too high keeps mirrors):
+    for each threshold_pct in 20..80, how many candidate pairs would
+    the dedup keep. One verify pass at the loosest cut (0.2), then a
+    7-way conditional count — the sweep costs one query, not seven.
+
+    Scale posture: rides the production banded-LSH candidate chain
+    (hot-band capped, never all-pairs); the sweep explode multiplies
+    the <= |candidates| verified rows by 7 BEFORE a tiny hash agg.
+    Zero-count thresholds stay in the output (conditional agg, no
+    post-filter drop).
+    """
+    pairs = dedup_minhash_pairs(spark, sf_dir, threshold=0.2)
+    t = F.explode(
+        F.array(*[F.lit(p) for p in SWEEP_THRESHOLDS])
+    ).alias("threshold_pct")
+    return (
+        pairs.select("jaccard", t)
+        .groupBy("threshold_pct")
+        .agg(
+            F.sum(
+                (F.col("jaccard") >= F.col("threshold_pct") / F.lit(100.0))
+                .cast("long")
+            ).alias("n_pairs")
+        )
+        .select(
+            F.col("threshold_pct").cast("int").alias("threshold_pct"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
         )
     )

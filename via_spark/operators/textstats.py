@@ -1371,3 +1371,80 @@ def hhi_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shares.crossJoin(F.broadcast(hhi)).select(
         "source", "mass", "share_micro", "n_sources", "hhi_micro"
     )
+
+
+def simhash_bit_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bit 1-fraction of the corpus simhash fingerprints — the
+    health check for the 64-bit Hamming dedup family: a healthy token
+    hash gives every bit a ~0.5 one-rate; a stuck bit (ones_micro near
+    0 or 1e6) halves that bit's discriminating power and silently
+    degrades dedup_simhash_pairs recall. 64 output rows.
+
+    Scale posture: one documents scan; the vote array is computed once
+    per doc (the same aggregate expression simhash_hex uses), bits
+    posexplode to 64 rows/doc before a 64-group hash agg — no joins,
+    no windows. Docs with zero tokens are excluded (they have no
+    votes), mirroring the oracle's token-derived CTE.
+    """
+    from via_spark.functions.simhash import simhash_votes
+    from via_spark.functions.text import tokens
+    from via_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).where(F.size("toks") > 0)
+    votes = d.select("doc_id", simhash_votes(F.col("toks")).alias("v"))
+    exploded = votes.select(F.posexplode("v").alias("bit", "vote"))
+    return (
+        exploded.groupBy("bit")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("vote") >= 0).cast("long")).alias("n_ones"),
+        )
+        .select(
+            F.col("bit").cast("int").alias("bit"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_ones").cast("long").alias("n_ones"),
+            F.expr("n_ones * 1000000L div n_docs").alias("ones_micro"),
+        )
+    )
+
+
+def stopword_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stopword token share — a fast fluency signal (natural
+    English prose sits near 0.3-0.6; code dumps, tables, and boilerplate
+    sit far lower) that complements the gopher rules' per-document
+    cut with a corpus-level view. Exact integer counts, one division.
+
+    Scale posture: one scan, per-row token filter against the broadcast
+    stopword list (array_contains over a literal array — no join), one
+    |sources|-row agg.
+    """
+    from via_spark.functions.text import tokens
+    from via_spark.session import load_table
+
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(tokens(F.col("text")), lambda t: F.array_contains(stop, t))
+        ).cast("long").alias("n_stop"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_stop").alias("n_stop"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_stop").cast("long").alias("n_stop"),
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN n_stop * 1000000L div n_tokens END"
+            ).alias("stop_micro"),
+        )
+    )

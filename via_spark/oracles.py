@@ -7844,3 +7844,77 @@ FROM fused JOIN filtered f2 USING (rhythm_hash)
 ORDER BY rrf DESC, cluster_id ASC LIMIT {k}
 """
     )
+
+
+def dedup_threshold_sweep_sql() -> str:
+    """Mirrors dedup.dedup_threshold_sweep: the 0.2-cut MinHash verify
+    chain, then a 7-way conditional count per threshold_pct."""
+    from via_spark.operators.dedup import SWEEP_THRESHOLDS
+
+    pcts = ", ".join(str(p) for p in SWEEP_THRESHOLDS)
+    return f"""
+WITH pairs AS (
+{dedup_minhash_pairs_sql(0.2)}
+),
+sweep AS (SELECT unnest([{pcts}]) AS threshold_pct)
+SELECT CAST(s.threshold_pct AS INTEGER) AS threshold_pct,
+       CAST(SUM(CASE WHEN p.jaccard >= s.threshold_pct / 100.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+FROM sweep s CROSS JOIN pairs p
+GROUP BY s.threshold_pct
+"""
+
+
+def simhash_bit_balance_report_sql() -> str:
+    """Mirrors textstats.simhash_bit_balance_report via the simhash
+    oracle's vote CTEs: bit b of a doc's fingerprint is 1 iff its vote
+    sum is >= 0."""
+    return f"""
+WITH {DOC_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS t FROM dtok WHERE len(toks) > 0),
+th AS (SELECT doc_id, substr(sha256(t), 1, 16) AS h FROM tok),
+votes AS (
+    SELECT doc_id, r.b,
+           SUM((((strpos('0123456789abcdef', substr(h, (r.b // 4) + 1, 1)) - 1)
+                 >> (r.b % 4)) & 1) * 2 - 1) AS v
+    FROM th, range(64) r(b) GROUP BY doc_id, r.b
+)
+SELECT CAST(b AS INTEGER) AS bit,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN v >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ones,
+       CAST(SUM(CASE WHEN v >= 0 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS ones_micro
+FROM votes
+GROUP BY b
+"""
+
+
+def stopword_coverage_by_source_sql() -> str:
+    """Mirrors textstats.stopword_coverage_by_source (en stopword set
+    imported from the engine)."""
+    from via_spark.operators.textstats import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return rf"""
+WITH d AS (
+    SELECT source,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+               AS toks
+    FROM documents
+),
+per AS (
+    SELECT source,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, t -> t IN ({stop}))) AS BIGINT) AS n_stop
+    FROM d
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_stop) AS BIGINT) AS n_stop,
+       CAST(CASE WHEN SUM(n_tokens) > 0
+            THEN SUM(n_stop) * 1000000 // SUM(n_tokens) END AS BIGINT)
+           AS stop_micro
+FROM per
+GROUP BY source
+"""

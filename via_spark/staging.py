@@ -24,6 +24,12 @@ Round-10 batch (for the r11 splice):
   sign-LSH bucket space (the r10 ``bits`` dial's health diagnostic).
 * ``neardup_lsh_recall_report`` — measured pair recall of the adaptive
   multi-probe LSH vs exact sample×corpus ground truth (linear cost).
+* ``dedup_threshold_sweep`` — pair-count-vs-threshold curve over the
+  verified MinHash candidates (one verify pass, 7 thresholds).
+* ``simhash_bit_balance_report`` — per-bit 1-fraction of the corpus
+  simhashes (stuck-bit health check for the Hamming dedup family).
+* ``stopword_coverage_by_source`` — per-source stopword token share
+  (corpus-level fluency signal beside the gopher per-doc rules).
 """
 
 from __future__ import annotations
@@ -33,7 +39,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from via_spark import oracles
-from via_spark.operators import dedup, forensic
+from via_spark.operators import dedup, forensic, textstats
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -41,9 +47,12 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     surface — spliced to the registered tail at the start of r11."""
     return {
         "clusters_windowed_tolerant": forensic.clusters_windowed_tolerant,
+        "dedup_threshold_sweep": dedup.dedup_threshold_sweep,
         "embedding_bucket_occupancy": dedup.embedding_bucket_occupancy,
         "hybrid_tier2_search": forensic.hybrid_tier2_search,
         "neardup_lsh_recall_report": dedup.neardup_lsh_recall_report,
+        "simhash_bit_balance_report": textstats.simhash_bit_balance_report,
+        "stopword_coverage_by_source": textstats.stopword_coverage_by_source,
     }
 
 
@@ -51,7 +60,10 @@ def staged_oracle_sql() -> dict[str, str]:
     """Contract mirror of ``__spark_entry__.oracle_sql()``."""
     return {
         "clusters_windowed_tolerant": oracles.clusters_windowed_tolerant_sql(),
+        "dedup_threshold_sweep": oracles.dedup_threshold_sweep_sql(),
         "embedding_bucket_occupancy": oracles.embedding_bucket_occupancy_sql(),
         "hybrid_tier2_search": oracles.hybrid_tier2_search_sql(),
         "neardup_lsh_recall_report": oracles.neardup_lsh_recall_report_sql(),
+        "simhash_bit_balance_report": oracles.simhash_bit_balance_report_sql(),
+        "stopword_coverage_by_source": oracles.stopword_coverage_by_source_sql(),
     }
