@@ -128,12 +128,15 @@ def test_brand_supplier_counts_anti_join_broadcasts(spark, sf_oracle):
 
 
 def test_hybrid_rrf_ranks_via_heaps(spark, sf_oracle):
-    """The RRF rewrite contract: both rankings and the final fuse are
-    TakeOrderedAndProject heaps; any remaining single-partition step
-    operates on cut_n-bounded frames only (asserted indirectly — the
-    plan must contain the three heaps that do the data-sized work)."""
+    """The RRF rewrite contract: both ranking cuts come from ONE pass
+    over the scored frame via a tagged WindowGroupLimit (per-partition
+    heaps before the rank exchange — the data-sized work), the final
+    fuse is a TakeOrderedAndProject heap, and nothing is cached (the
+    old two-heap form persisted the full scored corpus per session)."""
     p = _plan(spark, sf_oracle, "hybrid_rrf")
-    assert p.count("TakeOrderedAndProject") >= 3, p[:2000]
+    assert "WindowGroupLimit" in p, p[:2000]
+    assert "TakeOrderedAndProject" in p, p[:2000]
+    assert "InMemoryTableScan" not in p, "hybrid_rrf must not cache"
 
 
 def test_ann_variants_plan_heaps(spark, sf_oracle):

@@ -105,6 +105,59 @@ def bm25_topk(
     )
 
 
+def _dual_ranks(cand: DataFrame, cut_n: int) -> DataFrame:
+    """Exact global top-``cut_n`` ranks under BOTH orderings — dense
+    (``dense_score`` desc) and sparse (``score_fix`` desc), ties broken
+    by ``doc_id`` asc — from ONE pass over the scored candidate frame.
+
+    Each row is tagged twice (explode of two sort-key structs) and
+    ranked per tag with ``row_number() ... WHERE r <= cut_n``, which
+    Catalyst plans as WindowGroupLimit: every input partition forwards
+    at most ``cut_n`` rows per tag into the 2-partition final rank, so
+    the exchange carries ≤ 2·cut_n·num_partitions rows no matter the
+    corpus size. The scoring subplan (BM25 + 384-dim dots) therefore
+    runs ONCE with no ``persist()`` — the previous two-heap form either
+    cached the full scored corpus for the session (never unpersisted;
+    ADVICE r9) or recomputed the scoring pass per ranking.
+
+    Returns one row per doc appearing in either cut:
+    ``(doc_id, rank_dense, rank_sparse)`` with the missing side NULL —
+    the same frame the old full-outer join of the two cuts produced.
+    """
+    tagged = cand.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("d").alias("tag"),
+                    F.col("dense_score").alias("sk_d"),
+                    F.lit(None).cast("long").alias("sk_s"),
+                ),
+                F.struct(
+                    F.lit("s").alias("tag"),
+                    F.lit(None).cast("double").alias("sk_d"),
+                    F.col("score_fix").alias("sk_s"),
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.tag", "t.sk_d", "t.sk_s")
+    # within a tag the foreign sort key is all-NULL (a tie), so the
+    # effective order is exactly the old per-cut order: score desc,
+    # doc_id asc
+    w = Window.partitionBy("tag").orderBy(
+        F.desc_nulls_last("sk_d"), F.desc_nulls_last("sk_s"), F.asc("doc_id")
+    )
+    return (
+        tagged.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= cut_n)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("tag") == "d", F.col("r"))).alias("rank_dense"),
+            F.max(F.when(F.col("tag") == "s", F.col("r"))).alias("rank_sparse"),
+        )
+    )
+
+
 def hybrid_rrf(
     spark: SparkSession,
     sf_dir: str,
@@ -116,22 +169,22 @@ def hybrid_rrf(
     """V6: hybrid dense+sparse search via Reciprocal Rank Fusion.
 
     Candidate set = documents with a stored embedding (doc_id = vec_id).
-    Each ranking is CUT to its exact global top-``cut_n`` first
-    (TakeOrderedAndProject — a parallel heap, no global sort), ranks are
-    assigned within the cuts, and fusion runs over the union of the two
-    cuts: rrf = 1/(60+rank_dense) + 1/(60+rank_sparse), with a missing
-    side contributing 0 (rank NULL). Top-k of the fused set is returned.
+    Each ranking is CUT to its exact global top-``cut_n`` first and both
+    cuts come from ONE pass over the scored frame (``_dual_ranks``:
+    tagged WindowGroupLimit — per-partition heaps, no global sort, no
+    persist), then fusion runs over the union of the two cuts:
+    rrf = 1/(60+rank_dense) + 1/(60+rank_sparse), with a missing side
+    contributing 0 (rank NULL). Top-k of the fused set is returned.
 
     Scale: this is the standard retrieval shape — candidate generation
-    per ranking is a top-N heap over the full corpus; every operator
-    after the cuts touches at most 2·cut_n rows, a CONSTANT independent
-    of corpus size (the rank window runs on a single ≤cut_n-row
-    partition, so it adds no exchange). Ranks within a cut equal global
-    ranks, so for k ≤ cut_n the fused top-k is exact whenever a result
-    appears in at least one cut — the same contract as a distributed
-    retrieval engine's per-shard page merge. The oracle mirrors the cut
-    semantics exactly. For exact global ranks over the FULL candidate
-    set (no cut), see ``rank.global_row_number``.
+    is one scoring pass over the corpus feeding per-partition top-N
+    heaps; every operator after the cuts touches at most 2·cut_n rows,
+    a CONSTANT independent of corpus size. Ranks within a cut equal
+    global ranks, so for k ≤ cut_n the fused top-k is exact whenever a
+    result appears in at least one cut — the same contract as a
+    distributed retrieval engine's per-shard page merge. The oracle
+    mirrors the cut semantics exactly. For exact global ranks over the
+    FULL candidate set (no cut), see ``rank.global_row_number``.
     """
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -152,31 +205,13 @@ def hybrid_rrf(
             "dense_score", cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix"))
         )
     )
-    # both ranking cuts read this 3-narrow-column projection; persist it
-    # so the expensive part (BM25 + 384-dim dot per row) runs ONCE, not
-    # once per ranking. At cluster scale this caches ~24 bytes/row — far
-    # cheaper than recomputing the scoring pass twice.
-    cand = joined.select("doc_id", "score_fix", "dense_score").persist()
-
-    def cut(order: list, out: str) -> DataFrame:
-        # exact global top-N heap, then ranks over the single ≤N-row
-        # partition the limit produces (window adds no exchange there)
-        w = Window.orderBy(*order)
-        return (
-            cand.orderBy(*order)
-            .limit(cut_n)
-            .withColumn(out, F.row_number().over(w))
-            .select("doc_id", out)
-        )
-
-    dense = cut([F.col("dense_score").desc(), F.col("doc_id").asc()], "rank_dense")
-    sparse = cut([F.col("score_fix").desc(), F.col("doc_id").asc()], "rank_sparse")
+    cand = joined.select("doc_id", "score_fix", "dense_score")
+    ranks = _dual_ranks(cand, cut_n)
     contrib = lambda c: F.coalesce(  # noqa: E731 — absent side contributes 0
         F.lit(1.0) / (F.lit(RRF_K) + F.col(c)), F.lit(0.0)
     )
     return (
-        dense.join(sparse, "doc_id", "full_outer")
-        .withColumn("rrf", contrib("rank_dense") + contrib("rank_sparse"))
+        ranks.withColumn("rrf", contrib("rank_dense") + contrib("rank_sparse"))
         .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
         .limit(k)
         .select("doc_id", "rank_dense", "rank_sparse", "rrf")
@@ -273,16 +308,16 @@ def ranker_overlap_report(
     fuses the rankings this report compares.
 
     Exactness: ranks are exact within the global top-``cut_n`` cuts
-    (TakeOrderedAndProject heaps, same contract as hybrid_rrf);
+    (single-pass tagged WindowGroupLimit, same ranks as hybrid_rrf);
     ``jaccard_micro = inter·1e6 div (|dense@k| + |sparse@k| − inter)``
     is pure BIGINT. The union uses the ACTUAL per-cut list sizes
     (min(k, candidates)), not 2k — when the BM25 candidate pool is
     smaller than k, assuming full lists overstates the union and
     understates jaccard. NULL when both lists are empty.
 
-    Scale posture: identical to hybrid_rrf — the scored candidate frame
-    is computed once (persist), each cut is a top-N heap, and the
-    overlap agg runs on ≤ 2·cut_n rows crossed with 4 cut levels.
+    Scale posture: identical to hybrid_rrf — ONE scoring pass feeds
+    both rankings via ``_dual_ranks`` (no persist, no cache leak), and
+    the overlap agg runs on ≤ 2·cut_n rows crossed with 4 cut levels.
     """
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -301,21 +336,8 @@ def ranker_overlap_report(
             cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")),
         )
         .select("doc_id", "score_fix", "dense_score")
-        .persist()
     )
-
-    def cut(order: list, out: str) -> DataFrame:
-        w = Window.orderBy(*order)
-        return (
-            cand.orderBy(*order)
-            .limit(cut_n)
-            .withColumn(out, F.row_number().over(w).cast("long"))
-            .select("doc_id", out)
-        )
-
-    dense = cut([F.col("dense_score").desc(), F.col("doc_id").asc()], "rank_dense")
-    sparse = cut([F.col("score_fix").desc(), F.col("doc_id").asc()], "rank_sparse")
-    ranks = dense.join(sparse, "doc_id", "full_outer")
+    ranks = _dual_ranks(cand, cut_n)
     cuts = F.explode(
         F.array(*[F.lit(c).cast("long") for c in OVERLAP_CUTS])
     ).alias("k")
