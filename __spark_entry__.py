@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_decompose_daily": timeseries.stl_decompose_daily,
         "surprisal_filter_yield": textstats.surprisal_filter_yield,
         "t_closeness_audit": curation.t_closeness_audit,
+        "hybrid_rrf": search.hybrid_rrf,
         "neardup_embedding_pairs": dedup.neardup_embedding_pairs,
         "embedding_neardup_clusters": graph.embedding_neardup_clusters,
         "dedup_family_compare": graph.dedup_family_compare,
@@ -193,7 +194,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_rate_of_change": timeseries.hourly_rate_of_change,
         "hypertable_rollup": windows.hypertable_rollup,
         "knn_batch_topk": vector.knn_batch_topk,
-        "lapsed_buyers": relational.lapsed_buyers,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
@@ -403,7 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bucketed_batches": rank.length_bucketed_batches,
         "curriculum_positions": rank.curriculum_positions,
         "recommend_average_vector": vector.recommend_average_vector,
-        "hybrid_rrf": search.hybrid_rrf,
+        "lapsed_buyers": relational.lapsed_buyers,
         "ann_quantized_topk": vector.ann_quantized_topk,
         "dedup_exact": dedup.dedup_exact,
     }
