@@ -798,3 +798,150 @@ def test_stopword_coverage_planted_ratio(spark, tmp_path):
     assert (p["n_docs"], p["n_tokens"], p["n_stop"]) == (2, 8, 2)
     assert p["stop_micro"] == 2 * 1_000_000 // 8
     assert got["empty"]["stop_micro"] is None
+
+
+# ---------------------------------------------------------------------------
+# Staged batch 4 planted-semantics tests (the fixture graph is too
+# sparse to exercise triangles / multi-pair flow cells, and the
+# statistics need known-answer corpora — oracle parity alone would
+# pass vacuously on several of these).
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(path / "documents.parquet"))
+
+
+def _unique_text(i: int, n: int = 40) -> str:
+    return " ".join(f"tok{i}x{j}" for j in range(n))
+
+
+def test_simhash_graph_triangles_planted(spark, tmp_path):
+    """Docs 1,2,3 share one text (a closed triangle), 4,5 share another
+    (one edge, no triangle), 6,7 are isolated: nodes=5, edges=4,
+    wedges=3 (one per triangle vertex), triangles=1, gcc=1.0."""
+    from via_spark.operators.graph import simhash_graph_triangles
+
+    tri_text = _unique_text(100)
+    edge_text = _unique_text(200)
+    rows = [
+        (i, tri_text, "en", "s", len(tri_text)) for i in (1, 2, 3)
+    ] + [
+        (i, edge_text, "en", "s", len(edge_text)) for i in (4, 5)
+    ] + [
+        (i, _unique_text(i), "en", "s", 1) for i in (6, 7)
+    ]
+    _write_docs(spark, tmp_path, rows)
+    row = simhash_graph_triangles(spark, str(tmp_path)).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_wedges"], row["n_triangles"]) == (
+        5, 4, 3, 1,
+    )
+    assert row["gcc_micro"] == 1_000_000
+
+
+def test_neardup_source_flow_matrix_planted(spark, tmp_path):
+    """One cross-source duplicate pair and one within-source pair:
+    canonical cells (sA,sB) and (sB,sB), each share 1/2."""
+    from via_spark.operators.dedup import neardup_source_flow_matrix
+
+    dup1, dup2 = _unique_text(300), _unique_text(400)
+    rows = [
+        (1, dup1, "en", "sB", 1), (2, dup1, "en", "sA", 1),
+        (3, dup2, "en", "sB", 1), (4, dup2, "en", "sB", 1),
+        (5, _unique_text(5), "en", "sC", 1),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_pairs"], r["share_micro"])
+        for r in neardup_source_flow_matrix(spark, str(tmp_path)).collect()
+    }
+    assert got == {("sA", "sB"): (1, 500000), ("sB", "sB"): (1, 500000)}
+
+
+def test_term_burstiness_planted(spark, tmp_path):
+    """A term worth cf=100 across df=5 docs (burstiness 20.0) must top
+    the report; diffuse filler terms sit at 1.0."""
+    from via_spark.operators.textstats import term_burstiness_report
+
+    filler = " ".join(f"common{j}" for j in range(10))
+    rows = [
+        (i, ("burst " * 20) + filler, "en", "s", 1) for i in range(5)
+    ] + [(i, filler, "en", "s", 1) for i in range(5, 12)]
+    _write_docs(spark, tmp_path, rows)
+    out = term_burstiness_report(spark, str(tmp_path)).collect()
+    assert out[0]["term"] == "burst"
+    assert (out[0]["df"], out[0]["cf"], out[0]["burstiness_micro"]) == (5, 100, 20_000_000)
+    assert all(r["burstiness_micro"] == 1_000_000 for r in out[1:])
+
+
+def test_zipf_slope_planted(spark, tmp_path):
+    """A source built with freq(r) = round(600/r) must regress near
+    slope −1; a uniform-frequency source is exactly 0 (y constant)."""
+    from via_spark.operators.textstats import zipf_slope_by_source
+
+    zipf_doc = " ".join(
+        " ".join(f"z{r:02d}" for _ in range(round(600 / r))) for r in range(1, 41)
+    )
+    flat_doc = " ".join(" ".join(f"f{r:02d}" for _ in range(7)) for r in range(1, 41))
+    _write_docs(spark, tmp_path, [
+        (1, zipf_doc, "en", "zipf", 1), (2, flat_doc, "en", "flat", 1),
+    ])
+    got = {r["source"]: r for r in zipf_slope_by_source(spark, str(tmp_path)).collect()}
+    assert got["flat"]["zipf_slope"] == 0.0
+    assert -1.1 < got["zipf"]["zipf_slope"] < -0.9
+    assert got["zipf"]["n_terms"] == 40 and got["flat"]["n_terms"] == 40
+
+
+def test_kneser_ney_planted_exact(spark, tmp_path):
+    """Hand-computed KN values on a 3-doc corpus: c(a b)=2, c(a c)=1,
+    c1(a)=3, N1+(a·)=2, N1+(·b)=N1+(·c)=1, types=2 ⇒
+    p(b|a) = 5e6//12 + 6*500000//12 = 666666,
+    p(c|a) = 1e6//12 + 250000 = 333333 (sums to ~1)."""
+    from via_spark.operators.textstats import kneser_ney_bigram_report
+
+    _write_docs(spark, tmp_path, [
+        (1, "a b", "en", "s", 3), (2, "a b", "en", "s", 3), (3, "a c", "en", "s", 3),
+    ])
+    out = kneser_ney_bigram_report(spark, str(tmp_path)).collect()
+    got = {(r["w1"], r["w2"]): (r["c12"], r["p_kn_micro"]) for r in out}
+    assert got == {("a", "b"): (2, 666666), ("a", "c"): (1, 333333)}
+    assert out[0]["w2"] == "b"  # ordered by count desc
+
+
+def test_winnowing_matches_python_model(spark, tmp_path):
+    """The selected-fingerprint count must equal an independent Python
+    winnowing (same sha256-40-bit hash, same packed rightmost-min tie),
+    and every selection gap is ≤ w (the winnowing guarantee)."""
+    import hashlib
+
+    from via_spark.operators.textstats import (
+        WINNOW_K, WINNOW_W, winnowing_fingerprint_stats,
+    )
+
+    toks = [f"w{(i * 7) % 13}x{i % 5}" for i in range(30)]
+    text = " ".join(toks)
+    _write_docs(spark, tmp_path, [(1, text, "en", "s", len(text))])
+
+    grams = [
+        " ".join(toks[i : i + WINNOW_K]) for i in range(len(toks) - WINNOW_K + 1)
+    ]
+    packs = [
+        int(hashlib.sha256(g.encode()).hexdigest()[:10], 16) * (1 << 20)
+        + ((1 << 20) - 1 - p)
+        for p, g in enumerate(grams)
+    ]
+    sel_pos = []
+    sel = set()
+    for i in range(WINNOW_W - 1, len(packs)):
+        m = min(packs[i - WINNOW_W + 1 : i + 1])
+        sel.add(m)
+        sel_pos.append(((1 << 20) - 1) - (m % (1 << 20)))
+    gaps = [b - a for a, b in zip(sorted(set(sel_pos)), sorted(set(sel_pos))[1:])]
+    assert all(g <= WINNOW_W for g in gaps)
+
+    row = winnowing_fingerprint_stats(spark, str(tmp_path)).collect()[0]
+    assert row["n_grams"] == len(grams)
+    assert row["n_selected"] == len(sel)
+    assert row["density_micro"] == len(sel) * 1_000_000 // len(grams)

@@ -1755,3 +1755,46 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pairs").cast("long").alias("n_pairs"),
         )
     )
+
+
+def neardup_source_flow_matrix(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Source×source near-duplicate flow: verified MinHash pairs
+    labeled with both endpoints' sources, canonicalized (src_a ≤
+    src_b), counted, and expressed as a share of all pairs. The
+    cross-source cells answer the curation question
+    ``near_duplicate_rate_by_source`` can't: WHICH sources duplicate
+    into which (mirror sites, syndication) vs within themselves.
+
+    Exact: pair counts are integers; ``share_micro = n·1e6 div total``.
+
+    Scale posture: reuses the banded-LSH verified pairs (never
+    all-pairs); the two source lookups are doc_id-keyed joins of a
+    2-column projection; the matrix is at most |sources|² rows and the
+    grand total a 1-row broadcast.
+    """
+    pairs = dedup_minhash_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = pairs.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_1")),
+        "doc_a",
+    ).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_2")),
+        "doc_b",
+    )
+    counts = (
+        labeled.select(
+            F.least("src_1", "src_2").alias("src_a"),
+            F.greatest("src_1", "src_2").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    total = counts.agg(F.sum("n_pairs").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "src_a",
+        "src_b",
+        "n_pairs",
+        F.expr("n_pairs * 1000000L div total").alias("share_micro"),
+    )

@@ -580,3 +580,83 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.expr("n_docs * 1000000L div n_total").alias("doc_share_micro"),
     )
+
+
+def simhash_graph_triangles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Triangle census of the SimHash near-duplicate graph: node/edge
+    counts, wedge count, triangle count, and the global clustering
+    coefficient (3·triangles/wedges). Near-dup graphs from genuine
+    duplication are locally dense (template families close into
+    triangles, gcc → 1); hash-collision noise is locally sparse
+    (gcc → 0) — a one-row health check on the whole dedup graph
+    before trusting its connected components.
+
+    Algorithm: degree-ordered orientation (Chiba-Nishizeki; the
+    standard distributed triangle count): each undirected edge points
+    from its lower-(degree, id) endpoint to the higher one, wedges are
+    built only at each edge's SOURCE, and a wedge (u→v, u→w) counts as
+    a triangle iff the oriented edge v→w exists. Every triangle is
+    counted exactly once, and the orientation bounds any node's
+    out-degree by O(√m) regardless of raw degree skew — a hub of
+    degree d contributes its wedges at its LOW-degree neighbors, so
+    the wedge join cannot blow up quadratically on skewed graphs.
+
+    Exactness: counts are integers; ranks are packed
+    ``deg·2^40 + doc_id`` BIGINTs (unique per node, compares as the
+    (degree, id) tuple); ``gcc_micro = 3·T·1e6 div wedges``.
+
+    The sf0.01 fixture's near-dup graph is triangle-free (max degree
+    2), so the oracle row there is a degenerate (…, 0, 0) census — the
+    planted test (tests/test_staging.py) carries the triangle and gcc
+    semantics on a known graph.
+    """
+    from via_spark.operators.dedup import dedup_simhash_pairs
+
+    edges = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        edges.select(F.col("doc_a").alias("v"))
+        .unionAll(edges.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    rank = deg.select("v", (F.col("deg") * F.lit(1 << 40) + F.col("v")).alias("rk"))
+    labeled = edges.join(
+        rank.select(F.col("v").alias("doc_a"), F.col("rk").alias("rk_a")), "doc_a"
+    ).join(rank.select(F.col("v").alias("doc_b"), F.col("rk").alias("rk_b")), "doc_b")
+    oriented = labeled.select(
+        F.when(F.col("rk_a") < F.col("rk_b"), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("src"),
+        F.when(F.col("rk_a") < F.col("rk_b"), F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("dst"),
+        F.greatest("rk_a", "rk_b").alias("rk_dst"),
+    )
+    o1 = oriented.select("src", F.col("dst").alias("v"), F.col("rk_dst").alias("rk_v"))
+    o2 = oriented.select("src", F.col("dst").alias("w"), F.col("rk_dst").alias("rk_w"))
+    wedges = o1.join(o2, "src").where(F.col("rk_v") < F.col("rk_w"))
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    nodes = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN n_wedges > 0"
+                " THEN 3 * n_triangles * 1000000L div n_wedges END"
+            ).alias("gcc_micro"),
+        )
+    )

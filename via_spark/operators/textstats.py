@@ -1448,3 +1448,245 @@ def stopword_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stop_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Staged r10 batch 4: corpus-statistics + fingerprinting operators
+# ---------------------------------------------------------------------------
+
+BURSTINESS_MIN_DF = 5      # ignore rare terms (cf/df is noise at df < 5)
+BURSTINESS_TOP_K = 50
+ZIPF_TOP_V = 100           # rank-frequency points per source
+KN_TOP_K = 50              # reported bigrams
+WINNOW_K = 4               # winnowing k-gram length (tokens)
+WINNOW_W = 4               # winnowing window (consecutive k-gram hashes)
+
+
+def term_burstiness_report(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = BURSTINESS_TOP_K,
+    min_df: int = BURSTINESS_MIN_DF,
+) -> DataFrame:
+    """Top-``k`` burstiest terms: burstiness = cf/df (Church & Gale's
+    "clumpiness") — terms whose collection frequency concentrates in
+    few documents (cf ≫ df) are content-bearing or boilerplate, terms
+    near 1.0 are diffuse function words. A curation signal for spotting
+    template spam (one term repeated thousands of times in a handful of
+    docs) that per-document repetition scores miss at corpus level.
+
+    Exact: cf, df are integer counts; ``burstiness_micro = cf·1e6 div
+    df`` is pure BIGINT.
+
+    Scale posture: per-(doc, term) counts are one explode + hash agg
+    (map-side partial combine collapses within-doc repeats before the
+    shuffle); per-term df/cf is a second vocab-keyed agg; the top-k is
+    a TakeOrderedAndProject heap. Nothing retains corpus-sized state.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    return (
+        stats.where(F.col("df") >= min_df)
+        .select(
+            F.col("t").alias("term"),
+            "df",
+            "cf",
+            F.expr("cf * 1000000L div df").alias("burstiness_micro"),
+        )
+        .orderBy(F.col("burstiness_micro").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def zipf_slope_by_source(
+    spark: SparkSession, sf_dir: str, v: int = ZIPF_TOP_V
+) -> DataFrame:
+    """Zipf rank-frequency slope per source: OLS of ln(freq) on
+    ln(rank) over each source's top-``v`` terms. Natural-language
+    corpora sit near −1; templated or synthetic text flattens toward 0
+    — a one-number corpus-quality fingerprint per source.
+
+    Parity: both logs are floored to the 1e-6 grid immediately (the
+    BM25 IDF idiom — neutralizes ln ULP skew between engines), so the
+    OLS sums are exact BIGINT; the single slope division converts two
+    identical BIGINTs to correctly-rounded doubles on both engines.
+
+    Scale posture: per-(source, term) frequency is one explode + hash
+    agg; the per-source top-``v`` rides WindowGroupLimit (only ``v``
+    rows per source survive the rank shuffle); the OLS is a
+    |sources|-row agg over ``v`` points each.
+    """
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    freq = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("cf").desc(), F.col("t").asc())
+    pts = (
+        freq.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= v)
+        .select(
+            "source",
+            F.floor(F.log(F.col("r").cast("double")) * 1e6).cast("long").alias("x"),
+            F.floor(F.log(F.col("cf").cast("double")) * 1e6).cast("long").alias("y"),
+        )
+    )
+    agg = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "source",
+        F.col("n").alias("n_terms"),
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias("zipf_slope"),
+    )
+
+
+def kneser_ney_bigram_report(
+    spark: SparkSession, sf_dir: str, k: int = KN_TOP_K
+) -> DataFrame:
+    """Kneser-Ney smoothed bigram probabilities (absolute discount
+    d = 0.75) for the corpus's top-``k`` bigrams — the classic n-gram
+    LM smoothing (continuation counts, not raw frequency, back the
+    backoff mass), as a corpus-level language-model quality probe
+    beside the raw-MLE ``bigram_lm_perplexity``.
+
+    P_KN(w2|w1) = max(c12 − d, 0)/c1 + (d·N1+(w1·)/c1) · N1+(·w2)/N1+(··)
+
+    Exact fixed-point: d = 3/4 is carried as quarters, every term is
+    BIGINT arithmetic with truncating div, so
+    ``p_kn_micro = (max(4·c12−3, 0)·1e6) div (4·c1)
+                 + (3·N1p_fwd·pcont_micro) div (4·c1)``
+    with ``pcont_micro = N1p_bwd·1e6 div n_types`` is engine-identical.
+
+    Scale posture: bigram counts are one in-row transform + hash agg;
+    the context (c1, N1+(w1·)) and continuation (N1+(·w2)) tables are
+    vocab-keyed re-aggregations of that same counts frame; n_types is a
+    1-row broadcast; the report is a top-k heap.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(tokens(F.col("text")).alias("toks")).where(F.size("toks") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    ctx = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1p_bwd"))
+    types = c12.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    return (
+        c12.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .withColumn("pcont_micro", F.expr("n1p_bwd * 1000000L div n_types"))
+        .withColumn(
+            "p_kn_micro",
+            F.expr(
+                "greatest(4 * c12 - 3, 0L) * 1000000L div (4 * c1)"
+                " + (3 * n1p_fwd * pcont_micro) div (4 * c1)"
+            ),
+        )
+        .select("w1", "w2", "c12", "p_kn_micro")
+        .orderBy(F.col("c12").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )
+
+
+def winnowing_fingerprint_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust-winnowing fingerprint selection stats per source
+    (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm):
+    hash every ``WINNOW_K``-token gram, slide a ``WINNOW_W``-hash
+    window, select each window's minimum (rightmost on ties), and
+    report how many DISTINCT fingerprints survive per source. Expected
+    density is 2/(w+1) on random text; sources that select far fewer
+    are internally repetitive. Complements ``doc_fingerprint`` (bottom-k
+    sketch): winnowing guarantees any shared run of
+    ``WINNOW_K + WINNOW_W − 1`` tokens shares a fingerprint.
+
+    Ties pick the RIGHTMOST minimum via one packed BIGINT:
+    ``pack = h40·2^20 + (2^20 − 1 − pos)`` — min pack is min hash,
+    then max position. Positions are capped at 2^20 grams/doc (raise
+    the pack split for longer docs).
+
+    Scale posture: gram explode + one per-doc window (ROWS BETWEEN w−1
+    PRECEDING — a single ordered pass per doc, no self-join), distinct
+    per doc, then a |sources|-row agg. Docs shorter than one full
+    window are excluded up front.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", "source", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= WINNOW_K + WINNOW_W - 1
+    )
+    grams = t.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - WINNOW_K),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(WINNOW_K)]
+                ),
+            )
+        ).alias("pos", "gram"),
+    )
+    from pyspark.sql import Window
+
+    pack = (
+        F.conv(F.substring(F.sha2(F.col("gram"), 256), 1, 10), 16, 10).cast("long")
+        * F.lit(1 << 20)
+        + (F.lit((1 << 20) - 1) - F.col("pos"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(WINNOW_W - 1), 0)
+    perdoc = (
+        grams.withColumn("pack", pack)
+        .withColumn("winmin", F.min("pack").over(win))
+        .where(F.col("pos") >= WINNOW_W - 1)
+        .groupBy("doc_id", "source")
+        .agg(
+            F.countDistinct("winmin").cast("long").alias("n_sel"),
+            (F.max("pos") + 1).cast("long").alias("n_grams"),
+        )
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_grams").alias("n_grams"),
+            F.sum("n_sel").alias("n_selected"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_selected").cast("long").alias("n_selected"),
+            F.expr("n_selected * 1000000L div n_grams").alias("density_micro"),
+        )
+    )

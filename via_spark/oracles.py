@@ -7918,3 +7918,189 @@ SELECT source,
 FROM per
 GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Staged r10 batch 4 oracles
+# ---------------------------------------------------------------------------
+
+
+def neardup_source_flow_matrix_sql(threshold: float = 0.5) -> str:
+    """Mirrors dedup.neardup_source_flow_matrix: verified MinHash pairs
+    labeled with both endpoints' sources, canonicalized, counted."""
+    return f"""
+WITH pairs AS (
+{dedup_minhash_pairs_sql(threshold)}
+),
+lab AS (
+    SELECT least(sa.source, sb.source) AS src_a,
+           greatest(sa.source, sb.source) AS src_b
+    FROM pairs p
+    JOIN documents sa ON sa.doc_id = p.doc_a
+    JOIN documents sb ON sb.doc_id = p.doc_b
+),
+counts AS (
+    SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY src_a, src_b
+)
+SELECT src_a, src_b, n_pairs,
+       n_pairs * 1000000 // CAST(sum(n_pairs) OVER () AS BIGINT) AS share_micro
+FROM counts
+"""
+
+
+def simhash_graph_triangles_sql(max_hamming: int = 3) -> str:
+    """Mirrors graph.simhash_graph_triangles: degree-ordered oriented
+    wedge join over the simhash pair graph, each triangle once."""
+    return f"""
+WITH pairs AS (
+{dedup_simhash_pairs_sql(max_hamming)}
+),
+edges AS (SELECT doc_a, doc_b FROM pairs),
+deg AS (
+    SELECT v, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT doc_a AS v FROM edges UNION ALL SELECT doc_b FROM edges)
+    GROUP BY v
+),
+rk AS (SELECT v, deg * 1099511627776 + v AS rk FROM deg),
+lab AS (
+    SELECT e.doc_a, e.doc_b, ra.rk AS rk_a, rb.rk AS rk_b
+    FROM edges e JOIN rk ra ON ra.v = e.doc_a JOIN rk rb ON rb.v = e.doc_b
+),
+o AS (
+    SELECT CASE WHEN rk_a < rk_b THEN doc_a ELSE doc_b END AS src,
+           CASE WHEN rk_a < rk_b THEN doc_b ELSE doc_a END AS dst,
+           greatest(rk_a, rk_b) AS rk_dst
+    FROM lab
+),
+tri AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM o o1
+    JOIN o o2 ON o1.src = o2.src AND o1.rk_dst < o2.rk_dst
+    JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+    FROM deg
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN 3 * n_triangles * 1000000 // n_wedges END AS gcc_micro
+FROM agg, ne, tri
+"""
+
+
+def term_burstiness_report_sql(k: int = 50, min_df: int = 5) -> str:
+    """Mirrors textstats.term_burstiness_report (cf/df, Church-Gale)."""
+    return f"""
+WITH {DOC_TOKS_CTE.strip()},
+tok AS (SELECT doc_id, unnest(toks) AS t FROM dtok),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+stats AS (
+    SELECT t AS term, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf
+    FROM tf GROUP BY t
+)
+SELECT term, df, cf, cf * 1000000 // df AS burstiness_micro
+FROM stats WHERE df >= {min_df}
+ORDER BY burstiness_micro DESC, term ASC LIMIT {k}
+"""
+
+
+def zipf_slope_by_source_sql(v: int = 100) -> str:
+    """Mirrors textstats.zipf_slope_by_source: grid-floored ln OLS over
+    each source's top-v rank-frequency points."""
+    return f"""
+WITH {DOC_TOKS_CTE.strip()},
+tok AS (SELECT source, unnest(toks) AS t FROM dtok),
+freq AS (SELECT source, t, count(*) AS cf FROM tok GROUP BY source, t),
+ranked AS (
+    SELECT source, cf,
+           row_number() OVER (PARTITION BY source ORDER BY cf DESC, t ASC) AS r
+    FROM freq
+),
+pts AS (
+    SELECT source,
+           CAST(floor(ln(r) * 1000000) AS BIGINT) AS x,
+           CAST(floor(ln(cf) * 1000000) AS BIGINT) AS y
+    FROM ranked WHERE r <= {v}
+),
+agg AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM pts GROUP BY source
+)
+SELECT source, n AS n_terms,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS zipf_slope
+FROM agg
+"""
+
+
+def kneser_ney_bigram_report_sql(k: int = 50) -> str:
+    """Mirrors textstats.kneser_ney_bigram_report: d=3/4 carried as
+    quarters, every term truncating BIGINT arithmetic."""
+    return f"""
+WITH {DOC_TOKS_CTE.strip()},
+dt2 AS (SELECT toks AS t FROM dtok WHERE len(toks) >= 2),
+bg AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM dt2, unnest(range(1, len(t))) AS u(i)
+),
+cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+ctx AS (
+    SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+           CAST(count(*) AS BIGINT) AS n1p_fwd
+    FROM cnt GROUP BY w1
+),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bwd FROM cnt GROUP BY w2),
+types AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM cnt)
+SELECT cnt.w1, cnt.w2, cnt.c12,
+       greatest(4 * cnt.c12 - 3, 0) * 1000000 // (4 * ctx.c1)
+       + (3 * ctx.n1p_fwd * (cont.n1p_bwd * 1000000 // types.n_types))
+         // (4 * ctx.c1) AS p_kn_micro
+FROM cnt JOIN ctx USING (w1) JOIN cont USING (w2), types
+ORDER BY cnt.c12 DESC, cnt.w1 ASC, cnt.w2 ASC LIMIT {k}
+"""
+
+
+def winnowing_fingerprint_stats_sql() -> str:
+    """Mirrors textstats.winnowing_fingerprint_stats (k=4 token grams,
+    w=4 windows, rightmost-min tie via the packed BIGINT)."""
+    return f"""
+WITH {DOC_TOKS_CTE.strip()},
+docs2 AS (SELECT doc_id, source, toks AS t FROM dtok WHERE len(toks) >= 7),
+grams AS (
+    SELECT doc_id, source, i - 1 AS pos,
+           t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS gram
+    FROM docs2, unnest(range(1, len(t) - 2)) AS u(i)
+),
+packed AS (
+    SELECT doc_id, source, pos,
+           ('0x' || substr(sha256(gram), 1, 10))::BIGINT * 1048576
+           + (1048575 - pos) AS pack
+    FROM grams
+),
+sel AS (
+    SELECT doc_id, source, pos,
+           min(pack) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS winmin
+    FROM packed
+),
+perdoc AS (
+    SELECT doc_id, source,
+           CAST(count(DISTINCT winmin) AS BIGINT) AS n_sel,
+           CAST(max(pos) + 1 AS BIGINT) AS n_grams
+    FROM sel WHERE pos >= 3 GROUP BY doc_id, source
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS n_grams,
+       CAST(sum(n_sel) AS BIGINT) AS n_selected,
+       CAST(sum(n_sel) AS BIGINT) * 1000000
+       // CAST(sum(n_grams) AS BIGINT) AS density_micro
+FROM perdoc GROUP BY source
+"""

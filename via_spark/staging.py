@@ -30,6 +30,19 @@ Round-10 batch (for the r11 splice):
   simhashes (stuck-bit health check for the Hamming dedup family).
 * ``stopword_coverage_by_source`` — per-source stopword token share
   (corpus-level fluency signal beside the gopher per-doc rules).
+
+Batch 4 (corpus statistics + fingerprinting):
+
+* ``neardup_source_flow_matrix`` — source×source verified near-dup
+  pair counts (which sources duplicate into which).
+* ``simhash_graph_triangles`` — degree-ordered triangle census +
+  global clustering coefficient of the simhash near-dup graph.
+* ``term_burstiness_report`` — Church-Gale cf/df clumpiness, top-k.
+* ``zipf_slope_by_source`` — grid-floored ln OLS rank-frequency slope.
+* ``kneser_ney_bigram_report`` — KN-smoothed bigram LM probabilities
+  (d=3/4 in exact quarters fixed-point).
+* ``winnowing_fingerprint_stats`` — MOSS robust-winnowing fingerprint
+  density per source (rightmost-min tie via packed BIGINT).
 """
 
 from __future__ import annotations
@@ -39,7 +52,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from via_spark import oracles
-from via_spark.operators import dedup, forensic, textstats
+from via_spark.operators import dedup, forensic, graph, textstats
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -51,8 +64,14 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_bucket_occupancy": dedup.embedding_bucket_occupancy,
         "hybrid_tier2_search": forensic.hybrid_tier2_search,
         "neardup_lsh_recall_report": dedup.neardup_lsh_recall_report,
+        "kneser_ney_bigram_report": textstats.kneser_ney_bigram_report,
+        "neardup_source_flow_matrix": dedup.neardup_source_flow_matrix,
         "simhash_bit_balance_report": textstats.simhash_bit_balance_report,
+        "simhash_graph_triangles": graph.simhash_graph_triangles,
         "stopword_coverage_by_source": textstats.stopword_coverage_by_source,
+        "term_burstiness_report": textstats.term_burstiness_report,
+        "winnowing_fingerprint_stats": textstats.winnowing_fingerprint_stats,
+        "zipf_slope_by_source": textstats.zipf_slope_by_source,
     }
 
 
@@ -64,6 +83,12 @@ def staged_oracle_sql() -> dict[str, str]:
         "embedding_bucket_occupancy": oracles.embedding_bucket_occupancy_sql(),
         "hybrid_tier2_search": oracles.hybrid_tier2_search_sql(),
         "neardup_lsh_recall_report": oracles.neardup_lsh_recall_report_sql(),
+        "kneser_ney_bigram_report": oracles.kneser_ney_bigram_report_sql(),
+        "neardup_source_flow_matrix": oracles.neardup_source_flow_matrix_sql(),
         "simhash_bit_balance_report": oracles.simhash_bit_balance_report_sql(),
+        "simhash_graph_triangles": oracles.simhash_graph_triangles_sql(),
         "stopword_coverage_by_source": oracles.stopword_coverage_by_source_sql(),
+        "term_burstiness_report": oracles.term_burstiness_report_sql(),
+        "winnowing_fingerprint_stats": oracles.winnowing_fingerprint_stats_sql(),
+        "zipf_slope_by_source": oracles.zipf_slope_by_source_sql(),
     }
