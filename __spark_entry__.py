@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_family_compare": graph.dedup_family_compare,
         "rhythm_baseline_stats": _rhythm_baseline_stats,
         "rhythm_recent_counts": _rhythm_recent_counts,
+        "semdedup_assignments": vector.semdedup_assignments,
         "tier1_view": _tier1_view,
         "cube_order_counts": timeseries.cube_order_counts,
         "customer_order_distribution": relational.customer_order_distribution,
@@ -193,7 +194,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": timeseries.gapfill_locf,
         "hourly_rate_of_change": timeseries.hourly_rate_of_change,
         "hypertable_rollup": windows.hypertable_rollup,
-        "knn_batch_topk": vector.knn_batch_topk,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
@@ -231,7 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_dup_pairs": multimodal.phash_dup_pairs,
         "retrieval_mrr_report": vector.retrieval_mrr_report,
         "returnflag_priority_counts": relational.returnflag_priority_counts,
-        "semdedup_assignments": vector.semdedup_assignments,
+        "knn_batch_topk": vector.knn_batch_topk,
         "shared_span_pairs": dedup.shared_span_pairs,
         "span_dup_token_stats": dedup.span_dup_token_stats,
         "span_scrub_plan": dedup.span_scrub_plan,

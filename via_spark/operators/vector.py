@@ -747,11 +747,22 @@ def embedding_separability_report(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # --- SemDeDup: k-means coarse clustering + within-cluster near-dup ---------
 
-SEMDEDUP_K = 8        # coarse clusters (fixture-sized; scale k ~ sqrt(N))
 SEMDEDUP_ITERS = 2    # assignment passes (recenters between = ITERS-1)
 SEMDEDUP_TAU = 0.3    # within-cluster dup cosine (fixture-calibrated; real
                       # corpora run 0.9+ — the fixture's random-ish vectors
                       # top out near 0.51, see test calibration)
+# Adaptive k (the embedding-LSH ``bits`` dial applied to k-means): the
+# within-cluster pair scan costs ~k·(N/k)² = N²/k, so a FIXED k is
+# quadratic in corpus size — the r10 store probe measured 22.6× wall at
+# 10× data. Holding the TARGET CLUSTER SIZE constant instead makes the
+# pair volume ~N·target/2, linear in N (this is how SemDeDup is run in
+# the paper: cluster count grows with the corpus). The min pins the
+# historical k=8 at the 500-vector oracle fixture; the max bounds the
+# k-row broadcast and the (cid, dim) recenter shuffle — past ~256k
+# vectors, raise it or go hierarchical.
+SEMDEDUP_TARGET_CLUSTER = 64
+SEMDEDUP_MIN_K = 8
+SEMDEDUP_MAX_K = 4096
 
 
 def _semdedup_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
@@ -805,7 +816,7 @@ def _semdedup_recenter(assigned: DataFrame) -> DataFrame:
 
 
 def semdedup_compute(spark: SparkSession, sf_dir: str,
-                     k: int = SEMDEDUP_K, iters: int = SEMDEDUP_ITERS,
+                     k: int | None = None, iters: int = SEMDEDUP_ITERS,
                      tau: float = SEMDEDUP_TAU) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means coarse
@@ -822,13 +833,22 @@ def semdedup_compute(spark: SparkSession, sf_dir: str,
     k-row broadcast; recentering shuffles (cid, dim) partial sums, not
     vectors; the dup scan joins WITHIN clusters only (the whole point
     of SemDeDup — ε-ball search confined to a coarse cell, never
-    all-pairs). Like production k-means, the iterative loop
-    materializes once into the session store (store.semdedup_labels)
-    and every consumer reads the flat label parquet.
+    all-pairs). ``k`` defaults to ADAPTIVE — corpus count over
+    ``SEMDEDUP_TARGET_CLUSTER``, clamped — so the within-cluster pair
+    volume stays ~N·target/2 (linear) instead of N²/k (the fixed-k
+    quadratic blow-up the r10 10× store probe measured at 22.6×). The
+    count action is legitimate here: this is the once-per-dataset
+    store fixpoint (localCheckpoint loop below), not a lazy builder.
+    Like production k-means, the iterative loop materializes once into
+    the session store (store.semdedup_labels) and every consumer reads
+    the flat label parquet.
     """
     e = spread(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
+    if k is None:
+        n = e.count()
+        k = min(SEMDEDUP_MAX_K, max(SEMDEDUP_MIN_K, n // SEMDEDUP_TARGET_CLUSTER))
     h = F.conv(
         F.substring(F.sha2(F.col("vec_id").cast("string"), 256), 1, 12), 16, 10
     ).cast("long")
@@ -893,7 +913,7 @@ def semdedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from via_spark import store
 
     return store.semdedup_labels(
-        spark, sf_dir, SEMDEDUP_K, SEMDEDUP_ITERS, SEMDEDUP_TAU
+        spark, sf_dir, None, SEMDEDUP_ITERS, SEMDEDUP_TAU
     )
 
 

@@ -6057,11 +6057,14 @@ GROUP BY 1, 2
 """
 
 
-def semdedup_assignments_sql(k: int = 8, tau: float = 0.3, dim: int = 64) -> str:
+def semdedup_assignments_sql(tau: float = 0.3, dim: int = 64) -> str:
     """Unrolled two-pass k-means + within-cluster dup marking —
     token-for-token the same integer/double op chain as
     vector.semdedup_compute (floor-1e9 dots, floor-1e6 centroid sums,
-    truncating // division, one int→double conversion per value)."""
+    truncating // division, one int→double conversion per value).
+    ``k`` mirrors the engine's adaptive dial — count // target,
+    clamped, constants imported from the engine — via the ``kn`` CTE
+    (lands on the historical 8 at the 500-vector fixture)."""
     d9 = (
         "list_sum(list_transform(range(1, {n}), i -> "
         "CAST(floor(CAST({a}[i] AS DOUBLE) * {b} * 1e9) AS BIGINT)))"
@@ -6097,14 +6100,24 @@ def semdedup_assignments_sql(k: int = 8, tau: float = 0.3, dim: int = 64) -> str
             cents=cents,
         )
 
+    from via_spark.operators.vector import (
+        SEMDEDUP_MAX_K,
+        SEMDEDUP_MIN_K,
+        SEMDEDUP_TARGET_CLUSTER,
+    )
+
     return f"""
-WITH seeds AS (
+WITH kn AS (
+  SELECT least({SEMDEDUP_MAX_K}, greatest({SEMDEDUP_MIN_K},
+         count(*) // {SEMDEDUP_TARGET_CLUSTER})) AS kk
+  FROM embeddings
+), seeds AS (
   SELECT vec_id, embedding,
          row_number() OVER (
            ORDER BY ('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
                     vec_id) - 1 AS cid
   FROM embeddings
-  QUALIFY cid < {k}
+  QUALIFY cid < (SELECT kk FROM kn)
 ), cents0 AS (
   SELECT cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c FROM seeds
 ), a1 AS ({assign_sql("cents0")}

@@ -262,7 +262,7 @@ def phash_cluster_labels(
 
 
 def semdedup_labels(spark: SparkSession, sf_dir: str,
-                    k: int, iters: int, tau: float) -> DataFrame:
+                    k: int | None, iters: int, tau: float) -> DataFrame:
     """SemDeDup (k-means + within-cluster near-dup) label table —
     materialized on first use per (k, iters, tau), same write-once
     shape and staleness contract as :func:`cluster_labels`."""
