@@ -945,3 +945,79 @@ def test_winnowing_matches_python_model(spark, tmp_path):
     assert row["n_grams"] == len(grams)
     assert row["n_selected"] == len(sel)
     assert row["density_micro"] == len(sel) * 1_000_000 // len(grams)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(path / "events.parquet"))
+
+
+NS = 1_000_000_000
+
+
+def test_asof_nearest_event_planted(spark, tmp_path):
+    """Direction pick, backward tie-break, tolerance exclusion, and
+    forward-only fallback on a hand-built timeline."""
+    from via_spark.operators.asof import asof_nearest_event
+
+    rows = [
+        (1, 100 * NS, 1, "view", 0.0, "{}"),
+        (2, 103 * NS, 1, "purchase", 0.0, "{}"),   # backward gap 3 < fwd 7
+        (3, 105 * NS, 1, "purchase", 0.0, "{}"),   # tie (5 both) → backward
+        (4, 110 * NS, 1, "view", 0.0, "{}"),
+        (5, 99999 * NS, 1, "purchase", 0.0, "{}"),  # nearest 99889s > tol
+        (10, 10 * NS, 2, "purchase", 0.0, "{}"),    # forward-only
+        (11, 20 * NS, 2, "view", 0.0, "{}"),
+    ]
+    d = tmp_path / "sf"
+    _write_events(spark, d, rows)
+    got = {
+        r["event_id"]: (r["nearest_event_id"], r["gap_sec"], r["direction"])
+        for r in asof_nearest_event(spark, str(d)).collect()
+    }
+    assert got == {
+        2: (1, 3, "backward"),
+        3: (1, 5, "backward"),
+        10: (11, 10, "forward"),
+    }
+
+
+def test_decile_lift_table_planted(spark, tmp_path):
+    """20 users with values 1..20 → 2 users per decile; top decile
+    holds (20+19)/210 of the value; the last cumulative share is
+    exactly 1e6 and its lift exactly 1e6."""
+    from via_spark.operators.rank import decile_lift_table
+
+    rows = [(i, i * NS, i, "purchase", float(i), "{}") for i in range(1, 21)]
+    d = tmp_path / "sf"
+    _write_events(spark, d, rows)
+    out = {r["decile"]: r for r in decile_lift_table(spark, str(d)).collect()}
+    assert sorted(out) == list(range(1, 11))
+    assert all(out[i]["n_users"] == 2 for i in out)
+    top = out[1]
+    assert top["sum_v_fix"] == 39_000_000
+    assert top["share_micro"] == 39_000_000 * 1_000_000 // 210_000_000
+    assert out[10]["cum_share_micro"] == 1_000_000
+    assert out[10]["lift_micro"] == 1_000_000
+
+
+def test_growth_accounting_planted(spark, tmp_path):
+    """User 1 active on days {1,2,5}, user 2 on {2}: day 1 = new, not
+    churning (next is adjacent); day 2 = one retained + one new, both
+    churning (gap / end); day 5 = resurrected, churning (end)."""
+    from via_spark.operators.timeseries import growth_accounting_daily
+
+    def ev(eid, day, uid):
+        return (eid, day * 86400 * NS, uid, "view", 0.0, "{}")
+
+    rows = [ev(1, 1, 1), ev(2, 2, 1), ev(3, 5, 1), ev(4, 2, 2)]
+    d = tmp_path / "sf"
+    _write_events(spark, d, rows)
+    got = {
+        r["day"]: (r["n_new"], r["n_retained"], r["n_resurrected"], r["n_churning"])
+        for r in growth_accounting_daily(spark, str(d)).collect()
+    }
+    assert got == {1: (1, 0, 0, 0), 2: (1, 1, 0, 2), 5: (0, 0, 1, 1)}

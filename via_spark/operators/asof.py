@@ -354,3 +354,63 @@ def attribution_linear_window(spark: SparkSession, sf_dir: str,
             F.col("credit_fix").cast("double") / F.col("total_fix").cast("double")
         ).alias("credit_share"),
     )
+
+
+NEAREST_TOLERANCE_SEC = 3600
+
+
+def asof_nearest_event(
+    spark: SparkSession, sf_dir: str, tolerance_sec: int = NEAREST_TOLERANCE_SEC
+) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof
+    direction='nearest'`` semantics): for every purchase event, the
+    user's temporally NEAREST non-purchase event within
+    ``tolerance_sec`` — backward or forward, ties to backward (pinned).
+    ``asof_last_purchase`` carries only the backward side; attribution
+    and context-window features often want whichever side is closer.
+
+    Same scale shape as the backward as-of: one user-keyed ordered
+    window pass carries the previous non-purchase (sec, event_id) via
+    ``last(ignorenulls)`` over the preceding frame and the next via
+    ``first(ignorenulls)`` over the following frame — no range join,
+    no candidate explosion; the carried payload is one struct so both
+    fields come from the SAME neighboring row.
+    """
+    from via_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000000000").alias("sec"),
+        "event_type",
+    )
+    is_other = F.col("event_type") != "purchase"
+    payload = F.when(is_other, F.struct(F.col("sec").alias("o_sec"),
+                                        F.col("event_id").alias("o_id")))
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    carried = ev.withColumn(
+        "prev", F.last(payload, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+    ).withColumn(
+        "nxt", F.first(payload, ignorenulls=True).over(
+            w.rowsBetween(1, Window.unboundedFollowing)
+        )
+    )
+    gap_b = F.col("sec") - F.col("prev.o_sec")
+    gap_f = F.col("nxt.o_sec") - F.col("sec")
+    take_b = F.col("prev").isNotNull() & (
+        F.col("nxt").isNull() | (gap_b <= gap_f)
+    )
+    return (
+        carried.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.when(take_b, F.col("prev.o_id")).otherwise(F.col("nxt.o_id"))
+            .alias("nearest_event_id"),
+            F.when(take_b, gap_b).otherwise(gap_f).cast("long").alias("gap_sec"),
+            F.when(take_b, F.lit("backward")).otherwise(F.lit("forward"))
+            .alias("direction"),
+        )
+        .where(F.col("gap_sec") <= tolerance_sec)
+    )

@@ -603,3 +603,61 @@ def zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("qu").alias("max_user_level"),
         )
     )
+
+
+def decile_lift_table(spark: SparkSession, sf_dir: str, tiles: int = 10) -> DataFrame:
+    """Decile lift table over per-user total event value (the
+    marketing/risk "top decile captures X% of value" report): users
+    ranked by exact fixed-point total value, cut into ``tiles``
+    floor-formula bins, each bin's value share and cumulative share in
+    exact micro units, and the cumulative LIFT vs a uniform split
+    (cum_share / (decile/tiles), >1e6 means concentration).
+
+    Binning is the FLOOR formula ``(rn−1)·tiles div n + 1`` on the
+    exact global rank — pinned on both engines (NOT SQL ntile, whose
+    remainder-to-first-buckets split differs from the floor split when
+    n mod tiles ≠ 0).
+
+    Scale posture: per-user totals are one hash agg; the global rank
+    rides ``global_row_number`` (range-partitioned offsets — no single
+    global sort partition, and ``total`` falls out of the offsets for
+    free); the lift table itself is ``tiles`` rows with a trivial
+    running-sum window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * F.lit(1_000_000)).cast("long")).alias("v_fix")
+    )
+    ranked = global_row_number(
+        totals,
+        [F.col("v_fix").desc(), F.col("user_id").asc()],
+        out="rn",
+        total="n",
+    )
+    binned = ranked.withColumn(
+        "decile", F.expr(f"(rn - 1) * {tiles} div n + 1").cast("int")
+    )
+    per = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("v_fix").alias("sum_v_fix"),
+    )
+    tot = per.agg(F.sum("sum_v_fix").alias("total_fix"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("share_micro", F.expr("sum_v_fix * 1000000L div total_fix"))
+        .withColumn(
+            "cum_share_micro",
+            F.expr(
+                "sum(sum_v_fix) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED"
+                " PRECEDING AND CURRENT ROW) * 1000000L div total_fix"
+            ),
+        )
+        .select(
+            "decile",
+            "n_users",
+            F.col("sum_v_fix").cast("long").alias("sum_v_fix"),
+            "share_micro",
+            "cum_share_micro",
+            F.expr(f"cum_share_micro * {tiles} div decile").alias("lift_micro"),
+        )
+    )

@@ -1852,3 +1852,60 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(null as long))"
         ).alias("ratio_micro"),
     )
+
+
+def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting (the classic new/retained/resurrected/
+    churning user decomposition): for every active day of every user —
+    new (first-ever active day), retained (also active the previous
+    day), resurrected (returning after a gap ≥ 2 days) — plus
+    ``n_churning``, the users active this day whose NEXT activity is
+    more than one day away (or absent — right-censored at the end of
+    the data, deterministic). new + retained + resurrected = that
+    day's active users, the identity growth dashboards audit.
+
+    Scale posture: events collapse to distinct (day, user) first (one
+    hash agg bounds everything by |users|·|days|); the three state
+    signals are one per-user ordered window pass (min/lag/lead share
+    the user_id exchange); the report is a |days|-row agg.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.expr("ts div 1000000000 div 86400").alias("day"), "user_id"
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    lab = (
+        du.withColumn("first_day", F.min("day").over(Window.partitionBy("user_id")))
+        .withColumn("prev_day", F.lag("day").over(w))
+        .withColumn("next_day", F.lead("day").over(w))
+    )
+    return (
+        lab.groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("long")).alias("n_new"),
+            F.sum(
+                (
+                    (F.col("day") != F.col("first_day"))
+                    & (F.col("prev_day") == F.col("day") - 1)
+                ).cast("long")
+            ).alias("n_retained"),
+            F.sum(
+                (
+                    (F.col("day") != F.col("first_day"))
+                    & (F.col("prev_day") < F.col("day") - 1)
+                ).cast("long")
+            ).alias("n_resurrected"),
+            F.sum(
+                (
+                    F.col("next_day").isNull()
+                    | (F.col("next_day") > F.col("day") + 1)
+                ).cast("long")
+            ).alias("n_churning"),
+        )
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "n_new", "n_retained", "n_resurrected", "n_churning",
+        )
+    )

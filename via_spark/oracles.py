@@ -8117,3 +8117,109 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        // CAST(sum(n_grams) AS BIGINT) AS density_micro
 FROM perdoc GROUP BY source
 """
+
+
+def growth_accounting_daily_sql() -> str:
+    """Mirrors timeseries.growth_accounting_daily (distinct (day,user),
+    min/lag/lead per user, day-keyed state counts)."""
+    return """
+WITH du AS (
+    SELECT DISTINCT epoch_us(ts) // 1000000 // 86400 AS day, user_id
+    FROM events
+),
+lab AS (
+    SELECT day, user_id,
+           min(day) OVER (PARTITION BY user_id) AS first_day,
+           lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+           lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+    FROM du
+)
+SELECT day,
+       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN day <> first_day AND prev_day = day - 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       CAST(sum(CASE WHEN day <> first_day AND prev_day < day - 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+       CAST(sum(CASE WHEN next_day IS NULL OR next_day > day + 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_churning
+FROM lab GROUP BY day
+"""
+
+
+def asof_nearest_event_sql(tolerance_sec: int = 3600) -> str:
+    """Mirrors asof.asof_nearest_event: per purchase, the user's
+    nearest non-purchase either direction, ties to backward. The two
+    IGNORE NULLS carries share one CASE condition, so both fields come
+    from the same neighboring row."""
+    return f"""
+WITH ev AS (
+    SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec, event_type
+    FROM events
+),
+carried AS (
+    SELECT event_id, sec, event_type,
+           last_value(CASE WHEN event_type <> 'purchase' THEN sec END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_sec,
+           last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_id,
+           first_value(CASE WHEN event_type <> 'purchase' THEN sec END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_sec,
+           first_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_id
+    FROM ev
+),
+picked AS (
+    SELECT event_id,
+           CASE WHEN prev_sec IS NOT NULL
+                     AND (next_sec IS NULL OR sec - prev_sec <= next_sec - sec)
+                THEN prev_id ELSE next_id END AS nearest_event_id,
+           CAST(CASE WHEN prev_sec IS NOT NULL
+                     AND (next_sec IS NULL OR sec - prev_sec <= next_sec - sec)
+                THEN sec - prev_sec ELSE next_sec - sec END AS BIGINT) AS gap_sec,
+           CASE WHEN prev_sec IS NOT NULL
+                     AND (next_sec IS NULL OR sec - prev_sec <= next_sec - sec)
+                THEN 'backward' ELSE 'forward' END AS direction
+    FROM carried WHERE event_type = 'purchase'
+)
+SELECT * FROM picked WHERE gap_sec <= {tolerance_sec}
+"""
+
+
+def decile_lift_table_sql(tiles: int = 10) -> str:
+    """Mirrors rank.decile_lift_table (floor-formula binning on the
+    exact global rank — NOT ntile)."""
+    return f"""
+WITH totals AS (
+    SELECT user_id,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS v_fix
+    FROM events GROUP BY user_id
+),
+ranked AS (
+    SELECT v_fix,
+           row_number() OVER (ORDER BY v_fix DESC, user_id ASC) AS rn,
+           count(*) OVER () AS n
+    FROM totals
+),
+per AS (
+    SELECT CAST((rn - 1) * {tiles} // n + 1 AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(v_fix) AS BIGINT) AS sum_v_fix
+    FROM ranked GROUP BY 1
+),
+tot AS (SELECT CAST(sum(sum_v_fix) AS BIGINT) AS total_fix FROM per),
+cum AS (
+    SELECT decile, n_users, sum_v_fix,
+           sum_v_fix * 1000000 // total_fix AS share_micro,
+           CAST(sum(sum_v_fix) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           * 1000000 // total_fix AS cum_share_micro
+    FROM per, tot
+)
+SELECT decile, n_users, sum_v_fix, share_micro, cum_share_micro,
+       cum_share_micro * {tiles} // decile AS lift_micro
+FROM cum
+"""

@@ -52,19 +52,22 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from via_spark import oracles
-from via_spark.operators import dedup, forensic, graph, textstats
+from via_spark.operators import asof, dedup, forensic, graph, rank, textstats, timeseries
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract mirror of ``__spark_entry__.queries()`` for the staged
     surface — spliced to the registered tail at the start of r11."""
     return {
+        "asof_nearest_event": asof.asof_nearest_event,
         "clusters_windowed_tolerant": forensic.clusters_windowed_tolerant,
+        "decile_lift_table": rank.decile_lift_table,
         "dedup_threshold_sweep": dedup.dedup_threshold_sweep,
         "embedding_bucket_occupancy": dedup.embedding_bucket_occupancy,
+        "growth_accounting_daily": timeseries.growth_accounting_daily,
         "hybrid_tier2_search": forensic.hybrid_tier2_search,
-        "neardup_lsh_recall_report": dedup.neardup_lsh_recall_report,
         "kneser_ney_bigram_report": textstats.kneser_ney_bigram_report,
+        "neardup_lsh_recall_report": dedup.neardup_lsh_recall_report,
         "neardup_source_flow_matrix": dedup.neardup_source_flow_matrix,
         "simhash_bit_balance_report": textstats.simhash_bit_balance_report,
         "simhash_graph_triangles": graph.simhash_graph_triangles,
@@ -78,12 +81,15 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def staged_oracle_sql() -> dict[str, str]:
     """Contract mirror of ``__spark_entry__.oracle_sql()``."""
     return {
+        "asof_nearest_event": oracles.asof_nearest_event_sql(),
         "clusters_windowed_tolerant": oracles.clusters_windowed_tolerant_sql(),
+        "decile_lift_table": oracles.decile_lift_table_sql(),
         "dedup_threshold_sweep": oracles.dedup_threshold_sweep_sql(),
         "embedding_bucket_occupancy": oracles.embedding_bucket_occupancy_sql(),
+        "growth_accounting_daily": oracles.growth_accounting_daily_sql(),
         "hybrid_tier2_search": oracles.hybrid_tier2_search_sql(),
-        "neardup_lsh_recall_report": oracles.neardup_lsh_recall_report_sql(),
         "kneser_ney_bigram_report": oracles.kneser_ney_bigram_report_sql(),
+        "neardup_lsh_recall_report": oracles.neardup_lsh_recall_report_sql(),
         "neardup_source_flow_matrix": oracles.neardup_source_flow_matrix_sql(),
         "simhash_bit_balance_report": oracles.simhash_bit_balance_report_sql(),
         "simhash_graph_triangles": oracles.simhash_graph_triangles_sql(),
