@@ -148,3 +148,31 @@ def test_hybrid_rrf_fusion_on_planted_modalities(spark, tmp_path):
     assert (got5["rank_dense"], got5["rank_sparse"]) == (rd[5], rs[5]) == (2, 1)
     for r in out:
         assert math.isclose(r["rrf"], rrf[r["doc_id"]], rel_tol=1e-12)
+
+
+def test_dual_ranks_equal_naive_two_cut(spark):
+    """_dual_ranks (single-pass tagged WindowGroupLimit) must produce
+    exactly the ranks of the naive per-ordering global cuts, including
+    the doc_id tie-breaks, cut truncation, and NULL missing sides —
+    checked against a pure-Python model on a frame with score ties."""
+    from via_spark.operators.search import _dual_ranks
+
+    rows = [
+        (i, (i * 37) % 11, float((i * 53) % 7))  # ties in both orderings
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score_fix long, dense_score double")
+    cut_n = 10
+    got = {
+        r["doc_id"]: (r["rank_dense"], r["rank_sparse"])
+        for r in _dual_ranks(df, cut_n).collect()
+    }
+
+    dense = sorted(rows, key=lambda r: (-r[2], r[0]))[:cut_n]
+    sparse = sorted(rows, key=lambda r: (-r[1], r[0]))[:cut_n]
+    want = {}
+    for rank, r in enumerate(dense, 1):
+        want.setdefault(r[0], [None, None])[0] = rank
+    for rank, r in enumerate(sparse, 1):
+        want.setdefault(r[0], [None, None])[1] = rank
+    assert got == {k: tuple(v) for k, v in want.items()}
