@@ -1094,3 +1094,22 @@ def test_growth_accounting_identity_on_fixture(spark, sf_oracle):
         .distinct().groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == active
+
+
+def test_batch45_plan_shapes(spark, sf_oracle):
+    """Scale-shape pins for the new staged queries: zipf's per-source
+    top-v must ride WindowGroupLimit, Kneser-Ney's report must heap
+    (TakeOrderedAndProject), and nothing in the batch may plan a
+    CartesianProduct."""
+    qs = staging.staged_queries()
+
+    def plan(name):
+        return qs[name](spark, sf_oracle)._jdf.queryExecution().executedPlan().toString()
+
+    assert "WindowGroupLimit" in plan("zipf_slope_by_source")
+    assert "TakeOrderedAndProject" in plan("kneser_ney_bigram_report")
+    for name in ("simhash_graph_triangles", "winnowing_fingerprint_stats",
+                 "neardup_source_flow_matrix", "term_burstiness_report",
+                 "decile_lift_table", "growth_accounting_daily",
+                 "asof_nearest_event"):
+        assert "CartesianProduct" not in plan(name), name
