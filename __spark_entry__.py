@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_embedding_pairs": dedup.neardup_embedding_pairs,
         "embedding_neardup_clusters": graph.embedding_neardup_clusters,
         "dedup_family_compare": graph.dedup_family_compare,
+        "neardup_motif_report": graph.neardup_motif_report,
         "rhythm_baseline_stats": _rhythm_baseline_stats,
         "rhythm_recent_counts": _rhythm_recent_counts,
         "semdedup_assignments": vector.semdedup_assignments,
@@ -193,7 +194,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_profile": relational.events_profile,
         "gapfill_locf": timeseries.gapfill_locf,
         "hourly_rate_of_change": timeseries.hourly_rate_of_change,
-        "hypertable_rollup": windows.hypertable_rollup,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
@@ -224,7 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity_audit": curation.l_diversity_audit,
         "late_only_suppliers": relational.late_only_suppliers,
         "linear_interp_gapfill": timeseries.linear_interp_gapfill,
-        "neardup_motif_report": graph.neardup_motif_report,
+        "hypertable_rollup": windows.hypertable_rollup,
         "pagerank_event_types": graph.pagerank_event_types,
         "pareto_frontier_parts": relational.pareto_frontier_parts,
         "phash_dup_clusters": graph.phash_dup_clusters,

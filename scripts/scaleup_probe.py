@@ -69,16 +69,22 @@ PROBES = [
     "greedy_pack_stats",        # grouped-Arrow packing
 ]
 
-# staged (r10) family representatives — resolved from via_spark.staging
-# until the splice lands; --staged runs these instead
+# staged family representatives — resolved from via_spark.staging
+# until the next splice lands; --staged runs these instead (the r9
+# staged set graduated to the registered surface in the r10 splice and
+# is covered by the main PROBES/driver rows now)
 STAGED_PROBES = [
-    "rake_keyphrases",            # island windows + Heaps-law broadcast join
-    "lsh_density_outliers",       # multi-probe bucket join + fixed verify
-    "fd_histogram",               # global order statistics + binning pass
-    "poisson_bootstrap_ci",       # 32x inline replicate explode
-    "mann_whitney_drift",         # per-type step-compressed rank windows
-    "sorted_neighborhood_pairs",  # global sort + rank equi-join
-    "attribution_last_touch",     # asof union + per-user window
+    "simhash_graph_triangles",       # degree-ordered wedge joins
+    "winnowing_fingerprint_stats",   # gram explode + per-doc window
+    "kneser_ney_bigram_report",      # bigram counts + vocab-keyed joins
+    "zipf_slope_by_source",          # per-source WindowGroupLimit + OLS
+    "term_burstiness_report",        # two-level term aggregation
+    "neardup_source_flow_matrix",    # LSH pairs + source lookups
+    "growth_accounting_daily",       # distinct collapse + user windows
+    "decile_lift_table",             # global-rank offsets machinery
+    "asof_nearest_event",            # dual ignorenulls carries
+    "dedup_threshold_sweep",         # one verify pass, 7 thresholds
+    "hybrid_tier2_search",           # tier2 dense+sparse+text RRF
 ]
 
 

@@ -838,7 +838,7 @@ def test_simhash_graph_triangles_planted(spark, tmp_path):
     assert (row["n_nodes"], row["n_edges"], row["n_wedges"], row["n_triangles"]) == (
         5, 4, 3, 1,
     )
-    assert row["gcc_micro"] == 1_000_000
+    assert row["clustering_fix"] == 1_000_000
 
 
 def test_neardup_source_flow_matrix_planted(spark, tmp_path):
@@ -1030,34 +1030,11 @@ def test_triangle_census_matches_bruteforce_on_random_graphs(spark, tmp_path):
     including a star (hub skew, zero triangles) and a clique."""
     import itertools
 
-    from pyspark.sql import functions as F
-
-    from via_spark.operators import graph as g
+    from via_spark.operators.graph import motif_report_from_edges
 
     def census(edges):
-        e = spark.createDataFrame(edges, "doc_a long, doc_b long")
-        # reuse the operator's internal shape by monkey-free inlining:
-        # build via the same public function but from a planted doc set
-        # is heavyweight — instead drive the same algebra directly.
-        deg = (
-            e.select(F.col("doc_a").alias("v"))
-            .unionAll(e.select(F.col("doc_b").alias("v")))
-            .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        )
-        rank = deg.select("v", (F.col("deg") * F.lit(1 << 40) + F.col("v")).alias("rk"))
-        lab = e.join(
-            rank.select(F.col("v").alias("doc_a"), F.col("rk").alias("rk_a")), "doc_a"
-        ).join(rank.select(F.col("v").alias("doc_b"), F.col("rk").alias("rk_b")), "doc_b")
-        o = lab.select(
-            F.when(F.col("rk_a") < F.col("rk_b"), F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
-            F.when(F.col("rk_a") < F.col("rk_b"), F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
-            F.greatest("rk_a", "rk_b").alias("rk_dst"),
-        )
-        o1 = o.select("src", F.col("dst").alias("v"), F.col("rk_dst").alias("rk_v"))
-        o2 = o.select("src", F.col("dst").alias("w"), F.col("rk_dst").alias("rk_w"))
-        wedges = o1.join(o2, "src").where(F.col("rk_v") < F.col("rk_w"))
-        tri = wedges.join(o.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"])
-        return tri.count()
+        e = spark.createDataFrame(edges, "a long, b long")
+        return motif_report_from_edges(e).collect()[0]["n_triangles"]
 
     def brute(edges):
         es = {frozenset(e) for e in edges}

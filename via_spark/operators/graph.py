@@ -516,27 +516,46 @@ def neardup_motif_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def motif_report_from_edges(edges: DataFrame) -> DataFrame:
-    """Motif census over an ordered (a < b) edge frame — the testable
-    core of :func:`neardup_motif_report`."""
+    """Motif census over an ordered (a < b) edge frame — the shared
+    core of :func:`neardup_motif_report` (MinHash graph) and
+    :func:`simhash_graph_triangles` (SimHash graph).
+
+    Triangles are counted on the DEGREE-ORDERED orientation
+    (Chiba-Nishizeki): each edge points from its lower-(degree, id)
+    endpoint to the higher one, wedges are built only at the oriented
+    SOURCE, and a wedge (u→v, u→w) closes iff the oriented edge v→w
+    exists. Each triangle is counted exactly once and the orientation
+    bounds any node's out-degree by O(√m) under arbitrary degree skew
+    — the previous id-ordered two-join counted identically but let a
+    low-id hub fan out its full raw degree. Ranks pack as
+    ``deg·2^40 + node`` BIGINTs (unique, compares as the tuple).
+    """
     deg = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))
         .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
     nodes_edges = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         (F.sum("deg") / 2).cast("long").alias("n_edges"),
         F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"),
     )
-    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    rank = deg.select("node", (F.col("deg") * F.lit(1 << 40) + F.col("node")).alias("rk"))
+    labeled = edges.join(
+        rank.select(F.col("node").alias("a"), F.col("rk").alias("rk_a")), "a"
+    ).join(rank.select(F.col("node").alias("b"), F.col("rk").alias("rk_b")), "b")
+    oriented = labeled.select(
+        F.when(F.col("rk_a") < F.col("rk_b"), F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(F.col("rk_a") < F.col("rk_b"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.greatest("rk_a", "rk_b").alias("rk_dst"),
+    )
+    o1 = oriented.select("src", F.col("dst").alias("v"), F.col("rk_dst").alias("rk_v"))
+    o2 = oriented.select("src", F.col("dst").alias("w"), F.col("rk_dst").alias("rk_w"))
     tris = (
-        edges.join(e2, "b")
-        .join(
-            e3,
-            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
-        )
+        o1.join(o2, "src")
+        .where(F.col("rk_v") < F.col("rk_w"))
+        .join(oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"])
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return (
@@ -593,70 +612,22 @@ def simhash_graph_triangles(
     (gcc → 0) — a one-row health check on the whole dedup graph
     before trusting its connected components.
 
-    Algorithm: degree-ordered orientation (Chiba-Nishizeki; the
-    standard distributed triangle count): each undirected edge points
-    from its lower-(degree, id) endpoint to the higher one, wedges are
-    built only at each edge's SOURCE, and a wedge (u→v, u→w) counts as
-    a triangle iff the oriented edge v→w exists. Every triangle is
-    counted exactly once, and the orientation bounds any node's
-    out-degree by O(√m) regardless of raw degree skew — a hub of
-    degree d contributes its wedges at its LOW-degree neighbors, so
-    the wedge join cannot blow up quadratically on skewed graphs.
+    Shares :func:`motif_report_from_edges` with the MinHash-graph
+    ``neardup_motif_report`` — one census core, two candidate graphs
+    (the two families genuinely disagree: simhash Hamming blocks and
+    minhash bands admit different borderline pairs, so their censuses
+    diverge and comparing them is the point). The core counts
+    triangles on the degree-ordered orientation — O(√m) out-degree
+    under any skew; see its docstring.
 
-    Exactness: counts are integers; ranks are packed
-    ``deg·2^40 + doc_id`` BIGINTs (unique per node, compares as the
-    (degree, id) tuple); ``gcc_micro = 3·T·1e6 div wedges``.
-
-    The sf0.01 fixture's near-dup graph is triangle-free (max degree
+    The sf0.01 fixture's simhash graph is triangle-free (max degree
     2), so the oracle row there is a degenerate (…, 0, 0) census — the
     planted test (tests/test_staging.py) carries the triangle and gcc
     semantics on a known graph.
     """
     from via_spark.operators.dedup import dedup_simhash_pairs
 
-    edges = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    deg = (
-        edges.select(F.col("doc_a").alias("v"))
-        .unionAll(edges.select(F.col("doc_b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    edges = dedup_simhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    rank = deg.select("v", (F.col("deg") * F.lit(1 << 40) + F.col("v")).alias("rk"))
-    labeled = edges.join(
-        rank.select(F.col("v").alias("doc_a"), F.col("rk").alias("rk_a")), "doc_a"
-    ).join(rank.select(F.col("v").alias("doc_b"), F.col("rk").alias("rk_b")), "doc_b")
-    oriented = labeled.select(
-        F.when(F.col("rk_a") < F.col("rk_b"), F.col("doc_a"))
-        .otherwise(F.col("doc_b"))
-        .alias("src"),
-        F.when(F.col("rk_a") < F.col("rk_b"), F.col("doc_b"))
-        .otherwise(F.col("doc_a"))
-        .alias("dst"),
-        F.greatest("rk_a", "rk_b").alias("rk_dst"),
-    )
-    o1 = oriented.select("src", F.col("dst").alias("v"), F.col("rk_dst").alias("rk_v"))
-    o2 = oriented.select("src", F.col("dst").alias("w"), F.col("rk_dst").alias("rk_w"))
-    wedges = o1.join(o2, "src").where(F.col("rk_v") < F.col("rk_w"))
-    tri = wedges.join(
-        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
-        ["v", "w"],
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-    nodes = deg.agg(
-        F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
-    )
-    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    return (
-        nodes.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(tri))
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_wedges",
-            "n_triangles",
-            F.expr(
-                "CASE WHEN n_wedges > 0"
-                " THEN 3 * n_triangles * 1000000L div n_wedges END"
-            ).alias("gcc_micro"),
-        )
-    )
+    return motif_report_from_edges(edges)

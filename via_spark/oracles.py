@@ -7999,8 +7999,8 @@ agg AS (
 ),
 ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
 SELECT n_nodes, n_edges, n_wedges, n_triangles,
-       CASE WHEN n_wedges > 0
-            THEN 3 * n_triangles * 1000000 // n_wedges END AS gcc_micro
+       CASE WHEN n_wedges = 0 THEN 0
+            ELSE 3 * n_triangles * 1000000 // n_wedges END AS clustering_fix
 FROM agg, ne, tri
 """
 
