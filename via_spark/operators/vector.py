@@ -751,18 +751,25 @@ SEMDEDUP_ITERS = 2    # assignment passes (recenters between = ITERS-1)
 SEMDEDUP_TAU = 0.3    # within-cluster dup cosine (fixture-calibrated; real
                       # corpora run 0.9+ — the fixture's random-ish vectors
                       # top out near 0.51, see test calibration)
-# Adaptive k (the embedding-LSH ``bits`` dial applied to k-means): the
-# within-cluster pair scan costs ~k·(N/k)² = N²/k, so a FIXED k is
-# quadratic in corpus size — the r10 store probe measured 22.6× wall at
-# 10× data. Holding the TARGET CLUSTER SIZE constant instead makes the
-# pair volume ~N·target/2, linear in N (this is how SemDeDup is run in
-# the paper: cluster count grows with the corpus). The min pins the
-# historical k=8 at the 500-vector oracle fixture; the max bounds the
-# k-row broadcast and the (cid, dim) recenter shuffle — past ~256k
-# vectors, raise it or go hierarchical.
-SEMDEDUP_TARGET_CLUSTER = 64
+# Adaptive k (the embedding-LSH ``bits`` dial applied to k-means).
+# Flat k-means SemDeDup costs N·k (assignment: every vector scores
+# every centroid) + N²/k (within-cluster pair scan) — a FIXED k is
+# quadratic via the second term (the r10 store probe measured 22.6×
+# wall at 10× data), and k ~ N/const is quadratic via the FIRST term
+# (the follow-up 30× probe measured 41× — assignment-dominated). The
+# sum is minimized at k = √N, total ~2·N^1.5. k is therefore the
+# power of two nearest √N from the corpus count's bit length —
+# 1 << (bit_length // 2) — exactly mirrorable in DuckDB integer ops
+# (no IEEE sqrt, whose rounding could cross a boundary differently
+# per engine). The max bounds the k-row broadcast and the unrolled
+# oracle; past ~16M vectors (cap binding) the pair term grows again —
+# that scale wants hierarchical or ANN-assisted assignment.
 SEMDEDUP_MIN_K = 8
 SEMDEDUP_MAX_K = 4096
+
+
+def _semdedup_k(n: int) -> int:
+    return min(SEMDEDUP_MAX_K, max(SEMDEDUP_MIN_K, 1 << (n.bit_length() // 2)))
 
 
 def _semdedup_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
@@ -833,11 +840,10 @@ def semdedup_compute(spark: SparkSession, sf_dir: str,
     k-row broadcast; recentering shuffles (cid, dim) partial sums, not
     vectors; the dup scan joins WITHIN clusters only (the whole point
     of SemDeDup — ε-ball search confined to a coarse cell, never
-    all-pairs). ``k`` defaults to ADAPTIVE — corpus count over
-    ``SEMDEDUP_TARGET_CLUSTER``, clamped — so the within-cluster pair
-    volume stays ~N·target/2 (linear) instead of N²/k (the fixed-k
-    quadratic blow-up the r10 10× store probe measured at 22.6×). The
-    count action is legitimate here: this is the once-per-dataset
+    all-pairs). ``k`` defaults to ADAPTIVE ≈ √N (power-of-2 from the
+    corpus count's bit length, clamped) — the flat-k-means optimum of
+    the N·k assignment + N²/k pair-scan trade (see ``_semdedup_k``).
+    The count action is legitimate here: this is the once-per-dataset
     store fixpoint (localCheckpoint loop below), not a lazy builder.
     Like production k-means, the iterative loop materializes once into
     the session store (store.semdedup_labels) and every consumer reads
@@ -847,8 +853,7 @@ def semdedup_compute(spark: SparkSession, sf_dir: str,
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
     if k is None:
-        n = e.count()
-        k = min(SEMDEDUP_MAX_K, max(SEMDEDUP_MIN_K, n // SEMDEDUP_TARGET_CLUSTER))
+        k = _semdedup_k(e.count())
     h = F.conv(
         F.substring(F.sha2(F.col("vec_id").cast("string"), 256), 1, 12), 16, 10
     ).cast("long")

@@ -6100,16 +6100,14 @@ def semdedup_assignments_sql(tau: float = 0.3, dim: int = 64) -> str:
             cents=cents,
         )
 
-    from via_spark.operators.vector import (
-        SEMDEDUP_MAX_K,
-        SEMDEDUP_MIN_K,
-        SEMDEDUP_TARGET_CLUSTER,
-    )
+    from via_spark.operators.vector import SEMDEDUP_MAX_K, SEMDEDUP_MIN_K
 
     return f"""
 WITH kn AS (
+  -- k = power of two nearest sqrt(N): 1 << (bit_length // 2), clamped
+  -- (mirrors vector._semdedup_k; integer ops only, no IEEE sqrt)
   SELECT least({SEMDEDUP_MAX_K}, greatest({SEMDEDUP_MIN_K},
-         count(*) // {SEMDEDUP_TARGET_CLUSTER})) AS kk
+         1 << (length(bin(count(*))) // 2))) AS kk
   FROM embeddings
 ), seeds AS (
   SELECT vec_id, embedding,
