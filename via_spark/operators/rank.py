@@ -637,25 +637,31 @@ def decile_lift_table(spark: SparkSession, sf_dir: str, tiles: int = 10) -> Data
     binned = ranked.withColumn(
         "decile", F.expr(f"(rn - 1) * {tiles} div n + 1").cast("int")
     )
+    # the money sums ride decimal(38,0) (DuckDB mirror: HUGEINT):
+    # cum_sum * 1e6 overflows BIGINT already at 10x fixture data — the
+    # staged 10x probe caught exactly this. The 10-row report emits
+    # BIGINT (good to ~9.2e12 whole value units).
     per = binned.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.sum("v_fix").alias("sum_v_fix"),
+        F.sum(F.col("v_fix").cast("decimal(38,0)")).alias("sum_dec"),
     )
-    tot = per.agg(F.sum("sum_v_fix").alias("total_fix"))
+    tot = per.agg(F.sum("sum_dec").cast("decimal(38,0)").alias("total_dec"))
     return (
         per.crossJoin(F.broadcast(tot))
-        .withColumn("share_micro", F.expr("sum_v_fix * 1000000L div total_fix"))
+        .withColumn(
+            "share_micro", F.expr("cast(sum_dec * 1000000 div total_dec as long)")
+        )
         .withColumn(
             "cum_share_micro",
             F.expr(
-                "sum(sum_v_fix) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED"
-                " PRECEDING AND CURRENT ROW) * 1000000L div total_fix"
+                "cast(sum(sum_dec) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED"
+                " PRECEDING AND CURRENT ROW) * 1000000 div total_dec as long)"
             ),
         )
         .select(
             "decile",
             "n_users",
-            F.col("sum_v_fix").cast("long").alias("sum_v_fix"),
+            F.expr("cast(sum_dec as long)").alias("sum_v_fix"),
             "share_micro",
             "cum_share_micro",
             F.expr(f"cum_share_micro * {tiles} div decile").alias("lift_micro"),

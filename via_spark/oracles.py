@@ -8203,21 +8203,24 @@ ranked AS (
     FROM totals
 ),
 per AS (
+    -- money sums ride HUGEINT (Spark mirror: decimal(38,0)) — the
+    -- cumulative * 1e6 overflows BIGINT at 10x fixture data
     SELECT CAST((rn - 1) * {tiles} // n + 1 AS INT) AS decile,
            CAST(count(*) AS BIGINT) AS n_users,
-           CAST(sum(v_fix) AS BIGINT) AS sum_v_fix
+           CAST(sum(v_fix) AS HUGEINT) AS sum_dec
     FROM ranked GROUP BY 1
 ),
-tot AS (SELECT CAST(sum(sum_v_fix) AS BIGINT) AS total_fix FROM per),
+tot AS (SELECT CAST(sum(sum_dec) AS HUGEINT) AS total_dec FROM per),
 cum AS (
-    SELECT decile, n_users, sum_v_fix,
-           sum_v_fix * 1000000 // total_fix AS share_micro,
-           CAST(sum(sum_v_fix) OVER (ORDER BY decile
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           * 1000000 // total_fix AS cum_share_micro
+    SELECT decile, n_users, sum_dec,
+           CAST(sum_dec * 1000000 // total_dec AS BIGINT) AS share_micro,
+           CAST(CAST(sum(sum_dec) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+           * 1000000 // total_dec AS BIGINT) AS cum_share_micro
     FROM per, tot
 )
-SELECT decile, n_users, sum_v_fix, share_micro, cum_share_micro,
+SELECT decile, n_users, CAST(sum_dec AS BIGINT) AS sum_v_fix,
+       share_micro, cum_share_micro,
        cum_share_micro * {tiles} // decile AS lift_micro
 FROM cum
 """
