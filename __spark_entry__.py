@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": search.hybrid_rrf,
         "neardup_embedding_pairs": dedup.neardup_embedding_pairs,
         "embedding_neardup_clusters": graph.embedding_neardup_clusters,
+        "ann_lsh_topk": dedup.ann_lsh_topk,
         "dedup_family_compare": graph.dedup_family_compare,
         "neardup_motif_report": graph.neardup_motif_report,
         "rhythm_baseline_stats": _rhythm_baseline_stats,
@@ -193,7 +194,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_unpivot": relational.event_type_unpivot,
         "events_profile": relational.events_profile,
         "gapfill_locf": timeseries.gapfill_locf,
-        "hourly_rate_of_change": timeseries.hourly_rate_of_change,
         # --- end head (position 50 boundary) --- tail: driver-green
         # with implementing units and oracles unchanged since their
         # newest green row (unit-granular, git-derived); all re-proven
@@ -243,7 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_containment_join": windows.range_containment_join,
         "session_hash_counts": windows.session_hash_counts,
         "above_p95_events": stats.above_p95_events,
-        "ann_lsh_topk": dedup.ann_lsh_topk,
+        "hourly_rate_of_change": timeseries.hourly_rate_of_change,
         "behavior_trigrams": timeseries.behavior_trigrams,
         "hourly_value_p95": timeseries.hourly_value_p95,
         "leakage_safe_split": curation.leakage_safe_split,

@@ -336,10 +336,16 @@ def _sign_bucket(emb: Column, dims: int = 8, offset: int = 0) -> Column:
     """Sign-LSH bucket: concat of sign bits of ``dims`` elements
     starting at ``offset`` (deterministic hyperplanes = axis planes;
     distinct offsets give the independent hash tables of an
-    OR-construction)."""
+    OR-construction). ``try_element_at``: a vector narrower than
+    ``offset + dims`` pads '0' sign bits (NULL ≥ 0 is not true) —
+    exactly DuckDB's out-of-range ``embedding[i]`` NULL → ELSE '0'
+    behavior, so the adaptive wide bucket works on any dimension
+    without erroring under ANSI mode. Pad bits are shared by every
+    vector, so they never split a bucket."""
     return F.concat(
         *[
-            F.when(F.element_at(emb, offset + i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(F.try_element_at(emb, F.lit(offset + i + 1)) >= 0, F.lit("1"))
+            .otherwise(F.lit("0"))
             for i in range(dims)
         ]
     )
