@@ -1090,3 +1090,51 @@ def test_batch45_plan_shapes(spark, sf_oracle):
                  "decile_lift_table", "growth_accounting_daily",
                  "asof_nearest_event"):
         assert "CartesianProduct" not in plan(name), name
+
+
+def test_type_hour_mi_planted(spark, tmp_path):
+    """Diagonal plant (each type only in its own hour) gives
+    MI = H(type) = H(hour) = ln(4) exactly on the 1e-6 grid;
+    an independent plant (every type in every hour equally) gives 0."""
+    from via_spark.operators.timeseries import type_hour_mutual_information
+
+    rows = [
+        (i * 10 + r, (i * 3600 + 30) * NS, 1, f"t{i}", 0.0, "{}")
+        for i in range(4) for r in range(2)
+    ]
+    d = tmp_path / "diag"
+    d.mkdir()
+    _write_events(spark, d, rows)
+    row = type_hour_mutual_information(spark, str(d)).collect()[0]
+    ln4 = 1_386_294  # floor(ln(4) * 1e6)
+    assert (row["mi_micro"], row["h_type_micro"], row["h_hour_micro"]) == (
+        ln4, ln4, ln4,
+    )
+
+    indep = [
+        (1000 + i * 10 + h, (h * 3600 + 30) * NS, 1, f"t{i}", 0.0, "{}")
+        for i in range(2) for h in range(2)
+    ]
+    d2 = tmp_path / "indep"
+    d2.mkdir()
+    _write_events(spark, d2, indep)
+    row2 = type_hour_mutual_information(spark, str(d2)).collect()[0]
+    assert row2["mi_micro"] == 0
+
+
+def test_collocation_pmi_planted(spark, tmp_path):
+    """An exclusive pair ('alpha' only ever precedes 'beta', 5 times,
+    among 20 bigrams total) scores pmi = ln(5·20/25) = ln(4) exactly;
+    rare filler bigrams are floored out by min_count."""
+    from via_spark.operators.textstats import collocation_pmi_report
+
+    filler = " ".join(f"f{j}" for j in range(16))  # 15 distinct bigrams
+    rows = [(i, "alpha beta", "en", "s", 10) for i in range(5)] + [
+        (100, filler, "en", "s", len(filler))
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = collocation_pmi_report(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert (out[0]["w1"], out[0]["w2"], out[0]["c12"], out[0]["pmi_micro"]) == (
+        "alpha", "beta", 5, 1_386_294,
+    )

@@ -1690,3 +1690,62 @@ def winnowing_fingerprint_stats(
             F.expr("n_selected * 1000000L div n_grams").alias("density_micro"),
         )
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def collocation_pmi_report(
+    spark: SparkSession, sf_dir: str, k: int = PMI_TOP_K, min_count: int = PMI_MIN_COUNT
+) -> DataFrame:
+    """Collocation extraction via pointwise mutual information (Church
+    & Hanks 1990): top-``k`` adjacent token pairs by
+    ``pmi = ln(c12·N / (c_left·c_right))`` among bigrams with
+    ``c12 ≥ min_count`` (the standard frequency floor — PMI of rare
+    pairs is noise). High-PMI pairs are multiword units ("new york",
+    "machine learning") a tokenizer or phrase-miner should treat as
+    one; corpus-level complement to the per-doc RAKE keyphrases.
+
+    Parity: counts are exact integers; the single ln runs on one
+    pinned double chain (CAST·CAST / (CAST·CAST)) and floors to the
+    1e-6 grid immediately (the BM25 IDF idiom).
+
+    Scale posture: same shape as the KN report — one in-row bigram
+    transform + hash agg, two vocab-keyed re-aggregations joined back,
+    a 1-row broadcast total, a top-k heap.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(tokens(F.col("text")).alias("toks")).where(F.size("toks") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    left = c12.groupBy("w1").agg(F.sum("c12").alias("c_left"))
+    right = c12.groupBy("w2").agg(F.sum("c12").alias("c_right"))
+    total = c12.agg(F.sum("c12").alias("n_bigrams"))
+    return (
+        c12.where(F.col("c12") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "pmi_micro",
+            F.expr(
+                "cast(floor(ln(cast(c12 as double) * cast(n_bigrams as double)"
+                " / (cast(c_left as double) * cast(c_right as double)))"
+                " * 1000000) as long)"
+            ),
+        )
+        .select("w1", "w2", "c12", "pmi_micro")
+        .orderBy(F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )

@@ -1909,3 +1909,73 @@ def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_new", "n_retained", "n_resurrected", "n_churning",
         )
     )
+
+
+def type_hour_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day — the
+    one-number answer to "is traffic mix time-dependent?" (0 nats =
+    schedule-free mix; approaching min(H(type), H(hour)) = types run
+    on fixed schedules). Both marginal entropies ride along so the
+    normalized dependence is one division away.
+
+    Exactness: each cell's ``ln(c_xy·N / (c_x·c_y))`` (and the
+    marginals' ``ln(N/c)``) runs one pinned double chain floored to
+    the 1e-6 grid; the N-weighted sums are then pure BIGINT with one
+    truncating division — identical in both engines.
+
+    Scale posture: one (type, hour) hash agg (≤ |types|·24 cells),
+    marginals re-aggregated from the cells, total broadcast — no
+    second pass over events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.select(
+        "event_type",
+        (F.expr("ts div 1000000000 div 3600") % 24).cast("int").alias("hour"),
+    ).groupBy("event_type", "hour").agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    mx = cells.groupBy("event_type").agg(F.sum("c_xy").alias("c_x"))
+    my = cells.groupBy("hour").agg(F.sum("c_xy").alias("c_y"))
+    tot = cells.agg(F.sum("c_xy").alias("n_events"))
+    lng = (
+        "cast(floor(ln(cast(c_xy as double) * cast(n_events as double)"
+        " / (cast(c_x as double) * cast(c_y as double))) * 1000000) as long)"
+    )
+    joined = (
+        cells.join(mx, "event_type").join(my, "hour").crossJoin(F.broadcast(tot))
+        .withColumn("term", F.expr(f"c_xy * ({lng})"))
+    )
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "c_x * cast(floor(ln(cast(n_events as double)"
+                " / cast(c_x as double)) * 1000000) as long)"
+            )
+        ).alias("hx_sum")
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "c_y * cast(floor(ln(cast(n_events as double)"
+                " / cast(c_y as double)) * 1000000) as long)"
+            )
+        ).alias("hy_sum")
+    )
+    return (
+        joined.agg(
+            F.sum("term").alias("mi_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            F.countDistinct("hour").cast("long").alias("n_hours"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("n_events").cast("long").alias("n_events"),
+            "n_types",
+            "n_hours",
+            "n_cells",
+            F.expr("mi_sum div n_events").alias("mi_micro"),
+            F.expr("hx_sum div n_events").alias("h_type_micro"),
+            F.expr("hy_sum div n_events").alias("h_hour_micro"),
+        )
+    )

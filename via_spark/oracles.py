@@ -8224,3 +8224,71 @@ SELECT decile, n_users, CAST(sum_dec AS BIGINT) AS sum_v_fix,
        cum_share_micro * {tiles} // decile AS lift_micro
 FROM cum
 """
+
+
+def collocation_pmi_report_sql(k: int = 50, min_count: int = 5) -> str:
+    """Mirrors textstats.collocation_pmi_report (Church-Hanks PMI,
+    grid-floored single ln, frequency floor)."""
+    return f"""
+WITH {DOC_TOKS_CTE.strip()},
+dt2 AS (SELECT toks AS t FROM dtok WHERE len(toks) >= 2),
+bg AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM dt2, unnest(range(1, len(t))) AS u(i)
+),
+cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c_left FROM cnt GROUP BY w1),
+rgt AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c_right FROM cnt GROUP BY w2),
+tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bigrams FROM cnt)
+SELECT cnt.w1, cnt.w2, cnt.c12,
+       CAST(floor(ln(CAST(cnt.c12 AS DOUBLE) * CAST(n_bigrams AS DOUBLE)
+            / (CAST(c_left AS DOUBLE) * CAST(c_right AS DOUBLE)))
+            * 1000000) AS BIGINT) AS pmi_micro
+FROM cnt JOIN lft USING (w1) JOIN rgt USING (w2), tot
+WHERE cnt.c12 >= {min_count}
+ORDER BY pmi_micro DESC, cnt.w1 ASC, cnt.w2 ASC LIMIT {k}
+"""
+
+
+def type_hour_mutual_information_sql() -> str:
+    """Mirrors timeseries.type_hour_mutual_information (grid-floored
+    per-cell ln, N-weighted BIGINT sums, one truncating division)."""
+    return """
+WITH cells AS (
+    SELECT event_type,
+           CAST((epoch_us(ts) // 1000000 // 3600) % 24 AS INT) AS hour,
+           CAST(count(*) AS BIGINT) AS c_xy
+    FROM events GROUP BY event_type, hour
+),
+mx AS (SELECT event_type, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cells GROUP BY event_type),
+my AS (SELECT hour, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cells GROUP BY hour),
+tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_events FROM cells),
+terms AS (
+    SELECT c.c_xy * CAST(floor(ln(CAST(c.c_xy AS DOUBLE) * CAST(n_events AS DOUBLE)
+               / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))) * 1000000) AS BIGINT) AS term,
+           c.event_type, c.hour
+    FROM cells c JOIN mx USING (event_type) JOIN my USING (hour), tot
+),
+hx AS (
+    SELECT CAST(sum(c_x * CAST(floor(ln(CAST(n_events AS DOUBLE)
+               / CAST(c_x AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS hx_sum
+    FROM mx, tot
+),
+hy AS (
+    SELECT CAST(sum(c_y * CAST(floor(ln(CAST(n_events AS DOUBLE)
+               / CAST(c_y AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS hy_sum
+    FROM my, tot
+),
+agg AS (
+    SELECT CAST(sum(term) AS BIGINT) AS mi_sum,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(count(DISTINCT hour) AS BIGINT) AS n_hours
+    FROM terms
+)
+SELECT n_events, n_types, n_hours, n_cells,
+       mi_sum // n_events AS mi_micro,
+       hx_sum // n_events AS h_type_micro,
+       hy_sum // n_events AS h_hour_micro
+FROM agg, tot, hx, hy
+"""

@@ -61,6 +61,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "asof_nearest_event": asof.asof_nearest_event,
         "clusters_windowed_tolerant": forensic.clusters_windowed_tolerant,
+        "collocation_pmi_report": textstats.collocation_pmi_report,
         "decile_lift_table": rank.decile_lift_table,
         "dedup_threshold_sweep": dedup.dedup_threshold_sweep,
         "embedding_bucket_occupancy": dedup.embedding_bucket_occupancy,
@@ -73,6 +74,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_graph_triangles": graph.simhash_graph_triangles,
         "stopword_coverage_by_source": textstats.stopword_coverage_by_source,
         "term_burstiness_report": textstats.term_burstiness_report,
+        "type_hour_mutual_information": timeseries.type_hour_mutual_information,
         "winnowing_fingerprint_stats": textstats.winnowing_fingerprint_stats,
         "zipf_slope_by_source": textstats.zipf_slope_by_source,
     }
@@ -83,6 +85,7 @@ def staged_oracle_sql() -> dict[str, str]:
     return {
         "asof_nearest_event": oracles.asof_nearest_event_sql(),
         "clusters_windowed_tolerant": oracles.clusters_windowed_tolerant_sql(),
+        "collocation_pmi_report": oracles.collocation_pmi_report_sql(),
         "decile_lift_table": oracles.decile_lift_table_sql(),
         "dedup_threshold_sweep": oracles.dedup_threshold_sweep_sql(),
         "embedding_bucket_occupancy": oracles.embedding_bucket_occupancy_sql(),
@@ -95,6 +98,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "simhash_graph_triangles": oracles.simhash_graph_triangles_sql(),
         "stopword_coverage_by_source": oracles.stopword_coverage_by_source_sql(),
         "term_burstiness_report": oracles.term_burstiness_report_sql(),
+        "type_hour_mutual_information": oracles.type_hour_mutual_information_sql(),
         "winnowing_fingerprint_stats": oracles.winnowing_fingerprint_stats_sql(),
         "zipf_slope_by_source": oracles.zipf_slope_by_source_sql(),
     }
