@@ -1138,3 +1138,26 @@ def test_collocation_pmi_planted(spark, tmp_path):
     assert (out[0]["w1"], out[0]["w2"], out[0]["c12"], out[0]["pmi_micro"]) == (
         "alpha", "beta", 5, 1_386_294,
     )
+
+
+def test_positional_template_entropy_planted(spark, tmp_path):
+    """Templated source: all docs share token at pos 0 (entropy 0),
+    split 2/2 at pos 1 (entropy = ln 2 with the 4-doc distribution
+    {2,2}); organic source with all-distinct pos-0 tokens scores
+    exactly ln(n)."""
+    from via_spark.operators.textstats import positional_template_entropy
+
+    rows = [
+        (i, f"subject {'re' if i % 2 else 'fwd'} body{i}", "en", "tpl", 1)
+        for i in range(4)
+    ] + [(10 + i, f"open{i} text{i}", "en", "org", 1) for i in range(4)]
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        (r["source"], r["pos"]): (r["n_docs"], r["n_distinct"], r["entropy_micro"])
+        for r in positional_template_entropy(spark, str(tmp_path)).collect()
+    }
+    ln2, ln4 = 693_147, 1_386_294
+    assert got[("tpl", 0)] == (4, 1, 0)                 # fixed "subject"
+    # {2,2}: ln(4) - (2·ln2 + 2·ln2)/4 = ln(4) - ln(2) = ln(2)
+    assert got[("tpl", 1)] == (4, 2, ln4 - ln2)
+    assert got[("org", 0)] == (4, 4, ln4)               # all distinct

@@ -8292,3 +8292,31 @@ SELECT n_events, n_types, n_hours, n_cells,
        hy_sum // n_events AS h_hour_micro
 FROM agg, tot, hx, hy
 """
+
+
+def positional_template_entropy_sql(positions: int = 10) -> str:
+    """Mirrors textstats.positional_template_entropy (grid-floored
+    per-count ln, BIGINT sums, truncating division)."""
+    return f"""
+WITH {DOC_TOKS_CTE.strip()},
+head AS (
+    SELECT source, i - 1 AS pos, toks[i] AS tok
+    FROM dtok, unnest(range(1, least(len(toks), {positions}) + 1)) AS u(i)
+),
+counts AS (
+    SELECT source, pos, tok, CAST(count(*) AS BIGINT) AS c
+    FROM head GROUP BY source, pos, tok
+),
+per_pos AS (
+    SELECT source, pos,
+           CAST(sum(c) AS BIGINT) AS n_p,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+                AS BIGINT) AS clc_sum
+    FROM counts GROUP BY source, pos
+)
+SELECT source, CAST(pos AS INT) AS pos, n_p AS n_docs, n_distinct,
+       CAST(floor(ln(CAST(n_p AS DOUBLE)) * 1000000) AS BIGINT)
+       - clc_sum // n_p AS entropy_micro
+FROM per_pos
+"""

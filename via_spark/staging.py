@@ -70,6 +70,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney_bigram_report": textstats.kneser_ney_bigram_report,
         "neardup_lsh_recall_report": dedup.neardup_lsh_recall_report,
         "neardup_source_flow_matrix": dedup.neardup_source_flow_matrix,
+        "positional_template_entropy": textstats.positional_template_entropy,
         "simhash_bit_balance_report": textstats.simhash_bit_balance_report,
         "simhash_graph_triangles": graph.simhash_graph_triangles,
         "stopword_coverage_by_source": textstats.stopword_coverage_by_source,
@@ -94,6 +95,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "kneser_ney_bigram_report": oracles.kneser_ney_bigram_report_sql(),
         "neardup_lsh_recall_report": oracles.neardup_lsh_recall_report_sql(),
         "neardup_source_flow_matrix": oracles.neardup_source_flow_matrix_sql(),
+        "positional_template_entropy": oracles.positional_template_entropy_sql(),
         "simhash_bit_balance_report": oracles.simhash_bit_balance_report_sql(),
         "simhash_graph_triangles": oracles.simhash_graph_triangles_sql(),
         "stopword_coverage_by_source": oracles.stopword_coverage_by_source_sql(),
