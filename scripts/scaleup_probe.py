@@ -85,6 +85,9 @@ STAGED_PROBES = [
     "asof_nearest_event",            # dual ignorenulls carries
     "dedup_threshold_sweep",         # one verify pass, 7 thresholds
     "hybrid_tier2_search",           # tier2 dense+sparse+text RRF
+    "collocation_pmi_report",        # bigram counts + PMI (batch 6)
+    "type_hour_mutual_information",  # cell agg + grid-ln MI (batch 6)
+    "positional_template_entropy",   # bounded prefix explode (batch 7)
 ]
 
 
