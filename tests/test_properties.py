@@ -878,8 +878,14 @@ def test_rotation_tracks_oracle_changes():
     assert {"session_hash_counts", "range_containment_join",
             "above_p95_events", "hourly_value_p95"} <= changed
     # per-function granularity: an oracle edit must not flood the
-    # whole surface (only if shared helpers/constants change)
-    assert len(changed) < len(names) / 2
+    # whole surface (only if shared helpers/constants change). Queries
+    # ADDED after r6 trivially count as changed (their oracle didn't
+    # exist), so the flood check is over the r6-era survivors only —
+    # otherwise the threshold goes stale every time the surface grows.
+    green_at_6 = rotation.newest_green_rounds(repo, max_round=6)
+    old_names = [n for n in names if n in green_at_6]
+    old_changed = changed & set(old_names)
+    assert len(old_changed) < len(old_names) / 2
     required = rotation.recommended_head(repo, entrymod.queries())
     assert set(changed) <= set(required) | {
         q for q in changed

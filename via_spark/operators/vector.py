@@ -752,24 +752,26 @@ SEMDEDUP_TAU = 0.3    # within-cluster dup cosine (fixture-calibrated; real
                       # corpora run 0.9+ — the fixture's random-ish vectors
                       # top out near 0.51, see test calibration)
 # Adaptive k (the embedding-LSH ``bits`` dial applied to k-means).
-# Flat k-means SemDeDup costs N·k (assignment: every vector scores
-# every centroid) + N²/k (within-cluster pair scan) — a FIXED k is
-# quadratic via the second term (the r10 store probe measured 22.6×
-# wall at 10× data), and k ~ N/const is quadratic via the FIRST term
-# (the follow-up 30× probe measured 41× — assignment-dominated). The
-# sum is minimized at k = √N, total ~2·N^1.5. k is therefore the
-# power of two nearest √N from the corpus count's bit length —
-# 1 << (bit_length // 2) — exactly mirrorable in DuckDB integer ops
-# (no IEEE sqrt, whose rounding could cross a boundary differently
-# per engine). The max bounds the k-row broadcast and the unrolled
-# oracle; past ~16M vectors (cap binding) the pair term grows again —
-# that scale wants hierarchical or ANN-assisted assignment.
-SEMDEDUP_MIN_K = 8
+# TWO-LEVEL k-means (r11; replaces the flat √N dial whose 100× store
+# probe measured the 30×→100× step at 6.7× time for 3.33× data — the
+# N^1.5 total the flat trade cannot beat). Costs: level-1 assignment
+# N·k1, level-2 sub-split N·k2, within-cell pair scan N²/(k1·k2).
+# With k1 = k2 = k the sum 2N·k + N²/k² is minimized at k = N^(1/3):
+# total ~3·N^(4/3), vs flat k-means' best 2·N^1.5. Both dials are the
+# power of two at the corpus count's bit length // 3 — integer ops
+# only, exactly mirrorable in DuckDB (no IEEE cbrt, whose rounding
+# could cross a boundary differently per engine). The clamps bound the
+# broadcasts: k1 rows of centroids, k1·k2 ≈ N^(2/3) sub-seed rows
+# (~65k rows × 64 dims ≈ 17 MB at 16M vectors — still broadcastable).
+SEMDEDUP_MIN_K = 4
 SEMDEDUP_MAX_K = 4096
 
 
-def _semdedup_k(n: int) -> int:
-    return min(SEMDEDUP_MAX_K, max(SEMDEDUP_MIN_K, 1 << (n.bit_length() // 2)))
+def _semdedup_k12(n: int) -> tuple[int, int]:
+    """Both level dials: the power of two nearest N^(1/3), clamped.
+    At the 500-vector sf0.01 fixture this is (8, 8) — 64 final cells."""
+    kk = min(SEMDEDUP_MAX_K, max(SEMDEDUP_MIN_K, 1 << (n.bit_length() // 3)))
+    return kk, kk
 
 
 def _semdedup_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
@@ -822,44 +824,26 @@ def _semdedup_recenter(assigned: DataFrame) -> DataFrame:
     )
 
 
-def semdedup_compute(spark: SparkSession, sf_dir: str,
-                     k: int | None = None, iters: int = SEMDEDUP_ITERS,
-                     tau: float = SEMDEDUP_TAU) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
-    at web-scale through semantic deduplication"): k-means coarse
-    clusters over the embedding column, then within each cluster mark
-    every vector that has a LOWER-id neighbor above the ``tau`` cosine
-    — the semantic near-duplicates a curation pass would drop. Output:
-    (vec_id, cluster, is_dup).
-
-    Every arithmetic step is engine-exact: hash-seeded centroids (no
-    RNG), fixed-point dot products, truncating-division centroids —
-    so the full iterative pipeline is DuckDB-oracle-checkable.
-
-    Scale posture: each assignment pass is one corpus scan against a
-    k-row broadcast; recentering shuffles (cid, dim) partial sums, not
-    vectors; the dup scan joins WITHIN clusters only (the whole point
-    of SemDeDup — ε-ball search confined to a coarse cell, never
-    all-pairs). ``k`` defaults to ADAPTIVE ≈ √N (power-of-2 from the
-    corpus count's bit length, clamped) — the flat-k-means optimum of
-    the N·k assignment + N²/k pair-scan trade (see ``_semdedup_k``).
-    The count action is legitimate here: this is the once-per-dataset
-    store fixpoint (localCheckpoint loop below), not a lazy builder.
-    Like production k-means, the iterative loop materializes once into
-    the session store (store.semdedup_labels) and every consumer reads
-    the flat label parquet.
-    """
-    e = spread(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    )
-    if k is None:
-        k = _semdedup_k(e.count())
-    h = F.conv(
+def _semdedup_seed_hash() -> Column:
+    """Deterministic seed order: first 48 bits of sha256(vec_id) as a
+    BIGINT — identical to DuckDB's ('0x'||substr(sha256(v),1,12))."""
+    return F.conv(
         F.substring(F.sha2(F.col("vec_id").cast("string"), 256), 1, 12), 16, 10
     ).cast("long")
+
+
+def _semdedup_lloyd(e: DataFrame, k: int, iters: int) -> DataFrame:
+    """Hash-seeded Lloyd loop: ``iters`` assignment passes with a
+    recenter between each. Runs inside the one-time store
+    materialization, so lineage truncation between passes is
+    legitimate (and essential — the unrolled plan would otherwise
+    re-evaluate every earlier pass for each consumer of the next one):
+    each assignment/centroid frame is tiny (N rows / k rows) and
+    checkpoints in milliseconds. Returns (vec_id, embedding, cid,
+    na_fix)."""
     wseed = Window.orderBy("h", "vec_id")
     cents = (
-        e.withColumn("h", h)
+        e.withColumn("h", _semdedup_seed_hash())
         .orderBy("h", "vec_id")
         .limit(k)
         .withColumn("cid", F.row_number().over(wseed) - 1)
@@ -868,29 +852,109 @@ def semdedup_compute(spark: SparkSession, sf_dir: str,
             F.transform("embedding", lambda x: x.cast("double")).alias("c"),
         )
     )
-    # This runs inside the one-time store materialization, so lineage
-    # truncation between Lloyd passes is legitimate (and essential —
-    # the unrolled plan would otherwise re-evaluate every earlier pass
-    # for each consumer of the next one): each assignment/centroid
-    # frame is tiny (N rows / k rows) and checkpoints in milliseconds.
     assigned = None
     for i in range(iters):
         assigned = _semdedup_assign(e, cents).localCheckpoint()
         if i < iters - 1:
             cents = _semdedup_recenter(assigned).localCheckpoint()
+    return assigned
+
+
+def _semdedup_subsplit(assigned: DataFrame, k2: int) -> DataFrame:
+    """Level-2 Voronoi split of each coarse cell around its first
+    ``k2`` members in seed-hash order (one nearest-sub-seed pass —
+    i.e. the first assignment pass of a per-cell k-means; cells with
+    ≤ k2 members become singletons). One corpus equi-join against a
+    k1·k2-row broadcast; ties break to the lowest scid (pinned).
+    Returns the input plus an ``scid`` column."""
+    wcell = Window.partitionBy("cid").orderBy("h", "vec_id")
+    subs = (
+        assigned.withColumn("h", _semdedup_seed_hash())
+        .withColumn("rn", F.row_number().over(wcell))
+        .where(F.col("rn") <= k2)
+        .select(
+            "cid",
+            (F.col("rn") - 1).alias("scid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("sc"),
+        )
+        .withColumn("nsc_fix", dot_fix(F.col("sc"), F.col("sc")))
+    )
+    s = (
+        assigned.join(F.broadcast(subs), "cid")
+        .withColumn("d_fix", dot_fix(F.col("embedding"), F.col("sc")))
+        .withColumn(
+            "score",
+            cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nsc_fix")),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("scid").asc()
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid", "scid", "na_fix")
+    )
+
+
+def semdedup_compute(spark: SparkSession, sf_dir: str,
+                     k: int | None = None, iters: int = SEMDEDUP_ITERS,
+                     tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means coarse
+    cells over the embedding column, then within each cell mark every
+    vector that has a LOWER-id neighbor above the ``tau`` cosine — the
+    semantic near-duplicates a curation pass would drop. Output:
+    (vec_id, cluster, is_dup).
+
+    Every arithmetic step is engine-exact: hash-seeded centroids (no
+    RNG), fixed-point dot products, truncating-division centroids —
+    so the full iterative pipeline is DuckDB-oracle-checkable.
+
+    The production path (``k=None``, the only value the session store
+    serves) is TWO-LEVEL: a Lloyd loop with k1 ≈ N^(1/3) coarse cells,
+    then a nearest-sub-seed split of each cell into k2 ≈ N^(1/3)
+    sub-cells (``_semdedup_subsplit``); the dup scan joins within
+    (cid, scid) only. Total cost ~3·N^(4/3) — vs the flat √N dial's
+    2·N^1.5, whose r10 100× store probe measured the 30×→100× step at
+    6.7× time for 3.33× data (SCALEUP_STORES100_r10.json). Final
+    cluster id = cid·k2 + scid. An EXPLICIT ``k`` keeps the flat
+    single-level form — the pinned path for planted-fixture tests.
+
+    Scale posture: each pass is one corpus scan against a broadcast
+    (k1 centroids / k1·k2 sub-seeds ≈ N^(2/3) rows); recentering
+    shuffles (cid, dim) partial sums, not vectors; the pair scan is
+    confined to sub-cells of ~N^(1/3) vectors — never all-pairs. The
+    count action is legitimate here: this is the once-per-dataset
+    store fixpoint, not a lazy builder. Like production k-means, the
+    loop materializes once into the session store
+    (store.semdedup_labels) and every consumer reads the flat parquet.
+    """
+    e = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    if k is None:
+        k1, k2 = _semdedup_k12(e.count())
+        assigned = _semdedup_subsplit(_semdedup_lloyd(e, k1, iters), k2)
+        cell = ["cid", "scid"]
+        cluster = (F.col("cid") * k2 + F.col("scid")).alias("cluster")
+    else:
+        assigned = _semdedup_lloyd(e, k, iters)
+        cell = ["cid"]
+        cluster = F.col("cid").alias("cluster")
     a = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("va"),
+        *cell, F.col("vec_id").alias("va"),
         F.col("embedding").alias("emb_a"), F.col("na_fix").alias("norm_a"),
     )
     b = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("vb"),
+        *cell, F.col("vec_id").alias("vb"),
         F.col("embedding").alias("emb_b"), F.col("na_fix").alias("norm_b"),
     )
-    # the cid equi-join leaves only k distinct keys — rebalance the
-    # BOUNDED candidate-pair set across all cores before the per-pair
-    # dot (round-robin on pair identity, not a keyed shuffle)
+    # the cell equi-join leaves only k1·k2 distinct keys — rebalance
+    # the BOUNDED candidate-pair set across all cores before the
+    # per-pair dot (round-robin on pair identity, not a keyed shuffle)
     dup = (
-        a.join(b, "cid")
+        a.join(b, cell)
         .where(F.col("va") < F.col("vb"))
         .repartition(F.col("va"), F.col("vb"))
         .withColumn("d_fix", dot_fix(F.col("emb_a"), F.col("emb_b")))
@@ -905,7 +969,7 @@ def semdedup_compute(spark: SparkSession, sf_dir: str,
         assigned.join(dup, assigned.vec_id == dup.vb, "left")
         .select(
             "vec_id",
-            F.col("cid").alias("cluster"),
+            cluster,
             F.col("vb").isNotNull().alias("is_dup"),
         )
     )

@@ -6058,13 +6058,17 @@ GROUP BY 1, 2
 
 
 def semdedup_assignments_sql(tau: float = 0.3, dim: int = 64) -> str:
-    """Unrolled two-pass k-means + within-cluster dup marking —
+    """Unrolled TWO-LEVEL k-means + within-sub-cell dup marking —
     token-for-token the same integer/double op chain as
-    vector.semdedup_compute (floor-1e9 dots, floor-1e6 centroid sums,
-    truncating // division, one int→double conversion per value).
-    ``k`` mirrors the engine's adaptive dial — count // target,
-    clamped, constants imported from the engine — via the ``kn`` CTE
-    (lands on the historical 8 at the 500-vector fixture)."""
+    vector.semdedup_compute's production (k=None) path: a two-pass
+    Lloyd loop with k1 coarse cells, then a one-pass nearest-sub-seed
+    split of each cell into ≤ k2 sub-cells (floor-1e9 dots, floor-1e6
+    centroid sums, truncating // division, one int→double conversion
+    per value; sub-assignment ties break to the lowest scid). Both
+    dials mirror the engine's ``_semdedup_k12``: the power of two at
+    the corpus count's bit length // 3, clamped — integer ops only —
+    via the ``kn`` CTE (k1 = k2 = 8 at the 500-vector fixture, 64
+    final cells). Final cluster id = cid·k2 + scid."""
     d9 = (
         "list_sum(list_transform(range(1, {n}), i -> "
         "CAST(floor(CAST({a}[i] AS DOUBLE) * {b} * 1e9) AS BIGINT)))"
@@ -6102,12 +6106,28 @@ def semdedup_assignments_sql(tau: float = 0.3, dim: int = 64) -> str:
 
     from via_spark.operators.vector import SEMDEDUP_MAX_K, SEMDEDUP_MIN_K
 
+    subassign = """
+  SELECT vec_id, embedding, cid, scid FROM (
+    SELECT s.*, row_number() OVER (
+        PARTITION BY vec_id ORDER BY ({score}) DESC, scid) AS rn
+    FROM (
+      SELECT e.vec_id, e.embedding, e.cid, c.scid,
+             {d} AS d, {na} AS na, {nc} AS nc
+      FROM a2 e JOIN subc c USING (cid)) s
+  ) WHERE rn = 1
+""".format(
+        score=cos("d", "na", "nc"),
+        d=dot("e.embedding", "c.c"),
+        na=dot("e.embedding", "e.embedding", bcast=False),
+        nc=d9.format(n=dim + 1, a="c.c", b="c.c[i]"),
+    )
+
     return f"""
 WITH kn AS (
-  -- k = power of two nearest sqrt(N): 1 << (bit_length // 2), clamped
-  -- (mirrors vector._semdedup_k; integer ops only, no IEEE sqrt)
+  -- k1 = k2 = power of two at bit_length // 3 (≈ N^(1/3)), clamped
+  -- (mirrors vector._semdedup_k12; integer ops only, no IEEE cbrt)
   SELECT least({SEMDEDUP_MAX_K}, greatest({SEMDEDUP_MIN_K},
-         1 << (length(bin(count(*))) // 2))) AS kk
+         1 << (length(bin(count(*))) // 3))) AS kk
   FROM embeddings
 ), seeds AS (
   SELECT vec_id, embedding,
@@ -6129,16 +6149,31 @@ WITH kn AS (
   SELECT cid, list(CAST(s // n AS DOUBLE) / 1e6 ORDER BY i) AS c
   FROM dims GROUP BY cid
 ), a2 AS ({assign_sql("cents1")}
+), sseeds AS (
+  -- level 2: first k2 members of each coarse cell in seed-hash order
+  SELECT cid, embedding,
+         row_number() OVER (
+           PARTITION BY cid
+           ORDER BY ('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+                    vec_id) - 1 AS scid
+  FROM a2
+  QUALIFY scid < (SELECT kk FROM kn)
+), subc AS (
+  SELECT cid, scid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM sseeds
+), a3 AS ({subassign}
 ), dup AS (
   SELECT b.vec_id AS vb
-  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  FROM a3 a JOIN a3 b
+    ON a.cid = b.cid AND a.scid = b.scid AND a.vec_id < b.vec_id
   WHERE ({cos(dot("a.embedding", "b.embedding", bcast=False),
               dot("a.embedding", "a.embedding", bcast=False),
               dot("b.embedding", "b.embedding", bcast=False))}) >= {tau}
   GROUP BY 1
 )
-SELECT a2.vec_id, a2.cid AS cluster, (dup.vb IS NOT NULL) AS is_dup
-FROM a2 LEFT JOIN dup ON a2.vec_id = dup.vb
+SELECT a3.vec_id, a3.cid * (SELECT kk FROM kn) + a3.scid AS cluster,
+       (dup.vb IS NOT NULL) AS is_dup
+FROM a3 LEFT JOIN dup ON a3.vec_id = dup.vb
 """
 
 

@@ -56,51 +56,10 @@ from via_spark.operators import asof, dedup, forensic, graph, rank, textstats, t
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Contract mirror of ``__spark_entry__.queries()`` for the staged
-    surface — spliced to the registered tail at the start of r11."""
-    return {
-        "asof_nearest_event": asof.asof_nearest_event,
-        "clusters_windowed_tolerant": forensic.clusters_windowed_tolerant,
-        "collocation_pmi_report": textstats.collocation_pmi_report,
-        "decile_lift_table": rank.decile_lift_table,
-        "dedup_threshold_sweep": dedup.dedup_threshold_sweep,
-        "embedding_bucket_occupancy": dedup.embedding_bucket_occupancy,
-        "growth_accounting_daily": timeseries.growth_accounting_daily,
-        "hybrid_tier2_search": forensic.hybrid_tier2_search,
-        "kneser_ney_bigram_report": textstats.kneser_ney_bigram_report,
-        "neardup_lsh_recall_report": dedup.neardup_lsh_recall_report,
-        "neardup_source_flow_matrix": dedup.neardup_source_flow_matrix,
-        "positional_template_entropy": textstats.positional_template_entropy,
-        "simhash_bit_balance_report": textstats.simhash_bit_balance_report,
-        "simhash_graph_triangles": graph.simhash_graph_triangles,
-        "stopword_coverage_by_source": textstats.stopword_coverage_by_source,
-        "term_burstiness_report": textstats.term_burstiness_report,
-        "type_hour_mutual_information": timeseries.type_hour_mutual_information,
-        "winnowing_fingerprint_stats": textstats.winnowing_fingerprint_stats,
-        "zipf_slope_by_source": textstats.zipf_slope_by_source,
-    }
+    """Spliced into __spark_entry__ at the r10 head — registry drained."""
+    return {}
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Contract mirror of ``__spark_entry__.oracle_sql()``."""
-    return {
-        "asof_nearest_event": oracles.asof_nearest_event_sql(),
-        "clusters_windowed_tolerant": oracles.clusters_windowed_tolerant_sql(),
-        "collocation_pmi_report": oracles.collocation_pmi_report_sql(),
-        "decile_lift_table": oracles.decile_lift_table_sql(),
-        "dedup_threshold_sweep": oracles.dedup_threshold_sweep_sql(),
-        "embedding_bucket_occupancy": oracles.embedding_bucket_occupancy_sql(),
-        "growth_accounting_daily": oracles.growth_accounting_daily_sql(),
-        "hybrid_tier2_search": oracles.hybrid_tier2_search_sql(),
-        "kneser_ney_bigram_report": oracles.kneser_ney_bigram_report_sql(),
-        "neardup_lsh_recall_report": oracles.neardup_lsh_recall_report_sql(),
-        "neardup_source_flow_matrix": oracles.neardup_source_flow_matrix_sql(),
-        "positional_template_entropy": oracles.positional_template_entropy_sql(),
-        "simhash_bit_balance_report": oracles.simhash_bit_balance_report_sql(),
-        "simhash_graph_triangles": oracles.simhash_graph_triangles_sql(),
-        "stopword_coverage_by_source": oracles.stopword_coverage_by_source_sql(),
-        "term_burstiness_report": oracles.term_burstiness_report_sql(),
-        "type_hour_mutual_information": oracles.type_hour_mutual_information_sql(),
-        "winnowing_fingerprint_stats": oracles.winnowing_fingerprint_stats_sql(),
-        "zipf_slope_by_source": oracles.zipf_slope_by_source_sql(),
-    }
+    """Spliced into __spark_entry__ at the r10 head — registry drained."""
+    return {}

@@ -263,9 +263,13 @@ def phash_cluster_labels(
 
 def semdedup_labels(spark: SparkSession, sf_dir: str,
                     k: int | None, iters: int, tau: float) -> DataFrame:
-    """SemDeDup (k-means + within-cluster near-dup) label table —
-    materialized on first use per (k, iters, tau), same write-once
-    shape and staleness contract as :func:`cluster_labels`."""
+    """SemDeDup (two-level k-means + within-sub-cell near-dup) label
+    table — materialized on first use per (k, iters, tau), same
+    write-once shape and staleness contract as :func:`cluster_labels`.
+    ``k=None`` (the adaptive two-level path) is the only value the
+    production surface passes; an explicit ``k`` selects the flat
+    pinned path and is cached under its literal value — planted-
+    fixture tests call ``vector.semdedup_compute`` directly instead."""
     from via_spark.operators import vector
 
     if os.environ.get("VIA_SPARK_TIER1_CACHE", "1") == "0":
