@@ -131,9 +131,27 @@ def build_scaled(spark, out: Path, factor: int) -> None:
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     n_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    # Replica vectors must be DISTINCT (same contract as the documents
+    # table's disjoint vocabularies): identical copies all land in the
+    # same LSH bucket / k-means cell, so the TRUE near-dup pair set
+    # grows as K² and the probe measures that pathology instead of K×
+    # work (r10's 100× store probe: ~99% of its 9.9M edges were pure
+    # copy-family pairs). Per-replica circular shift + xxhash sign
+    # pattern keeps every within-replica norm and dot EXACT (signs
+    # square away, shift is a permutation) while cross-replica cosines
+    # collapse to noise — K× multiplies work, not blow-up.
     emb.select("*", k_col).select(
         (F.col("vec_id") + F.col("k") * n_vec).alias("vec_id"),
-        "embedding",
+        F.when(F.col("k") == 0, F.col("embedding"))
+        .otherwise(
+            F.expr(
+                "transform(sequence(0, size(embedding) - 1), i -> CAST("
+                "  (CASE WHEN pmod(xxhash64(k, i), 2) = 0 THEN 1.0D ELSE -1.0D END)"
+                "  * element_at(embedding, CAST(pmod(i + k, size(embedding)) AS INT) + 1)"
+                " AS FLOAT))"
+            )
+        )
+        .alias("embedding"),
         "label",
     ).write.parquet(str(out / "embeddings.parquet"))
 

@@ -447,6 +447,18 @@ def neardup_embedding_pairs(
         "vec_id", "embedding",
         dot_fix(F.col("embedding"), F.col("embedding")).alias("n_fix"),
     )
+    return neardup_pairs_over(e0, threshold, probe_radius, bits)
+
+
+def neardup_pairs_over(
+    e0: DataFrame, threshold: float = EMB_COS_THRESHOLD,
+    probe_radius: int = 1, bits: int | None = None,
+) -> DataFrame:
+    """:func:`neardup_embedding_pairs` over a caller-supplied
+    (vec_id, embedding, n_fix) frame — the store builders pass their
+    exact-duplicate-collapsed representative set through the identical
+    probed-LSH plan (graph.embedding_clusters_compute), so the pair
+    pipeline itself never special-cases the caller."""
     if bits is None:
         if probe_radius != 1:
             raise ValueError("adaptive bits supports probe_radius=1 only")

@@ -42,7 +42,16 @@ def connected_components(
     vertices: DataFrame, edges: DataFrame, max_iter: int = 20
 ) -> DataFrame:
     """(id) vertices + (src, dst) undirected edges → (id, component),
-    component = min id reachable from ``id``."""
+    component = min id reachable from ``id``.
+
+    Each round is min-label propagation PLUS a pointer-doubling jump
+    (label ← label's label), so the reach per round doubles: rounds
+    are O(log diameter), not O(diameter) — max_iter=20 covers any
+    diameter below ~2^19 (plain propagation stalled the r11 100× store
+    probe on a >20-diameter near-dup chain). Convergence detection is
+    a single exact aggregate, no join: per-id labels are monotone
+    non-increasing, so Σ component (decimal(38,0) — overflow-proof at
+    any id range) is strictly decreasing iff anything changed."""
     # cache the (narrow) edge list: it is re-joined every round, and its
     # lineage may include an expensive candidate-generation pipeline
     und = edges.select("src", "dst").union(
@@ -55,26 +64,38 @@ def connected_components(
     # before the cluster does (measured: a 30-vertex chain went from
     # >10 min under cache-only lineage to seconds with checkpointing).
     labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint()
+
+    def _sum(frame: DataFrame) -> object:
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _sum(labels)
     for _ in range(max_iter):
         nbr = und.join(labels, und["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "component"
         )
-        new_labels = (
+        prop = (
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer doubling: component ← component's component (every
+        # component value is itself a vertex id, so the self-join is
+        # total; the jumped label stays a reachable min ≥ the final)
+        jump = prop.select(
+            F.col("id").alias("cid"), F.col("component").alias("c2")
+        )
+        new_labels = (
+            prop.join(jump, prop["component"] == jump["cid"])
+            .select("id", F.col("c2").alias("component"))
             .localCheckpoint()  # eager: one O(labels) materialization
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "_old"), "id"
-            )
-            .where(F.col("component") != F.col("_old"))
-            .count()
-        )
+        new_sum = _sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         # NEVER return silently-split components: a chain longer than
         # max_iter would leave one real cluster under several labels
@@ -203,20 +224,59 @@ def embedding_clusters_compute(
     spark: SparkSession, sf_dir: str, threshold: float | None = None
 ) -> DataFrame:
     """Raw embedding-cluster computation (store builder): connected
-    components over the multi-probe sign-LSH cosine pair graph."""
-    from via_spark.operators.dedup import EMB_COS_THRESHOLD, neardup_embedding_pairs
+    components over the multi-probe sign-LSH cosine pair graph, with
+    EXACT-DUPLICATE COLLAPSE first (r11).
+
+    Identical non-zero vectors are interchangeable for components:
+    cos(a, b) = 1 ≥ threshold binds the family into one clique, and
+    every member has exactly the external cosines its representative
+    has — so running LSH + propagation on one representative per
+    distinct embedding (the family's min vec_id) and expanding labels
+    afterwards returns token-identical output. The collapse is what
+    keeps the build LINEAR in duplicate-family size: a family of f
+    copies costs f map rows here, where the uncollapsed pipeline paid
+    C(f,2) within-bucket candidates — the exact blow-up the r10 100×
+    store probe measured (221 s, ~99% of its edges copy-family pairs).
+    Zero-n_fix vectors stay singleton representatives: the pinned
+    degenerate cosine is 0 < threshold, so they never edge (identical
+    zero vectors included) — same as the uncollapsed plan.
+
+    Label expansion is exact because each family rep IS the family min
+    (component labels are min reachable vec_id, and reachable sets per
+    family are equal member-to-member).
+    """
+    from via_spark.operators.dedup import EMB_COS_THRESHOLD, neardup_pairs_over
+    from via_spark.operators.vector import dot_fix
 
     threshold = EMB_COS_THRESHOLD if threshold is None else threshold
-    vecs = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("id")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        dot_fix(F.col("embedding"), F.col("embedding")).alias("n_fix"),
     )
-    pairs = neardup_embedding_pairs(spark, sf_dir, threshold)
+    nz = e.where(F.col("n_fix") > 0)
+    fam = nz.groupBy("embedding").agg(F.min("vec_id").alias("rep"))
+    vmap = (
+        nz.join(fam, "embedding")
+        .select("vec_id", "rep")
+        .unionByName(
+            e.where(F.col("n_fix") == 0)
+            .select("vec_id", F.col("vec_id").alias("rep"))
+        )
+        .localCheckpoint()  # fixpoint input: truncate the groupBy lineage
+    )
+    reps = e.join(
+        vmap.where(F.col("vec_id") == F.col("rep")).select("vec_id"), "vec_id"
+    )
+    pairs = neardup_pairs_over(reps, threshold)
     edges = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
-    comp = connected_components(vecs, edges)
-    return comp.select(
-        F.col("id").alias("vec_id"), F.col("component").alias("cluster_rep")
-    ).withColumn(
-        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_rep"))
+    comp = connected_components(reps.select(F.col("vec_id").alias("id")), edges)
+    return (
+        vmap.join(comp, vmap["rep"] == comp["id"])
+        .select("vec_id", F.col("component").alias("cluster_rep"))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_rep")),
+        )
     )
 
 
@@ -530,11 +590,13 @@ def motif_report_from_edges(edges: DataFrame) -> DataFrame:
     low-id hub fan out its full raw degree. Ranks pack as
     ``deg·2^40 + node`` BIGINTs (unique, compares as the tuple).
     """
+    # deg caches too: three consumers (the census agg + both rank-join
+    # sides) would each re-run the endpoint explode + groupBy
     deg = (
-        edges.select(F.col("a").alias("node"))
-        .union(edges.select(F.col("b").alias("node")))
+        edges.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .cache()
     )
     nodes_edges = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -545,11 +607,14 @@ def motif_report_from_edges(edges: DataFrame) -> DataFrame:
     labeled = edges.join(
         rank.select(F.col("node").alias("a"), F.col("rk").alias("rk_a")), "a"
     ).join(rank.select(F.col("node").alias("b"), F.col("rk").alias("rk_b")), "b")
+    # cache: three consumers (both wedge legs + the closure probe) —
+    # uncached, each re-ran the two rank joins; the r10 unification's
+    # measured 2.1× regression was exactly this repeated edge scan
     oriented = labeled.select(
         F.when(F.col("rk_a") < F.col("rk_b"), F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(F.col("rk_a") < F.col("rk_b"), F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.greatest("rk_a", "rk_b").alias("rk_dst"),
-    )
+    ).cache()
     o1 = oriented.select("src", F.col("dst").alias("v"), F.col("rk_dst").alias("rk_v"))
     o2 = oriented.select("src", F.col("dst").alias("w"), F.col("rk_dst").alias("rk_w"))
     tris = (
