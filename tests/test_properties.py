@@ -894,10 +894,10 @@ def test_rotation_tracks_oracle_changes():
 
 
 def test_connected_components_long_chain_guard(spark):
-    """Propagation + pointer doubling doubles reach per round, so a
-    path graph converges in O(log diameter) rounds — the random-graph
-    property test (≤15 tiny edges) never stresses this. Pin both sides
-    of the guard: a long chain with enough rounds is correct, and a
+    """Alternating large-star/small-star contraction converges in
+    O(log² n) rounds on ANY id layout — the random-graph property test
+    (≤15 tiny edges) never stresses this. Pin both sides of the guard:
+    a long chain with enough rounds is correct, and a
     too-small max_iter RAISES instead of silently returning a split component
     (the failure mode that would quietly corrupt dedup clusters, the
     leakage-safe split, and keep-best resolution downstream)."""
@@ -910,8 +910,8 @@ def test_connected_components_long_chain_guard(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
     )
-    # pointer doubling: reach after round k is f(k) = 2(f(k-1) + 1),
-    # so a 30-chain needs 4 rounds + 1 no-change round — well inside 8
+    # star contraction halves chain length per round — a 30-chain
+    # reaches its star fixpoint well inside 8 rounds
     got = {
         r["id"]: r["component"]
         for r in connected_components(verts, chain, max_iter=8).collect()

@@ -1152,3 +1152,200 @@ def test_streaming_hll_store_matches_batch_sketch(spark, sf_smoke, tmp_path):
         for r in pipeline.hll_estimates_from_store(spark, store, p=HLL_P).collect()
     }
     assert again == got
+
+
+def _vec(i, dim=8, scale=1.0):
+    v = [0.0] * dim
+    v[i % dim] = scale
+    return v
+
+
+def test_embedding_gate_flags_and_admits(spark, tmp_path):
+    """The streaming embedding near-dup gate: batch 0 seeds the
+    signature store; batch 1 carries an exact copy of an admitted
+    vector, a fresh orthogonal vector, and an intra-batch twin pair —
+    the copy and the higher twin id get flagged, everything else is
+    admitted and only admitted signatures land in sigs/."""
+    store = str(tmp_path / "emb_gate_store")
+
+    b0 = spark.createDataFrame(
+        [(1, _vec(0)), (2, _vec(1))],
+        "vec_id long, embedding array<float>",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, _vec(0)),            # exact dup of corpus vec 1
+            (11, _vec(2)),            # genuinely new
+            (13, _vec(3, scale=2.0)),  # intra-batch twin (lower id)
+            (14, _vec(3, scale=3.0)),  # intra-batch twin (higher id)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pipeline.embedding_gate_process_batch(spark, b0, 0, store)
+    assert spark.read.parquet(f"{store}/flagged").count() == 0
+    pipeline.embedding_gate_process_batch(spark, b1, 1, store)
+
+    flagged = {
+        (r["vec_id"], r["matched_vec"])
+        for r in spark.read.parquet(f"{store}/flagged").collect()
+    }
+    assert (10, 1) in flagged
+    assert (14, 13) in flagged, "intra-batch pair resolves to the lower id"
+    adm = {r["vec_id"] for r in spark.read.parquet(f"{store}/admitted").collect()}
+    assert adm == {1, 2, 11, 13}
+    sig_ids = {r["vec_id"] for r in spark.read.parquet(f"{store}/sigs").collect()}
+    assert sig_ids == adm, "store carries admitted signatures only"
+
+
+def test_embedding_gate_replay_is_idempotent(spark, tmp_path):
+    """Replaying a batch (same batch_id, same rows) must leave the
+    store byte-identical: the corpus read excludes the batch's own
+    partition (no self-match flip) and overwrite cannot duplicate."""
+    store = str(tmp_path / "emb_gate_replay")
+
+    b0 = spark.createDataFrame(
+        [(1, _vec(0)), (2, _vec(1))],
+        "vec_id long, embedding array<float>",
+    )
+    b1 = spark.createDataFrame(
+        [(10, _vec(0)), (11, _vec(2))],
+        "vec_id long, embedding array<float>",
+    )
+
+    def snapshot():
+        out = {}
+        for sub in ("admitted", "flagged", "sigs"):
+            rows = spark.read.parquet(f"{store}/{sub}").collect()
+            out[sub] = sorted(tuple(str(v) for v in r) for r in rows)
+        return out
+
+    pipeline.embedding_gate_process_batch(spark, b0, 0, store)
+    pipeline.embedding_gate_process_batch(spark, b1, 1, store)
+    first = snapshot()
+    assert {r["vec_id"] for r in spark.read.parquet(f"{store}/flagged").collect()} == {10}
+    pipeline.embedding_gate_process_batch(spark, b1, 1, store)
+    assert snapshot() == first
+
+
+def test_embedding_gate_matches_incremental_batch_op(spark, tmp_path):
+    """Gate-vs-batch equivalence: seeding the gate with the residue
+    corpus (vec_id % 5 != 4) and feeding the residue batch must flag
+    exactly ``dedup.incremental_embedding_pairs``'s (new, corpus)
+    pairs — same probes, same adaptive bits (corpus internally clean,
+    so the admitted store IS the batch op's corpus side and both size
+    the dial from the same total N)."""
+    import random
+
+    from via_spark.operators.dedup import incremental_embedding_pairs
+
+    rng = random.Random(7)
+    dim = 64
+    rows = []
+    for i in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, v))
+    # plant: batch vec 24 (24 % 5 == 4) = exact copy of corpus vec 7
+    rows[24] = (24, rows[7][1])
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    expected = {
+        (r["new_vec"], r["corpus_vec"])
+        for r in incremental_embedding_pairs(
+            spark, str(d), threshold=0.8
+        ).collect()
+    }
+    assert (24, 7) in expected
+
+    store = str(tmp_path / "emb_gate_eq")
+    corpus = spark.createDataFrame(
+        [r for r in rows if r[0] % 5 != 4],
+        "vec_id long, embedding array<float>",
+    )
+    batch = spark.createDataFrame(
+        [r for r in rows if r[0] % 5 == 4],
+        "vec_id long, embedding array<float>",
+    )
+    pipeline.embedding_gate_process_batch(spark, corpus, 0, store, threshold=0.8)
+    assert spark.read.parquet(f"{store}/flagged").count() == 0, (
+        "fixture corpus must be internally clean for the equivalence"
+    )
+    pipeline.embedding_gate_process_batch(spark, batch, 1, store, threshold=0.8)
+    got = {
+        (r["vec_id"], r["matched_vec"])
+        for r in spark.read.parquet(f"{store}/flagged").collect()
+        if r["matched_vec"] % 5 != 4  # corpus matches only (no intra rows)
+    }
+    assert got == expected
+
+
+def test_embedding_gate_state_stays_bounded_on_duplicative_feed(spark, tmp_path):
+    """The 10x-feed posture: replaying the same duplicative content
+    across many batches must NOT grow the signature store — admitted
+    state is bounded by DISTINCT content, not feed volume, and exact
+    copies share the full wide signature so every dial step still
+    catches them."""
+    store = str(tmp_path / "emb_gate_soak")
+    base = [(i, _vec(i % 6, scale=1.0 + i % 6)) for i in range(6)]
+
+    pipeline.embedding_gate_process_batch(
+        spark,
+        spark.createDataFrame(base, "vec_id long, embedding array<float>"),
+        0,
+        store,
+    )
+    n_sigs0 = spark.read.parquet(f"{store}/sigs").count()
+    assert n_sigs0 == 6
+    for k in range(1, 10):
+        replay = [
+            (100 * k + i, v) for i, v in base  # fresh ids, same vectors
+        ]
+        pipeline.embedding_gate_process_batch(
+            spark,
+            spark.createDataFrame(
+                replay, "vec_id long, embedding array<float>"
+            ),
+            k,
+            store,
+        )
+    assert spark.read.parquet(f"{store}/sigs").count() == n_sigs0, (
+        "duplicative feed must not grow gate state"
+    )
+    assert spark.read.parquet(f"{store}/flagged").count() == 9 * 6
+
+
+def test_adaptive_bits_for_matches_plan_formula(spark):
+    """Driver-side dial == in-plan dial: bit_length(max(n div 8, 1))
+    clamped — spot the clamp edges and a mid value against the SQL
+    form length(bin(...))."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.dedup import (
+        MAX_SIGN_BITS,
+        MIN_SIGN_BITS,
+        SIGN_TARGET_OCCUPANCY,
+    )
+
+    for n in (0, 1, 7, 8, 64, 2000, 20000, 10**9):
+        sql_bits = (
+            spark.range(1)
+            .select(
+                F.least(
+                    F.lit(MAX_SIGN_BITS),
+                    F.greatest(
+                        F.lit(MIN_SIGN_BITS),
+                        F.length(
+                            F.bin(
+                                F.expr(
+                                    f"greatest({n} div {SIGN_TARGET_OCCUPANCY}, 1)"
+                                )
+                            )
+                        ),
+                    ),
+                ).alias("bits")
+            )
+            .collect()[0]["bits"]
+        )
+        assert pipeline.adaptive_bits_for(n) == sql_bits, n

@@ -497,6 +497,52 @@ def neardup_pairs_over(
     )
 
 
+def incremental_embedding_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = EMB_COS_THRESHOLD,
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) embedding near-dup detection —
+    the semantic-dedup twin of ``incremental_minhash_pairs`` and the
+    batch-queryable form of the streaming embedding gate
+    (streaming.pipeline.embedding_gate_process_batch): today's batch
+    explodes its Hamming-1 sign-LSH probes and joins the stored
+    corpus's exact buckets, so cost is |batch| × occupancy, never
+    |corpus|². The fixture has no arrival dimension, so the split is
+    the pinned residue ``vec_id % 5 == 4`` (20% batch) — identical to
+    the MinHash incremental convention.
+
+    ``bits`` is the same adaptive occupancy dial as the self-join pair
+    query, sized from the FULL table count (corpus + batch — exactly
+    the post-admission corpus the streaming gate sizes against). Each
+    (new, corpus) candidate matches exactly one probe, so no pair
+    dedup. Output: (new_vec, corpus_vec, score).
+    """
+    e0 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        dot_fix(F.col("embedding"), F.col("embedding")).alias("n_fix"),
+    )
+    e = adaptive_sign_frame(e0, ["vec_id", "embedding", "n_fix"])
+    is_batch = F.col("vec_id") % INCREMENTAL_MOD == INCREMENTAL_BATCH_RESIDUE
+    batch = e.where(is_batch).select(
+        F.col("vec_id").alias("new_vec"), F.col("embedding").alias("emb_a"),
+        F.col("n_fix").alias("na_fix"),
+        F.explode(F.expr(_VARIABLE_PROBES)).alias("bucket"),
+    )
+    corpus = e.where(~is_batch).select(
+        F.col("vec_id").alias("corpus_vec"), F.col("embedding").alias("emb_b"),
+        F.col("n_fix").alias("nb_fix"), "bucket",
+    )
+    return (
+        batch.join(corpus, "bucket")
+        .withColumn("d_fix", dot_fix(F.col("emb_a"), F.col("emb_b")))
+        .withColumn(
+            "score",
+            cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")),
+        )
+        .where(F.col("score") >= threshold)
+        .select("new_vec", "corpus_vec", "score")
+    )
+
+
 IVF_CENTROIDS = 16
 # 8 of 16 cells: tuned against the measured multi-query recall floor in
 # tests/test_vector.py — the fixture's near-random embeddings are the

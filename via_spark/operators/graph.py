@@ -39,76 +39,101 @@ from via_spark.session import load_table
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 50
 ) -> DataFrame:
     """(id) vertices + (src, dst) undirected edges → (id, component),
     component = min id reachable from ``id``.
 
-    Each round is min-label propagation PLUS a pointer-doubling jump
-    (label ← label's label), so the reach per round doubles: rounds
-    are O(log diameter), not O(diameter) — max_iter=20 covers any
-    diameter below ~2^19 (plain propagation stalled the r11 100× store
-    probe on a >20-diameter near-dup chain). Convergence detection is
-    a single exact aggregate, no join: per-id labels are monotone
-    non-increasing, so Σ component (decimal(38,0) — overflow-proof at
-    any id range) is strictly decreasing iff anything changed."""
-    # cache the (narrow) edge list: it is re-joined every round, and its
-    # lineage may include an expensive candidate-generation pipeline
-    und = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
-    # Each round MUST truncate lineage, not just cache: cache()
-    # short-circuits execution but Catalyst still re-analyzes the full
-    # accumulated tree, so the per-round driver cost grows with the
-    # round count and a long-diameter component stalls the DRIVER long
-    # before the cluster does (measured: a 30-vertex chain went from
-    # >10 min under cache-only lineage to seconds with checkpointing).
-    labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint()
+    Alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond"): each round
+    rewires every node's strictly-larger neighbors (large-star), then
+    its not-larger neighbors (small-star), to the minimum of its
+    closed neighborhood. Both operations preserve connectivity, only
+    ever point edges at smaller ids, and converge in O(log² n) rounds
+    REGARDLESS of how ids are laid out along the graph — the two
+    schemes this replaced were each worst-case linear: plain min-label
+    propagation moves one hop per round (r10: >20-round stall on the
+    100× probe's near-dup chains), and propagation+pointer-jumping
+    only doubles reach when the in-ball minimum lies TOWARD the
+    component minimum (the r11 first fix; the probe's descending-id
+    chains defeated it — measured 28+ trickling rounds).
 
-    def _sum(frame: DataFrame) -> object:
-        return frame.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-
-    prev_sum = _sum(labels)
+    The fixpoint is one min-rooted star per component (edges form a
+    child→parent function onto roots), detected structurally: no
+    parent is also a child, and no child keeps two parents. Per-round
+    cost is O(|E|) with one groupBy and one join per star step.
+    """
+    # canonical (child u, parent v) with v < u; self-loops dropped
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .distinct()
+        # checkpoint, not just cache: each round re-derives e, and the
+        # accumulated lineage would otherwise make Catalyst re-analyze
+        # (and re-run) the full candidate-generation pipeline per round
+        .localCheckpoint()
+    )
+    converged = False
     for _ in range(max_iter):
-        nbr = und.join(labels, und["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), "component"
+        # large-star: for every node (both orientations), connect its
+        # strictly-larger neighbors to min(closed neighborhood)
+        b = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        prop = (
-            labels.unionByName(nbr)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
+        mins = (
+            b.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
         )
-        # pointer doubling: component ← component's component (every
-        # component value is itself a vertex id, so the self-join is
-        # total; the jumped label stays a reachable min ≥ the final)
-        jump = prop.select(
-            F.col("id").alias("cid"), F.col("component").alias("c2")
+        large = (
+            b.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
         )
-        new_labels = (
-            prop.join(jump, prop["component"] == jump["cid"])
-            .select("id", F.col("c2").alias("component"))
-            .localCheckpoint()  # eager: one O(labels) materialization
+        # small-star: connect each node's parents (all < it) and
+        # itself to the minimum parent
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        new_e = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .unionByName(
+                mins2.select("u", F.col("m").alias("v")).where(
+                    F.col("u") != F.col("m")
+                )
+            )
+            .distinct()
+            .localCheckpoint()  # eager: one O(E) materialization
         )
-        new_sum = _sum(new_labels)
-        labels = new_labels
-        if new_sum == prev_sum:
+        e = new_e
+        # fixpoint = star forest: every edge points a child at a ROOT
+        # (no parent is itself a child) and the child→parent relation
+        # is a function (no child kept two parents)
+        parent_is_child = e.alias("x").join(
+            e.alias("y"), F.col("x.v") == F.col("y.u"), "left_semi"
+        )
+        multi_parent = (
+            e.groupBy("u").agg(F.count(F.lit(1)).alias("np")).where(F.col("np") > 1)
+        )
+        if parent_is_child.isEmpty() and multi_parent.isEmpty():
+            converged = True
             break
-        prev_sum = new_sum
-    else:
-        # NEVER return silently-split components: a chain longer than
-        # max_iter would leave one real cluster under several labels
-        labels.unpersist()
-        und.unpersist()
+    if not converged:
+        # NEVER return silently-split components
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter); raise max_iter"
+            "(star-contraction fixpoint not reached); raise max_iter"
         )
-    # drop the cached edge copy — the returned labels frame is already
-    # materialized (each round ran a count); its lineage stays valid
-    und.unpersist()
-    return labels
+    # star forest → labels: children take their root, everything else
+    # (roots, isolated vertices) labels itself
+    return (
+        vertices.join(e, vertices["id"] == e["u"], "left")
+        .select("id", F.coalesce(e["v"], vertices["id"]).alias("component"))
+    )
 
 
 def dedup_clusters(
@@ -588,7 +613,12 @@ def motif_report_from_edges(edges: DataFrame) -> DataFrame:
     bounds any node's out-degree by O(√m) under arbitrary degree skew
     — the previous id-ordered two-join counted identically but let a
     low-id hub fan out its full raw degree. Ranks pack as
-    ``deg·2^40 + node`` BIGINTs (unique, compares as the tuple).
+    ``deg·2^40 + node`` BIGINTs (unique, compares as the tuple) —
+    VALID ONLY for node ids < 2^40 (≈1.1e12) and degrees < 2^23
+    (BIGINT headroom; like winnowing's 2^20 position cap): outside
+    those bounds the packed key overflows/collides identically in both
+    engines, so oracle parity could not catch it. Near-dup doc ids and
+    pair-bounded degrees sit orders of magnitude inside both.
     """
     # deg caches too: three consumers (the census agg + both rank-join
     # sides) would each re-run the endpoint explode + groupBy

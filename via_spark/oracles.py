@@ -1043,6 +1043,44 @@ WHERE {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} >= {threshold!r}
 """
 
 
+def incremental_embedding_pairs_sql(threshold: float = 0.4) -> str:
+    """Batch-vs-corpus probed pair join — mirrors
+    dedup.incremental_embedding_pairs: the residue batch (vec_id % 5
+    == 4) explodes Hamming-1 probes of its adaptive-bits prefix and
+    joins the corpus side's exact buckets; bits sized from the FULL
+    table count (same dial as the self-join form). No DISTINCT — each
+    (new, corpus) pair matches exactly one probe."""
+    from via_spark.operators.dedup import (
+        INCREMENTAL_BATCH_RESIDUE,
+        INCREMENTAL_MOD,
+    )
+
+    res = f"vec_id % {INCREMENTAL_MOD} = {INCREMENTAL_BATCH_RESIDUE}"
+    return f"""
+WITH {_adaptive_sign_ctes()},
+ap AS (
+    SELECT vec_id AS new_vec, embedding AS emb_a,
+           unnest({_VARIABLE_PROBES_SQL}) AS pbucket
+    FROM e WHERE {res}
+),
+cand AS (
+    SELECT ap.new_vec, ap.emb_a, b.vec_id AS corpus_vec, b.embedding AS emb_b
+    FROM ap JOIN e b ON ap.pbucket = b.bucket AND NOT (b.{res})
+),
+scored AS (
+    SELECT new_vec, corpus_vec,
+           {_DOT9_PAIR.format(a="emb_a", b="emb_b")} AS d_fix,
+           {_DOT9_PAIR.format(a="emb_a", b="emb_a")} AS na_fix,
+           {_DOT9_PAIR.format(a="emb_b", b="emb_b")} AS nb_fix
+    FROM cand
+)
+SELECT new_vec, corpus_vec,
+       {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} AS score
+FROM scored
+WHERE {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} >= {threshold!r}
+"""
+
+
 def _flip_bit_sql(expr: str, i: int) -> str:
     return (
         f"substr({expr}, 1, {i}) || "

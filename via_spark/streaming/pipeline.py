@@ -593,6 +593,191 @@ def neardup_gate_process_batch(
         df.unpersist()
 
 
+def adaptive_bits_for(n: int) -> int:
+    """The batch occupancy dial (dedup.adaptive_sign_frame's in-plan
+    formula) as a driver-side integer — bits = clamp(bit_length(max(n
+    div OCC, 1)), MIN, MAX). The streaming gate sizes its bucket
+    prefix with THIS so streaming near-dup state rides the same
+    occupancy math the batch dial proved sub-linear; bit_length ==
+    length(bin(x)) for x ≥ 1, so the two forms cannot disagree."""
+    from via_spark.operators.dedup import (
+        MAX_SIGN_BITS,
+        MIN_SIGN_BITS,
+        SIGN_TARGET_OCCUPANCY,
+    )
+
+    return min(
+        MAX_SIGN_BITS,
+        max(MIN_SIGN_BITS, max(n // SIGN_TARGET_OCCUPANCY, 1).bit_length()),
+    )
+
+
+def start_embedding_gate(
+    spark: SparkSession,
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    threshold: float | None = None,
+    available_now: bool = False,
+):
+    """Streaming EMBEDDING near-dup ingest gate — the semantic twin of
+    :func:`start_neardup_gate`: every micro-batch of vectors (vec_id,
+    embedding) joins the persisted signature store of everything
+    admitted so far via multi-probe sign-LSH; near-dups (cosine ≥
+    threshold against an admitted vector, or against a lower-id batch
+    peer) are flagged, survivors are admitted and their signatures
+    appended.
+
+    The bucket width is the ADAPTIVE bits dial (r10's batch dial,
+    mirrored): signatures persist at the full MAX_SIGN_BITS width and
+    each batch derives its join key as the first ``bits`` characters,
+    bits sized from (pre-batch corpus + batch) by the same occupancy
+    formula (:func:`adaptive_bits_for`) — so per-batch join volume
+    stays |batch| × occupancy as the corpus grows, with NO signature
+    rewrite when the dial steps up (prefix truncation is free).
+
+    Layout under ``store_dir`` (parquet, batch_id-partitioned):
+      sigs/     (vec_id, embedding, n_fix, b_wide) — admitted only
+      admitted/ (vec_id)
+      flagged/  (vec_id, matched_vec, score)
+
+    Exactly-once: identical posture to the text gate — per-batch
+    ``batch_id=<n>`` overwrite partitions, corpus read excludes the
+    current batch_id, every step deterministic, so a replayed batch
+    rewrites byte-identical content (tested).
+    """
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        embedding_gate_process_batch(
+            spark, batch_df, batch_id, store_dir, threshold
+        )
+
+    writer = stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    writer = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime=ANALYSIS_TRIGGER)
+    )
+    return writer.start()
+
+
+def embedding_gate_process_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    threshold: float | None = None,
+) -> None:
+    """One deterministic embedding-gate step (module-level so replay
+    idempotency is directly testable). Candidate shape is EXACTLY
+    ``dedup.incremental_embedding_pairs``: the batch side explodes
+    Hamming-1 probes of its bits-prefix, the corpus/peer side joins on
+    its exact prefix — each candidate pair matches exactly one probe,
+    so no pair dedup. Intra-batch pairs resolve to the LOWER vec_id;
+    matches are checked against ALL lower-id batch peers (flagged or
+    not — same chain semantics as the text gate).
+
+    Zero-n_fix vectors never flag (pinned degenerate cosine = 0) and
+    are admitted as singletons — identical to the batch family."""
+    from via_spark.operators.dedup import (
+        EMB_COS_THRESHOLD,
+        MAX_SIGN_BITS,
+        _sign_bucket,
+        probe_buckets,
+    )
+    from via_spark.operators.vector import cosine_from_fix, dot_fix
+
+    thr = EMB_COS_THRESHOLD if threshold is None else threshold
+
+    def _write(df: DataFrame, sub: str) -> None:
+        df.write.mode("overwrite").parquet(
+            f"{store_dir}/{sub}/batch_id={batch_id}"
+        )
+
+    batch = (
+        batch_df.select("vec_id", "embedding")
+        .withColumn(
+            "n_fix", dot_fix(F.col("embedding"), F.col("embedding"))
+        )
+        .withColumn(
+            "b_wide", _sign_bucket(F.col("embedding"), dims=MAX_SIGN_BITS)
+        )
+        .cache()
+    )
+    n_batch = batch.count()
+
+    corpus = None
+    n_corpus = 0
+    if _store_exists(spark, f"{store_dir}/sigs"):
+        corpus = spark.read.parquet(f"{store_dir}/sigs").where(
+            F.col("batch_id") != batch_id
+        )
+        n_corpus = corpus.count()
+    bits = adaptive_bits_for(n_corpus + n_batch)
+
+    def _prefix(col: str):
+        return F.substring(F.col(col), 1, bits)
+
+    probes = batch.select(
+        "vec_id", F.col("embedding").alias("emb_a"),
+        F.col("n_fix").alias("na_fix"),
+        F.explode(
+            probe_buckets(_prefix("b_wide"), bits=bits, radius=1)
+        ).alias("bucket"),
+    )
+    cands = []
+    if corpus is not None:
+        cands.append(
+            probes.join(
+                corpus.select(
+                    F.col("vec_id").alias("matched_vec"),
+                    F.col("embedding").alias("emb_b"),
+                    F.col("n_fix").alias("nb_fix"),
+                    _prefix("b_wide").alias("bucket"),
+                ),
+                "bucket",
+            )
+        )
+    peers = batch.select(
+        F.col("vec_id").alias("matched_vec"),
+        F.col("embedding").alias("emb_b"),
+        F.col("n_fix").alias("nb_fix"),
+        _prefix("b_wide").alias("bucket"),
+    )
+    cands.append(
+        probes.join(peers, "bucket").where(
+            F.col("matched_vec") < F.col("vec_id")
+        )
+    )
+    flagged = None
+    for c in cands:
+        f_ = (
+            c.withColumn("d_fix", dot_fix(F.col("emb_a"), F.col("emb_b")))
+            .withColumn(
+                "score",
+                cosine_from_fix(
+                    F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")
+                ),
+            )
+            .where(F.col("score") >= thr)
+            .select("vec_id", "matched_vec", "score")
+        )
+        flagged = f_ if flagged is None else flagged.unionByName(f_)
+    flagged = flagged.cache()
+    dup_ids = flagged.select("vec_id").distinct()
+    admitted = batch.join(dup_ids, "vec_id", "left_anti").cache()
+
+    _write(flagged, "flagged")
+    _write(admitted.select("vec_id"), "admitted")
+    _write(
+        admitted.select("vec_id", "embedding", "n_fix", "b_wide"), "sigs"
+    )
+    for df in (admitted, flagged, batch):
+        df.unpersist()
+
+
 def daily_hash_counts_stream(stream: DataFrame) -> DataFrame:
     """T-family extension backing the half-life decay score on an
     unbounded ingest: per (epoch-day, rhythm_hash) event counts as a
