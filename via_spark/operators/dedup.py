@@ -543,6 +543,33 @@ def incremental_embedding_pairs(
     )
 
 
+def exact_dup_family_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate family census over the embedding column (r11
+    staged) — the collapse diagnostic for the cluster-store builders:
+    how much of the corpus is byte-identical vectors (re-encodes,
+    mirror crawls, replayed shards), and therefore how much work the
+    exact-collapse in graph.embedding_clusters_compute removes before
+    LSH ever runs (a family of f copies costs f map rows collapsed vs
+    C(f,2) within-bucket candidates uncollapsed).
+
+    One row: n_vectors, n_distinct, n_multi_families (families ≥ 2),
+    largest_family, collapsed_share_micro = (n − distinct)·1e6 div n.
+
+    Scale posture: one shuffle on the embedding value (the same key
+    the collapse groups by), then a 1-row agg."""
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    fam = e.groupBy("embedding").agg(F.count(F.lit(1)).alias("f"))
+    return fam.agg(
+        F.sum("f").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum((F.col("f") > 1).cast("long")).alias("n_multi_families"),
+        F.max("f").cast("long").alias("largest_family"),
+        F.expr(
+            "(sum(f) - count(1)) * 1000000L div sum(f)"
+        ).alias("collapsed_share_micro"),
+    )
+
+
 IVF_CENTROIDS = 16
 # 8 of 16 cells: tuned against the measured multi-query recall floor in
 # tests/test_vector.py — the fixture's near-random embeddings are the

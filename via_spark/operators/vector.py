@@ -986,6 +986,27 @@ def semdedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semdedup_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy histogram of the two-level SemDeDup cells (r11 staged)
+    — the k-means twin of ``embedding_bucket_occupancy``: how many
+    final (cid, scid) cells hold how many vectors. The health readout
+    for the N^(1/3) dial: a healthy split shows mass near N/(k1·k2);
+    one giant cell means the pair scan inside it is quietly quadratic
+    again (the regime the two-level rewrite exists to prevent).
+
+    Scale posture: one scan of the persisted label store → |cells|-row
+    hash agg → |distinct sizes|-row agg. Output: (cell_size, n_cells,
+    n_vectors), sorted nowhere (driver compare sorts)."""
+    labels = semdedup_assignments(spark, sf_dir)
+    per = labels.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_size")
+    )
+    return per.groupBy("cell_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("cell_size").cast("long").alias("n_vectors"),
+    )
+
+
 # --- round-10 staged additions (registered through via_spark.staging) ---
 
 # 1/log2(i+1) in 1e-6 micro units for ranks 1..10 — the nDCG discount

@@ -6215,6 +6215,37 @@ FROM a3 LEFT JOIN dup ON a3.vec_id = dup.vb
 """
 
 
+def semdedup_cell_occupancy_sql(tau: float = 0.3, dim: int = 64) -> str:
+    """Cell-size histogram over the two-level SemDeDup labels — wraps
+    the full unrolled semdedup_assignments_sql so the occupancy view
+    re-proves the same label chain it diagnoses."""
+    return f"""
+WITH sd AS ({semdedup_assignments_sql(tau, dim)})
+SELECT cell_size, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(cell_size) AS BIGINT) AS n_vectors
+FROM (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS cell_size
+  FROM sd GROUP BY 1
+) GROUP BY 1
+"""
+
+
+def exact_dup_family_stats_sql() -> str:
+    return """
+WITH fam AS (
+  SELECT embedding, count(*) AS f FROM embeddings GROUP BY embedding
+)
+SELECT CAST(sum(f) AS BIGINT) AS n_vectors,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN f > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi_families,
+       CAST(max(f) AS BIGINT) AS largest_family,
+       CAST((sum(f) - count(*)) * 1000000 // sum(f) AS BIGINT)
+         AS collapsed_share_micro
+FROM fam
+"""
+
+
 def pagerank_event_types_sql(iters: int = 3, scale: int = 10**12,
                              num: int = 3, den: int = 4) -> str:
     """Unrolled exact-integer PageRank — same truncating-division op

@@ -52,14 +52,39 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from via_spark import oracles
-from via_spark.operators import asof, dedup, forensic, graph, rank, textstats, timeseries
+from via_spark.operators import (  # noqa: F401  (kept for next batches)
+    asof,
+    dedup,
+    forensic,
+    graph,
+    rank,
+    textstats,
+    timeseries,
+    vector,
+)
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Spliced into __spark_entry__ at the r10 head — registry drained."""
-    return {}
+    """Round-11 batch (for the r12 splice):
+
+    * ``incremental_embedding_pairs`` — batch-vs-corpus embedding
+      near-dup pairs (the streaming embedding gate's decision, batch-
+      queryable; adaptive-bits dial from the full count).
+    * ``semdedup_cell_occupancy`` — cell-size histogram of the
+      two-level SemDeDup split (the N^(1/3) dial's health readout).
+    * ``exact_dup_family_stats`` — byte-identical embedding family
+      census (how much the cluster builders' exact collapse removes).
+    """
+    return {
+        "incremental_embedding_pairs": dedup.incremental_embedding_pairs,
+        "semdedup_cell_occupancy": vector.semdedup_cell_occupancy,
+        "exact_dup_family_stats": dedup.exact_dup_family_stats,
+    }
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Spliced into __spark_entry__ at the r10 head — registry drained."""
-    return {}
+    return {
+        "incremental_embedding_pairs": oracles.incremental_embedding_pairs_sql(),
+        "semdedup_cell_occupancy": oracles.semdedup_cell_occupancy_sql(),
+        "exact_dup_family_stats": oracles.exact_dup_family_stats_sql(),
+    }
