@@ -30,6 +30,8 @@ join IS the algorithm — identical plan, bigger key space.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -272,50 +274,85 @@ def simhashed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_documents(spark, sf_dir)
 
 
+# Generalized pigeonhole keys for 64-bit fingerprints (r11): the old
+# 4×16-bit block join is complete for Hamming ≤ 3, but its key space
+# is FIXED at 4·2^16 — per-key occupancy (and the quadratic-per-key
+# candidate volume) grows linearly with the corpus, which the r11
+# 100× store probe measured as phash's 7.3× time per 3.33× data step.
+# With B = 6 blocks (widths 11,11,11,11,10,10), any pair within
+# Hamming ≤ 3 has ≥ 3 intact blocks, so joining on every C(6,3) = 20
+# TRIPLE of block values is exactly as complete — and each key now
+# carries ~32 bits of fingerprint, so occupancy stays ≪ 1 until
+# corpora of billions. Cost shifts from Σ occ² (quadratic) to a flat
+# 20-probe explode (linear). A pair may match several triples:
+# dropDuplicates stays, same as before.
+_HB_WIDTHS = (11, 11, 11, 11, 10, 10)
+_HB_OFFSETS = (0, 11, 22, 33, 44, 54)
+_HB_TRIPLES = tuple(itertools.combinations(range(6), 3))
+
+
+def _hb_key(h: Column, sid: int, triple: tuple[int, int, int]) -> Column:
+    k = F.lit(sid).cast("long")
+    for i in triple:
+        k = k * F.lit(1 << 11) + (
+            F.shiftrightunsigned(h, _HB_OFFSETS[i]).bitwiseAND(
+                F.lit((1 << _HB_WIDTHS[i]) - 1)
+            )
+        )
+    return k
+
+
+def hamming_block_keys(h: Column) -> Column:
+    """All 20 triple-of-blocks join keys of a 64-bit fingerprint —
+    complete for Hamming ≤ 3 (pigeonhole: ≤ 3 differing bits touch
+    ≤ 3 blocks, leaving an intact triple)."""
+    return F.array(
+        *[_hb_key(h, sid, t) for sid, t in enumerate(_HB_TRIPLES)]
+    )
+
+
 def dedup_simhash_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING
 ) -> DataFrame:
-    """SimHash near-dup pairs: 4-block bucket join (complete for
-    Hamming ≤ 3), exact Hamming verify.
+    """SimHash near-dup pairs: triple-of-blocks bucket join (complete
+    for Hamming ≤ 3 — see ``hamming_block_keys``), exact verify.
 
     The fingerprint frame is cached: both sides of the self-join (and
     the block explosion) reuse one computed copy instead of re-running
     the sha256 vote aggregation per reference — at cluster scale this
     is a persisted signatures table, computed once per corpus.
 
-    Verify cost: on a homogeneous corpus the 16-bit blocks collide a
-    lot (~190k candidate pairs at sf0.1), so the Hamming check runs on
-    two pre-packed 32-bit words per doc — 2 xor+popcounts per pair
-    instead of 32 hex-char ops.
+    Verify cost: the Hamming check runs on two pre-packed 32-bit
+    words per doc — 2 xor+popcounts per pair instead of 32 hex-char
+    ops. The triple keys also kill the homogeneous-corpus collision
+    cost: the old 16-bit blocks produced ~190k candidates at sf0.1,
+    ~32-bit triples produce only near-real ones.
     """
     sh = simhashed_documents(spark, sf_dir).cache()
     packed = sh.select(
         "doc_id",
-        "simhash",
         F.conv(F.substring("simhash", 1, 8), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring("simhash", 9, 8), 16, 10).cast("long").alias("h2"),
-    )
+    ).withColumn("h64", F.shiftleft(F.col("h1"), 32).bitwiseOR(F.col("h2")))
     blocks = packed.select(
         "doc_id",
         "h1",
         "h2",
-        F.posexplode(
-            F.array(*[F.substring("simhash", 4 * b + 1, 4) for b in range(4)])
-        ).alias("block", "block_key"),
+        F.explode(hamming_block_keys(F.col("h64"))).alias("bk"),
     )
     a = blocks.select(
         F.col("doc_id").alias("doc_a"), F.col("h1").alias("a1"),
-        F.col("h2").alias("a2"), "block", "block_key",
+        F.col("h2").alias("a2"), "bk",
     )
     b = blocks.select(
         F.col("doc_id").alias("doc_b"), F.col("h1").alias("b1"),
-        F.col("h2").alias("b2"), "block", "block_key",
+        F.col("h2").alias("b2"), "bk",
     )
     hamming = F.bit_count(F.col("a1").bitwiseXOR(F.col("b1"))) + F.bit_count(
         F.col("a2").bitwiseXOR(F.col("b2"))
     )
     return (
-        a.join(b, ["block", "block_key"])
+        a.join(b, "bk")
         .where(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)

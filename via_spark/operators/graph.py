@@ -395,20 +395,42 @@ def phash_clusters_compute(
     spark: SparkSession, sf_dir: str, max_hamming: int
 ) -> DataFrame:
     """The raw perceptual-hash cluster assignment (store builder):
-    connected components over the dHash block-join pair graph."""
+    connected components over the dHash triple-block pair graph, with
+    EXACT-DUPLICATE COLLAPSE first (r11, same construction as
+    embedding_clusters_compute and the same proof): documents with an
+    identical 64-bit dHash are interchangeable for connectivity —
+    Hamming(h, h) = 0 ≤ max binds the family into a clique around its
+    min doc_id, and every member has exactly the representative's
+    external Hamming distances (simpler than the embedding case: no
+    zero-norm carve-out, identical hashes ALWAYS edge). A family of f
+    re-encodes costs f map rows instead of C(f,2) verified pairs."""
     from via_spark.operators import multimodal
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("id")
+    # one Arrow decode+hash pass, materialized: the family map, the
+    # rep filter, and the pair explode all reuse it (this is the eager
+    # once-per-dataset store builder, same contract as semdedup's loop)
+    hashed = multimodal.image_dhash(spark, sf_dir).localCheckpoint()
+    fam = hashed.groupBy("dhash").agg(F.min("doc_id").alias("rep"))
+    vmap = (
+        hashed.join(fam, "dhash")
+        .select("doc_id", "rep")
+        .localCheckpoint()  # fixpoint input: truncate the Arrow-hash lineage
     )
-    pairs = multimodal.phash_dup_pairs(spark, sf_dir, max_hamming)
+    reps = hashed.join(
+        vmap.where(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
+    )
+    pairs = multimodal.phash_pairs_over(reps, max_hamming)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    comp = connected_components(docs, edges)
-    return comp.select(
-        F.col("id").alias("doc_id"), F.col("component").alias("cluster_rep")
-    ).withColumn(
-        "cluster_size",
-        F.count(F.lit(1)).over(Window.partitionBy("cluster_rep")),
+    comp = connected_components(
+        reps.select(F.col("doc_id").alias("id")), edges
+    )
+    return (
+        vmap.join(comp, vmap["rep"] == comp["id"])
+        .select("doc_id", F.col("component").alias("cluster_rep"))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_rep")),
+        )
     )
 
 

@@ -240,42 +240,48 @@ def phash_dup_pairs(
     fingerprints; text payloads stand in for pixels here exactly as in
     ``multimodal_features``).
 
-    Candidate generation reuses the SimHash machinery's 4×16-bit block
-    pigeonhole (``dedup_simhash_pairs``): any pair within Hamming 3 has
-    at least one intact 16-bit block, so an equi-join on
-    (block_index, block_value) is EXACTLY complete — never an all-pairs
+    Candidate generation reuses the SimHash machinery's generalized
+    pigeonhole (``dedup.hamming_block_keys``, r11): any pair within
+    Hamming 3 leaves ≥ 3 of 6 blocks intact, so an equi-join on every
+    triple-of-blocks key is EXACTLY complete — never an all-pairs
     product. Verify = one xor + popcount on the packed 64-bit hash.
+    (The previous 4×16-bit single-block join was equally complete but
+    its key space was FIXED — per-key occupancy grew with the corpus
+    and the r11 100× store probe measured the resulting quadratic
+    candidate volume; the ~32-bit triple keys keep occupancy ≪ 1.)
 
     Scale posture (100 TB): the expensive stage (decode + hash) is one
-    linear Arrow pass; the join key space is 4 blocks × 2^16 values per
-    corpus — a shuffle-on-key join AQE can skew-split; the hash frame is
-    cached because both join sides and the block explosion reuse it (at
-    cluster scale: a persisted fingerprint table, computed once).
+    linear Arrow pass; candidates are a 20-probe explode + equi-join a
+    shuffle-on-key join AQE can skew-split; the hash frame is cached
+    because both join sides reuse it (at cluster scale: a persisted
+    fingerprint table, computed once).
     """
     hashed = image_dhash(spark, sf_dir).cache()
+    return phash_pairs_over(hashed, max_hamming)
+
+
+def phash_pairs_over(
+    hashed: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """:func:`phash_dup_pairs` over a caller-supplied (doc_id, dhash)
+    frame — the cluster-store builder passes its exact-duplicate-
+    collapsed representative set through the identical plan
+    (graph.phash_clusters_compute)."""
+    from via_spark.operators.dedup import hamming_block_keys
+
     blocks = hashed.select(
         "doc_id",
         "dhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("dhash"), 16 * b)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    for b in range(4)
-                ]
-            )
-        ).alias("block", "block_key"),
+        F.explode(hamming_block_keys(F.col("dhash"))).alias("bk"),
     )
     a = blocks.select(
-        F.col("doc_id").alias("doc_a"), F.col("dhash").alias("ha"),
-        "block", "block_key",
+        F.col("doc_id").alias("doc_a"), F.col("dhash").alias("ha"), "bk",
     )
     b = blocks.select(
-        F.col("doc_id").alias("doc_b"), F.col("dhash").alias("hb"),
-        "block", "block_key",
+        F.col("doc_id").alias("doc_b"), F.col("dhash").alias("hb"), "bk",
     )
     return (
-        a.join(b, ["block", "block_key"])
+        a.join(b, "bk")
         .where(F.col("doc_a") < F.col("doc_b"))
         .withColumn(
             "hamming",
