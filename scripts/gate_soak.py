@@ -28,9 +28,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-BATCHES = 20
-ROWS_PER_BATCH = 2000
-BASE_VECS = 1800  # the 90% duplicative block re-encodes these
+BATCHES = 12
+ROWS_PER_BATCH = 5000  # sized so the ~3 s fixed foreachBatch cost amortizes
+BASE_VECS = 4000  # the 90% duplicative block re-encodes these
 DIM = 64
 RATE_TARGET = 1000.0  # 10x the reference's >=100 ev/s ingest target
 
@@ -102,7 +102,10 @@ def main() -> int:
     wall = time.monotonic() - t0
     batch_secs = [
         p["batchDuration"] / 1000.0
-        for p in (json.loads(s) for s in q.recentProgress)
+        for p in (
+            json.loads(pr.json if hasattr(pr, "json") else pr)
+            for pr in q.recentProgress
+        )
         if p.get("numInputRows", 0) > 0
     ]
 

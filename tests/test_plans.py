@@ -920,10 +920,10 @@ def test_shared_span_pairs_plan_shape(spark, sf_oracle):
 
 
 def test_phash_dup_pairs_plan_shape(spark, sf_oracle):
-    """dHash candidates must come from the 16-bit block equi-join over
-    the CACHED fingerprint frame (decode+hash runs once, both join
-    sides reuse it) — never an all-pairs product; the payload scan
-    prunes to (doc_id, text)."""
+    """dHash candidates must come from the triple-of-blocks equi-join
+    (dedup.hamming_block_keys) over the CACHED fingerprint frame
+    (decode+hash runs once, both join sides reuse it) — never an
+    all-pairs product; the payload scan prunes to (doc_id, text)."""
     p = _plan(spark, sf_oracle, "phash_dup_pairs")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "InMemoryTableScan" in p  # fingerprints computed once
