@@ -607,6 +607,51 @@ def exact_dup_family_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket occupancy histogram of the MinHash LSH space (r11
+    staged) — the text twin of ``embedding_bucket_occupancy``: per
+    band, how many buckets hold how many documents. The raw
+    (UNCAPPED) distribution is the point: the hot-bucket cap
+    (``capped_bands``) exists because boilerplate-heavy corpora grow
+    pathological buckets, and this is the view that shows them before
+    the cap hides the cost. Output: (band, occupancy, n_buckets).
+
+    Scale posture: one shuffle on (band, band_key) — the exact key the
+    pair join uses — then a |bands|·|distinct occupancies| agg."""
+    bands = minhash_bands(shingled_documents(spark, sf_dir))
+    per = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).cast("long").alias("occupancy")
+    )
+    return (
+        per.groupBy("band", "occupancy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+        .select(F.col("band").cast("long").alias("band"), "occupancy", "n_buckets")
+    )
+
+
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-occupancy census (r11 staged): vectors per coarse cell
+    under the deterministic-sample quantizer ``ivf_assigned`` — the
+    balance diagnostic behind ann_ivf_topk's recall/cost trade (probe
+    cost is Σ of probed cell sizes; one overfull cell quietly turns
+    nprobe=8 into a corpus scan). share_micro = cell share of the
+    corpus in 1e-6 units (exact integer division).
+
+    Scale posture: one broadcast assignment pass (N·n_centroids fixed
+    dots), then a |centroids|-row agg with a broadcast 1-row total."""
+    e = load_table(spark, sf_dir, "embeddings")
+    _, cells = ivf_assigned(e)
+    per = cells.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    total = per.agg(F.sum("n_vectors").alias("n_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "cid",
+        "n_vectors",
+        F.expr("n_vectors * 1000000L div n_total").alias("share_micro"),
+    )
+
+
 IVF_CENTROIDS = 16
 # 8 of 16 cells: tuned against the measured multi-query recall floor in
 # tests/test_vector.py — the fixture's near-random embeddings are the

@@ -1007,6 +1007,42 @@ def semdedup_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semdedup_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell label purity of the two-level SemDeDup split (r11
+    staged): each final cell's majority ``label`` and its share — the
+    quality twin of ``semdedup_cell_occupancy`` (that one says the
+    cells are BALANCED; this one says they are MEANINGFUL — a split
+    whose cells mix labels at random dedups across semantic
+    boundaries). Majority ties break to the lowest label (pinned).
+    Output: (cluster, cell_size, majority_label, purity_micro).
+
+    Scale posture: label-store scan ⋈ a 2-column embeddings
+    projection, one (cluster, label) hash agg, one WindowGroupLimit
+    top-1 per cluster."""
+    labels = semdedup_assignments(spark, sf_dir).select("vec_id", "cluster")
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    per = (
+        labels.join(lab, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    size = per.groupBy("cluster").agg(F.sum("n").alias("cell_size"))
+    return (
+        per.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .join(size, "cluster")
+        .select(
+            "cluster",
+            F.col("cell_size").cast("long").alias("cell_size"),
+            F.col("label").alias("majority_label"),
+            F.expr("n * 1000000L div cell_size").alias("purity_micro"),
+        )
+    )
+
+
 # --- round-10 staged additions (registered through via_spark.staging) ---
 
 # 1/log2(i+1) in 1e-6 micro units for ranks 1..10 — the nDCG discount

@@ -6246,6 +6246,85 @@ FROM fam
 """
 
 
+def semdedup_cell_purity_sql(tau: float = 0.3, dim: int = 64) -> str:
+    """Majority-label share per two-level SemDeDup cell — wraps the
+    unrolled label chain; majority ties break to the lowest label
+    (mirrors the Spark window's (n DESC, label ASC))."""
+    return f"""
+WITH sd AS ({semdedup_assignments_sql(tau, dim)}),
+per AS (
+  SELECT sd.cluster, e.label, CAST(count(*) AS BIGINT) AS n
+  FROM sd JOIN embeddings e ON e.vec_id = sd.vec_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT cluster, sum(n) AS cell_size FROM per GROUP BY 1),
+top AS (
+  SELECT cluster, label, n FROM (
+    SELECT per.*, row_number() OVER (
+        PARTITION BY cluster ORDER BY n DESC, label ASC) AS _rn
+    FROM per
+  ) WHERE _rn = 1
+)
+SELECT top.cluster, CAST(sz.cell_size AS BIGINT) AS cell_size,
+       top.label AS majority_label,
+       CAST(top.n * 1000000 // sz.cell_size AS BIGINT) AS purity_micro
+FROM top JOIN sz ON top.cluster = sz.cluster
+"""
+
+
+def minhash_band_occupancy_sql() -> str:
+    """Uncapped band-bucket histogram — the bands_all CTE of the
+    MinHash chain, grouped twice (the capped ``bands`` CTE is part of
+    the imported block but deliberately unused here)."""
+    return (
+        "WITH "
+        + _SHINGLES_CTE.strip()
+        + ","
+        + _minhash_bands_cte()
+        + """
+, per AS (
+  SELECT band, band_key, CAST(count(*) AS BIGINT) AS occupancy
+  FROM bands_all GROUP BY 1, 2
+)
+SELECT CAST(band AS BIGINT) AS band, occupancy,
+       CAST(count(*) AS BIGINT) AS n_buckets
+FROM per GROUP BY 1, 2
+"""
+    )
+
+
+def ivf_cell_balance_sql(n_centroids: int | None = None) -> str:
+    """Vectors per IVF cell — the assignment CTEs of ann_ivf_topk_sql
+    (deterministic-sample centroids, exact fixed-point argmax with
+    cid-ascending tiebreak), grouped by cell."""
+    from via_spark.operators.dedup import IVF_CENTROIDS
+
+    n_centroids = IVF_CENTROIDS if n_centroids is None else n_centroids
+    cdot = _DOT9.format(a="e.embedding", b="c.cemb")
+    return f"""
+WITH c AS (
+    SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+    WHERE vec_id < {n_centroids}
+),
+cells AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cdot} DESC, c.cid ASC) AS _rn
+        FROM embeddings e, c
+    ) WHERE _rn = 1
+),
+per AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors FROM cells GROUP BY 1
+),
+tot AS (SELECT sum(n_vectors) AS n_total FROM per)
+SELECT cid, n_vectors,
+       CAST(n_vectors * 1000000 // n_total AS BIGINT) AS share_micro
+FROM per, tot
+"""
+
+
 def pagerank_event_types_sql(iters: int = 3, scale: int = 10**12,
                              num: int = 3, den: int = 4) -> str:
     """Unrolled exact-integer PageRank — same truncating-division op
