@@ -477,3 +477,67 @@ def test_semdedup_planted_duplicate_families(spark, tmp_path):
     assert all(got[10 + i][1] for i in range(1, 3))
     # orthogonal singletons never marked
     assert not any(got[100 + i][1] for i in range(6))
+
+
+def test_embedding_clusters_exact_collapse_semantics(spark, tmp_path):
+    """The r11 exact-duplicate collapse must be invisible in the
+    output: identical non-zero vectors cluster with their family min
+    as rep; members inherit the rep's EXTERNAL near-dup edges
+    (transitivity through the family); zero-n_fix vectors stay
+    singletons even when byte-identical (pinned degenerate cosine 0 <
+    threshold — the carve-out the collapse must not break)."""
+    from via_spark.operators.graph import embedding_clusters_compute
+
+    dim = 8
+    def v(i, scale=1.0):
+        x = [0.0] * dim
+        x[i % dim] = scale
+        return x
+
+    rows = (
+        [(i, v(0)) for i in range(4)]          # family A: ids 0-3 identical
+        + [(10, v(0, 1.001))]                   # near-dup of A (cos≈1)
+        + [(20, v(1)), (21, v(2))]              # orthogonal singletons
+        + [(30, [0.0] * dim), (31, [0.0] * dim)]  # identical ZERO vectors
+    )
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    got = {
+        r["vec_id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in embedding_clusters_compute(spark, str(d), 0.8).collect()
+    }
+    assert len(got) == len(rows)
+    # family + its external near-dup: one component, rep = min id 0
+    assert {got[i] for i in (0, 1, 2, 3, 10)} == {(0, 5)}
+    # orthogonal singletons
+    assert got[20] == (20, 1) and got[21] == (21, 1)
+    # identical zero vectors NEVER merge (cosine pinned to 0)
+    assert got[30] == (30, 1) and got[31] == (31, 1)
+
+
+def test_phash_clusters_exact_collapse_semantics(spark, tmp_path):
+    """Same construction for the dHash builder: byte-identical
+    payloads share a dhash → one cluster around the min doc_id; there
+    is deliberately NO zero-hash carve-out (Hamming(h,h)=0 always
+    edges, unlike cosine's zero-norm pin)."""
+    from via_spark.operators.graph import phash_clusters_compute
+
+    rows = (
+        [(i, "exactly the same payload bytes for the whole family") for i in range(3)]
+        + [(10, "a completely different document body with other words")]
+        + [(11, "yet another unrelated payload that hashes elsewhere")]
+    )
+    d = tmp_path / "sf"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in phash_clusters_compute(spark, str(d), 3).collect()
+    }
+    assert len(got) == len(rows)
+    assert {got[i] for i in (0, 1, 2)} == {(0, 3)}
+    assert got[10][1] == 1 and got[11][1] == 1
