@@ -48,6 +48,15 @@ def main() -> int:
         if m:
             assert m["name"] not in entries, f"dup entry {m['name']}"
             entries[m["name"]] = m["expr"]
+    # The line regex only matches 8-space one-line entries; a multi-line
+    # or oddly-formatted entry would be silently dropped and deleted by
+    # the rewrite. Cross-check against the imported dict before touching
+    # the file (ADVICE r11).
+    registered = set(em.queries())
+    assert set(entries) == registered, (
+        f"parse drift: missed={sorted(registered - set(entries))} "
+        f"extra={sorted(set(entries) - registered)}"
+    )
     missing = [n for n in head if n not in entries]
     assert not missing, f"head names not in dict: {missing}"
 

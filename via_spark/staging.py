@@ -65,38 +65,10 @@ from via_spark.operators import (  # noqa: F401  (kept for next batches)
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Round-11 batch (for the r12 splice):
-
-    * ``incremental_embedding_pairs`` — batch-vs-corpus embedding
-      near-dup pairs (the streaming embedding gate's decision, batch-
-      queryable; adaptive-bits dial from the full count).
-    * ``semdedup_cell_occupancy`` — cell-size histogram of the
-      two-level SemDeDup split (the N^(1/3) dial's health readout).
-    * ``exact_dup_family_stats`` — byte-identical embedding family
-      census (how much the cluster builders' exact collapse removes).
-    * ``semdedup_cell_purity`` — majority-label share per final cell
-      (the split is balanced AND meaningful, not just balanced).
-    * ``minhash_band_occupancy`` — uncapped band-bucket histogram
-      (the view that shows hot buckets before capped_bands hides them).
-    * ``ivf_cell_balance`` — vectors per IVF coarse cell (one overfull
-      cell quietly turns nprobe into a corpus scan).
-    """
-    return {
-        "incremental_embedding_pairs": dedup.incremental_embedding_pairs,
-        "semdedup_cell_occupancy": vector.semdedup_cell_occupancy,
-        "exact_dup_family_stats": dedup.exact_dup_family_stats,
-        "semdedup_cell_purity": vector.semdedup_cell_purity,
-        "minhash_band_occupancy": dedup.minhash_band_occupancy,
-        "ivf_cell_balance": dedup.ivf_cell_balance,
-    }
+    """Spliced into __spark_entry__ at the r10 head — registry drained."""
+    return {}
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    return {
-        "incremental_embedding_pairs": oracles.incremental_embedding_pairs_sql(),
-        "semdedup_cell_occupancy": oracles.semdedup_cell_occupancy_sql(),
-        "exact_dup_family_stats": oracles.exact_dup_family_stats_sql(),
-        "semdedup_cell_purity": oracles.semdedup_cell_purity_sql(),
-        "minhash_band_occupancy": oracles.minhash_band_occupancy_sql(),
-        "ivf_cell_balance": oracles.ivf_cell_balance_sql(),
-    }
+    """Spliced into __spark_entry__ at the r10 head — registry drained."""
+    return {}
