@@ -198,6 +198,56 @@ def test_probe_buckets_cover_exact_hamming_ball(spark, bucket, radius):
     assert set(got) == ball
 
 
+_HP_CASE = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=(1 << 64) - 1),   # base fingerprint
+        st.lists(st.integers(min_value=0, max_value=63),      # bits to flip
+                 min_size=0, max_size=4),
+    ),
+    min_size=1, max_size=10,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(case=_HP_CASE)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hamming_pairs_exactly_once(spark, case):
+    """hamming_pairs_over emits every Hamming-≤3 pair EXACTLY once —
+    the canonical-triple filter (r12) must neither drop a pair (the
+    ≤3 completeness guarantee) nor emit duplicates (the old
+    dropDuplicates is gone). Each base fingerprint appears twice
+    (identical pair → all 20 triples intact → worst duplication case)
+    plus one flipped neighbor spanning block boundaries / bit 63."""
+    from via_spark.operators.dedup import hamming_pairs_over
+
+    def s64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = []
+    for base, flips in case:
+        rows.append(base)
+        rows.append(base)  # identical copy
+        h = base
+        for b in flips:
+            h ^= 1 << b
+        rows.append(h)
+    data = [(i, s64(h)) for i, h in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, h64 long")
+    got = [
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_pairs_over(df, "h64", 3).collect()
+    ]
+    expect = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            ham = bin(rows[i] ^ rows[j]).count("1")
+            if ham <= 3:
+                expect.add((i, j, ham))
+    assert len(got) == len(set(got)), "duplicate pair emitted"
+    assert set(got) == expect
+
+
 @given(n_bytes=st.integers(min_value=0, max_value=10_000),
        n_frames=st.integers(min_value=1, max_value=16))
 @settings(max_examples=60, deadline=None)

@@ -479,6 +479,59 @@ def test_semdedup_planted_duplicate_families(spark, tmp_path):
     assert not any(got[100 + i][1] for i in range(6))
 
 
+def test_semdedup_bucketed_oracle_parity_multibucket(spark, tmp_path):
+    """Engine-vs-DuckDB parity of the PRODUCTION (k=None) SemDeDup
+    chain on a corpus ABOVE the sign-LSH bucket target — the sf0.01
+    driver fixture (500 vectors) always takes the bits=0 single-bucket
+    degenerate path, so the bucketed seeds/Lloyd/subsplit/cluster-id
+    arithmetic would otherwise never be cross-engine-proven. 10240
+    vectors → bits = 1 ((10240//4096).bit_length()), 2 buckets, real
+    per-bucket kk dials. Replicas follow the probe-data contract
+    (circular shift + deterministic sign flip → distinct vectors, no
+    K² pathology)."""
+    import duckdb
+
+    from via_spark.operators.vector import semdedup_compute
+    from via_spark.oracles import semdedup_assignments_sql
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows = []
+    for k in range(21):  # 21 x 500 = 10500 > 4096 -> bits 1
+        for r in base:
+            emb = list(r["embedding"])
+            s = k % len(emb)
+            shifted = emb[s:] + emb[:s]
+            if k % 3 == 1:
+                shifted = [-x for x in shifted]
+            rows.append((r["vec_id"] + 100_000 * k, shifted))
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    got = {
+        r["vec_id"]: (r["cluster"], r["is_dup"])
+        for r in semdedup_compute(spark, str(d)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d / 'embeddings.parquet'}/*.parquet')"
+    )
+    expect = {
+        int(v): (int(c), bool(dup))
+        for v, c, dup in con.sql(semdedup_assignments_sql()).fetchall()
+    }
+    assert len(got) == len(rows)
+    assert got == expect
+    # the bucketed path really ran: cluster ids from >= 2 buckets
+    assert len({c >> 24 for c, _ in got.values()}) >= 2
+
+
 def test_embedding_clusters_exact_collapse_semantics(spark, tmp_path):
     """The r11 exact-duplicate collapse must be invisible in the
     output: identical non-zero vectors cluster with their family min

@@ -284,8 +284,9 @@ def simhashed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TRIPLE of block values is exactly as complete — and each key now
 # carries ~32 bits of fingerprint, so occupancy stays ≪ 1 until
 # corpora of billions. Cost shifts from Σ occ² (quadratic) to a flat
-# 20-probe explode (linear). A pair may match several triples:
-# dropDuplicates stays, same as before.
+# 20-probe explode (linear). A pair may match several triples: the
+# canonical-triple filter (``_canonical_sid``, r12) keeps exactly the
+# lowest intact one, so the join emits each pair exactly once.
 _HB_WIDTHS = (11, 11, 11, 11, 10, 10)
 _HB_OFFSETS = (0, 11, 22, 33, 44, 54)
 _HB_TRIPLES = tuple(itertools.combinations(range(6), 3))
@@ -311,6 +312,74 @@ def hamming_block_keys(h: Column) -> Column:
     )
 
 
+def _signed64(v: int) -> int:
+    """Python int → the signed 64-bit value Spark's LongType stores
+    (bit 63 set ⇒ negative two's-complement literal)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# Per-triple bit masks over the full 64-bit fingerprint: triple t is
+# "intact" for a pair iff (h_a XOR h_b) AND _HB_MASKS[t] == 0.
+_HB_MASKS = tuple(
+    _signed64(
+        sum(((1 << _HB_WIDTHS[i]) - 1) << _HB_OFFSETS[i] for i in t)
+    )
+    for t in _HB_TRIPLES
+)
+
+
+def _canonical_sid(xor: Column) -> Column:
+    """Lowest triple id whose three blocks are all intact in ``xor``
+    (the per-pair XOR of two fingerprints). A pair within the triple
+    join matches once per intact triple — up to 20 rows for identical
+    fingerprints; keeping only the row whose join key's sid equals
+    this canonical sid makes the join emit each pair EXACTLY once,
+    replacing the old post-join dropDuplicates shuffle (and its up-to-
+    20× duplicated verify rows) with a map-side filter (r12, VERDICT
+    r11 'What's wrong #2': the 20-triple rewrite's 1.85× constant
+    factor)."""
+    expr = F.when(xor.bitwiseAND(F.lit(_HB_MASKS[0])) == 0, F.lit(0))
+    for sid in range(1, len(_HB_MASKS)):
+        expr = expr.when(xor.bitwiseAND(F.lit(_HB_MASKS[sid])) == 0, F.lit(sid))
+    return expr.otherwise(F.lit(-1))
+
+
+def hamming_pairs_over(
+    hashed: DataFrame,
+    h_col: str,
+    max_hamming: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-once Hamming-≤``max_hamming`` pairs (≤ 3 complete) over
+    a (id, 64-bit fingerprint) frame: 20-probe triple-of-blocks
+    equi-join, canonical-triple filter (no dedup shuffle), xor+popcount
+    verify. Output: (doc_a, doc_b, hamming), doc_a < doc_b, one row per
+    qualifying pair. Shared core of ``dedup_simhash_pairs`` and
+    ``multimodal.phash_pairs_over``."""
+    blocks = hashed.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(h_col).alias("h64"),
+        F.explode(hamming_block_keys(F.col(h_col))).alias("bk"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("h64").alias("ha"), "bk"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("h64").alias("hb"), "bk"
+    )
+    xor = F.col("ha").bitwiseXOR(F.col("hb"))
+    return (
+        a.join(b, "bk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        # the join key's triple id (bk = sid·2^33 + blocks) must be the
+        # pair's canonical intact triple — each pair survives exactly once
+        .where(F.shiftrightunsigned(F.col("bk"), 33) == _canonical_sid(xor))
+        .withColumn("hamming", F.bit_count(xor).cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def dedup_simhash_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING
 ) -> DataFrame:
@@ -322,43 +391,22 @@ def dedup_simhash_pairs(
     the sha256 vote aggregation per reference — at cluster scale this
     is a persisted signatures table, computed once per corpus.
 
-    Verify cost: the Hamming check runs on two pre-packed 32-bit
-    words per doc — 2 xor+popcounts per pair instead of 32 hex-char
-    ops. The triple keys also kill the homogeneous-corpus collision
-    cost: the old 16-bit blocks produced ~190k candidates at sf0.1,
-    ~32-bit triples produce only near-real ones.
+    Verify cost: one xor + 64-bit popcount per candidate row, and the
+    canonical-triple filter (``_canonical_sid``) means each pair is a
+    candidate exactly ONCE — no post-join distinct shuffle, no
+    duplicated verify rows (the r11 version paid up to 20 rows per
+    identical pair plus a dropDuplicates exchange).
     """
     sh = simhashed_documents(spark, sf_dir).cache()
     packed = sh.select(
         "doc_id",
-        F.conv(F.substring("simhash", 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring("simhash", 9, 8), 16, 10).cast("long").alias("h2"),
-    ).withColumn("h64", F.shiftleft(F.col("h1"), 32).bitwiseOR(F.col("h2")))
-    blocks = packed.select(
-        "doc_id",
-        "h1",
-        "h2",
-        F.explode(hamming_block_keys(F.col("h64"))).alias("bk"),
+        F.shiftleft(
+            F.conv(F.substring("simhash", 1, 8), 16, 10).cast("long"), 32
+        )
+        .bitwiseOR(F.conv(F.substring("simhash", 9, 8), 16, 10).cast("long"))
+        .alias("h64"),
     )
-    a = blocks.select(
-        F.col("doc_id").alias("doc_a"), F.col("h1").alias("a1"),
-        F.col("h2").alias("a2"), "bk",
-    )
-    b = blocks.select(
-        F.col("doc_id").alias("doc_b"), F.col("h1").alias("b1"),
-        F.col("h2").alias("b2"), "bk",
-    )
-    hamming = F.bit_count(F.col("a1").bitwiseXOR(F.col("b1"))) + F.bit_count(
-        F.col("a2").bitwiseXOR(F.col("b2"))
-    )
-    return (
-        a.join(b, "bk")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", hamming.cast("int"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    return hamming_pairs_over(packed, "h64", max_hamming)
 
 
 def dedup_ngram_jaccard(

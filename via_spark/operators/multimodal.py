@@ -266,31 +266,12 @@ def phash_pairs_over(
     """:func:`phash_dup_pairs` over a caller-supplied (doc_id, dhash)
     frame — the cluster-store builder passes its exact-duplicate-
     collapsed representative set through the identical plan
-    (graph.phash_clusters_compute)."""
-    from via_spark.operators.dedup import hamming_block_keys
+    (graph.phash_clusters_compute). Exactly-once emission via the
+    canonical-triple filter (``dedup.hamming_pairs_over``) — no
+    post-join distinct shuffle."""
+    from via_spark.operators.dedup import hamming_pairs_over
 
-    blocks = hashed.select(
-        "doc_id",
-        "dhash",
-        F.explode(hamming_block_keys(F.col("dhash"))).alias("bk"),
-    )
-    a = blocks.select(
-        F.col("doc_id").alias("doc_a"), F.col("dhash").alias("ha"), "bk",
-    )
-    b = blocks.select(
-        F.col("doc_id").alias("doc_b"), F.col("dhash").alias("hb"), "bk",
-    )
-    return (
-        a.join(b, "bk")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    return hamming_pairs_over(hashed, "dhash", max_hamming)
 
 
 AUDIO_WIN_MS = 400     # analysis window

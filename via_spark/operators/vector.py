@@ -765,20 +765,72 @@ SEMDEDUP_TAU = 0.3    # within-cluster dup cosine (fixture-calibrated; real
 # (~65k rows × 64 dims ≈ 17 MB at 16M vectors — still broadcastable).
 SEMDEDUP_MIN_K = 4
 SEMDEDUP_MAX_K = 4096
+# Sign-LSH bucket level ABOVE the two-level k-means (r12; VERDICT r11
+# "What's wrong #3": any L-level k-means tree has build cost
+# ≥ N^(1+1/(L+1)) — the two-level form's N^(4/3) step measured 4.4×
+# per 3.33× data at the 100× probe, over the ≤3.8× bar. A sign-LSH
+# coarse partition costs O(N) — no centroid dots — and with expected
+# occupancy ~SEMDEDUP_BKT_TARGET the per-bucket two-level k-means does
+# constant work per vector: the whole build goes near-linear. Below
+# the target (both test fixtures) bits = 0 → ONE bucket → the chain
+# (seeds, Lloyd, subsplit, cluster ids) is bit-identical to the
+# un-bucketed r11 form.
+SEMDEDUP_BKT_TARGET = 4096
+SEMDEDUP_MAX_BITS = 16
 
 
-def _semdedup_k12(n: int) -> tuple[int, int]:
-    """Both level dials: the power of two nearest N^(1/3), clamped.
-    At the 500-vector sf0.01 fixture this is (8, 8) — 64 final cells."""
-    kk = min(SEMDEDUP_MAX_K, max(SEMDEDUP_MIN_K, 1 << (n.bit_length() // 3)))
-    return kk, kk
+def _semdedup_bits(n: int) -> int:
+    """Bucket-bit dial: 0 below the target occupancy, else the bit
+    length of n // target (integer ops only — mirrored by the oracle's
+    CASE WHEN n < target THEN 0 ELSE length(bin(n // target)) END)."""
+    if n < SEMDEDUP_BKT_TARGET:
+        return 0
+    return min(SEMDEDUP_MAX_BITS, (n // SEMDEDUP_BKT_TARGET).bit_length())
+
+
+def _semdedup_bucket(bits: int) -> Column:
+    """Sign-LSH bucket id: bit i is the sign (≥ 0) of embedding
+    dimension (7·i + 1) mod 64 + 1 (stride-7 walk — gcd(7,64)=1 visits
+    distinct dims; avoids any leading-dims bias). NULL / out-of-range
+    elements contribute a 0 bit (try_element_at ≡ DuckDB's NULL on
+    out-of-range [i], and NULL ≥ 0 is not true in either engine)."""
+    if bits == 0:
+        return F.lit(0).cast("long")
+    col = F.lit(0)
+    for i in range(bits):
+        dim = (7 * i + 1) % 64 + 1
+        col = col + F.when(
+            F.try_element_at("embedding", F.lit(dim)) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return col.cast("long")
+
+
+def _semdedup_kn(eb: DataFrame) -> DataFrame:
+    """Per-bucket k dial (bkt, kk): the power of two at the BUCKET
+    count's bit length // 3 (≈ occupancy^(1/3)), clamped — the r11
+    global ``_semdedup_k12`` formula applied per bucket, in-plan
+    (conv(cnt,10,2) length ≡ bit_length ≡ DuckDB length(bin(cnt)))."""
+    return (
+        eb.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "kk",
+            F.expr(
+                f"least({SEMDEDUP_MAX_K}, greatest({SEMDEDUP_MIN_K}, "
+                "shiftleft(1, length(conv(cnt, 10, 2)) div 3)))"
+            ).cast("int"),
+        )
+        .select("bkt", "kk")
+    )
 
 
 def _semdedup_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment by exact fixed-point cosine; ties
-    break to the lowest centroid id (pinned, engine-stable)."""
+    """Nearest-centroid assignment by exact fixed-point cosine, within
+    each vector's own bucket (equi-join on bkt — ONE bucket's ≤ kk
+    centroids per vector, never the global k1 crossJoin); ties break
+    to the lowest centroid id (pinned, engine-stable)."""
     s = (
-        e.crossJoin(F.broadcast(cents))
+        e.join(F.broadcast(cents), "bkt")
         .withColumn("d_fix", dot_fix(F.col("embedding"), F.col("c")))
         .withColumn("na_fix", dot_fix(F.col("embedding"), F.col("embedding")))
         .withColumn("nc_fix", dot_fix(F.col("c"), F.col("c")))
@@ -795,7 +847,7 @@ def _semdedup_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
         .where(F.col("rn") == 1)
         # na_fix rides along: the pair scan reuses the per-vector norm
         # instead of recomputing it for every candidate pair
-        .select("vec_id", "embedding", "cid", "na_fix")
+        .select("vec_id", "embedding", "bkt", "cid", "na_fix")
     )
 
 
@@ -803,8 +855,10 @@ def _semdedup_recenter(assigned: DataFrame) -> DataFrame:
     """Per-cluster elementwise mean, exact: fixed-1e6 integer sums,
     truncating integer division (``div`` ≡ DuckDB ``//``), one
     correctly-rounded int→double conversion per dimension."""
-    ex = assigned.select("cid", F.posexplode("embedding").alias("dim", "x"))
-    dims = ex.groupBy("cid", "dim").agg(
+    ex = assigned.select(
+        "bkt", "cid", F.posexplode("embedding").alias("dim", "x")
+    )
+    dims = ex.groupBy("bkt", "cid", "dim").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             F.floor(F.col("x").cast("double") * F.lit(FIX6)).cast("long")
@@ -814,7 +868,7 @@ def _semdedup_recenter(assigned: DataFrame) -> DataFrame:
         dims.withColumn(
             "cval", F.expr("s div n").cast("double") / F.lit(FIX6)
         )
-        .groupBy("cid")
+        .groupBy("bkt", "cid")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("dim", "cval"))),
@@ -832,47 +886,50 @@ def _semdedup_seed_hash() -> Column:
     ).cast("long")
 
 
-def _semdedup_lloyd(e: DataFrame, k: int, iters: int) -> DataFrame:
-    """Hash-seeded Lloyd loop: ``iters`` assignment passes with a
-    recenter between each. Runs inside the one-time store
-    materialization, so lineage truncation between passes is
-    legitimate (and essential — the unrolled plan would otherwise
-    re-evaluate every earlier pass for each consumer of the next one):
-    each assignment/centroid frame is tiny (N rows / k rows) and
-    checkpoints in milliseconds. Returns (vec_id, embedding, cid,
-    na_fix)."""
-    wseed = Window.orderBy("h", "vec_id")
+def _semdedup_lloyd(eb: DataFrame, kn: DataFrame, iters: int) -> DataFrame:
+    """Hash-seeded Lloyd loop over a bucketed corpus: ``iters``
+    assignment passes with a recenter between each, every step keyed
+    by (bkt, cid). Seeds are the first kk members of each bucket in
+    seed-hash order. Runs inside the one-time store materialization,
+    so lineage truncation between passes is legitimate (and essential
+    — the unrolled plan would otherwise re-evaluate every earlier pass
+    for each consumer of the next one). Returns (vec_id, embedding,
+    bkt, cid, na_fix)."""
+    wseed = Window.partitionBy("bkt").orderBy("h", "vec_id")
     cents = (
-        e.withColumn("h", _semdedup_seed_hash())
-        .orderBy("h", "vec_id")
-        .limit(k)
-        .withColumn("cid", F.row_number().over(wseed) - 1)
+        eb.join(F.broadcast(kn), "bkt")
+        .withColumn("h", _semdedup_seed_hash())
+        .withColumn("rn", F.row_number().over(wseed))
+        .where(F.col("rn") <= F.col("kk"))
         .select(
-            "cid",
+            "bkt",
+            (F.col("rn") - 1).alias("cid"),
             F.transform("embedding", lambda x: x.cast("double")).alias("c"),
         )
     )
     assigned = None
     for i in range(iters):
-        assigned = _semdedup_assign(e, cents).localCheckpoint()
+        assigned = _semdedup_assign(eb, cents).localCheckpoint()
         if i < iters - 1:
             cents = _semdedup_recenter(assigned).localCheckpoint()
     return assigned
 
 
-def _semdedup_subsplit(assigned: DataFrame, k2: int) -> DataFrame:
+def _semdedup_subsplit(assigned: DataFrame, kn: DataFrame) -> DataFrame:
     """Level-2 Voronoi split of each coarse cell around its first
-    ``k2`` members in seed-hash order (one nearest-sub-seed pass —
+    ``kk`` members in seed-hash order (one nearest-sub-seed pass —
     i.e. the first assignment pass of a per-cell k-means; cells with
-    ≤ k2 members become singletons). One corpus equi-join against a
-    k1·k2-row broadcast; ties break to the lowest scid (pinned).
-    Returns the input plus an ``scid`` column."""
-    wcell = Window.partitionBy("cid").orderBy("h", "vec_id")
+    ≤ kk members become singletons). One corpus equi-join on
+    (bkt, cid) against a Σ_b kk_b²-row sub-seed table; ties break to
+    the lowest scid (pinned). Returns the input plus ``scid``."""
+    wcell = Window.partitionBy("bkt", "cid").orderBy("h", "vec_id")
     subs = (
-        assigned.withColumn("h", _semdedup_seed_hash())
+        assigned.join(F.broadcast(kn), "bkt")
+        .withColumn("h", _semdedup_seed_hash())
         .withColumn("rn", F.row_number().over(wcell))
-        .where(F.col("rn") <= k2)
+        .where(F.col("rn") <= F.col("kk"))
         .select(
+            "bkt",
             "cid",
             (F.col("rn") - 1).alias("scid"),
             F.transform("embedding", lambda x: x.cast("double")).alias("sc"),
@@ -880,7 +937,7 @@ def _semdedup_subsplit(assigned: DataFrame, k2: int) -> DataFrame:
         .withColumn("nsc_fix", dot_fix(F.col("sc"), F.col("sc")))
     )
     s = (
-        assigned.join(F.broadcast(subs), "cid")
+        assigned.join(F.broadcast(subs), ["bkt", "cid"])
         .withColumn("d_fix", dot_fix(F.col("embedding"), F.col("sc")))
         .withColumn(
             "score",
@@ -893,7 +950,7 @@ def _semdedup_subsplit(assigned: DataFrame, k2: int) -> DataFrame:
     return (
         s.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid", "scid", "na_fix")
+        .select("vec_id", "embedding", "bkt", "cid", "scid", "na_fix")
     )
 
 
@@ -912,20 +969,33 @@ def semdedup_compute(spark: SparkSession, sf_dir: str,
     so the full iterative pipeline is DuckDB-oracle-checkable.
 
     The production path (``k=None``, the only value the session store
-    serves) is TWO-LEVEL: a Lloyd loop with k1 ≈ N^(1/3) coarse cells,
-    then a nearest-sub-seed split of each cell into k2 ≈ N^(1/3)
-    sub-cells (``_semdedup_subsplit``); the dup scan joins within
-    (cid, scid) only. Total cost ~3·N^(4/3) — vs the flat √N dial's
-    2·N^1.5, whose r10 100× store probe measured the 30×→100× step at
-    6.7× time for 3.33× data (SCALEUP_STORES100_r10.json). Final
-    cluster id = cid·k2 + scid. An EXPLICIT ``k`` keeps the flat
-    single-level form — the pinned path for planted-fixture tests.
+    serves) is BUCKETED TWO-LEVEL (r12): a sign-LSH coarse partition
+    into 2^bits buckets (bits sized for ~SEMDEDUP_BKT_TARGET expected
+    occupancy — O(N), no centroid dots), then WITHIN each bucket a
+    Lloyd loop with kk ≈ occupancy^(1/3) cells and a nearest-sub-seed
+    split into kk sub-cells (``_semdedup_subsplit``); the dup scan
+    joins within (bkt, cid, scid) only. Per-bucket work is constant at
+    the target occupancy, so the whole build is near-linear — vs the
+    un-bucketed two-level form's N^(4/3), whose r11 100× store probe
+    measured the 30×→100× step at 4.4× time for 3.33× data (any
+    L-level k-means tree is ≥ N^(1+1/(L+1)); the LSH level breaks the
+    bound because bucketing costs no per-centroid comparisons). Final
+    cluster id = bkt·2^24 + cid·kk_b + scid (< 2^24 within a bucket
+    since kk ≤ 4096). Below the target occupancy bits = 0 → one
+    bucket → the chain degenerates to exactly the r11 two-level form
+    (both test fixtures; same ids, same is_dup). An EXPLICIT ``k``
+    keeps the flat single-level single-bucket form — the pinned path
+    for planted-fixture tests.
 
-    Scale posture: each pass is one corpus scan against a broadcast
-    (k1 centroids / k1·k2 sub-seeds ≈ N^(2/3) rows); recentering
-    shuffles (cid, dim) partial sums, not vectors; the pair scan is
-    confined to sub-cells of ~N^(1/3) vectors — never all-pairs. The
-    count action is legitimate here: this is the once-per-dataset
+    Scale posture: each pass is one corpus scan against a (bkt)- or
+    (bkt, cid)-keyed seed table (Σ_b kk_b ≈ N/target^(2/3) rows —
+    broadcast here; at extreme N Spark can shuffle-join the same
+    plan); recentering shuffles (bkt, cid, dim) partial sums, not
+    vectors; the pair scan is confined to sub-cells of ~occupancy^(1/3)
+    vectors — never all-pairs. LSH-boundary near-dups are out of scope
+    by construction, exactly as k-means-cell-boundary near-dups are in
+    Abbas et al.'s original (locality-confined scan is the algorithm).
+    The count action is legitimate here: this is the once-per-dataset
     store fixpoint, not a lazy builder. Like production k-means, the
     loop materializes once into the session store
     (store.semdedup_labels) and every consumer reads the flat parquet.
@@ -934,13 +1004,24 @@ def semdedup_compute(spark: SparkSession, sf_dir: str,
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
     if k is None:
-        k1, k2 = _semdedup_k12(e.count())
-        assigned = _semdedup_subsplit(_semdedup_lloyd(e, k1, iters), k2)
-        cell = ["cid", "scid"]
-        cluster = (F.col("cid") * k2 + F.col("scid")).alias("cluster")
+        bits = _semdedup_bits(e.count())
+        eb = e.withColumn("bkt", _semdedup_bucket(bits))
+        kn = _semdedup_kn(eb).localCheckpoint()
+        assigned = _semdedup_subsplit(_semdedup_lloyd(eb, kn, iters), kn)
+        cell = ["bkt", "cid", "scid"]
+        cluster = (
+            F.col("bkt") * F.lit(1 << 24)
+            + F.col("cid") * F.col("kk")
+            + F.col("scid")
+        ).alias("cluster")
+        assigned = assigned.join(F.broadcast(kn), "bkt")
     else:
-        assigned = _semdedup_lloyd(e, k, iters)
-        cell = ["cid"]
+        eb = e.withColumn("bkt", F.lit(0).cast("long"))
+        kn = spark.range(1).select(
+            F.lit(0).cast("long").alias("bkt"), F.lit(k).cast("int").alias("kk")
+        )
+        assigned = _semdedup_lloyd(eb, kn, iters)
+        cell = ["bkt", "cid"]
         cluster = F.col("cid").alias("cluster")
     a = assigned.select(
         *cell, F.col("vec_id").alias("va"),

@@ -6096,17 +6096,21 @@ GROUP BY 1, 2
 
 
 def semdedup_assignments_sql(tau: float = 0.3, dim: int = 64) -> str:
-    """Unrolled TWO-LEVEL k-means + within-sub-cell dup marking —
-    token-for-token the same integer/double op chain as
-    vector.semdedup_compute's production (k=None) path: a two-pass
-    Lloyd loop with k1 coarse cells, then a one-pass nearest-sub-seed
-    split of each cell into ≤ k2 sub-cells (floor-1e9 dots, floor-1e6
-    centroid sums, truncating // division, one int→double conversion
-    per value; sub-assignment ties break to the lowest scid). Both
-    dials mirror the engine's ``_semdedup_k12``: the power of two at
-    the corpus count's bit length // 3, clamped — integer ops only —
-    via the ``kn`` CTE (k1 = k2 = 8 at the 500-vector fixture, 64
-    final cells). Final cluster id = cid·k2 + scid."""
+    """Unrolled BUCKETED two-level k-means + within-sub-cell dup
+    marking — token-for-token the same integer/double op chain as
+    vector.semdedup_compute's production (k=None) path: a sign-LSH
+    bucket partition (bit i = sign of dimension (7i+1) mod 64 + 1;
+    bits = 0 below the 4096-vector target → one bucket, the exact
+    r11 chain), then per bucket a two-pass Lloyd loop with
+    kk ≈ occupancy^(1/3) cells and a one-pass nearest-sub-seed split
+    into ≤ kk sub-cells (floor-1e9 dots, floor-1e6 centroid sums,
+    truncating // division, one int→double conversion per value;
+    sub-assignment ties break to the lowest scid). The dials mirror
+    the engine exactly: bits via CASE WHEN n < target THEN 0 ELSE
+    length(bin(n // target)) END (≡ Python (n // target).bit_length()
+    for n ≥ target), per-bucket kk via 1 << (length(bin(cnt)) // 3),
+    clamped — integer ops only. Final cluster id =
+    bkt·2^24 + cid·kk + scid."""
     d9 = (
         "list_sum(list_transform(range(1, {n}), i -> "
         "CAST(floor(CAST({a}[i] AS DOUBLE) * {b} * 1e9) AS BIGINT)))"
@@ -6123,13 +6127,13 @@ def semdedup_assignments_sql(tau: float = 0.3, dim: int = 64) -> str:
         )
 
     assign = """
-  SELECT vec_id, embedding, cid FROM (
+  SELECT vec_id, embedding, bkt, cid FROM (
     SELECT s.*, row_number() OVER (
         PARTITION BY vec_id ORDER BY ({score}) DESC, cid) AS rn
     FROM (
-      SELECT e.vec_id, e.embedding, c.cid,
+      SELECT e.vec_id, e.embedding, e.bkt, c.cid,
              {d} AS d, {na} AS na, {nc} AS nc
-      FROM embeddings e CROSS JOIN {cents} c) s
+      FROM eb e JOIN {cents} c USING (bkt)) s
   ) WHERE rn = 1
 """
 
@@ -6142,16 +6146,21 @@ def semdedup_assignments_sql(tau: float = 0.3, dim: int = 64) -> str:
             cents=cents,
         )
 
-    from via_spark.operators.vector import SEMDEDUP_MAX_K, SEMDEDUP_MIN_K
+    from via_spark.operators.vector import (
+        SEMDEDUP_BKT_TARGET,
+        SEMDEDUP_MAX_BITS,
+        SEMDEDUP_MAX_K,
+        SEMDEDUP_MIN_K,
+    )
 
     subassign = """
-  SELECT vec_id, embedding, cid, scid FROM (
+  SELECT vec_id, embedding, bkt, cid, scid FROM (
     SELECT s.*, row_number() OVER (
         PARTITION BY vec_id ORDER BY ({score}) DESC, scid) AS rn
     FROM (
-      SELECT e.vec_id, e.embedding, e.cid, c.scid,
+      SELECT e.vec_id, e.embedding, e.bkt, e.cid, c.scid,
              {d} AS d, {na} AS na, {nc} AS nc
-      FROM a2 e JOIN subc c USING (cid)) s
+      FROM a2 e JOIN subc c USING (bkt, cid)) s
   ) WHERE rn = 1
 """.format(
         score=cos("d", "na", "nc"),
@@ -6161,57 +6170,77 @@ def semdedup_assignments_sql(tau: float = 0.3, dim: int = 64) -> str:
     )
 
     return f"""
-WITH kn AS (
-  -- k1 = k2 = power of two at bit_length // 3 (≈ N^(1/3)), clamped
-  -- (mirrors vector._semdedup_k12; integer ops only, no IEEE cbrt)
-  SELECT least({SEMDEDUP_MAX_K}, greatest({SEMDEDUP_MIN_K},
-         1 << (length(bin(count(*))) // 3))) AS kk
+WITH bcfg AS (
+  -- sign-LSH bucket bits: 0 below the target occupancy, else the bit
+  -- length of n // target (mirrors vector._semdedup_bits; bin(0) is
+  -- '0' of length 1 in DuckDB, hence the explicit < target guard)
+  SELECT CASE WHEN count(*) < {SEMDEDUP_BKT_TARGET} THEN 0
+         ELSE least({SEMDEDUP_MAX_BITS},
+                    length(bin(count(*) // {SEMDEDUP_BKT_TARGET}))) END AS bits
   FROM embeddings
-), seeds AS (
+), eb AS (
+  -- bucket bit i = sign (>= 0) of dimension (7i+1) mod 64 + 1;
+  -- out-of-range [i] is NULL and NULL >= 0 is not true -> 0 bit
   SELECT vec_id, embedding,
-         row_number() OVER (
-           ORDER BY ('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
-                    vec_id) - 1 AS cid
+         COALESCE(list_sum(list_transform(range(0, (SELECT bits FROM bcfg)),
+           i -> CASE WHEN embedding[(7 * i + 1) % 64 + 1] >= 0
+                     THEN 1 << i ELSE 0 END)), 0)::BIGINT AS bkt
   FROM embeddings
-  QUALIFY cid < (SELECT kk FROM kn)
+), kn AS (
+  -- per-bucket kk = power of two at the bucket count's bit length
+  -- // 3 (≈ occupancy^(1/3)), clamped (mirrors vector._semdedup_kn)
+  SELECT bkt, least({SEMDEDUP_MAX_K}, greatest({SEMDEDUP_MIN_K},
+         1 << (length(bin(count(*))) // 3))) AS kk
+  FROM eb GROUP BY bkt
+), seeds AS (
+  SELECT e.vec_id, e.embedding, e.bkt,
+         row_number() OVER (
+           PARTITION BY e.bkt
+           ORDER BY ('0x' || substr(sha256(CAST(e.vec_id AS VARCHAR)), 1, 12))::BIGINT,
+                    e.vec_id) - 1 AS cid
+  FROM eb e JOIN kn USING (bkt)
+  QUALIFY cid < kn.kk
 ), cents0 AS (
-  SELECT cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c FROM seeds
+  SELECT bkt, cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM seeds
 ), a1 AS ({assign_sql("cents0")}
 ), dims AS (
-  SELECT cid, i,
+  SELECT bkt, cid, i,
          sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)) AS s,
          count(*) AS n
   FROM a1, (SELECT unnest(range(1, {dim + 1})) AS i)
-  GROUP BY 1, 2
+  GROUP BY 1, 2, 3
 ), cents1 AS (
-  SELECT cid, list(CAST(s // n AS DOUBLE) / 1e6 ORDER BY i) AS c
-  FROM dims GROUP BY cid
+  SELECT bkt, cid, list(CAST(s // n AS DOUBLE) / 1e6 ORDER BY i) AS c
+  FROM dims GROUP BY bkt, cid
 ), a2 AS ({assign_sql("cents1")}
 ), sseeds AS (
-  -- level 2: first k2 members of each coarse cell in seed-hash order
-  SELECT cid, embedding,
+  -- level 2: first kk members of each coarse cell in seed-hash order
+  SELECT e.bkt, e.cid, e.embedding,
          row_number() OVER (
-           PARTITION BY cid
-           ORDER BY ('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
-                    vec_id) - 1 AS scid
-  FROM a2
-  QUALIFY scid < (SELECT kk FROM kn)
+           PARTITION BY e.bkt, e.cid
+           ORDER BY ('0x' || substr(sha256(CAST(e.vec_id AS VARCHAR)), 1, 12))::BIGINT,
+                    e.vec_id) - 1 AS scid
+  FROM a2 e JOIN kn USING (bkt)
+  QUALIFY scid < kn.kk
 ), subc AS (
-  SELECT cid, scid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  SELECT bkt, cid, scid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
   FROM sseeds
 ), a3 AS ({subassign}
 ), dup AS (
   SELECT b.vec_id AS vb
   FROM a3 a JOIN a3 b
-    ON a.cid = b.cid AND a.scid = b.scid AND a.vec_id < b.vec_id
+    ON a.bkt = b.bkt AND a.cid = b.cid AND a.scid = b.scid
+   AND a.vec_id < b.vec_id
   WHERE ({cos(dot("a.embedding", "b.embedding", bcast=False),
               dot("a.embedding", "a.embedding", bcast=False),
               dot("b.embedding", "b.embedding", bcast=False))}) >= {tau}
   GROUP BY 1
 )
-SELECT a3.vec_id, a3.cid * (SELECT kk FROM kn) + a3.scid AS cluster,
+SELECT a3.vec_id,
+       a3.bkt * {1 << 24} + a3.cid * kn.kk + a3.scid AS cluster,
        (dup.vb IS NOT NULL) AS is_dup
-FROM a3 LEFT JOIN dup ON a3.vec_id = dup.vb
+FROM a3 JOIN kn USING (bkt) LEFT JOIN dup ON a3.vec_id = dup.vb
 """
 
 
