@@ -25,6 +25,19 @@ reason — the 2.0 gate only fired at >2x, exactly the size of move it
 existed to catch.
 
 Exit 0 = no regressions; 1 = regressions listed on stdout (JSON).
+
+REQUIRED round-close usage (VERDICT r11 #4 — the within-round anchor
+comparison alone let a 1.85× CROSS-round move through unflagged,
+because the round's own start bench already contained the regression):
+run the gate TWICE and commit both outputs as BENCH_REGRESS_r{N}.json:
+
+    python scripts/bench_regress.py BENCH_FULL_MEDIAN5_r{N-1}_final.json \
+        BENCH_FULL_MEDIAN5_r{N}_final.json          # cross-round gate
+    python scripts/bench_regress.py BENCH_FULL_MEDIAN5_r{N}_start.json \
+        BENCH_FULL_MEDIAN5_r{N}_final.json          # within-round gate
+
+Every hit must be either fixed in-round or explicitly accepted with a
+reason in the commit message that lands the artifact.
 """
 
 from __future__ import annotations
@@ -56,9 +69,13 @@ def main() -> int:
     }
     def _spread(samples):
         # drop the warm-up rep (store builds / codegen) — it is not
-        # steady-state noise and it swamped the band (see module doc)
-        s = samples[1:] if samples and len(samples) > 2 else samples
-        return (max(s) - min(s)) if s else 0.0
+        # steady-state noise and it swamped the band (see module doc).
+        # With exactly 2 samples the tail is a single rep: spread 0,
+        # never a warm-up-inflated band (ADVICE r11).
+        if not samples:
+            return 0.0
+        s = samples[1:] if len(samples) >= 2 else samples
+        return max(s) - min(s)
 
     for name in sorted(set(oq) & set(nq)):
         om, nm = oq[name], nq[name]

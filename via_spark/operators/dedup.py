@@ -596,8 +596,9 @@ def incremental_embedding_pairs(
     the MinHash incremental convention.
 
     ``bits`` is the same adaptive occupancy dial as the self-join pair
-    query, sized from the FULL table count (corpus + batch — exactly
-    the post-admission corpus the streaming gate sizes against). Each
+    query, sized from the FULL table count (corpus + full batch, the
+    PRE-admission total — the same N the streaming gate sizes from,
+    flagged rows included). Each
     (new, corpus) candidate matches exactly one probe, so no pair
     dedup. Output: (new_vec, corpus_vec, score).
     """
@@ -625,6 +626,105 @@ def incremental_embedding_pairs(
         )
         .where(F.col("score") >= threshold)
         .select("new_vec", "corpus_vec", "score")
+    )
+
+
+def gate_health_report(
+    spark: SparkSession, sf_dir: str, threshold: float = EMB_COS_THRESHOLD,
+) -> DataFrame:
+    """One-row health readout of the embedding ingest gate (r12
+    staged; VERDICT r11 next-round #6b) — the batch-queryable mirror
+    of GATE_SOAK's checks over the same deterministic corpus/batch
+    split as ``incremental_embedding_pairs`` (vec_id % 5 == 4 batch).
+    The candidate chain is EXACTLY the gate's
+    (streaming.pipeline.embedding_gate_process_batch): batch probes
+    explode the Hamming-1 neighborhood of the adaptive-bits prefix and
+    join (a) the corpus's exact buckets and (b) LOWER-ID batch peers;
+    a batch vector with any match ≥ threshold is flagged, the rest
+    admit.
+
+    Columns: n_corpus, n_batch, n_flagged_vs_corpus, n_flagged_vs_peer
+    (distinct flagged ids per source; a vector can appear in both),
+    n_flagged (union), n_admitted, state_rows_after (= corpus +
+    admitted — GATE_SOAK's "state rows == distinct admitted content"
+    bound in batch form), admit_rate_micro (truncating; 1e6 when the
+    batch is empty), max_flag_score (0.0 when nothing flagged).
+
+    Scale posture: |batch| × occupancy probe joins (never |corpus|²)
+    + three 1-row aggs attached by broadcast scalar crossJoins.
+    """
+    e0 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        dot_fix(F.col("embedding"), F.col("embedding")).alias("n_fix"),
+    )
+    e = adaptive_sign_frame(e0, ["vec_id", "embedding", "n_fix"])
+    is_batch = F.col("vec_id") % INCREMENTAL_MOD == INCREMENTAL_BATCH_RESIDUE
+    probes = e.where(is_batch).select(
+        F.col("vec_id").alias("new_vec"), F.col("embedding").alias("emb_a"),
+        F.col("n_fix").alias("na_fix"),
+        F.explode(F.expr(_VARIABLE_PROBES)).alias("bucket"),
+    )
+
+    def flags(side: DataFrame, peer: bool) -> DataFrame:
+        cand = probes.join(side, "bucket")
+        if peer:
+            cand = cand.where(F.col("matched_vec") < F.col("new_vec"))
+        return (
+            cand.withColumn("d_fix", dot_fix(F.col("emb_a"), F.col("emb_b")))
+            .withColumn(
+                "score",
+                cosine_from_fix(
+                    F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")
+                ),
+            )
+            .where(F.col("score") >= threshold)
+            .select("new_vec", "score")
+        )
+
+    corpus = e.where(~is_batch).select(
+        F.col("vec_id").alias("matched_vec"), F.col("embedding").alias("emb_b"),
+        F.col("n_fix").alias("nb_fix"), "bucket",
+    )
+    peers = e.where(is_batch).select(
+        F.col("vec_id").alias("matched_vec"), F.col("embedding").alias("emb_b"),
+        F.col("n_fix").alias("nb_fix"), "bucket",
+    )
+    fc = flags(corpus, peer=False)
+    fp = flags(peers, peer=True)
+    counts = e.agg(
+        F.coalesce(F.sum((~is_batch).cast("long")), F.lit(0).cast("long"))
+        .alias("n_corpus"),
+        F.coalesce(F.sum(is_batch.cast("long")), F.lit(0).cast("long"))
+        .alias("n_batch"),
+    )
+    agg_c = fc.agg(F.countDistinct("new_vec").alias("n_flagged_vs_corpus"))
+    agg_p = fp.agg(F.countDistinct("new_vec").alias("n_flagged_vs_peer"))
+    agg_u = fc.unionByName(fp).agg(
+        F.countDistinct("new_vec").alias("n_flagged"),
+        F.max("score").alias("mx"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(agg_c))
+        .crossJoin(F.broadcast(agg_p))
+        .crossJoin(F.broadcast(agg_u))
+        .select(
+            "n_corpus",
+            "n_batch",
+            "n_flagged_vs_corpus",
+            "n_flagged_vs_peer",
+            "n_flagged",
+            (F.col("n_batch") - F.col("n_flagged")).alias("n_admitted"),
+            (
+                F.col("n_corpus") + F.col("n_batch") - F.col("n_flagged")
+            ).alias("state_rows_after"),
+            F.expr(
+                "CASE WHEN n_batch = 0 THEN 1000000L "
+                "ELSE (n_batch - n_flagged) * 1000000L div n_batch END"
+            ).alias("admit_rate_micro"),
+            F.coalesce(F.col("mx"), F.lit(0.0).cast("double")).alias(
+                "max_flag_score"
+            ),
+        )
     )
 
 

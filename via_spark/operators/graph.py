@@ -643,7 +643,14 @@ def motif_report_from_edges(edges: DataFrame) -> DataFrame:
     pair-bounded degrees sit orders of magnitude inside both.
     """
     # deg caches too: three consumers (the census agg + both rank-join
-    # sides) would each re-run the endpoint explode + groupBy
+    # sides) would each re-run the endpoint explode + groupBy.
+    # Cache lifetime: session-scoped with LRU eviction, the same
+    # convention as every sh/hashed/packed cache in the dedup family —
+    # a lazy builder cannot unpersist (the consumer hasn't run yet),
+    # and repeated invocations re-use, not re-add, the same plan's
+    # cache entry (Spark dedups by logical plan). Long-lived sessions
+    # that churn DISTINCT corpora should spark.catalog.clearCache()
+    # between datasets (ADVICE r11, documented not "fixed" by design).
     deg = (
         edges.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
@@ -688,6 +695,68 @@ def motif_report_from_edges(edges: DataFrame) -> DataFrame:
             )
             .alias("clustering_fix"),
         )
+    )
+
+
+def store_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational census of the four materialized label stores (r12
+    staged; VERDICT r11 next-round #6a): one row per store with its
+    input size and label-table shape, so the fixpoint outputs the
+    scale probes (scripts/scaleup_stores.py) trend are visible IN the
+    engine — a store whose group count or flagged share drifts between
+    builds is the first sign of a dial stepping or a skewed corpus.
+    Wall-clock and iteration counts are intentionally NOT here: they
+    are nondeterministic, so they live in the probe artifacts
+    (SCALEUP_STORES*.json), keeping this query fully oracle-checkable.
+
+    Columns: store, input_rows, label_rows, n_groups (distinct
+    cluster/rep), flagged_rows (non-root members / is_dup marks),
+    flagged_share_micro (= flagged·1e6 div labels, truncating).
+
+    Scale posture: each branch is one scan of an already-materialized
+    label store (three columns) plus a count of its input table; the
+    four 1-row aggs union. Never touches the pair pipelines.
+    """
+    from via_spark.operators.vector import semdedup_assignments
+
+    def census(name, labels, rep, flagged, inp):
+        n_in = inp.agg(F.count(F.lit(1)).alias("input_rows"))
+        agg = labels.agg(
+            F.count(F.lit(1)).cast("long").alias("label_rows"),
+            F.countDistinct(rep).cast("long").alias("n_groups"),
+            F.sum(flagged.cast("long")).cast("long").alias("flagged_rows"),
+        )
+        return (
+            agg.crossJoin(F.broadcast(n_in))
+            .select(
+                F.lit(name).alias("store"),
+                F.col("input_rows").cast("long"),
+                "label_rows",
+                "n_groups",
+                "flagged_rows",
+                F.expr(
+                    "CASE WHEN label_rows = 0 THEN 0L "
+                    "ELSE flagged_rows * 1000000L div label_rows END"
+                ).alias("flagged_share_micro"),
+            )
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    embs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    mh = dedup_clusters(spark, sf_dir)
+    ec = embedding_neardup_clusters(spark, sf_dir)
+    ph = phash_dup_clusters(spark, sf_dir)
+    sd = semdedup_assignments(spark, sf_dir)
+    nonroot = lambda idc: F.col(idc) != F.col("cluster_rep")  # noqa: E731
+    return (
+        census("minhash_clusters", mh, F.col("cluster_rep"),
+               nonroot("doc_id"), docs)
+        .unionByName(census("embedding_clusters", ec,
+                            F.col("cluster_rep"), nonroot("vec_id"), embs))
+        .unionByName(census("phash_clusters", ph,
+                            F.col("cluster_rep"), nonroot("doc_id"), docs))
+        .unionByName(census("semdedup", sd, F.col("cluster"),
+                            F.col("is_dup"), embs))
     )
 
 

@@ -1081,6 +1081,127 @@ WHERE {_COS.format(d="d_fix", na="na_fix", nb="nb_fix")} >= {threshold!r}
 """
 
 
+def gate_health_report_sql(threshold: float = 0.4) -> str:
+    """One-row embedding-gate health mirror — same chain as
+    dedup.gate_health_report: batch (vec_id % 5 == 4) Hamming-1 probes
+    join (a) corpus exact buckets and (b) lower-id batch peers; flagged
+    = any match ≥ threshold; admit/flag/state aggregates in truncating
+    fixed-point; max_flag_score over the UNION (0.0 when empty)."""
+    from via_spark.operators.dedup import (
+        INCREMENTAL_BATCH_RESIDUE,
+        INCREMENTAL_MOD,
+    )
+
+    res = f"vec_id % {INCREMENTAL_MOD} = {INCREMENTAL_BATCH_RESIDUE}"
+    score = _COS.format(d="d_fix", na="na_fix", nb="nb_fix")
+    scored = """
+    SELECT new_vec,
+           {dot_ab} AS d_fix, {dot_aa} AS na_fix, {dot_bb} AS nb_fix
+    FROM {cand}
+""".format(
+        dot_ab=_DOT9_PAIR.format(a="emb_a", b="emb_b"),
+        dot_aa=_DOT9_PAIR.format(a="emb_a", b="emb_a"),
+        dot_bb=_DOT9_PAIR.format(a="emb_b", b="emb_b"),
+        cand="{cand}",
+    )
+    return f"""
+WITH {_adaptive_sign_ctes()},
+ap AS (
+    SELECT vec_id AS new_vec, embedding AS emb_a,
+           unnest({_VARIABLE_PROBES_SQL}) AS pbucket
+    FROM e WHERE {res}
+),
+ccand AS (
+    SELECT ap.new_vec, ap.emb_a, b.embedding AS emb_b
+    FROM ap JOIN e b ON ap.pbucket = b.bucket AND NOT (b.{res})
+),
+pcand AS (
+    SELECT ap.new_vec, ap.emb_a, b.embedding AS emb_b
+    FROM ap JOIN e b
+      ON ap.pbucket = b.bucket AND b.{res} AND b.vec_id < ap.new_vec
+),
+fc AS (
+    SELECT new_vec, {score} AS score
+    FROM ({scored.format(cand="ccand")})
+    WHERE {score} >= {threshold!r}
+),
+fp AS (
+    SELECT new_vec, {score} AS score
+    FROM ({scored.format(cand="pcand")})
+    WHERE {score} >= {threshold!r}
+),
+fu AS (SELECT * FROM fc UNION ALL SELECT * FROM fp),
+stats AS (
+    SELECT COALESCE(sum(CASE WHEN NOT ({res}) THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_corpus,
+           COALESCE(sum(CASE WHEN {res} THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_batch
+    FROM e
+)
+SELECT n_corpus, n_batch,
+       (SELECT count(DISTINCT new_vec) FROM fc)::BIGINT AS n_flagged_vs_corpus,
+       (SELECT count(DISTINCT new_vec) FROM fp)::BIGINT AS n_flagged_vs_peer,
+       (SELECT count(DISTINCT new_vec) FROM fu)::BIGINT AS n_flagged,
+       n_batch - (SELECT count(DISTINCT new_vec) FROM fu) AS n_admitted,
+       n_corpus + n_batch - (SELECT count(DISTINCT new_vec) FROM fu)
+         AS state_rows_after,
+       CASE WHEN n_batch = 0 THEN 1000000
+            ELSE (n_batch - (SELECT count(DISTINCT new_vec) FROM fu))
+                 * 1000000 // n_batch END AS admit_rate_micro,
+       COALESCE((SELECT max(score) FROM fu), CAST(0.0 AS DOUBLE))
+         AS max_flag_score
+FROM stats
+"""
+
+
+def store_build_report_sql() -> str:
+    """Label-store census mirror — one row per store over the SAME
+    chains the store builders materialize (reuses the four cluster /
+    assignment oracle SQLs as CTE bodies, so this report re-proves the
+    chains it summarizes)."""
+    from via_spark.operators.dedup import (
+        EMB_COS_THRESHOLD,
+        JACCARD_THRESHOLD,
+    )
+    from via_spark.operators.multimodal import PHASH_MAX_HAMMING
+
+    def census(name, chain, rep, flagged, inp):
+        return f"""
+SELECT '{name}' AS store,
+       (SELECT count(*) FROM {inp})::BIGINT AS input_rows,
+       count(*)::BIGINT AS label_rows,
+       count(DISTINCT {rep})::BIGINT AS n_groups,
+       COALESCE(sum(CASE WHEN {flagged} THEN 1 ELSE 0 END), 0)::BIGINT
+         AS flagged_rows,
+       CASE WHEN count(*) = 0 THEN 0
+            ELSE COALESCE(sum(CASE WHEN {flagged} THEN 1 ELSE 0 END), 0)
+                 * 1000000 // count(*) END AS flagged_share_micro
+FROM ({chain})
+"""
+
+    return " UNION ALL ".join(
+        [
+            census(
+                "minhash_clusters", dedup_clusters_sql(JACCARD_THRESHOLD),
+                "cluster_rep", "doc_id <> cluster_rep", "documents",
+            ),
+            census(
+                "embedding_clusters",
+                embedding_neardup_clusters_sql(EMB_COS_THRESHOLD),
+                "cluster_rep", "vec_id <> cluster_rep", "embeddings",
+            ),
+            census(
+                "phash_clusters", phash_dup_clusters_sql(PHASH_MAX_HAMMING),
+                "cluster_rep", "doc_id <> cluster_rep", "documents",
+            ),
+            census(
+                "semdedup", semdedup_assignments_sql(),
+                "cluster", "is_dup", "embeddings",
+            ),
+        ]
+    )
+
+
 def _flip_bit_sql(expr: str, i: int) -> str:
     return (
         f"substr({expr}, 1, {i}) || "

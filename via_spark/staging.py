@@ -65,10 +65,25 @@ from via_spark.operators import (  # noqa: F401  (kept for next batches)
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Spliced into __spark_entry__ at the r10 head — registry drained."""
-    return {}
+    """Round-12 batch (for the r13 splice) — operate-the-engine
+    surface (VERDICT r11 next-round #6):
+
+    * ``store_build_report`` — label-store census (input rows, label
+      rows, groups, flagged share) so the fixpoint outputs the scale
+      probes trend are visible IN the engine.
+    * ``gate_health_report`` — the embedding ingest gate's GATE_SOAK
+      checks (state rows vs distinct content, admit/flag rates) as a
+      batch-queryable one-row report over the incremental split.
+    """
+    return {
+        "store_build_report": graph.store_build_report,
+        "gate_health_report": dedup.gate_health_report,
+    }
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Spliced into __spark_entry__ at the r10 head — registry drained."""
-    return {}
+    """DuckDB mirrors for the round-12 batch."""
+    return {
+        "store_build_report": oracles.store_build_report_sql(),
+        "gate_health_report": oracles.gate_health_report_sql(),
+    }
