@@ -198,6 +198,64 @@ def test_probe_buckets_cover_exact_hamming_ball(spark, bucket, radius):
     assert set(got) == ball
 
 
+def test_simhash_sql_twin_equality(spark):
+    """simhash_hex_sql (the F.expr build-time twin) must render the
+    exact fingerprint of the Column-lambda form on adversarial token
+    streams (empty-ish, unicode, long, vote-tie-prone repeats)."""
+    from pyspark.sql import functions as F
+
+    from via_spark.functions.simhash import simhash_hex, simhash_hex_sql
+
+    rows = [
+        (0, ["a"]),
+        (1, ["a", "a", "b"]),
+        (2, [f"tok{i}" for i in range(200)]),
+        (3, ["ünïcode", "日本語", "a b"]),
+        (4, ["x"] * 7 + ["y"] * 7),
+    ]
+    df = spark.createDataFrame(rows, "id long, toks array<string>").select(
+        "id",
+        simhash_hex(F.col("toks")).alias("col_form"),
+        simhash_hex_sql("toks").alias("sql_form"),
+    )
+    for r in df.collect():
+        assert r["col_form"] == r["sql_form"], r["id"]
+
+
+def test_hamming_keys_sql_twin_equality(spark):
+    """_hb_keys_sql / _canonical_sid_sql (F.expr build-time twins) must
+    equal the Column forms bit-for-bit, including bit-63 fingerprints."""
+    from pyspark.sql import functions as F
+
+    from via_spark.operators.dedup import (
+        _canonical_sid,
+        _canonical_sid_sql,
+        hamming_block_keys,
+        _hb_keys_sql,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    vals = [0, -1, 1 << 62, -(1 << 63)] + [
+        rng.getrandbits(64) - (1 << 63) for _ in range(40)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "h long")
+    keys = df.select(
+        hamming_block_keys(F.col("h")).alias("col_form"),
+        F.expr(_hb_keys_sql("h")).alias("sql_form"),
+    )
+    for r in keys.collect():
+        assert r["col_form"] == r["sql_form"]
+    pairs = df.selectExpr("h AS x").crossJoin(df.selectExpr("h AS y"))
+    sids = pairs.select(
+        _canonical_sid(F.col("x").bitwiseXOR(F.col("y"))).alias("col_form"),
+        F.expr(_canonical_sid_sql("x ^ y")).alias("sql_form"),
+    )
+    for r in sids.collect():
+        assert r["col_form"] == r["sql_form"]
+
+
 _HP_CASE = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=(1 << 64) - 1),   # base fingerprint

@@ -99,6 +99,37 @@ def simhash_hex(tokens_col: Column) -> Column:
     )
 
 
+def simhash_hex_sql(tokens_col: str) -> Column:
+    """F.expr twin of :func:`simhash_hex` over a NAMED token column —
+    one JVM parse of a generated SQL string instead of ~10³ py4j
+    Column calls (the lambda builders cost ~0.8 s of driver time per
+    query build, measured r12 — more than the fingerprint's executor
+    time at fixture scale). Token-for-token the same expression: same
+    per-nibble decode, same ±1 votes, same >= 0 tie-to-1 rendering —
+    equality with the Column form is pinned by
+    tests/test_properties.py::test_simhash_sql_twin_equality."""
+    votes = ", ".join(
+        f"(shiftright(CAST(conv(substring(h, {b // 4 + 1}, 1), 16, 10) "
+        f"AS INT), {b % 4}) & 1) * 2 - 1"
+        for b in range(SIMHASH_BITS)
+    )
+    nibble = (
+        "format_string('%x', "
+        "(CASE WHEN element_at(acc, i * 4 + 1) >= 0 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN element_at(acc, i * 4 + 2) >= 0 THEN 2 ELSE 0 END) + "
+        "(CASE WHEN element_at(acc, i * 4 + 3) >= 0 THEN 4 ELSE 0 END) + "
+        "(CASE WHEN element_at(acc, i * 4 + 4) >= 0 THEN 8 ELSE 0 END))"
+    )
+    return F.expr(
+        f"aggregate(transform({tokens_col}, "
+        "t -> substring(sha2(t, 256), 1, 16)), "
+        f"array_repeat(0, {SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, array({votes}), (a, v) -> a + v), "
+        f"acc -> array_join(transform(sequence(0, {_NIBBLES - 1}), "
+        f"i -> {nibble}), ''))"
+    )
+
+
 def hamming_hex(a: Column, b: Column) -> Column:
     """Hamming distance between two 16-hex-char fingerprints (0..64).
 

@@ -344,6 +344,37 @@ def _canonical_sid(xor: Column) -> Column:
     return expr.otherwise(F.lit(-1))
 
 
+# SQL-string twins of hamming_block_keys / _canonical_sid: a single
+# F.expr parse instead of ~300 py4j Column calls — the Column builders
+# cost ~0.8 s of DRIVER time per query build at 20 triples × 3 blocks
+# (measured r12), which dwarfed the join's executor time at fixture
+# scale. Semantics identical (same masks, same key packing); the
+# Column forms above remain the readable spec and the property tests
+# pin the two paths to the same output.
+def _hb_keys_sql(h: str) -> str:
+    """SQL for the 20-element triple-key array of fingerprint ``h``."""
+    keys = []
+    for sid, t in enumerate(_HB_TRIPLES):
+        k = f"CAST({sid} AS BIGINT)"
+        for i in t:
+            blk = (
+                f"(shiftrightunsigned({h}, {_HB_OFFSETS[i]}) & "
+                f"{(1 << _HB_WIDTHS[i]) - 1})"
+            )
+            k = f"({k} * 2048 + {blk})"
+        keys.append(k)
+    return "array(" + ", ".join(keys) + ")"
+
+
+def _canonical_sid_sql(xor: str) -> str:
+    """SQL CASE form of :func:`_canonical_sid` over the xor expr."""
+    whens = "".join(
+        f" WHEN (({xor}) & CAST({m} AS BIGINT)) = 0 THEN {sid}"
+        for sid, m in enumerate(_HB_MASKS)
+    )
+    return f"CASE{whens} ELSE -1 END"
+
+
 def hamming_pairs_over(
     hashed: DataFrame,
     h_col: str,
@@ -359,7 +390,7 @@ def hamming_pairs_over(
     blocks = hashed.select(
         F.col(id_col).alias("doc_id"),
         F.col(h_col).alias("h64"),
-        F.explode(hamming_block_keys(F.col(h_col))).alias("bk"),
+        F.expr(f"explode({_hb_keys_sql(h_col)})").alias("bk"),
     )
     a = blocks.select(
         F.col("doc_id").alias("doc_a"), F.col("h64").alias("ha"), "bk"
@@ -367,14 +398,18 @@ def hamming_pairs_over(
     b = blocks.select(
         F.col("doc_id").alias("doc_b"), F.col("h64").alias("hb"), "bk"
     )
-    xor = F.col("ha").bitwiseXOR(F.col("hb"))
     return (
         a.join(b, "bk")
         .where(F.col("doc_a") < F.col("doc_b"))
         # the join key's triple id (bk = sid·2^33 + blocks) must be the
         # pair's canonical intact triple — each pair survives exactly once
-        .where(F.shiftrightunsigned(F.col("bk"), 33) == _canonical_sid(xor))
-        .withColumn("hamming", F.bit_count(xor).cast("int"))
+        .where(
+            F.expr(
+                "shiftrightunsigned(bk, 33) = "
+                f"({_canonical_sid_sql('ha ^ hb')})"
+            )
+        )
+        .withColumn("hamming", F.expr("CAST(bit_count(ha ^ hb) AS INT)"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -36,7 +36,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from via_spark.functions.simhash import simhash_hex
+from via_spark.functions.simhash import simhash_hex, simhash_hex_sql
 from via_spark.functions.text import tokens
 from via_spark.session import load_table, spread
 
@@ -248,7 +248,9 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expensive fingerprint projection; no-op on a multi-split scan
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.withColumn("toks", tokens(F.col("text"))).where(F.size("toks") > 0)
-    return toks.select("doc_id", simhash_hex(F.col("toks")).alias("simhash"))
+    # simhash_hex_sql: the F.expr twin of simhash_hex — same pinned
+    # expression, ~0.8 s less driver-side build per query (r12)
+    return toks.select("doc_id", simhash_hex_sql("toks").alias("simhash"))
 
 
 def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
