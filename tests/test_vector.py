@@ -531,6 +531,24 @@ def test_semdedup_bucketed_oracle_parity_multibucket(spark, tmp_path):
     # the bucketed path really ran: cluster ids from >= 2 buckets
     assert len({c >> 24 for c, _ in got.values()}) >= 2
 
+    # the balance diagnostic agrees cross-engine on the SAME corpus
+    # (its sf0.01 parity row only ever sees the bits=0 single bucket)
+    from via_spark.operators.vector import semdedup_bucket_balance
+    from via_spark.oracles import semdedup_bucket_balance_sql
+
+    bal = {
+        r["bkt"]: (r["n_vectors"], r["kk"], r["share_micro"], r["bits"])
+        for r in semdedup_bucket_balance(spark, str(d)).collect()
+    }
+    bal_exp = {
+        int(b): (int(n), int(kk), int(sh), int(bits))
+        for b, n, kk, sh, bits in con.sql(
+            semdedup_bucket_balance_sql()
+        ).fetchall()
+    }
+    assert bal == bal_exp and len(bal) >= 2
+    assert sum(n for n, _, _, _ in bal.values()) == len(rows)
+
 
 def test_embedding_clusters_exact_collapse_semantics(spark, tmp_path):
     """The r11 exact-duplicate collapse must be invisible in the

@@ -763,6 +763,84 @@ def gate_health_report(
     )
 
 
+def gate_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag-count-vs-threshold curve of the embedding ingest gate
+    (r12 staged) — the dial-picking companion to ``gate_health_report``
+    exactly as ``dedup_threshold_sweep`` is to the MinHash family: for
+    each threshold_pct in 20..80, how many batch vectors the gate
+    would flag (distinct, corpus OR lower-id peer match) and the
+    resulting admit rate. One candidate-scoring pass (the probed LSH
+    chain, unfiltered), then a 7-way conditional distinct count —
+    the sweep costs one query, not seven.
+
+    Scale posture: |batch| × occupancy candidates scored once; the
+    explode multiplies candidate rows by 7 before a 7-row hash agg;
+    n_batch attaches by broadcast scalar. Zero-flag thresholds stay in
+    the output (conditional agg, no post-filter drop).
+    """
+    e0 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        dot_fix(F.col("embedding"), F.col("embedding")).alias("n_fix"),
+    )
+    e = adaptive_sign_frame(e0, ["vec_id", "embedding", "n_fix"])
+    is_batch = F.col("vec_id") % INCREMENTAL_MOD == INCREMENTAL_BATCH_RESIDUE
+    probes = e.where(is_batch).select(
+        F.col("vec_id").alias("new_vec"), F.col("embedding").alias("emb_a"),
+        F.col("n_fix").alias("na_fix"),
+        F.explode(F.expr(_VARIABLE_PROBES)).alias("bucket"),
+    )
+    corpus = e.where(~is_batch).select(
+        F.col("vec_id").alias("matched_vec"), F.col("embedding").alias("emb_b"),
+        F.col("n_fix").alias("nb_fix"), "bucket",
+    )
+    peers = e.where(is_batch).select(
+        F.col("vec_id").alias("matched_vec"), F.col("embedding").alias("emb_b"),
+        F.col("n_fix").alias("nb_fix"), "bucket",
+    )
+    scored = (
+        probes.join(corpus, "bucket")
+        .unionByName(
+            probes.join(peers, "bucket").where(
+                F.col("matched_vec") < F.col("new_vec")
+            )
+        )
+        .withColumn("d_fix", dot_fix(F.col("emb_a"), F.col("emb_b")))
+        .withColumn(
+            "score",
+            cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")),
+        )
+        .select("new_vec", "score")
+    )
+    n_batch = e.agg(
+        F.coalesce(F.sum(is_batch.cast("long")), F.lit(0).cast("long"))
+        .alias("n_batch")
+    )
+    t = F.explode(
+        F.array(*[F.lit(p) for p in SWEEP_THRESHOLDS])
+    ).alias("threshold_pct")
+    return (
+        scored.select("new_vec", "score", t)
+        .groupBy("threshold_pct")
+        .agg(
+            F.countDistinct(
+                F.when(
+                    F.col("score") >= F.col("threshold_pct") / F.lit(100.0),
+                    F.col("new_vec"),
+                )
+            ).alias("n_flagged")
+        )
+        .crossJoin(F.broadcast(n_batch))
+        .select(
+            F.col("threshold_pct").cast("int").alias("threshold_pct"),
+            F.col("n_flagged").cast("long").alias("n_flagged"),
+            F.expr(
+                "CASE WHEN n_batch = 0 THEN 1000000L "
+                "ELSE (n_batch - n_flagged) * 1000000L div n_batch END"
+            ).alias("admit_rate_micro"),
+        )
+    )
+
+
 def exact_dup_family_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate family census over the embedding column (r11
     staged) — the collapse diagnostic for the cluster-store builders:

@@ -1069,6 +1069,66 @@ def semdedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semdedup_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket balance of the r12 sign-LSH level above SemDeDup's
+    k-means (r12 staged): (bkt, n_vectors, kk, share_micro, bits) —
+    the skew readout for the one heuristic stage of the bucketed
+    build. Real embeddings correlate signs, so a hot bucket is the
+    expected failure mode; this query shows it (share_micro ≫ the
+    uniform 10^6/2^bits) together with the kk dial the hot bucket will
+    get (its damage bound is its own N_b^(4/3) term — SCALE.md r12).
+
+    Lazy-builder contract: the store fixpoint computes ``bits`` from a
+    driver-side count (eager allowed there); here the SAME formula
+    runs in-plan from a 1-row count agg (broadcast scalar attach), and
+    the bucket comes from masking the full SEMDEDUP_MAX_BITS-wide sign
+    value with (1 << bits) - 1 — identical arithmetic to
+    ``_semdedup_bucket``'s Python-side term sum.
+
+    Scale posture: one corpus scan → ≤ 2^bits-row hash agg; the count
+    attaches by broadcast.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    nb = e.agg(
+        F.expr(
+            f"CASE WHEN count(1) < {SEMDEDUP_BKT_TARGET} THEN 0 "
+            f"ELSE least({SEMDEDUP_MAX_BITS}, "
+            f"length(bin(count(1) div {SEMDEDUP_BKT_TARGET}))) END"
+        )
+        .cast("int")
+        .alias("bits"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    wide = F.lit(0)
+    for i in range(SEMDEDUP_MAX_BITS):
+        dim = (7 * i + 1) % 64 + 1
+        wide = wide + F.when(
+            F.try_element_at("embedding", F.lit(dim)) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return (
+        e.crossJoin(F.broadcast(nb))
+        .select(
+            (wide.cast("long").bitwiseAND(
+                F.expr("shiftleft(CAST(1 AS BIGINT), bits) - 1")
+            )).alias("bkt"),
+            "bits",
+            "n_total",
+        )
+        .groupBy("bkt", "bits", "n_total")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .select(
+            "bkt",
+            "n_vectors",
+            F.expr(
+                f"CAST(least({SEMDEDUP_MAX_K}, greatest({SEMDEDUP_MIN_K}, "
+                "shiftleft(1, length(conv(n_vectors, 10, 2)) div 3))) AS INT)"
+            ).alias("kk"),
+            F.expr("n_vectors * 1000000L div n_total").alias("share_micro"),
+            "bits",
+        )
+    )
+
+
 def semdedup_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Occupancy histogram of the two-level SemDeDup cells (r11 staged)
     — the k-means twin of ``embedding_bucket_occupancy``: how many

@@ -1154,6 +1154,96 @@ FROM stats
 """
 
 
+def gate_threshold_sweep_sql() -> str:
+    """Flag-count sweep mirror — same unfiltered candidate chain as
+    gate_health_report_sql, then a 7-way conditional distinct count
+    with the admit rate in truncating fixed-point."""
+    from via_spark.operators.dedup import (
+        INCREMENTAL_BATCH_RESIDUE,
+        INCREMENTAL_MOD,
+        SWEEP_THRESHOLDS,
+    )
+
+    res = f"vec_id % {INCREMENTAL_MOD} = {INCREMENTAL_BATCH_RESIDUE}"
+    score = _COS.format(d="d_fix", na="na_fix", nb="nb_fix")
+    dots = (
+        f"{_DOT9_PAIR.format(a='emb_a', b='emb_b')} AS d_fix, "
+        f"{_DOT9_PAIR.format(a='emb_a', b='emb_a')} AS na_fix, "
+        f"{_DOT9_PAIR.format(a='emb_b', b='emb_b')} AS nb_fix"
+    )
+    grid = ", ".join(f"({p})" for p in SWEEP_THRESHOLDS)
+    return f"""
+WITH {_adaptive_sign_ctes()},
+ap AS (
+    SELECT vec_id AS new_vec, embedding AS emb_a,
+           unnest({_VARIABLE_PROBES_SQL}) AS pbucket
+    FROM e WHERE {res}
+),
+cand AS (
+    SELECT ap.new_vec, ap.emb_a, b.embedding AS emb_b
+    FROM ap JOIN e b ON ap.pbucket = b.bucket AND NOT (b.{res})
+    UNION ALL
+    SELECT ap.new_vec, ap.emb_a, b.embedding AS emb_b
+    FROM ap JOIN e b
+      ON ap.pbucket = b.bucket AND b.{res} AND b.vec_id < ap.new_vec
+),
+scored AS (
+    SELECT new_vec, {score} AS score
+    FROM (SELECT new_vec, {dots} FROM cand)
+),
+nb2 AS (
+    SELECT COALESCE(sum(CASE WHEN {res} THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_batch
+    FROM e
+),
+grid(threshold_pct) AS (VALUES {grid})
+SELECT CAST(threshold_pct AS INT) AS threshold_pct,
+       count(DISTINCT CASE WHEN score >= threshold_pct / 100.0
+                           THEN new_vec END)::BIGINT AS n_flagged,
+       CASE WHEN any_value(n_batch) = 0 THEN 1000000
+            ELSE (any_value(n_batch)
+                  - count(DISTINCT CASE WHEN score >= threshold_pct / 100.0
+                                        THEN new_vec END))
+                 * 1000000 // any_value(n_batch) END AS admit_rate_micro
+FROM scored, grid, nb2
+GROUP BY threshold_pct
+"""
+
+
+def semdedup_bucket_balance_sql() -> str:
+    """Per-bucket balance mirror of the r12 sign-LSH level — the same
+    bits dial / masked wide-bucket arithmetic as
+    vector.semdedup_bucket_balance, with the per-bucket kk dial."""
+    from via_spark.operators.vector import (
+        SEMDEDUP_BKT_TARGET,
+        SEMDEDUP_MAX_BITS,
+        SEMDEDUP_MAX_K,
+        SEMDEDUP_MIN_K,
+    )
+
+    return f"""
+WITH bcfg AS (
+  SELECT CASE WHEN count(*) < {SEMDEDUP_BKT_TARGET} THEN 0
+         ELSE least({SEMDEDUP_MAX_BITS},
+                    length(bin(count(*) // {SEMDEDUP_BKT_TARGET}))) END AS bits,
+         count(*)::BIGINT AS n_total
+  FROM embeddings
+), eb AS (
+  SELECT COALESCE(list_sum(list_transform(range(0, {SEMDEDUP_MAX_BITS}),
+           i -> CASE WHEN embedding[(7 * i + 1) % 64 + 1] >= 0
+                     THEN 1 << i ELSE 0 END)), 0)::BIGINT
+         & ((1::BIGINT << (SELECT bits FROM bcfg)) - 1) AS bkt
+  FROM embeddings
+)
+SELECT bkt, count(*)::BIGINT AS n_vectors,
+       CAST(least({SEMDEDUP_MAX_K}, greatest({SEMDEDUP_MIN_K},
+            1 << (length(bin(count(*))) // 3))) AS INT) AS kk,
+       count(*) * 1000000 // (SELECT n_total FROM bcfg) AS share_micro,
+       (SELECT bits FROM bcfg)::INT AS bits
+FROM eb GROUP BY bkt
+"""
+
+
 def store_build_report_sql() -> str:
     """Label-store census mirror — one row per store over the SAME
     chains the store builders materialize (reuses the four cluster /

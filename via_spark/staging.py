@@ -74,10 +74,18 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * ``gate_health_report`` — the embedding ingest gate's GATE_SOAK
       checks (state rows vs distinct content, admit/flag rates) as a
       batch-queryable one-row report over the incremental split.
+    * ``gate_threshold_sweep`` — flag-count-vs-threshold curve of the
+      same gate chain (one scoring pass, 7 conditional counts — the
+      dial-picking companion, as dedup_threshold_sweep is to MinHash).
+    * ``semdedup_bucket_balance`` — per-bucket skew readout of the r12
+      sign-LSH level above SemDeDup's k-means (the one heuristic stage
+      of the bucketed build), with each bucket's kk dial.
     """
     return {
         "store_build_report": graph.store_build_report,
         "gate_health_report": dedup.gate_health_report,
+        "gate_threshold_sweep": dedup.gate_threshold_sweep,
+        "semdedup_bucket_balance": vector.semdedup_bucket_balance,
     }
 
 
@@ -86,4 +94,6 @@ def staged_oracle_sql() -> dict[str, str]:
     return {
         "store_build_report": oracles.store_build_report_sql(),
         "gate_health_report": oracles.gate_health_report_sql(),
+        "gate_threshold_sweep": oracles.gate_threshold_sweep_sql(),
+        "semdedup_bucket_balance": oracles.semdedup_bucket_balance_sql(),
     }
