@@ -1380,26 +1380,35 @@ def simhash_bit_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 or 1e6) halves that bit's discriminating power and silently
     degrades dedup_simhash_pairs recall. 64 output rows.
 
-    Scale posture: one documents scan; the vote array is computed once
-    per doc (the same aggregate expression simhash_hex uses), bits
-    posexplode to 64 rows/doc before a 64-group hash agg — no joins,
-    no windows. Docs with zero tokens are excluded (they have no
-    votes), mirroring the oracle's token-derived CTE.
+    Scale posture: rides the session-cached fingerprint frame
+    (``dedup.simhashed_documents`` — the same one every Hamming-family
+    query shares) instead of re-running the sha256 vote aggregation:
+    bit b of a fingerprint is exactly (vote_b >= 0), which is exactly
+    nibble-bit b of the hex rendering, so decoding 64 bits from the
+    16 hex chars reproduces the vote-derived output value-for-value
+    (r12 — the r11 form recomputed the full vote pipeline per run,
+    11.6 s median vs ~1 s from cache). Docs with zero tokens are
+    excluded (simhash_documents drops them), mirroring the oracle's
+    token-derived CTE.
     """
-    from via_spark.functions.simhash import simhash_votes
-    from via_spark.functions.text import tokens
-    from via_spark.session import load_table
+    from via_spark.operators.dedup import simhashed_documents
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    ).where(F.size("toks") > 0)
-    votes = d.select("doc_id", simhash_votes(F.col("toks")).alias("v"))
-    exploded = votes.select(F.posexplode("v").alias("bit", "vote"))
+    sh = simhashed_documents(spark, sf_dir).cache()
+    # 64-bit array from the hex: bit b = (nibble(b//4) >> (b%4)) & 1 —
+    # one F.expr parse (the r12 build-time pattern)
+    bits_sql = "array(" + ", ".join(
+        f"(shiftright(CAST(conv(substring(simhash, {b // 4 + 1}, 1), 16, 10)"
+        f" AS INT), {b % 4}) & 1)"
+        for b in range(64)
+    ) + ")"
+    exploded = sh.select(
+        F.expr(f"posexplode({bits_sql})").alias("bit", "one")
+    )
     return (
         exploded.groupBy("bit")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum((F.col("vote") >= 0).cast("long")).alias("n_ones"),
+            F.sum(F.col("one").cast("long")).alias("n_ones"),
         )
         .select(
             F.col("bit").cast("int").alias("bit"),
