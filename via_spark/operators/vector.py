@@ -1129,6 +1129,80 @@ def semdedup_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_SAMPLE_N = 200  # probe sample for the containment estimate
+
+
+def semdedup_containment_report(
+    spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU,
+    sample_n: int = SEMDEDUP_SAMPLE_N,
+) -> DataFrame:
+    """Measured pair containment of the SemDeDup cells against the
+    EXACT cosine-≥-tau ground truth, restricted to pairs touching a
+    deterministic probe sample (vec_id < ``sample_n``) — the standing
+    measured-accuracy rule (ann_recall_report,
+    neardup_lsh_recall_report) applied to the one approximation
+    SemDeDup makes: a true near-dup pair is only ever MARKED if both
+    endpoints land in the same (bkt, cid, scid) cell. Containment is
+    the fraction that do — the ceiling on SemDeDup's dup recall at
+    this tau, and the number that says whether the r12 sign-LSH
+    bucket level (or the k-means split under it) is cutting real
+    neighborhoods.
+
+    One row: (n_true_pairs, n_contained, containment_micro;
+    NULL containment when no true pair exists).
+
+    Scale posture: the exact side is sample × corpus with the sample
+    broadcast — linear, never all-pairs; the containment side is two
+    hash joins against the persisted label store.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    s = e.where(F.col("vec_id") < sample_n).select(
+        F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_emb")
+    )
+    truth = (
+        e.crossJoin(F.broadcast(s))
+        .where(F.col("vec_id") != F.col("s_id"))
+        .withColumn("d_fix", dot_fix(F.col("s_emb"), F.col("embedding")))
+        .withColumn("na_fix", dot_fix(F.col("s_emb"), F.col("s_emb")))
+        .withColumn("nb_fix", dot_fix(F.col("embedding"), F.col("embedding")))
+        .where(
+            cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix"))
+            >= F.lit(tau)
+        )
+        .select(
+            F.least("s_id", "vec_id").alias("vec_a"),
+            F.greatest("s_id", "vec_id").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    labels = semdedup_assignments(spark, sf_dir)
+    la = labels.select(F.col("vec_id").alias("vec_a"), F.col("cluster").alias("cl_a"))
+    lb = labels.select(F.col("vec_id").alias("vec_b"), F.col("cluster").alias("cl_b"))
+    return (
+        truth.join(la, "vec_a")
+        .join(lb, "vec_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+            F.sum((F.col("cl_a") == F.col("cl_b")).cast("long"))
+            .cast("long")
+            .alias("n_contained"),
+        )
+        .select(
+            F.coalesce("n_true_pairs", F.lit(0).cast("long")).alias(
+                "n_true_pairs"
+            ),
+            F.coalesce("n_contained", F.lit(0).cast("long")).alias(
+                "n_contained"
+            ),
+            F.expr(
+                "CASE WHEN coalesce(n_true_pairs, 0L) = 0 THEN NULL "
+                "ELSE coalesce(n_contained, 0L) * 1000000L "
+                "div n_true_pairs END"
+            ).alias("containment_micro"),
+        )
+    )
+
+
 def semdedup_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Occupancy histogram of the two-level SemDeDup cells (r11 staged)
     — the k-means twin of ``embedding_bucket_occupancy``: how many

@@ -1244,6 +1244,48 @@ FROM eb GROUP BY bkt
 """
 
 
+def semdedup_containment_report_sql(
+    tau: float | None = None, sample_n: int | None = None,
+) -> str:
+    """Containment mirror — exact sample×corpus truth pairs at tau vs
+    same-cluster membership in the unrolled SemDeDup chain."""
+    from via_spark.operators.vector import (
+        SEMDEDUP_SAMPLE_N,
+        SEMDEDUP_TAU,
+    )
+
+    tau = SEMDEDUP_TAU if tau is None else tau
+    sample_n = SEMDEDUP_SAMPLE_N if sample_n is None else sample_n
+    return f"""
+WITH sd AS ({semdedup_assignments_sql(tau)}),
+s AS (
+  SELECT vec_id AS s_id, embedding AS s_emb FROM embeddings
+  WHERE vec_id < {sample_n}
+),
+truth AS (
+  SELECT DISTINCT least(s_id, e.vec_id) AS vec_a,
+         greatest(s_id, e.vec_id) AS vec_b
+  FROM embeddings e CROSS JOIN s
+  WHERE e.vec_id <> s_id AND (
+    {_COS.format(
+        d=_DOT9_PAIR.format(a="s_emb", b="e.embedding"),
+        na=_DOT9_PAIR.format(a="s_emb", b="s_emb"),
+        nb=_DOT9_PAIR.format(a="e.embedding", b="e.embedding"),
+    )}) >= {tau!r}
+)
+SELECT count(*)::BIGINT AS n_true_pairs,
+       COALESCE(sum(CASE WHEN la.cluster = lb.cluster THEN 1 ELSE 0 END),
+                0)::BIGINT AS n_contained,
+       CASE WHEN count(*) = 0 THEN NULL
+            ELSE COALESCE(sum(CASE WHEN la.cluster = lb.cluster
+                               THEN 1 ELSE 0 END), 0)
+                 * 1000000 // count(*) END AS containment_micro
+FROM truth
+JOIN sd la ON truth.vec_a = la.vec_id
+JOIN sd lb ON truth.vec_b = lb.vec_id
+"""
+
+
 def store_build_report_sql() -> str:
     """Label-store census mirror — one row per store over the SAME
     chains the store builders materialize (reuses the four cluster /

@@ -80,12 +80,17 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * ``semdedup_bucket_balance`` — per-bucket skew readout of the r12
       sign-LSH level above SemDeDup's k-means (the one heuristic stage
       of the bucketed build), with each bucket's kk dial.
+    * ``semdedup_containment_report`` — measured fraction of exact
+      cosine-≥-tau pairs (sample×corpus ground truth) whose endpoints
+      share a SemDeDup cell: the dup-recall ceiling of the cell
+      confinement, per the standing measured-accuracy rule.
     """
     return {
         "store_build_report": graph.store_build_report,
         "gate_health_report": dedup.gate_health_report,
         "gate_threshold_sweep": dedup.gate_threshold_sweep,
         "semdedup_bucket_balance": vector.semdedup_bucket_balance,
+        "semdedup_containment_report": vector.semdedup_containment_report,
     }
 
 
@@ -96,4 +101,5 @@ def staged_oracle_sql() -> dict[str, str]:
         "gate_health_report": oracles.gate_health_report_sql(),
         "gate_threshold_sweep": oracles.gate_threshold_sweep_sql(),
         "semdedup_bucket_balance": oracles.semdedup_bucket_balance_sql(),
+        "semdedup_containment_report": oracles.semdedup_containment_report_sql(),
     }
