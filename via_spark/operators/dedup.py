@@ -2096,16 +2096,24 @@ def neardup_lsh_recall_report(
     row: (bits, n_sample_pairs, n_hit, recall_micro); recall_micro =
     hit*1e6 div true (NULL when no true pair exists).
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # norms precomputed per SIDE, not per pair: dot_fix is a
+    # higher-order-function expression (interpreted, no codegen), and
+    # the r11 form evaluated both self-norms once per CANDIDATE ROW —
+    # |sample|× redundant for the corpus norm, |corpus|× for the
+    # sample norm. Same values (same expression over the same vector),
+    # one third the HOF evaluations (r12).
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        dot_fix(F.col("embedding"), F.col("embedding")).alias("nb_fix"),
+    )
     s = e.where(F.col("vec_id") < sample_n).select(
-        F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_emb")
+        F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_emb"),
+        F.col("nb_fix").alias("na_fix"),
     )
     truth = (
         e.crossJoin(F.broadcast(s))
         .where(F.col("vec_id") != F.col("s_id"))
         .withColumn("d_fix", dot_fix(F.col("s_emb"), F.col("embedding")))
-        .withColumn("na_fix", dot_fix(F.col("s_emb"), F.col("s_emb")))
-        .withColumn("nb_fix", dot_fix(F.col("embedding"), F.col("embedding")))
         .where(
             cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix"))
             >= F.lit(threshold)
