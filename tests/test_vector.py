@@ -550,6 +550,64 @@ def test_semdedup_bucketed_oracle_parity_multibucket(spark, tmp_path):
     assert sum(n for n, _, _, _ in bal.values()) == len(rows)
 
 
+def test_semdedup_hot_bucket_worst_case(spark, tmp_path):
+    """Adversarial sign skew: every vector shares the bucket bit's
+    sign, so the ENTIRE >target corpus lands in ONE bucket — the
+    documented worst case of the r12 sign-LSH level (SCALE.md). The
+    build must fall back to the two-level k-means inside the hot
+    bucket (its own adaptive kk) and stay engine-vs-DuckDB exact; a
+    planted identical family must still resolve (same cell, lower-id
+    survivor)."""
+    import random
+
+    import duckdb
+
+    from via_spark.operators.vector import semdedup_compute
+    from via_spark.oracles import semdedup_assignments_sql
+
+    rng = random.Random(11)
+    dim = 16
+    rows = []
+    for i in range(5000):  # > 4096 -> bits = 1; bucket dim = 2 (1-based)
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        v[1] = abs(v[1]) + 0.01  # dim 2 positive for EVERY vector
+        rows.append((i, [round(x, 4) for x in v]))
+    fam = rows[17][1]
+    for j in range(3):  # planted identical family at high ids
+        rows.append((6000 + j, list(fam)))
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    got = {
+        r["vec_id"]: (r["cluster"], r["is_dup"])
+        for r in semdedup_compute(spark, str(d)).collect()
+    }
+    assert len(got) == len(rows)
+    # one hot bucket: every cluster id carries the same bucket prefix
+    assert len({c >> 24 for c, _ in got.values()}) == 1
+    # identical family: same cell; all but the lowest id marked dup
+    f_ids = [17, 6000, 6001, 6002]
+    assert len({got[i][0] for i in f_ids}) == 1
+    # (id 17 itself may or may not be marked — tau can catch a lower-id
+    # non-family neighbor; the copies are unconditionally dups)
+    assert all(got[i][1] for i in f_ids[1:])
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d / 'embeddings.parquet'}/*.parquet')"
+    )
+    expect = {
+        int(v): (int(c), bool(dup))
+        for v, c, dup in con.sql(
+            semdedup_assignments_sql(dim=dim)
+        ).fetchall()
+    }
+    assert got == expect
+
+
 def test_embedding_clusters_exact_collapse_semantics(spark, tmp_path):
     """The r11 exact-duplicate collapse must be invisible in the
     output: identical non-zero vectors cluster with their family min
