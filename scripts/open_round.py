@@ -56,6 +56,9 @@ def main() -> int:
         text=True,
     )
     print(splice.stdout.strip() or splice.stderr.strip())
+    if splice.returncode != 0:
+        print(splice.stderr, file=sys.stderr)
+        return splice.returncode
 
     rot = subprocess.run(
         [sys.executable, "-m", "via_spark.rotation"],

@@ -44,4 +44,4 @@ def test_every_query_has_an_oracle():
     driver sees is value-checked against DuckDB."""
     assert set(QUERIES.keys()) == set(ORACLES.keys())
     # exact, not a floor: a dropped query or oracle must fail loudly
-    assert len(QUERIES) == len(ORACLES) == 283
+    assert len(QUERIES) == len(ORACLES) == 288

@@ -387,6 +387,11 @@ def hamming_pairs_over(
     verify. Output: (doc_a, doc_b, hamming), doc_a < doc_b, one row per
     qualifying pair. Shared core of ``dedup_simhash_pairs`` and
     ``multimodal.phash_pairs_over``."""
+    if max_hamming > 3:
+        raise ValueError(
+            "hamming_pairs_over is pigeonhole-complete only for "
+            f"max_hamming <= 3 (20-triple scheme); got {max_hamming}"
+        )
     blocks = hashed.select(
         F.col(id_col).alias("doc_id"),
         F.col(h_col).alias("h64"),

@@ -724,7 +724,9 @@ def store_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = labels.agg(
             F.count(F.lit(1)).cast("long").alias("label_rows"),
             F.countDistinct(rep).cast("long").alias("n_groups"),
-            F.sum(flagged.cast("long")).cast("long").alias("flagged_rows"),
+            F.coalesce(
+                F.sum(flagged.cast("long")), F.lit(0)
+            ).cast("long").alias("flagged_rows"),
         )
         return (
             agg.crossJoin(F.broadcast(n_in))

@@ -1276,10 +1276,10 @@ truth AS (
 SELECT count(*)::BIGINT AS n_true_pairs,
        COALESCE(sum(CASE WHEN la.cluster = lb.cluster THEN 1 ELSE 0 END),
                 0)::BIGINT AS n_contained,
-       CASE WHEN count(*) = 0 THEN NULL
-            ELSE COALESCE(sum(CASE WHEN la.cluster = lb.cluster
-                               THEN 1 ELSE 0 END), 0)
-                 * 1000000 // count(*) END AS containment_micro
+       (CASE WHEN count(*) = 0 THEN NULL
+             ELSE COALESCE(sum(CASE WHEN la.cluster = lb.cluster
+                                THEN 1 ELSE 0 END), 0)
+                  * 1000000 // count(*) END)::BIGINT AS containment_micro
 FROM truth
 JOIN sd la ON truth.vec_a = la.vec_id
 JOIN sd lb ON truth.vec_b = lb.vec_id
@@ -1305,9 +1305,9 @@ SELECT '{name}' AS store,
        count(DISTINCT {rep})::BIGINT AS n_groups,
        COALESCE(sum(CASE WHEN {flagged} THEN 1 ELSE 0 END), 0)::BIGINT
          AS flagged_rows,
-       CASE WHEN count(*) = 0 THEN 0
-            ELSE COALESCE(sum(CASE WHEN {flagged} THEN 1 ELSE 0 END), 0)
-                 * 1000000 // count(*) END AS flagged_share_micro
+       (CASE WHEN count(*) = 0 THEN 0
+             ELSE COALESCE(sum(CASE WHEN {flagged} THEN 1 ELSE 0 END), 0)
+                  * 1000000 // count(*) END)::BIGINT AS flagged_share_micro
 FROM ({chain})
 """
 

@@ -65,41 +65,10 @@ from via_spark.operators import (  # noqa: F401  (kept for next batches)
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Round-12 batch (for the r13 splice) — operate-the-engine
-    surface (VERDICT r11 next-round #6):
-
-    * ``store_build_report`` — label-store census (input rows, label
-      rows, groups, flagged share) so the fixpoint outputs the scale
-      probes trend are visible IN the engine.
-    * ``gate_health_report`` — the embedding ingest gate's GATE_SOAK
-      checks (state rows vs distinct content, admit/flag rates) as a
-      batch-queryable one-row report over the incremental split.
-    * ``gate_threshold_sweep`` — flag-count-vs-threshold curve of the
-      same gate chain (one scoring pass, 7 conditional counts — the
-      dial-picking companion, as dedup_threshold_sweep is to MinHash).
-    * ``semdedup_bucket_balance`` — per-bucket skew readout of the r12
-      sign-LSH level above SemDeDup's k-means (the one heuristic stage
-      of the bucketed build), with each bucket's kk dial.
-    * ``semdedup_containment_report`` — measured fraction of exact
-      cosine-≥-tau pairs (sample×corpus ground truth) whose endpoints
-      share a SemDeDup cell: the dup-recall ceiling of the cell
-      confinement, per the standing measured-accuracy rule.
-    """
-    return {
-        "store_build_report": graph.store_build_report,
-        "gate_health_report": dedup.gate_health_report,
-        "gate_threshold_sweep": dedup.gate_threshold_sweep,
-        "semdedup_bucket_balance": vector.semdedup_bucket_balance,
-        "semdedup_containment_report": vector.semdedup_containment_report,
-    }
+    """Spliced into __spark_entry__ at the r10 head — registry drained."""
+    return {}
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """DuckDB mirrors for the round-12 batch."""
-    return {
-        "store_build_report": oracles.store_build_report_sql(),
-        "gate_health_report": oracles.gate_health_report_sql(),
-        "gate_threshold_sweep": oracles.gate_threshold_sweep_sql(),
-        "semdedup_bucket_balance": oracles.semdedup_bucket_balance_sql(),
-        "semdedup_containment_report": oracles.semdedup_containment_report_sql(),
-    }
+    """Spliced into __spark_entry__ at the r10 head — registry drained."""
+    return {}
