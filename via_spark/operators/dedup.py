@@ -536,6 +536,32 @@ transform(sequence(0, bits), i ->
   END)
 """
 
+# DIRECTIONAL Hamming-1 probes for SELF-join pair pipelines (r13): a
+# Hamming-1 pair differs at exactly one bit, so only the side holding
+# '0' there needs to probe (flipping 0 -> 1 reaches the partner; the
+# '1' side flipping its OWN zeros can never reach back). Exploding the
+# self bucket plus the ~bits/2 zero-bit flips instead of all bits+1
+# probes halves the probe shuffle and the pre-verify join volume while
+# producing the IDENTICAL unordered candidate set: same-bucket pairs
+# surface from both self-probes (keep vec_a < vec_b), cross-bucket
+# pairs from exactly one directed flip (keep both orientations,
+# canonicalize with least/greatest afterwards — still no distinct).
+# Batch-vs-corpus probes (incremental/gate) keep the full neighborhood:
+# there only the batch side explodes, so direction cannot be traded.
+_DIRECTIONAL_PROBES = """
+filter(
+  transform(sequence(0, bits), i ->
+    CASE WHEN i = 0 THEN named_struct('pb', bucket, 'self', true)
+         WHEN substring(bucket, cast(i as int), 1) = '0'
+         THEN named_struct(
+                'pb',
+                concat(substring(bucket, 1, cast(i - 1 as int)), '1',
+                       substring(bucket, cast(i + 1 as int))),
+                'self', false)
+         ELSE null END),
+  p -> p is not null)
+"""
+
 
 def neardup_embedding_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = EMB_COS_THRESHOLD,
@@ -567,8 +593,11 @@ def neardup_embedding_pairs(
     # self-norms are per-VECTOR, so compute them once on the N-row scan
     # side, never per candidate: the 64-dim dots are higher-order-function
     # expressions (outside whole-stage codegen), and at 10x data the
-    # per-pair na/nb dots were 2/3 of a measured ~39us/candidate verify
-    e0 = load_table(spark, sf_dir, "embeddings").select(
+    # per-pair na/nb dots were 2/3 of a measured ~39us/candidate verify.
+    # spread(): the self-dot + probe explode are per-row-heavy map work
+    # that a single-split scan would serialize (gated — no-op on an
+    # already-parallel cluster scan)
+    e0 = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding",
         dot_fix(F.col("embedding"), F.col("embedding")).alias("n_fix"),
     )
@@ -591,11 +620,17 @@ def neardup_pairs_over(
         a = e.select(
             F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
             F.col("n_fix").alias("na_fix"),
-            F.explode(F.expr(_VARIABLE_PROBES)).alias("bucket"),
+            F.explode(F.expr(_DIRECTIONAL_PROBES)).alias("p"),
+        ).select(
+            "vec_a", "emb_a", "na_fix",
+            F.col("p.pb").alias("bucket"), F.col("p.self").alias("is_self"),
         )
         b = e.select(
             F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
             F.col("n_fix").alias("nb_fix"), "bucket",
+        )
+        cand = a.join(b, "bucket").where(
+            (~F.col("is_self")) | (F.col("vec_a") < F.col("vec_b"))
         )
     else:
         e = e0.select(
@@ -613,12 +648,16 @@ def neardup_pairs_over(
             F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
             F.col("n_fix").alias("nb_fix"), "bucket",
         )
-    cand = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+        cand = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
     return (
         cand.withColumn("d_fix", dot_fix(F.col("emb_a"), F.col("emb_b")))
         .withColumn("score", cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")))
         .where(F.col("score") >= threshold)
-        .select("vec_a", "vec_b", "score")
+        .select(
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
+            "score",
+        )
     )
 
 
@@ -1997,8 +2036,10 @@ def lsh_density_outliers(
     from via_spark.operators.vector import cosine_from_fix, dot_fix
 
     # per-vector self-norm on the scan side, never per candidate — see
-    # neardup_embedding_pairs (same measured 2/3-of-verify saving)
-    e0 = load_table(spark, sf_dir, "embeddings").select(
+    # neardup_embedding_pairs (same measured 2/3-of-verify saving);
+    # spread() parallelizes the self-dot + probe explode map work off a
+    # single-split scan (gated)
+    e0 = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", "embedding",
         dot_fix(F.col("embedding"), F.col("embedding")).alias("n_fix"),
     )
@@ -2009,7 +2050,10 @@ def lsh_density_outliers(
         a = e.select(
             F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
             F.col("n_fix").alias("na_fix"),
-            F.explode(F.expr(_VARIABLE_PROBES)).alias("bucket"),
+            F.explode(F.expr(_DIRECTIONAL_PROBES)).alias("p"),
+        ).select(
+            "vec_a", "emb_a", "na_fix",
+            F.col("p.pb").alias("bucket"), F.col("p.self").alias("is_self"),
         )
     else:
         e = e0.withColumn(
@@ -2021,21 +2065,36 @@ def lsh_density_outliers(
             F.explode(
                 probe_buckets(F.col("bucket"), bits=bits, radius=probe_radius)
             ).alias("bucket"),
-        )
+        ).withColumn("is_self", F.lit(True))
     b = e.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
         F.col("n_fix").alias("nb_fix"), "bucket",
     )
-    counts = (
+    # The candidate relation is SYMMETRIC (hamming(bucket_a, bucket_b)
+    # <= radius is direction-free and all rows share the same bits), and
+    # so is the cosine — so verify each unordered pair ONCE and credit
+    # both endpoints afterwards. The per-candidate 64-dim fixed-point
+    # dot is an interpreted higher-order expression (outside codegen)
+    # and dominates the 100x wall; this halves it with token-identical
+    # output, and the adaptive path additionally explodes only the
+    # DIRECTIONAL probe set (see _DIRECTIONAL_PROBES: same-bucket pairs
+    # keep vec_a < vec_b; a directed flip emits its cross-bucket pair
+    # exactly once in either orientation) (r13, VERDICT r12 next #3).
+    neighbor_ends = (
         a.join(b, "bucket")
+        .where(
+            (~F.col("is_self")) | (F.col("vec_a") < F.col("vec_b"))
+        )
         .where(F.col("vec_a") != F.col("vec_b"))
         .withColumn("d_fix", dot_fix(F.col("emb_a"), F.col("emb_b")))
         .where(
             cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix"))
             >= F.lit(tau)
         )
-        .groupBy("vec_a")
-        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+        .select(F.explode(F.array("vec_a", "vec_b")).alias("vec"))
+    )
+    counts = neighbor_ends.groupBy(F.col("vec").alias("vec_a")).agg(
+        F.count(F.lit(1)).alias("n_neighbors")
     )
     return (
         e.join(counts, e.vec_id == counts.vec_a, "left")

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from via_spark.operators.dedup import JACCARD_THRESHOLD, dedup_minhash_pairs
-from via_spark.session import load_table
+from via_spark.session import load_table, spread
 
 
 def connected_components(
@@ -112,14 +112,22 @@ def connected_components(
         e = new_e
         # fixpoint = star forest: every edge points a child at a ROOT
         # (no parent is itself a child) and the child→parent relation
-        # is a function (no child kept two parents)
+        # is a function (no child kept two parents). Both violation
+        # probes limit-1 into one union so convergence costs ONE job
+        # per round, not two (each job is fixed scheduler overhead on
+        # the checkpointed edge set).
         parent_is_child = e.alias("x").join(
             e.alias("y"), F.col("x.v") == F.col("y.u"), "left_semi"
         )
         multi_parent = (
             e.groupBy("u").agg(F.count(F.lit(1)).alias("np")).where(F.col("np") > 1)
         )
-        if parent_is_child.isEmpty() and multi_parent.isEmpty():
+        violations = (
+            parent_is_child.select(F.lit(1).alias("one"))
+            .limit(1)
+            .unionAll(multi_parent.select(F.lit(1).alias("one")).limit(1))
+        )
+        if violations.isEmpty():
             converged = True
             break
     if not converged:
@@ -274,27 +282,40 @@ def embedding_clusters_compute(
     from via_spark.operators.vector import dot_fix
 
     threshold = EMB_COS_THRESHOLD if threshold is None else threshold
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # spread(): the self-dot + (downstream) probe explode are per-row-
+    # heavy map stages a single-split scan would serialize (gated —
+    # no-op on an already-parallel cluster scan)
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding",
         dot_fix(F.col("embedding"), F.col("embedding")).alias("n_fix"),
     )
     nz = e.where(F.col("n_fix") > 0)
-    fam = nz.groupBy("embedding").agg(F.min("vec_id").alias("rep"))
+    # family rep = min vec_id per identical embedding, carried OUT of
+    # the same aggregation as a collected id list: one wide shuffle on
+    # the embedding key instead of the r12 groupBy + shuffle-join-back
+    # (which moved every 64-float row across the wire twice — the
+    # measured ~3x-per-3.33x phase of the 100x store probe)
+    fam = nz.groupBy("embedding").agg(
+        F.min("vec_id").alias("rep"),
+        F.collect_list("vec_id").alias("ids"),
+    )
     vmap = (
-        nz.join(fam, "embedding")
-        .select("vec_id", "rep")
+        fam.select(F.explode("ids").alias("vec_id"), "rep")
         .unionByName(
             e.where(F.col("n_fix") == 0)
             .select("vec_id", F.col("vec_id").alias("rep"))
         )
         .localCheckpoint()  # fixpoint input: truncate the groupBy lineage
     )
-    reps = e.join(
-        vmap.where(F.col("vec_id") == F.col("rep")).select("vec_id"), "vec_id"
-    )
+    # narrow rep-id frame off the CHECKPOINTED map: the contraction's
+    # vertex set and the final labeling join must not re-derive the
+    # embeddings scan + self-dot chain (it re-ran twice in r12 — the
+    # loop/expand phase's super-linear share)
+    rep_ids = vmap.where(F.col("vec_id") == F.col("rep")).select("vec_id")
+    reps = e.join(rep_ids, "vec_id")
     pairs = neardup_pairs_over(reps, threshold)
     edges = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
-    comp = connected_components(reps.select(F.col("vec_id").alias("id")), edges)
+    comp = connected_components(rep_ids.select(F.col("vec_id").alias("id")), edges)
     return (
         vmap.join(comp, vmap["rep"] == comp["id"])
         .select("vec_id", F.col("component").alias("cluster_rep"))
