@@ -54,11 +54,18 @@ RATE_TARGET = 100.0        # envelopes/s the feeder must sustain
 CADENCE_SEC = 60.0         # the reference worker's cadence (the budget)
 # Evaluation trigger: the 60 s budget is the reference's operating
 # point (app/worker.py:13 sleep(60)); the event-time WINDOW stays
-# WINDOW_SEC regardless. Triggering the same analysis at 30 s bounds
-# worst-case detection latency by trigger phase (30 s) + compute (~2 s)
+# WINDOW_SEC regardless. Triggering the same analysis at 15 s bounds
+# worst-case detection latency by trigger phase (15 s) + compute (~2 s)
 # instead of a full cadence — SOAK_r9 measured 59.5 s against the 60 s
-# budget purely from phase alignment.
-TRIGGER_SEC = 30.0
+# budget purely from phase alignment, and SOAK_r12's 35.6 s bounce vs
+# r11's 19.1 s was the same quantization under a 30 s trigger (compute
+# actually got FASTER; VERDICT r12 wrong #1). Spark's processing-time
+# executor aligns fires to wall-clock multiples of the interval, so the
+# phase cannot be tuned — only shrunk. Compute (median ~1.5 s, max ~3 s)
+# leaves 5x headroom inside 15 s; the per-trigger phase breakdown below
+# records feed -> trigger-wait -> compute -> poll so any future bounce
+# is attributable.
+TRIGGER_SEC = 15.0
 
 
 def _envelope(ts: int, service: str, severity: str, body: str) -> str:
@@ -213,7 +220,7 @@ def main() -> int:
     deadline = feeder.t_plant + 2 * CADENCE_SEC + 45.0
     seen: set[str] = set()
     while time.monotonic() < deadline and seen != {"novelty", "frequency"}:
-        time.sleep(2.0)
+        time.sleep(0.5)
         try:
             rows = promote.read_tier2(spark, tier2).select("anomaly_type").collect()
         except Exception:
@@ -253,7 +260,32 @@ def main() -> int:
         and (t_detect - feeder.t_plant) <= 2 * CADENCE_SEC + 45.0,
     }
     computes = [b["compute_s"] for b in batch_timings]
+    # detection-latency phase breakdown: the detecting trigger is the
+    # first fire at/after the plant finished writing (both planted
+    # anomalies need the plant's LAST file); everything between that
+    # fire's end and t_detect is ingest/poll slack
+    full_fires = sorted(
+        (b for b in batch_timings if b["fire_monotonic"] >= feeder.t_done),
+        key=lambda b: b["fire_monotonic"],
+    )
+    det_fire = next(
+        (b for b in full_fires
+         if b["fire_monotonic"] + b["compute_s"] <= t_detect), None
+    )
+    phase = {
+        "plant_write_s": round(feeder.t_done - feeder.t_plant, 1),
+        "trigger_wait_s": (
+            round(det_fire["fire_monotonic"] - feeder.t_done, 1)
+            if det_fire else None
+        ),
+        "detect_compute_s": det_fire["compute_s"] if det_fire else None,
+        "poll_slack_s": (
+            round(t_detect - det_fire["fire_monotonic"] - det_fire["compute_s"], 1)
+            if det_fire else None
+        ),
+    }
     result.update(
+        latency_phases=phase,
         ok=all(checks.values()),
         checks=checks,
         envelopes=feeder.total,

@@ -1129,3 +1129,47 @@ def test_round9c_op_plans(spark, sf_oracle):
 
     p = _plan(spark, sf_oracle, "bigram_lm_perplexity")
     assert p.count("BroadcastNestedLoopJoin") == 1, p[:2000]  # 1-row V only
+
+
+def test_dedup_simhash_canonical_triple_plan_shape(spark, sf_oracle):
+    """The canonical-triple filter (r12, dedup.hamming_pairs_over) emits
+    each Hamming-<=3 pair exactly once straight out of the 20-triple
+    block equi-join, so the plan must carry NO pair-keyed aggregate
+    between join and output — the pre-r12 form paid a full distinct
+    shuffle on the whole candidate set. Candidates stay a block-key
+    equi-join, never a product. Red-if-reverted: adding .distinct()
+    back puts HashAggregate(keys=[doc_a.., doc_b..]) into the plan."""
+    p = _plan(spark, sf_oracle, "dedup_simhash_pairs")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert not re.search(r"HashAggregate\(keys=\[doc_a", p), (
+        "post-join pair distinct reintroduced"
+    )
+    # candidates come from an equi-join (any physical equi strategy)
+    assert any(
+        j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), p[:2000]
+
+
+def test_semdedup_bucketed_chain_plan_shape(spark, sf_oracle):
+    """The r12 bucketed SemDeDup dup scan must stay CELL-CONFINED
+    (vector.semdedup_compute, production k=None path): the pair join is
+    an equi-join on the (bkt, cid, scid) cell key — never a product —
+    the per-bucket kk frame attaches by BROADCAST, and the bounded
+    candidate set rebalances via the keyed pair-identity repartition
+    before the per-pair dot. Red-if-reverted: dropping the sub-cell
+    confinement widens the join key (no scid), and dropping the
+    broadcast(kn) turns the kk attach into a shuffled join."""
+    from via_spark.operators import vector
+    from via_spark.plans import executed_plan
+
+    p = executed_plan(vector.semdedup_compute(spark, sf_oracle))
+    assert "CartesianProduct" not in p
+    # the dup pair scan joins on the full cell triple
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[bkt#\d+L?, cid#\d+, scid#\d+\]",
+        p,
+    ), p[:3000]
+    # per-bucket kk attaches broadcast
+    assert "BroadcastHashJoin" in p, p[:2000]
+    # bounded candidate set rebalanced on pair identity before the dot
+    assert re.search(r"hashpartitioning\(va#\d+L?, vb#\d+L?", p), p[:3000]
