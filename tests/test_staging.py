@@ -1165,3 +1165,69 @@ def test_positional_template_entropy_planted(spark, tmp_path):
     # {2,2}: ln(4) - (2·ln2 + 2·ln2)/4 = ln(4) - ln(2) = ln(2)
     assert got[("tpl", 1)] == (4, 2, ln4 - ln2)
     assert got[("org", 0)] == (4, 4, ln4)               # all distinct
+
+
+def test_tau_sweep_pins_store_flagged_count(spark, sf_oracle):
+    """The tau_pct = 30 row of semdedup_tau_sweep must equal the
+    SemDeDup store's flagged count — the sweep and the store share the
+    cell confinement and SEMDEDUP_TAU = 0.3, so a drift here means the
+    sweep stopped measuring the production dial."""
+    from via_spark.operators.vector import semdedup_assignments, semdedup_tau_sweep
+
+    n_flagged = (
+        semdedup_assignments(spark, sf_oracle)
+        .where(F.col("is_dup"))
+        .count()
+    )
+    row = {
+        r["tau_pct"]: r["n_dups"]
+        for r in semdedup_tau_sweep(spark, sf_oracle).collect()
+    }
+    assert row[30] == n_flagged
+    # monotone: raising tau can only shrink the dup set
+    taus = sorted(row)
+    assert all(row[a] >= row[b] for a, b in zip(taus, taus[1:]))
+
+
+def test_minpts_sweep_pins_density_labels(spark, sf_oracle):
+    """The min_pts = DENSITY_MIN_PTS row of density_minpts_sweep must
+    equal lsh_density_outliers' flagged count (same pass, same dial),
+    and the curve must be monotone non-decreasing in min_pts."""
+    from via_spark.operators.dedup import (
+        DENSITY_MIN_PTS,
+        density_minpts_sweep,
+        lsh_density_outliers,
+    )
+
+    n_out = (
+        lsh_density_outliers(spark, sf_oracle).where(F.col("is_outlier")).count()
+    )
+    rows = {
+        r["min_pts"]: r["n_outliers"]
+        for r in density_minpts_sweep(spark, sf_oracle).collect()
+    }
+    assert rows[DENSITY_MIN_PTS] == n_out
+    ms = sorted(rows)
+    assert all(rows[a] <= rows[b] for a, b in zip(ms, ms[1:]))
+
+
+def test_bits_dial_adaptive_row_pins_production_pairs(spark, sf_oracle):
+    """The adaptive row of lsh_bits_dial_report must agree with the
+    production pair query (same pipeline): n_pairs == count of
+    neardup_embedding_pairs. The A/B isolates the DIAL, so the
+    baseline row cannot drift from what production runs."""
+    from via_spark.operators.dedup import (
+        lsh_bits_dial_report,
+        neardup_embedding_pairs,
+    )
+
+    n_pairs = neardup_embedding_pairs(spark, sf_oracle).count()
+    rows = {
+        r["variant"]: r for r in lsh_bits_dial_report(spark, sf_oracle).collect()
+    }
+    assert rows["adaptive"]["n_pairs"] == n_pairs
+    # every variant's kept pairs are bounded by its candidates, and
+    # recall hits are bounded by the truth set
+    for r in rows.values():
+        assert r["n_pairs"] <= r["n_candidates"]
+        assert r["n_sample_hit"] <= r["n_sample_truth"]

@@ -65,10 +65,21 @@ from via_spark.operators import (  # noqa: F401  (kept for next batches)
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Spliced into __spark_entry__ at the r10 head — registry drained."""
-    return {}
+    """Round-13 batch: the per-dial regression corpus (VERDICT r12 next
+    #6) — the engine already measures LSH recall, SemDeDup containment
+    and ANN recall; these three close the loop on the DIALS themselves:
+    bits (adaptive vs pinned A/B), SemDeDup tau, density min_pts."""
+    return {
+        "lsh_bits_dial_report": dedup.lsh_bits_dial_report,
+        "density_minpts_sweep": dedup.density_minpts_sweep,
+        "semdedup_tau_sweep": vector.semdedup_tau_sweep,
+    }
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Spliced into __spark_entry__ at the r10 head — registry drained."""
-    return {}
+    """DuckDB mirrors for the round-13 staged batch."""
+    return {
+        "lsh_bits_dial_report": oracles.lsh_bits_dial_report_sql(),
+        "density_minpts_sweep": oracles.density_minpts_sweep_sql(),
+        "semdedup_tau_sweep": oracles.semdedup_tau_sweep_sql(),
+    }
