@@ -92,11 +92,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-checked: the fake features are pure functions of the bytes,
     so DuckDB recomputes them from the text directly.
     """
-    # gated spread to 8: the single-split fixture scan is widened to 8
-    # (not full parallelism — Python worker startup dominates at fixture
-    # scale, so fewer/larger Arrow batches win); an already-parallel
-    # scan keeps its partitioning, where startup amortizes over volume
-    d = spread(load_table(spark, sf_dir, "documents"), 8)
+    # gated spread to session parallelism: Spark reuses Python workers,
+    # so the old fewer/larger-Arrow-batches tuning (spread to 8) lost at
+    # BOTH scales when re-measured in r13 (sf0.1 dhash 0.73 -> 0.50 s,
+    # 100x 9.3 -> 5.9 s); an already-parallel scan keeps its
+    # partitioning either way
+    d = spread(load_table(spark, sf_dir, "documents"))
     payloads = with_binary_payload(d).select("doc_id", "content")
     return payloads.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
 
@@ -138,7 +139,7 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing (binary column in, Arrow batches through the Python
     worker, typed multi-row output) is the production path unchanged.
     """
-    d = spread(load_table(spark, sf_dir, "documents"), 8)
+    d = spread(load_table(spark, sf_dir, "documents"))
     payloads = with_binary_payload(d).select("doc_id", "content")
     return payloads.mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
 
@@ -225,7 +226,7 @@ def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual hash per payload: binary column → Arrow-batched dHash
     (same mapInPandas decode stage as ``multimodal_features``)."""
-    d = spread(load_table(spark, sf_dir, "documents"), 8)
+    d = spread(load_table(spark, sf_dir, "documents"))
     payloads = with_binary_payload(d).select("doc_id", "content")
     return payloads.mapInPandas(_dhash_batches, schema=DHASH_SCHEMA)
 
@@ -322,6 +323,6 @@ def audio_segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: one linear mapInPandas pass, output rows bounded by
     duration/hop per clip, zero shuffle.
     """
-    d = spread(load_table(spark, sf_dir, "documents"), 8)
+    d = spread(load_table(spark, sf_dir, "documents"))
     payloads = with_binary_payload(d).select("doc_id", "content")
     return payloads.mapInPandas(_segment_batches, schema=AUDIO_SEG_SCHEMA)
