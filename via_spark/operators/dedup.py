@@ -696,7 +696,10 @@ def incremental_embedding_pairs(
     (new, corpus) candidate matches exactly one probe, so no pair
     dedup. Output: (new_vec, corpus_vec, score).
     """
-    e0 = load_table(spark, sf_dir, "embeddings").select(
+    # spread(): the self-dot + probe explode are per-row-heavy map work
+    # a single-split scan would serialize (gated — no-op on an
+    # already-parallel cluster scan); same fix as the self-join family
+    e0 = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding",
         dot_fix(F.col("embedding"), F.col("embedding")).alias("n_fix"),
     )
@@ -747,7 +750,10 @@ def gate_health_report(
     Scale posture: |batch| × occupancy probe joins (never |corpus|²)
     + three 1-row aggs attached by broadcast scalar crossJoins.
     """
-    e0 = load_table(spark, sf_dir, "embeddings").select(
+    # spread(): the self-dot + probe explode are per-row-heavy map work
+    # a single-split scan would serialize (gated — no-op on an
+    # already-parallel cluster scan); same fix as the self-join family
+    e0 = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding",
         dot_fix(F.col("embedding"), F.col("embedding")).alias("n_fix"),
     )
@@ -837,7 +843,10 @@ def gate_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_batch attaches by broadcast scalar. Zero-flag thresholds stay in
     the output (conditional agg, no post-filter drop).
     """
-    e0 = load_table(spark, sf_dir, "embeddings").select(
+    # spread(): the self-dot + probe explode are per-row-heavy map work
+    # a single-split scan would serialize (gated — no-op on an
+    # already-parallel cluster scan); same fix as the self-join family
+    e0 = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding",
         dot_fix(F.col("embedding"), F.col("embedding")).alias("n_fix"),
     )
