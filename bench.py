@@ -69,6 +69,13 @@ def _build_stores(spark) -> dict[str, float]:
         ("tier2", lambda: store.tier2(spark, SF_DIR, **TIER2_VARIANT)),
         ("tier2_daily", lambda: store.tier2_daily_path(spark, SF_DIR, **TIER2_VARIANT)),
         ("cluster_labels", lambda: store.cluster_labels(spark, SF_DIR, JACCARD_THRESHOLD)),
+        # r14: the remaining label stores (embedding/phash/semdedup
+        # clusters), materialized CONCURRENTLY (store.prewarm, guide
+        # §2.6) and timed as one entry — previously their one-time
+        # fixpoints were charged to whichever query touched each store
+        # first (store_build_report absorbed ~10 s in the r13 bench),
+        # exactly the mis-attribution this pre-build exists to avoid.
+        ("label_stores", lambda: store.prewarm(spark, SF_DIR)),
     ):
         t0 = time.perf_counter()
         try:

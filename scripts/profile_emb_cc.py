@@ -75,13 +75,19 @@ def main() -> int:
         )
         return vmap, reps
 
+    # Build vmap/reps ONCE outside the timed closures (ADVICE r13):
+    # vmap_and_reps()'s localCheckpoint eagerly re-materializes the
+    # collapse phase, so calling it inside t_pairs charged a full
+    # collapse rebuild to pairs_s and the contraction-share estimate
+    # subtracted the collapse twice.
+    _vmap_shared, _reps_shared = vmap_and_reps()
+
     def t_collapse():
         vmap, _ = vmap_and_reps()
         vmap.count()
 
     def t_pairs():
-        _, reps = vmap_and_reps()
-        neardup_pairs_over(reps, EMB_COS_THRESHOLD).count()
+        neardup_pairs_over(_reps_shared, EMB_COS_THRESHOLD).count()
 
     def t_full():
         df = graph.embedding_clusters_compute(spark, sf, EMB_COS_THRESHOLD)
@@ -90,10 +96,8 @@ def main() -> int:
             F.count("h"), F.max("h")
         ).collect()
 
-    n_pairs = None
-    _, reps0 = vmap_and_reps()
-    n_reps = reps0.count()
-    n_pairs = neardup_pairs_over(reps0, EMB_COS_THRESHOLD).count()
+    n_reps = _reps_shared.count()
+    n_pairs = neardup_pairs_over(_reps_shared, EMB_COS_THRESHOLD).count()
 
     rep = {
         "factor": args.factor,

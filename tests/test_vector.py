@@ -670,3 +670,46 @@ def test_phash_clusters_exact_collapse_semantics(spark, tmp_path):
     assert len(got) == len(rows)
     assert {got[i] for i in (0, 1, 2)} == {(0, 3)}
     assert got[10][1] == 1 and got[11][1] == 1
+
+
+def test_dot_fix_arrow_bit_identical_to_native(spark, sf_oracle):
+    """dot_fix_arrow (the numpy/Arrow twin used on high-volume pair
+    frames, r14) must produce the EXACT BIGINT dot_fix produces for
+    every pair it replaces — adversarial inputs included: negatives
+    (floor truncates toward -inf on both sides), zeros, denormal-ish
+    magnitudes, and the real fixture vectors."""
+    from via_spark.operators.vector import dot_fix, dot_fix_arrow
+    from via_spark.session import load_table
+
+    # real fixture pairs: every corpus vector against a rotating partner
+    e = load_table(spark, sf_oracle, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    pairs = (
+        e.alias("a")
+        .join(
+            e.selectExpr("(vec_id + 7) % {} as vec_id".format(n), "embedding as emb_b"),
+            "vec_id",
+        )
+        .select(F.col("embedding").alias("x"), F.col("emb_b").alias("y"))
+    )
+    mismatch = pairs.where(
+        dot_fix(F.col("x"), F.col("y")) != dot_fix_arrow(F.col("x"), F.col("y"))
+    ).count()
+    assert mismatch == 0
+
+    # synthetic adversarial values (exact-representability edge cases)
+    rows = [
+        ([0.0] * 4, [0.0] * 4),
+        ([1.5, -2.25, 0.1, -0.1], [0.3, 0.7, -0.9, 1.0]),
+        ([1e-9, -1e-9, 123.456, -654.321], [1e9, -1e9, 0.000123, 7.0]),
+        ([0.1] * 4, [0.3] * 4),
+    ]
+    df = spark.createDataFrame(
+        [(list(map(float, x)), list(map(float, y))) for x, y in rows],
+        "x array<double>, y array<double>",
+    )
+    got = df.select(
+        dot_fix(F.col("x"), F.col("y")).alias("native"),
+        dot_fix_arrow(F.col("x"), F.col("y")).alias("arrow"),
+    ).collect()
+    assert all(r["native"] == r["arrow"] for r in got), got

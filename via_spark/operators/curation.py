@@ -173,25 +173,36 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key (AQE-skew-splittable); verify touches candidate pairs only —
     the same candidates-then-verify shape as the dedup family, applied
     to entity strings instead of documents."""
-    c = load_table(spark, sf_dir, "customer").select(
+    from via_spark.session import spread
+
+    # spread: the delete-key explode + xxhash projection is the heavy
+    # map stage (O(len) keys per name) — gated widen off a single-split
+    # fixture scan, no-op on a parallel cluster scan
+    c = spread(load_table(spark, sf_dir, "customer")).select(
         "c_custkey", F.lower(F.col("c_name")).alias("name")
     )
     # candidate generation shuffles (id, 8-byte key hash) ONLY — the
     # name payload attaches AFTER pair-dedup, so the widest shuffle
     # carries 16 bytes/row instead of strings. A hash collision can
     # only ADD a candidate, which the exact levenshtein verify kills.
+    # Alias self-join over ONE keyed frame (r14): two differently-
+    # renamed projections planned two independent Exchanges, each
+    # re-running the key derivation; the literal-same plan on both
+    # sides dedups them into one Exchange + ReusedExchange (guide §2.4).
     keyed = c.select(
         "c_custkey",
         F.explode(
             F.transform(_delete_keys(F.col("name")), lambda k: F.xxhash64(k))
         ).alias("kh"),
     )
-    a = keyed.select(F.col("c_custkey").alias("key_a"), "kh")
-    b = keyed.select(F.col("c_custkey").alias("key_b"), "kh")
     cand = (
-        a.join(b, "kh")
-        .where(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b")
+        keyed.alias("a")
+        .join(keyed.alias("b"), F.col("a.kh") == F.col("b.kh"))
+        .where(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+        )
         .dropDuplicates(["key_a", "key_b"])
     )
     named = (
@@ -763,12 +774,13 @@ def boilerplate_span_audit(
     would catch that as a mismatch.
     """
     from via_spark.functions.text import tokens as _tokens
-    from via_spark.session import spread
+    from via_spark.session import nopush, spread
 
     d = spread(load_table(spark, sf_dir, "documents"))
     grams = (
         d.select("doc_id", _tokens(F.col("text")).alias("toks"))
-        .where(F.size("toks") >= n)
+        # nopush: keep the tokenize out of the single-task scan stage
+        .where(nopush(F.size("toks") >= n))
         .select(
             "doc_id",
             F.explode(
@@ -853,39 +865,62 @@ def gopher_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     breakdown is what you read BEFORE turning the filter on — it shows
     which rule does the cutting.
 
-    Scale posture: one documents scan; the five per-doc signals are
-    array-local expressions over the pinned tokenizer (token frequency
-    via a distinct-element recount inside the array — O(len²) on a
-    bounded doc array beats a token explode+shuffle); the rule
-    booleans explode into (rule, fail) pairs AFTER the per-doc signals
-    collapse to five ints, so the shuffle carries 6 tiny rows per doc.
+    Scale posture: one documents scan (spread: the per-doc signal
+    expressions are the heavy map work — a single-split fixture scan
+    would serialize them); the five per-doc signals are array-local
+    expressions over the pinned tokenizer; the top-token count walks
+    the SORTED array once (longest equal-run — O(n log n), r14; the
+    r13 per-distinct-element recount was O(len²) interpreted HOF evals
+    and measured 2.5× slower for identical output); the rule booleans
+    explode into (rule, fail) pairs AFTER the per-doc signals collapse
+    to five ints, so the shuffle carries 6 tiny rows per doc.
     """
     from via_spark.functions.text import tokens
+    from via_spark.session import spread
 
-    d = load_table(spark, sf_dir, "documents")
-    sig = d.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).alias("n"),
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    # max token frequency = longest run of equals in the sorted array;
+    # empty arrays keep the r13 NULL (array_max over empty) semantics
+    top = F.when(F.size("toks") == 0, F.lit(None).cast("long")).otherwise(
         F.aggregate(
-            tokens(F.col("text")),
+            F.array_sort(F.col("toks")),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                        F.lit(1).cast("long")
+                    ),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+    )
+    sig = toks.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.aggregate(
+            F.col("toks"),
             F.lit(0).cast("long"),
             lambda acc, t: acc + F.length(t),
         ).alias("chars"),
         F.size(
             F.filter(
-                tokens(F.col("text")),
+                F.col("toks"),
                 lambda x: x.isin(*textstats.STOPWORDS["en"]),
             )
         ).alias("stop"),
-        F.size(F.array_distinct(tokens(F.col("text")))).alias("uniq"),
-        F.array_max(
-            F.transform(
-                F.array_distinct(tokens(F.col("text"))),
-                lambda u: F.size(
-                    F.filter(tokens(F.col("text")), lambda x: x == u)
-                ),
-            )
-        ).alias("top"),
+        F.size(F.array_distinct(F.col("toks"))).alias("uniq"),
+        top.alias("top"),
     )
     passes = sig.select(
         F.col("n").between(30, 60).alias("word_count"),

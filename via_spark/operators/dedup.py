@@ -37,8 +37,8 @@ from pyspark.sql import functions as F
 
 from via_spark.functions.simhash import simhash_hex
 from via_spark.functions.text import tokens
-from via_spark.operators.vector import cosine_from_fix, dot_fix
-from via_spark.session import load_table, spread
+from via_spark.operators.vector import cosine_from_fix, dot_fix, dot_fix_arrow
+from via_spark.session import load_table, nopush, spread
 
 MINHASH_K = 8          # signature length
 MINHASH_BANDS = 4      # bands of 2 rows each
@@ -82,10 +82,16 @@ def _shingles(toks: Column, n: int = SHINGLE_N) -> Column:
 
 
 def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from via_spark.session import nopush
+
     d = spread(load_table(spark, sf_dir, "documents"))
     return (
         d.withColumn("toks", tokens(F.col("text")))
-        .where(F.size("toks") >= SHINGLE_N)
+        # nopush: pushed below the spread() exchange this filter inlines
+        # the whole tokenize into the single-task scan stage and runs it
+        # a second time (see session.nopush); short docs are too rare
+        # for the early drop to pay for the duplicated pass at any scale
+        .where(nopush(F.size("toks") >= SHINGLE_N))
         .select("doc_id", _shingles(F.col("toks")).alias("sh"))
     )
 
@@ -186,9 +192,13 @@ def dedup_minhash_pairs(
     shingle arrays are joined back onto the (deduplicated) candidate
     PAIRS for the exact-Jaccard verify. The shingled frame is cached —
     one computed copy serves band derivation and both verify joins (at
-    cluster scale: a persisted signatures/shingles table)."""
+    cluster scale: a persisted signatures/shingles table). The CAPPED
+    BANDS are cached too (r14): the r13 plan re-derived the 8-way
+    sha256 MinHash signatures + the cap window once PER JOIN SIDE —
+    the signature pass is the chain's dominant per-row cost, and the
+    cache (a persisted signature table at cluster scale) halves it."""
     sh = shingled_documents(spark, sf_dir).cache()
-    bands = capped_bands(minhash_bands(sh), band_cap)
+    bands = capped_bands(minhash_bands(sh), band_cap).cache()
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     cand = (
@@ -239,7 +249,10 @@ def incremental_minhash_pairs(
     the hot-bucket cap applies exactly as in the self-join case.
     """
     sh = shingled_documents(spark, sf_dir).cache()
-    bands = capped_bands(minhash_bands(sh), band_cap)
+    # cached for the same reason as the self-join form (r14): the
+    # corpus and batch sides both derive from the banded frame, and
+    # only the cache stops the sha256 signature pass running twice
+    bands = capped_bands(minhash_bands(sh), band_cap).cache()
     is_batch = F.col("doc_id") % INCREMENTAL_MOD == INCREMENTAL_BATCH_RESIDUE
     corpus = bands.where(~is_batch).select(
         F.col("doc_id").alias("corpus_doc"), "band", "band_key"
@@ -392,31 +405,46 @@ def hamming_pairs_over(
             "hamming_pairs_over is pigeonhole-complete only for "
             f"max_hamming <= 3 (20-triple scheme); got {max_hamming}"
         )
+    # One exploded frame self-joined through DataFrame aliases (r14):
+    # the r13 form projected two differently-renamed copies, so each
+    # side planned its OWN Exchange of the 20·N keyed rows — the two
+    # subplans canonicalize differently and ReusedExchange cannot fire.
+    # Keeping both sides the LITERAL same plan dedups them into one
+    # Exchange + ReusedExchange (guide §2.4: the probe table is shuffled
+    # once, not twice). The SHUFFLE_HASH hint pins the strategy: the
+    # planner estimates the exploded side from the cached fingerprint
+    # stats (~size of N 30-byte rows) and BROADCASTS it — at the 100×
+    # probe that is a 10M-row / ~240MB broadcast build, measured as the
+    # entire post-cache wall (11.9 s with a warm fingerprint cache).
+    # A shuffled-hash join moves each 20·N-row side once (and the
+    # ReusedExchange makes that one physical shuffle), builds small
+    # per-partition maps, skips sort-merge's two 20·N sorts (guide
+    # §3.1), and stays AQE-skew-splittable.
     blocks = hashed.select(
         F.col(id_col).alias("doc_id"),
         F.col(h_col).alias("h64"),
         F.expr(f"explode({_hb_keys_sql(h_col)})").alias("bk"),
     )
-    a = blocks.select(
-        F.col("doc_id").alias("doc_a"), F.col("h64").alias("ha"), "bk"
-    )
-    b = blocks.select(
-        F.col("doc_id").alias("doc_b"), F.col("h64").alias("hb"), "bk"
+    joined = blocks.alias("a").join(
+        blocks.alias("b").hint("shuffle_hash"),
+        F.col("a.bk") == F.col("b.bk"),
     )
     return (
-        a.join(b, "bk")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        joined.where(F.col("a.doc_id") < F.col("b.doc_id"))
         # the join key's triple id (bk = sid·2^33 + blocks) must be the
         # pair's canonical intact triple — each pair survives exactly once
         .where(
             F.expr(
-                "shiftrightunsigned(bk, 33) = "
-                f"({_canonical_sid_sql('ha ^ hb')})"
+                "shiftrightunsigned(a.bk, 33) = "
+                f"({_canonical_sid_sql('a.h64 ^ b.h64')})"
             )
         )
-        .withColumn("hamming", F.expr("CAST(bit_count(ha ^ hb) AS INT)"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.h64 ^ b.h64) AS INT)").alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 
@@ -1205,7 +1233,8 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     sh = (
         d.withColumn("toks", tokens(F.col("text")))
-        .where(F.size("toks") >= SHINGLE_N)
+        # nopush: keep the tokenize out of the single-task scan stage
+        .where(nopush(F.size("toks") >= SHINGLE_N))
         .select("source", F.explode(_shingles(F.col("toks"))).alias("s"))
     )
     hs = sh.select(
@@ -1263,7 +1292,10 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays still never enter the LSH shuffle.
     """
     sh = shingled_documents(spark, sf_dir).cache()
-    bands = capped_bands(minhash_bands(sh), BAND_KEY_CAP)
+    # same cached banded frame as dedup_minhash_pairs (identical
+    # canonical plan → one shared InMemoryRelation per session): the
+    # sha256 signature pass runs once, not once per join side (r14)
+    bands = capped_bands(minhash_bands(sh), BAND_KEY_CAP).cache()
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     cand = (
@@ -1272,7 +1304,9 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sig = sh.select("doc_id", *_minhash_sig(F.col("sh")))
+    # cached: sig_a and sig_b attach by DIFFERENT keys, so without the
+    # cache the 8-way sha256 signature projection would run twice (r14)
+    sig = sh.select("doc_id", *_minhash_sig(F.col("sh"))).cache()
     sig_a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(MINHASH_K)],
@@ -1709,8 +1743,11 @@ def shared_span_pairs(
     # tokenize+gram+hash projection parallelizes (cluster scans keep
     # their partitioning)
     d = spread(load_table(spark, sf_dir, "documents"))
+    # nopush: pushed below the spread() exchange this filter would
+    # inline the tokenize into the single-task scan stage and run it
+    # a second time there (see session.nopush)
     t = d.select("doc_id", tokens(F.col("text")).alias("toks")).where(
-        F.size("toks") >= anchor_n
+        nopush(F.size("toks") >= anchor_n)
     )
     occ = t.select(
         "doc_id",
@@ -1721,16 +1758,20 @@ def shared_span_pairs(
             )
         ).alias("p0", "gh"),
     ).select("doc_id", (F.col("p0") + 1).alias("p"), "gh")
-    a = occ.select(
-        F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "gh"
-    )
-    b = occ.select(
-        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "gh"
-    )
+    # alias self-join over ONE occurrence frame (r14): the two-renamed-
+    # projection form planned two Exchanges, each re-running tokenize +
+    # gram-hash explode; the literal-same plan on both sides dedups
+    # them into one Exchange + ReusedExchange (guide §2.4)
     aligned = (
-        a.join(b, "gh")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diff"))
+        occ.alias("a")
+        .join(occ.alias("b"), F.col("a.gh") == F.col("b.gh"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.p").alias("pa"),
+            (F.col("a.p") - F.col("b.p")).alias("diff"),
+        )
         .distinct()
     )
     w = Window.partitionBy("doc_a", "doc_b", "diff").orderBy("pa")
@@ -1777,8 +1818,12 @@ def span_dup_token_stats(
     # their partitioning)
     d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    # nopush (size filter) + alias self-join over ONE occurrence frame
+    # (r14): same two fixes as shared_span_pairs — keep the tokenize out
+    # of the single-task scan stage, and dedup the two candidate-side
+    # Exchanges into one Exchange + ReusedExchange (guide §2.4)
     occ = (
-        t.where(F.size("toks") >= anchor_n)
+        t.where(nopush(F.size("toks") >= anchor_n))
         .select(
             "doc_id",
             F.posexplode(
@@ -1790,12 +1835,16 @@ def span_dup_token_stats(
         )
         .select("doc_id", (F.col("p0") + 1).alias("p"), "gh")
     )
-    a = occ.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "gh")
-    b = occ.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "gh")
     aligned = (
-        a.join(b, "gh")
-        .where(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diff"))
+        occ.alias("a")
+        .join(occ.alias("b"), F.col("a.gh") == F.col("b.gh"))
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.p").alias("pa"),
+            (F.col("a.p") - F.col("b.p")).alias("diff"),
+        )
         .distinct()
     )
     w = Window.partitionBy("doc_a", "doc_b", "diff").orderBy("pa")
@@ -1886,8 +1935,10 @@ def span_scrub_plan(
     # tokenize+gram+hash projection parallelizes (cluster scans keep
     # their partitioning)
     d = spread(load_table(spark, sf_dir, "documents"))
+    # nopush (size filter) + alias self-join over ONE occurrence frame
+    # (r14) — same two fixes as shared_span_pairs
     t = d.select("doc_id", tokens(F.col("text")).alias("toks")).where(
-        F.size("toks") >= anchor_n
+        nopush(F.size("toks") >= anchor_n)
     )
     occ = t.select(
         "doc_id",
@@ -1898,15 +1949,17 @@ def span_scrub_plan(
             )
         ).alias("p0", "gh"),
     ).select("doc_id", (F.col("p0") + 1).alias("p"), "gh")
-    a = occ.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "gh")
-    b = occ.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "gh")
     # keep-lowest: only the HIGHER doc of a pair accrues cut intervals,
     # so orient the join low -> high and track the HIGH side's positions
     aligned = (
-        a.join(b, "gh")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        occ.alias("a")
+        .join(occ.alias("b"), F.col("a.gh") == F.col("b.gh"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            "doc_a", "doc_b", "pb", (F.col("pb") - F.col("pa")).alias("diff")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.p").alias("pb"),
+            (F.col("b.p") - F.col("a.p")).alias("diff"),
         )
         .distinct()
     )
@@ -1979,8 +2032,9 @@ def incremental_span_pairs(
     # tokenize+gram+hash projection parallelizes (cluster scans keep
     # their partitioning)
     d = spread(load_table(spark, sf_dir, "documents"))
+    # nopush: keep the tokenize out of the single-task scan stage (r14)
     t = d.select("doc_id", tokens(F.col("text")).alias("toks")).where(
-        F.size("toks") >= anchor_n
+        nopush(F.size("toks") >= anchor_n)
     )
     occ = t.select(
         "doc_id",
@@ -2189,8 +2243,10 @@ def neardup_lsh_recall_report(
     # the r11 form evaluated both self-norms once per CANDIDATE ROW —
     # |sample|× redundant for the corpus norm, |corpus|× for the
     # sample norm. Same values (same expression over the same vector),
-    # one third the HOF evaluations (r12).
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # one third the HOF evaluations (r12). spread(): the |corpus| ×
+    # |sample| pair dots are the heavy map stage — a single-split scan
+    # would serialize them (gated, no-op on a parallel cluster scan).
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding",
         dot_fix(F.col("embedding"), F.col("embedding")).alias("nb_fix"),
     )
@@ -2198,10 +2254,14 @@ def neardup_lsh_recall_report(
         F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_emb"),
         F.col("nb_fix").alias("na_fix"),
     )
+    # dot_fix_arrow, not dot_fix, for the pair-grain dots: |corpus| ×
+    # |sample| evaluations of an interpreted HOF were the measured wall
+    # of this query (r14); the Arrow twin computes bit-identical BIGINTs
+    # in numpy (guide §4.2).
     truth = (
         e.crossJoin(F.broadcast(s))
         .where(F.col("vec_id") != F.col("s_id"))
-        .withColumn("d_fix", dot_fix(F.col("s_emb"), F.col("embedding")))
+        .withColumn("d_fix", dot_fix_arrow(F.col("s_emb"), F.col("embedding")))
         .where(
             cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix"))
             >= F.lit(threshold)
@@ -2373,10 +2433,12 @@ def lsh_bits_dial_report(
         F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_emb"),
         F.col("n_fix").alias("na_fix"),
     )
+    # pair-grain dots via dot_fix_arrow (bit-identical numpy twin) —
+    # same wall and same fix as neardup_lsh_recall_report (r14)
     truth = (
         e0.crossJoin(F.broadcast(s))
         .where(F.col("vec_id") != F.col("s_id"))
-        .withColumn("d_fix", dot_fix(F.col("s_emb"), F.col("embedding")))
+        .withColumn("d_fix", dot_fix_arrow(F.col("s_emb"), F.col("embedding")))
         .where(
             cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("n_fix"))
             >= F.lit(threshold)

@@ -489,7 +489,9 @@ def dedup_family_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: all three inputs are the persisted label stores
     (each fixpoint ran once); this query is three label-table scans,
-    one union, one hash agg — no pair or graph work re-runs.
+    one union, one hash agg — no pair or graph work re-runs. Cold
+    sessions materialize the independent fixpoints concurrently
+    (store.prewarm, guide §2.6).
     """
     from via_spark.operators.dedup import (
         EMB_COS_THRESHOLD,
@@ -498,6 +500,7 @@ def dedup_family_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from via_spark.operators.multimodal import PHASH_MAX_HAMMING
     from via_spark import store
 
+    store.prewarm(spark, sf_dir)
     frames = [
         (
             "lexical_minhash",
@@ -736,9 +739,16 @@ def store_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: each branch is one scan of an already-materialized
     label store (three columns) plus a count of its input table; the
-    four 1-row aggs union. Never touches the pair pipelines.
+    four 1-row aggs union. Never touches the pair pipelines. On a cold
+    session the four independent fixpoints materialize CONCURRENTLY
+    (store.prewarm, guide §2.6) instead of back to back — each build is
+    a chain of small stages whose tails and driver-side convergence
+    probes would otherwise leave the executors idle.
     """
+    from via_spark import store
     from via_spark.operators.vector import semdedup_assignments
+
+    store.prewarm(spark, sf_dir)
 
     def census(name, labels, rep, flagged, inp):
         n_in = inp.agg(F.count(F.lit(1)).alias("input_rows"))

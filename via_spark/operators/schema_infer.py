@@ -156,31 +156,54 @@ def otel_flatten(df: DataFrame, raw_col: str = "raw") -> DataFrame:
     ns→s uses SQL ``div`` (exact 64-bit integer division) — a double
     roundtrip would corrupt epoch-nanosecond magnitudes (> 2^53).
     """
+    from via_spark.session import nopush
+
+    # Parse ONCE into a pinned struct column, filter on THAT attribute,
+    # extract fields above the filter (r14). The r13 shape filtered on
+    # the extracted leaf columns, and Catalyst (a) inlined the whole
+    # from_json(to_json(...)) tree into each of the four conditions and
+    # (b) pushed that filter below the spread() exchange onto the
+    # single-task scan stage — the parse ran 5× per row, the first
+    # serially (measured: 2.9 s of otel_roundtrip's 3.0 s wall; stage
+    # CPU 18 s with the inlined filter vs ~8 s parsed-once). nopush
+    # keeps the filter above the Project that materializes ``_p``, so
+    # the plan carries exactly ONE JsonToStructs.
     parsed = df.withColumn("_p", F.from_json(F.col(raw_col), OTEL_SCHEMA))
     rl = F.element_at(F.col("_p.resourceLogs"), 1)
     rec = F.element_at(F.element_at(rl["scopeLogs"], 1)["logRecords"], 1)
     service = F.element_at(
         F.filter(rl["resource"]["attributes"], lambda a: a["key"] == "service.name"), 1
     )["value"]["stringValue"]
-    staged = parsed.select(
+    ts_ns = rec["timeUnixNano"].cast("long")
+    # P7: malformed records (failed parse / missing required keys) drop
+    # out — severity included: a NULL severity would silently collapse
+    # rhythm_hash's concat_ws to sha(service) alone, merging buckets.
+    # Conditions reference the ``_p`` attribute, so they cost four
+    # struct-field reads per row, not four re-parses. ts's null test is
+    # on the raw ns value — ``_ts_ns div 1e9`` is null iff _ts_ns is.
+    kept = parsed.where(
+        nopush(
+            service.isNotNull()
+            & rec["severityText"].isNotNull()
+            & ts_ns.isNotNull()
+            & rec["body"]["stringValue"].isNotNull()
+        )
+    )
+    ns_to_s = F.expr(
+        "_ts_ns div 1000000000"
+    )  # SQL div: exact 64-bit integer division (F4)
+    return kept.select(
         *[c for c in df.columns if c != raw_col],
         service.alias("service"),
         rec["severityText"].alias("severity"),
-        rec["timeUnixNano"].cast("long").alias("_ts_ns"),
         rec["body"]["stringValue"].alias("body"),
-    )
-    out = staged.select(
-        *[c for c in staged.columns if c != "_ts_ns"],
-        F.expr("_ts_ns div 1000000000").alias("ts"),
-    )
-    # P7: malformed records (failed parse / missing required keys) drop
-    # out — severity included: a NULL severity would silently collapse
-    # rhythm_hash's concat_ws to sha(service) alone, merging buckets
-    return out.where(
-        F.col("service").isNotNull()
-        & F.col("severity").isNotNull()
-        & F.col("ts").isNotNull()
-        & F.col("body").isNotNull()
+        ts_ns.alias("_ts_ns"),
+    ).select(
+        *[c for c in df.columns if c != raw_col],
+        "service",
+        "severity",
+        "body",
+        ns_to_s.alias("ts"),
     )
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from via_spark.session import load_table
+from via_spark.session import load_table, spread
 
 PCTS = [0.25, 0.5, 0.75, 0.95]
 
@@ -1024,9 +1024,11 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: one documents scan × 32 replicate explode → one
     (source, rep) hash agg → |sources|·32 rows collapse array-locally.
     At 100 TB the explode is the textbook Poisson-bootstrap plan: no
-    per-replicate shuffle of the corpus, weights computed inline.
+    per-replicate shuffle of the corpus, weights computed inline
+    (spread: the 32-replicate sha256 weight projection is the dominant
+    map stage — a single-split fixture scan would serialize it).
     """
-    d = load_table(spark, sf_dir, "documents").select(
+    d = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         "source",
         F.size(tokens_of_text()).cast("long").alias("x"),

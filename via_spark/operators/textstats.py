@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from via_spark.functions.text import tokens
 from via_spark.operators.dedup import _shingles
-from via_spark.session import load_table, spread
+from via_spark.session import load_table, nopush, spread
 
 # BPE-ish pretokenizer: word runs OR single non-word non-space chars
 BPE_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
@@ -320,11 +320,12 @@ def char_trigram_profile(spark: SparkSession, sf_dir: str, per_lang: int = 10) -
     pinned version of exactly this kind of table).
 
     Scale posture: trigram expansion is per-row (sequence + substring,
-    no shuffle), counts are one hash agg keyed (lang, gram), and the
-    per-language cut is a WindowGroupLimit — only ``per_lang`` rows per
-    language survive the rank shuffle.
+    no shuffle — spread: a single-split fixture scan would serialize
+    this, the query's dominant map stage), counts are one hash agg
+    keyed (lang, gram), and the per-language cut is a WindowGroupLimit
+    — only ``per_lang`` rows per language survive the rank shuffle.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     grams = F.when(
         F.length("text") >= 3,
         F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"),
@@ -1590,7 +1591,9 @@ def kneser_ney_bigram_report(
     1-row broadcast; the report is a top-k heap.
     """
     d = spread(load_table(spark, sf_dir, "documents"))
-    toks = d.select(tokens(F.col("text")).alias("toks")).where(F.size("toks") >= 2)
+    toks = d.select(tokens(F.col("text")).alias("toks")).where(
+        nopush(F.size("toks") >= 2)  # keep tokenize out of the 1-task scan stage
+    )
     bg = toks.select(
         F.explode(
             F.transform(
@@ -1725,7 +1728,9 @@ def collocation_pmi_report(
     a 1-row broadcast total, a top-k heap.
     """
     d = spread(load_table(spark, sf_dir, "documents"))
-    toks = d.select(tokens(F.col("text")).alias("toks")).where(F.size("toks") >= 2)
+    toks = d.select(tokens(F.col("text")).alias("toks")).where(
+        nopush(F.size("toks") >= 2)  # keep tokenize out of the 1-task scan stage
+    )
     bg = toks.select(
         F.explode(
             F.transform(

@@ -64,6 +64,53 @@ def cosine_from_fix(dot: Column, na: Column, nb: Column) -> Column:
     )
 
 
+_FIXDOT_PD = None
+
+
+def dot_fix_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized twin of :func:`dot_fix` at the FIX9 scale —
+    bit-identical values, ~10× less per-pair cost on large pair frames.
+
+    :func:`dot_fix` is a higher-order-function chain (zip_with +
+    aggregate), which Spark evaluates INTERPRETED per element; on a
+    sample×corpus truth side (|corpus|·|sample| pairs × 64 dims) that
+    interpreter is the measured wall. This twin ships the two array
+    columns as Arrow batches and runs the identical arithmetic in
+    numpy (guide §4.2): float64 multiply is the same IEEE-754 binary64
+    operation the JVM executes, the ×1e9 scaling and per-element floor
+    happen in the same order on the same doubles, and the final sum is
+    exact int64 on both sides — so every output BIGINT matches the
+    native expression (pinned by tests/test_dedup.py's parity test and
+    every consumer's DuckDB oracle).
+
+    Contract: equal-length, non-null arrays (the embeddings fixture
+    shape). Keep :func:`dot_fix` for low-volume frames — one ArrowEval
+    stage costs a Python round trip that only pays for itself when the
+    pair count is large.
+    """
+    global _FIXDOT_PD
+    if _FIXDOT_PD is None:
+        # module-global binding: the UDF's `pd.Series` type hints are
+        # PEP-563 strings (future annotations) that pyspark resolves
+        # against this module's globals at decoration time
+        global np, pd
+        import numpy as np
+        import pandas as pd
+
+        @F.pandas_udf("long")
+        def _fixdot(xs: pd.Series, ys: pd.Series) -> pd.Series:
+            if len(xs) == 0:
+                return pd.Series([], dtype="int64")
+            av = np.array(list(xs), dtype="float64")
+            bv = np.array(list(ys), dtype="float64")
+            return pd.Series(
+                np.floor(av * bv * FIX9).astype("int64").sum(axis=1)
+            )
+
+        _FIXDOT_PD = _fixdot
+    return _FIXDOT_PD(a, b)
+
+
 def _scored(e: DataFrame, query_id: int) -> DataFrame:
     q = e.where(F.col("vec_id") == query_id).select(F.col("embedding").alias("q_emb"))
     return (
@@ -1158,7 +1205,11 @@ def semdedup_containment_report(
     # per-SIDE norm precompute — see neardup_lsh_recall_report (r12):
     # dot_fix is an interpreted HOF; self-norms per candidate row were
     # |sample|×/|corpus|× redundant. Same values, 3× fewer HOF evals.
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # The pair-grain dots use dot_fix_arrow (bit-identical numpy twin,
+    # guide §4.2) — |corpus|·|sample| interpreted HOF evaluations were
+    # the measured wall of this query (r14); spread() keeps the pair
+    # map stage off a single-split scan (gated).
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding",
         dot_fix(F.col("embedding"), F.col("embedding")).alias("nb_fix"),
     )
@@ -1169,7 +1220,7 @@ def semdedup_containment_report(
     truth = (
         e.crossJoin(F.broadcast(s))
         .where(F.col("vec_id") != F.col("s_id"))
-        .withColumn("d_fix", dot_fix(F.col("s_emb"), F.col("embedding")))
+        .withColumn("d_fix", dot_fix_arrow(F.col("s_emb"), F.col("embedding")))
         .where(
             cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix"))
             >= F.lit(tau)

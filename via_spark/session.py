@@ -42,6 +42,14 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE rewrite a sort-merge join to a shuffled-hash join when
+    # every post-shuffle partition's build side fits comfortably in a
+    # task (guide §3.1 — default 0 disables the rewrite). Decided at
+    # RUNTIME from measured partition sizes, not planner estimates, so
+    # it is scale-adaptive: big-data joins with large partitions keep
+    # sort-merge; the narrow keyed self-joins of the dedup family
+    # (20-triple Hamming probes, band keys) skip two O(n log n) sorts.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
 }
 
 
@@ -157,6 +165,32 @@ def events_in_window(
     if hi_ns is not None:
         df = df.where(F.col("ts") <= F.lit(hi_ns))
     return df
+
+
+def nopush(cond):
+    """Pin a filter WHERE IT IS WRITTEN (pushdown barrier).
+
+    Catalyst pushes deterministic predicates through Project and
+    Repartition nodes toward the scan — usually a win, but fatal for a
+    filter over EXPENSIVE DERIVED columns placed above a ``spread()``:
+    the push inlines the whole derivation (from_json(to_json(...)),
+    tokenize) into the predicate BELOW the widening exchange, so the
+    heavy expression runs twice — once per surviving row in the wide
+    stage, and once per input row in the narrow pre-exchange stage
+    (serially, on the single scan task). Measured on otel_roundtrip:
+    2.9 s of the 3.0 s wall was the duplicated parse on one core.
+
+    OR-ing an always-false NON-DETERMINISTIC term onto the condition
+    makes the predicate non-pushable as a whole (a disjunction is not
+    split into conjuncts, and non-deterministic predicates may not be
+    reordered) while changing no row's outcome: ``cond OR false ≡
+    cond`` under SQL ternary logic, including the NULL→drop case.
+    ``spark_partition_id() < 0`` is the cheapest such term (constant
+    per row, flagged non-deterministic by Spark).
+    """
+    from pyspark.sql import functions as F
+
+    return cond | (F.spark_partition_id() < F.lit(0))
 
 
 def spread(df: DataFrame, target: int | None = None) -> DataFrame:

@@ -34,10 +34,13 @@ import atexit
 import os
 import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
 _STORES: dict[tuple, str] = {}
+_LOCK = threading.Lock()
+_INFLIGHT: dict[tuple, threading.Event] = {}
 
 
 def _cleanup() -> None:
@@ -48,6 +51,86 @@ def _cleanup() -> None:
 atexit.register(_cleanup)
 
 
+def _materialize(key: tuple, prefix: str, write) -> str:
+    """Build-once path for a store key, safe under concurrent callers.
+
+    The first thread to ask for a missing key builds it; concurrent
+    askers for the SAME key block on an event instead of duplicating
+    the build (the fixpoint builders are multi-job pipelines — running
+    one twice would double executor work for nothing). DIFFERENT keys
+    build concurrently: Spark's scheduler interleaves their jobs, so
+    independent store builds back-fill each other's stragglers
+    (guide §2.6) — :func:`prewarm` exploits exactly that.
+    """
+    while True:
+        with _LOCK:
+            path = _STORES.get(key)
+            if path is not None:
+                return path
+            ev = _INFLIGHT.get(key)
+            if ev is None:
+                ev = threading.Event()
+                _INFLIGHT[key] = ev
+                break
+        ev.wait()  # another thread is building this key; re-check after
+    path = tempfile.mkdtemp(prefix=prefix)
+    try:
+        write(path)
+    except Exception:
+        shutil.rmtree(path, ignore_errors=True)
+        with _LOCK:
+            del _INFLIGHT[key]
+        ev.set()  # waiters retry (and surface the same build error)
+        raise
+    with _LOCK:
+        _STORES[key] = path
+        del _INFLIGHT[key]
+    ev.set()
+    return path
+
+
+def prewarm(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the four label stores CONCURRENTLY (no-op when
+    already built). The four fixpoints are independent multi-job
+    pipelines of small stages; serial builds leave most executors idle
+    during each round's tail and the driver-side convergence probes.
+    Submitting them from a thread pool overlaps those gaps (guide
+    §2.6: actions are only sequential because driver code calls them
+    sequentially) — measured 10.4 s → ~4 s cold for the four-store
+    census (OPTIMIZATION_r14.md). Store consumers that need several
+    stores call this first; single-store consumers skip it.
+    """
+    if os.environ.get("VIA_SPARK_TIER1_CACHE", "1") == "0":
+        return  # bypass mode derives inline; nothing to warm
+    memo = (spark.sparkContext.applicationId, "prewarmed", os.path.abspath(sf_dir))
+    with _LOCK:
+        if memo in _STORES:
+            return  # already warmed this session — skip the thread pool
+    from concurrent.futures import ThreadPoolExecutor
+
+    from via_spark.operators import graph, vector
+
+    def _build(fn):
+        # job descriptions/groups are thread-local, so each concurrent
+        # build is labelled independently in the UI
+        return lambda: fn(spark, sf_dir)
+
+    jobs = [
+        _build(graph.dedup_clusters),
+        _build(graph.embedding_neardup_clusters),
+        _build(graph.phash_dup_clusters),
+        _build(vector.semdedup_assignments),
+    ]
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futures = [pool.submit(j) for j in jobs]
+        for f in futures:
+            f.result()  # propagate the first build error
+    with _LOCK:
+        # not a filesystem path — the sentinel only marks the session
+        # warmed, and _cleanup's rmtree on it is a harmless no-op
+        _STORES[memo] = ""
+
+
 def tier1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tier1 log store for ``sf_dir`` — materialized on first use."""
     from via_spark.operators import rhythm  # lazy: rhythm imports nothing back
@@ -55,20 +138,16 @@ def tier1(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.environ.get("VIA_SPARK_TIER1_CACHE", "1") == "0":
         return rhythm.tier1_from_events(spark, sf_dir)
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    path = _STORES.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="via_tier1_")
-        try:
-            (
-                rhythm.tier1_from_events(spark, sf_dir)
-                .sortWithinPartitions("ts_ns")
-                .write.mode("overwrite")
-                .parquet(path)
-            )
-        except Exception:
-            shutil.rmtree(path, ignore_errors=True)
-            raise
-        _STORES[key] = path
+    path = _materialize(
+        key,
+        "via_tier1_",
+        lambda p: (
+            rhythm.tier1_from_events(spark, sf_dir)
+            .sortWithinPartitions("ts_ns")
+            .write.mode("overwrite")
+            .parquet(p)
+        ),
+    )
     return spark.read.parquet(path)
 
 
@@ -103,17 +182,13 @@ def cluster_labels(spark: SparkSession, sf_dir: str, threshold: float) -> DataFr
         os.path.abspath(sf_dir),
         threshold,
     )
-    path = _STORES.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="via_clusters_")
-        try:
-            graph.dedup_clusters_compute(spark, sf_dir, threshold).write.mode(
-                "overwrite"
-            ).parquet(path)
-        except Exception:
-            shutil.rmtree(path, ignore_errors=True)
-            raise
-        _STORES[key] = path
+    path = _materialize(
+        key,
+        "via_clusters_",
+        lambda p: graph.dedup_clusters_compute(spark, sf_dir, threshold)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     return spark.read.parquet(path)
 
 
@@ -141,25 +216,19 @@ def tier2_daily_path(spark: SparkSession, sf_dir: str, **variant) -> str:
         os.path.abspath(sf_dir),
         tuple(sorted(variant.items())),
     )
-    path = _STORES.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="via_tier2daily_")
-        try:
-            t1 = tier1(spark, sf_dir)
-            now = rhythm.current_now(t1)
-            anomalies = rhythm.find_rhythm_anomalies(
-                spark, sf_dir, now=now, tier1=t1, **variant
-            )
-            daily = promote.daily_rollup(anomalies, t1)
-            if daily.isEmpty():
-                daily.write.mode("overwrite").parquet(path)
-            else:
-                promote.write_tier2(daily, path, mode="overwrite")
-        except Exception:
-            shutil.rmtree(path, ignore_errors=True)
-            raise
-        _STORES[key] = path
-    return path
+    def _write(p: str) -> None:
+        t1 = tier1(spark, sf_dir)
+        now = rhythm.current_now(t1)
+        anomalies = rhythm.find_rhythm_anomalies(
+            spark, sf_dir, now=now, tier1=t1, **variant
+        )
+        daily = promote.daily_rollup(anomalies, t1)
+        if daily.isEmpty():
+            daily.write.mode("overwrite").parquet(p)
+        else:
+            promote.write_tier2(daily, p, mode="overwrite")
+
+    return _materialize(key, "via_tier2daily_", _write)
 
 
 def tier2(spark: SparkSession, sf_dir: str, **variant) -> DataFrame:
@@ -187,17 +256,13 @@ def tier2(spark: SparkSession, sf_dir: str, **variant) -> DataFrame:
         os.path.abspath(sf_dir),
         tuple(sorted(variant.items())),
     )
-    path = _STORES.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="via_tier2_")
-        try:
-            promote.promotion_rollup(spark, sf_dir, **variant).write.mode(
-                "overwrite"
-            ).parquet(path)
-        except Exception:
-            shutil.rmtree(path, ignore_errors=True)
-            raise
-        _STORES[key] = path
+    path = _materialize(
+        key,
+        "via_tier2_",
+        lambda p: promote.promotion_rollup(spark, sf_dir, **variant)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     return spark.read.parquet(path)
 
 
@@ -217,17 +282,13 @@ def embedding_cluster_labels(
         os.path.abspath(sf_dir),
         threshold,
     )
-    path = _STORES.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="via_emb_clusters_")
-        try:
-            graph.embedding_clusters_compute(spark, sf_dir, threshold).write.mode(
-                "overwrite"
-            ).parquet(path)
-        except Exception:
-            shutil.rmtree(path, ignore_errors=True)
-            raise
-        _STORES[key] = path
+    path = _materialize(
+        key,
+        "via_emb_clusters_",
+        lambda p: graph.embedding_clusters_compute(spark, sf_dir, threshold)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     return spark.read.parquet(path)
 
 
@@ -247,17 +308,13 @@ def phash_cluster_labels(
         os.path.abspath(sf_dir),
         max_hamming,
     )
-    path = _STORES.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="via_phash_clusters_")
-        try:
-            graph.phash_clusters_compute(spark, sf_dir, max_hamming).write.mode(
-                "overwrite"
-            ).parquet(path)
-        except Exception:
-            shutil.rmtree(path, ignore_errors=True)
-            raise
-        _STORES[key] = path
+    path = _materialize(
+        key,
+        "via_phash_clusters_",
+        lambda p: graph.phash_clusters_compute(spark, sf_dir, max_hamming)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     return spark.read.parquet(path)
 
 
@@ -282,15 +339,11 @@ def semdedup_labels(spark: SparkSession, sf_dir: str,
         iters,
         tau,
     )
-    path = _STORES.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="via_semdedup_")
-        try:
-            vector.semdedup_compute(spark, sf_dir, k, iters, tau).write.mode(
-                "overwrite"
-            ).parquet(path)
-        except Exception:
-            shutil.rmtree(path, ignore_errors=True)
-            raise
-        _STORES[key] = path
+    path = _materialize(
+        key,
+        "via_semdedup_",
+        lambda p: vector.semdedup_compute(spark, sf_dir, k, iters, tau)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     return spark.read.parquet(path)
