@@ -165,10 +165,24 @@ def otel_flatten(df: DataFrame, raw_col: str = "raw") -> DataFrame:
     # (b) pushed that filter below the spread() exchange onto the
     # single-task scan stage — the parse ran 5× per row, the first
     # serially (measured: 2.9 s of otel_roundtrip's 3.0 s wall; stage
-    # CPU 18 s with the inlined filter vs ~8 s parsed-once). nopush
-    # keeps the filter above the Project that materializes ``_p``, so
-    # the plan carries exactly ONE JsonToStructs.
-    parsed = df.withColumn("_p", F.from_json(F.col(raw_col), OTEL_SCHEMA))
+    # CPU 18 s with the inlined filter vs ~8 s parsed-once).
+    #
+    # The guard ``when(spark_partition_id() >= -1, parse)`` is always
+    # the parse (the condition is a tautology) but is flagged
+    # NON-DETERMINISTIC, which blocks PushPredicateThroughNonJoin from
+    # substituting ``_p``'s definition into filter conditions (guide
+    # §4.4: that substitution has no expensive-expression guard and
+    # re-parsed the JSON once PER CONDITION — measured stage CPU 18 s
+    # inlined vs 12 s with 4 inlined conds vs ~8 s parsed once). nopush
+    # on the filter additionally blocks the push below the spread()
+    # exchange. Net plan: exactly ONE JsonToStructs per row.
+    parsed = df.withColumn(
+        "_p",
+        F.when(
+            F.spark_partition_id() >= F.lit(-1),
+            F.from_json(F.col(raw_col), OTEL_SCHEMA),
+        ),
+    )
     rl = F.element_at(F.col("_p.resourceLogs"), 1)
     rec = F.element_at(F.element_at(rl["scopeLogs"], 1)["logRecords"], 1)
     service = F.element_at(
