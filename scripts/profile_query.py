@@ -59,6 +59,12 @@ def main() -> int:
             plans_dir = Path(args.plans)
             plans_dir.mkdir(parents=True, exist_ok=True)
             df = fn(spark, args.sf_dir)
+            # EXECUTED plan: run an action on THIS DataFrame's own
+            # QueryExecution (force() builds a derived reduction plan, which
+            # would leave df's AQE plan un-finalized), then explain — so the
+            # dump is the final plan (isFinalPlan=true) and reuse/strategy
+            # claims are verifiable (r14 VERDICT item 2).
+            df.collect()
             plan = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"

@@ -713,3 +713,36 @@ def test_dot_fix_arrow_bit_identical_to_native(spark, sf_oracle):
         dot_fix_arrow(F.col("x"), F.col("y")).alias("arrow"),
     ).collect()
     assert all(r["native"] == r["arrow"] for r in got), got
+
+
+def test_simhash_arrow_bit_identical_to_native(spark, sf_oracle):
+    """simhash_hex_arrow (the Arrow fingerprint twin, r15) must render
+    the EXACT 16-hex-char fingerprint the pinned native expression
+    renders for every document it replaces — the whole fixture corpus
+    plus adversarial token streams: empty-ish docs (1 token), vote ties
+    (even token counts with repeated tokens), unicode tokens (utf-8
+    byte hashing), and long repetitive streams."""
+    from via_spark.functions.simhash import simhash_hex_arrow, simhash_hex_sql
+    from via_spark.functions.text import tokens
+    from via_spark.session import load_table
+
+    d = load_table(spark, sf_oracle, "documents")
+    t = d.withColumn("toks", tokens(F.col("text"))).where(F.size("toks") > 0)
+    mismatch = t.where(
+        simhash_hex_sql("toks") != simhash_hex_arrow(F.col("toks"))
+    ).count()
+    assert mismatch == 0
+
+    rows = [
+        (["single"],),
+        (["tie", "tie"],),  # even vote counts exercise the >= 0 tie-to-1
+        (["a", "b", "a", "b", "a"],),
+        (["héllo", "wörld", "日本語", "emoji🎉"],),
+        ([f"tok{i % 7}" for i in range(500)],),
+    ]
+    df = spark.createDataFrame(rows, "toks array<string>")
+    got = df.select(
+        simhash_hex_sql("toks").alias("native"),
+        simhash_hex_arrow(F.col("toks")).alias("arrow"),
+    ).collect()
+    assert all(r["native"] == r["arrow"] for r in got), got

@@ -36,7 +36,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from via_spark.functions.simhash import simhash_hex, simhash_hex_sql
+from via_spark.functions.simhash import (  # noqa: F401 — simhash_hex_sql stays the native spec
+    simhash_hex,
+    simhash_hex_arrow,
+    simhash_hex_sql,
+)
 from via_spark.functions.text import tokens
 from via_spark.session import load_table, spread
 
@@ -101,11 +105,25 @@ def dot_fix_arrow(a: Column, b: Column) -> Column:
         def _fixdot(xs: pd.Series, ys: pd.Series) -> pd.Series:
             if len(xs) == 0:
                 return pd.Series([], dtype="int64")
-            av = np.array(list(xs), dtype="float64")
-            bv = np.array(list(ys), dtype="float64")
-            return pd.Series(
-                np.floor(av * bv * FIX9).astype("int64").sum(axis=1)
-            )
+            try:
+                av = np.array(list(xs), dtype="float64")
+                bv = np.array(list(ys), dtype="float64")
+            except (TypeError, ValueError) as exc:  # ragged / null element
+                raise ValueError(
+                    "dot_fix_arrow contract violation: embeddings must be "
+                    "equal-length non-null float arrays (got a ragged or "
+                    "null-element batch) — use native dot_fix for frames "
+                    "that can carry NULL/ragged vectors"
+                ) from exc
+            prod = av * bv * FIX9
+            if np.isnan(prod).any():  # NULL element or NaN input (ADVICE r14 #2)
+                raise ValueError(
+                    "dot_fix_arrow contract violation: NULL/NaN element in "
+                    "an embedding pair — native dot_fix yields NULL here; "
+                    "this Arrow twin only serves non-null fixture-shaped "
+                    "pair frames"
+                )
+            return pd.Series(np.floor(prod).astype("int64").sum(axis=1))
 
         _FIXDOT_PD = _fixdot
     return _FIXDOT_PD(a, b)
@@ -295,9 +313,15 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expensive fingerprint projection; no-op on a multi-split scan
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.withColumn("toks", tokens(F.col("text"))).where(F.size("toks") > 0)
-    # simhash_hex_sql: the F.expr twin of simhash_hex — same pinned
-    # expression, ~0.8 s less driver-side build per query (r12)
-    return toks.select("doc_id", simhash_hex_sql("toks").alias("simhash"))
+    # simhash_hex_arrow (r15): Arrow twin of the pinned fingerprint —
+    # bit-identical hex (integer-only logic, parity test + every
+    # consumer's oracle), replacing the interpreted 64-bit-vote HOF
+    # that was the ~40 s cold wall of the Hamming family at the 100×
+    # dial (guide §4.2). simhash_hex_sql remains the native spec for
+    # low-volume callers.
+    return toks.select(
+        "doc_id", simhash_hex_arrow(F.col("toks")).alias("simhash")
+    )
 
 
 def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,7 +49,12 @@ _RUNTIME_CONFS = {
     # it is scale-adaptive: big-data joins with large partitions keep
     # sort-merge; the narrow keyed self-joins of the dedup family
     # (20-triple Hamming probes, band keys) skip two O(n log n) sorts.
-    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
+    # Env-overridable (r15) so the blast radius is auditable by a
+    # config-only paired A/B (VERDICT r14 #2) and tunable per
+    # deployment without a code change.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": os.environ.get(
+        "SPARK_GRAFT_SHJ_THRESHOLD", "64m"
+    ),
 }
 
 
@@ -202,15 +207,57 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     ``repartition(n)`` is a 100×-scale killer: on a multi-split cluster
     scan it forces a full exchange down to exactly ``n`` partitions.
 
-    This helper repartitions ONLY when the input has fewer partitions
-    than the session's parallelism (or the explicit ``target``); an
+    This helper repartitions ONLY when the input scan is narrower than
+    the session's parallelism (or the explicit ``target``); an
     already-parallel scan passes through with no Exchange. Filters still
     push through the Repartition node to the scan
     (PushPredicateThroughNonJoin), so pushdown is unaffected either way.
     Asserted in tests/test_plans.py::test_spread_gate.
+
+    The gate estimates the scan's split count from optimizer stats
+    instead of calling ``df.rdd.getNumPartitions()`` (r15, VERDICT r14
+    #5): the RDD conversion compiled a SEPARATE physical plan and
+    materialized its RDD lineage on the driver at EVERY call — ~45
+    call sites paid tens of ms each per query build. The estimate
+    mirrors Spark's own file-split packing (`FilePartition`): each
+    file is charged ``openCostInBytes`` on top of its bytes, and the
+    split size is ``min(maxPartitionBytes, max(openCost,
+    charged/defaultParallelism))``. The gate only needs to know which
+    side of ``n`` the count falls on — fixture-sized inputs (one
+    split) widen exactly as before; cluster-scale scans pass through
+    (and skip the file-list fetch entirely on the fast path).
     """
-    sc = df.sparkSession.sparkContext
-    n = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    spark = df.sparkSession
+    n = target or spark.sparkContext.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        max_split = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+        if size >= n * max_split:
+            return df  # ≥ n splits on bytes alone — already parallel
+        open_cost = _size_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+        )
+        charged = size + open_cost * max(len(df.inputFiles()), 1)
+        split = min(max_split, max(open_cost, charged // max(n, 1)))
+        est_parts = max(1, -(-charged // max(split, 1)))
+    except Exception:
+        # conservative fallback: the legacy RDD-partition gate
+        if df.rdd.getNumPartitions() < n:
+            return df.repartition(n)
+        return df
+    if est_parts < n:
         return df.repartition(n)
     return df
+
+
+_SIZE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _size_bytes(v: str) -> int:
+    """Spark byte-size conf string ('128m', '134217728b', '1g') → bytes."""
+    s = v.strip().lower().removesuffix("b")
+    if s and s[-1] in _SIZE_SUFFIX:
+        return int(s[:-1]) * _SIZE_SUFFIX[s[-1]]
+    return int(s)

@@ -41,6 +41,9 @@ from pyspark.sql import DataFrame, SparkSession
 _STORES: dict[tuple, str] = {}
 _LOCK = threading.Lock()
 _INFLIGHT: dict[tuple, threading.Event] = {}
+#: session-warmed markers (prewarm) — NOT filesystem paths, so they
+#: never mix into _STORES/_cleanup (ADVICE r14 #4)
+_WARMED: set[tuple] = set()
 
 
 def _cleanup() -> None:
@@ -73,14 +76,21 @@ def _materialize(key: tuple, prefix: str, write) -> str:
                 _INFLIGHT[key] = ev
                 break
         ev.wait()  # another thread is building this key; re-check after
+        exc = getattr(ev, "exc", None)
+        if exc is not None:
+            # the build we waited on failed — surface ITS error instead
+            # of each waiter re-running the expensive failed fixpoint
+            # (ADVICE r14 #1); a fresh caller (no event held) retries
+            raise exc
     path = tempfile.mkdtemp(prefix=prefix)
     try:
         write(path)
-    except Exception:
+    except BaseException as exc:
         shutil.rmtree(path, ignore_errors=True)
+        ev.exc = exc  # waiters re-raise this after wake-up
         with _LOCK:
             del _INFLIGHT[key]
-        ev.set()  # waiters retry (and surface the same build error)
+        ev.set()
         raise
     with _LOCK:
         _STORES[key] = path
@@ -104,7 +114,7 @@ def prewarm(spark: SparkSession, sf_dir: str) -> None:
         return  # bypass mode derives inline; nothing to warm
     memo = (spark.sparkContext.applicationId, "prewarmed", os.path.abspath(sf_dir))
     with _LOCK:
-        if memo in _STORES:
+        if memo in _WARMED:
             return  # already warmed this session — skip the thread pool
     from concurrent.futures import ThreadPoolExecutor
 
@@ -126,9 +136,9 @@ def prewarm(spark: SparkSession, sf_dir: str) -> None:
         for f in futures:
             f.result()  # propagate the first build error
     with _LOCK:
-        # not a filesystem path — the sentinel only marks the session
-        # warmed, and _cleanup's rmtree on it is a harmless no-op
-        _STORES[memo] = ""
+        # session-warmed marker lives in its own set: _STORES holds only
+        # real temp paths for _cleanup's rmtree (ADVICE r14 #4)
+        _WARMED.add(memo)
 
 
 def tier1(spark: SparkSession, sf_dir: str) -> DataFrame:
