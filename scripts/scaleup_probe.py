@@ -191,11 +191,16 @@ def main() -> int:
                     help="comma-separated probe subset (for big --factor runs"
                          " where the token-explode families would dominate"
                          " wall-clock without adding signal)")
+    ap.add_argument("--skip-build", action="store_true",
+                    help="reuse an existing --out dataset (r15: lets paired"
+                         " old/new-tree dial runs share one deterministic"
+                         " build instead of paying it twice)")
     args = ap.parse_args()
 
     spark = get_spark("scaleup-probe")
     out = Path(args.out)
-    build_scaled(spark, out, args.factor)
+    if not (args.skip_build and (out / "documents.parquet").exists()):
+        build_scaled(spark, out, args.factor)
 
     import __spark_entry__ as em
     from via_spark import staging

@@ -734,6 +734,7 @@ def test_simhash_arrow_bit_identical_to_native(spark, sf_oracle):
     assert mismatch == 0
 
     rows = [
+        ([],),  # empty aggregate → zero votes → all-ones fingerprint
         (["single"],),
         (["tie", "tie"],),  # even vote counts exercise the >= 0 tie-to-1
         (["a", "b", "a", "b", "a"],),

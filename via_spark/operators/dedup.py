@@ -1510,7 +1510,12 @@ def gram_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming-friendly form of "what does one more source add" —
     the same aggregates fold incrementally as new docs arrive.
     """
-    grams = shingled_documents(spark, sf_dir).select(
+    # cached (r15): the two aggregation branches (per-doc counts,
+    # per-gram first-doc) otherwise each re-run the tokenize→shingle
+    # derivation — their exchanges differ (doc_id vs g), so no stage
+    # reuse bridges them. Same canonical plan as the MinHash chain's
+    # cached shingle frame → one shared session IMR, no extra memory.
+    grams = shingled_documents(spark, sf_dir).cache().select(
         "doc_id", F.explode("sh").alias("g")
     )
     n_grams = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -2177,13 +2182,20 @@ def lsh_density_outliers(
     # DIRECTIONAL probe set (see _DIRECTIONAL_PROBES: same-bucket pairs
     # keep vec_a < vec_b; a directed flip emits its cross-bucket pair
     # exactly once in either orientation) (r13, VERDICT r12 next #3).
+    # dot_fix_arrow here (r15): paired A/B ×0.71 at sf0.1, ~neutral at
+    # the 100× dial — this query's candidate frame is the densest of
+    # the family. The sibling sites (neardup/incremental/gate) were
+    # A/B'd with the same swap and measured SLOWER at both scales
+    # (×1.4 sf0.1, ×1.37 dial for incremental — the fixed Python
+    # round trip outweighs their smaller pair volume), so they keep
+    # the native expression: measured per site, not assumed.
     neighbor_ends = (
         a.join(b, "bucket")
         .where(
             (~F.col("is_self")) | (F.col("vec_a") < F.col("vec_b"))
         )
         .where(F.col("vec_a") != F.col("vec_b"))
-        .withColumn("d_fix", dot_fix(F.col("emb_a"), F.col("emb_b")))
+        .withColumn("d_fix", dot_fix_arrow(F.col("emb_a"), F.col("emb_b")))
         .where(
             cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix"))
             >= F.lit(tau)

@@ -142,11 +142,17 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(n log n) per row, vs the naive O(n·distinct) count-per-distinct
     loop), and stays inside whole-stage codegen.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # gated spread (r15): the repetition signals are per-row HOF-heavy
+    # (line/gram assembly + sort + run-length scan per document) over a
+    # single-split fixture scan — the same shape every spread() site
+    # fixes; no-op on a multi-split cluster scan (guide §2.5)
+    d = spread(load_table(spark, sf_dir, "documents"))
     L = LINE_TOKENS
     t = (
         d.select("doc_id", tokens(F.col("text")).alias("toks0"))
-        .where(F.size("toks0") >= L)
+        # nopush: keep the tokenize out of the single-task scan stage
+        # (same rationale as shingled_documents)
+        .where(nopush(F.size("toks0") >= L))
         .select(
             "doc_id",
             F.concat(
@@ -454,18 +460,26 @@ def dup_ngram_stats(
         ).alias("gram"),
     )
     dg = grams.select("doc_id", F.xxhash64("gram").alias("gh")).distinct()
-    shared = (
-        dg.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("ndocs"))
-        .where(F.col("ndocs") >= 2)
-        .select("gh", F.lit(1).alias("is_shared"))
-    )
+    # r15: cross-document visibility as a WINDOW count over the gram
+    # hash instead of the r14 agg + join-back — the join derived the
+    # distinct gram frame TWICE (once per side; the broadcast side's
+    # subtree cannot stage-reuse the shuffle side's) and at corpus
+    # scale would broadcast the shared-gram vocabulary, which grows
+    # with the corpus and eventually exceeds the broadcast cap
+    # (guide §2.4/§3.1). The window shares the one derivation and
+    # stays a keyed shuffle at any scale. Values identical: ndocs per
+    # gh over the distinct frame is exactly the old agg's count.
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("gh")
+    counted = dg.withColumn("ndocs", F.count(F.lit(1)).over(wg))
     return (
-        dg.join(shared, "gh", "left")
-        .groupBy("doc_id")
+        counted.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.coalesce("is_shared", F.lit(0))).cast("bigint").alias("n_shared"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
         )
         .select(
             "doc_id",

@@ -1111,7 +1111,7 @@ def semdedup_compute(spark: SparkSession, sf_dir: str,
         a.join(b, cell)
         .where(F.col("va") < F.col("vb"))
         .repartition(F.col("va"), F.col("vb"))
-        .withColumn("d_fix", dot_fix(F.col("emb_a"), F.col("emb_b")))
+        .withColumn("d_fix", dot_fix_arrow(F.col("emb_a"), F.col("emb_b")))
         .where(
             cosine_from_fix(F.col("d_fix"), F.col("norm_a"), F.col("norm_b"))
             >= tau
@@ -1570,7 +1570,7 @@ def semdedup_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "cluster")
         .where(F.col("va") < F.col("vb"))
         .repartition(F.col("va"), F.col("vb"))
-        .withColumn("d_fix", dot_fix(F.col("emb_a"), F.col("emb_b")))
+        .withColumn("d_fix", dot_fix_arrow(F.col("emb_a"), F.col("emb_b")))
         .withColumn(
             "score",
             cosine_from_fix(F.col("d_fix"), F.col("na_fix"), F.col("nb_fix")),
