@@ -42,6 +42,15 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # coalescePartitions.parallelismFirst stays at Spark's default
+    # (true). r15 A/B'd false (advisory-size coalescing, the
+    # production-docs suggestion): it cuts the small-shuffle stage
+    # latency that dominates the 1–2 s query class at 32 cores
+    # (source_overlap variant probe 1.91→1.16 s with 8 reduce
+    # partitions) but SERIALIZES post-shuffle CPU-heavy verify stages
+    # (containment_dedup_pairs ×2.11 paired — its candidate-pair
+    # array_intersect coalesced onto one task). Net negative at this
+    # grain; see BENCH_AB_r15/aqe_parfirst.json.
     # Let AQE rewrite a sort-merge join to a shuffled-hash join when
     # every post-shuffle partition's build side fits comfortably in a
     # task (guide §3.1 — default 0 disables the rewrite). Decided at
